@@ -1,0 +1,121 @@
+"""Text-analysis expressions ([EXT] SURVEY §2.7 F12, BASELINE north
+star: language-ID, quality scoring, token counting, fingerprinting).
+
+All pure Spark column expressions (codegen'd, no UDFs): at 100 TB the
+text-quality pass is a full-corpus scan, so per-row work must stay
+JVM-side. Every function has an exact SQL analog used by the DuckDB
+oracles (see queries_text.py) — deterministic by construction
+(integer counts, md5, per-row double arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "token_shingles",
+    "hex_to_long",
+    "md5_fingerprint",
+    "stopword_ratio",
+    "quality_score",
+    "lang_scores",
+    "LANG_MARKERS",
+    "STOPWORDS",
+]
+
+# Small English-ish stopword list matching the synthetic fixture vocab.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# Characteristic marker tokens per language for the n-gram/keyword
+# language-ID heuristic. Deterministic scoring: count marker hits.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "zh": ("de5", "shi4", "zai4", "le5"),
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (fixture text is single-space separated)."""
+    return F.split(_c(text), " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def token_shingles(text: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingles as space-joined strings.
+
+    SQL analog: list_transform(range(1, len(toks)-n+2), j -> ...).
+    Docs with < n tokens produce an empty array (consistently excluded
+    downstream on both engines).
+    """
+    toks = tokens(text)
+    count = F.size(toks) - (n - 1)
+    # NB: sequence(1, 0) is DESCENDING [1,0] in Spark, not empty — guard
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    parts = lambda j: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, j + i) for i in range(n)]
+    )
+    return F.transform(idx, parts)
+
+
+def hex_to_long(hexstr: Column | str) -> Column:
+    """Parse a <=15-digit hex string into BIGINT (portable across
+    engines: DuckDB side uses ('0x'||s)::BIGINT)."""
+    return F.conv(_c(hexstr), 16, 10).cast("bigint")
+
+
+def md5_fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-canonicalized lowercase
+    text — the exact-dedup key at scale (hash once, group on 32 bytes
+    instead of full documents)."""
+    canon = F.lower(F.regexp_replace(_c(text), r"\s+", " "))
+    return F.md5(canon.cast("binary"))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return hits.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document-quality score in [0,1] (LLM-pipeline filter).
+
+    0.4 * capped length score + 0.3 * stopword presence + 0.3 * (1 -
+    non-alpha ratio). Integer counts + one double combination per row —
+    deterministic, exactly reproducible in the SQL oracle.
+    """
+    t = _c(text)
+    n_tok = token_count(t).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    sw = stopword_ratio(t)
+    sw_score = F.least(sw * F.lit(4.0), F.lit(1.0))
+    n_chars = F.length(t).cast("double")
+    non_alpha = F.length(F.regexp_replace(t, r"[a-z0-9 ]", "")).cast("double")
+    clean_score = F.lit(1.0) - non_alpha / F.greatest(n_chars, F.lit(1.0))
+    return (
+        F.lit(0.4) * len_score + F.lit(0.3) * sw_score + F.lit(0.3) * clean_score
+    )
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-token hit counts per language (keyword language-ID)."""
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }

@@ -1,0 +1,93 @@
+"""Vector expressions as pure Spark column expressions (SURVEY §2.7).
+
+The reference's vector math lives in numpy/torch/FAISS:
+- L2 normalize: ``embedding /= np.linalg.norm(embedding)``
+  (reference main.py:87 — note: NO zero-vector guard; a zero vector
+  produces NaNs. ``l2_normalize`` reproduces that by default and offers
+  ``zero_guard=True`` as the documented divergence).
+- squared-L2 distance: implicit in ``faiss.IndexHNSWFlat`` L2 metric
+  (reference main.py:60, 155); because vectors are normalized, ranking
+  is cosine and the reported score is squared L2 (SURVEY §1.1).
+
+Here they are higher-order array functions (``aggregate``/``zip_with``/
+``transform``) over ``ARRAY<DOUBLE>`` — these compile to JVM codegen in
+the physical plan, so the kNN hot path has NO Python boundary and no
+UDF serialization. At 100 TB this is the difference between a scan-rate
+bound job and a Python-pickle bound one.
+
+All functions accept Column or column-name and compute in DOUBLE
+(inputs are cast) so results are deterministic and match a
+double-precision oracle bit-for-bit (sequential left-fold accumulation,
+same order as the array).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["as_double_array", "dot", "l2_norm", "l2_normalize", "l2_sq", "cosine_sim"]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def as_double_array(col: Column | str) -> Column:
+    """Cast ARRAY<FLOAT> (parquet storage type) to ARRAY<DOUBLE> for math."""
+    return _c(col).cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product: left-fold of elementwise products (codegen'd, no UDF)."""
+    prods = F.zip_with(as_double_array(a), as_double_array(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column | str) -> Column:
+    """Euclidean norm sqrt(sum(x^2))."""
+    sq = F.transform(as_double_array(a), lambda x: x * x)
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def l2_normalize(a: Column | str, zero_guard: bool = False) -> Column:
+    """Unit-normalize a vector, mirroring reference main.py:87.
+
+    zero_guard=False reproduces the reference exactly: a zero vector
+    divides by 0.0 -> NaN elements. zero_guard=True returns the zero
+    vector unchanged (the sane behavior, flagged as a divergence in
+    SURVEY §7f).
+    """
+    arr = as_double_array(a)
+    norm = l2_norm(arr)
+    if zero_guard:
+        norm = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    else:
+        # ANSI mode (Spark 4 default) raises DIVIDE_BY_ZERO on 0/0; the
+        # reference's numpy 0/0 yields NaN. x / NaN == NaN reproduces that
+        # without disabling ANSI session-wide.
+        norm = F.when(norm == 0.0, F.lit(float("nan"))).otherwise(norm)
+    # NOTE: `norm` is re-evaluated per element by codegen unless the
+    # caller materializes it first; operators on the hot path compute a
+    # `_norm` column once and divide by it (see operators/knn.py).
+    return F.transform(arr, lambda x: x / norm)
+
+
+def l2_sq(a: Column | str, b: Column | str) -> Column:
+    """Squared-L2 distance — the score the reference returns to users
+    (main.py:155,163: FAISS L2 metric, raw distances in the response).
+    """
+    diffs = F.zip_with(
+        as_double_array(a), as_double_array(b), lambda x, y: (x - y) * (x - y)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_sim(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity dot(a,b)/(|a||b|).
+
+    On L2-normalized inputs this equals ``1 - l2_sq/2`` (SURVEY §1.1:
+    ||a-b||^2 = 2 - 2 a.b), which is how the reference's L2-over-
+    normalized-vectors ranking is cosine ranking.
+    """
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -1,0 +1,211 @@
+"""Dedup query registry entries ([EXT]): exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine — each wired to its DuckDB oracle with
+portable md5-derived hashing so signatures match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.operators.dedup import (
+    embedding_similar_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from cnc_visionsearch_spark.operators.knn import with_normalized
+from cnc_visionsearch_spark.registry import register
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+# Shared oracle CTEs ------------------------------------------------------
+
+_SHINGLES_3 = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(tk) - 2, 0) + 1),
+    j -> tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2]))) AS shingle
+  FROM toks
+)
+"""
+
+_MINHASH_16 = f"""
+{_SHINGLES_3},
+hashes AS (
+  SELECT doc_id, seeds.i AS i,
+    min(('0x' || substr(md5(seeds.i || ':' || shingle), 1, 15))::BIGINT) AS h
+  FROM sh, (SELECT unnest(range(16)) AS i) seeds
+  GROUP BY doc_id, seeds.i
+)
+"""
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+  CAST(min(doc_id) AS BIGINT) AS keeper_id,
+  CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    doc="Exact dedup: group on md5 fingerprint (32-byte shuffle key, not "
+    "full text), deterministic min-id keeper.",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d)
+
+
+@register(
+    "minhash_signatures_long",
+    oracle=f"""
+WITH {_MINHASH_16}
+SELECT doc_id, CAST(i AS INT) AS seed, h AS min_hash
+FROM hashes WHERE doc_id < 50
+""",
+    doc="MinHash signatures (16 portable md5-derived hash family members "
+    "over distinct token 3-gram shingles), long format.",
+)
+def minhash_signatures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    sig = minhash_signatures(d, num_hashes=16, shingle_n=3)
+    # unpivot h0..h15 -> (doc_id, seed, min_hash)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("seed"), F.col(f"h{i}").alias("min_hash")
+            )
+            for i in range(16)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", "p.seed", "p.min_hash")
+
+
+@register(
+    "minhash_lsh_neardup_pairs",
+    oracle=f"""
+WITH {_MINHASH_16},
+sigs AS (
+  SELECT doc_id, list(h ORDER BY i) AS sig FROM hashes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, bs.b AS band_id,
+    sig[bs.b*4+1]::VARCHAR || ',' || sig[bs.b*4+2]::VARCHAR || ',' ||
+    sig[bs.b*4+3]::VARCHAR || ',' || sig[bs.b*4+4]::VARCHAR AS band_sig
+  FROM sigs, (SELECT unnest(range(4)) AS b) bs
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y USING (band_id, band_sig)
+  WHERE x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+  c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common)::DOUBLE AS jaccard
+FROM common c
+JOIN cand USING (id_a, id_b)
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common)::DOUBLE >= 0.3
+""",
+    doc="MinHash LSH near-dedup: 16 hashes, 4 bands of 4; bucket-join "
+    "candidates verified by exact shingle Jaccard >= 0.3. The 100 TB "
+    "near-dedup pattern end-to-end.",
+)
+def minhash_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.3
+    )
+
+
+@register(
+    "simhash_sketches",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents WHERE doc_id < 100
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS th FROM toks
+),
+bits AS (
+  SELECT doc_id, bs.b AS b,
+    SUM(CASE WHEN (th >> bs.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(range(32)) AS b) bs
+  GROUP BY doc_id, bs.b
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+    doc="SimHash 32-bit sketches over distinct tokens (md5-derived bit "
+    "hashes; near-dups differ in few bits -> banded-prefix joins at scale).",
+)
+def simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return simhash(d, bits=32)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_SHINGLES_3},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+  c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common)::DOUBLE AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common)::DOUBLE >= 0.01
+""",
+    doc="Exact token-trigram Jaccard pairs (threshold 0.01): the shingle "
+    "inverted-index self-join — the exact verifier behind the LSH tier.",
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, shingle_n=3, threshold=0.01)
+
+
+@register(
+    "embedding_neardup_top10",
+    oracle="""
+WITH normed AS (
+  SELECT vec_id,
+    list_transform(
+      embedding::DOUBLE[],
+      x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))
+    ) AS nvec
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  list_sum(list_transform(range(1, len(a.nvec)+1), i -> a.nvec[i]*b.nvec[i])) AS cosine
+FROM normed a, normed b
+WHERE a.vec_id < b.vec_id
+ORDER BY cosine DESC, id_a ASC, id_b ASC
+LIMIT 10
+""",
+    doc="Embedding near-dup: top-10 most-similar pairs by exact cosine. "
+    "Exact all-pairs at test scale; ANN buckets generate candidates at 100 TB.",
+)
+def embedding_neardup_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    return embedding_similar_pairs(emb, top_n=10)

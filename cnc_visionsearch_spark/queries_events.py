@@ -1,0 +1,260 @@
+"""Event-time analytics over the `events` fixture (SURVEY §2.8, W3,
+F13) — the batch expressions of the streaming semantics; the same
+logical plans run under Structured Streaming (see streaming/pipelines.py)
+with watermarks.
+
+Scale notes: all grouped aggs here key on (window, type) or user_id —
+high-cardinality, well-spread keys; AQE coalesces the post-shuffle
+partitions. Window functions partition by user_id (bounded state per
+key), the same partitioning a streaming stateful operator would use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.registry import register
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props FROM events)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS ts_hour, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM ev
+GROUP BY 1, 2
+""",
+    doc="Tumbling 1h event-time window x type: counts, exact sums, distinct "
+    "users. Streaming equivalent: withWatermark + window(ts, '1 hour').",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("ts_hour"), "event_type", "n_events", "sum_value", "n_users")
+    )
+
+
+@register(
+    "events_sliding_windows",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props FROM events),
+exploded AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - (o.o * INTERVAL '30 minutes') AS win_start,
+         value
+  FROM ev, (SELECT unnest([0, 1]) AS o) o
+)
+SELECT win_start,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM exploded
+GROUP BY win_start
+""",
+    doc="Sliding window (1h length, 30m slide): each event lands in 2 "
+    "windows. Spark's window() explodes then aggregates; oracle replicates "
+    "via the two-offset union.",
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props FROM events),
+seq AS (
+  SELECT user_id, ts, value,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM ev
+),
+flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+  FROM seq
+),
+sessions AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  min(ts) AS session_start, max(ts) AS session_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    doc="Gap-based sessionization (30 min) — the batch expression of "
+    "session_window(). lag -> cumulative-sum-of-flags -> group. Bounded "
+    "per-user state, shuffle only on user_id.",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w_seq)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_cum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "events_rolling_user_stats",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props FROM events),
+seq AS (
+  SELECT user_id, event_id, ts, event_type, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value,
+    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_errors
+  FROM ev
+)
+SELECT user_id, event_id, CAST(rn AS INT) AS rn, rolling_value, rolling_errors
+FROM seq WHERE user_id < 50
+""",
+    doc="W3 analytic windows: rolling 4-row sums per user (decimal-exact), "
+    "error counts. ROWS frame = bounded state, streaming-friendly.",
+)
+def events_rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w_rn).cast("int"))
+        .withColumn(
+            "rolling_value",
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"),
+        )
+        .withColumn(
+            "rolling_errors",
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .over(w)
+            .cast("bigint"),
+        )
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "event_id", "rn", "rolling_value", "rolling_errors")
+    )
+
+
+@register(
+    "events_lag_lead_delta",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props FROM events),
+seq AS (
+  SELECT user_id, event_id, ts, value,
+    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+    lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
+  FROM ev
+)
+SELECT user_id, event_id, value - prev_value AS value_delta, next_event_id
+FROM seq WHERE user_id < 20 AND prev_value IS NOT NULL
+""",
+    doc="W3: lag/lead navigation — per-row double delta (deterministic, no "
+    "cross-row summation).",
+)
+def events_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .withColumn("next_event_id", F.lead("event_id").over(w))
+        .filter((F.col("user_id") < 20) & F.col("prev_value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("value") - F.col("prev_value")).alias("value_delta"),
+            "next_event_id",
+        )
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props FROM events)
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM ev
+GROUP BY event_type
+""",
+    doc="F13: semi-structured JSON prop extraction (get_json_object) + "
+    "integer aggregate — exact, order-independent.",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "events_daily_pivot",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props FROM events)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM ev
+GROUP BY 1
+""",
+    doc="Pivot: daily event-type matrix. Spark pivot with explicit values "
+    "(single-pass conditional aggregation, one shuffle).",
+)
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields nullable counts; normalize nulls to 0 like the oracle
+    for t in types:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("bigint"))
+    return out

@@ -1,0 +1,213 @@
+"""Text-analysis queries over `documents` ([EXT]: language-ID, quality
+scoring, token counting, fingerprinting — the LLM-training-pipeline
+text pass). Every query is a single full scan with codegen'd per-row
+expressions + a hash aggregate: the shape that scales linearly to
+100 TB with zero shuffle beyond the final group-by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    md5_fingerprint,
+    quality_score,
+    token_count,
+    token_shingles,
+    tokens,
+)
+from cnc_visionsearch_spark.functions.text import hex_to_long
+from cnc_visionsearch_spark.registry import register
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "doc_stats_by_lang_source",
+    oracle=f"""
+SELECT lang, source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  CAST(min(n_chars) AS BIGINT) AS min_chars,
+  CAST(max(n_chars) AS BIGINT) AS max_chars,
+  CAST(SUM(CASE WHEN n_chars = len(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok
+FROM documents
+GROUP BY lang, source
+""",
+    doc="A3/F12: corpus stats by (lang, source) incl. the n_chars==length "
+    "invariant check. Integer aggregates — exact.",
+)
+def doc_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(
+            F.when(F.col("n_chars") == F.length("text"), 1).otherwise(0)
+        ).alias("n_len_ok"),
+    )
+
+
+@register(
+    "doc_token_histogram",
+    oracle="""
+SELECT CAST(len(string_split(text, ' ')) // 10 AS BIGINT) AS token_bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(doc_id) AS BIGINT) AS sample_doc
+FROM documents
+GROUP BY 1
+""",
+    doc="Token-count distribution (bucketed by 10s) — the length-filter "
+    "histogram every data pipeline runs first.",
+)
+def doc_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("token_bucket", (token_count("text") / 10).cast("bigint"))
+        .groupBy("token_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+    )
+
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    len(string_split(text, ' ')) AS n_tok,
+    len(list_filter(string_split(text, ' '), t -> t IN ({_SW}))) AS sw_hits,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS non_alpha
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang,
+    0.4 * least(n_tok / 100.0, 1.0)
+    + 0.3 * least((sw_hits::DOUBLE / n_tok::DOUBLE) * 4.0, 1.0)
+    + 0.3 * (1.0 - non_alpha::DOUBLE / greatest(n_chars::DOUBLE, 1.0)) AS quality
+  FROM scored
+)
+SELECT doc_id, lang, quality FROM q WHERE doc_id < 100
+""",
+    doc="F12 quality scoring: length/stopword/cleanliness heuristic in "
+    "[0,1], pure codegen. Per-row doubles — deterministic.",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 100)
+        .select("doc_id", "lang", quality_score("text").alias("quality"))
+    )
+
+
+@register(
+    "doc_lang_id_confusion",
+    oracle=f"""
+WITH scores AS (
+  SELECT doc_id, lang,
+    {", ".join(
+        f"len(list_filter(string_split(text, ' '), t -> t IN "
+        f"({', '.join(repr(m) for m in markers)}))) AS hits_{lang}"
+        for lang, markers in LANG_MARKERS.items()
+    )}
+  FROM documents
+),
+pred AS (
+  SELECT doc_id, lang,
+    CASE
+      WHEN hits_es > hits_en AND hits_es >= hits_fr AND hits_es >= hits_de AND hits_es >= hits_zh THEN 'es'
+      WHEN hits_fr > hits_en AND hits_fr >= hits_de AND hits_fr >= hits_zh THEN 'fr'
+      WHEN hits_de > hits_en AND hits_de >= hits_zh THEN 'de'
+      WHEN hits_zh > hits_en THEN 'zh'
+      WHEN hits_en > 0 THEN 'en'
+      ELSE 'unknown'
+    END AS predicted
+  FROM scores
+)
+SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY lang, predicted
+""",
+    doc="F12 language-ID: marker-token scoring with a fixed precedence "
+    "cascade; output is the lang x predicted confusion matrix.",
+)
+def doc_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.text import lang_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    s = lang_scores("text")
+    predicted = (
+        F.when(
+            (s["es"] > s["en"]) & (s["es"] >= s["fr"]) & (s["es"] >= s["de"]) & (s["es"] >= s["zh"]),
+            "es",
+        )
+        .when((s["fr"] > s["en"]) & (s["fr"] >= s["de"]) & (s["fr"] >= s["zh"]), "fr")
+        .when((s["de"] > s["en"]) & (s["de"] >= s["zh"]), "de")
+        .when(s["zh"] > s["en"], "zh")
+        .when(s["en"] > 0, "en")
+        .otherwise("unknown")
+    )
+    return (
+        d.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+SELECT doc_id,
+  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents WHERE doc_id < 50
+""",
+    doc="Document fingerprinting: md5 over canonicalized text — the "
+    "constant-size exact-dedup key.",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 50).select(
+        "doc_id", md5_fingerprint("text").alias("fingerprint")
+    )
+
+
+@register(
+    "doc_minhash_fingerprint",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+    j -> string_split(text, ' ')[j] || ' ' || string_split(text, ' ')[j+1] || ' ' ||
+         string_split(text, ' ')[j+2] || ' ' || string_split(text, ' ')[j+3] || ' ' ||
+         string_split(text, ' ')[j+4]))) AS shingle
+  FROM documents
+)
+SELECT doc_id,
+  CAST(min(('0x' || substr(md5(shingle), 1, 15))::BIGINT) AS BIGINT) AS min_shingle_hash,
+  CAST(count(DISTINCT shingle) AS BIGINT) AS n_shingles
+FROM sh GROUP BY doc_id
+""",
+    doc="Rolling-shingle fingerprint: min md5-hash over distinct token "
+    "5-grams (winnowing-style document sketch; portable hex->int hashing).",
+)
+def doc_minhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(token_shingles("text", 5))).alias("shingle"),
+    )
+    return sh.groupBy("doc_id").agg(
+        F.min(hex_to_long(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15)))
+        .alias("min_shingle_hash"),
+        F.countDistinct("shingle").alias("n_shingles"),
+    )

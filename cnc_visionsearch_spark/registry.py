@@ -1,0 +1,78 @@
+"""Query registry — the driver-facing inventory (SURVEY §2).
+
+Every implemented operator is exposed as a named query: a callable
+``(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible) an ANSI
+SQL oracle string DuckDB runs over the same parquet tables. The driver
+hash-compares the two at sf0.01 (CORRECTNESS_r{N}.json).
+
+Determinism conventions (FIXTURES.md "Oracle & determinism rules"):
+- every computed column is aliased identically on both sides;
+- floating aggregates over row sets go through exact DECIMAL sums
+  (cast-to-decimal -> SUM -> cast-to-double), because double summation
+  order across partitions is nondeterministic;
+- per-row double expression chains (vector distances) are kept raw:
+  both engines fold sequentially in array order, bit-identical;
+- top-k ties break by ascending id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_all()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every query module exactly once (they self-register)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from cnc_visionsearch_spark import (  # noqa: F401
+        queries_dedup,
+        queries_events,
+        queries_ingest,
+        queries_relational,
+        queries_text,
+        queries_vector,
+    )
+
+    _LOADED = True

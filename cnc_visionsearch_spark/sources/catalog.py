@@ -1,0 +1,75 @@
+"""Table loading / catalog (SURVEY §2.1 S1-S4).
+
+The reference persists state as one FAISS file + one SQLite file loaded
+at startup (main.py:55-63, 36-52). Here every table is self-describing
+Parquet read lazily; `load_tables` also registers temp views so the SQL
+API sees the same catalog.
+
+`derive_id_mapping` builds the reference's id_mapping table
+(main.py:40-48) from the fixtures, per FIXTURES.md: str_id is a
+formatted external id, faiss_id carries the dense-id semantics
+(main.py:129-130), text_content comes from the documents corpus (the
+OCR slot, main.py:131 — write-only in the reference).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.schemas import ALL_TABLES
+
+__all__ = ["table_path", "load_table", "load_tables", "derive_id_mapping"]
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is TIMESTAMP(NANOS) in the fixture; with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as bigint nanos —
+    # convert to a microsecond timestamp (lossless: fixture values are
+    # microsecond-precision; DuckDB oracles cast ts::TIMESTAMP the same way)
+    if "ts" in df.columns and dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = ALL_TABLES,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def derive_id_mapping(
+    embeddings: DataFrame, documents: DataFrame
+) -> DataFrame:
+    """id_mapping(str_id, faiss_id, text_content) from the fixtures.
+
+    faiss_id = vec_id + 1 reproduces the reference's dense-from-1 id
+    space (main.py:129-130: COALESCE(MAX(faiss_id),0)+1 starting at 1);
+    text_content joins in the document text by id (the OCR'd corpus
+    slot). Deterministic, so a SQL oracle can derive the identical
+    table.
+    """
+    base = embeddings.select(
+        F.concat(F.lit("img_"), F.col("vec_id").cast("string")).alias("str_id"),
+        (F.col("vec_id") + F.lit(1)).alias("faiss_id"),
+        F.col("vec_id"),
+    )
+    docs = documents.select(F.col("doc_id"), F.col("text").alias("text_content"))
+    return (
+        base.join(docs, base.vec_id == docs.doc_id, "left")
+        .select("str_id", "faiss_id", "text_content")
+    )

@@ -1,0 +1,101 @@
+"""Dedup operator functionality on synthetic near-duplicates (the
+fixture corpus is all-distinct, so these tests construct controlled
+dup/near-dup cases to prove detection actually works).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.operators.dedup import (
+    embedding_similar_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from cnc_visionsearch_spark.operators.knn import with_normalized
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+NEAR = "the quick brown fox jumps over the lazy cat near the old river bank today"
+OTHER = "completely different words about spark query engines and vector search systems"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, NEAR),  # near dup of 1 (one token changed)
+        (4, OTHER),
+        (5, "tiny"),  # < 3 tokens: no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r.keeper_id: r.n_copies for r in exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1,2 merged, keeper = min id
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_exact_dedup_idempotent(docs):
+    """Property (SURVEY §5.4): dedup of deduped corpus changes nothing."""
+    keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    deduped = docs.join(keepers, "doc_id", "left_semi")
+    again = exact_dedup(deduped)
+    assert again.filter(F.col("n_copies") > 1).count() == 0
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sig = minhash_signatures(docs, num_hashes=8).collect()
+    by_id = {r.doc_id: [r[f"h{i}"] for i in range(8)] for r in sig}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[4]
+    assert 5 not in by_id  # too short for shingles
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, num_hashes=16, bands=4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in pairs and 0.3 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    }
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    # 15 tokens -> 13 trigrams; one token change breaks 3 of them:
+    # |A∩B| = 10, |A∪B| = 16 -> 0.625
+    assert pairs[(1, 3)] == pytest.approx(10 / 16)
+
+
+def test_simhash_near_dups_close_in_hamming(docs):
+    out = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert out[1] == out[2]
+    ham_near = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_embedding_similar_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    emb = with_normalized(
+        spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    )
+    top = embedding_similar_pairs(emb, top_n=1).first()
+    assert (top.id_a, top.id_b) == (1, 2)
+    assert top.cosine > 0.999
