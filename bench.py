@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "headline_wall_clock", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop sink (full materialization,
+no driver collect bottleneck), timed individually after a single JVM
+warm-up action. The headline set spans the whole operator surface:
+relational joins/aggs, windows, events analytics, text/dedup, and the
+vector-search core (SURVEY §2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from cnc_visionsearch_spark.registry import all_queries
+from cnc_visionsearch_spark.session import get_session
+
+HEADLINE = [
+    # relational: scan-heavy agg, 3-way and 6-way joins, window top-k
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_customers_per_nation",
+    # events analytics: tumbling agg, sessionization, rolling windows
+    "events_tumbling_hourly",
+    "events_sessionize",
+    "events_rolling_user_stats",
+    # text / dedup: group stats, MinHash signatures + LSH self-join
+    "doc_stats_by_lang_source",
+    "minhash_lsh_neardup_pairs",
+    # vector core: single-query kNN + metadata join, kNN join, cosine top-k
+    "knn_search_with_metadata",
+    "knn_join_batch",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_session(app_name="bench")
+    queries = all_queries()
+
+    # JVM/codegen warm-up so query 1 doesn't absorb session startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
