@@ -17,6 +17,7 @@ __all__ = [
     "tokens",
     "token_count",
     "token_shingles",
+    "shingles_from_tokens",
     "hex_to_long",
     "md5_fingerprint",
     "stopword_ratio",
@@ -53,23 +54,37 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
-def token_shingles(text: Column | str, n: int = 3) -> Column:
-    """Token n-gram shingles as space-joined strings.
+def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingles (space-joined) from a pre-split token array.
 
     SQL analog: list_transform(range(1, len(toks)-n+2), j -> ...).
     Docs with < n tokens produce an empty array (consistently excluded
     downstream on both engines).
+
+    Callers should materialize the token array in its OWN projection
+    (``df.select(split(text) AS toks)`` then shingle): higher-order
+    lambdas are interpreted (no codegen/CSE), so referencing a
+    ``split(text)`` expression here would re-split the document for
+    every element_at. CollapseProject keeps the two projections apart
+    because inlining would duplicate a non-cheap expression.
     """
-    toks = tokens(text)
-    count = F.size(toks) - (n - 1)
+    tk = _c(toks)
+    count = F.size(tk) - (n - 1)
     # NB: sequence(1, 0) is DESCENDING [1,0] in Spark, not empty — guard
     idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
         F.array().cast("array<int>")
     )
     parts = lambda j: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, j + i) for i in range(n)]
+        " ", *[F.element_at(tk, j + i) for i in range(n)]
     )
     return F.transform(idx, parts)
+
+
+def token_shingles(text: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingles straight from text. Prefer tokenizing in a
+    separate projection + ``shingles_from_tokens`` on hot paths (see
+    that docstring for why)."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def hex_to_long(hexstr: Column | str) -> Column:

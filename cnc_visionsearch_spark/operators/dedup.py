@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from cnc_visionsearch_spark.functions.text import (
     hex_to_long,
     md5_fingerprint,
-    token_shingles,
+    shingles_from_tokens,
 )
 from cnc_visionsearch_spark.functions.vector import dot
 
@@ -69,9 +69,58 @@ def exact_dedup(
     )
 
 
-def _shingle_hash(seed_and_shingle):
-    """Portable 60-bit hash: first 15 hex digits of md5."""
-    return hex_to_long(F.substring(F.md5(seed_and_shingle.cast("binary")), 1, 15))
+_MERSENNE31 = 2147483647  # 2^31 - 1, prime
+
+
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition a small-but-compute-heavy input across all cores.
+
+    Text dedup inputs are often few/small files (one parquet -> one
+    partition) while the downstream explode+hash work is CPU-bound, so
+    partition count must follow cores, not bytes. The partition count is
+    explicit because AQE would coalesce a bare repartition(col) back to
+    byte-proportional (i.e. too few) partitions. Hash-partitioning on
+    the id column keeps each doc's rows together, which downstream
+    groupBy(id) clustering can reuse.
+    """
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p, *[F.col(c) for c in cols]) if cols else df.repartition(p)
+
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, shingle) rows: spread across cores, tokenize ONCE in its own
+    projection, then shingle + explode (see shingles_from_tokens on why
+    tokenization must not be inlined into the shingle lambda)."""
+    toked = _spread(df, id_col).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    return toked.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_from_tokens("_toks", shingle_n))).alias(
+            "shingle"
+        ),
+    )
+
+
+def _affine_params(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) for the i-th affine hash family member."""
+    return (1000003 * i + 12345) % _MERSENNE31, (7919 * i + 104729) % _MERSENNE31
+
+
+def _base_hash(shingle):
+    """Portable 31-bit base hash: first 8 hex digits of md5, mod 2^31-1.
+
+    The hash family is h_i(s) = (a_i * base(s) + b_i) mod (2^31-1) — an
+    affine family over a prime field. ONE md5 per shingle instead of one
+    per (seed, shingle); the 16 family members are two int64 mul/adds
+    each, identical bit-for-bit in DuckDB (int64 arithmetic, no
+    overflow: both operands < 2^31 so products < 2^62).
+    """
+    return hex_to_long(F.substring(F.md5(shingle.cast("binary")), 1, 8)) % F.lit(
+        _MERSENNE31
+    )
 
 
 def minhash_signatures(
@@ -83,25 +132,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature.
 
-    hash_i(s) = hex2long(md5(i || ':' || s)[0:15]) — one independent
-    hash family member per seed i, min over the doc's distinct token
-    shingles. Output: (id, hash_i BIGINT for i in 0..num_hashes-1) wide,
-    via a single explode + group-by (one shuffle keyed on id).
+    hash_i(s) = (a_i * base(s) + b_i) mod 2^31-1 with base(s) =
+    hex2long(md5(s)[0:8]) mod 2^31-1 — an affine hash family needing
+    ONE md5 per shingle, min over the doc's distinct token shingles.
+    Output: (id, hash_i BIGINT for i in 0..num_hashes-1) wide, via a
+    single explode + group-by (one shuffle keyed on id).
     Documents with < shingle_n tokens have no shingles and are omitted.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(token_shingles(text_col, shingle_n))).alias(
-            "shingle"
-        ),
-    )
-    aggs = [
-        F.min(
-            _shingle_hash(F.concat(F.lit(f"{i}:"), F.col("shingle")))
-        ).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    sh = _exploded_shingles(df, id_col, text_col, shingle_n)
+    hashed = sh.select(F.col(id_col), _base_hash(F.col("shingle")).alias("bh"))
+    aggs = []
+    for i in range(num_hashes):
+        a_i, b_i = _affine_params(i)
+        aggs.append(
+            F.min((F.lit(a_i) * F.col("bh") + F.lit(b_i)) % F.lit(_MERSENNE31)).alias(
+                f"h{i}"
+            )
+        )
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -183,7 +231,7 @@ def simhash(
     Returns (id, simhash BIGINT, n_tokens). One explode (tokens x bits)
     + two aggregations, both keyed on id — no cross-doc shuffle.
     """
-    toks = df.select(
+    toks = _spread(df, id_col).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(F.col(text_col), " "))
@@ -225,23 +273,31 @@ def ngram_jaccard_pairs(
     co-shingled pairs are scored (exact mode — quadratic in the worst
     case, use only with blocking or small corpora).
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(token_shingles(text_col, shingle_n))).alias(
-            "shingle"
-        ),
-    )
+    sh = _exploded_shingles(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     if candidates is not None:
-        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
+        # Candidate-driven plan: never build the all-pairs shingle
+        # self-join. Fan each (id_a, id_b) candidate out over id_a's
+        # shingles, then equi-join on (id_b, shingle) to count the
+        # intersection. |candidates| << |pairs|, and candidates is
+        # usually broadcastable, so the only real shuffle keys on
+        # (id_b, shingle).
+        common = (
+            F.broadcast(candidates)
+            .join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

@@ -32,11 +32,17 @@ sh AS (
 )
 """
 
+# Affine hash family over GF(2^31-1): h_i = (a_i*base + b_i) mod p with
+# base = md5(shingle)[0:8] mod p; a_i = (1000003*i + 12345) mod p,
+# b_i = (7919*i + 104729) mod p. Must stay in lockstep with
+# operators/dedup.py::_base_hash/_affine_params.
 _MINHASH_16 = f"""
 {_SHINGLES_3},
 hashes AS (
   SELECT doc_id, seeds.i AS i,
-    min(('0x' || substr(md5(seeds.i || ':' || shingle), 1, 15))::BIGINT) AS h
+    min((((1000003*seeds.i + 12345) % 2147483647)
+         * (('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647)
+         + ((7919*seeds.i + 104729) % 2147483647)) % 2147483647) AS h
   FROM sh, (SELECT unnest(range(16)) AS i) seeds
   GROUP BY doc_id, seeds.i
 )

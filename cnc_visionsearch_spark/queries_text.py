@@ -16,7 +16,6 @@ from cnc_visionsearch_spark.functions.text import (
     md5_fingerprint,
     quality_score,
     token_count,
-    token_shingles,
     tokens,
 )
 from cnc_visionsearch_spark.functions.text import hex_to_long
@@ -201,11 +200,10 @@ FROM sh GROUP BY doc_id
     "5-grams (winnowing-style document sketch; portable hex->int hashing).",
 )
 def doc_minhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.dedup import _exploded_shingles
+
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(token_shingles("text", 5))).alias("shingle"),
-    )
+    sh = _exploded_shingles(d, "doc_id", "text", 5)
     return sh.groupBy("doc_id").agg(
         F.min(hex_to_long(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15)))
         .alias("min_shingle_hash"),
