@@ -1,0 +1,279 @@
+"""Approximate-nearest-neighbor tier (SURVEY §4, §7.5).
+
+The reference's ANN structure is a single in-RAM FAISS HNSW index
+(main.py:60-62, M=32, efSearch=300) — a design that cannot hold a
+100 TB corpus in one process. The Spark-native replacements here all
+share one shape: a cheap *coarse* structure prunes the corpus to a
+small candidate set, then the exact codegen'd distance ranks the
+candidates. Three tiers, increasing specialization:
+
+1. **Random-hyperplane LSH** (:func:`hyperplane_signature`,
+   :func:`lsh_topk`): sign-bit signature over P seeded hyperplanes;
+   query scans only its own Hamming-0 bucket (optionally neighbors).
+   Fully deterministic (seeded numpy hyperplanes embedded as literal
+   arrays, sequential-fold dots), so results are oracle-checkable even
+   though recall < 1.
+
+2. **IVF** (:func:`ivf_assign`, :func:`ivf_topk`): an inverted-file
+   index with a deterministic coarse quantizer (every (n/C)-th vector
+   by id is a centroid — at real scale you'd train k-means once and
+   broadcast it, the query path is identical). Vectors live in the cell
+   of their nearest centroid; a query probes the `nprobe` nearest
+   cells. The 100 TB layout: embeddings table PARTITIONED BY cell_id —
+   probing = partition pruning, reading nprobe/C of the data.
+
+3. **Sharded local index** (:func:`sharded_topk`): the
+   BASELINE.json "batch FAISS index build" pattern — hash-shard the
+   corpus, `applyInPandas` builds/searches one local index per shard
+   (FAISS HNSW M=32/efSearch=300 when faiss is installed, exact numpy
+   otherwise — this container has no faiss), then a global top-k merge
+   of k*S candidate rows. Candidates are RE-SCORED with the exact JVM
+   expression so final distances are bit-identical to the exact tier
+   (the Python side only selects candidates; floats never cross back).
+
+Recall gates (not hash-match) for the approximate tiers live in
+tests/test_ann.py, mirroring SURVEY §5.3.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.functions.vector import dot, l2_sq
+
+__all__ = [
+    "hyperplanes",
+    "hyperplane_signature",
+    "lsh_topk",
+    "ivf_centroids",
+    "ivf_assign",
+    "ivf_topk",
+    "sharded_topk",
+]
+
+
+# --------------------------------------------------------------- LSH tier
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes (deterministic across runs/engines).
+
+    Rounded to 6 decimals so the literal values embedded in Spark plans
+    and SQL oracle text are exactly the same doubles.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim).round(6)
+    return [[float(x) for x in row] for row in planes]
+
+
+def hyperplane_signature(
+    vec_col: Column | str, planes: list[list[float]]
+) -> Column:
+    """Sign-bit LSH signature as a BIGINT bucket id.
+
+    bit_i = 1 iff dot(v, plane_i) >= 0; bucket = sum(bit_i << i).
+    Pure codegen: P sequential-fold dot products per row, no UDF —
+    at 100 TB this is one linear scan co-resident with ingestion.
+    """
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        pcol = F.array(*[F.lit(x) for x in plane]).cast("array<double>")
+        bit = F.when(dot(vec_col, pcol) >= 0.0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "nvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k within the query's LSH bucket (Hamming-0 probe).
+
+    Plan: signature projection -> bucket equality filter (a pushable
+    predicate when the table is written partitioned/bucketed by
+    `lsh_bucket`) -> exact distance on the surviving fraction (~1/2^P)
+    -> TakeOrderedAndProject. Deterministic, so oracle-checkable; the
+    recall/latency trade is governed by n_planes exactly like
+    efSearch governs the reference's HNSW beam (main.py:31).
+    """
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        acc = 0.0
+        for x, p in zip(query_vec, plane):
+            acc = acc + x * p
+        if acc >= 0.0:
+            qsig += 1 << i
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        emb.withColumn("lsh_bucket", hyperplane_signature(vec_col, planes))
+        .filter(F.col("lsh_bucket") == qsig)
+        .select(F.col(id_col), l2_sq(vec_col, qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------- IVF tier
+
+
+def ivf_centroids(emb: DataFrame, n_cells: int, id_col: str = "vec_id",
+                  vec_col: str = "nvec") -> DataFrame:
+    """Deterministic coarse quantizer: every (max_id//n_cells)-th vector.
+
+    Stand-in for a trained k-means codebook (which would be trained
+    once offline and broadcast); cell ids are 0..n_cells-1. Querying
+    is identical either way — only centroid quality differs.
+    """
+    max_id = emb.agg(F.max(id_col)).first()[0]
+    stride = max(int(max_id) // n_cells, 1)
+    return (
+        emb.filter((F.col(id_col) % stride == 0) & (F.col(id_col) / stride < n_cells))
+        .select(
+            (F.col(id_col) / stride).cast("int").alias("cell_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "nvec",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid's cell.
+
+    Broadcast the (tiny) codebook, cross join, min_by — one scan, no
+    corpus shuffle. At scale, write the result PARTITIONED BY cell_id:
+    probe-time cell pruning then becomes parquet partition pruning.
+    """
+    c = F.broadcast(centroids)
+    scored = emb.crossJoin(c).withColumn(
+        "cdist", l2_sq(F.col(vec_col), F.col("centroid"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct("cell_id", "cdist"), F.struct("cdist", "cell_id")
+            ).alias("best")
+        )
+        .select(F.col(id_col), F.col("best.cell_id").alias("cell_id"))
+        .join(emb, id_col)
+    )
+
+
+def ivf_topk(
+    emb_with_cells: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "nvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: rank cells by centroid distance, scan the nprobe
+    nearest cells, exact top-k within them.
+
+    With the corpus partitioned by cell_id the filter is partition
+    pruning: the 100 TB scan reads nprobe/n_cells of the files.
+    """
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    probe_cells = [
+        r.cell_id
+        for r in centroids.select(
+            "cell_id", l2_sq(F.col("centroid"), qcol).alias("cdist")
+        )
+        .orderBy(F.col("cdist").asc(), F.col("cell_id").asc())
+        .limit(nprobe)
+        .collect()
+    ]
+    return (
+        emb_with_cells.filter(F.col("cell_id").isin(probe_cells))
+        .select(F.col(id_col), l2_sq(F.col(vec_col), qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------ sharded-index tier
+
+
+def _local_topk_fn(qvec: np.ndarray, k: int, id_col: str, vec_col: str):
+    """Per-shard local index search for applyInPandas.
+
+    Uses FAISS HNSW (M=32, efSearch=300 — the reference's build knobs,
+    main.py:30-31) when available; exact numpy scan otherwise. Returns
+    candidate ids only — the caller re-scores JVM-side.
+    """
+    try:  # pragma: no cover - faiss not in the test container
+        import faiss
+
+        def search(pdf):
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            index = faiss.IndexHNSWFlat(mat.shape[1], 32)
+            index.hnsw.efSearch = 300
+            index.add(mat)
+            _, idx = index.search(qvec.astype(np.float32)[None, :], min(k, len(pdf)))
+            rows = pdf.iloc[[i for i in idx[0] if i >= 0]]
+            return rows[[id_col]]
+
+    except ImportError:
+
+        def search(pdf):
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = mat - qvec[None, :]
+            dist = (d * d).sum(axis=1)
+            order = np.lexsort((pdf[id_col].to_numpy(), dist))[:k]
+            return pdf.iloc[order][[id_col]]
+
+    return search
+
+
+def sharded_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_shards: int = 8,
+    vec_col: str = "nvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Global top-k via per-shard local indexes + candidate merge.
+
+    Build/search: hash-shard on id -> applyInPandas searches each shard
+    with a local index (FAISS if present) -> k rows per shard come back
+    -> exact JVM re-score + global TakeOrderedAndProject over k*S rows.
+    Distances in the result are computed by the same codegen'd
+    expression as the exact tier (numpy/FAISS only pick candidates), so
+    with exact local search this is bit-identical to knn_single.
+    """
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    search = _local_topk_fn(q, k, id_col, vec_col)
+
+    def per_shard(_key, pdf):
+        return search(pdf)
+
+    sharded = emb.withColumn(
+        "shard", (F.col(id_col) % num_shards).cast("int")
+    )
+    cand_ids = sharded.groupBy("shard").applyInPandas(
+        per_shard, schema=f"{id_col} bigint"
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        cand_ids.join(emb, id_col)
+        .select(F.col(id_col), l2_sq(F.col(vec_col), qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

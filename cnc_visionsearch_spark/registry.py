@@ -67,6 +67,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from cnc_visionsearch_spark import (  # noqa: F401
+        queries_ann,
         queries_dedup,
         queries_events,
         queries_ingest,

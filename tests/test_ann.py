@@ -1,0 +1,122 @@
+"""ANN-tier tests (SURVEY §5.3): the approximate tiers are gated by
+recall against the exact tier, not hash-match; plus structural
+invariants (full probe == exact, candidate re-scoring exactness).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.operators.ann import (
+    hyperplane_signature,
+    hyperplanes,
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk,
+    lsh_topk,
+    sharded_topk,
+)
+from cnc_visionsearch_spark.operators.knn import knn_single, with_normalized
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+SF_01 = "/root/testdata/sf0.01"  # 200 vectors — enough for recall stats
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return with_normalized(load_table(spark, SF_01, "embeddings"))
+
+
+def _norm_q(emb, vec_id):
+    raw = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()[0]
+    q = [float(x) for x in raw]
+    n = sum(x * x for x in q) ** 0.5
+    return [x / n for x in q]
+
+
+def _ids(df):
+    return [r.vec_id for r in df.collect()]
+
+
+def recall(approx_ids, exact_ids):
+    return len(set(approx_ids) & set(exact_ids)) / len(exact_ids)
+
+
+def test_sharded_exact_fallback_matches_exact_tier(spark, emb):
+    """numpy local search is exact -> sharded merge must equal knn_single
+    exactly (ids AND re-scored distances)."""
+    q = _norm_q(emb, 1)
+    exact = knn_single(emb, q, k=K, normalize_query=False).collect()
+    sharded = sharded_topk(emb, q, k=K, num_shards=8).collect()
+    assert [(r.vec_id, r.distance) for r in exact] == [
+        (r.vec_id, r.distance) for r in sharded
+    ]
+
+
+def test_ivf_full_probe_is_exact(spark, emb):
+    """nprobe == n_cells scans everything -> identical to exact tier."""
+    cents = ivf_centroids(emb, n_cells=8)
+    assigned = ivf_assign(emb, cents)
+    q = _norm_q(emb, 5)
+    exact = _ids(knn_single(emb, q, k=K, normalize_query=False))
+    full = _ids(ivf_topk(assigned, cents, q, k=K, nprobe=8))
+    assert full == exact
+
+
+def test_ivf_recall_reasonable_and_monotone(spark, emb):
+    cents = ivf_centroids(emb, n_cells=8)
+    assigned = ivf_assign(emb, cents)
+    recalls = []
+    for nprobe in (1, 2, 4, 8):
+        hits = 0
+        for vid in (1, 3, 7, 11, 19):
+            q = _norm_q(emb, vid)
+            exact = _ids(knn_single(emb, q, k=K, normalize_query=False))
+            approx = _ids(ivf_topk(assigned, cents, q, k=K, nprobe=nprobe))
+            hits += recall(approx, exact)
+        recalls.append(hits / 5)
+    # monotone in nprobe; full probe perfect; half probe decent
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+    assert recalls[2] >= 0.5, f"nprobe=4 recall {recalls[2]} too low"
+
+
+def test_lsh_bucket_determinism_and_partition(spark, emb):
+    """Every vector lands in exactly one bucket; recomputation agrees."""
+    planes = hyperplanes(64, 6, 42)
+    b1 = emb.withColumn("b", hyperplane_signature("nvec", planes))
+    b2 = emb.withColumn("b", hyperplane_signature("nvec", planes))
+    total = emb.count()
+    assert b1.count() == total
+    joined = b1.select("vec_id", F.col("b").alias("x")).join(
+        b2.select("vec_id", F.col("b").alias("y")), "vec_id"
+    )
+    assert joined.filter(F.col("x") != F.col("y")).count() == 0
+    assert b1.filter((F.col("b") < 0) | (F.col("b") >= 64)).count() == 0
+
+
+def test_lsh_zero_planes_degenerates_to_exact(spark, emb):
+    """0 hyperplanes -> single bucket -> LSH == exact tier."""
+    q = _norm_q(emb, 3)
+    exact = _ids(knn_single(emb, q, k=K, normalize_query=False))
+    approx = _ids(lsh_topk(emb, q, k=K, n_planes=0))
+    assert approx == exact
+
+
+def test_lsh_probe_returns_true_neighbors_subset(spark, emb):
+    """Hamming-0 probe results must be a subset of the bucket AND rank
+    consistently with the exact distances (no scoring divergence)."""
+    q = _norm_q(emb, 3)
+    approx = lsh_topk(emb, q, k=K, n_planes=6).collect()
+    dists = [r.distance for r in approx]
+    assert dists == sorted(dists)
+    # every returned distance must match the exact tier's distance for
+    # that id (scoring is the same codegen'd expression)
+    exact_all = {
+        r.vec_id: r.distance
+        for r in knn_single(emb, q, k=emb.count(), normalize_query=False).collect()
+    }
+    for r in approx:
+        assert exact_all[r.vec_id] == r.distance
