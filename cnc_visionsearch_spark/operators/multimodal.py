@@ -1,0 +1,184 @@
+"""Multimodal binary-column operators ([EXT] north star; reference
+surface S4/S5/F1-F9: multipart image bytes -> PIL decode -> ViT embed
+-> OCR, main.py:74-98, 110-112).
+
+Design for 100 TB of media:
+
+- Media is an opaque ``BINARY`` column plus typed metadata — rows come
+  from ``spark.read.format("binaryFile")`` or an object-store manifest;
+  the fixtures have no image bytes (FIXTURES.md "Image bytes are NOT
+  fixtured"), so tests attach ``payload = encode(text)`` as a
+  deterministic stand-in with identical plumbing.
+- All per-media compute runs in Arrow-batched Python (``mapInPandas`` /
+  ``pandas_udf``) — the only places in this engine where Python touches
+  the hot path, because codecs/models are Python/C libraries. Batches
+  stream: nothing accumulates per partition.
+- Real decoders (PIL / torch ViT / pytesseract — none installed in this
+  container) load lazily ONCE PER EXECUTOR via module-level singletons
+  inside the UDF; the deterministic md5-based fakes below keep the
+  plumbing testable and ORACLE-CHECKABLE (DuckDB reproduces the same
+  md5 arithmetic), so the UDF path sits in the hash-match gate rather
+  than a weak rows-only check.
+
+Reference parity notes: the fake ViT embedding preserves the reference
+pipeline's *shape* — per-media forward pass -> pooled fixed-dim vector
+-> L2-normalize (main.py:80-87) — and fake OCR inverts the payload
+encoding exactly, mirroring "image -> its text" (main.py:95-98).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, StringType
+
+__all__ = [
+    "attach_payload",
+    "media_metadata",
+    "fake_image_embedding",
+    "ocr_text",
+    "frame_samples",
+    "HAVE_REAL_DECODERS",
+]
+
+try:  # pragma: no cover — heavy deps absent in the test container
+    import PIL.Image  # noqa: F401
+    import torch  # noqa: F401
+
+    HAVE_REAL_DECODERS = True
+except ImportError:
+    HAVE_REAL_DECODERS = False
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the binary media payload column.
+
+    Stand-in for the binaryFile source's ``content`` column: payload =
+    UTF-8 bytes of the document text (deterministic; DuckDB sees the
+    same bytes via its own encode()).
+    """
+    return docs.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def _md5_u32(data: bytes) -> int:
+    return int(hashlib.md5(data).hexdigest()[:8], 16)
+
+
+def media_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode-free media metadata via mapInPandas (S5 plumbing).
+
+    Yields (original columns minus payload) + n_bytes, content_md5, and
+    fake decoded dimensions derived from the hash (a real decoder
+    returns true width/height here; clearly-marked deterministic fake).
+    Arrow batches in, Arrow batches out — constant memory per task.
+    """
+    out_cols = [c for c in media.columns if c != payload_col]
+    schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                  for f in media.schema if f.name != payload_col)
+        + ", n_bytes bigint, content_md5 string, width int, height int"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            out = pdf[out_cols].copy()
+            out["n_bytes"] = payloads.map(len).astype("int64")
+            out["content_md5"] = payloads.map(
+                lambda b: hashlib.md5(bytes(b)).hexdigest()
+            )
+            # FAKE decode: dimensions from the content hash (stable
+            # stand-in for PIL Image.size until real codecs exist here)
+            out["width"] = payloads.map(
+                lambda b: 64 + _md5_u32(bytes(b)) % 192
+            ).astype("int32")
+            out["height"] = payloads.map(
+                lambda b: 64 + (_md5_u32(bytes(b)) // 192) % 192
+            ).astype("int32")
+            yield out
+
+    return media.mapInPandas(gen, schema=schema)
+
+
+def fake_image_embedding(dim: int = 8):
+    """pandas_udf: payload -> dim-dim deterministic fake embedding.
+
+    e_j = (u32(md5(payload || ':' || j)) / 2^32) * 2 - 1 — uniform in
+    [-1, 1), reproducible in SQL, shaped like the reference's embed
+    path (fixed-dim float vector per media row, main.py:74-89). A real
+    ViT swaps the body for a per-executor model singleton +
+    ``model(batch).pooler``; the signature, Arrow batching, and
+    downstream schema stay identical.
+    """
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def embed(payloads: pd.Series) -> pd.Series:
+        def one(b) -> list[float]:
+            raw = bytes(b)
+            return [
+                (_md5_u32(raw + f":{j}".encode()) / 4294967296.0) * 2.0 - 1.0
+                for j in range(dim)
+            ]
+
+        return payloads.map(one)
+
+    return embed
+
+
+@F.pandas_udf(StringType())
+def ocr_text(payloads: pd.Series) -> pd.Series:
+    """pandas_udf OCR stand-in (F8): payload bytes -> text.
+
+    The fake inverts attach_payload exactly (UTF-8 decode), so
+    ocr(payload) == source text is a testable invariant; pytesseract
+    replaces the body unchanged when installed (per-executor binary,
+    batched calls).
+    """
+    return payloads.map(lambda b: bytes(b).decode("utf-8"))
+
+
+def frame_samples(
+    media: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling for video-shaped payloads via mapInPandas.
+
+    Splits each payload into n_frames contiguous chunks (fake "frames";
+    a real implementation seeks keyframes with pyav) and fingerprints
+    each: (id, frame_no, frame_bytes, frame_md5). Output is exploded —
+    one row per frame — so downstream per-frame operators (embed,
+    dedup) reuse the standard column operators.
+    """
+    schema = f"{id_col} bigint, frame_no int, frame_bytes bigint, frame_md5 string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(b)
+                step = max(len(raw) // n_frames, 1)
+                for f in range(n_frames):
+                    lo = f * step
+                    hi = (f + 1) * step if f < n_frames - 1 else len(raw)
+                    chunk = raw[lo:hi]
+                    if not chunk:
+                        continue
+                    rows.append(
+                        (
+                            int(rid),
+                            f,
+                            len(chunk),
+                            hashlib.md5(chunk).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_no", "frame_bytes", "frame_md5"]
+            )
+
+    return media.mapInPandas(gen, schema=schema)

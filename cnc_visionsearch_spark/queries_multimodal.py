@@ -1,0 +1,115 @@
+"""Multimodal query registry entries ([EXT]): the binary-payload
+pipeline — metadata extraction, fake-decode embedding, OCR roundtrip,
+frame sampling — each through REAL Arrow/pandas UDF plumbing
+(mapInPandas / pandas_udf) with deterministic md5-based fakes standing
+in for codecs, so every entry is DuckDB-oracle hash-matched (the SQL
+reproduces the same md5 arithmetic on the same bytes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.operators.multimodal import (
+    attach_payload,
+    fake_image_embedding,
+    frame_samples,
+    media_metadata,
+    ocr_text,
+)
+from cnc_visionsearch_spark.registry import register
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+
+@register(
+    "mm_media_metadata",
+    oracle="""
+SELECT doc_id,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  md5(text) AS content_md5,
+  CAST(64 + ('0x' || substr(md5(text), 1, 8))::BIGINT % 192 AS INT) AS width,
+  CAST(64 + (('0x' || substr(md5(text), 1, 8))::BIGINT // 192) % 192 AS INT) AS height
+FROM documents WHERE doc_id < 50
+""",
+    doc="S5 decode plumbing: mapInPandas over binary payloads -> typed "
+    "metadata (size, checksum, fake-decoded dimensions). Arrow-batched, "
+    "constant memory; real PIL decode swaps in per-executor.",
+)
+def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = attach_payload(d).select("doc_id", "payload")
+    return media_metadata(media)
+
+
+@register(
+    "mm_fake_embeddings",
+    oracle="""
+SELECT doc_id, CAST(j AS INT) AS j,
+  (('0x' || substr(md5(text || ':' || j), 1, 8))::BIGINT / 4294967296.0) * 2.0 - 1.0 AS e
+FROM documents, (SELECT unnest(range(8)) AS j) dims
+WHERE doc_id < 10
+""",
+    doc="F1-F5 embed plumbing: pandas_udf payload -> fixed-dim vector "
+    "(md5-derived fake forward pass; a ViT model singleton swaps in "
+    "per executor). Exploded to (doc_id, j, e) for hash-matching.",
+)
+def mm_fake_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    media = attach_payload(d).select("doc_id", "payload")
+    embedded = media.withColumn("emb", fake_image_embedding(8)(F.col("payload")))
+    return embedded.select(
+        "doc_id", F.posexplode("emb").alias("j", "e")
+    ).select("doc_id", F.col("j").cast("int").alias("j"), "e")
+
+
+@register(
+    "mm_ocr_roundtrip",
+    oracle="""
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS ocr_len, true AS matches_source
+FROM documents WHERE doc_id < 50
+""",
+    doc="F8-F9 OCR plumbing: pandas_udf payload -> text; the fake decoder "
+    "inverts the payload encoding exactly, so equality with the source "
+    "text is the checked invariant (pytesseract swaps in unchanged).",
+)
+def mm_ocr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = attach_payload(d).select("doc_id", "text", "payload")
+    out = media.withColumn("ocr", ocr_text(F.col("payload")))
+    return out.select(
+        "doc_id",
+        F.length("ocr").cast("bigint").alias("ocr_len"),
+        (F.col("ocr") == F.col("text")).alias("matches_source"),
+    )
+
+
+@register(
+    "mm_frame_fingerprints",
+    oracle="""
+WITH fr AS (
+  SELECT doc_id, text, strlen(text) AS n,
+    greatest(strlen(text) // 4, 1) AS step,
+    unnest(range(4)) AS f
+  FROM documents WHERE doc_id < 30
+),
+c AS (
+  SELECT doc_id, CAST(f AS INT) AS frame_no,
+    CASE WHEN f < 3 THEN greatest(least((f+1)*step, n) - f*step, 0)
+         ELSE greatest(n - 3*step, 0) END AS blen,
+    substr(text, CAST(f*step + 1 AS INT),
+      CAST(CASE WHEN f < 3 THEN step ELSE greatest(n - 3*step, 0) END AS INT)
+    ) AS chunk
+  FROM fr
+)
+SELECT doc_id, frame_no, CAST(blen AS BIGINT) AS frame_bytes, md5(chunk) AS frame_md5
+FROM c WHERE blen > 0
+""",
+    doc="Video-shaped plumbing: mapInPandas frame sampling (contiguous "
+    "chunks as fake frames; pyav keyframe seek swaps in) exploded to one "
+    "row per frame for downstream per-frame operators.",
+)
+def mm_frame_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    media = attach_payload(d).select("doc_id", "payload")
+    return frame_samples(media, n_frames=4)

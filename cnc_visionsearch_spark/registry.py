@@ -69,6 +69,7 @@ def _load_all() -> None:
     from cnc_visionsearch_spark import (  # noqa: F401
         queries_ann,
         queries_dedup,
+        queries_multimodal,
         queries_events,
         queries_ingest,
         queries_relational,
