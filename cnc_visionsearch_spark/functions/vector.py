@@ -67,10 +67,13 @@ def l2_normalize(a: Column | str, zero_guard: bool = False) -> Column:
         # reference's numpy 0/0 yields NaN. x / NaN == NaN reproduces that
         # without disabling ANSI session-wide.
         norm = F.when(norm == 0.0, F.lit(float("nan"))).otherwise(norm)
-    # NOTE: `norm` is re-evaluated per element by codegen unless the
-    # caller materializes it first; operators on the hot path compute a
-    # `_norm` column once and divide by it (see operators/knn.py).
-    return F.transform(arr, lambda x: x / norm)
+    # Divide via zip_with against array_repeat(norm): HOF *arguments*
+    # evaluate once per row, whereas an expression referenced inside a
+    # transform lambda re-evaluates per ELEMENT (CollapseProject happily
+    # inlines a materialized norm column back into the lambda, making
+    # normalization O(d^2) per row — fatal at dim 2048). Same division
+    # per element, so results are bit-identical.
+    return F.zip_with(arr, F.array_repeat(norm, F.size(arr)), lambda x, n: x / n)
 
 
 def l2_sq(a: Column | str, b: Column | str) -> Column:

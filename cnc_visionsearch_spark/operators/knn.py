@@ -39,7 +39,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from cnc_visionsearch_spark.functions.vector import as_double_array, dot, l2_norm, l2_sq
+from cnc_visionsearch_spark.functions.vector import dot, l2_sq
 
 __all__ = [
     "with_normalized",
@@ -57,19 +57,13 @@ def with_normalized(
 ) -> DataFrame:
     """Add an L2-normalized copy of ``vec_col`` (reference main.py:87).
 
-    The norm is materialized as its own column first so codegen computes
-    it once per row, not once per element.
+    Delegates to l2_normalize, which evaluates the norm once per ROW
+    (zip_with against array_repeat — see that function's note on why a
+    materialized norm column does NOT survive CollapseProject).
     """
-    norm_col = f"__{out_col}_norm"
-    out = df.withColumn(norm_col, l2_norm(vec_col))
-    if zero_guard:
-        norm = F.when(F.col(norm_col) == 0.0, F.lit(1.0)).otherwise(F.col(norm_col))
-    else:
-        norm = F.col(norm_col)
-    out = out.withColumn(
-        out_col, F.transform(as_double_array(vec_col), lambda x: x / norm)
-    )
-    return out.drop(norm_col)
+    from cnc_visionsearch_spark.functions.vector import l2_normalize
+
+    return df.withColumn(out_col, l2_normalize(vec_col, zero_guard=zero_guard))
 
 
 def _distance_expr(metric: str, a: Column | str, b: Column | str) -> Column:

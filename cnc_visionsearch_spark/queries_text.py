@@ -164,6 +164,34 @@ def doc_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_bpe_token_stats",
+    oracle="""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS DOUBLE)
+    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS tokens_per_word
+FROM documents WHERE doc_id < 100
+""",
+    doc="F12 token counting, BPE-ish tier: subword-style regex pieces "
+    "(alnum runs + individual punctuation) vs whitespace words — the "
+    "token-budget estimator an LLM-data pipeline runs corpus-wide.",
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    ws = token_count("text")
+    bpe = F.size(
+        F.regexp_extract_all("text", F.lit("[a-z0-9]+|[^a-z0-9 ]"), F.lit(0))
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (bpe.cast("double") / ws.cast("double")).alias("tokens_per_word"),
+    )
+
+
+@register(
     "doc_fingerprints",
     oracle="""
 SELECT doc_id,

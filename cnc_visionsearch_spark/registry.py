@@ -75,6 +75,7 @@ def _load_all() -> None:
         queries_relational,
         queries_text,
         queries_vector,
+        service,
     )
 
     _LOADED = True

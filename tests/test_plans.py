@@ -1,0 +1,126 @@
+"""Physical-plan regression tests (SURVEY §4): the plans ARE the scale
+contract — these assert the shapes that make each operator survive a
+100 TB corpus, so a refactor that silently introduces a shuffle, loses
+a pushed filter, or un-broadcasts a dim table fails CI.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.registry import all_queries
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_knn_single_plan_scan_project_topk_only(spark, queries):
+    """Exact kNN must be scan -> codegen distance -> partial top-k merge:
+    NO shuffle, NO full sort, label column pruned from the scan."""
+    plan = plan_of(queries["knn_single_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Sort " not in plan
+    # column pruning: the scan must not read `label`
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "label" not in read_schema
+
+
+def test_normalization_not_per_element(spark, queries):
+    """The L2 norm must be evaluated once per row (HOF argument), never
+    inside the division lambda (would be O(d^2) per row at dim 2048)."""
+    import re
+
+    plan = plan_of(queries["knn_single_topk"](spark, SF))
+    assert not re.findall(r"lambdafunction\([^,]*SQRT", plan)
+    assert "array_repeat" in plan
+
+
+def test_point_lookup_pushes_predicate_to_parquet(spark, queries):
+    plan = plan_of(queries["point_lookup_customer"](spark, SF))
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "EqualTo(c_custkey,42)" in pushed
+
+
+def test_metadata_join_is_broadcast(spark, queries):
+    """J1: hits x id_mapping must be a broadcast hash join — the hits
+    side must never shuffle (reference's point-lookup loop replacement)."""
+    plan = plan_of(queries["knn_search_with_metadata"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_join_broadcasts_queries_and_uses_group_limit(spark, queries):
+    """J4: the corpus side streams through a broadcast nested loop (the
+    100 TB side is never shuffled in full); rank<=k runs as
+    WindowGroupLimit (partial top-k before the exchange)."""
+    plan = plan_of(queries["knn_join_batch"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_q1_partial_final_aggregate_and_filter_pushdown(spark, queries):
+    plan = plan_of(queries["q1_pricing_summary"](spark, SF))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "LessThanOrEqual(l_shipdate" in pushed
+
+
+def test_q5_no_fact_fact_shuffle(spark, queries):
+    """Q5's joins must all broadcast (dims are small); the only exchange
+    allowed is the final aggregation/sort shuffle."""
+    plan = plan_of(queries["q5_local_supplier_volume"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_ivf_probe_prunes_cells(spark, queries):
+    """IVF probe must filter on cell_id before scoring (at scale this is
+    partition pruning: nprobe/n_cells of the files read)."""
+    plan = plan_of(queries["ann_ivf_topk"](spark, SF))
+    assert "cell_id" in plan and "IN (" in plan or "cell_id#" in plan
+
+
+def test_doc_stats_scan_prunes_columns(spark, queries):
+    """Text stats read only the columns they use (doc text, lang,
+    source, n_chars) — never doc_id."""
+    plan = plan_of(queries["doc_stats_by_lang_source"](spark, SF))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" not in read_schema
+
+
+def test_exact_dedup_shuffles_fingerprint_not_text(spark):
+    """The dedup shuffle key is the 32-byte fingerprint; full text must
+    be pruned before the exchange."""
+    from cnc_visionsearch_spark.operators.dedup import exact_dedup
+
+    import re
+
+    d = load_table(spark, SF, "documents")
+    plan = plan_of(exact_dedup(d))
+    lines = plan.splitlines()
+    ex_inputs = [
+        lines[i + 1]
+        for i, ln in enumerate(lines)
+        if re.match(r"^\(\d+\) Exchange", ln) and "Input" in lines[i + 1]
+    ]
+    assert ex_inputs, "expected a hash exchange for the group-by"
+    for inp in ex_inputs:
+        assert "text" not in inp, f"raw text crosses the shuffle: {inp}"
