@@ -32,13 +32,20 @@ HEADLINE = [
     "events_tumbling_hourly",
     "events_sessionize",
     "events_rolling_user_stats",
-    # text / dedup: group stats, MinHash signatures + LSH self-join
+    # text / dedup: group stats, BPE tokenization, MinHash LSH end-to-end
     "doc_stats_by_lang_source",
+    "doc_bpe_token_stats",
     "minhash_lsh_neardup_pairs",
     # vector core: single-query kNN + metadata join, kNN join, cosine top-k
     "knn_search_with_metadata",
     "knn_join_batch",
     "cosine_topk",
+    # ANN + sharded tiers and the text-search endpoint
+    "ann_ivf_topk",
+    "knn_sharded_topk",
+    "text_search_topk",
+    # multimodal Arrow plumbing
+    "mm_media_metadata",
 ]
 
 

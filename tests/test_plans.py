@@ -6,12 +6,14 @@ a pushed filter, or un-broadcasts a dim table fails CI.
 
 from __future__ import annotations
 
-import io
-from contextlib import redirect_stdout
-
 import pytest
-from pyspark.sql import functions as F
 
+from cnc_visionsearch_spark.plans import (
+    exchange_inputs,
+    formatted_plan,
+    pushed_filters,
+    read_schemas,
+)
 from cnc_visionsearch_spark.registry import all_queries
 from cnc_visionsearch_spark.sources.catalog import load_table
 
@@ -23,23 +25,19 @@ def queries():
     return all_queries()
 
 
-def plan_of(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+plan_of = formatted_plan
 
 
 def test_knn_single_plan_scan_project_topk_only(spark, queries):
     """Exact kNN must be scan -> codegen distance -> partial top-k merge:
     NO shuffle, NO full sort, label column pruned from the scan."""
-    plan = plan_of(queries["knn_single_topk"](spark, SF))
+    df = queries["knn_single_topk"](spark, SF)
+    plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
     assert "Sort " not in plan
     # column pruning: the scan must not read `label`
-    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
-    assert "label" not in read_schema
+    assert all("label" not in s for s in read_schemas(df))
 
 
 def test_normalization_not_per_element(spark, queries):
@@ -53,10 +51,8 @@ def test_normalization_not_per_element(spark, queries):
 
 
 def test_point_lookup_pushes_predicate_to_parquet(spark, queries):
-    plan = plan_of(queries["point_lookup_customer"](spark, SF))
-    assert "PushedFilters" in plan
-    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
-    assert "EqualTo(c_custkey,42)" in pushed
+    pushed = pushed_filters(queries["point_lookup_customer"](spark, SF))
+    assert pushed and "EqualTo(c_custkey,42)" in pushed[0]
 
 
 def test_metadata_join_is_broadcast(spark, queries):
@@ -77,10 +73,9 @@ def test_knn_join_broadcasts_queries_and_uses_group_limit(spark, queries):
 
 
 def test_q1_partial_final_aggregate_and_filter_pushdown(spark, queries):
-    plan = plan_of(queries["q1_pricing_summary"](spark, SF))
-    assert plan.count("HashAggregate") >= 2  # partial + final
-    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
-    assert "LessThanOrEqual(l_shipdate" in pushed
+    df = queries["q1_pricing_summary"](spark, SF)
+    assert plan_of(df).count("HashAggregate") >= 2  # partial + final
+    assert any("LessThanOrEqual(l_shipdate" in p for p in pushed_filters(df))
 
 
 def test_q5_no_fact_fact_shuffle(spark, queries):
@@ -101,9 +96,8 @@ def test_ivf_probe_prunes_cells(spark, queries):
 def test_doc_stats_scan_prunes_columns(spark, queries):
     """Text stats read only the columns they use (doc text, lang,
     source, n_chars) — never doc_id."""
-    plan = plan_of(queries["doc_stats_by_lang_source"](spark, SF))
-    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
-    assert "doc_id" not in read_schema
+    schemas = read_schemas(queries["doc_stats_by_lang_source"](spark, SF))
+    assert schemas and all("doc_id" not in s for s in schemas)
 
 
 def test_exact_dedup_shuffles_fingerprint_not_text(spark):
@@ -111,16 +105,8 @@ def test_exact_dedup_shuffles_fingerprint_not_text(spark):
     be pruned before the exchange."""
     from cnc_visionsearch_spark.operators.dedup import exact_dedup
 
-    import re
-
     d = load_table(spark, SF, "documents")
-    plan = plan_of(exact_dedup(d))
-    lines = plan.splitlines()
-    ex_inputs = [
-        lines[i + 1]
-        for i, ln in enumerate(lines)
-        if re.match(r"^\(\d+\) Exchange", ln) and "Input" in lines[i + 1]
-    ]
+    ex_inputs = exchange_inputs(exact_dedup(d))
     assert ex_inputs, "expected a hash exchange for the group-by"
     for inp in ex_inputs:
         assert "text" not in inp, f"raw text crosses the shuffle: {inp}"
