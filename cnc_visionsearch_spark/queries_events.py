@@ -258,3 +258,54 @@ def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in types:
         out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("bigint"))
     return out
+
+
+@register(
+    "events_asof_last_purchase",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value FROM events),
+err AS (SELECT * FROM ev WHERE event_type = 'error'),
+pur AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         p.event_id AS purchase_id, p.value AS purchase_value,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY p.ts DESC, p.event_id DESC
+         ) AS rn
+  FROM err e LEFT JOIN pur p
+    ON e.user_id = p.user_id AND p.ts <= e.ts
+)
+SELECT event_id, user_id, ts,
+  CAST(purchase_id AS BIGINT) AS purchase_id_asof,
+  purchase_value AS purchase_value_asof
+FROM pairs WHERE rn = 1 OR rn IS NULL
+""",
+    doc="As-of join (SURVEY §2.3: the join type Spark lacks natively): "
+    "each error event enriched with the same user's most recent purchase "
+    "at-or-before it. Implemented as union + one hash shuffle + running "
+    "last() — O(|L|+|R|) per key, never the O(|L|*|R|) range join the "
+    "naive formulation (and this DuckDB oracle) performs.",
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        err,
+        pur,
+        on="user_id",
+        left_time="ts",
+        right_time="pts",
+        right_payload=["purchase_id", "purchase_value"],
+        tiebreak="purchase_id",
+    )

@@ -29,6 +29,12 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive session conf: the caller may hand us a vanilla session
+    # (the round driver builds its own). TIMESTAMP(NANOS) parquet needs
+    # the legacy read path, and event-time queries (date_trunc, window
+    # rendering) must agree with the UTC-naive oracle timestamps.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     # events.ts is TIMESTAMP(NANOS) in the fixture; with
     # spark.sql.legacy.parquet.nanosAsLong it arrives as bigint nanos —

@@ -1,0 +1,91 @@
+"""Property-based tests (SURVEY §5.4) — hypothesis-generated vector
+batches pushed through the REAL Spark expressions: normalization
+idempotence, distance metric laws, top-k monotonicity, dedup
+idempotence. Each example is a whole batch (one DataFrame round-trip),
+keeping JVM overhead bounded.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.functions.vector import l2_normalize, l2_sq
+from cnc_visionsearch_spark.operators.dedup import exact_dedup
+from cnc_visionsearch_spark.operators.knn import knn_single, with_normalized
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite = st.floats(
+    min_value=-100.0, max_value=100.0, allow_nan=False, allow_infinity=False
+)
+vec = st.lists(finite, min_size=4, max_size=4).filter(
+    lambda v: sum(x * x for x in v) > 1e-6
+)
+
+
+@SLOW
+@given(vs=st.lists(vec, min_size=1, max_size=8))
+def test_normalize_idempotent_and_unit(spark, vs):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vs)], "i: long, v: array<double>")
+    rows = df.select(
+        "i",
+        l2_normalize("v").alias("n1"),
+        l2_normalize(l2_normalize("v")).alias("n2"),
+    ).collect()
+    for r in rows:
+        norm = math.sqrt(sum(x * x for x in r.n1))
+        assert norm == pytest.approx(1.0, abs=1e-9)
+        for a, b in zip(r.n1, r.n2):
+            assert a == pytest.approx(b, abs=1e-12)
+
+
+@SLOW
+@given(pairs=st.lists(st.tuples(vec, vec), min_size=1, max_size=8))
+def test_l2sq_symmetric_nonnegative_identity(spark, pairs):
+    df = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "a: array<double>, b: array<double>"
+    )
+    rows = df.select(
+        l2_sq("a", "b").alias("ab"),
+        l2_sq("b", "a").alias("ba"),
+        l2_sq("a", "a").alias("aa"),
+    ).collect()
+    for r in rows:
+        assert r.ab >= 0.0
+        assert r.ab == pytest.approx(r.ba, rel=1e-12)
+        assert r.aa == 0.0
+
+
+def test_topk_monotone_in_k(spark):
+    emb = with_normalized(load_table(spark, "/root/testdata/sf0.01", "embeddings"))
+    q = emb.filter(F.col("vec_id") == 9).first().nvec
+    prev: list[int] = []
+    for k in (1, 3, 5, 10, 20):
+        ids = [
+            r.vec_id
+            for r in knn_single(emb, list(q), k=k, normalize_query=False).collect()
+        ]
+        assert len(ids) == k
+        assert ids[: len(prev)] == prev  # growing k only appends
+        prev = ids
+
+
+def test_exact_dedup_idempotent(spark):
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    first = exact_dedup(docs)
+    survivors = docs.join(
+        first.select(F.col("keeper_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    second = exact_dedup(survivors)
+    assert second.filter(F.col("n_copies") > 1).count() == 0
+    assert second.count() == first.count()
