@@ -309,3 +309,66 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_payload=["purchase_id", "purchase_value"],
         tiebreak="purchase_id",
     )
+
+
+@register(
+    "events_skewsafe_distinct_users",
+    oracle="""
+WITH ev AS (SELECT event_type, user_id FROM events)
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM ev GROUP BY event_type
+""",
+    doc="Skew-safe exact distinct count (operators/skew.py): two-phase "
+    "salted aggregation — 5 event types would otherwise funnel 20k rows "
+    "each through single reducers; salting by hash(user) splits every "
+    "type into 16 cells whose partial distincts add exactly.",
+)
+def events_skewsafe_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.skew import salted_distinct_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_distinct_count(ev, "event_type", "user_id", n_salts=16)
+
+
+@register(
+    "events_range_purchases_after_error",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value FROM events),
+err AS (SELECT event_id, ts, user_id FROM ev WHERE event_type = 'error'),
+pur AS (SELECT event_id AS pid, ts AS pts, user_id, value FROM ev WHERE event_type = 'purchase')
+SELECT e.event_id, e.user_id,
+  CAST(count(*) AS BIGINT) AS n_purchases,
+  CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM err e JOIN pur p
+  ON e.user_id = p.user_id
+ AND floor(epoch(p.pts))::BIGINT >= floor(epoch(e.ts))::BIGINT
+ AND floor(epoch(p.pts))::BIGINT <= floor(epoch(e.ts))::BIGINT + 3600
+GROUP BY e.event_id, e.user_id
+""",
+    doc="Range/interval join (operators/skew.py): purchases within 1h "
+    "after each error, same user — time-bucket equi-join (fan-out <= 2, "
+    "one hash shuffle) + exact residual filter, never the per-key "
+    "nested-loop the naive range predicate plans to (this oracle runs "
+    "the naive form). Second-granularity bounds on both engines.",
+)
+def events_range_purchases_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.skew import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        F.col("user_id"),
+        F.col("value"),
+    )
+    pairs = range_join_bucketed(
+        err, pur, key="user_id", left_time="ts", right_time="pts",
+        lo_seconds=0, hi_seconds=3600,
+    )
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )

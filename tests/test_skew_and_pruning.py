@@ -1,0 +1,95 @@
+"""Tests for the skew/range operators and the IVF partitioned-layout
+claim: the bucketed range join must equal the naive range join AND plan
+as an equi-join; a cell-partitioned embeddings table must give the IVF
+probe real partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.operators.ann import ivf_assign, ivf_centroids
+from cnc_visionsearch_spark.operators.knn import with_normalized
+from cnc_visionsearch_spark.operators.skew import (
+    range_join_bucketed,
+    salted_distinct_count,
+)
+from cnc_visionsearch_spark.plans import formatted_plan
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_salted_distinct_equals_plain(spark):
+    ev = load_table(spark, SF, "events")
+    plain = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    salted = {
+        r.event_type: r.n_distinct
+        for r in salted_distinct_count(ev, "event_type", "user_id", 16).collect()
+    }
+    assert salted == plain
+
+
+def test_range_join_equals_naive(spark):
+    ev = load_table(spark, SF, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid"), F.col("ts"), "user_id"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("ts").alias("pts"), "user_id"
+    )
+    bucketed = {
+        (r.eid, r.pid)
+        for r in range_join_bucketed(
+            err, pur, "user_id", "ts", "pts", 0, 3600
+        ).collect()
+    }
+    lt = F.col("ts").cast("long")
+    rt = F.col("pts").cast("long")
+    naive = {
+        (r.eid, r.pid)
+        for r in err.join(pur, "user_id")
+        .filter((rt >= lt) & (rt <= lt + 3600))
+        .collect()
+    }
+    assert bucketed == naive and len(bucketed) > 0
+
+
+def test_range_join_plans_as_equi_join(spark):
+    ev = load_table(spark, SF, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid"), F.col("ts"), "user_id"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("ts").alias("pts"), "user_id"
+    )
+    plan = formatted_plan(
+        range_join_bucketed(err, pur, "user_id", "ts", "pts", 0, 3600)
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan  # a real equi join (hash or sort-merge)
+
+
+def test_ivf_partitioned_layout_prunes(spark, tmp_path):
+    """Write the corpus PARTITIONED BY cell_id (the documented 100 TB
+    layout) and verify a probe's scan does partition pruning."""
+    emb = with_normalized(load_table(spark, SF, "embeddings"))
+    cents = ivf_centroids(emb, n_cells=8)
+    assigned = ivf_assign(emb, cents).select("vec_id", "cell_id", "nvec")
+    out = str(tmp_path / "emb_by_cell")
+    assigned.write.partitionBy("cell_id").mode("overwrite").parquet(out)
+
+    table = spark.read.parquet(out)
+    probe = table.filter(F.col("cell_id").isin([1, 3]))
+    plan = formatted_plan(probe)
+    assert "PartitionFilters" in plan and "cell_id" in plan
+    # pruning is real: only the probed cells' rows are read
+    expect = assigned.filter(F.col("cell_id").isin([1, 3])).count()
+    assert probe.count() == expect
+    part_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "cell_id" in part_line
