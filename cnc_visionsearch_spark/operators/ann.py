@@ -51,6 +51,8 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "sharded_topk",
+    "mllib_lsh_model",
+    "mllib_lsh_topk",
 ]
 
 
@@ -277,3 +279,62 @@ def sharded_topk(
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ------------------------------------------------------ MLlib LSH tier
+
+
+def mllib_lsh_model(
+    emb: DataFrame,
+    vec_col: str = "nvec",
+    bucket_length: float = 0.5,
+    num_tables: int = 4,
+    seed: int = 42,
+):
+    """Fit MLlib's BucketedRandomProjectionLSH over the embeddings
+    (BASELINE spark_approach: "MLlib/DataFrame for batch index build").
+
+    Returns (model, featurized_df). Euclidean-distance LSH over
+    L2-normalized vectors ranks by cosine, exactly like the exact tier
+    (SURVEY §1.1). Seeded, so the model is reproducible; excluded from
+    the hash-match oracle gate because the hyperplanes live inside
+    MLlib — gated by recall tests instead (SURVEY §5.3).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.withColumn("features", array_to_vector(F.col(vec_col)))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    )
+    model = lsh.fit(feats)
+    return model, model.transform(feats)
+
+
+def mllib_lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "nvec",
+    id_col: str = "vec_id",
+    bucket_length: float = 0.5,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """approxNearestNeighbors over the fitted LSH model; output schema
+    matches the exact tier: (id, distance) with distance = squared L2
+    (MLlib reports euclidean; squared to match reference main.py:155
+    score semantics)."""
+    from pyspark.ml.linalg import Vectors
+
+    model, feats = mllib_lsh_model(emb, vec_col, bucket_length, num_tables, seed)
+    q = Vectors.dense([float(x) for x in query_vec])
+    hits = model.approxNearestNeighbors(feats, q, k, distCol="eucl")
+    return hits.select(
+        F.col(id_col),
+        (F.col("eucl") * F.col("eucl")).alias("distance"),
+    ).orderBy(F.col("distance").asc(), F.col(id_col).asc())

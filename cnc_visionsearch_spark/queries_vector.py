@@ -189,3 +189,36 @@ def embedding_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("min_id"),
         F.max("vec_id").alias("max_id"),
     )
+
+
+@register(
+    "ingest_guard_stats",
+    oracle="""
+SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_embedding,
+  CAST(SUM(CASE WHEN list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) = 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vectors,
+  (count(*) = 0) AS index_empty
+FROM embeddings
+""",
+    doc="P4/P5 guards (reference main.py:114-115, 147-148, 152-153): the "
+    "null-embedding filter and empty-index short-circuit as a corpus "
+    "health scan — the checks an ingest job runs before touching the "
+    "index (the zero-vector count flags rows the no-guard normalize "
+    "would NaN, SURVEY §7f).",
+)
+def ingest_guard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("embedding").isNull(), 1).otherwise(0)).alias(
+            "n_null_embedding"
+        ),
+        F.sum(
+            F.when(l2_norm("embedding") * l2_norm("embedding") == 0.0, 1).otherwise(0)
+        ).alias("n_zero_vectors"),
+        (F.count(F.lit(1)) == 0).alias("index_empty"),
+    )

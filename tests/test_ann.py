@@ -120,3 +120,15 @@ def test_lsh_probe_returns_true_neighbors_subset(spark, emb):
     }
     for r in approx:
         assert exact_all[r.vec_id] == r.distance
+
+
+def test_mllib_lsh_recall(spark, emb):
+    """MLlib BucketedRandomProjectionLSH tier: recall@10 vs the exact
+    tier (SURVEY §5.3; seeded model, deterministic)."""
+    from cnc_visionsearch_spark.operators.ann import mllib_lsh_topk
+
+    q = _norm_q(emb, 1)
+    exact = _ids(knn_single(emb, q, k=K, normalize_query=False))
+    approx = _ids(mllib_lsh_topk(emb, q, k=K))
+    r = recall(approx, exact)
+    assert r >= 0.9, f"MLlib LSH recall@10 {r} < 0.9"
