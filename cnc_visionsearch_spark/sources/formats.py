@@ -1,0 +1,72 @@
+"""Source / sink formats beyond parquet (SURVEY §2.1 S4/S6).
+
+The reference ingests record-at-a-time multipart bytes (main.py:110)
+and emits JSON responses (main.py:135,165). Batch-side equivalents,
+each with DECLARED schemas (never inferred — schema inference is a
+full extra pass at 100 TB and nondeterministic under dirty data):
+
+- JSON lines read/write (the response-sink analog, S6)
+- CSV read/write with explicit schema + mode=FAILFAST (corrupt rows
+  surface instead of silently nulling)
+- binaryFile directory reader (S4: the batch analog of multipart image
+  upload — one row per file with path/length/content)
+
+All readers return plain DataFrames; every downstream operator is
+format-agnostic by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = [
+    "read_jsonl",
+    "write_jsonl",
+    "read_csv",
+    "write_csv",
+    "read_binary_dir",
+]
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSON-lines source with declared schema; FAILFAST so malformed
+    rows raise instead of becoming silent nulls."""
+    return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6: the JSON response sink, batch form."""
+    df.write.mode(mode).json(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str = "*"
+) -> DataFrame:
+    """S4 batch analog of the multipart image source: one row per file
+    with (path, modificationTime, length, content BINARY) — feeds the
+    multimodal operators (operators/multimodal.py) directly."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )

@@ -1,0 +1,90 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY §2.8 [EXT]; the north-star "custom stateful operators" slot).
+
+The reference's only state is its in-RAM index + MAX+1 counter
+(main.py:129-134). This module shows the general pattern Spark offers
+for arbitrary keyed state: per-user running aggregates maintained
+across micro-batches with explicit GroupState — the shape you'd use
+for online dedup caches, per-key rate limiting, or incremental index
+maintenance.
+
+Scale notes: state is partitioned by the group key (user_id) exactly
+like the shuffle for a batch groupBy — bounded per-key state (one
+small tuple), checkpointed per batch via the streaming checkpoint, no
+global structure. Arrow batches stream through the Python worker;
+nothing accumulates beyond one group's rows per call.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["running_user_stats"]
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("n_errors", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_errors", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def _update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n_events, n_errors, sum_value = state.get
+    else:
+        n_events, n_errors, sum_value = 0, 0, 0.0
+    for pdf in pdfs:
+        n_events += len(pdf)
+        n_errors += int((pdf["event_type"] == "error").sum())
+        sum_value += float(pdf["value"].sum())
+    state.update((n_events, n_errors, sum_value))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "n_events": n_events,
+                "n_errors": n_errors,
+                "sum_value": sum_value,
+            }
+        ]
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, n_errors, sum_value) across the whole
+    stream — one updated row per user per micro-batch that saw them.
+
+    Batch-equivalence contract (tested): after the stream drains, the
+    LAST emitted row per user equals the batch groupBy over all input.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,68 @@
+"""Format roundtrip tests (S4/S6): JSON-lines and CSV roundtrips with
+declared schemas, and the binaryFile source feeding the multimodal
+pipeline end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cnc_visionsearch_spark.operators.multimodal import media_metadata
+from cnc_visionsearch_spark.sources.catalog import load_table
+from cnc_visionsearch_spark.sources.formats import (
+    read_binary_dir,
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+)
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = str(tmp_path / "docs_json")
+    write_jsonl(src, path)
+    back = read_jsonl(spark, path, DOC_SCHEMA)
+    assert back.count() == src.count()
+    a = {tuple(r) for r in src.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = str(tmp_path / "docs_csv")
+    write_csv(src, path)
+    back = read_csv(spark, path, DOC_SCHEMA)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+
+
+def test_binary_dir_feeds_multimodal(spark, tmp_path):
+    """S4 end-to-end: files on disk -> binaryFile rows -> mapInPandas
+    metadata, matching the on-disk byte sizes."""
+    d = str(tmp_path / "blobs")
+    os.makedirs(d)
+    payloads = {f"img_{i}.bin": bytes([i]) * (100 + i) for i in range(5)}
+    for name, data in payloads.items():
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(data)
+
+    files = read_binary_dir(spark, d, glob="*.bin")
+    assert files.count() == 5
+    media = files.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("content").alias("payload"),
+    )
+    meta = {r.fname: r.n_bytes for r in media_metadata(media).collect()}
+    assert meta == {k: len(v) for k, v in payloads.items()}

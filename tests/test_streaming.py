@@ -156,3 +156,45 @@ def test_streaming_upsert_dense_ids_and_text_only_update(spark, tmp_path):
     assert final["img_a"] == (1, "UPDATED a")
     assert final["img_b"] == (2, "first b")
     assert final["img_c"] == (3, "first c")
+
+
+def test_stateful_running_stats_converge_to_batch(spark, tmp_path):
+    """applyInPandasWithState: per-user state survives micro-batches;
+    the last emission per user equals the batch aggregate."""
+    from pyspark.sql.functions import col
+
+    from cnc_visionsearch_spark.streaming.stateful import running_user_stats
+
+    events = load_table(spark, SF, "events").limit(1500)
+    chunks = [events.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    stream_dir = _write_chunks(spark, str(tmp_path), chunks)
+
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # memory sink in update mode appends every emission; the LAST row
+    # per user is the final state
+    emitted = spark.sql("select * from stateful_test").collect()
+    final: dict[int, tuple] = {}
+    for r in emitted:  # collect preserves emission order per batch
+        final[r.user_id] = (r.n_events, r.n_errors, round(r.sum_value, 6))
+
+    want = {
+        r.user_id: (r.n, r.e, round(r.s, 6))
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(col("event_type") == "error", 1).otherwise(0)).alias("e"),
+            F.sum("value").alias("s"),
+        )
+        .collect()
+    }
+    assert final == want
