@@ -55,9 +55,11 @@ def main() -> None:
     spark = get_session(app_name="bench")
     queries = all_queries()
 
-    # JVM/codegen/noop-sink warm-up so query 1 doesn't absorb session
-    # startup (~8s of whole-stage-codegen compilation and memory-manager
-    # init on the first real aggregate).
+    # Warm-up: (1) JVM/codegen/noop-sink (~8s of whole-stage-codegen
+    # compilation and memory-manager init on the first real aggregate),
+    # (2) the Python worker daemons (the first Arrow UDF query otherwise
+    # absorbs ~10s of worker spawn across 32 cores).
+    import pandas as pd
     from pyspark.sql import functions as F
 
     warm = (
@@ -66,12 +68,20 @@ def main() -> None:
         .agg(F.sum(F.col("n_nationkey").cast("decimal(18,6)")).cast("double").alias("s"))
     )
     warm.write.format("noop").mode("overwrite").save()
+    (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .repartition(32)
+        .groupBy("n_regionkey")
+        .applyInPandas(lambda pdf: pdf[["n_nationkey"]], "n_nationkey int")
+        .write.format("noop").mode("overwrite").save()
+    )
 
-    # Two passes, per-query minimum: single-shot timings on a shared VM
-    # see multi-second noisy-neighbor stalls; min-of-2 reports the
+    # Three passes, per-query minimum: single-shot timings on a shared
+    # VM see multi-second CPU-steal bursts (identical pure-JVM runs
+    # measured 5.9s vs 25s back to back); the minimum reports the
     # plan's actual steady-state cost.
     timings: dict[str, float] = {}
-    for pass_no in range(2):
+    for pass_no in range(3):
         for name in HEADLINE:
             fn = queries[name]
             t0 = time.perf_counter()

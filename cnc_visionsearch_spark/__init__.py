@@ -21,5 +21,20 @@ Design rules (see SURVEY.md §7):
 
 from cnc_visionsearch_spark.session import get_session
 
-__all__ = ["get_session"]
+
+def queries():
+    """The full named-query registry: {name: (spark, sf_dir) -> DataFrame}."""
+    from cnc_visionsearch_spark.registry import all_queries
+
+    return all_queries()
+
+
+def oracles():
+    """DuckDB oracle SQL per query name (the correctness contract)."""
+    from cnc_visionsearch_spark.registry import all_oracles
+
+    return all_oracles()
+
+
+__all__ = ["get_session", "queries", "oracles"]
 __version__ = "0.1.0"

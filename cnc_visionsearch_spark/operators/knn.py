@@ -45,6 +45,7 @@ __all__ = [
     "with_normalized",
     "knn_single",
     "knn_join",
+    "knn_join_chunked",
     "attach_metadata",
 ]
 
@@ -153,6 +154,54 @@ def knn_join(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_join_chunked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    chunk_rows: int = 100_000,
+    query_id: str = "query_id",
+    query_vec: str = "nvec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "nvec",
+    metric: str = "l2_sq",
+) -> DataFrame:
+    """kNN join for query sides too large to broadcast whole.
+
+    :func:`knn_join` broadcasts ALL queries — right until the query
+    table exceeds the broadcast budget (~8GB hard cap; far less in
+    practice). This variant splits the query side into broadcast-sized
+    chunks by a deterministic id-hash, runs the broadcast kNN join per
+    chunk, and unions the results: the 100 TB corpus is re-SCANNED per
+    chunk but never shuffled, which is the right trade because a scan
+    is cheap and linear while shuffling the corpus on a join key is
+    not. (The alternative — shuffling both sides — only wins when
+    |queries| approaches |corpus|, at which point use the LSH/IVF tiers
+    to block the pair space instead.)
+
+    Results are identical to knn_join: chunking partitions the query
+    rows, and each query's top-k depends only on that query.
+    """
+    n_chunks = max(
+        1, -(-queries.count() // chunk_rows)  # ceil division, one count job
+    )
+    if n_chunks == 1:
+        return knn_join(
+            queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec, metric
+        )
+    parts = []
+    for i in range(n_chunks):
+        chunk = queries.filter(F.pmod(F.hash(F.col(query_id)), F.lit(n_chunks)) == i)
+        parts.append(
+            knn_join(
+                chunk, corpus, k, query_id, query_vec, corpus_id, corpus_vec, metric
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def attach_metadata(

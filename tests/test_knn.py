@@ -119,3 +119,28 @@ def test_attach_metadata_inner_drop(spark):
     )
     out = attach_metadata(hits, mapping).collect()
     assert sorted(r.str_id for r in out) == ["a", "b"]
+
+
+def test_knn_join_chunked_equals_unchunked(spark):
+    """Chunked-broadcast kNN join must return exactly the unchunked
+    result (chunking only partitions the query side)."""
+    from cnc_visionsearch_spark.operators.knn import (
+        knn_join,
+        knn_join_chunked,
+        with_normalized,
+    )
+    from cnc_visionsearch_spark.sources.catalog import load_table
+
+    emb = with_normalized(load_table(spark, "/root/testdata/sf0.01", "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("nvec")
+    )
+    plain = {
+        (r.query_id, r.rank): r.vec_id
+        for r in knn_join(queries, emb, k=3).collect()
+    }
+    chunked = {
+        (r.query_id, r.rank): r.vec_id
+        for r in knn_join_chunked(queries, emb, k=3, chunk_rows=7).collect()
+    }
+    assert chunked == plain and len(plain) == 20 * 3
