@@ -113,3 +113,79 @@ def mm_frame_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
     media = attach_payload(d).select("doc_id", "payload")
     return frame_samples(media, n_frames=4)
+
+
+@register(
+    "mm_pooled_embeddings",
+    oracle="""
+WITH fr AS (
+  SELECT doc_id, text, strlen(text) AS n,
+    greatest(strlen(text) // 4, 1) AS step,
+    unnest(range(4)) AS f
+  FROM documents WHERE doc_id < 20
+),
+c AS (
+  SELECT doc_id, CAST(f AS INT) AS frame_no,
+    CASE WHEN f < 3 THEN greatest(least((f+1)*step, n) - f*step, 0)
+         ELSE greatest(n - 3*step, 0) END AS blen,
+    substr(text, CAST(f*step + 1 AS INT),
+      CAST(CASE WHEN f < 3 THEN step ELSE greatest(n - 3*step, 0) END AS INT)
+    ) AS chunk
+  FROM fr
+),
+fe AS (SELECT doc_id, frame_no, md5(chunk) AS fmd5 FROM c WHERE blen > 0),
+emb AS (
+  SELECT doc_id, frame_no, j,
+    (('0x' || substr(md5(fmd5 || ':' || j), 1, 8))::BIGINT / 4294967296.0) * 2.0 - 1.0 AS e
+  FROM fe, (SELECT unnest(range(8)) AS j) dims
+),
+pooled AS (
+  SELECT doc_id, j,
+    list_sum(list(e ORDER BY frame_no)) AS sum_e,
+    max(e) AS max_e,
+    count(*) AS n_frames
+  FROM emb GROUP BY doc_id, j
+)
+SELECT doc_id, CAST(j AS INT) AS dim, sum_e / n_frames AS e FROM pooled
+UNION ALL
+SELECT doc_id, CAST(j + 8 AS INT) AS dim, max_e AS e FROM pooled
+""",
+    doc="F1-F5 complete: per-frame 'token states' -> mean pooling + max "
+    "pooling -> concat (the reference's exact embed structure, "
+    "main.py:80-85: ViT last_hidden_state mean(1024) cat max(1024)). "
+    "Dims 0-7 = mean pool, 8-15 = max pool; mean summed in frame order "
+    "on both engines so the doubles hash-match.",
+)
+def mm_pooled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    media = attach_payload(d).select("doc_id", "payload")
+    frames = frame_samples(media, n_frames=4)
+    # per-frame embedding: the frame fingerprint is the "token", the
+    # fake encoder the forward pass (a real ViT consumes frame pixels
+    # through the identical pandas_udf slot)
+    fe = frames.withColumn(
+        "emb", fake_image_embedding(8)(F.encode(F.col("frame_md5"), "UTF-8"))
+    )
+    exploded = fe.select(
+        "doc_id", "frame_no", F.posexplode("emb").alias("j", "e")
+    )
+    pooled = exploded.groupBy("doc_id", "j").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("frame_no", "e"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.e,
+        ).alias("sum_e"),
+        F.max("e").alias("max_e"),
+        F.count(F.lit(1)).alias("n_frames"),
+    )
+    mean_part = pooled.select(
+        "doc_id",
+        F.col("j").cast("int").alias("dim"),
+        (F.col("sum_e") / F.col("n_frames")).alias("e"),
+    )
+    max_part = pooled.select(
+        "doc_id",
+        (F.col("j") + 8).cast("int").alias("dim"),
+        F.col("max_e").alias("e"),
+    )
+    return mean_part.unionByName(max_part)
