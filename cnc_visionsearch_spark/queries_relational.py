@@ -308,3 +308,28 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@register(
+    "order_price_quantiles",
+    oracle="""
+SELECT o_orderpriority,
+  quantile_cont(o_totalprice, 0.25) AS p25,
+  quantile_cont(o_totalprice, 0.5) AS p50,
+  quantile_cont(o_totalprice, 0.9) AS p90,
+  CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="A3 percentiles: exact interpolated quantiles per priority "
+    "(Spark `percentile` == DuckDB quantile_cont, linear interpolation). "
+    "At 100 TB swap to percentile_approx (t-digest sketch, one pass, "
+    "mergeable partials) — tested for closeness in test_sketches.py.",
+)
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
