@@ -86,6 +86,25 @@ def test_q5_no_fact_fact_shuffle(spark, queries):
     assert plan.count("BroadcastHashJoin") >= 4
 
 
+def test_q19_broadcast_only_join(spark, queries):
+    """Q19's OR-of-ANDs predicate must not force a sort-merge join or a
+    pre-split union of scans: one lineitem scan, part broadcast, residual
+    disjunction in codegen."""
+    plan = plan_of(queries["q19_discounted_revenue"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    df = queries["q19_discounted_revenue"](spark, SF)
+    assert len(read_schemas(df)) == 2  # lineitem once, part once
+
+
+def test_q7_dual_role_dim_broadcasts(spark, queries):
+    """Q7 uses nation in two roles (supplier side, customer side): both
+    copies must broadcast — the fact side shuffles at most once."""
+    plan = plan_of(queries["q7_volume_shipping"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
 def test_ivf_probe_prunes_cells(spark, queries):
     """IVF probe must filter on cell_id before scoring (at scale this is
     partition pruning: nprobe/n_cells of the files read)."""
