@@ -24,6 +24,7 @@ __all__ = [
     "pushed_filters",
     "read_schemas",
     "codegen_span_count",
+    "broadcast_hinted_inputs",
 ]
 
 
@@ -71,6 +72,25 @@ def read_schemas(df: DataFrame) -> list[str]:
         for ln in formatted_plan(df).splitlines()
         if "ReadSchema:" in ln
     ]
+
+
+def broadcast_hinted_inputs(df: DataFrame) -> list[str]:
+    """The child-node line under every explicit broadcast ResolvedHint in
+    the analyzed logical plan — i.e. what the QUERY AUTHOR forced to
+    broadcast, as opposed to what Catalyst/AQE chose to. Scale tests
+    assert no fact-scale relation (orders/customer/lineitem columns)
+    ever appears here: a forced broadcast of a table that grows with
+    the corpus is an OOM at 100 TB regardless of how well it benches
+    at test scale.
+    """
+    text = df._jdf.queryExecution().analyzed().toString()
+    lines = text.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" in ln and "BROADCAST" in ln.upper():
+            if i + 1 < len(lines):
+                out.append(lines[i + 1].strip())
+    return out
 
 
 def codegen_span_count(df: DataFrame) -> int:

@@ -5,9 +5,13 @@ rollup, set ops, semi/anti joins, point lookups.
 The reference itself only ever does point lookups (P1/P2) and one
 equi-join (J1); everything else here is the [EXT] general-analytics
 surface the rebuilt engine gets from Catalyst. Scale notes per query:
-dimension tables (region/nation/customer/supplier) broadcast; fact-fact
-joins (orders x lineitem) shuffle on the join key and rely on AQE for
-skew; aggregates are partial+final map-side combined.
+only TRUE dimension tables (region/nation/supplier/part — bounded or
+sub-linear in scale factor) carry explicit broadcast hints. Tables that
+grow linearly with the corpus (orders, customer, lineitem) are NEVER
+hint-broadcast: their joins shuffle on the join key (sort-merge or
+shuffled-hash as Catalyst picks), and AQE upgrades to broadcast at
+runtime when a filtered side turns out small. Aggregates are
+partial+final map-side combined.
 """
 
 from __future__ import annotations
@@ -75,8 +79,11 @@ GROUP BY l.l_orderkey, o.o_orderdate
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """,
-    doc="TPC-H Q3 analog: broadcast dim (customer-filtered) -> fact join -> "
-    "agg -> top-10 (TakeOrderedAndProject).",
+    doc="TPC-H Q3 analog: filtered fact joins -> agg -> top-10 "
+    "(TakeOrderedAndProject). No broadcast hints: customer and orders "
+    "grow with scale factor, so customer x orders shuffles on custkey "
+    "and the result x lineitem on orderkey; AQE upgrades either join to "
+    "broadcast at runtime if the filtered side is actually small.",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(
@@ -90,7 +97,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            o.join(c, o.o_custkey == c.c_custkey),
             li.l_orderkey == o.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -116,8 +123,11 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 ORDER BY revenue DESC, n_name ASC
 """,
-    doc="TPC-H Q5 analog: 6-way join. Dims broadcast; the only shuffle is "
-    "orders x lineitem on orderkey. Catalyst join reordering + AQE.",
+    doc="TPC-H Q5 analog: 6-way join. True dims (supplier/nation/region) "
+    "broadcast; the fact-fact joins (lineitem x orders on orderkey, "
+    "x customer on custkey) shuffle — at 100 TB orders and customer are "
+    "fact-scale and must never be hint-broadcast. AQE handles skew and "
+    "late broadcast upgrades.",
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -127,8 +137,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
@@ -333,9 +343,10 @@ FROM (
 GROUP BY supp_nation, cust_nation, l_year
 """,
     doc="TPC-H Q7 analog: two roles of the same dim (nation) in one plan — "
-    "supplier-nation and customer-nation both broadcast; the disjunctive "
-    "nation-pair predicate applies post-join. Only orders x lineitem "
-    "shuffles.",
+    "supplier and both nation copies broadcast; the disjunctive "
+    "nation-pair predicate applies post-join. The fact-fact joins "
+    "(lineitem x orders, x customer) shuffle on their keys — customer is "
+    "fact-scale and carries no broadcast hint.",
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -358,7 +369,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -399,7 +410,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
@@ -479,7 +490,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(big_orders, o.o_orderkey == big_orders.l_orderkey, "left_semi")
         .join(li, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(_dec_sum(F.col("l_quantity"), "total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())

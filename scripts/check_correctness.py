@@ -2,7 +2,10 @@
 and its oracle_sql() on DuckDB over the same parquet, compare
 row-count + column names + order-insensitive values.
 
-Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+Usage: python scripts/check_correctness.py [sf_dir] [query-prefix ...]
+
+Args containing "/" select the sf_dir (default /root/testdata/sf0.01);
+anything else filters queries by name prefix.
 """
 
 from __future__ import annotations
@@ -39,8 +42,9 @@ def canon_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    dirs = [a for a in sys.argv[1:] if "/" in a]
+    sf_dir = dirs[0] if dirs else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if "/" not in a]
 
     import __spark_entry__ as entrymod
 
@@ -56,7 +60,7 @@ def main() -> int:
 
     n_pass = n_fail = n_weak = 0
     for name, fn in qs.items():
-        if only and name not in only:
+        if only and not any(name.startswith(p) for p in only):
             continue
         t0 = time.time()
         try:

@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 
 from cnc_visionsearch_spark.plans import (
+    broadcast_hinted_inputs,
     exchange_inputs,
     formatted_plan,
     pushed_filters,
@@ -78,12 +79,52 @@ def test_q1_partial_final_aggregate_and_filter_pushdown(spark, queries):
     assert any("LessThanOrEqual(l_shipdate" in p for p in pushed_filters(df))
 
 
-def test_q5_no_fact_fact_shuffle(spark, queries):
-    """Q5's joins must all broadcast (dims are small); the only exchange
-    allowed is the final aggregation/sort shuffle."""
-    plan = plan_of(queries["q5_local_supplier_volume"](spark, SF))
-    assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 4
+FACT_MARKERS = ("o_orderkey", "o_custkey", "c_custkey", "l_orderkey")
+MULTI_JOIN_QUERIES = (
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+)
+
+
+def test_no_fact_table_broadcast_hints(spark, queries):
+    """Orders/customer/lineitem grow with scale factor: an explicit
+    F.broadcast on any of them OOMs at 100 TB no matter how well it
+    benches at sf0.1. Only true dims (region/nation/supplier/part) may
+    carry author hints; anything else is AQE's runtime call."""
+    for name in MULTI_JOIN_QUERIES:
+        for hinted in broadcast_hinted_inputs(queries[name](spark, SF)):
+            assert not any(m in hinted for m in FACT_MARKERS), (
+                f"{name} force-broadcasts a fact-scale table: {hinted}"
+            )
+
+
+def test_q3_filters_pushed_and_partial_agg(spark, queries):
+    """Q3's scale contract: every single-table predicate reaches its
+    parquet scan, and the aggregate is partial+final (map-side combine
+    before the groupBy shuffle)."""
+    df = queries["q3_shipping_priority"](spark, SF)
+    p = pushed_filters(df)
+    assert any("c_mktsegment" in x for x in p)
+    assert any("o_orderdate" in x for x in p)
+    assert any("l_shipdate" in x for x in p)
+    assert plan_of(df).count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_q5_dims_broadcast_filters_pushed(spark, queries):
+    """Q5's scale contract: the three true dims (supplier, nation,
+    region) broadcast, the region filter is pushed to its scan, and the
+    aggregate is partial+final. The fact-fact joins are left to
+    Catalyst/AQE (shuffle at scale, broadcast at toy SF) — the old
+    'no SortMergeJoin anywhere' assertion pinned an anti-pattern."""
+    df = queries["q5_local_supplier_volume"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert any("r_name" in x for x in pushed_filters(df))
+    assert plan.count("HashAggregate") >= 2
 
 
 def test_q19_broadcast_only_join(spark, queries):
@@ -99,10 +140,12 @@ def test_q19_broadcast_only_join(spark, queries):
 
 def test_q7_dual_role_dim_broadcasts(spark, queries):
     """Q7 uses nation in two roles (supplier side, customer side): both
-    copies must broadcast — the fact side shuffles at most once."""
-    plan = plan_of(queries["q7_volume_shipping"](spark, SF))
-    assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 4
+    copies plus supplier broadcast; the shipdate filter pushes to the
+    lineitem scan. Customer/orders joins are AQE's call."""
+    df = queries["q7_volume_shipping"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert any("l_shipdate" in x for x in pushed_filters(df))
 
 
 def test_ivf_probe_prunes_cells(spark, queries):
