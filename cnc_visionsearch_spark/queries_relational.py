@@ -543,6 +543,196 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 analog: order-count distribution INCLUDING zero-order "
+    "customers (null-generating outer join; the o_orderpriority predicate "
+    "stands in for Q13's o_comment NOT LIKE filter — it must apply to the "
+    "join's right side, not post-join, or zero-order customers vanish). "
+    "Scale shape: aggregate orders per custkey FIRST (partial+final on the "
+    "fact table), then LEFT JOIN customer to the counted rows and "
+    "COALESCE nulls to 0 — the join moves one row per customer, never one "
+    "per order.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    ocounts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("__n"))
+    per_cust = c.join(ocounts, c.c_custkey == ocounts.o_custkey, "left").select(
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+ranked AS (
+  SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name, o.unit_price,
+    row_number() OVER (
+      PARTITION BY p.p_partkey ORDER BY o.unit_price ASC, e.s_suppkey ASC
+    ) AS rn
+  FROM offers o
+  JOIN part p ON o.l_partkey = p.p_partkey
+    AND p.p_size = 15 AND p.p_type = 'STANDARD'
+  JOIN eu e ON o.l_suppkey = e.s_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_price
+FROM ranked WHERE rn = 1
+""",
+    doc="TPC-H Q2 analog (no partsupp table: per-(part,supplier) min unit "
+    "price from lineitem plays supplycost): for each qualifying part, the "
+    "EUROPE supplier offering the minimum unit price — the correlated-min "
+    "subquery family, decorrelated as group-by + rank-1 join-back. Scale "
+    "shape: one lineitem shuffle on (partkey, suppkey) with map-side "
+    "combine; part/supplier/nation/region are dims (filtered part is a "
+    "few rows, supplier broadcast-joined); the rank window partitions on "
+    "partkey — WindowGroupLimit keeps it a partial top-1.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("unit_price").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        offers.join(F.broadcast(p), offers.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu), offers.l_suppkey == F.col("s_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_price")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+      AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    doc="TPC-H Q15 analog: supplier(s) with the maximum quarterly revenue "
+    "— scalar aggregate subquery joined back against its own source "
+    "(Q15's CREATE VIEW, inlined). Exact decimal partials make the "
+    "double equality safe across engines. Scale shape: one lineitem "
+    "shuffle on suppkey; the max is one tiny agg over the revenue rows, "
+    "broadcast back as a 1-row cross join.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+  AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+  AND p.p_brand = 'Brand#23' AND p.p_size < 5
+JOIN (
+  SELECT l_partkey,
+    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+    CAST(count(*) AS BIGINT) AS n_li
+  FROM lineitem GROUP BY l_partkey
+) agg ON agg.l_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(18,6)) * 5 * agg.n_li < agg.sum_qty
+""",
+    doc="TPC-H Q17 analog (p_size < 5 stands in for p_container): revenue "
+    "from orders of less than 20%% of a part's average quantity — the "
+    "correlated-average family, decorrelated as a per-partkey aggregate "
+    "joined back. The threshold l_quantity < 0.2*avg is evaluated as "
+    "5*qty*n < sum in exact decimal/integer arithmetic, so no "
+    "double-rounding can flip a boundary row between engines. Scale "
+    "shape: the per-part aggregate shuffles lineitem on partkey once "
+    "(map-side combine), the join-back reuses that partitioning, part "
+    "is a broadcast dim.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 5)
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("__pk"))
+        .filter(
+            F.col("l_quantity").cast("decimal(18,6)") * 5 * F.col("n_li")
+            < F.col("sum_qty")
+        )
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0)
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
     "order_price_quantiles",
     oracle="""
 SELECT o_orderpriority,
