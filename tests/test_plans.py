@@ -148,6 +148,24 @@ def test_q7_dual_role_dim_broadcasts(spark, queries):
     assert any("l_shipdate" in x for x in pushed_filters(df))
 
 
+def test_q13_aggregates_orders_before_outer_join(spark, queries):
+    """Q13's scale contract: the orders fact is reduced to one row per
+    custkey (partial+final agg) BEFORE the null-generating join — no
+    exchange may carry more than (custkey, count)."""
+    df = queries["q13_customer_distribution"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 4  # per-cust partial+final, dist partial+final
+    for inp in exchange_inputs(df):
+        assert "o_orderdate" not in inp and "o_totalprice" not in inp
+
+
+def test_q2_rank1_uses_window_group_limit(spark, queries):
+    """Q2 analog's rank-1 join-back must plan as WindowGroupLimit
+    (partial top-1 per partkey before the window shuffle)."""
+    plan = plan_of(queries["q2_min_cost_supplier"](spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
 def test_ivf_probe_prunes_cells(spark, queries):
     """IVF probe must filter on cell_id before scoring (at scale this is
     partition pruning: nprobe/n_cells of the files read)."""
