@@ -38,6 +38,7 @@ from cnc_visionsearch_spark.functions.text import (
     shingles_from_tokens,
 )
 from cnc_visionsearch_spark.functions.vector import dot
+from cnc_visionsearch_spark.operators.ann import hyperplane_signature
 
 __all__ = [
     "exact_dedup",
@@ -46,6 +47,7 @@ __all__ = [
     "simhash",
     "ngram_jaccard_pairs",
     "embedding_similar_pairs",
+    "embedding_lsh_bucketed_pairs",
 ]
 
 
@@ -312,6 +314,43 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_lsh_bucketed_pairs(
+    emb: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "nvec",
+    top_n: int = 10,
+) -> DataFrame:
+    """Embedding near-dup with hyperplane-LSH blocking — the 100 TB
+    path :func:`embedding_similar_pairs` only documents.
+
+    The sign-bit signature (operators/ann.py) is the blocking key:
+    exact cosine is scored ONLY within a bucket, so the corpus shuffles
+    once on the (bigint) bucket key and the pair space shrinks from
+    |N|^2 to sum(|bucket|^2) — with P planes, ~N^2/2^P in expectation.
+    Each vector has exactly one Hamming-0 bucket, so no pair is scored
+    twice and no dedup pass is needed. Recall is governed by P exactly
+    as in the lsh_topk probe (fewer planes = bigger buckets = higher
+    recall, more compute). Returns the global top-N colliding pairs by
+    cosine, ties by (id_a, id_b).
+    """
+    sig = hyperplane_signature(vec_col, planes)
+    b = emb.select(F.col(id_col), F.col(vec_col), sig.alias("lsh_bucket"))
+    left = b.select(
+        "lsh_bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    right = b.select(
+        "lsh_bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        left.join(right, "lsh_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot("va", "vb").alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(top_n)
     )
 
 

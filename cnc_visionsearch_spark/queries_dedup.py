@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cnc_visionsearch_spark.operators.dedup import (
+    embedding_lsh_bucketed_pairs,
     embedding_similar_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -215,3 +216,63 @@ LIMIT 10
 def embedding_neardup_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
     return embedding_similar_pairs(emb, top_n=10)
+
+
+def _emb_planes_cte(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """Seeded hyperplanes as a DuckDB VALUES CTE — the same 6-decimal
+    doubles the Spark literals embed (see queries_ann._planes_cte)."""
+    from cnc_visionsearch_spark.operators.ann import hyperplanes
+
+    rows = []
+    for i, plane in enumerate(hyperplanes(dim, n_planes, seed)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        rows.append(f"({i}, {arr})")
+    return "planes(i, p) AS (VALUES " + ", ".join(rows) + ")"
+
+
+_EMB_NORM_CTE = """
+normed AS (
+  SELECT vec_id,
+    list_transform(
+      embedding::DOUBLE[],
+      x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))
+    ) AS nvec
+  FROM embeddings
+)
+"""
+
+
+@register(
+    "embedding_neardup_lsh_bucketed",
+    oracle=f"""
+WITH {_EMB_NORM_CTE}, {_emb_planes_cte()},
+sigs AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, len(nvec)+1),
+                    j -> nvec[j] * p[j])) >= 0
+         THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS BIGINT) AS lsh_bucket
+  FROM normed, planes
+  GROUP BY vec_id
+)
+SELECT sa.vec_id AS id_a, sb.vec_id AS id_b,
+  list_sum(list_transform(range(1, len(a.nvec)+1), k -> a.nvec[k]*b.nvec[k]))
+    AS cosine
+FROM sigs sa
+JOIN sigs sb ON sa.lsh_bucket = sb.lsh_bucket AND sa.vec_id < sb.vec_id
+JOIN normed a ON a.vec_id = sa.vec_id
+JOIN normed b ON b.vec_id = sb.vec_id
+ORDER BY cosine DESC, id_a ASC, id_b ASC
+LIMIT 10
+""",
+    doc="Embedding near-dup, 100 TB shape: hyperplane-LSH sign-bit "
+    "signature (4 seeded planes) as the blocking key, exact cosine "
+    "scored only within a bucket — pair space ~N^2/2^P, one shuffle on "
+    "the bigint bucket key, no crossJoin anywhere. Top-10 colliding "
+    "pairs by cosine.",
+)
+def embedding_neardup_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.ann import hyperplanes
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    planes = hyperplanes(dim=64, n_planes=4, seed=42)
+    return embedding_lsh_bucketed_pairs(emb, planes, top_n=10)

@@ -180,6 +180,16 @@ def test_doc_stats_scan_prunes_columns(spark, queries):
     assert schemas and all("doc_id" not in s for s in schemas)
 
 
+def test_embedding_lsh_bucketed_pairs_no_cartesian(spark, queries):
+    """The bucketed embedding near-dup must join on the LSH bucket key —
+    never a cartesian/nested-loop pair expansion (that is the whole
+    point versus embedding_neardup_top10's test-scale crossJoin)."""
+    plan = plan_of(queries["embedding_neardup_lsh_bucketed"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "lsh_bucket" in plan
+
+
 def test_exact_dedup_shuffles_fingerprint_not_text(spark):
     """The dedup shuffle key is the 32-byte fingerprint; full text must
     be pruned before the exchange."""
