@@ -50,7 +50,11 @@ __all__ = [
     "ivf_centroids",
     "ivf_assign",
     "ivf_topk",
+    "ivf_build",
+    "ivf_probe",
+    "shard_build",
     "sharded_topk",
+    "sharded_topk_persisted",
     "mllib_lsh_model",
     "mllib_lsh_topk",
 ]
@@ -136,8 +140,20 @@ def ivf_centroids(emb: DataFrame, n_cells: int, id_col: str = "vec_id",
     Stand-in for a trained k-means codebook (which would be trained
     once offline and broadcast); cell ids are 0..n_cells-1. Querying
     is identical either way — only centroid quality differs.
+
+    ASSUMES ids in ``id_col`` are dense-ish from 0 (the engine's
+    canonical layout, schemas.EMBEDDINGS + the MAX+1 dense-id ingest
+    invariant): sparse/offset ids yield fewer than n_cells centroids
+    and shrink probe coverage. Raises on an empty table rather than
+    crashing in int(None) arithmetic.
     """
     max_id = emb.agg(F.max(id_col)).first()[0]
+    if max_id is None:
+        raise ValueError(
+            "ivf_centroids: embeddings table is empty — an IVF codebook "
+            "needs at least one vector (empty-index guard, reference "
+            "main.py:147-148)"
+        )
     stride = max(int(max_id) // n_cells, 1)
     return (
         emb.filter((F.col(id_col) % stride == 0) & (F.col(id_col) / stride < n_cells))
@@ -203,6 +219,134 @@ def ivf_topk(
     ]
     return (
         emb_with_cells.filter(F.col("cell_id").isin(probe_cells))
+        .select(F.col(id_col), l2_sq(F.col(vec_col), qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ----------------------------------------------- build/probe persistence
+#
+# The reference builds its FAISS index ONCE at startup (main.py:60-66)
+# and serves every query from it; round-1 code rebuilt the IVF/shard
+# structures inside each query. These writers split build from probe:
+# build materializes the derived layout as parquet artifacts, probe
+# reads them — paying scan-of-nprobe-cells, never rebuild.
+
+
+def ivf_build(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "nvec",
+) -> None:
+    """Materialize the IVF index at ``path``: ``codebook/`` (n_cells
+    rows) + ``cells/`` (the full embeddings table written PARTITIONED BY
+    cell_id). Run once per corpus version — the S2 index-save step for
+    the ANN tier. At 100 TB this is the one full shuffle-free scan +
+    partitioned write; every later probe reads nprobe/n_cells of the
+    files via partition pruning.
+    """
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    cents.write.mode("overwrite").parquet(f"{path}/codebook")
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/cells")
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "nvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF query against a materialized :func:`ivf_build` layout.
+
+    Reads the (tiny) codebook, ranks cells by centroid distance on the
+    driver (nprobe rows — not a distributed job), then scans ONLY the
+    nprobe nearest cell partitions: ``cell_id IN (...)`` is a partition
+    filter on the partitioned layout, so the scan touches nprobe/n_cells
+    of the files (asserted in tests). Result is bit-identical to
+    :func:`ivf_topk` over the same codebook.
+    """
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    cents = spark.read.parquet(f"{path}/codebook")
+    probe_cells = [
+        r.cell_id
+        for r in cents.select(
+            "cell_id", l2_sq(F.col("centroid"), qcol).alias("cdist")
+        )
+        .orderBy(F.col("cdist").asc(), F.col("cell_id").asc())
+        .limit(nprobe)
+        .collect()
+    ]
+    cells = spark.read.parquet(f"{path}/cells")
+    return (
+        cells.filter(F.col("cell_id").isin(probe_cells))
+        .select(F.col(id_col), l2_sq(F.col(vec_col), qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def shard_build(
+    emb: DataFrame,
+    path: str,
+    num_shards: int = 8,
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the sharded-index layout at ``path``: embeddings
+    written PARTITIONED BY shard (= id mod num_shards). This is the
+    BASELINE 'batch FAISS index build' write step: with faiss installed
+    each probe's per-shard HNSW build happens over a stable, co-located
+    shard file set (and a serialized-index artifact per shard becomes a
+    drop-in upgrade in the same layout); without it the layout still
+    pins shard membership so probes skip the hash shuffle that
+    :func:`sharded_topk` pays per query.
+    """
+    sharded = emb.withColumn("shard", (F.col(id_col) % num_shards).cast("int"))
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(f"{path}/shards")
+
+
+def sharded_topk_persisted(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "nvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sharded kNN probe over a :func:`shard_build` layout.
+
+    The layout is already partitioned by shard, so per-shard local
+    search runs as ``mapInPandas`` over the scan partitions — ZERO
+    shuffle before the candidate merge (vs. sharded_topk's
+    groupBy-shard hash exchange of the whole corpus per query). Each
+    scan partition yields its local exact top-k (FAISS HNSW when
+    installed); the union of per-partition top-k necessarily contains
+    the global top-k, which the JVM-side re-score + TakeOrdered
+    extracts bit-identically to the exact tier.
+    """
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    search = _local_topk_fn(q, k, id_col, vec_col)
+
+    def per_partition(batches):
+        # top-k per Arrow batch (bounded memory; the union of per-batch
+        # top-ks is a superset of the global top-k, restored exactly by
+        # the JVM re-score + TakeOrdered)
+        for pdf in batches:
+            if len(pdf):
+                yield search(pdf)
+
+    shards = spark.read.parquet(f"{path}/shards").select(id_col, vec_col)
+    cand_ids = shards.mapInPandas(per_partition, schema=f"{id_col} bigint")
+    emb = spark.read.parquet(f"{path}/shards")
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        cand_ids.join(emb, id_col)
         .select(F.col(id_col), l2_sq(F.col(vec_col), qcol).alias("distance"))
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)

@@ -8,6 +8,8 @@ gates live in tests/test_ann.py (SURVEY §5.3).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -15,10 +17,12 @@ from cnc_visionsearch_spark.operators.ann import (
     hyperplane_signature,
     hyperplanes,
     ivf_assign,
+    ivf_build,
     ivf_centroids,
-    ivf_topk,
+    ivf_probe,
     lsh_topk,
-    sharded_topk,
+    shard_build,
+    sharded_topk_persisted,
 )
 from cnc_visionsearch_spark.operators.knn import with_normalized
 from cnc_visionsearch_spark.registry import register
@@ -27,6 +31,40 @@ from cnc_visionsearch_spark.sources.catalog import load_table
 _DIM = 64  # fixture embedding dimension (FIXTURES.md)
 _N_PLANES = 6
 _SEED = 42
+
+# Build artifacts live outside the (read-only) testdata tree, keyed by
+# corpus (sf dir basename) and build params, so a rebuild happens only
+# when the corpus or the index geometry changes. Local-FS markers are
+# fine in local mode; a cluster deployment swaps this for a catalog
+# entry / _SUCCESS check via the Hadoop FS API.
+_ARTIFACT_ROOT = os.environ.get("SPARK_GRAFT_ANN_DIR", "/tmp/cnc_ann_artifacts")
+
+
+def _corpus_tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/")) or "corpus"
+
+
+def ensure_ivf_built(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> str:
+    """Idempotent IVF build: materialize codebook + cell-partitioned
+    layout once per (corpus, n_cells); return the artifact path."""
+    path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir)}/ivf_c{n_cells}"
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+        ivf_build(emb, path, n_cells=n_cells)
+        open(os.path.join(path, "_BUILT"), "w").close()
+    return path
+
+
+def ensure_shards_built(
+    spark: SparkSession, sf_dir: str, num_shards: int = 8
+) -> str:
+    """Idempotent shard-layout build for the sharded-index tier."""
+    path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir)}/shards_s{num_shards}"
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+        shard_build(emb, path, num_shards=num_shards)
+        open(os.path.join(path, "_BUILT"), "w").close()
+    return path
 
 _NORM_CTE = """
 normed AS (
@@ -182,15 +220,18 @@ WHERE a.cell_id IN (SELECT cell_id FROM probe)
 ORDER BY distance ASC, a.vec_id ASC
 LIMIT 10
 """,
-    doc="IVF probe: rank cells by centroid distance, scan nprobe=4 of 8 "
-    "cells, exact top-k within. Reads nprobe/n_cells of the corpus.",
+    doc="IVF probe over the MATERIALIZED ivf_build layout (codebook "
+    "parquet + cell-partitioned cells/): rank cells by centroid "
+    "distance, scan nprobe=4 of 8 cell PARTITIONS (partition pruning, "
+    "not a filter over a full scan), exact top-k within. Build cost is "
+    "paid once per corpus version (ensure_ivf_built), probes pay "
+    "nprobe/n_cells of a scan — the reference's build-once/serve-many "
+    "index lifecycle (main.py:60-66).",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
-    cents = ivf_centroids(emb, n_cells=8)
-    assigned = ivf_assign(emb, cents)
+    path = ensure_ivf_built(spark, sf_dir, n_cells=8)
     q = _norm_query_vec(spark, sf_dir, 3)
-    return ivf_topk(assigned, cents, q, k=10, nprobe=4)
+    return ivf_probe(spark, path, q, k=10, nprobe=4)
 
 
 @register(
@@ -203,13 +244,15 @@ FROM normed, q
 ORDER BY distance ASC, vec_id ASC
 LIMIT 10
 """,
-    doc="Sharded-local-index kNN (BASELINE 'batch FAISS build' pattern): "
-    "hash-shard -> applyInPandas local search per shard (FAISS HNSW "
-    "M=32/efSearch=300 if installed, exact numpy here) -> k*S candidates "
-    "-> exact JVM re-score + global top-k. Exact local search makes it "
-    "bit-identical to knn_single_topk, hence the shared oracle.",
+    doc="Sharded-local-index kNN over the MATERIALIZED shard_build "
+    "layout (BASELINE 'batch FAISS build' pattern): the corpus is "
+    "written partitioned by shard once; probes run local search "
+    "(FAISS HNSW M=32/efSearch=300 if installed, exact numpy here) as "
+    "mapInPandas over the already-co-located shard partitions — zero "
+    "shuffle before the candidate merge — then exact JVM re-score + "
+    "global top-k, bit-identical to knn_single_topk (shared oracle).",
 )
 def knn_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    path = ensure_shards_built(spark, sf_dir, num_shards=8)
     q = _norm_query_vec(spark, sf_dir, 1)
-    return sharded_topk(emb, q, k=10, num_shards=8)
+    return sharded_topk_persisted(spark, path, q, k=10)

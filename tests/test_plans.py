@@ -167,10 +167,15 @@ def test_q2_rank1_uses_window_group_limit(spark, queries):
 
 
 def test_ivf_probe_prunes_cells(spark, queries):
-    """IVF probe must filter on cell_id before scoring (at scale this is
-    partition pruning: nprobe/n_cells of the files read)."""
-    plan = plan_of(queries["ann_ivf_topk"](spark, SF))
-    assert "cell_id" in plan and "IN (" in plan or "cell_id#" in plan
+    """IVF probe runs against the materialized cell-partitioned layout:
+    the nprobe filter must surface as a PartitionFilter on the scan
+    (real file pruning — nprobe/n_cells of the data read), and the scan
+    schema must carry only (id, vector)."""
+    df = queries["ann_ivf_topk"](spark, SF)
+    plan = plan_of(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("cell_id" in ln and "IN (" in ln for ln in pf)
+    assert all("label" not in s for s in read_schemas(df))
 
 
 def test_doc_stats_scan_prunes_columns(spark, queries):
