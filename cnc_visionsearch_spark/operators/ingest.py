@@ -33,7 +33,9 @@ def next_dense_id(id_mapping: DataFrame, id_col: str = "faiss_id") -> DataFrame:
     )
 
 
-def upsert_id_mapping(id_mapping: DataFrame, batch: DataFrame) -> DataFrame:
+def upsert_id_mapping(
+    id_mapping: DataFrame, batch: DataFrame, known_max: int | None = None
+) -> DataFrame:
     """Apply one ingest batch with exact reference semantics.
 
     ``batch`` has (str_id, text_content). Returns the post-upsert
@@ -42,6 +44,12 @@ def upsert_id_mapping(id_mapping: DataFrame, batch: DataFrame) -> DataFrame:
       (text-only update, main.py:123-126)
     - new str_id: dense ids continuing from the current max, assigned
       in str_id order (main.py:129-131 batch-serialized)
+
+    ``known_max`` short-circuits the MAX(faiss_id) aggregation when the
+    caller already tracks the global max (the incremental streaming
+    sink stores it in its manifest so an upsert over a SUBSET of the
+    table — only the buckets the batch touches — still assigns globally
+    dense ids without scanning the full state).
     """
     b = F.broadcast(
         batch.select(
@@ -58,17 +66,19 @@ def upsert_id_mapping(id_mapping: DataFrame, batch: DataFrame) -> DataFrame:
             ),
         )
     )
-    max_id = id_mapping.agg(
-        F.coalesce(F.max("faiss_id"), F.lit(0)).alias("mx")
-    )
     w = Window.orderBy("str_id")
-    inserted = (
-        batch.join(id_mapping.select("str_id"), "str_id", "left_anti")
-        .crossJoin(F.broadcast(max_id))
-        .select(
-            "str_id",
-            (F.col("mx") + F.row_number().over(w)).cast("bigint").alias("faiss_id"),
-            "text_content",
+    new_rows = batch.join(id_mapping.select("str_id"), "str_id", "left_anti")
+    if known_max is None:
+        max_id = id_mapping.agg(
+            F.coalesce(F.max("faiss_id"), F.lit(0)).alias("mx")
         )
+        new_rows = new_rows.crossJoin(F.broadcast(max_id))
+        base = F.col("mx")
+    else:
+        base = F.lit(int(known_max))
+    inserted = new_rows.select(
+        "str_id",
+        (base + F.row_number().over(w)).cast("bigint").alias("faiss_id"),
+        "text_content",
     )
     return updated.unionByName(inserted)

@@ -21,7 +21,9 @@ queries in queries_events.py (same logical plans + watermark).
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +38,7 @@ __all__ = [
     "sliding_counts_stream",
     "session_window_stream",
     "streaming_upsert_sink",
+    "read_id_mapping",
 ]
 
 
@@ -103,33 +106,94 @@ def session_window_stream(
     )
 
 
+# ------------------------------------------------- incremental upsert state
+#
+# id_mapping state layout (St1/St2 at scale):
+#
+#   state_dir/id_mapping/
+#     MANIFEST.json             <- {"version": k, "max_faiss_id": m,
+#                                   "buckets": {"3": "v_000007", ...}}
+#     v_000007/bucket=3/*.parquet
+#     v_000008/bucket=0/*.parquet ...
+#
+# Rows live in N_BUCKETS hash buckets of str_id (xxhash64 — stable
+# across runs/engines). A micro-batch rewrites ONLY the buckets its
+# str_ids land in, into a NEW version directory; the manifest maps each
+# bucket to the version that last wrote it. The swap is a single
+# atomic os.replace of MANIFEST.json, so a crash at any point leaves
+# the previous state fully readable (orphan version dirs are GC'd on
+# the next successful batch). Per-batch I/O is O(touched buckets +
+# batch), not O(|table|) — the property the round-1 full-rewrite sink
+# lacked. With Delta available the same semantics are one MERGE INTO.
+
+N_BUCKETS = 16
+
+
+def _bucket_expr(n_buckets: int = N_BUCKETS):
+    return F.pmod(F.xxhash64(F.col("str_id")), F.lit(n_buckets)).cast("int")
+
+
+def _manifest_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "id_mapping", "MANIFEST.json")
+
+
+def _read_manifest(state_dir: str) -> dict | None:
+    try:
+        with open(_manifest_path(state_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+_EMPTY_MAPPING = "str_id string, faiss_id long, text_content string"
+
+
+def read_id_mapping(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current id_mapping view: one path per bucket, resolved through
+    the manifest (each bucket's latest version dir)."""
+    man = _read_manifest(state_dir)
+    root = os.path.join(state_dir, "id_mapping")
+    if not man or not man["buckets"]:
+        return spark.createDataFrame([], _EMPTY_MAPPING)
+    paths = [
+        os.path.join(root, ver, f"bucket={b}") for b, ver in man["buckets"].items()
+    ]
+    return spark.read.schema(_EMPTY_MAPPING).parquet(*paths)
+
+
 def streaming_upsert_sink(
     batches: DataFrame,
     state_dir: str,
     checkpoint_dir: str,
     spark: SparkSession | None = None,
-) -> "Callable":
+    n_buckets: int = N_BUCKETS,
+):
     """foreachBatch sink reproducing St1/St2: each micro-batch of
-    (str_id, text_content) rows is upserted into the id_mapping parquet
-    at ``state_dir`` with reference semantics.
+    (str_id, text_content) rows is upserted into the bucket-partitioned
+    id_mapping state at ``state_dir`` with reference semantics
+    (matched -> text-only update, main.py:123-126; new -> dense MAX+1
+    ids, main.py:129-131).
 
-    Returns the started StreamingQuery. The parquet state table is
-    read-modify-written per batch (the Delta-MERGE fallback; with Delta
-    available this becomes MERGE INTO, same semantics, no rewrite).
+    Incremental: the batch's str_ids select their hash buckets; only
+    those buckets are read (existence probe + update) and rewritten
+    (new version dir + atomic manifest swap). The global MAX+1 counter
+    comes from the manifest, not a table scan. Read the state back with
+    :func:`read_id_mapping`.
+
+    Returns a configured DataStreamWriter — call ``.start()`` to run
+    (trigger=availableNow, checkpointed at ``checkpoint_dir``).
     """
-    sess = spark or batches.sparkSession
-    mapping_path = os.path.join(state_dir, "id_mapping")
+    root = os.path.join(state_dir, "id_mapping")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         s = batch_df.sparkSession
-        if os.path.exists(mapping_path):
-            current = s.read.parquet(mapping_path)
-        else:
-            current = s.createDataFrame(
-                [], "str_id: string, faiss_id: long, text_content: string"
-            )
+        man = _read_manifest(state_dir) or {
+            "version": 0,
+            "max_faiss_id": 0,
+            "buckets": {},
+        }
         # batch may contain the same str_id twice: keep the last row
         # (reference processes records serially; "last write wins")
         dedup = (
@@ -138,11 +202,51 @@ def streaming_upsert_sink(
             if "seq" in batch_df.columns
             else batch_df.dropDuplicates(["str_id"])
         )
-        updated = upsert_id_mapping(current, dedup)
-        tmp = mapping_path + f".tmp{batch_id}"
-        updated.write.mode("overwrite").parquet(tmp)
-        final = s.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(mapping_path)
+        touched = sorted(
+            r[0]
+            for r in dedup.select(_bucket_expr(n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        tpaths = [
+            os.path.join(root, man["buckets"][str(b)], f"bucket={b}")
+            for b in touched
+            if str(b) in man["buckets"]
+        ]
+        current = (
+            s.read.schema(_EMPTY_MAPPING).parquet(*tpaths)
+            if tpaths
+            else s.createDataFrame([], _EMPTY_MAPPING)
+        )
+        updated = upsert_id_mapping(current, dedup, known_max=man["max_faiss_id"])
+        ver = f"v_{man['version'] + 1:06d}"
+        vdir = os.path.join(root, ver)
+        (
+            updated.withColumn("bucket", _bucket_expr(n_buckets))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(vdir)
+        )
+        new_max = (
+            s.read.schema(_EMPTY_MAPPING + ", bucket int")
+            .parquet(vdir)
+            .agg(F.coalesce(F.max("faiss_id"), F.lit(0)))
+            .first()[0]
+        )
+        new_man = {
+            "version": man["version"] + 1,
+            "max_faiss_id": max(int(new_max), int(man["max_faiss_id"])),
+            "buckets": {**man["buckets"], **{str(b): ver for b in touched}},
+        }
+        tmp = _manifest_path(state_dir) + f".tmp{batch_id}"
+        with open(tmp, "w") as f:
+            json.dump(new_man, f)
+        os.replace(tmp, _manifest_path(state_dir))  # atomic swap
+        # GC: version dirs no longer referenced by any bucket
+        live = set(new_man["buckets"].values())
+        for d in os.listdir(root):
+            if d.startswith("v_") and d not in live:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     return (
         batches.writeStream.foreachBatch(apply_batch)

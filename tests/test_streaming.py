@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from cnc_visionsearch_spark.sources.catalog import load_table
 from cnc_visionsearch_spark.streaming.pipelines import (
     read_event_stream,
+    read_id_mapping,
     streaming_upsert_sink,
     tumbling_counts_stream,
 )
@@ -150,12 +151,101 @@ def test_streaming_upsert_dense_ids_and_text_only_update(spark, tmp_path):
 
     final = {
         r.str_id: (r.faiss_id, r.text_content)
-        for r in spark.read.parquet(os.path.join(state_dir, "id_mapping")).collect()
+        for r in read_id_mapping(spark, state_dir).collect()
     }
     # batch1 assigns ids in str_id order from 1; batch2 appends img_c
     assert final["img_a"] == (1, "UPDATED a")
     assert final["img_b"] == (2, "first b")
     assert final["img_c"] == (3, "first c")
+
+
+def _state_file_digests(root):
+    """(relative path -> (size, mtime_ns)) for every parquet data file
+    under the id_mapping state tree."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_streaming_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """Incremental-state contract: a micro-batch must leave every
+    bucket it does not touch byte-untouched on disk (same files, same
+    mtimes) — the round-1 full-table rewrite failed exactly this."""
+    from cnc_visionsearch_spark.streaming.pipelines import N_BUCKETS, _bucket_expr
+
+    ids = [f"img_{i:03d}" for i in range(60)]
+    b1 = spark.createDataFrame(
+        [(i, f"text {i}") for i in ids], "str_id: string, text_content: string"
+    )
+    single = ids[7]
+    b2 = spark.createDataFrame(
+        [(single, "UPDATED")], "str_id: string, text_content: string"
+    )
+    bmap = {
+        r.str_id: r.b
+        for r in spark.createDataFrame([(i,) for i in ids], "str_id: string")
+        .withColumn("b", _bucket_expr())
+        .collect()
+    }
+    target_bucket = bmap[single]
+    assert len(set(bmap.values())) > 3  # the 60 ids span several buckets
+
+    state_dir = os.path.join(str(tmp_path), "state")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    stream_dir = os.path.join(str(tmp_path), "drops")
+    os.makedirs(stream_dir)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("str_id string, text_content string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = streaming_upsert_sink(stream, state_dir, ckpt).start()
+        q.awaitTermination(120)
+
+    _drop_one_file(spark, b1, stream_dir, "drop_0.parquet")
+    run_stream()
+    root = os.path.join(state_dir, "id_mapping")
+    before = _state_file_digests(root)
+
+    _drop_one_file(spark, b2, stream_dir, "drop_1.parquet")
+    run_stream()
+    after = _state_file_digests(root)
+
+    # every data file of an untouched bucket survives identically
+    for rel, sig in before.items():
+        if f"bucket={target_bucket}" not in rel:
+            assert after.get(rel) == sig, f"untouched bucket rewritten: {rel}"
+    # the new version dir contains ONLY the touched bucket
+    new_files = set(after) - set(before)
+    assert new_files
+    assert all(f"bucket={target_bucket}" in rel for rel in new_files)
+    # and the state itself is correct
+    final = {
+        r.str_id: (r.faiss_id, r.text_content)
+        for r in read_id_mapping(spark, state_dir).collect()
+    }
+    assert len(final) == 60
+    assert final[single] == (sorted(ids).index(single) + 1, "UPDATED")
+
+
+def _drop_one_file(spark, df, stream_dir, name):
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+    dst = os.path.join(stream_dir, name)
+    shutil.move(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_stateful_running_stats_converge_to_batch(spark, tmp_path):
