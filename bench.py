@@ -81,12 +81,14 @@ def main() -> None:
     # measured 5.9s vs 25s back to back); the minimum reports the
     # plan's actual steady-state cost.
     timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for pass_no in range(3):
         for name in HEADLINE:
             fn = queries[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - t0, 3)
+            passes[name].append(elapsed)
             timings[name] = min(timings.get(name, elapsed), elapsed)
             print(f"  pass{pass_no} {name}: {elapsed:.2f}s", file=sys.stderr)
 
@@ -98,6 +100,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # raw per-pass timings so variance (shared-VM CPU steal)
+                # is visible next to the min-of-3 headline numbers
+                "passes": passes,
                 "sf": sf,
             }
         )

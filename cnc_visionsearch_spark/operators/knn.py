@@ -106,7 +106,10 @@ def knn_single(
     q = [float(x) for x in query_vec]
     if normalize_query:
         n = sum(x * x for x in q) ** 0.5
-        q = [x / n for x in q]  # ZeroDivisionError on zero vector ≈ ref NaN quirk
+        # a zero query vector normalizes to all-NaN, exactly like the
+        # reference's numpy x/0.0 (main.py:87): distances come back NaN
+        # as a RESULT, not an exception
+        q = [x / n for x in q] if n != 0.0 else [float("nan")] * len(q)
     qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
     dist = _distance_expr(metric, F.col(vec_col), qcol)
     return (
@@ -160,6 +163,7 @@ def knn_join_chunked(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 10,
+    n_chunks: int | None = None,
     chunk_rows: int = 100_000,
     query_id: str = "query_id",
     query_vec: str = "nvec",
@@ -182,10 +186,17 @@ def knn_join_chunked(
 
     Results are identical to knn_join: chunking partitions the query
     rows, and each query's top-k depends only on that query.
+
+    Pass ``n_chunks`` explicitly when the caller knows the query-side
+    size (an ingest pipeline always does) — that keeps the plan free of
+    any sizing job. Only when it is None does the fallback pay one
+    count() of the (small, by-construction) query side to ceil-divide
+    by ``chunk_rows``.
     """
-    n_chunks = max(
-        1, -(-queries.count() // chunk_rows)  # ceil division, one count job
-    )
+    if n_chunks is None:
+        n_chunks = max(
+            1, -(-queries.count() // chunk_rows)  # ceil division, one count job
+        )
     if n_chunks == 1:
         return knn_join(
             queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec, metric

@@ -73,6 +73,15 @@ def range_join_bucketed(
     """
     if hi_seconds <= lo_seconds:
         raise ValueError("need hi_seconds > lo_seconds")
+    if how != "inner":
+        # the residual range predicate runs as a post-join filter, which
+        # would silently drop the null-extended rows of an outer join —
+        # refuse rather than degenerate to inner semantics
+        raise ValueError(
+            "range_join_bucketed supports how='inner' only (outer variants "
+            "would need the residual predicate folded into the join "
+            f"condition); got how={how!r}"
+        )
     w = hi_seconds - lo_seconds
 
     def bucket_of(ts: Column) -> Column:

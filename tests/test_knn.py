@@ -144,3 +144,19 @@ def test_knn_join_chunked_equals_unchunked(spark):
         for r in knn_join_chunked(queries, emb, k=3, chunk_rows=7).collect()
     }
     assert chunked == plain and len(plain) == 20 * 3
+    # explicit n_chunks (the no-sizing-job path) gives the same result
+    explicit = {
+        (r.query_id, r.rank): r.vec_id
+        for r in knn_join_chunked(queries, emb, k=3, n_chunks=3).collect()
+    }
+    assert explicit == plain
+
+
+def test_knn_zero_query_vector_nan_quirk(emb):
+    """A zero query vector must produce NaN distances as a RESULT (the
+    reference's numpy x/0.0 at main.py:87), never an exception."""
+    import math
+
+    rows = knn_single(emb, [0.0, 0.0] + [0.0] * 62, k=5).collect()
+    assert len(rows) == 5
+    assert all(math.isnan(r.distance) for r in rows)

@@ -75,6 +75,16 @@ def test_range_join_plans_as_equi_join(spark):
     assert "Join" in plan  # a real equi join (hash or sort-merge)
 
 
+def test_range_join_rejects_outer(spark):
+    """Non-inner joins would silently lose null-extended rows to the
+    residual filter — the operator must refuse, not degenerate."""
+    import pytest
+
+    ev = load_table(spark, SF, "events").limit(10)
+    with pytest.raises(ValueError, match="inner"):
+        range_join_bucketed(ev, ev, "user_id", "ts", "ts", 0, 60, how="left")
+
+
 def test_ivf_partitioned_layout_prunes(spark, tmp_path):
     """Write the corpus PARTITIONED BY cell_id (the documented 100 TB
     layout) and verify a probe's scan does partition pruning."""
