@@ -48,6 +48,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_similar_pairs",
     "embedding_lsh_bucketed_pairs",
+    "neardup_components",
 ]
 
 
@@ -314,6 +315,78 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: the step that turns
+    pairwise similarity into dedup CLUSTERS (keep one doc per
+    component, drop the rest) — what a training-data pipeline actually
+    executes after LSH.
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round takes the min of its own and its neighbors'
+    labels; at fixpoint the label is the component's minimum id. Each
+    round is one equi-join + groupBy (shuffles keyed on node id, ~|E|
+    rows), with ``localCheckpoint`` truncating the lineage so plans
+    stay flat. Rounds needed = graph diameter — near-dup components
+    are shallow (dup clusters, not social graphs), so this converges
+    in a handful of rounds; a 100 TB corpus with adversarial chain
+    shapes would swap in the large-star/small-star algorithm
+    (O(log n) rounds), same per-round plan shape.
+
+    Returns (doc_id, component_id, is_keeper): every node that appears
+    in a pair, its component's min id, and whether it is that min
+    (the deterministic keeper, matching exact_dedup's min-id rule).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iters} rounds — "
+            "pathological graph diameter; use the star-contraction variant"
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
     )
 
 

@@ -14,6 +14,7 @@ from cnc_visionsearch_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
+    neardup_components,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -216,6 +217,71 @@ LIMIT 10
 def embedding_neardup_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
     return embedding_similar_pairs(emb, top_n=10)
+
+
+@register(
+    "neardup_cluster_keepers",
+    oracle=f"""
+WITH {_MINHASH_16},
+sigs AS (
+  SELECT doc_id, list(h ORDER BY i) AS sig FROM hashes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, bs.b AS band_id,
+    sig[bs.b*4+1]::VARCHAR || ',' || sig[bs.b*4+2]::VARCHAR || ',' ||
+    sig[bs.b*4+3]::VARCHAR || ',' || sig[bs.b*4+4]::VARCHAR AS band_sig
+  FROM sigs, (SELECT unnest(range(4)) AS b) bs
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y USING (band_id, band_sig)
+  WHERE x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM common c
+  JOIN cand USING (id_a, id_b)
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common)::DOUBLE >= 0.3
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id_a, id_a FROM pairs
+  UNION SELECT id_b, id_b FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+  )
+  SELECT a, b FROM r
+)
+SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component_id,
+  (a = min(b)) AS is_keeper
+FROM reach GROUP BY a
+""",
+    doc="Near-dup CLUSTERING end-to-end: MinHash-LSH verified pairs "
+    "(jaccard >= 0.3) -> connected components via iterative min-label "
+    "propagation -> deterministic min-id keeper per component. The step "
+    "a training-data dedup pipeline runs after pairwise LSH; oracle is "
+    "a DuckDB recursive-CTE transitive closure over the same pairs.",
+)
+def neardup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.3
+    )
+    return neardup_components(pairs)
 
 
 def _emb_planes_cte(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:

@@ -99,3 +99,29 @@ def test_embedding_similar_pairs(spark):
     top = embedding_similar_pairs(emb, top_n=1).first()
     assert (top.id_a, top.id_b) == (1, 2)
     assert top.cosine > 0.999
+
+
+def test_neardup_components_chain_triangle(spark):
+    """Min-label propagation: a 4-chain and a triangle resolve to their
+    min ids; keepers are exactly the component minima."""
+    import pytest
+
+    from cnc_visionsearch_spark.operators.dedup import neardup_components
+
+    # chain 10-11-12-13, triangle 20-21-22, isolated pair 30-31
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (20, 21), (21, 22), (20, 22), (30, 31)],
+        "id_a: long, id_b: long",
+    )
+    out = {r.doc_id: (r.component_id, r.is_keeper)
+           for r in neardup_components(pairs).collect()}
+    assert {d: c for d, (c, _) in out.items()} == {
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+    assert sorted(d for d, (_, k) in out.items() if k) == [10, 20, 30]
+    # pathological diameter with too few rounds must raise, not silently
+    # return partial components
+    with pytest.raises(RuntimeError, match="converge"):
+        neardup_components(pairs, max_iters=1)
