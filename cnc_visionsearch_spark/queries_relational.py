@@ -733,6 +733,164 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q9_profit_by_nation_year",
+    oracle="""
+SELECT n.n_name AS nation,
+  CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS o_year,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+    AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY nation, o_year
+""",
+    doc="TPC-H Q9 analog (no partsupp: revenue plays profit): product-line "
+    "profit by supplier nation and ship year. The LIKE filter prunes part "
+    "to ~1/8 before its broadcast; supplier/nation broadcast; lineitem "
+    "never shuffles until the (nation, year) aggregate.",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__v"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_dec_sum(F.col("__v"), "profit"))
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+WITH stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pos,
+    SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS sum_pos
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM customer c, stats
+WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * stats.n_pos > stats.sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c.c_nationkey
+""",
+    doc="TPC-H Q22 analog (c_nationkey plays the phone prefix; the "
+    "no-orders test is date-bounded to 'no orders since 2000' because "
+    "every synthetic customer has at least one lifetime order): customers "
+    "with above-average positive balance and no recent orders — scalar "
+    "aggregate subquery + anti join. The above-average threshold is "
+    "evaluated as bal*n > sum in exact decimal (no double average whose "
+    "partial-sum order could flip boundary rows between engines). The "
+    "1-row stats aggregate broadcasts; the anti join shuffles on custkey "
+    "with the date filter pushed to the orders scan.",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    stats = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("sum_pos"),
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,6)") * F.col("n_pos")
+            > F.col("sum_pos")
+        )
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dec_sum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="A3 grouping sets, full CUBE: all four grouping combinations in "
+    "one pass (grouping-id expansion before the single aggregate "
+    "shuffle); GROUPING bits disambiguate NULL-as-total from NULL data, "
+    "computed identically (MSB = first key) on both engines.",
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+        .cast("int")
+        .alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+@register(
+    "order_price_window_stats",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    CAST(row_number() OVER w AS INT) AS rn,
+    CAST(percent_rank() OVER w AS DOUBLE) AS pr,
+    CAST(cume_dist() OVER w AS DOUBLE) AS cd,
+    CAST(ntile(4) OVER w AS INT) AS quartile
+  FROM orders
+  WINDOW w AS (
+    PARTITION BY o_orderpriority
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+  )
+)
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn, pr, cd, quartile
+FROM ranked WHERE rn <= 5
+""",
+    doc="W3 ranking-family coverage beyond row_number: percent_rank, "
+    "cume_dist, ntile over one shared window (unique total order via the "
+    "orderkey tie-break makes ntile deterministic; percent_rank/cume_dist "
+    "are integer-ratio doubles, identical across engines). Top-5 rows per "
+    "priority are emitted but the distribution functions need the full "
+    "partition, so no WindowGroupLimit — the partition key (priority) "
+    "spreads, and at 100 TB this window runs per bounded partition.",
+)
+def order_price_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rn"),
+            F.percent_rank().over(w).cast("double").alias("pr"),
+            F.cume_dist().over(w).cast("double").alias("cd"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
     "order_price_quantiles",
     oracle="""
 SELECT o_orderpriority,
