@@ -372,3 +372,84 @@ def events_range_purchases_after_error(spark: SparkSession, sf_dir: str) -> Data
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+WITH ev AS (SELECT ts::TIMESTAMP AS ts, user_id, event_type FROM events),
+v AS (SELECT user_id, min(ts) AS t0 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t1 FROM ev e JOIN v ON v.user_id = e.user_id
+        AND e.ts > v.t0 AND e.ts <= v.t0 + INTERVAL '12 hours'
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN c ON c.user_id = e.user_id
+        AND e.ts > c.t1 AND e.ts <= c.t1 + INTERVAL '48 hours'
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 'view' AS stage, CAST(1 AS INT) AS stage_idx,
+       CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+UNION ALL SELECT 'click', CAST(2 AS INT), CAST((SELECT count(*) FROM c) AS BIGINT)
+UNION ALL SELECT 'purchase', CAST(3 AS INT), CAST((SELECT count(*) FROM p) AS BIGINT)
+""",
+    doc="Ordered funnel (view -> click within 12h -> purchase within 48h "
+    "of the click): per-user sequential conversion, the canonical "
+    "product-analytics shape. Spark side is a single shuffle: groupBy "
+    "user_id -> sort_array(collect_list(ts, type)) -> F.aggregate walks "
+    "the sorted events with a (stage, stage_ts) state — the whole walk "
+    "is a JVM higher-order expression, no Python. The oracle's "
+    "equivalent min-ts CTE chain is 3 correlated joins; the walk "
+    "computes the same first-qualifying-event-per-stage because events "
+    "are scanned in ascending ts order. Scale: state is one struct per "
+    "user; per-user event lists are bounded by the funnel horizon in "
+    "practice — for unbounded histories, pre-filter to the funnel's "
+    "event types and time range (done here) and cap with a per-user "
+    "window if a skewed user appears. Streaming equivalent: "
+    "applyInPandasWithState keyed on user_id with the same state tuple.",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_type")))
+        ).alias("evs")
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("t")
+    )
+
+    def step(st, e):
+        adv = lambda n: F.struct(F.lit(n).alias("stage"), e["ts"].alias("t"))
+        return (
+            F.when((st["stage"] == 0) & (e["event_type"] == "view"), adv(1))
+            .when(
+                (st["stage"] == 1)
+                & (e["event_type"] == "click")
+                & (e["ts"] > st["t"])
+                & (e["ts"] <= st["t"] + F.expr("INTERVAL 12 HOURS")),
+                adv(2),
+            )
+            .when(
+                (st["stage"] == 2)
+                & (e["event_type"] == "purchase")
+                & (e["ts"] > st["t"])
+                & (e["ts"] <= st["t"] + F.expr("INTERVAL 48 HOURS")),
+                adv(3),
+            )
+            .otherwise(st)
+        )
+
+    stages = per_user.select(
+        F.aggregate(F.col("evs"), init, step)["stage"].alias("stage")
+    )
+    totals = stages.agg(
+        F.sum(F.when(F.col("stage") >= 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("stage") >= 3, 1).otherwise(0)).alias("n3"),
+    )
+    return totals.selectExpr(
+        "stack(3, 'view', CAST(1 AS INT), CAST(n1 AS BIGINT),"
+        " 'click', CAST(2 AS INT), CAST(n2 AS BIGINT),"
+        " 'purchase', CAST(3 AS INT), CAST(n3 AS BIGINT))"
+        " AS (stage, stage_idx, n_users)"
+    )

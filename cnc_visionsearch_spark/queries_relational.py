@@ -913,3 +913,258 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q8_nation_market_share",
+    oracle="""
+WITH rev AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS volume,
+    n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'MEDIUM'
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'AMERICA'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+)
+SELECT o_year,
+  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+     / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM rev GROUP BY o_year
+""",
+    doc="TPC-H Q8 analog: national market share — conditional-sum ratio "
+    "over a 7-table join. Scale shape: part (1/6 after the type filter), "
+    "supplier, nation x2, region broadcast; the two fact-fact joins "
+    "shuffle — lineitem x orders on orderkey, then x region-filtered "
+    "customer keys on custkey (customer grows with SF, so no hint; AQE "
+    "may upgrade the 1/5-region key set at runtime). Both sums are exact "
+    "decimal partials; the final double/double division is one "
+    "deterministic op per group.",
+)
+def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "MEDIUM")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation")
+    n2 = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = load_table(spark, sf_dir, "supplier")
+    cust_in_region = (
+        c.join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust_in_region, o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n2.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))),
+            s.s_nationkey == F.col("n2_key"),
+        )
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                    .otherwise(F.lit(0).cast("decimal(18,6)"))
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q12_ship_speed_priority",
+    oracle="""
+SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30 THEN 'fast'
+            WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 90 THEN 'normal'
+            ELSE 'slow' END AS ship_speed,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY ship_speed
+""",
+    doc="TPC-H Q12 analog (no l_shipmode column: order-to-ship latency "
+    "buckets play the mode): conditional counts of urgent vs non-urgent "
+    "order lines per shipping-speed bucket. The one shuffle is lineitem "
+    "x orders on orderkey (the ship-date filter pushes to the lineitem "
+    "scan and prunes ~6/7 of the fact before the join); the 3-bucket "
+    "aggregate is map-side partial. Timestamps are midnight-aligned so "
+    "Spark datediff(date-cast) == DuckDB date_diff('day').",
+)
+def q12_ship_speed_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    speed = (
+        F.when(delay < 30, "fast").when(delay < 90, "normal").otherwise("slow")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(speed.alias("ship_speed"), urgent.alias("is_urgent"))
+        .groupBy("ship_speed")
+        .agg(
+            F.sum(F.when(F.col("is_urgent"), 1).otherwise(0)).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~F.col("is_urgent"), 1).otherwise(0)).alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 7, 14, 23, 36, 45)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    doc="TPC-H Q16 analog (lineitem plays partsupp as the part-supplier "
+    "bridge): distinct-supplier counts per (brand, type, size) excluding "
+    "suppliers in a NOT-IN subquery. s_suppkey is non-null so NOT IN == "
+    "anti join (no tri-valued-NULL trap); the excluded-supplier set is "
+    "dim-sized and broadcasts as a left_anti probe. The count-distinct "
+    "expands to a two-level aggregate keyed on (brand,type,size,suppkey) "
+    "then (brand,type,size) — both map-side partial, one logical shuffle.",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 7, 14, 23, 36, 45)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_bulk_bolt_suppliers",
+    oracle="""
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+  AND n.n_name IN ('NATION_1','NATION_2','NATION_3')
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l.l_suppkey
+  HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,6))) > 50
+)
+""",
+    doc="TPC-H Q20 analog (shipped quantity plays availqty): suppliers in "
+    "a nation set who moved > 50 units of bolt parts in 1997 — a grouped "
+    "HAVING subquery feeding a left-semi join. The date+LIKE filters "
+    "prune lineitem before its one shuffle (groupBy suppkey); the "
+    "resulting qualifying-supplier key set is tiny and broadcasts into "
+    "the semi join against the nation-filtered supplier dim.",
+)
+def q20_bulk_bolt_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    qualifying = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("__qty"))
+        .filter(F.col("__qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q21_sole_blame_suppliers",
+    oracle="""
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+""",
+    doc="TPC-H Q21 analog (l_returnflag='R' on a finished order plays "
+    "'failed delivery'): suppliers who were the SOLE supplier with a "
+    "returned line on a multi-supplier order — the classic "
+    "EXISTS + NOT-EXISTS pair. Implemented decorrelated: one per-order "
+    "aggregate [n distinct suppliers, n distinct R-suppliers] replaces "
+    "both correlated self-joins; EXISTS(other supplier) == n_supp >= 2, "
+    "NOT EXISTS(other R supplier) == n_r_supp == 1 given l1 itself is R. "
+    "lineitem shuffles once on orderkey for the agg and reuses that "
+    "partitioning for the join back; supplier broadcasts.",
+)
+def q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1)),
+            on="l_orderkey",
+        )
+        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
