@@ -86,6 +86,13 @@ MULTI_JOIN_QUERIES = (
     "q7_volume_shipping",
     "q10_returned_items",
     "q18_large_volume_customers",
+    "q8_nation_market_share",
+    "q9_profit_by_nation_year",
+    "q12_ship_speed_priority",
+    "q16_supplier_part_counts",
+    "q20_bulk_bolt_suppliers",
+    "q21_sole_blame_suppliers",
+    "q22_idle_rich_customers",
 )
 
 
@@ -205,3 +212,62 @@ def test_exact_dedup_shuffles_fingerprint_not_text(spark):
     assert ex_inputs, "expected a hash exchange for the group-by"
     for inp in ex_inputs:
         assert "text" not in inp, f"raw text crosses the shuffle: {inp}"
+
+
+def test_q8_dims_broadcast_filters_pushed(spark, queries):
+    """Q8's scale contract: part-type and region filters reach their
+    scans, all four dims broadcast, and the conditional-sum ratio is a
+    partial+final aggregate. The two fact-fact joins (orderkey, custkey)
+    are Catalyst/AQE's call."""
+    df = queries["q8_nation_market_share"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert any("p_type" in x for x in pushed_filters(df))
+    assert any("r_name" in x for x in pushed_filters(df))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q12_filter_pushed_partial_agg(spark, queries):
+    """Q12's ship-date range must prune the lineitem scan (~6/7 of the
+    fact) before the orderkey join; the 3-bucket agg map-side combines."""
+    df = queries["q12_ship_speed_priority"](spark, SF)
+    p = pushed_filters(df)
+    assert any("l_shipdate" in x and "GreaterThanOrEqual" in x for x in p)
+    assert plan_of(df).count("HashAggregate") >= 2
+
+
+def test_q16_anti_join_broadcast_distinct_two_level(spark, queries):
+    """Q16's NOT-IN supplier set is dim-sized and must probe as a
+    broadcast anti join; count(DISTINCT) expands to the two-level
+    aggregate (dedup level + count level), both partial+final."""
+    df = queries["q16_supplier_part_counts"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert plan.count("HashAggregate") >= 3
+    assert "SortMergeJoin" not in plan  # part + supplier sets both dim-sized
+
+
+def test_q21_decorrelated_no_pair_explosion(spark, queries):
+    """Q21's EXISTS/NOT-EXISTS pair must run as ONE per-order aggregate
+    joined back — never correlated per-row self-joins (quadratic in
+    lines-per-order) or a nested-loop pair expansion."""
+    df = queries["q21_sole_blame_suppliers"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # per-order distinct + final count
+    # supplier is the only author-hinted broadcast
+    for hinted in broadcast_hinted_inputs(df):
+        assert "s_suppkey" in hinted
+
+
+def test_funnel_single_user_shuffle_jvm_only(spark, queries):
+    """The funnel walk must stay a JVM higher-order expression (no
+    Python eval node) with exactly one data shuffle (user_id) plus the
+    1-row final-aggregate exchange; event_type filter pushes to the
+    scan."""
+    df = queries["events_funnel_conversion"](spark, SF)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("(") and len(exchange_inputs(df)) <= 2
+    assert any("event_type" in x for x in pushed_filters(df))
