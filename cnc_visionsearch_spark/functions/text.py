@@ -22,6 +22,7 @@ __all__ = [
     "md5_fingerprint",
     "stopword_ratio",
     "quality_score",
+    "training_filter_verdict",
     "lang_scores",
     "LANG_MARKERS",
     "STOPWORDS",
@@ -134,3 +135,20 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
         lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
         for lang, markers in LANG_MARKERS.items()
     }
+
+
+def training_filter_verdict(
+    text: Column | str, min_tokens: int = 20, min_quality: float = 0.55
+) -> Column:
+    """First-failing-rule verdict for a training-data keep/drop filter
+    (the composite pipeline stage: every rule is one of the F12 scalar
+    heuristics above). Cascade: too_short -> non_english (zero stopword
+    hits from the English marker set) -> low_quality -> kept. Pure
+    codegen — one pass over the document, no UDFs."""
+    t = _c(text)
+    return (
+        F.when(token_count(t) < min_tokens, F.lit("too_short"))
+        .when(stopword_ratio(t) == 0.0, F.lit("non_english"))
+        .when(quality_score(t) < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )

@@ -237,3 +237,57 @@ def doc_minhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("min_shingle_hash"),
         F.countDistinct("shingle").alias("n_shingles"),
     )
+
+
+@register(
+    "doc_training_filter_funnel",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+    len(string_split(text, ' ')) AS n_tok,
+    len(list_filter(string_split(text, ' '), t -> t IN ({_SW}))) AS sw_hits,
+    length(text) AS t_chars,
+    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS non_alpha
+  FROM documents
+),
+verdicts AS (
+  SELECT doc_id, n_chars,
+    CASE
+      WHEN n_tok < 20 THEN 'too_short'
+      WHEN sw_hits = 0 THEN 'non_english'
+      WHEN 0.4 * least(n_tok / 100.0, 1.0)
+         + 0.3 * least((sw_hits::DOUBLE / n_tok::DOUBLE) * 4.0, 1.0)
+         + 0.3 * (1.0 - non_alpha::DOUBLE / greatest(t_chars::DOUBLE, 1.0))
+           < 0.55 THEN 'low_quality'
+      ELSE 'kept'
+    END AS verdict
+  FROM scored
+)
+SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM verdicts GROUP BY verdict
+""",
+    doc="The composite training-data filter stage (F12 end-to-end): "
+    "first-failing-rule verdict per document (too_short -> non_english "
+    "-> low_quality -> kept) with per-verdict doc and char totals — the "
+    "numbers a pipeline operator reports before writing the kept split. "
+    "All rules are codegen scalar heuristics evaluated in ONE scan; the "
+    "only shuffle carries (verdict, partial count, partial sum) — 4 "
+    "groups regardless of corpus size. At 100 TB this is the cheapest "
+    "possible shape: no UDF, no second pass, no wide rows on the wire.",
+)
+def doc_training_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.text import training_filter_verdict
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            training_filter_verdict("text").alias("verdict"),
+            F.col("n_chars"),
+        )
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

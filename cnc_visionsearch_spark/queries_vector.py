@@ -222,3 +222,60 @@ def ingest_guard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_zero_vectors"),
         (F.count(F.lit(1)) == 0).alias("index_empty"),
     )
+
+
+@register(
+    "embedding_int8_quant_report",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT vec_id, v,
+        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
+      FROM e),
+err AS (
+  SELECT vec_id, CAST(amax / 127.0 AS DOUBLE) AS scale,
+    CASE WHEN amax = 0 THEN list_transform(v, x -> 0.0)
+         ELSE list_transform(v, x ->
+            abs(x - least(greatest(floor(x * 127.0 / amax + 0.5), -127.0),
+                          127.0) * amax / 127.0))
+    END AS errs,
+    len(v) AS d
+  FROM m)
+SELECT vec_id, scale,
+  CAST(list_aggregate(errs, 'sum') / d AS DOUBLE) AS mean_abs_err,
+  CAST(list_aggregate(errs, 'max') AS DOUBLE) AS max_abs_err
+FROM err
+""",
+    doc="Symmetric int8 scalar quantization report (the 4x-smaller "
+    "embedding storage tier for a 100 TB corpus): per-vector scale "
+    "(amax/127) and mean/max absolute reconstruction error. Fully "
+    "codegen element lambdas, one scan, no shuffle — the same pass that "
+    "would write the quantized column. Error bound sanity: max_abs_err "
+    "<= scale/2 by construction (round-half-up within the clamp range). "
+    "See functions/vector.py::int8_dequant_errors for the determinism "
+    "contract with the DuckDB oracle.",
+)
+def embedding_int8_quant_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import (
+        abs_max,
+        int8_dequant_errors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Two projections: the error array materializes ONCE per row, then
+    # the stats consume it (three references to the raw expression would
+    # re-run the whole quant chain 3x per row; CollapseProject leaves
+    # multi-referenced non-cheap expressions un-inlined).
+    staged = emb.select(
+        "vec_id",
+        (abs_max("embedding") / F.lit(127.0)).alias("scale"),
+        int8_dequant_errors("embedding").alias("errs"),
+    )
+    return staged.select(
+        "vec_id",
+        "scale",
+        (
+            F.aggregate("errs", F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("errs").cast("double")
+        ).alias("mean_abs_err"),
+        F.array_max("errs").alias("max_abs_err"),
+    )

@@ -70,3 +70,23 @@ def read_binary_dir(
         .option("pathGlobFilter", glob)
         .load(path)
     )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (columnar alternative to parquet — common in
+    Hive-lineage lakes). Same vectorized reader + predicate-pushdown /
+    column-pruning story as parquet; schema comes from the file footer
+    (self-describing, not inferred)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink; optional hive-style partitioning for partition-pruned
+    reads (same layout contract as the parquet/ANN-cell writers)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

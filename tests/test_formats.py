@@ -66,3 +66,22 @@ def test_binary_dir_feeds_multimodal(spark, tmp_path):
     )
     meta = {r.fname: r.n_bytes for r in media_metadata(media).collect()}
     assert meta == {k: len(v) for k, v in payloads.items()}
+
+
+def test_orc_roundtrip_with_partition_pruning(spark, tmp_path):
+    """ORC read/write parity with parquet, including hive-partitioned
+    layout pruning (PartitionFilters on the pruned scan)."""
+    from cnc_visionsearch_spark.sources.formats import read_orc, write_orc
+    from cnc_visionsearch_spark.sources.catalog import load_table
+    from cnc_visionsearch_spark.plans import formatted_plan
+
+    src = load_table(spark, "/root/testdata/sf0.01", "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path, partition_by=["n_regionkey"])
+    back = read_orc(spark, path)
+    assert back.count() == src.count()
+    assert {r.n_name for r in back.collect()} == {r.n_name for r in src.collect()}
+    pruned = back.filter(back.n_regionkey == 1)
+    plan = formatted_plan(pruned)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("n_regionkey" in ln for ln in pf)

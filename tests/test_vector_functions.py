@@ -90,3 +90,30 @@ def test_cosine_on_normalized_equals_one_minus_half_l2sq(vdf):
     ).collect()
     for r in rows:
         assert r.d2 == pytest.approx(2 - 2 * r.cos, abs=1e-9)
+
+
+def test_int8_quant_error_bounded_by_half_step(spark):
+    """Symmetric int8 quantization: |x - dequant(quant(x))| <= scale/2
+    for in-range values (round-half-up), and a zero vector produces
+    zero errors instead of an ANSI divide-by-zero."""
+    from cnc_visionsearch_spark.functions.vector import (
+        abs_max,
+        int8_dequant_errors,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.125, 0.0]), (2, [1e-3, 2e-3, -3e-3, 4e-3]),
+         (3, [0.0, 0.0, 0.0, 0.0])],
+        "id: long, v: array<double>",
+    )
+    rows = df.select(
+        "id",
+        (abs_max("v") / F.lit(127.0)).alias("scale"),
+        int8_dequant_errors("v").alias("errs"),
+    ).collect()
+    by_id = {r.id: r for r in rows}
+    for rid in (1, 2):
+        r = by_id[rid]
+        assert max(r.errs) <= r.scale / 2 + 1e-15
+    assert by_id[3].errs == [0.0, 0.0, 0.0, 0.0]
+    assert by_id[3].scale == 0.0
