@@ -453,3 +453,52 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'purchase', CAST(3 AS INT), CAST(n3 AS BIGINT))"
         " AS (stage, stage_idx, n_users)"
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH ev AS (SELECT ts::TIMESTAMP AS ts, user_id, event_type FROM events),
+cohort AS (SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+           FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT c.cohort_day,
+    CAST(date_diff('day', c.cohort_day,
+                   CAST(date_trunc('day', e.ts) AS TIMESTAMP)) AS INT) AS day_n,
+    e.user_id
+  FROM ev e JOIN cohort c ON c.user_id = e.user_id
+  WHERE e.ts >= c.cohort_day
+)
+SELECT cohort_day, day_n, CAST(count(*) AS BIGINT) AS n_active
+FROM activity GROUP BY cohort_day, day_n
+""",
+    doc="Cohort retention: users grouped by first-signup day, counted "
+    "as active on each later day they produced any event — the "
+    "retention-triangle shape behind every DAU/cohort dashboard. Two "
+    "shuffles, both on user_id (the cohort agg and the activity join — "
+    "AQE reuses the exchange), then the distinct + final agg key on "
+    "(cohort_day, day_n, user): bounded by users x horizon days. The "
+    "cohort side is user-scale (grows with the corpus) so it is NOT "
+    "hint-broadcast.",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    )
+    return (
+        ev.join(cohort, "user_id")
+        .filter(F.col("ts") >= F.col("cohort_day"))
+        .select(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_n"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_n")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -1168,3 +1168,59 @@ def q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "q11_important_stock_values",
+    oracle="""
+WITH val AS (
+  SELECT l.l_suppkey, l.l_partkey,
+    SUM(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(18,6))) AS part_value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_1'
+  GROUP BY l.l_suppkey, l.l_partkey
+),
+total AS (SELECT SUM(part_value) AS tv FROM val)
+SELECT v.l_suppkey, v.l_partkey, CAST(v.part_value AS DOUBLE) AS part_value
+FROM val v, total t
+WHERE v.part_value > t.tv * 0.002
+""",
+    doc="TPC-H Q11 analog (shipped value plays stock value; lineitem "
+    "plays partsupp): (supplier, part) groups whose value exceeds a "
+    "fraction of the NATION-wide total — the group-vs-global-scalar "
+    "threshold family. One grouped aggregate, then a 1-row total that "
+    "broadcasts back over the grouped result; the nation filter prunes "
+    "via the broadcast supplier dim before the only fact shuffle. "
+    "Decimal partials; the threshold compare happens in double on an "
+    "exactly-representable scaled integer (values < 2^53), identical "
+    "on both engines.",
+)
+def q11_important_stock_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    nation_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    val = (
+        li.join(F.broadcast(nation_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("part_value")
+        )
+    )
+    total = val.agg(F.sum("part_value").alias("tv"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("tv") * F.lit(0.002))
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            F.col("part_value").cast("double").alias("part_value"),
+        )
+    )

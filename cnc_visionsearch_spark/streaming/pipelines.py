@@ -38,6 +38,7 @@ __all__ = [
     "sliding_counts_stream",
     "session_window_stream",
     "streaming_upsert_sink",
+    "dedup_event_stream",
     "read_id_mapping",
 ]
 
@@ -104,6 +105,24 @@ def session_window_stream(
             "n_events",
         )
     )
+
+
+def dedup_event_stream(
+    events: DataFrame, watermark: str = "1 hour", keys: list[str] | None = None
+) -> DataFrame:
+    """Streaming exact-dedup: dropDuplicatesWithinWatermark keeps the
+    first arrival per key and discards re-deliveries that land within
+    the watermark horizon — the streaming twin of operators/dedup.py's
+    batch exact_dedup, and the standard at-least-once -> effectively-
+    once repair for replayed sources (Kafka redelivery, file re-drops).
+
+    State is one entry per key with event-time eviction: unlike plain
+    dropDuplicates (state grows forever on an unbounded stream), the
+    watermark bounds state to keys seen within the horizon — the only
+    formulation that survives an unbounded 100 TB/day stream.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
 # ------------------------------------------------- incremental upsert state

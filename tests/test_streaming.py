@@ -288,3 +288,37 @@ def test_stateful_running_stats_converge_to_batch(spark, tmp_path):
         .collect()
     }
     assert final == want
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a replayed drop (same event_ids
+    re-delivered in a later trigger within the watermark) must emit each
+    event exactly once — batch distinct over the union gives the same
+    multiset."""
+    from cnc_visionsearch_spark.streaming.pipelines import dedup_event_stream
+
+    events = load_table(spark, SF, "events").limit(600)
+    first = events.filter(F.col("event_id") % 2 == 0)
+    redelivered = first.filter(F.col("event_id") % 4 == 0)  # half arrive twice
+    second = events.filter(F.col("event_id") % 2 == 1)
+    stream_dir = _write_chunks(
+        spark, str(tmp_path), [first, redelivered.union(second)]
+    )
+
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        dedup_event_stream(stream, watermark="10 days")
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        r.event_id for r in spark.sql("select event_id from dedup_test").collect()
+    )
+    want = sorted(r.event_id for r in events.collect())
+    assert got == want
