@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["as_double_array", "dot", "l2_norm", "l2_normalize", "l2_sq", "cosine_sim", "abs_max", "int8_dequant_errors"]
+__all__ = ["as_double_array", "dot", "l2_norm", "l2_normalize", "l2_sq", "cosine_sim", "abs_max", "int8_dequant_errors", "int8_dequant"]
 
 
 def _c(col: Column | str) -> Column:
@@ -131,3 +131,23 @@ def int8_dequant_errors(a: Column | str) -> Column:
     ).otherwise(
         F.zip_with(v, F.array_repeat(amax, F.size(v)), dequant_err)
     )
+
+
+def int8_dequant(a: Column | str) -> Column:
+    """dequant(quant_int8(x)) — the reconstructed vector an int8
+    storage tier serves to candidate scoring (same quantization
+    contract as int8_dequant_errors; zero vector round-trips to
+    zeros). amax hoisted via zip_with/array_repeat (once per row)."""
+    v = as_double_array(a)
+    amax = abs_max(v)
+    dq = lambda x, m: (  # noqa: E731
+        F.least(
+            F.greatest(F.floor(x * F.lit(127.0) / m + F.lit(0.5)), F.lit(-127.0)),
+            F.lit(127.0),
+        )
+        * m
+        / F.lit(127.0)
+    )
+    return F.when(
+        amax == 0.0, F.transform(v, lambda x: F.lit(0.0))
+    ).otherwise(F.zip_with(v, F.array_repeat(amax, F.size(v)), dq))

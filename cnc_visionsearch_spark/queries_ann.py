@@ -256,3 +256,70 @@ def knn_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_shards_built(spark, sf_dir, num_shards=8)
     q = _norm_query_vec(spark, sf_dir, 1)
     return sharded_topk_persisted(spark, path, q, k=10)
+
+
+_RECON_CTE = """
+recon AS (
+  SELECT vec_id, v,
+    CASE WHEN amax = 0 THEN list_transform(v, x -> 0.0)
+         ELSE list_transform(v, x ->
+            least(greatest(floor(x * 127.0 / amax + 0.5), -127.0), 127.0)
+            * amax / 127.0)
+    END AS rv
+  FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+      list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS amax
+    FROM embeddings
+  )
+)
+"""
+
+
+@register(
+    "ann_int8_rescore_topk",
+    oracle=f"""
+WITH {_RECON_CTE},
+qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 5),
+cand AS (
+  SELECT r.vec_id, r.v,
+    {_L2SQ.format(a="r.rv", b="qv.q")} AS qdist
+  FROM recon r, qv
+  ORDER BY qdist ASC, r.vec_id ASC
+  LIMIT 40
+)
+SELECT c.vec_id, {_L2SQ.format(a="c.v", b="qv.q")} AS distance
+FROM cand c, qv
+ORDER BY distance ASC, c.vec_id ASC
+LIMIT 10
+""",
+    doc="Asymmetric int8 search: candidate scan scores the DEQUANTIZED "
+    "corpus (the 4x-smaller storage tier — at 100 TB this is the only "
+    "column the scan reads) against the full-precision query, takes "
+    "top-40 via TakeOrderedAndProject, then exact fp64 re-score of the "
+    "40 candidates picks the final 10. Same build-once/probe-cheap "
+    "story as IVF, orthogonal knob (memory instead of selectivity); "
+    "composes with the cell/bucket layouts. Deterministic: the quant "
+    "chain and both distance folds are identical double chains on both "
+    "engines, ties break by vec_id.",
+)
+def ann_int8_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import int8_dequant, l2_sq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw = emb.filter(F.col("vec_id") == 5).select("embedding").first()[0]
+    qcol = F.array(*[F.lit(float(x)) for x in raw]).cast("array<double>")
+    staged = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        int8_dequant("embedding").alias("rv"),
+    )
+    cand = (
+        staged.select("vec_id", "v", l2_sq("rv", qcol).alias("qdist"))
+        .orderBy(F.col("qdist").asc(), F.col("vec_id").asc())
+        .limit(40)
+    )
+    return (
+        cand.select("vec_id", l2_sq("v", qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )

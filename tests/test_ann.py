@@ -132,3 +132,34 @@ def test_mllib_lsh_recall(spark, emb):
     approx = _ids(mllib_lsh_topk(emb, q, k=K))
     r = recall(approx, exact)
     assert r >= 0.9, f"MLlib LSH recall@10 {r} < 0.9"
+
+
+def test_int8_rescore_matches_exact_topk(spark):
+    """Quantization error (<= scale/2 per element) is far below the
+    inter-point distance scale of the fixture, so the int8 tier's
+    re-scored top-10 must equal the exact fp64 top-10."""
+    from cnc_visionsearch_spark.registry import all_queries
+
+    qs = all_queries()
+    got = [
+        (r.vec_id, r.distance)
+        for r in qs["ann_int8_rescore_topk"](spark, SF_01).collect()
+    ]
+    from cnc_visionsearch_spark.functions.vector import l2_sq
+    from cnc_visionsearch_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_01, "embeddings")
+    raw = emb.filter(F.col("vec_id") == 5).select("embedding").first()[0]
+    qcol = F.array(*[F.lit(float(x)) for x in raw]).cast("array<double>")
+    want = [
+        (r.vec_id, r.distance)
+        for r in emb.select(
+            "vec_id",
+            l2_sq(F.col("embedding").cast("array<double>"), qcol).alias("distance"),
+        )
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    ]
+    assert [v for v, _ in got] == [v for v, _ in want]

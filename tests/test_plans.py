@@ -271,3 +271,15 @@ def test_funnel_single_user_shuffle_jvm_only(spark, queries):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("(") and len(exchange_inputs(df)) <= 2
     assert any("event_type" in x for x in pushed_filters(df))
+
+
+def test_int8_rescore_is_double_topk_no_shuffle(spark, queries):
+    """The int8 tier must plan as two TakeOrderedAndProject stages
+    (quantized candidate scan, fp64 re-score) with no Exchange and no
+    Python — the corpus is read once, only the small candidate set is
+    re-scored."""
+    df = queries["ann_int8_rescore_topk"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
