@@ -291,3 +291,65 @@ def doc_training_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@register(
+    "doc_top_terms_by_lift",
+    oracle="""
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY lang, tok),
+dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY tok),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.lang, tf.tok, tf.tf, dfreq.df,
+    CAST(tf.tf AS DOUBLE) * CAST(total.n_docs AS DOUBLE)
+      / CAST(dfreq.df AS DOUBLE) AS lift
+  FROM tf JOIN dfreq USING (tok), total
+),
+ranked AS (
+  SELECT lang, tok, tf, df, lift,
+    CAST(row_number() OVER (PARTITION BY lang ORDER BY lift DESC, tok ASC) AS INT) AS rn
+  FROM scored
+)
+SELECT lang, tok, tf, df, lift, rn FROM ranked WHERE rn <= 5
+""",
+    doc="TF-IDF-family top terms per language: term frequency x corpus "
+    "lift (tf * N / df — an exact integer-ratio double instead of the "
+    "classic log-idf, because ln() is libm-dependent and would break "
+    "the cross-engine hash gate; the RANKING is order-equivalent to "
+    "tf-idf for df < N). One explode feeds both aggregates — tf keyed "
+    "on (lang, token), df on token — then a broadcast-sized join of "
+    "two token-cardinality tables and a WindowGroupLimit top-5. At "
+    "100 TB the explode is the dominant cost and is the same shuffle "
+    "spread as the MinHash shingle path (see SCALE.md dedup notes).",
+)
+def doc_top_terms_by_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            "tok",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.col("n_docs").cast("double")
+                / F.col("df").cast("double")
+            ).alias("lift"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("lift").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 5)
+    )

@@ -39,6 +39,7 @@ __all__ = [
     "session_window_stream",
     "streaming_upsert_sink",
     "dedup_event_stream",
+    "lsh_ingest_stream",
     "read_id_mapping",
 ]
 
@@ -123,6 +124,55 @@ def dedup_event_stream(
     """
     keys = keys or ["event_id"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def lsh_ingest_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    n_planes: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+    max_files_per_trigger: int = 10,
+):
+    """Streaming ANN ingest: new embedding drops get their hyperplane
+    signature computed on arrival (same seeded planes the batch probe
+    uses) and append into the bucket-partitioned layout that
+    `lsh_topk`-style probes prune — so a probe launched any time after
+    a micro-batch commits sees the new vectors, and still reads only
+    ~1/2^P of the files (PartitionFilters on lsh_bucket).
+
+    This is the streaming half of the LSH tier's build-once story:
+    ingest is O(batch) appends into existing partitions (parquet file
+    adds — no rewrite of resident data), probe cost is unchanged.
+    Returns the started StreamingQuery.
+    """
+    from cnc_visionsearch_spark.operators.ann import (
+        hyperplane_signature,
+        hyperplanes,
+    )
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+    from cnc_visionsearch_spark.schemas import EMBEDDINGS
+
+    stream = (
+        spark.readStream.schema(EMBEDDINGS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+    planes = hyperplanes(dim, n_planes, seed)
+    enriched = with_normalized(stream).withColumn(
+        "lsh_bucket", hyperplane_signature("nvec", planes)
+    )
+    return (
+        enriched.writeStream.format("parquet")
+        .partitionBy("lsh_bucket")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 # ------------------------------------------------- incremental upsert state

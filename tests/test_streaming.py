@@ -322,3 +322,57 @@ def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
     )
     want = sorted(r.event_id for r in events.collect())
     assert got == want
+
+
+def test_streaming_lsh_ingest_lands_in_pruned_partitions(spark, tmp_path):
+    """Streaming ANN ingest: vectors appended across two micro-batches
+    land in the bucket-partitioned layout; the layout's bucket spread
+    matches the batch signature computation, and a bucket-filtered read
+    prunes partitions (PartitionFilters) while seeing BOTH batches'
+    arrivals."""
+    import os
+
+    from cnc_visionsearch_spark.operators.ann import (
+        hyperplane_signature,
+        hyperplanes,
+    )
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+    from cnc_visionsearch_spark.plans import formatted_plan
+    from cnc_visionsearch_spark.streaming.pipelines import lsh_ingest_stream
+
+    emb = load_table(spark, SF, "embeddings")
+    chunks = [emb.filter(F.col("vec_id") % 2 == i) for i in range(2)]
+    stream_dir = _write_chunks(spark, str(tmp_path), chunks)
+
+    out = str(tmp_path / "lsh_layout")
+    q = lsh_ingest_stream(
+        spark, stream_dir, out, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    layout = spark.read.parquet(out)
+    assert layout.count() == emb.count()  # both batches arrived
+
+    # bucket assignment matches the batch-side signature computation
+    planes = hyperplanes(64, 6, 42)
+    want = {
+        (r.vec_id, r.b)
+        for r in with_normalized(emb)
+        .select("vec_id", hyperplane_signature("nvec", planes).alias("b"))
+        .collect()
+    }
+    got = {(r.vec_id, r.lsh_bucket) for r in layout.select("vec_id", "lsh_bucket").collect()}
+    assert got == want
+
+    # a probe-style bucket filter prunes partitions
+    some_bucket = next(iter(got))[1]
+    pruned = layout.filter(F.col("lsh_bucket") == some_bucket)
+    pf = [
+        ln
+        for ln in formatted_plan(pruned).splitlines()
+        if "PartitionFilters" in ln
+    ]
+    assert pf and any("lsh_bucket" in ln for ln in pf)
+    # hive layout on disk: one dir per bucket
+    assert any(d.startswith("lsh_bucket=") for d in os.listdir(out))
