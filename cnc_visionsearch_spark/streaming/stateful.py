@@ -29,7 +29,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["running_user_stats"]
+__all__ = ["running_user_stats", "streaming_funnel_stage"]
 
 STATE_SCHEMA = StructType(
     [
@@ -85,6 +85,67 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         _update,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("stage", LongType()),
+        StructField("stage_ts", LongType()),  # micros since epoch
+    ]
+)
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", LongType()),
+    ]
+)
+
+_H12 = 12 * 3600 * 1_000_000  # micros
+_H48 = 48 * 3600 * 1_000_000
+
+
+def _funnel_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    stage, stage_ts = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+            t = int(ts.value // 1000)  # ns -> micros
+            if stage == 0 and etype == "view":
+                stage, stage_ts = 1, t
+            elif stage == 1 and etype == "click" and stage_ts < t <= stage_ts + _H12:
+                stage, stage_ts = 2, t
+            elif stage == 2 and etype == "purchase" and stage_ts < t <= stage_ts + _H48:
+                stage, stage_ts = 3, t
+    state.update((stage, stage_ts))
+    yield pd.DataFrame([{"user_id": user_id, "stage": stage}])
+
+
+def streaming_funnel_stage(events: DataFrame) -> DataFrame:
+    """Streaming twin of `events_funnel_conversion`'s sorted walk: the
+    same (stage, stage_ts) state tuple, maintained per user across
+    micro-batches with applyInPandasWithState (update mode — one row
+    per user per batch that saw them).
+
+    Equivalence contract (tested): when drops arrive in event-time
+    order (each micro-batch sorted internally, batches non-overlapping
+    in time — the Kafka-partition-per-user deployment), the final
+    per-user stage equals the batch walk. With cross-batch time overlap
+    the walk anchors on the first *processed* qualifying event instead
+    of the min-ts one — the standard arrival-order caveat any
+    incremental funnel has; a watermark + per-user reorder buffer
+    removes it at the cost of emit latency.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -376,3 +376,50 @@ def test_streaming_lsh_ingest_lands_in_pruned_partitions(spark, tmp_path):
     assert pf and any("lsh_bucket" in ln for ln in pf)
     # hive layout on disk: one dir per bucket
     assert any(d.startswith("lsh_bucket=") for d in os.listdir(out))
+
+
+def test_streaming_funnel_converges_to_batch(spark, tmp_path):
+    """Time-ordered drops (non-overlapping micro-batches): the stateful
+    streaming funnel's final per-user stages must reproduce the batch
+    query's stage totals exactly."""
+    from cnc_visionsearch_spark.registry import all_queries
+    from cnc_visionsearch_spark.streaming.pipelines import read_event_stream
+    from cnc_visionsearch_spark.streaming.stateful import streaming_funnel_stage
+
+    ev = load_table(spark, SF, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    mid = ev.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    chunks = [ev.filter(F.col("ts") <= mid), ev.filter(F.col("ts") > mid)]
+    stream_dir = _write_chunks(spark, str(tmp_path), chunks)
+
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    q = (
+        streaming_funnel_stage(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # memory sink in update mode appends each batch's updated rows;
+    # stage is monotone nondecreasing so the final stage is the max
+    # (last() over the unordered sink table would be nondeterministic)
+    rows = spark.sql(
+        "select user_id, max(stage) as stage from funnel_stream group by user_id"
+    ).collect()
+    got = {
+        "view": sum(1 for r in rows if r.stage >= 1),
+        "click": sum(1 for r in rows if r.stage >= 2),
+        "purchase": sum(1 for r in rows if r.stage >= 3),
+    }
+    want = {
+        r.stage: r.n_users
+        for r in all_queries()["events_funnel_conversion"](spark, SF).collect()
+    }
+    assert got == want
