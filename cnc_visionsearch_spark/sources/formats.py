@@ -17,7 +17,10 @@ format-agnostic by construction.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
@@ -26,6 +29,9 @@ __all__ = [
     "read_csv",
     "write_csv",
     "read_binary_dir",
+    "read_orc",
+    "write_orc",
+    "compact_layout",
 ]
 
 
@@ -90,3 +96,50 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def compact_layout(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_rows_per_file: int = 1_000_000,
+    fmt: str = "parquet",
+) -> None:
+    """Small-file compaction for append-heavy layouts (streaming sinks
+    accrete one file per micro-batch per partition — at 100 TB that is
+    metadata death for every later scan).
+
+    Rewrites the layout with files sized by ``target_rows_per_file``:
+    read -> repartition -> write to a sibling tmp dir -> swap (Spark
+    cannot overwrite a path it is lazily reading). Partitioned layouts
+    keep their partitioning (PartitionFilters pruning survives), and
+    rows are repartitioned BY the partition columns so each hive
+    partition is written by few tasks (a bare ``repartition(n)`` +
+    ``partitionBy`` would emit up to n files per partition again).
+
+    Swap order: old -> ``.bak``, tmp -> live, drop ``.bak`` — a crash
+    leaves either the old layout (as ``.bak`` plus tmp) or the new one
+    recoverable; run from the maintenance schedule, not the ingest
+    path. At cluster scale pass a partition subtree as ``path`` to
+    bound the rewrite unit (or swap to an Iceberg/Delta rewrite-files
+    action, which makes the commit atomic).
+    """
+    import shutil
+
+    reader = getattr(spark.read, fmt)
+    df = reader(path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))  # ceil
+    if partition_by:
+        df = df.repartition(n_files, *[F.col(c) for c in partition_by])
+    else:
+        df = df.repartition(n_files)
+    tmp = path.rstrip("/") + ".compact_tmp"
+    bak = path.rstrip("/") + ".compact_bak"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    getattr(writer, fmt)(tmp)
+    os.rename(path.rstrip("/"), bak)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(bak)

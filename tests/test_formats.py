@@ -85,3 +85,37 @@ def test_orc_roundtrip_with_partition_pruning(spark, tmp_path):
     plan = formatted_plan(pruned)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("n_regionkey" in ln for ln in pf)
+
+
+def test_compact_layout_shrinks_files_preserves_data_and_pruning(spark, tmp_path):
+    """Compaction on a fragmented bucket-partitioned layout: file count
+    drops, every row survives byte-identically, the hive partitioning
+    (and thus PartitionFilters pruning) survives."""
+    import glob
+
+    from cnc_visionsearch_spark.plans import formatted_plan
+    from cnc_visionsearch_spark.sources.formats import compact_layout
+
+    src = load_table(spark, "/root/testdata/sf0.01", "customer")
+    path = str(tmp_path / "frag")
+    # fragment: 8 appends of ~8 files each into 3 partitions
+    for i in range(8):
+        (
+            src.filter(F.col("c_custkey") % 8 == i)
+            .withColumn("bucket", (F.col("c_custkey") % 3).cast("int"))
+            .repartition(8)
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+    before = len(glob.glob(f"{path}/bucket=*/*.parquet"))
+    want = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    compact_layout(spark, path, partition_by=["bucket"], target_rows_per_file=10_000)
+
+    after_files = glob.glob(f"{path}/bucket=*/*.parquet")
+    assert len(after_files) < before
+    got_df = spark.read.parquet(path)
+    assert {tuple(r) for r in got_df.collect()} == want
+    plan = formatted_plan(got_df.filter(F.col("bucket") == 1))
+    assert any("PartitionFilters" in ln and "bucket" in ln for ln in plan.splitlines())
