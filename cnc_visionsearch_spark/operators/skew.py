@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_distinct_count", "range_join_bucketed"]
+__all__ = ["salted_distinct_count", "range_join_bucketed", "salted_join"]
 
 
 def salted_distinct_count(
@@ -99,3 +99,50 @@ def range_join_bucketed(
         (rt >= lt + lo_seconds) & (rt <= lt + hi_seconds)
     )
     return joined.drop("__bucket")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed equi-join de-hot-spotted by salting: each fact row gets a
+    random-but-deterministic salt in [0, n_salts), the dim side is
+    replicated n_salts times, and the join runs on (key, salt) — a hot
+    key's rows spread over n_salts reducers instead of one.
+
+    Use when BOTH sides are too big to broadcast and AQE's skew-split
+    (which splits oversized sort-merge partitions) cannot help — e.g.
+    the hot key's rows must meet MULTIPLE matching dim rows, so
+    splitting the fact partition still re-reads the same dim partition.
+    The dim replication multiplies its shuffle volume by n_salts: keep
+    the dim side the smaller one and n_salts just big enough to flatten
+    the hot keys (at 1000 executors, 16-64).
+
+    The salt is pmod(xxhash64(all fact columns), n): deterministic (no
+    rand(), so retried tasks re-salt identically), and rows of the same
+    key spread by their differing payload columns — which is the whole
+    point. Fully-identical duplicate rows share a salt; that is
+    harmless skew of order duplicate-multiplicity, not key-cardinality.
+
+    Supports inner and left joins (semantics preserved: every fact row
+    keeps exactly its dim matches; dim rows without facts disappear as
+    in any inner/left join from the fact side).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    salted_fact = fact.withColumn("__salt", salt)
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_fact.join(
+        salted_dim,
+        (salted_fact[fact_key] == salted_dim[dim_key])
+        & (salted_fact["__salt"] == salted_dim["__salt"]),
+        how,
+    )
+    return out.drop("__salt")

@@ -103,3 +103,39 @@ def test_ivf_partitioned_layout_prunes(spark, tmp_path):
     assert probe.count() == expect
     part_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
     assert "cell_id" in part_line
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must return exactly the plain join's multiset for
+    inner and left joins on a skewed fact (90% of rows share one key),
+    and the physical join must key on (key, salt) — the hot key's rows
+    spread across salt cells."""
+    from cnc_visionsearch_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1800, 7).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 60).select(
+        F.col("id").alias("dk"), (F.col("id") * 10).alias("dval")
+    )
+
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r)
+            for r in salted_join(fact, dim, "k", "dk", n_salts=8, how=how)
+            .select("k", "payload", "dval")
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in fact.join(dim, fact.k == dim.dk, how)
+            .select("k", "payload", "dval")
+            .collect()
+        )
+        assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, "k", "dk", how="outer")
