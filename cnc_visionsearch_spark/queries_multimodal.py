@@ -189,3 +189,59 @@ def mm_pooled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_e").alias("e"),
     )
     return mean_part.unionByName(max_part)
+
+
+@register(
+    "mm_search_lifecycle",
+    oracle="""
+WITH dims AS (SELECT unnest(range(8)) AS j),
+emb AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(text || ':' || j), 1, 8))::BIGINT
+     / 4294967296.0) * 2.0 - 1.0 AS e,
+    j
+  FROM documents, dims WHERE doc_id < 40
+),
+vecs AS (SELECT doc_id, list(e ORDER BY j) AS v FROM emb GROUP BY doc_id),
+qv AS (SELECT v AS q FROM vecs WHERE doc_id = 3),
+hits AS (
+  SELECT vecs.doc_id,
+    list_sum(list_transform(range(1, len(vecs.v)+1),
+             i -> (vecs.v[i]-qv.q[i])*(vecs.v[i]-qv.q[i]))) AS distance
+  FROM vecs, qv WHERE vecs.doc_id <> 3
+  ORDER BY distance ASC, vecs.doc_id ASC LIMIT 5
+)
+SELECT h.doc_id, h.distance, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY h.distance ASC, h.doc_id ASC
+""",
+    doc="The reference's whole product flow as ONE plan (main.py "
+    "/add_drawing + /search_drawing lifecycle, 104-165): binary payload "
+    "-> Arrow pandas_udf embed (md5 fake; ViT singleton swaps in) -> "
+    "exact kNN top-5 via TakeOrderedAndProject on the codegen'd "
+    "distance -> broadcast metadata join. The Python boundary is "
+    "crossed exactly once (the embed UDF); every vector op after it is "
+    "a JVM higher-order expression. The corpus side never shuffles; at "
+    "100 TB the embed step is the same scan the ingest pipeline "
+    "already pays, and search reuses its materialized output.",
+)
+def mm_search_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import l2_sq
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    media = attach_payload(d).select("doc_id", "payload")
+    embedded = media.withColumn("v", fake_image_embedding(8)(F.col("payload")))
+    qv = embedded.filter(F.col("doc_id") == 3).select("v").first()[0]
+    qcol = F.array(*[F.lit(float(x)) for x in qv]).cast("array<double>")
+    hits = (
+        embedded.filter(F.col("doc_id") != 3)
+        .select("doc_id", l2_sq("v", qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("doc_id").asc())
+        .limit(5)
+    )
+    meta = d.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+    return (
+        hits.join(F.broadcast(meta), "doc_id")
+        .select("doc_id", "distance", "lang", "n_chars")
+        .orderBy(F.col("distance").asc(), F.col("doc_id").asc())
+    )

@@ -353,3 +353,45 @@ def doc_top_terms_by_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= 5)
     )
+
+
+@register(
+    "doc_train_val_test_split",
+    oracle="""
+WITH assigned AS (
+  SELECT lang,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+  lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM assigned GROUP BY split, lang
+""",
+    doc="Deterministic train/val/test split (80/10/10) by consistent "
+    "hashing of the document id: the same document lands in the same "
+    "split on every run, every engine, and every corpus size — no "
+    "seeded RNG whose stream depends on partitioning (rand(seed) is "
+    "per-partition in Spark and not portable to the oracle). The "
+    "assignment is a pure projection; downstream writers filter on it "
+    "(one scan per split, or one pass with partitionBy('split')). "
+    "Adding documents never reassigns existing ones — the property that "
+    "keeps eval sets stable across corpus refreshes at 100 TB.",
+)
+def doc_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        hex_to_long(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15)
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
