@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from cnc_visionsearch_spark.schemas import ALL_TABLES
 
-__all__ = ["table_path", "load_table", "load_tables", "derive_id_mapping"]
+__all__ = ["table_path", "load_table", "load_tables", "derive_id_mapping", "write_bucketed_table"]
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -78,4 +78,34 @@ def derive_id_mapping(
     return (
         base.join(docs, base.vec_id == docs.doc_id, "left")
         .select("str_id", "faiss_id", "text_content")
+    )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    key: str,
+    path: str,
+    n_buckets: int = 32,
+) -> None:
+    """Register ``df`` as a bucketed+sorted external table: data is
+    hash-partitioned into ``n_buckets`` files by ``key`` AT WRITE TIME,
+    so every later equi-join or aggregation on ``key`` between
+    co-bucketed tables runs with ZERO exchange — the shuffle is paid
+    once at layout time instead of per query. This is the co-located
+    fact-fact join strategy for 100 TB (orderkey-bucketed orders x
+    lineitem: the single biggest shuffle in the TPC-H-shaped workload
+    disappears from every query that joins them).
+
+    Bucket count should divide evenly into the cluster's parallelism
+    and keep per-bucket files within executor memory at target scale;
+    both join sides must use the SAME key and bucket count.
+    """
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(name)
     )

@@ -139,3 +139,52 @@ def test_salted_join_matches_plain_join(spark):
 
     with pytest.raises(ValueError):
         salted_join(fact, dim, "k", "dk", how="outer")
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Co-bucketed orders x lineitem: the orderkey join must plan as a
+    SortMergeJoin with NO Exchange on either input — the shuffle was
+    paid once at layout-write time. (The only exchange left is the
+    downstream aggregate's.) Result equality vs the plain join is also
+    checked."""
+    from cnc_visionsearch_spark.plans import formatted_plan
+    from cnc_visionsearch_spark.sources.catalog import (
+        load_table,
+        write_bucketed_table,
+    )
+
+    o = load_table(spark, "/root/testdata/sf0.01", "orders")
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    for name, df, key in (
+        ("bt_orders", o, "o_orderkey"),
+        ("bt_lineitem", li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_bucketed_table(df, name, key, str(tmp_path / name), n_buckets=8)
+    try:
+        bo, bl = spark.table("bt_orders"), spark.table("bt_lineitem")
+        # hint("merge"): at toy SF the optimizer would broadcast orders,
+        # hiding the property under test; at scale SMJ is the real plan
+        j = (
+            bl.join(bo.hint("merge"), bl.l_orderkey == bo.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        # exactly ONE Exchange in the whole plan — the aggregate's;
+        # neither join input shuffles (bucketed scans line up)
+        assert plan.count(") Exchange") == 1
+
+        got = sorted(tuple(r) for r in j.collect())
+        want = sorted(
+            tuple(r)
+            for r in li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+            .collect()
+        )
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
