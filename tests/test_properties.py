@@ -89,3 +89,61 @@ def test_exact_dedup_idempotent(spark):
     second = exact_dedup(survivors)
     assert second.filter(F.col("n_copies") > 1).count() == 0
     assert second.count() == first.count()
+
+
+@SLOW
+@given(vs=st.lists(st.lists(finite, min_size=4, max_size=4), min_size=1, max_size=8))
+def test_int8_quant_error_bound_property(spark, vs):
+    """For ANY finite vector: every reconstruction error <= scale/2
+    (round-half-up within the clamp range), and errors of the zero
+    vector are exactly zero."""
+    from cnc_visionsearch_spark.functions.vector import (
+        abs_max,
+        int8_dequant_errors,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vs)], "i: long, v: array<double>"
+    )
+    rows = df.select(
+        "i",
+        (abs_max("v") / F.lit(127.0)).alias("scale"),
+        int8_dequant_errors("v").alias("errs"),
+    ).collect()
+    for r, v in zip(sorted(rows, key=lambda r: r.i), vs):
+        if max(abs(x) for x in v) == 0.0:
+            assert all(e == 0.0 for e in r.errs)
+        else:
+            assert max(r.errs) <= r.scale / 2 + 1e-12
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_salted_join_equivalence_property(spark, rows):
+    """salted_join == plain join for arbitrary (skewed or not) key
+    multisets, including keys with no dim match."""
+    from cnc_visionsearch_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(rows, "k: long, payload: long")
+    dim = spark.createDataFrame(
+        [(k, k * 7) for k in range(4)], "dk: long, dval: long"
+    )
+    got = sorted(
+        tuple(r)
+        for r in salted_join(fact, dim, "k", "dk", n_salts=4, how="left")
+        .select("k", "payload", "dval")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in fact.join(dim, fact.k == dim.dk, "left")
+        .select("k", "payload", "dval")
+        .collect()
+    )
+    assert got == want
