@@ -277,6 +277,19 @@ def ngram_jaccard_pairs(
     case, use only with blocking or small corpora).
     """
     sh = _exploded_shingles(df, id_col, text_col, shingle_n)
+    if candidates is not None:
+        # Every downstream consumer only ever needs candidate docs'
+        # shingles, so prune FIRST with a broadcast semi-join on the
+        # candidate id set: the (id_b, shingle) intersection shuffle
+        # and the size aggregates then carry |candidate docs| rows
+        # instead of the whole corpus — at 100 TB the difference
+        # between a full-corpus exchange and a negligible one.
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -285,8 +298,7 @@ def ngram_jaccard_pairs(
         # self-join. Fan each (id_a, id_b) candidate out over id_a's
         # shingles, then equi-join on (id_b, shingle) to count the
         # intersection. |candidates| << |pairs|, and candidates is
-        # usually broadcastable, so the only real shuffle keys on
-        # (id_b, shingle).
+        # usually broadcastable.
         common = (
             F.broadcast(candidates)
             .join(a, "id_a")
