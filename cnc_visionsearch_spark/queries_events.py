@@ -502,3 +502,42 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_n")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "events_time_range_rolling",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, value FROM events)
+SELECT event_id, user_id,
+  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+FROM ev
+WHERE user_id < 10
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+)
+""",
+    doc="W3 time-RANGE frame (vs the rowsBetween rolling stats): per "
+    "event, activity in the trailing 1-hour window — frame membership "
+    "is defined by event-time distance, not row count, so ties and "
+    "irregular event spacing are handled exactly. The sum is an exact "
+    "DECIMAL window aggregate: rows sharing a timestamp have "
+    "nondeterministic intra-frame order, which would scramble a double "
+    "sum but not a decimal one. Same user_id partitioning as every "
+    "other per-user window (bounded state per key).",
+)
+def events_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    frame = (
+        "PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.expr(f"CAST(count(*) OVER ({frame}) AS BIGINT)").alias("n_1h"),
+        F.expr(
+            f"CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER ({frame}) AS DOUBLE)"
+        ).alias("sum_1h"),
+    )

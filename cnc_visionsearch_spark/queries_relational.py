@@ -1224,3 +1224,34 @@ def q11_important_stock_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("part_value").cast("double").alias("part_value"),
         )
     )
+
+
+@register(
+    "grouping_sets_order_stats",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    doc="A3 explicit GROUPING SETS — the custom-set shape neither "
+    "ROLLUP (prefix hierarchy) nor CUBE (all combos) expresses: "
+    "per-status totals, per-priority totals, and the grand total, "
+    "WITHOUT the (status, priority) cross. Same one-pass grouping-id "
+    "expansion + single aggregate shuffle as the cube/rollup family.",
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+        .cast("int")
+        .alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum(F.col("o_totalprice"), "total_price"),
+    )
