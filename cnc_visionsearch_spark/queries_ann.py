@@ -323,3 +323,82 @@ def ann_int8_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "ann_ivf_int8_topk",
+    oracle=f"""
+WITH {_NORM_CTE}, {_IVF_CTE},
+q AS (SELECT nvec AS qvec FROM normed WHERE vec_id = 3),
+probe AS (
+  SELECT cell_id FROM centroids, q
+  ORDER BY {_L2SQ.format(a="centroid", b="qvec")} ASC, cell_id ASC
+  LIMIT 4
+),
+pruned AS (
+  SELECT a.vec_id, a.nvec FROM assigned a
+  WHERE a.cell_id IN (SELECT cell_id FROM probe)
+),
+rq AS (
+  SELECT vec_id, nvec,
+    list_aggregate(list_transform(nvec, x -> abs(x)), 'max') AS amax
+  FROM pruned
+),
+recon AS (
+  SELECT vec_id, nvec,
+    CASE WHEN amax = 0 THEN list_transform(nvec, x -> 0.0)
+         ELSE list_transform(nvec, x ->
+            least(greatest(floor(x * 127.0 / amax + 0.5), -127.0), 127.0)
+            * amax / 127.0)
+    END AS rv
+  FROM rq
+),
+cand AS (
+  SELECT r.vec_id, r.nvec,
+    {_L2SQ.format(a="r.rv", b="q.qvec")} AS qdist
+  FROM recon r, q
+  ORDER BY qdist ASC, r.vec_id ASC LIMIT 20
+)
+SELECT c.vec_id, {_L2SQ.format(a="c.nvec", b="q.qvec")} AS distance
+FROM cand c, q
+ORDER BY distance ASC, c.vec_id ASC
+LIMIT 10
+""",
+    doc="Composed ANN tiers: IVF partition pruning x int8 quantized "
+    "scoring — the two knobs are orthogonal and this query proves they "
+    "stack. Scan = nprobe/n_cells of the FILES (PartitionFilters on "
+    "the persisted ivf_build layout) and, at scale, the 4x-smaller "
+    "quantized column; candidate top-20 by dequantized distance, then "
+    "fp64 re-score picks the final 10. The memory knob (int8) and the "
+    "selectivity knob (nprobe) compose because both act before the "
+    "exact re-score, which restores full precision on a constant-size "
+    "candidate set.",
+)
+def ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import int8_dequant, l2_sq
+
+    path = ensure_ivf_built(spark, sf_dir, n_cells=8)
+    q = _norm_query_vec(spark, sf_dir, 3)
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    cents = spark.read.parquet(f"{path}/codebook")
+    probe_cells = [
+        r.cell_id
+        for r in cents.select("cell_id", l2_sq(F.col("centroid"), qcol).alias("cd"))
+        .orderBy(F.col("cd").asc(), F.col("cell_id").asc())
+        .limit(4)
+        .collect()
+    ]
+    cells = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell_id").isin(probe_cells)
+    )
+    staged = cells.select("vec_id", "nvec", int8_dequant("nvec").alias("rv"))
+    cand = (
+        staged.select("vec_id", "nvec", l2_sq("rv", qcol).alias("qdist"))
+        .orderBy(F.col("qdist").asc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+    return (
+        cand.select("vec_id", l2_sq("nvec", qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
