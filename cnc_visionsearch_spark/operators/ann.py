@@ -52,6 +52,7 @@ __all__ = [
     "ivf_topk",
     "ivf_build",
     "ivf_probe",
+    "ivf_probe_cells",
     "shard_build",
     "sharded_topk",
     "sharded_topk_persisted",
@@ -273,8 +274,26 @@ def ivf_probe(
     :func:`ivf_topk` over the same codebook.
     """
     qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    cells = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell_id").isin(ivf_probe_cells(spark, path, query_vec, nprobe))
+    )
+    return (
+        cells.select(F.col(id_col), l2_sq(F.col(vec_col), qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_probe_cells(
+    spark, path: str, query_vec: list[float], nprobe: int = 4
+) -> list[int]:
+    """The nprobe cell ids nearest the query, ranked on the driver from
+    the materialized codebook (nprobe rows — not a distributed job);
+    ties break by cell_id. Shared by every probe variant over an
+    :func:`ivf_build` layout so probe semantics cannot diverge."""
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     cents = spark.read.parquet(f"{path}/codebook")
-    probe_cells = [
+    return [
         r.cell_id
         for r in cents.select(
             "cell_id", l2_sq(F.col("centroid"), qcol).alias("cdist")
@@ -283,13 +302,6 @@ def ivf_probe(
         .limit(nprobe)
         .collect()
     ]
-    cells = spark.read.parquet(f"{path}/cells")
-    return (
-        cells.filter(F.col("cell_id").isin(probe_cells))
-        .select(F.col(id_col), l2_sq(F.col(vec_col), qcol).alias("distance"))
-        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
-        .limit(k)
-    )
 
 
 def shard_build(

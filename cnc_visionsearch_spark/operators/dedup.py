@@ -357,9 +357,17 @@ def neardup_components(
     (the deterministic keeper, matching exact_dedup's min-id rule).
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # localCheckpoint: sym is re-consumed every round — without the
+    # cut, each round would re-execute the caller's whole pair
+    # pipeline (for the LSH path: shingle explode, banding self-join,
+    # jaccard verification) instead of reading materialized edges.
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("src").alias("node")).distinct().withColumn(
             "label", F.col("node")

@@ -377,19 +377,13 @@ LIMIT 10
 def ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnc_visionsearch_spark.functions.vector import int8_dequant, l2_sq
 
+    from cnc_visionsearch_spark.operators.ann import ivf_probe_cells
+
     path = ensure_ivf_built(spark, sf_dir, n_cells=8)
     q = _norm_query_vec(spark, sf_dir, 3)
     qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
-    cents = spark.read.parquet(f"{path}/codebook")
-    probe_cells = [
-        r.cell_id
-        for r in cents.select("cell_id", l2_sq(F.col("centroid"), qcol).alias("cd"))
-        .orderBy(F.col("cd").asc(), F.col("cell_id").asc())
-        .limit(4)
-        .collect()
-    ]
     cells = spark.read.parquet(f"{path}/cells").filter(
-        F.col("cell_id").isin(probe_cells)
+        F.col("cell_id").isin(ivf_probe_cells(spark, path, q, nprobe=4))
     )
     staged = cells.select("vec_id", "nvec", int8_dequant("nvec").alias("rv"))
     cand = (

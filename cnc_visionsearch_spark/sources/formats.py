@@ -117,29 +117,41 @@ def compact_layout(
     partition is written by few tasks (a bare ``repartition(n)`` +
     ``partitionBy`` would emit up to n files per partition again).
 
-    Swap order: old -> ``.bak``, tmp -> live, drop ``.bak`` — a crash
-    leaves either the old layout (as ``.bak`` plus tmp) or the new one
-    recoverable; run from the maintenance schedule, not the ingest
-    path. At cluster scale pass a partition subtree as ``path`` to
-    bound the rewrite unit (or swap to an Iceberg/Delta rewrite-files
-    action, which makes the commit atomic).
+    Swap order: old -> ``.bak``, tmp -> live, drop ``.bak``. Entry
+    first self-heals any earlier crash: a ``.bak`` with no live path
+    (death between the two renames) is restored; a leftover ``.bak``
+    or ``.tmp`` beside a live path (death before/after the swap
+    completed) is discarded — so every crash window leaves a state the
+    next call recovers from without manual surgery. Run from the
+    maintenance schedule, not the ingest path. At cluster scale pass a
+    partition subtree as ``path`` to bound the rewrite unit (or swap
+    to an Iceberg/Delta rewrite-files action, which makes the commit
+    atomic).
     """
     import shutil
 
+    live = path.rstrip("/")
+    tmp = live + ".compact_tmp"
+    bak = live + ".compact_bak"
+    # crash recovery from a previous invocation
+    if os.path.exists(bak) and not os.path.exists(live):
+        os.rename(bak, live)  # died mid-swap: restore the old layout
+    for leftover in (tmp, bak):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
     reader = getattr(spark.read, fmt)
-    df = reader(path)
+    df = reader(live)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))  # ceil
     if partition_by:
         df = df.repartition(n_files, *[F.col(c) for c in partition_by])
     else:
         df = df.repartition(n_files)
-    tmp = path.rstrip("/") + ".compact_tmp"
-    bak = path.rstrip("/") + ".compact_bak"
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     getattr(writer, fmt)(tmp)
-    os.rename(path.rstrip("/"), bak)
-    os.rename(tmp, path.rstrip("/"))
+    os.rename(live, bak)
+    os.rename(tmp, live)
     shutil.rmtree(bak)

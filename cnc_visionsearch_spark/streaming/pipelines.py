@@ -262,7 +262,19 @@ def streaming_upsert_sink(
             "version": 0,
             "max_faiss_id": 0,
             "buckets": {},
+            "n_buckets": n_buckets,
         }
+        # The bucket function is part of the state layout: resuming
+        # with a different n_buckets would hash existing str_ids into
+        # different buckets, miss them in the existence probe, and
+        # re-insert them under fresh dense ids. Refuse loudly.
+        state_n = int(man.get("n_buckets", n_buckets))
+        if state_n != n_buckets:
+            raise ValueError(
+                f"id_mapping state at {state_dir!r} was built with "
+                f"n_buckets={state_n}, got n_buckets={n_buckets}; "
+                "re-bucketing requires a full state rewrite"
+            )
         # batch may contain the same str_id twice: keep the last row
         # (reference processes records serially; "last write wins")
         dedup = (
@@ -306,6 +318,7 @@ def streaming_upsert_sink(
             "version": man["version"] + 1,
             "max_faiss_id": max(int(new_max), int(man["max_faiss_id"])),
             "buckets": {**man["buckets"], **{str(b): ver for b in touched}},
+            "n_buckets": n_buckets,
         }
         tmp = _manifest_path(state_dir) + f".tmp{batch_id}"
         with open(tmp, "w") as f:

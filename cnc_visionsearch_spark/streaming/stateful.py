@@ -113,9 +113,14 @@ def _funnel_update(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     stage, stage_ts = state.get if state.exists else (0, 0)
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+    # One key's rows can arrive as MULTIPLE Arrow chunks (split at
+    # arrow.maxRecordsPerBatch) in arbitrary intra-key order — sorting
+    # each chunk independently would walk events out of time order for
+    # >chunk-size users. Concatenate first, sort once.
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch):
+        batch = batch.sort_values("ts")
+        for ts, etype in zip(batch["ts"], batch["event_type"]):
             t = int(ts.value // 1000)  # ns -> micros
             if stage == 0 and etype == "view":
                 stage, stage_ts = 1, t
