@@ -4,14 +4,18 @@ rollup, set ops, semi/anti joins, point lookups.
 
 The reference itself only ever does point lookups (P1/P2) and one
 equi-join (J1); everything else here is the [EXT] general-analytics
-surface the rebuilt engine gets from Catalyst. Scale notes per query:
-only TRUE dimension tables (region/nation/supplier/part — bounded or
-sub-linear in scale factor) carry explicit broadcast hints. Tables that
-grow linearly with the corpus (orders, customer, lineitem) are NEVER
-hint-broadcast: their joins shuffle on the join key (sort-merge or
-shuffled-hash as Catalyst picks), and AQE upgrades to broadcast at
-runtime when a filtered side turns out small. Aggregates are
-partial+final map-side combined.
+surface the rebuilt engine gets from Catalyst. Scale doctrine: an
+author broadcast hint appears ONLY on sides that are bounded BY
+CONSTRUCTION — region (5 rows), nation (25 rows), and 1-row/n-row
+scalar aggregates (stats, totals, maxima). EVERYTHING that grows with
+scale factor carries no hint: not just orders/customer/lineitem but
+also part (~1/30 of lineitem — TBs at the 100 TB design point) and
+supplier (~1/600 — still far beyond any broadcast budget), and any
+filtered or key-derived subset of them (a LIKE filter cuts a constant
+fraction; linear times a constant is linear). At bench scale AQE's
+size-based planning broadcasts those sides anyway (same local plan,
+same speed); at 100 TB it correctly shuffles them — the hint would
+have been the OOM. Aggregates are partial+final map-side combined.
 """
 
 from __future__ import annotations
@@ -123,11 +127,11 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 ORDER BY revenue DESC, n_name ASC
 """,
-    doc="TPC-H Q5 analog: 6-way join. True dims (supplier/nation/region) "
-    "broadcast; the fact-fact joins (lineitem x orders on orderkey, "
-    "x customer on custkey) shuffle — at 100 TB orders and customer are "
-    "fact-scale and must never be hint-broadcast. AQE handles skew and "
-    "late broadcast upgrades.",
+    doc="TPC-H Q5 analog: 6-way join. Bounded dims (nation/region) carry "
+    "hints; supplier and the fact-fact joins (lineitem x orders on "
+    "orderkey, x customer on custkey) are AQE's call — supplier is "
+    "~1/600 of lineitem (hundreds of GB at 100 TB), broadcast only "
+    "when its runtime size fits. AQE handles skew and late upgrades.",
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -140,7 +144,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -343,7 +347,8 @@ FROM (
 GROUP BY supp_nation, cust_nation, l_year
 """,
     doc="TPC-H Q7 analog: two roles of the same dim (nation) in one plan — "
-    "supplier and both nation copies broadcast; the disjunctive "
+    "both nation copies broadcast (bounded dims); supplier joins are "
+    "AQE-sized; the disjunctive "
     "nation-pair predicate applies post-join. The fact-fact joins "
     "(lineitem x orders, x customer) shuffle on their keys — customer is "
     "fact-scale and carries no broadcast hint.",
@@ -367,7 +372,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -433,7 +438,9 @@ WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
   AND l.l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
 """,
     doc="TPC-H Q14 analog: conditional aggregate ratio over a fact-dim join "
-    "(part broadcasts). Decimal partials keep the ratio hash-stable.",
+    "(part is AQE-sized: auto-broadcast at bench scale, shuffle at "
+    "100 TB where part is TB-scale). Decimal partials keep the ratio "
+    "hash-stable.",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -444,7 +451,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), disc_price).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -514,7 +521,8 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
     doc="TPC-H Q19 analog: OR-of-ANDs join predicate. The common "
     "sub-predicates Catalyst can factor out (p_size >= 1, quantity bounds) "
     "push to the scans; the residual disjunction evaluates post-join in "
-    "codegen. Part broadcasts, so no shuffle at all.",
+    "codegen. Part is AQE-sized (auto-broadcast at bench scale), so "
+    "the local plan has no shuffle at all.",
 )
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -533,7 +541,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(branch)
         .agg(
             _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
@@ -611,7 +619,7 @@ FROM ranked WHERE rn = 1
     "subquery family, decorrelated as group-by + rank-1 join-back. Scale "
     "shape: one lineitem shuffle on (partkey, suppkey) with map-side "
     "combine; part/supplier/nation/region are dims (filtered part is a "
-    "few rows, supplier broadcast-joined); the rank window partitions on "
+    "few rows, joined to supplier as AQE sizes it); the rank window partitions on "
     "partkey — WindowGroupLimit keeps it a partial top-1.",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,8 +642,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("unit_price").asc(), F.col("s_suppkey").asc()
     )
     return (
-        offers.join(F.broadcast(p), offers.l_partkey == p.p_partkey)
-        .join(F.broadcast(eu), offers.l_suppkey == F.col("s_suppkey"))
+        offers.join(p, offers.l_partkey == p.p_partkey)
+        .join(eu, offers.l_suppkey == F.col("s_suppkey"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_price")
@@ -678,7 +686,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("__mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -707,7 +715,7 @@ WHERE CAST(l.l_quantity AS DECIMAL(18,6)) * 5 * agg.n_li < agg.sum_qty
     "double-rounding can flip a boundary row between engines. Scale "
     "shape: the per-part aggregate shuffles lineitem on partkey once "
     "(map-side combine), the join-back reuses that partitioning, part "
-    "is a broadcast dim.",
+    "joins as AQE sizes it (auto-broadcast at bench scale).",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -719,7 +727,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_li"),
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(per_part, li.l_partkey == F.col("__pk"))
         .filter(
             F.col("l_quantity").cast("decimal(18,6)") * 5 * F.col("n_li")
@@ -747,7 +755,8 @@ GROUP BY nation, o_year
 """,
     doc="TPC-H Q9 analog (no partsupp: revenue plays profit): product-line "
     "profit by supplier nation and ship year. The LIKE filter prunes part "
-    "to ~1/8 before its broadcast; supplier/nation broadcast; lineitem "
+    "to ~1/8 before its join (still linear in SF, so AQE decides the "
+    "strategy); nation broadcasts; lineitem "
     "never shuffles until the (nation, year) aggregate.",
 )
 def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,8 +765,8 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -939,7 +948,8 @@ FROM rev GROUP BY o_year
 """,
     doc="TPC-H Q8 analog: national market share — conditional-sum ratio "
     "over a 7-table join. Scale shape: part (1/6 after the type filter), "
-    "supplier, nation x2, region broadcast; the two fact-fact joins "
+    "nation x2 and region broadcast; part/supplier joins are AQE-sized; "
+    "the two fact-fact joins "
     "shuffle — lineitem x orders on orderkey, then x region-filtered "
     "customer keys on custkey (customer grows with SF, so no hint; AQE "
     "may upgrade the 1/5-region key set at runtime). Both sums are exact "
@@ -964,10 +974,10 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,6)"
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(cust_in_region, o.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(
             F.broadcast(n2.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))),
             s.s_nationkey == F.col("n2_key"),
@@ -1055,7 +1065,8 @@ GROUP BY p.p_brand, p.p_type, p.p_size
     "bridge): distinct-supplier counts per (brand, type, size) excluding "
     "suppliers in a NOT-IN subquery. s_suppkey is non-null so NOT IN == "
     "anti join (no tri-valued-NULL trap); the excluded-supplier set is "
-    "dim-sized and broadcasts as a left_anti probe. The count-distinct "
+    "a constant fraction of supplier (linear in SF) — the left_anti "
+    "probe strategy is AQE's size-based call. The count-distinct "
     "expands to a two-level aggregate keyed on (brand,type,size,suppkey) "
     "then (brand,type,size) — both map-side partial, one logical shuffle.",
 )
@@ -1069,8 +1080,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad_supp, li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
@@ -1096,7 +1107,8 @@ WHERE s.s_suppkey IN (
     "a nation set who moved > 50 units of bolt parts in 1997 — a grouped "
     "HAVING subquery feeding a left-semi join. The date+LIKE filters "
     "prune lineitem before its one shuffle (groupBy suppkey); the "
-    "resulting qualifying-supplier key set is tiny and broadcasts into "
+    "resulting qualifying-supplier key set is usually tiny — AQE "
+    "broadcasts it at runtime when it is — feeding "
     "the semi join against the nation-filtered supplier dim.",
 )
 def q20_bulk_bolt_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1110,7 +1122,7 @@ def q20_bulk_bolt_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
     qualifying = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("__qty"))
         .filter(F.col("__qty") > 50)
@@ -1118,7 +1130,7 @@ def q20_bulk_bolt_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
     )
 
@@ -1145,7 +1157,7 @@ GROUP BY s.s_name
     "both correlated self-joins; EXISTS(other supplier) == n_supp >= 2, "
     "NOT EXISTS(other R supplier) == n_r_supp == 1 given l1 itself is R. "
     "lineitem shuffles once on orderkey for the agg and reuses that "
-    "partitioning for the join back; supplier broadcasts.",
+    "partitioning for the join back; the supplier join is AQE-sized.",
 )
 def q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
@@ -1164,7 +1176,7 @@ def q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             per_order.filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1)),
             on="l_orderkey",
         )
-        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .join(s, l1.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -1191,7 +1203,8 @@ WHERE v.part_value > t.tv * 0.002
     "fraction of the NATION-wide total — the group-vs-global-scalar "
     "threshold family. One grouped aggregate, then a 1-row total that "
     "broadcasts back over the grouped result; the nation filter prunes "
-    "via the broadcast supplier dim before the only fact shuffle. "
+    "via the nation-filtered supplier key set before the only fact "
+    "shuffle (join strategy AQE-sized). "
     "Decimal partials; the threshold compare happens in double on an "
     "exactly-representable scaled integer (values < 2^53), identical "
     "on both engines.",
@@ -1204,7 +1217,7 @@ def q11_important_stock_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     val = (
-        li.join(F.broadcast(nation_supp), li.l_suppkey == F.col("s_suppkey"))
+        li.join(nation_supp, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum(

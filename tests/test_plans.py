@@ -79,7 +79,19 @@ def test_q1_partial_final_aggregate_and_filter_pushdown(spark, queries):
     assert any("LessThanOrEqual(l_shipdate" in p for p in pushed_filters(df))
 
 
-FACT_MARKERS = ("o_orderkey", "o_custkey", "c_custkey", "l_orderkey")
+FACT_MARKERS = (
+    "o_orderkey",
+    "o_custkey",
+    "c_custkey",
+    "l_orderkey",
+    # part (~1/30 of lineitem) and supplier (~1/600) grow linearly with
+    # SF too — TB/100s-GB at the 100 TB design point, far beyond any
+    # broadcast budget. Their join strategy is AQE's size-based call.
+    "p_partkey",
+    "s_suppkey",
+    "l_partkey",
+    "l_suppkey",
+)
 MULTI_JOIN_QUERIES = (
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -97,10 +109,12 @@ MULTI_JOIN_QUERIES = (
 
 
 def test_no_fact_table_broadcast_hints(spark, queries):
-    """Orders/customer/lineitem grow with scale factor: an explicit
-    F.broadcast on any of them OOMs at 100 TB no matter how well it
-    benches at sf0.1. Only true dims (region/nation/supplier/part) may
-    carry author hints; anything else is AQE's runtime call."""
+    """Every table that grows with scale factor — orders, customer,
+    lineitem, AND part (~1/30 of lineitem) and supplier (~1/600) — must
+    not carry an author F.broadcast: forced broadcast of a linear-in-SF
+    side OOMs at 100 TB no matter how well it benches at sf0.1. Only
+    bounded-by-construction sides (region, nation, scalar aggregates)
+    may be hinted; everything else is AQE's size-based runtime call."""
     for name in MULTI_JOIN_QUERIES:
         for hinted in broadcast_hinted_inputs(queries[name](spark, SF)):
             assert not any(m in hinted for m in FACT_MARKERS), (
@@ -122,11 +136,12 @@ def test_q3_filters_pushed_and_partial_agg(spark, queries):
 
 
 def test_q5_dims_broadcast_filters_pushed(spark, queries):
-    """Q5's scale contract: the three true dims (supplier, nation,
-    region) broadcast, the region filter is pushed to its scan, and the
-    aggregate is partial+final. The fact-fact joins are left to
-    Catalyst/AQE (shuffle at scale, broadcast at toy SF) — the old
-    'no SortMergeJoin anywhere' assertion pinned an anti-pattern."""
+    """Q5's scale contract: at sf0.01 at least three joins plan as
+    broadcast (nation/region by hint, supplier by AQE sizing), the
+    region filter is pushed to its scan, and the aggregate is
+    partial+final. All linear-in-SF joins are left to Catalyst/AQE
+    (shuffle at scale, broadcast at toy SF) — the old 'no SortMergeJoin
+    anywhere' assertion pinned an anti-pattern."""
     df = queries["q5_local_supplier_volume"](spark, SF)
     plan = plan_of(df)
     assert plan.count("BroadcastHashJoin") >= 3
@@ -135,9 +150,9 @@ def test_q5_dims_broadcast_filters_pushed(spark, queries):
 
 
 def test_q19_broadcast_only_join(spark, queries):
-    """Q19's OR-of-ANDs predicate must not force a sort-merge join or a
-    pre-split union of scans: one lineitem scan, part broadcast, residual
-    disjunction in codegen."""
+    """Q19's OR-of-ANDs predicate must not force a pre-split union of
+    scans: one lineitem scan, one part scan, residual disjunction in
+    codegen (at sf0.01 AQE sizes part to a broadcast; no author hint)."""
     plan = plan_of(queries["q19_discounted_revenue"](spark, SF))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
@@ -147,8 +162,8 @@ def test_q19_broadcast_only_join(spark, queries):
 
 def test_q7_dual_role_dim_broadcasts(spark, queries):
     """Q7 uses nation in two roles (supplier side, customer side): both
-    copies plus supplier broadcast; the shipdate filter pushes to the
-    lineitem scan. Customer/orders joins are AQE's call."""
+    bounded copies broadcast; the shipdate filter pushes to the
+    lineitem scan. Supplier/customer/orders joins are AQE's call."""
     df = queries["q7_volume_shipping"](spark, SF)
     plan = plan_of(df)
     assert plan.count("BroadcastHashJoin") >= 3
@@ -256,9 +271,7 @@ def test_q21_decorrelated_no_pair_explosion(spark, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 4  # per-order distinct + final count
-    # supplier is the only author-hinted broadcast
-    for hinted in broadcast_hinted_inputs(df):
-        assert "s_suppkey" in hinted
+    assert not broadcast_hinted_inputs(df)  # every join is AQE's call
 
 
 def test_funnel_single_user_shuffle_jvm_only(spark, queries):
