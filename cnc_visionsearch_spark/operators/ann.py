@@ -357,8 +357,12 @@ def sharded_topk_persisted(
     cand_ids = shards.mapInPandas(per_partition, schema=f"{id_col} bigint")
     emb = spark.read.parquet(f"{path}/shards")
     qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    # candidate side is bounded by construction (<= k rows per Arrow
+    # batch), but it hides behind a mapInPandas so Catalyst has no size
+    # estimate and would plan a sort-merge join shuffling the corpus —
+    # broadcast the provably-small side instead
     return (
-        cand_ids.join(emb, id_col)
+        F.broadcast(cand_ids).join(emb, id_col)
         .select(F.col(id_col), l2_sq(F.col(vec_col), qcol).alias("distance"))
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)

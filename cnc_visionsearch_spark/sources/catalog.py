@@ -36,12 +36,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
-    # events.ts is TIMESTAMP(NANOS) in the fixture; with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as bigint nanos —
-    # convert to a microsecond timestamp (lossless: fixture values are
-    # microsecond-precision; DuckDB oracles cast ts::TIMESTAMP the same way)
+    # Fixture timestamp columns have shipped in two physical flavors
+    # across driver rounds: TIMESTAMP(NANOS) (arrives as bigint nanos
+    # under the legacy conf above) and tz-naive timestamp[us] (arrives
+    # as TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ). Normalize
+    # both to a plain UTC TIMESTAMP so downstream code (casts to long,
+    # window(), lag/rolling frames) sees one type, and Spark's naive-UTC
+    # rendering agrees with the DuckDB oracle's naive timestamps.
     if "ts" in df.columns and dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
