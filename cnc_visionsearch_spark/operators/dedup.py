@@ -184,7 +184,7 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), *band_cols)
-    # explode to (id, band_id, band_sig); bucket-join on the band key
+    # explode to (id, band_id, band_sig); bucket on the band key
     stacked = banded.select(
         F.col(id_col),
         F.explode(
@@ -198,18 +198,39 @@ def minhash_lsh_pairs(
             )
         ).alias("bd"),
     ).select(id_col, "bd.band_id", "bd.band_sig")
-    left = stacked.select(
-        F.col(id_col).alias("id_a"), "band_id", "band_sig"
-    )
-    right = stacked.select(
-        F.col(id_col).alias("id_b"), "band_id", "band_sig"
+    # Pair generation via ONE group-by on the band key + in-bucket
+    # expansion, instead of a bucket self-join: a self-join re-executes
+    # the whole signature pipeline for its second input (broadcast
+    # exchanges are never reused across join sides), doubling the
+    # corpus scans. Bucket member lists are small by LSH design (a
+    # bucket is a near-dup group); a pathological mega-bucket would
+    # mean the corpus is mostly one duplicate cluster, where ANY
+    # pairwise formulation is quadratic.
+    buckets = (
+        stacked.groupBy("band_id", "band_sig")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
     candidates = (
-        left.join(right, ["band_id", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> "
+                    "named_struct('id_a', x, 'id_b', y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
+    # Materialization barrier: the candidate set is consumed three
+    # times downstream (id-set semi-join prune + the scoring fan-out).
+    # Without the barrier each broadcast consumer re-runs the whole
+    # signature job; with it the (tiny, bounded) pair table computes
+    # once — the same "persist the candidate table" step a production
+    # dedup pipeline runs between blocking and verification.
+    candidates = candidates.localCheckpoint(eager=True)
     verified = ngram_jaccard_pairs(
         df,
         text_col=text_col,
@@ -290,6 +311,10 @@ def ngram_jaccard_pairs(
             .distinct()
         )
         sh = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
+        # The pruned shingle table feeds four consumers (both join
+        # sides + both size lookups); checkpoint the small post-prune
+        # result so the corpus-wide explode runs once, not four times.
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
