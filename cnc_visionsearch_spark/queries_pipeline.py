@@ -1,0 +1,334 @@
+"""Training-data pipeline composites ([EXT], north-star surface): the
+corpus-preparation passes an LLM data pipeline runs between raw ingest
+and tokenization — repetition filtering, benchmark decontamination,
+stratified sampling, and source-mixture weighting — plus one k-means
+refinement step over the embedding store.
+
+Everything here composes the same scale primitives the rest of the
+engine uses (codegen expressions, explode + group-by keyed on doc_id,
+broadcast of bounded-by-construction sets) — no new physical shapes.
+The reference has no analog (its corpus is the id_mapping SQLite table,
+main.py:40-48); these are the operations its embedding/OCR outputs
+would feed at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.functions.text import (
+    hex_to_long,
+    shingles_from_tokens,
+    token_count,
+)
+from cnc_visionsearch_spark.queries_ann import _IVF_CTE, _NORM_CTE
+from cnc_visionsearch_spark.registry import register
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+# ------------------------------------------------------------------ helpers
+
+_TOKS_CTE = "toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)"
+
+# DuckDB trigram idiom kept in lockstep with queries_dedup._SHINGLES_3
+_TRIGRAMS = (
+    "list_distinct(list_transform(range(1, greatest(len(tk) - 2, 0) + 1), "
+    "j -> tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2]))"
+)
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", F.split("text", " ").alias("tk"))
+
+
+def _distinct_trigrams(df: DataFrame) -> DataFrame:
+    """(doc_id, gram) — each doc's DISTINCT token trigrams (same shape
+    as the dedup shingles; 8–13-grams in a real pipeline, 3 here so the
+    small-vocab fixtures produce measurable overlap)."""
+    toked = _tokens(df)
+    return toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_from_tokens("tk", 3))).alias("gram"),
+    )
+
+
+# ------------------------------------------------- repetition (Gopher-style)
+
+
+@register(
+    "doc_repetition_metrics",
+    oracle=f"""
+WITH {_TOKS_CTE},
+words AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+wc AS (SELECT doc_id, w, count(*) AS n FROM words GROUP BY doc_id, w),
+wtop AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+    CAST(max(n) AS BIGINT) AS top_word_n
+  FROM wc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                          j -> tk[j] || ' ' || tk[j+1])) AS b
+  FROM toks
+),
+bc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
+btop AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+    CAST(max(n) AS BIGINT) AS top_bigram_n
+  FROM bc GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_tokens, w.top_word_n, b.n_bigrams, b.top_bigram_n,
+  w.top_word_n / w.n_tokens AS top_word_frac,
+  b.top_bigram_n / b.n_bigrams AS top_bigram_frac,
+  (w.top_word_n / w.n_tokens <= 0.15
+   AND b.top_bigram_n / b.n_bigrams <= 0.08) AS keep
+FROM wtop w JOIN btop b USING (doc_id)
+""",
+    doc="Gopher/C4-style repetition filter: per-doc top-word and "
+    "top-bigram mass fractions + keep flag. Two explode+group-by "
+    "passes keyed on doc_id (the n-gram count shuffle carries "
+    "(doc_id, gram, count) — never text), joined on doc_id. Thresholds "
+    "(0.15 word / 0.08 bigram) sit at the fixture's upper quartile so "
+    "the flag actually splits the corpus.",
+)
+def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    wc = (
+        toks.select("doc_id", F.explode("tk").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wtop = wc.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"), F.max("n").alias("top_word_n")
+    )
+    bc = (
+        toks.select("doc_id", F.explode(shingles_from_tokens("tk", 2)).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    btop = bc.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bigram_n")
+    )
+    twf = F.col("top_word_n") / F.col("n_tokens")
+    tbf = F.col("top_bigram_n") / F.col("n_bigrams")
+    return wtop.join(btop, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "top_word_n",
+        "n_bigrams",
+        "top_bigram_n",
+        twf.alias("top_word_frac"),
+        tbf.alias("top_bigram_frac"),
+        ((twf <= 0.15) & (tbf <= 0.08)).alias("keep"),
+    )
+
+
+# ------------------------------------------------------- decontamination
+
+
+@register(
+    "doc_decontamination_overlap",
+    oracle=f"""
+WITH {_TOKS_CTE},
+grams AS (SELECT doc_id, {_TRIGRAMS} AS g FROM toks),
+bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 0),
+corp AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 97 != 0),
+tot AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams
+        FROM grams WHERE doc_id % 97 != 0),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         FROM corp JOIN bench USING (gram) GROUP BY doc_id)
+SELECT t.doc_id, t.n_grams,
+  COALESCE(h.n_hit, 0) AS n_hit,
+  COALESCE(h.n_hit, 0) / t.n_grams AS contamination_frac,
+  (COALESCE(h.n_hit, 0) / t.n_grams >= 0.05) AS flagged
+FROM tot t LEFT JOIN hits h USING (doc_id)
+""",
+    doc="Benchmark decontamination: n-gram overlap of every training "
+    "doc against the held-out set (doc_id %% 97 — stand-in for an eval "
+    "benchmark). Benchmark grams are bounded by construction (the "
+    "benchmark is fixed and small) -> broadcast; the corpus side is "
+    "one explode + broadcast-hash semi-count, no corpus shuffle. Real "
+    "pipelines use 8-13-grams; 3 here for fixture-vocab sensitivity.",
+)
+def doc_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 97 == 0
+    bench_grams = (
+        _distinct_trigrams(d.filter(is_bench)).select("gram").distinct()
+    )
+    corp = _distinct_trigrams(d.filter(~is_bench))
+    totals = corp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corp.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    frac = F.col("n_hit") / F.col("n_grams")
+    return (
+        totals.join(hits, "doc_id", "left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            frac.alias("contamination_frac"),
+            (frac >= 0.05).alias("flagged"),
+        )
+    )
+
+
+# ---------------------------------------------------- stratified sampling
+
+_SAMPLE_PERMILLE = {"en": 150, "es": 400, "de": 500, "fr": 650, "zh": 300}
+
+
+@register(
+    "doc_stratified_sample",
+    oracle=f"""
+WITH rates(lang, permille) AS (VALUES {", ".join(
+        f"('{k}', {v})" for k, v in sorted(_SAMPLE_PERMILLE.items())
+    )}),
+tagged AS (
+  SELECT d.doc_id, d.lang, r.permille,
+    (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000
+     < r.permille) AS sampled
+  FROM documents d JOIN rates r USING (lang)
+)
+SELECT lang, CAST(max(permille) AS BIGINT) AS permille,
+  CAST(count(*) AS BIGINT) AS n_total,
+  CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+  CAST(min(CASE WHEN sampled THEN doc_id END) AS BIGINT) AS min_sampled,
+  CAST(max(CASE WHEN sampled THEN doc_id END) AS BIGINT) AS max_sampled
+FROM tagged GROUP BY lang
+""",
+    doc="Deterministic stratified sampling: per-language keep rates "
+    "(down-weight the dominant lang, up-weight the tails — the "
+    "rebalancing every multilingual corpus does) decided by a pure "
+    "hash of the doc id, so the sample is reproducible across runs "
+    "and engines, needs no RNG state, and is embarrassingly parallel "
+    "(a projection; the only shuffle is the per-stratum audit agg). "
+    "Membership hash = md5(doc_id)[0:8] %% 1000 < rate_permille.",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin(*_SAMPLE_PERMILLE)  # match the oracle's inner join
+    )
+    rate = F.create_map(
+        *[F.lit(x) for kv in _SAMPLE_PERMILLE.items() for x in kv]
+    )[F.col("lang")]
+    u = hex_to_long(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8)
+    )
+    tagged = d.select(
+        "doc_id", "lang", rate.alias("permille"), (u % 1000 < rate).alias("sampled")
+    )
+    sampled_id = F.when(F.col("sampled"), F.col("doc_id"))
+    return tagged.groupBy("lang").agg(
+        F.max("permille").cast("bigint").alias("permille"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("sampled").cast("int")).alias("n_sampled"),
+        F.min(sampled_id).alias("min_sampled"),
+        F.max(sampled_id).alias("max_sampled"),
+    )
+
+
+# ----------------------------------------------------- mixture weighting
+
+
+@register(
+    "doc_mixture_weights",
+    oracle="""
+WITH per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+  n_tokens / SUM(n_tokens) OVER () AS token_share,
+  least((1.0 / COUNT(*) OVER ()) / (n_tokens / SUM(n_tokens) OVER ()), 3.0)
+    AS mix_weight
+FROM per_source
+""",
+    doc="Source-mixture weighting: per-source token mass -> sampling "
+    "weight that moves the mix toward uniform-over-sources, capped at "
+    "3x (the cap every mixture schedule applies so tail domains are "
+    "not oversampled into repetition). One scan + one tiny agg; the "
+    "window functions run over |sources| rows on one partition — "
+    "deliberately, since the per-source table is dimension-sized.",
+)
+def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        F.least(target / share, F.lit(3.0)).alias("mix_weight"),
+    )
+
+
+# --------------------------------------------------- k-means refinement
+
+
+@register(
+    "emb_kmeans_refine",
+    oracle=f"""
+WITH {_NORM_CTE}, {_IVF_CTE},
+memb AS (
+  SELECT cell_id, unnest(range(1, len(nvec) + 1)) - 1 AS dim,
+    unnest(nvec) AS x
+  FROM assigned
+),
+newc AS (
+  SELECT cell_id, dim, CAST(count(*) AS BIGINT) AS n_members,
+    CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS new_c
+  FROM memb GROUP BY cell_id, dim
+),
+oldc AS (
+  SELECT cell_id, unnest(range(1, len(centroid) + 1)) - 1 AS dim,
+    unnest(centroid) AS old_c
+  FROM centroids
+)
+SELECT n.cell_id, n.dim, n.n_members, o.old_c, n.new_c
+FROM newc n JOIN oldc o ON n.cell_id = o.cell_id AND n.dim = o.dim
+""",
+    doc="One Lloyd iteration over the IVF coarse quantizer: assign "
+    "every vector to its nearest stride centroid, recompute per-cell "
+    "per-dimension means (decimal-summed -> order-independent), emit "
+    "(cell, dim, n_members, old_c, new_c). The building block an "
+    "offline codebook-training job loops; one scan + one (cell_id, "
+    "dim) agg shuffle of scalar doubles, old codebook broadcast back "
+    "for the delta. Iterating = re-running with the emitted centroids.",
+)
+def emb_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.ann import ivf_assign, ivf_centroids
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    cents = ivf_centroids(emb, 8)
+    assigned = ivf_assign(emb, cents)
+    memb = assigned.select("cell_id", F.posexplode("nvec").alias("dim", "x"))
+    newc = memb.groupBy("cell_id", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (
+            F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("new_c"),
+    )
+    oldc = cents.select(
+        "cell_id", F.posexplode("centroid").alias("dim", "old_c")
+    )
+    return newc.join(F.broadcast(oldc), ["cell_id", "dim"]).select(
+        "cell_id", "dim", "n_members", "old_c", "new_c"
+    )

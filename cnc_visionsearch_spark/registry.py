@@ -85,6 +85,7 @@ def _load_all() -> None:
         queries_dedup,
         queries_relational,
         queries_text,
+        queries_pipeline,
         queries_events,
         queries_multimodal,
     )

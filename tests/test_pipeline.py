@@ -1,0 +1,70 @@
+"""Training-data pipeline composites (queries_pipeline): semantic
+invariants the oracle hash can't see — flags actually split the
+corpus, sampling is deterministic, mixture weights are a valid
+schedule, the Lloyd step conserves membership mass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.queries_pipeline import (
+    doc_decontamination_overlap,
+    doc_mixture_weights,
+    doc_repetition_metrics,
+    doc_stratified_sample,
+    emb_kmeans_refine,
+)
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_repetition_flag_splits_corpus(spark):
+    rows = doc_repetition_metrics(spark, SF).collect()
+    assert len(rows) == load_table(spark, SF, "documents").count()
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows), "threshold should partition, not rubber-stamp"
+    for r in rows:
+        assert 0 < r.top_word_frac <= 1 and 0 < r.top_bigram_frac <= 1
+        assert r.top_word_n <= r.n_tokens and r.top_bigram_n <= r.n_bigrams
+
+
+def test_decontamination_excludes_benchmark_and_bounds(spark):
+    rows = doc_decontamination_overlap(spark, SF).collect()
+    assert rows and all(r.doc_id % 97 != 0 for r in rows)
+    assert all(0 <= r.n_hit <= r.n_grams for r in rows)
+    assert any(r.n_hit > 0 for r in rows), "fixture near-dups should overlap"
+    # flag agrees with the fraction it is derived from
+    for r in rows:
+        assert r.flagged == (r.contamination_frac >= 0.05)
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    a = sorted(doc_stratified_sample(spark, SF).collect())
+    b = sorted(doc_stratified_sample(spark, SF).collect())
+    assert a == b, "hash-based sampling must be reproducible"
+    for r in a:
+        assert 0 < r.n_sampled < r.n_total  # rates are all in (0, 1)
+        # observed rate lands near the configured permille (binomial-ish)
+        assert abs(r.n_sampled / r.n_total - r.permille / 1000) < 0.15
+
+
+def test_mixture_weights_valid_schedule(spark):
+    rows = doc_mixture_weights(spark, SF).collect()
+    assert len(rows) == 20
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9
+    assert all(0 < r.mix_weight <= 3.0 for r in rows)
+
+
+def test_kmeans_refine_conserves_membership(spark):
+    rows = emb_kmeans_refine(spark, SF).collect()
+    n_vec = load_table(spark, SF, "embeddings").count()
+    dims = {r.dim for r in rows}
+    assert dims == set(range(64))
+    # every vector lands in exactly one cell: per-dim membership sums
+    # to the corpus size
+    for d in (0, 31, 63):
+        assert sum(r.n_members for r in rows if r.dim == d) == n_vec
+    # one Lloyd step from a stride codebook must actually move it
+    assert any(abs(r.new_c - r.old_c) > 1e-12 for r in rows)
