@@ -58,6 +58,9 @@ __all__ = [
     "sharded_topk_persisted",
     "mllib_lsh_model",
     "mllib_lsh_topk",
+    "pq_subvectors",
+    "pq_codebook",
+    "pq_assign",
 ]
 
 
@@ -498,3 +501,74 @@ def mllib_lsh_topk(
         F.col(id_col),
         (F.col("eucl") * F.col("eucl")).alias("distance"),
     ).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+
+
+# --------------------------------------------------- product quantization
+
+
+def pq_subvectors(
+    df: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "nvec",
+    out_col: str = "sv",
+) -> DataFrame:
+    """(id, sub_j, sv) — each vector split into ``m`` contiguous
+    subvectors (dim/m components each). The decomposition step of
+    product quantization [Jegou et al., PQ for NN search, TPAMI'11]:
+    quantizing subspaces independently gives m*log2(k*) bits/vector
+    with k*^m effective codewords.
+    """
+    subs = F.expr(
+        f"transform(sequence(0, {m - 1}), "
+        f"j -> struct(j AS sub_j, slice({vec_col}, j * int(size({vec_col}) / {m}) + 1, "
+        f"int(size({vec_col}) / {m})) AS sv))"
+    )
+    return df.select(F.col(id_col), F.explode(subs).alias("s")).select(
+        id_col, F.col("s.sub_j").alias("sub_j"), F.col("s.sv").alias(out_col)
+    )
+
+
+def pq_codebook(
+    centroid_vectors: DataFrame,
+    m: int = 8,
+    code_col: str = "cell_id",
+    vec_col: str = "centroid",
+) -> DataFrame:
+    """(code, sub_j, cv) — per-subspace codebook derived from the same
+    deterministic stride-sampled vectors the IVF tier uses as
+    centroids (:func:`ivf_centroids`): codeword ``c`` of subspace ``j``
+    is subvector ``j`` of stride-vector ``c``. A trained PQ codebook
+    (k-means per subspace) drops into the identical (code, sub_j, cv)
+    shape; only codeword quality differs, never the query plan.
+    """
+    return pq_subvectors(
+        centroid_vectors, m, id_col=code_col, vec_col=vec_col, out_col="cv"
+    ).select(F.col(code_col).alias("code"), "sub_j", "cv")
+
+
+def pq_assign(
+    emb: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "nvec",
+) -> DataFrame:
+    """(id, sub_j, code) — nearest codeword per (vector, subspace).
+
+    One corpus scan: subvector explode (m rows/vector of dim/m doubles)
+    → broadcast join with the m*k*-row codebook → min(struct(dist,
+    code)) per (id, subspace), ties by code. No corpus shuffle beyond
+    the (id, sub_j) aggregate; at 100 TB the emitted code table is
+    m bytes/vector — the 32x compression that makes exhaustive ADC
+    scans affordable.
+    """
+    subs = pq_subvectors(emb, m, id_col, vec_col)
+    scored = subs.join(F.broadcast(codebook), "sub_j").select(
+        F.col(id_col),
+        "sub_j",
+        F.struct(l2_sq("sv", "cv").alias("d"), F.col("code").alias("c")).alias("dc"),
+    )
+    return scored.groupBy(id_col, "sub_j").agg(
+        F.min("dc")["c"].alias("code")
+    )

@@ -396,3 +396,142 @@ def ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# --------------------------------------------------- product quantization
+
+# PQ oracle building blocks: m=8 subspaces of dim/8 components; codebook
+# = subvectors of the stride centroids (same deterministic quantizer as
+# IVF); assignment = lexicographic-min (distance, code). DuckDB list
+# slices are 1-based end-INCLUSIVE: v[j*w+1 : j*w+w].
+_PQ_M = 8
+_PQ_CTE = f"""
+w AS (SELECT CAST(len(nvec) // {_PQ_M} AS INT) AS w FROM normed LIMIT 1),
+subs AS (
+  SELECT vec_id, j.j AS sub_j, nvec[j.j*w+1 : j.j*w+w] AS sv
+  FROM normed, w, (SELECT unnest(range({_PQ_M})) AS j) j
+),
+cbsubs AS (
+  SELECT cell_id AS code, j.j AS sub_j, centroid[j.j*w+1 : j.j*w+w] AS cv
+  FROM centroids, w, (SELECT unnest(range({_PQ_M})) AS j) j
+),
+codes AS (
+  SELECT vec_id, sub_j,
+    min(struct_pack(d := {_L2SQ.format(a="sv", b="cv")}, c := code)).c AS code
+  FROM subs JOIN cbsubs USING (sub_j)
+  GROUP BY vec_id, sub_j
+)
+"""
+
+
+@register(
+    "ann_pq_code_histogram",
+    oracle=f"""
+WITH {_NORM_CTE}, {_IVF_CTE}, {_PQ_CTE}
+SELECT sub_j, code, CAST(count(*) AS BIGINT) AS n_vectors,
+  CAST(min(vec_id) AS BIGINT) AS sample_id
+FROM codes GROUP BY sub_j, code
+""",
+    doc="Product-quantization code assignment (Jegou et al. TPAMI'11) "
+    "over the stride codebook: per-(subspace, codeword) population — "
+    "the codebook-utilization audit a PQ build job emits. One corpus "
+    "scan: subvector explode -> broadcast m*k*-row codebook -> "
+    "min(struct(dist, code)) per (vector, subspace); the code table "
+    "out is m bytes/vector (32x compression at dim=64/fp32). "
+    "Deterministic: codebook is the IVF stride quantizer, ties break "
+    "lexicographically on (distance, code) via struct min.",
+)
+def ann_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.ann import (
+        ivf_centroids,
+        pq_assign,
+        pq_codebook,
+    )
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    cb = pq_codebook(ivf_centroids(emb, 8), m=_PQ_M)
+    codes = pq_assign(emb, cb, m=_PQ_M)
+    return codes.groupBy("sub_j", "code").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("sample_id"),
+    )
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+WITH {_NORM_CTE}, {_IVF_CTE}, {_PQ_CTE},
+q AS (SELECT nvec AS qv FROM normed WHERE vec_id = 7),
+qsubs AS (
+  SELECT c.sub_j, c.code, c.cv, qv[c.sub_j*w+1 : c.sub_j*w+w] AS qsv
+  FROM cbsubs c, q, w
+),
+qd AS (
+  SELECT sub_j, code, {_L2SQ.format(a="cv", b="qsv")} AS qdist
+  FROM qsubs
+),
+est AS (
+  SELECT vec_id,
+    CAST(SUM(CAST(qdist AS DECIMAL(27,12))) AS DOUBLE) AS adc
+  FROM codes JOIN qd USING (sub_j, code)
+  GROUP BY vec_id
+),
+cand AS (
+  SELECT vec_id FROM est ORDER BY adc ASC, vec_id ASC LIMIT 40
+)
+SELECT n.vec_id, {_L2SQ.format(a="n.nvec", b="q.qv")} AS distance
+FROM normed n JOIN cand USING (vec_id), q
+ORDER BY distance ASC, n.vec_id ASC
+LIMIT 10
+""",
+    doc="PQ asymmetric-distance (ADC) search: the query stays "
+    "full-precision, every corpus vector is its m-byte code, and the "
+    "estimated distance is a sum of m table lookups — the classic "
+    "memory-bound ANN scan (Jegou et al. TPAMI'11). Plan: the m*k* "
+    "lookup table (query-vs-codeword distances) is computed once and "
+    "broadcast; the corpus-side scan touches ONLY the code table "
+    "(m bytes/vector, 32x less I/O than raw vectors); ADC top-40 "
+    "candidates are re-scored fp64 for the exact final 10 — same "
+    "candidates-then-rescore composition as the int8 and IVF tiers. "
+    "ADC terms are decimal-summed so the estimate is "
+    "order-independent.",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import l2_sq
+    from cnc_visionsearch_spark.operators.ann import (
+        ivf_centroids,
+        pq_assign,
+        pq_codebook,
+    )
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    cb = pq_codebook(ivf_centroids(emb, 8), m=_PQ_M)
+    codes = pq_assign(emb, cb, m=_PQ_M)
+    q = _norm_query_vec(spark, sf_dir, 7)
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    w = len(q) // _PQ_M
+    # query-vs-codeword lookup table: m*k* rows, computed once, broadcast
+    qd = cb.select(
+        "sub_j",
+        "code",
+        l2_sq(
+            F.col("cv"),
+            F.slice(qcol, F.col("sub_j") * w + 1, w),
+        ).alias("qdist"),
+    )
+    est = (
+        codes.join(F.broadcast(qd), ["sub_j", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("qdist").cast("decimal(27,12)"))
+            .cast("double")
+            .alias("adc")
+        )
+    )
+    cand = est.orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(40)
+    return (
+        emb.join(F.broadcast(cand.select("vec_id")), "vec_id")
+        .select("vec_id", l2_sq("nvec", qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -163,3 +163,40 @@ def test_int8_rescore_matches_exact_topk(spark):
         .collect()
     ]
     assert [v for v, _ in got] == [v for v, _ in want]
+
+
+def test_pq_assign_structure(spark, emb):
+    """PQ code table: exactly m rows per vector, codes within the
+    codebook range, deterministic across runs."""
+    from cnc_visionsearch_spark.operators.ann import ivf_centroids, pq_assign, pq_codebook
+
+    cb = pq_codebook(ivf_centroids(emb, 8), m=8)
+    codes = pq_assign(emb, cb, m=8)
+    n_vec = emb.count()
+    assert codes.count() == n_vec * 8
+    per_vec = codes.groupBy("vec_id").count().filter(F.col("count") != 8).count()
+    assert per_vec == 0
+    rng = codes.agg(F.min("code"), F.max("code"), F.min("sub_j"), F.max("sub_j")).first()
+    assert rng[0] >= 0 and rng[1] <= 7 and rng[2] == 0 and rng[3] == 7
+    a = sorted(map(tuple, codes.collect()))
+    b = sorted(map(tuple, pq_assign(emb, cb, m=8).collect()))
+    assert a == b
+
+
+def test_pq_adc_recall_floor(spark):
+    """ADC candidates + exact re-score: recall@10 vs the exact tier.
+    The stride codebook is untrained (k*=8 codewords per subspace on
+    near-uniform random fixtures), so the gate is a floor documenting
+    expected behavior, not the >=0.9 a trained codebook reaches on
+    clustered data."""
+    from cnc_visionsearch_spark.registry import all_queries
+
+    qs = all_queries()
+    got = {r.vec_id for r in qs["ann_pq_adc_topk"](spark, SF_01).collect()}
+    emb_n = with_normalized(load_table(spark, SF_01, "embeddings"))
+    q = _norm_q(emb_n, 7)
+    exact = set(_ids(knn_single(emb_n, q, k=K, normalize_query=False)))
+    r = len(got & exact) / K
+    assert r >= 0.3, f"PQ ADC recall@10 {r} < 0.3"
+    # the self-match must survive quantization: vec 7 is its own query
+    assert 7 in got
