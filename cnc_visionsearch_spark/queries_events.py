@@ -541,3 +541,73 @@ def events_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER ({frame}) AS DOUBLE)"
         ).alias("sum_1h"),
     )
+
+
+@register(
+    "events_gapfill_locf",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value FROM events),
+p AS (
+  SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS day,
+    max(struct_pack(ts := ts, eid := event_id, v := value)).v AS day_value
+  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM p GROUP BY 1),
+spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM bounds
+),
+joined AS (
+  SELECT s.user_id, s.day, p.day_value, (p.day_value IS NULL) AS is_gap
+  FROM spine s LEFT JOIN p USING (user_id, day)
+)
+SELECT user_id, day, is_gap,
+  last_value(day_value IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+FROM joined
+""",
+    doc="Time-series regularization: per-user daily purchase series with "
+    "gap-filling by last-observation-carried-forward — the resample "
+    "step before any per-entity ML featurization. Plan: daily "
+    "downsample agg (last event per day via lexicographic struct max) "
+    "-> per-user date spine via sequence()+explode (no driver loop, no "
+    "cross join against a calendar table) -> left join + "
+    "last(ignorenulls) window. Everything keys on user_id: one "
+    "shuffle, bounded per-user state, linear at 100 TB.",
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.max(
+                F.struct(F.col("ts"), F.col("event_id"), F.col("value").alias("v"))
+            )["v"].alias("day_value")
+        )
+    )
+    spine = (
+        p.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(p, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("day_value").isNull().alias("is_gap"),
+            F.last("day_value", ignorenulls=True).over(w).alias("value"),
+        )
+    )

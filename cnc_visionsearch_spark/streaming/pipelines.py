@@ -39,6 +39,7 @@ __all__ = [
     "session_window_stream",
     "streaming_upsert_sink",
     "dedup_event_stream",
+    "purchase_after_error_stream",
     "lsh_ingest_stream",
     "read_id_mapping",
 ]
@@ -124,6 +125,53 @@ def dedup_event_stream(
     """
     keys = keys or ["event_id"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def purchase_after_error_stream(
+    purchases: DataFrame,
+    errors: DataFrame,
+    lo_seconds: int = 0,
+    hi_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: purchases within [lo, hi] seconds
+    after an error by the same user — the streaming twin of the batch
+    range join (operators/skew.py::range_join_bucketed, same
+    predicate as `events_range_purchases_after_error`).
+
+    Both sides carry a watermark and the join condition bounds event
+    time on both inputs, so Spark derives state-eviction horizons for
+    BOTH join buffers (a stream-stream join without time bounds buffers
+    forever — the unbounded-state trap). State per side ≈ watermark
+    horizon × arrival rate, keyed on user_id: bounded, shardable,
+    skew-splittable — the only stream-stream join shape that survives
+    an unbounded source.
+    """
+    e = (
+        errors.filter(F.col("event_type") == "error")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id"),
+            F.col("ts").alias("error_ts"),
+        )
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+    )
+    return e.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("error_ts") + F.expr(f"INTERVAL {lo_seconds} SECONDS"))
+        & (F.col("purchase_ts") <= F.col("error_ts") + F.expr(f"INTERVAL {hi_seconds} SECONDS")),
+    ).select("error_id", "user_id", "error_ts", "purchase_id", "purchase_ts", "value")
 
 
 def lsh_ingest_stream(

@@ -423,3 +423,57 @@ def test_streaming_funnel_converges_to_batch(spark, tmp_path):
         for r in all_queries()["events_funnel_conversion"](spark, SF).collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (purchases within 1h
+    after an error, same user) must emit exactly the batch join's rows
+    once the replay drains — both inputs replayed out of order across
+    chunks to exercise the state buffers."""
+    from cnc_visionsearch_spark.streaming.pipelines import (
+        purchase_after_error_stream,
+    )
+
+    events = load_table(spark, SF, "events").limit(3000)
+    # contiguous time-range chunks: the watermark advances monotonically
+    # (an interleaved replay would — correctly — drop cross-chunk rows
+    # as beyond-watermark late data; see test_watermark_drops_late)
+    day = F.dayofmonth("ts")
+    chunks = [
+        events.filter((day >= 1 + 10 * i) & (day <= 10 * (i + 1))) for i in range(3)
+    ]
+    stream_dir = _write_chunks(spark, str(tmp_path), chunks)
+
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        purchase_after_error_stream(stream, stream)
+        .writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.error_id, r.purchase_id)
+        for r in spark.sql("select * from ss_join_test").collect()
+    }
+
+    e = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("ets")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r.error_id, r.purchase_id)
+        for r in e.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") >= F.col("ets"))
+            & (F.col("pts") <= F.col("ets") + F.expr("INTERVAL 3600 SECONDS")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
