@@ -296,3 +296,36 @@ def test_int8_rescore_is_double_topk_no_shuffle(spark, queries):
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontamination_broadcasts_benchmark_no_smj(spark, queries):
+    """Decontamination: the (bounded) benchmark gram set must broadcast;
+    the corpus side must never sort-merge."""
+    plan = plan_of(queries["doc_decontamination_overlap"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_is_projection_plus_one_agg(spark, queries):
+    """Hash sampling must be a pure projection: no join, no window —
+    the only exchange feeds the per-stratum audit aggregate."""
+    plan = plan_of(queries["doc_stratified_sample"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Window" not in plan
+
+
+def test_pq_assign_broadcasts_codebook(spark, queries):
+    """PQ code assignment: the m*k*-row codebook broadcasts; the corpus
+    subvector explode must never shuffle into a sort-merge join."""
+    plan = plan_of(queries["ann_pq_code_histogram"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_refine_broadcasts_old_codebook(spark, queries):
+    """Lloyd step: old-centroid join side is n_cells*d rows — broadcast,
+    never a corpus-wide exchange on the join."""
+    plan = plan_of(queries["emb_kmeans_refine"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
