@@ -332,3 +332,135 @@ def emb_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return newc.join(F.broadcast(oldc), ["cell_id", "dim"]).select(
         "cell_id", "dim", "n_members", "old_c", "new_c"
     )
+
+
+# --------------------------------------------- composed sampling schedule
+
+
+@register(
+    "doc_mixture_applied_sample",
+    oracle="""
+WITH per_source AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+weights AS (
+  SELECT source,
+    least((1.0 / COUNT(*) OVER ()) / (n_tokens / SUM(n_tokens) OVER ()), 3.0)
+      AS mix_weight
+  FROM per_source
+),
+tagged AS (
+  SELECT d.doc_id, d.source, w.mix_weight,
+    (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)
+      / 1000000.0 < w.mix_weight * 0.25 AS sampled
+  FROM documents d JOIN weights w USING (source)
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_total,
+  CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+  max(mix_weight) AS mix_weight
+FROM tagged GROUP BY source
+""",
+    doc="The mixture schedule APPLIED: per-source weight (uniform-target, "
+    "3x-capped — same formula as doc_mixture_weights) scaled by a base "
+    "rate of 0.25 becomes each doc's keep probability, decided by the "
+    "deterministic doc-id hash. Composes the weighting and sampling "
+    "operators into the actual corpus-construction pass; the weight "
+    "table is dimension-sized (broadcast), membership is a projection, "
+    "and the same hash makes the draw reproducible across runs and "
+    "backfills.",
+)
+def doc_mixture_applied_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(token_count("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    weights = per_source.select(
+        "source",
+        F.least((F.lit(1.0) / F.count(F.lit(1)).over(w)) / share, F.lit(3.0)).alias(
+            "mix_weight"
+        ),
+    )
+    u = (
+        hex_to_long(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8)
+        )
+        % 1000000
+    ) / F.lit(1000000.0)
+    tagged = d.join(F.broadcast(weights), "source").select(
+        "doc_id", "source", "mix_weight", (u < F.col("mix_weight") * 0.25).alias("sampled")
+    )
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("sampled").cast("int")).alias("n_sampled"),
+        F.max("mix_weight").alias("mix_weight"),
+    )
+
+
+# ------------------------------------------------ PCA power iteration
+
+
+@register(
+    "embedding_pca_power_iter",
+    oracle="""
+WITH normed AS (
+  SELECT vec_id,
+    list_transform(
+      embedding::DOUBLE[],
+      x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))
+    ) AS nvec
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, nvec,
+    list_sum(list_transform(nvec, x -> x * 0.125)) AS p
+  FROM normed
+),
+terms AS (
+  SELECT unnest(range(1, len(nvec) + 1)) - 1 AS dim,
+    unnest(list_transform(nvec, x -> x * p)) AS t
+  FROM proj
+),
+s AS (
+  SELECT dim, CAST(SUM(CAST(t AS DECIMAL(27,12))) AS DOUBLE) AS s
+  FROM terms GROUP BY dim
+)
+SELECT dim, s,
+  s / sqrt(CAST(SUM(CAST(s * s AS DECIMAL(30,12))) OVER () AS DOUBLE))
+    AS loading
+FROM s
+""",
+    doc="One PCA power-iteration step over the (uncentered) Gram matrix: "
+    "v1 = normalize(sum_x (x . v0) x) with v0 = the uniform unit vector "
+    "(1/8 per component at d=64 — exact in binary). The building block "
+    "of distributed top-eigenvector extraction: each step is ONE corpus "
+    "scan (the d x d covariance is never materialized), a (dim)-keyed "
+    "agg of d scalar terms per row, and a d-row normalization window. "
+    "Deterministic: projections are sequential folds, per-dim sums are "
+    "exact decimal, so the iterate matches DuckDB bit-for-bit.",
+)
+def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cnc_visionsearch_spark.functions.vector import dot
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    v0 = F.array(*[F.lit(0.125)] * 64).cast("array<double>")
+    proj = emb.select("vec_id", "nvec", dot(F.col("nvec"), v0).alias("p"))
+    terms = proj.select(
+        F.posexplode(F.expr("transform(nvec, x -> x * p)")).alias("dim", "t")
+    )
+    s = terms.groupBy("dim").agg(
+        F.sum(F.col("t").cast("decimal(27,12)")).cast("double").alias("s")
+    )
+    w = Window.partitionBy()
+    norm = F.sqrt(
+        F.sum((F.col("s") * F.col("s")).cast("decimal(30,12)")).over(w).cast("double")
+    )
+    return s.select("dim", "s", (F.col("s") / norm).alias("loading"))

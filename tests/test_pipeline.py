@@ -68,3 +68,24 @@ def test_kmeans_refine_conserves_membership(spark):
         assert sum(r.n_members for r in rows if r.dim == d) == n_vec
     # one Lloyd step from a stride codebook must actually move it
     assert any(abs(r.new_c - r.old_c) > 1e-12 for r in rows)
+
+
+def test_mixture_applied_sample_tracks_weights(spark):
+    from cnc_visionsearch_spark.queries_pipeline import doc_mixture_applied_sample
+
+    rows = doc_mixture_applied_sample(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r.n_sampled <= r.n_total
+        # observed rate near weight * base_rate (loose binomial bound)
+        assert abs(r.n_sampled / r.n_total - min(r.mix_weight * 0.25, 1.0)) < 0.25
+
+
+def test_pca_power_iter_unit_norm_and_determinism(spark):
+    from cnc_visionsearch_spark.queries_pipeline import embedding_pca_power_iter
+
+    rows = embedding_pca_power_iter(spark, SF).collect()
+    assert len(rows) == 64
+    assert abs(sum(r.loading ** 2 for r in rows) - 1.0) < 1e-9
+    again = embedding_pca_power_iter(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
