@@ -524,9 +524,15 @@ def pq_subvectors(
         f"j -> struct(j AS sub_j, slice({vec_col}, j * int(size({vec_col}) / {m}) + 1, "
         f"int(size({vec_col}) / {m})) AS sv))"
     )
-    return df.select(F.col(id_col), F.explode(subs).alias("s")).select(
-        id_col, F.col("s.sub_j").alias("sub_j"), F.col("s.sv").alias(out_col)
+    # dim % m != 0 would silently drop the trailing dimensions from
+    # every code and ADC estimate — fail loudly instead
+    chk = F.assert_true(
+        F.size(F.col(vec_col)) % m == 0,
+        F.lit(f"pq_subvectors: vector dim must be divisible by m={m}"),
     )
+    return df.select(
+        F.col(id_col), F.explode(F.when(chk.isNull(), subs)).alias("s")
+    ).select(id_col, F.col("s.sub_j").alias("sub_j"), F.col("s.sv").alias(out_col))
 
 
 def pq_codebook(

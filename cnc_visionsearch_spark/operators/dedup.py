@@ -229,8 +229,11 @@ def minhash_lsh_pairs(
     # Without the barrier each broadcast consumer re-runs the whole
     # signature job; with it the (tiny, bounded) pair table computes
     # once — the same "persist the candidate table" step a production
-    # dedup pipeline runs between blocking and verification.
-    candidates = candidates.localCheckpoint(eager=True)
+    # dedup pipeline runs between blocking and verification. Lazy
+    # (eager=False) so building/explaining the query stays job-free;
+    # the first action materializes, later consumers reuse, and the
+    # ContextCleaner unpersists the blocks when the plan is GC'd.
+    candidates = candidates.localCheckpoint(eager=False)
     verified = ngram_jaccard_pairs(
         df,
         text_col=text_col,
@@ -313,8 +316,9 @@ def ngram_jaccard_pairs(
         sh = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
         # The pruned shingle table feeds four consumers (both join
         # sides + both size lookups); checkpoint the small post-prune
-        # result so the corpus-wide explode runs once, not four times.
-        sh = sh.localCheckpoint(eager=True)
+        # result so the corpus-wide explode runs once, not four times
+        # (lazy: no job until the query itself runs).
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

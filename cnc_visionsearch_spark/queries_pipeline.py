@@ -21,10 +21,16 @@ from cnc_visionsearch_spark.functions.text import (
     hex_to_long,
     shingles_from_tokens,
     token_count,
+    tokens,
 )
-from cnc_visionsearch_spark.queries_ann import _IVF_CTE, _NORM_CTE
+from cnc_visionsearch_spark.queries_ann import _DIM, _IVF_CTE, _NORM_CTE
 from cnc_visionsearch_spark.registry import register
 from cnc_visionsearch_spark.sources.catalog import load_table
+
+# power-iteration start vector: the uniform unit vector, one component
+# repeated d times. Both engines parse the identical repr() text, so
+# the double is bit-identical even when 1/sqrt(d) is not exact binary.
+_V0 = 1.0 / (_DIM ** 0.5)
 
 # ------------------------------------------------------------------ helpers
 
@@ -38,7 +44,58 @@ _TRIGRAMS = (
 
 
 def _tokens(df: DataFrame) -> DataFrame:
-    return df.select("doc_id", F.split("text", " ").alias("tk"))
+    return df.select("doc_id", tokens("text").alias("tk"))
+
+
+def _doc_hash_unit(permille_mod: int = 1000):
+    """Deterministic per-doc uniform draw: md5(doc_id)[0:8] mod N —
+    the single hash every sampling operator here keys membership on
+    (SQL twin: ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)."""
+    return (
+        hex_to_long(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8)
+        )
+        % permille_mod
+    )
+
+
+def _mixture_weights(d: DataFrame) -> DataFrame:
+    """(source, n_docs, n_tokens, token_share, mix_weight) — the
+    uniform-target, 3x-capped source weighting shared by
+    doc_mixture_weights and doc_mixture_applied_sample."""
+    from pyspark.sql import Window
+
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        F.least(target / share, F.lit(3.0)).alias("mix_weight"),
+    )
+
+
+# SQL twin of _mixture_weights, shared by both mixture oracles
+_WEIGHTS_CTE = """
+per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+weights AS (
+  SELECT source, n_docs, n_tokens,
+    n_tokens / SUM(n_tokens) OVER () AS token_share,
+    least((1.0 / COUNT(*) OVER ()) / (n_tokens / SUM(n_tokens) OVER ()), 3.0)
+      AS mix_weight
+  FROM per_source
+)
+"""
 
 
 def _distinct_trigrams(df: DataFrame) -> DataFrame:
@@ -136,7 +193,7 @@ grams AS (SELECT doc_id, {_TRIGRAMS} AS g FROM toks),
 bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 0),
 corp AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 97 != 0),
 tot AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams
-        FROM grams WHERE doc_id % 97 != 0),
+        FROM grams WHERE doc_id % 97 != 0 AND len(g) > 0),
 hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
          FROM corp JOIN bench USING (gram) GROUP BY doc_id)
 SELECT t.doc_id, t.n_grams,
@@ -146,8 +203,9 @@ SELECT t.doc_id, t.n_grams,
 FROM tot t LEFT JOIN hits h USING (doc_id)
 """,
     doc="Benchmark decontamination: n-gram overlap of every training "
-    "doc against the held-out set (doc_id %% 97 — stand-in for an eval "
-    "benchmark). Benchmark grams are bounded by construction (the "
+    "doc against the held-out set (doc_id mod 97 — stand-in for an "
+    "eval benchmark; docs with no grams are excluded on both engines). "
+    "Benchmark grams are bounded by construction (the "
     "benchmark is fixed and small) -> broadcast; the corpus side is "
     "one explode + broadcast-hash semi-count, no corpus shuffle. Real "
     "pipelines use 8-13-grams; 3 here for fixture-vocab sensitivity.",
@@ -209,7 +267,7 @@ FROM tagged GROUP BY lang
     "hash of the doc id, so the sample is reproducible across runs "
     "and engines, needs no RNG state, and is embarrassingly parallel "
     "(a projection; the only shuffle is the per-stratum audit agg). "
-    "Membership hash = md5(doc_id)[0:8] %% 1000 < rate_permille.",
+    "Membership hash = md5(doc_id)[0:8] mod 1000 < rate_permille.",
 )
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
@@ -218,11 +276,11 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.create_map(
         *[F.lit(x) for kv in _SAMPLE_PERMILLE.items() for x in kv]
     )[F.col("lang")]
-    u = hex_to_long(
-        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8)
-    )
     tagged = d.select(
-        "doc_id", "lang", rate.alias("permille"), (u % 1000 < rate).alias("sampled")
+        "doc_id",
+        "lang",
+        rate.alias("permille"),
+        (_doc_hash_unit(1000) < rate).alias("sampled"),
     )
     sampled_id = F.when(F.col("sampled"), F.col("doc_id"))
     return tagged.groupBy("lang").agg(
@@ -239,17 +297,9 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_mixture_weights",
-    oracle="""
-WITH per_source AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY source
-)
-SELECT source, n_docs, n_tokens,
-  n_tokens / SUM(n_tokens) OVER () AS token_share,
-  least((1.0 / COUNT(*) OVER ()) / (n_tokens / SUM(n_tokens) OVER ()), 3.0)
-    AS mix_weight
-FROM per_source
+    oracle=f"""
+WITH {_WEIGHTS_CTE}
+SELECT source, n_docs, n_tokens, token_share, mix_weight FROM weights
 """,
     doc="Source-mixture weighting: per-source token mass -> sampling "
     "weight that moves the mix toward uniform-over-sources, capped at "
@@ -259,23 +309,7 @@ FROM per_source
     "deliberately, since the per-source table is dimension-sized.",
 )
 def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    d = load_table(spark, sf_dir, "documents")
-    per_source = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count("text")).alias("n_tokens"),
-    )
-    w = Window.partitionBy()
-    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
-    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
-    return per_source.select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        share.alias("token_share"),
-        F.least(target / share, F.lit(3.0)).alias("mix_weight"),
-    )
+    return _mixture_weights(load_table(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------- k-means refinement
@@ -339,17 +373,8 @@ def emb_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_mixture_applied_sample",
-    oracle="""
-WITH per_source AS (
-  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY source
-),
-weights AS (
-  SELECT source,
-    least((1.0 / COUNT(*) OVER ()) / (n_tokens / SUM(n_tokens) OVER ()), 3.0)
-      AS mix_weight
-  FROM per_source
-),
+    oracle=f"""
+WITH {_WEIGHTS_CTE},
 tagged AS (
   SELECT d.doc_id, d.source, w.mix_weight,
     (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)
@@ -372,26 +397,9 @@ FROM tagged GROUP BY source
     "backfills.",
 )
 def doc_mixture_applied_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
-    per_source = d.groupBy("source").agg(
-        F.sum(token_count("text")).alias("n_tokens")
-    )
-    w = Window.partitionBy()
-    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
-    weights = per_source.select(
-        "source",
-        F.least((F.lit(1.0) / F.count(F.lit(1)).over(w)) / share, F.lit(3.0)).alias(
-            "mix_weight"
-        ),
-    )
-    u = (
-        hex_to_long(
-            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8)
-        )
-        % 1000000
-    ) / F.lit(1000000.0)
+    weights = _mixture_weights(d).select("source", "mix_weight")
+    u = _doc_hash_unit(1000000) / F.lit(1000000.0)
     tagged = d.join(F.broadcast(weights), "source").select(
         "doc_id", "source", "mix_weight", (u < F.col("mix_weight") * 0.25).alias("sampled")
     )
@@ -407,7 +415,7 @@ def doc_mixture_applied_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_pca_power_iter",
-    oracle="""
+    oracle=f"""
 WITH normed AS (
   SELECT vec_id,
     list_transform(
@@ -418,7 +426,7 @@ WITH normed AS (
 ),
 proj AS (
   SELECT vec_id, nvec,
-    list_sum(list_transform(nvec, x -> x * 0.125)) AS p
+    list_sum(list_transform(nvec, x -> x * {_V0})) AS p
   FROM normed
 ),
 terms AS (
@@ -451,7 +459,7 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnc_visionsearch_spark.operators.knn import with_normalized
 
     emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
-    v0 = F.array(*[F.lit(0.125)] * 64).cast("array<double>")
+    v0 = F.array(*[F.lit(_V0)] * _DIM).cast("array<double>")
     proj = emb.select("vec_id", "nvec", dot(F.col("nvec"), v0).alias("p"))
     terms = proj.select(
         F.posexplode(F.expr("transform(nvec, x -> x * p)")).alias("dim", "t")

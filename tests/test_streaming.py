@@ -440,7 +440,9 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     # as beyond-watermark late data; see test_watermark_drops_late)
     day = F.dayofmonth("ts")
     chunks = [
-        events.filter((day >= 1 + 10 * i) & (day <= 10 * (i + 1))) for i in range(3)
+        events.filter(day <= 10),
+        events.filter((day > 10) & (day <= 20)),
+        events.filter(day > 20),  # open-ended: keeps day 31 if present
     ]
     stream_dir = _write_chunks(spark, str(tmp_path), chunks)
 
