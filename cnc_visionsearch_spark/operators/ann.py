@@ -58,6 +58,8 @@ __all__ = [
     "sharded_topk_persisted",
     "mllib_lsh_model",
     "mllib_lsh_topk",
+    "mllib_similarity_join",
+    "mllib_minhash_jaccard_join",
     "pq_subvectors",
     "pq_codebook",
     "pq_assign",
@@ -501,6 +503,81 @@ def mllib_lsh_topk(
         F.col(id_col),
         (F.col("eucl") * F.col("eucl")).alias("distance"),
     ).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+
+
+def mllib_similarity_join(
+    emb: DataFrame,
+    threshold: float,
+    vec_col: str = "nvec",
+    id_col: str = "vec_id",
+    bucket_length: float = 0.5,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib ``approxSimilarityJoin`` over the BRP-LSH model: all pairs
+    within ``threshold`` EUCLIDEAN distance (over normalized vectors =
+    cosine-ranked, SURVEY §1.1). Returns (id_a, id_b, distance) with
+    id_a < id_b, distance = squared L2 to match the exact tier's score
+    semantics. The candidate set is LSH-bucketed (same-bucket pairs
+    only) — the 100 TB similarity-join shape; recall vs the exact
+    all-pairs scorer is gated in tests, not hash-matched.
+    """
+    model, feats = mllib_lsh_model(emb, vec_col, bucket_length, num_tables, seed)
+    joined = model.approxSimilarityJoin(feats, feats, threshold, distCol="eucl")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            (F.col("eucl") * F.col("eucl")).alias("distance"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .orderBy(F.col("distance").asc(), F.col("id_a").asc(), F.col("id_b").asc())
+    )
+
+
+def mllib_minhash_jaccard_join(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib ``MinHashLSH.approxSimilarityJoin`` for Jaccard text dedup
+    (the SURVEY §2 J3 row's second primitive, complementing the
+    hand-rolled minhash_lsh_pairs): token shingles -> sparse binary
+    vectors (HashingTF) -> MinHash tables -> bucketed pair join at
+    ``threshold`` JACCARD DISTANCE (1 - similarity). Returns
+    (id_a, id_b, jaccard_dist), id_a < id_b. Recall-gated in tests vs
+    the exact shingle scorer; MLlib's hash family lives JVM-side so the
+    pair set is approximate, never hash-match gated.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from cnc_visionsearch_spark.functions.text import shingles_from_tokens, tokens
+
+    shingled = docs.select(
+        F.col(id_col),
+        F.array_distinct(
+            shingles_from_tokens(tokens(F.col(text_col)), 3)
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(shingled)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=seed
+    )
+    model = mh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, threshold, distCol="jaccard_dist")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.col("jaccard_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .orderBy(F.col("jaccard_dist").asc(), F.col("id_a").asc(), F.col("id_b").asc())
+    )
 
 
 # --------------------------------------------------- product quantization

@@ -200,3 +200,27 @@ def test_pq_adc_recall_floor(spark):
     assert r >= 0.3, f"PQ ADC recall@10 {r} < 0.3"
     # the self-match must survive quantization: vec 7 is its own query
     assert 7 in got
+
+
+def test_mllib_similarity_join_finds_planted_neardups(spark):
+    """approxSimilarityJoin (BRP-LSH): planted near-identical pairs are
+    at distance ~0, so every LSH table co-buckets them — recall 1.0 by
+    construction; the join's own post-filter guarantees no pair beyond
+    the threshold (the fixture corpus has no natural embedding
+    near-dups at sf0.01: min pairwise d2 ~ 0.97)."""
+    import math
+
+    from cnc_visionsearch_spark.operators.ann import mllib_similarity_join
+
+    base = [[math.cos(i * 0.1 + j) for j in range(8)] for i in range(20)]
+    rows = []
+    for i, v in enumerate(base):
+        n = math.sqrt(sum(x * x for x in v))
+        nv = [x / n for x in v]
+        rows.append((i, nv))
+        rows.append((100 + i, [x + (1e-7 if j == 0 else 0.0) for j, x in enumerate(nv)]))
+    df = spark.createDataFrame(rows, "vec_id long, nvec array<double>")
+    got = mllib_similarity_join(df, threshold=0.1, bucket_length=1.0).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert {(i, 100 + i) for i in range(20)} <= pairs
+    assert all(r.distance <= 0.1 * 0.1 + 1e-12 for r in got)

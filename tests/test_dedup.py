@@ -125,3 +125,26 @@ def test_neardup_components_chain_triangle(spark):
     # return partial components
     with pytest.raises(RuntimeError, match="converge"):
         neardup_components(pairs, max_iters=1)
+
+
+def test_mllib_minhash_join_recall_vs_exact(spark):
+    """MLlib MinHashLSH.approxSimilarityJoin (SURVEY §2 J3's second
+    primitive): recall >= 0.8 of the exact shingle-Jaccard pairs at
+    sim >= 0.3 (the fixture's true pairs are all sim >= 0.7, so the
+    8-table OR misses with probability ~0.3^8)."""
+    from cnc_visionsearch_spark.operators.ann import mllib_minhash_jaccard_join
+    from cnc_visionsearch_spark.operators.dedup import ngram_jaccard_pairs
+    from cnc_visionsearch_spark.sources.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(d, threshold=0.3).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in mllib_minhash_jaccard_join(d, threshold=0.7).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"MinHashLSH join recall {recall} < 0.8"
