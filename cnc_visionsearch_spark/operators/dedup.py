@@ -45,6 +45,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_neardup_pairs",
     "ngram_jaccard_pairs",
     "embedding_similar_pairs",
     "embedding_lsh_bucketed_pairs",
@@ -264,7 +265,10 @@ def simhash(
             F.array_distinct(F.split(F.col(text_col), " "))
         ).alias("token"),
     )
-    h = hex_to_long(F.substring(F.md5(F.col("token").cast("binary")), 1, 8))
+    # base-hash width follows the sketch width (15 hex digits = 60 bits
+    # max — the widest md5 prefix that stays positive in an int64)
+    hex_digits = min((bits + 3) // 4, 15)
+    h = hex_to_long(F.substring(F.md5(F.col("token").cast("binary")), 1, hex_digits))
     with_bits = toks.select(
         F.col(id_col),
         h.alias("th"),
@@ -498,4 +502,81 @@ def embedding_similar_pairs(
     return (
         pairs.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(top_n)
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance with EXACT
+    banded blocking: split the ``bits``-bit sketch into ``bands`` equal
+    bit-bands; any pair within ``max_hamming`` differing bits shares at
+    least one intact band whenever ``max_hamming < bands`` (pigeonhole)
+    — so the blocking loses nothing, unlike probabilistic MinHash
+    bands. Candidates come from ONE group-by per the band key (same
+    no-self-join shape as minhash_lsh_pairs); verification is
+    ``bit_count(xor)`` on the two 8-byte sketches — the cheapest
+    verify step of any dedup tier (no re-tokenization). Returns
+    (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded blocking is exact only for max_hamming < bands; "
+            f"got max_hamming={max_hamming}, bands={bands}"
+        )
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sk = simhash(df, text_col, id_col, bits)
+    stacked = sk.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        (
+                            F.shiftright(F.col("simhash"), b * width)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select(id_col, "simhash", "bd.band_id", "bd.band_val")
+    buckets = (
+        stacked.groupBy("band_id", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash"))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members)), y -> "
+                    "named_struct('id_a', x.id, 'sh_a', x.simhash, "
+                    "'id_b', y.id, 'sh_b', y.simhash))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return (
+        pairs.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )

@@ -342,3 +342,48 @@ def embedding_neardup_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
     planes = hyperplanes(dim=64, n_planes=4, seed=42)
     return embedding_lsh_bucketed_pairs(emb, planes, top_n=10)
+
+
+@register(
+    "simhash_neardup_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents WHERE doc_id < 200
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS th FROM toks
+),
+bits AS (
+  SELECT doc_id, bs.b AS b,
+    SUM(CASE WHEN (th >> bs.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(range(60)) AS b) bs
+  GROUP BY doc_id, bs.b
+),
+sk AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT)
+      AS sh
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+""",
+    doc="SimHash near-dup pair join with EXACT banded blocking: 60-bit "
+    "sketches, 4 bands of 15 bits — any pair within Hamming 3 shares "
+    "an intact band (pigeonhole), so unlike MinHash bands the blocking "
+    "is lossless. Candidates from ONE group-by on the band value (the "
+    "no-self-join shape); verify = bit_count(xor) on two int64s — the "
+    "cheapest verification of any dedup tier (no re-tokenization, no "
+    "second corpus scan). The oracle is the quadratic formulation; the "
+    "Spark plan never builds all pairs. Fixture note: the tiny "
+    "synthetic vocab makes identical distinct-token SETS common, so "
+    "hd=0 pairs dominate — on real corpora the hd histogram spreads.",
+)
+def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.dedup import simhash_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_neardup_pairs(d, bits=60, bands=4, max_hamming=3)

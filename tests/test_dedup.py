@@ -148,3 +148,34 @@ def test_mllib_minhash_join_recall_vs_exact(spark):
     assert exact, "fixture must contain near-dup pairs"
     recall = len(got & exact) / len(exact)
     assert recall >= 0.8, f"MinHashLSH join recall {recall} < 0.8"
+
+
+def test_simhash_banded_blocking_is_lossless(spark):
+    """Pigeonhole exactness: the banded candidate generation must find
+    EXACTLY the pairs the quadratic Hamming filter finds (bands=4 >
+    max_hamming=3), not a recall-gated subset."""
+    import pytest
+
+    from cnc_visionsearch_spark.operators.dedup import simhash, simhash_neardup_pairs
+    from cnc_visionsearch_spark.sources.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents").filter(
+        F.col("doc_id") < 120
+    )
+    blocked = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup_pairs(d, bits=60, bands=4, max_hamming=3).collect()
+    }
+    sk = simhash(d, bits=60)
+    a = sk.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sk.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.expr("sh_a ^ sh_b")).alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert blocked == brute and brute
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(d, bits=60, bands=4, max_hamming=4)
