@@ -89,3 +89,43 @@ def test_pca_power_iter_unit_norm_and_determinism(spark):
     assert abs(sum(r.loading ** 2 for r in rows) - 1.0) < 1e-9
     again = embedding_pca_power_iter(spark, SF).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_build_training_corpus_end_to_end(spark, tmp_path):
+    """The six-stage corpus build: funnel counts monotone, every stage
+    drops something on the fixture, output partitioned by lang and
+    byte-deterministic across reruns."""
+    import os
+
+    from cnc_visionsearch_spark.pipeline import build_training_corpus
+
+    out = str(tmp_path / "corpus")
+    funnel = {r.stage: r for r in build_training_corpus(spark, SF, out).collect()}
+    assert list(funnel) == [
+        "1_exact_dedup",
+        "2_neardup_dedup",
+        "3_quality_filter",
+        "4_decontamination",
+        "5_stratified_sample",
+    ]
+    prev_out = None
+    for r in funnel.values():
+        assert r.docs_out <= r.docs_in and r.dropped == r.docs_in - r.docs_out
+        if prev_out is not None:
+            assert r.docs_in == prev_out  # stages chain exactly
+        prev_out = r.docs_out
+    assert funnel["2_neardup_dedup"].dropped > 0  # fixture has near-dups
+    assert funnel["5_stratified_sample"].docs_out > 0
+
+    # layout: hive-partitioned by lang; reading one partition prunes
+    langs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert langs and langs <= {f"lang={l}" for l in ["en", "es", "de", "fr", "zh"]}
+    got = spark.read.parquet(out)
+    assert got.count() == funnel["5_stratified_sample"].docs_out
+
+    # determinism: rerun produces the identical survivor id set
+    out2 = str(tmp_path / "corpus2")
+    build_training_corpus(spark, SF, out2)
+    ids1 = {r.doc_id for r in got.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in spark.read.parquet(out2).select("doc_id").collect()}
+    assert ids1 == ids2
