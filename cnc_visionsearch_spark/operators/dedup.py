@@ -304,24 +304,26 @@ def ngram_jaccard_pairs(
     co-shingled pairs are scored (exact mode — quadratic in the worst
     case, use only with blocking or small corpora).
     """
-    sh = _exploded_shingles(df, id_col, text_col, shingle_n)
     if candidates is not None:
         # Every downstream consumer only ever needs candidate docs'
-        # shingles, so prune FIRST with a broadcast semi-join on the
-        # candidate id set: the (id_b, shingle) intersection shuffle
-        # and the size aggregates then carry |candidate docs| rows
-        # instead of the whole corpus — at 100 TB the difference
-        # between a full-corpus exchange and a negligible one.
+        # shingles, so prune FIRST — before tokenize/explode, with a
+        # broadcast semi-join on the candidate id set: the explode, the
+        # (id_b, shingle) intersection shuffle, and the size aggregates
+        # then all carry |candidate docs| rows instead of the whole
+        # corpus — at 100 TB the difference between a full-corpus
+        # explode and a negligible one.
         cand_ids = (
             candidates.select(F.col("id_a").alias(id_col))
             .union(candidates.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        sh = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
+        df = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh = _exploded_shingles(df, id_col, text_col, shingle_n)
+    if candidates is not None:
         # The pruned shingle table feeds four consumers (both join
         # sides + both size lookups); checkpoint the small post-prune
-        # result so the corpus-wide explode runs once, not four times
-        # (lazy: no job until the query itself runs).
+        # result so the explode runs once, not four times (lazy: no
+        # job until the query itself runs).
         sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
