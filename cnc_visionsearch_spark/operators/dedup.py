@@ -127,6 +127,27 @@ def _base_hash(shingle):
     )
 
 
+def _bucket_pairs(buckets: DataFrame, pair_struct_sql: str) -> DataFrame:
+    """In-bucket pair expansion shared by every blocking-based pair
+    generator: ``buckets`` must carry a sorted ``members`` array column;
+    emits one exploded struct column ``p`` per (x, y) member pair with
+    x < y (by sort position). ``pair_struct_sql`` is the
+    ``named_struct(...)`` SQL over lambda vars ``x`` (earlier member)
+    and ``y`` (later member). Centralized because the slice arithmetic
+    (1-based slice start vs 0-based transform index, the i + 2 offset)
+    is subtle enough that two copies WILL drift.
+    """
+    return buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(members, (x, i) -> "
+                f"transform(slice(members, i + 2, size(members)), y -> "
+                f"{pair_struct_sql})))"
+            )
+        ).alias("p")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -209,19 +230,11 @@ def minhash_lsh_pairs(
     # pairwise formulation is quadratic.
     buckets = (
         stacked.groupBy("band_id", "band_sig")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("members"))
+        .filter(F.size("members") > 1)
     )
     candidates = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), y -> "
-                    "named_struct('id_a', x, 'id_b', y))))"
-                )
-            ).alias("p")
-        )
+        _bucket_pairs(buckets, "named_struct('id_a', x, 'id_b', y)")
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -265,9 +278,13 @@ def simhash(
             F.array_distinct(F.split(F.col(text_col), " "))
         ).alias("token"),
     )
-    # base-hash width follows the sketch width (15 hex digits = 60 bits
-    # max — the widest md5 prefix that stays positive in an int64)
-    hex_digits = min((bits + 3) // 4, 15)
+    if bits > 60:
+        # 15 hex digits of md5 (60 bits) is the widest prefix that
+        # stays positive in an int64; a wider request would silently
+        # zero the top bits of every sketch — fail loudly instead
+        raise ValueError(f"simhash supports bits <= 60, got {bits}")
+    # base-hash width follows the sketch width
+    hex_digits = (bits + 3) // 4
     h = hex_to_long(F.substring(F.md5(F.col("token").cast("binary")), 1, hex_digits))
     with_bits = toks.select(
         F.col(id_col),
@@ -514,6 +531,7 @@ def simhash_neardup_pairs(
     bits: int = 60,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int = 1 << 31,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance with EXACT
     banded blocking: split the ``bits``-bit sketch into ``bands`` equal
@@ -525,6 +543,17 @@ def simhash_neardup_pairs(
     ``bit_count(xor)`` on the two 8-byte sketches — the cheapest
     verify step of any dedup tier (no re-tokenization). Returns
     (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming.
+
+    OPERATING ENVELOPE: each band key has only 2^(bits/bands) values
+    (2^15 at the defaults), so birthday collisions make the expected
+    bucket ~N/2^15 members regardless of similarity — candidate volume
+    grows quadratically past N ~ 10^7 docs. For larger corpora set
+    ``max_bucket`` (oversized buckets are skipped: once a bucket is
+    dominated by random collisions it carries no blocking signal; a
+    true hd<=max_hamming pair is lost only if EVERY one of its intact
+    bands — at least bands-max_hamming of them — is itself oversized),
+    or use the MinHash path, whose concatenated-hash band keys are
+    effectively unbounded.
     """
     if max_hamming >= bands:
         raise ValueError(
@@ -561,18 +590,13 @@ def simhash_neardup_pairs(
                 F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash"))
             ).alias("members")
         )
-        .filter(F.size("members") > 1)
+        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
     )
     pairs = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, (x, i) -> "
-                    "transform(slice(members, i + 2, size(members)), y -> "
-                    "named_struct('id_a', x.id, 'sh_a', x.simhash, "
-                    "'id_b', y.id, 'sh_b', y.simhash))))"
-                )
-            ).alias("p")
+        _bucket_pairs(
+            buckets,
+            "named_struct('id_a', x.id, 'sh_a', x.simhash, "
+            "'id_b', y.id, 'sh_b', y.simhash)",
         )
         .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .distinct()

@@ -9,8 +9,9 @@ stage shrinks the next one's input):
   1. exact dedup          (md5 fingerprint group-by; keeper = min id)
   2. near-dup dedup       (MinHash LSH pairs -> connected components;
                            keep each cluster's min id)
-  3. quality filter       (first-failing-rule cascade: length, lang,
-                           quality score — pure codegen)
+  3. quality filter       (language-agnostic length + clean-ratio
+                           rules, pure codegen — the English stopword
+                           cascade stays a per-language branch)
   4. decontamination      (trigram overlap vs the held-out set)
   5. stratified sampling  (deterministic per-lang hash rates)
   6. write                (parquet PARTITIONED BY lang — the layout
@@ -28,7 +29,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cnc_visionsearch_spark.functions.text import training_filter_verdict
 from cnc_visionsearch_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -55,28 +55,43 @@ def build_training_corpus(
     ``out_path`` partitioned by lang; return the funnel report
     (stage, docs_in, docs_out, dropped) as a 5-row DataFrame.
 
-    Each stage's survivor set is computed as a column flag first and
-    materialized once (the flags are cheap projections or
-    broadcast-joined bounded sets), so the corpus is scanned a bounded
-    number of times regardless of stage count.
+    Each stage's survivor set gets a lazy ``localCheckpoint`` barrier
+    once computed, so the per-stage counts and the final write read the
+    materialized predecessor instead of replaying the whole upstream
+    chain per action (without the barriers the funnel costs
+    O(stages^2) corpus scans). Broadcast hints appear ONLY on sides
+    bounded by construction (the benchmark gram set); dedup keeper /
+    drop sets are corpus-scale and stay AQE-sized, per the repo's
+    broadcast doctrine (SCALE.md).
     """
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    # 1. exact dedup: keep each fingerprint group's min id
+    # 1. exact dedup: keep each fingerprint group's min id (keeper set
+    # is corpus-scale — no broadcast hint, AQE picks the join)
     keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
-    stage1 = docs.join(F.broadcast(keepers), "doc_id", "left_semi")
+    stage1 = docs.join(keepers, "doc_id", "left_semi").localCheckpoint(eager=False)
     n1 = stage1.count()
 
     # 2. near-dup dedup: LSH pairs -> components -> drop non-keepers
+    # (drop set can be a large corpus fraction — again no hint)
     pairs = minhash_lsh_pairs(stage1, jaccard_threshold=jaccard_threshold)
     comp = neardup_components(pairs)
     drop = comp.filter(~F.col("is_keeper")).select("doc_id")
-    stage2 = stage1.join(F.broadcast(drop), "doc_id", "left_anti")
+    stage2 = stage1.join(drop, "doc_id", "left_anti").localCheckpoint(eager=False)
     n2 = stage2.count()
 
-    # 3. quality filter (codegen cascade)
-    stage3 = stage2.filter(training_filter_verdict("text") == "kept")
+    # 3. quality filter — language-AGNOSTIC rules only (length + clean
+    # ratio): the English-specific cascade (training_filter_verdict's
+    # stopword rules) would delete every non-English document, which
+    # contradicts stage 5's multilingual sampling schedule. The full
+    # cascade remains the per-language EN branch (doc_training_filter_funnel).
+    n_tok = F.size(F.split("text", " "))
+    non_alpha = F.length(F.regexp_replace("text", r"[a-z0-9 ]", "")).cast("double")
+    clean = F.lit(1.0) - non_alpha / F.greatest(F.length("text").cast("double"), F.lit(1.0))
+    stage3 = stage2.filter((n_tok >= 12) & (clean >= 0.7)).localCheckpoint(
+        eager=False
+    )
     n3 = stage3.count()
 
     # 4. decontamination vs the held-out set (doc_id % 97)
@@ -96,8 +111,10 @@ def build_training_corpus(
         .filter(F.col("n_hit") / F.col("n_grams") >= contamination_frac)
         .select("doc_id")
     )
-    stage4 = stage3.filter(~is_bench).join(
-        F.broadcast(contaminated), "doc_id", "left_anti"
+    stage4 = (
+        stage3.filter(~is_bench)
+        .join(contaminated, "doc_id", "left_anti")
+        .localCheckpoint(eager=False)
     )
     n4 = stage4.count()
 
@@ -108,7 +125,7 @@ def build_training_corpus(
     )[F.col("lang")]
     stage5 = stage4.filter(
         F.col("lang").isin(*_SAMPLE_PERMILLE) & (_doc_hash_unit(1000) < rate)
-    )
+    ).localCheckpoint(eager=False)
     n5 = stage5.count()
 
     # 6. write the corpus partitioned by lang (per-language downstream

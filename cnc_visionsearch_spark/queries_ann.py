@@ -102,22 +102,17 @@ sigs AS (
 """
 
 
-_QVEC_MEMO: dict[tuple[str, int], list[float]] = {}
-
-
 def _norm_query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
     """Fetch + normalize one query vector (driver-side: it is a query
-    PARAMETER, not data). Memoized per (corpus, id) — the lookup is a
-    pushed-predicate point read, but repeating it per invocation would
+    PARAMETER, not data). Memoized via the shared catalog point-lookup
+    memo — repeating the pushed-predicate read per invocation would
     bill every vector query one extra Spark job."""
-    key = (sf_dir, vec_id)
-    if key not in _QVEC_MEMO:
-        emb = load_table(spark, sf_dir, "embeddings")
-        raw = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()[0]
-        q = [float(x) for x in raw]
-        n = sum(x * x for x in q) ** 0.5  # sequential fold, same as the SQL oracle
-        _QVEC_MEMO[key] = [x / n for x in q]
-    return _QVEC_MEMO[key]
+    from cnc_visionsearch_spark.sources.catalog import memoized_point_value
+
+    raw = memoized_point_value(spark, sf_dir, "embeddings", "vec_id", vec_id, "embedding")
+    q = [float(x) for x in raw]
+    n = sum(x * x for x in q) ** 0.5  # sequential fold, same as the SQL oracle
+    return [x / n for x in q]
 
 
 @register(

@@ -416,14 +416,7 @@ def doc_mixture_applied_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_pca_power_iter",
     oracle=f"""
-WITH normed AS (
-  SELECT vec_id,
-    list_transform(
-      embedding::DOUBLE[],
-      x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))
-    ) AS nvec
-  FROM embeddings
-),
+WITH {_NORM_CTE},
 proj AS (
   SELECT vec_id, nvec,
     list_sum(list_transform(nvec, x -> x * {_V0})) AS p

@@ -42,19 +42,14 @@ normed AS (
 _L2SQ = "list_sum(list_transform(range(1, len({a})+1), i -> ({a}[i]-{b}[i])**2))"
 
 
-_QVEC_MEMO: dict[tuple[str, int], list] = {}
-
-
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list:
-    """Raw query vector by id (a query PARAMETER — memoized so repeat
-    invocations don't pay the point-lookup job again)."""
-    key = (sf_dir, vec_id)
-    if key not in _QVEC_MEMO:
-        emb = load_table(spark, sf_dir, "embeddings")
-        _QVEC_MEMO[key] = (
-            emb.filter(F.col("vec_id") == vec_id).select("embedding").first()[0]
-        )
-    return _QVEC_MEMO[key]
+    """Raw query vector by id (a query PARAMETER — memoized via the
+    shared catalog point-lookup memo)."""
+    from cnc_visionsearch_spark.sources.catalog import memoized_point_value
+
+    return memoized_point_value(
+        spark, sf_dir, "embeddings", "vec_id", vec_id, "embedding"
+    )
 
 
 @register(

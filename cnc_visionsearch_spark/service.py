@@ -104,11 +104,6 @@ def embed_text_query(query_text: str) -> list[float]:
     return [x / n for x in v]
 
 
-# query text is a parameter of the registered demo query — memoized so
-# repeat invocations skip the point-lookup job
-_QTEXT_MEMO: dict[tuple[str, int], str] = {}
-
-
 def search_by_text(
     spark: SparkSession, sf_dir: str, query_text: str, top_k: int = 10
 ) -> DataFrame:
@@ -162,12 +157,7 @@ LIMIT 10
     "kNN operator -> id join. Query = text of doc 7 (self-match at 0).",
 )
 def text_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (sf_dir, 7)
-    if key not in _QTEXT_MEMO:
-        _QTEXT_MEMO[key] = (
-            load_table(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") == 7)
-            .select("text")
-            .first()[0]
-        )
-    return search_by_text(spark, sf_dir, _QTEXT_MEMO[key], top_k=10)
+    from cnc_visionsearch_spark.sources.catalog import memoized_point_value
+
+    qtext = memoized_point_value(spark, sf_dir, "documents", "doc_id", 7, "text")
+    return search_by_text(spark, sf_dir, qtext, top_k=10)
