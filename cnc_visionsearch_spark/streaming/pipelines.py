@@ -24,7 +24,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
