@@ -1338,3 +1338,44 @@ def customer_churn_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v2").cast("double").alias("y1997_value"),
         )
     )
+
+
+@register(
+    "lineitem_unpivot_measures",
+    oracle="""
+WITH u AS (
+  SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem WHERE l_orderkey < 1000
+  UNION ALL
+  SELECT 'extendedprice', l_extendedprice FROM lineitem WHERE l_orderkey < 1000
+  UNION ALL
+  SELECT 'discount', l_discount FROM lineitem WHERE l_orderkey < 1000
+  UNION ALL
+  SELECT 'tax', l_tax FROM lineitem WHERE l_orderkey < 1000
+)
+SELECT measure,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+  CAST(min(value) AS DOUBLE) AS min_value,
+  CAST(max(value) AS DOUBLE) AS max_value
+FROM u GROUP BY measure
+""",
+    doc="UNPIVOT (wide measures -> long (measure, value) rows via "
+    "stack()) + per-measure stats — the inverse of events_daily_pivot, "
+    "completing the reshape pair. stack() is a Generate (no shuffle, "
+    "no UDF); the only exchange feeds the 4-group aggregate. The "
+    "melt-then-describe pass every profiling job runs on a wide table.",
+)
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    long = li.select(
+        F.expr(
+            "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
+            "'discount', l_discount, 'tax', l_tax) AS (measure, value)"
+        )
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
+    )
