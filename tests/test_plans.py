@@ -329,3 +329,22 @@ def test_kmeans_refine_broadcasts_old_codebook(spark, queries):
     plan = plan_of(queries["emb_kmeans_refine"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_lsh_checkpoint_barriers_active(spark, queries):
+    """The LSH pair query's final plan must read the checkpointed
+    candidate/shingle RDDs (barriers in place — without them every
+    broadcast consumer re-runs the corpus-wide signature job) and must
+    never sort-merge."""
+    plan = plan_of(queries["minhash_lsh_neardup_pairs"](spark, SF))
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_simhash_pairs_single_groupby_no_selfjoin(spark, queries):
+    """SimHash pair generation: ONE aggregation keyed on the band value
+    plus the pair-expansion Generate — no join at all before the final
+    projection (the self-join shape would re-run the sketch pipeline)."""
+    plan = plan_of(queries["simhash_neardup_pairs"](spark, SF))
+    assert "Join" not in plan
+    assert "Generate" in plan  # the in-bucket pair expansion explode
