@@ -5,7 +5,7 @@ portable md5-derived hashing so signatures match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cnc_visionsearch_spark.operators.dedup import (
@@ -387,3 +387,82 @@ def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return simhash_neardup_pairs(d, bits=60, bands=4, max_hamming=3)
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle="""
+WITH store AS (
+  SELECT DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id < 250
+),
+batch AS (
+  -- the day's drop: a re-delivered store slice (200-249), genuinely
+  -- new docs (250-299), and an in-batch re-send (250-269 under new ids)
+  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id >= 200 AND doc_id < 300
+  UNION ALL
+  SELECT doc_id + 10000, md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+  FROM documents WHERE doc_id >= 250 AND doc_id < 270
+),
+tagged AS (
+  SELECT b.doc_id, b.fp,
+    CASE
+      WHEN b.fp IN (SELECT fp FROM store) THEN 'dup_of_store'
+      WHEN b.doc_id > (SELECT min(b2.doc_id) FROM batch b2 WHERE b2.fp = b.fp)
+        THEN 'dup_in_batch'
+      ELSE 'new'
+    END AS verdict
+  FROM batch b
+)
+SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM tagged GROUP BY verdict
+""",
+    doc="Incremental exact dedup — the daily-ingest production shape: "
+    "a new batch is checked against the EXISTING corpus fingerprint "
+    "store (anti-join on the 16-byte md5, never against document "
+    "text), then deduped within itself (min-id keeper window). At "
+    "100 TB the store is a fingerprint-only table a fraction of corpus "
+    "size, the batch side is small, and the join keys on the "
+    "fingerprint — nothing rescans resident documents. Verdicts: "
+    "new / dup_of_store / dup_in_batch, aggregated per class.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.text import md5_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    store = (
+        d.filter(F.col("doc_id") < 250)
+        .select(md5_fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    # the day's drop: re-delivered store slice + new docs + an in-batch
+    # re-send under fresh ids (the three cases an ingest job must split)
+    fresh = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    resend = d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 270)).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    batch = (
+        fresh.select("doc_id", "text")
+        .unionByName(resend)
+        .select("doc_id", md5_fingerprint("text").alias("fp"))
+    )
+    w = Window.partitionBy("fp")
+    tagged = (
+        batch.join(store.withColumn("in_store", F.lit(True)), "fp", "left")
+        .withColumn("first_in_batch", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("in_store"), "dup_of_store")
+            .when(F.col("doc_id") > F.col("first_in_batch"), "dup_in_batch")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+    )
+    return tagged.groupBy("verdict").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
