@@ -540,3 +540,178 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "ann_ivf_knn_join",
+    oracle=f"""
+WITH {_NORM_CTE}, {_IVF_CTE},
+queries AS (SELECT vec_id AS qid, nvec AS qvec FROM normed WHERE vec_id < 5),
+probe AS (
+  SELECT qid, cell_id FROM (
+    SELECT q.qid, c.cell_id,
+      row_number() OVER (
+        PARTITION BY q.qid
+        ORDER BY {_L2SQ.format(a="c.centroid", b="q.qvec")} ASC, c.cell_id ASC
+      ) AS rn
+    FROM queries q, centroids c
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.qid, a.vec_id, a.nvec
+  FROM probe p JOIN assigned a USING (cell_id)
+)
+SELECT qid, vec_id, distance FROM (
+  SELECT c.qid, c.vec_id,
+    {_L2SQ.format(a="c.nvec", b="q.qvec")} AS distance,
+    row_number() OVER (
+      PARTITION BY c.qid
+      ORDER BY {_L2SQ.format(a="c.nvec", b="q.qvec")} ASC, c.vec_id ASC
+    ) AS rn
+  FROM cand c JOIN queries q USING (qid)
+) WHERE rn <= 5
+""",
+    doc="Approximate kNN JOIN through the IVF index — the batch "
+    "primitive behind embedding dedup / retrieval at scale: EVERY "
+    "query in a batch gets its nprobe nearest cells (broadcast "
+    "codebook, per-query rank — the probe set is |queries| x nprobe "
+    "rows, bounded by construction -> broadcast), then ONE equi-join "
+    "on cell_id against the cell-assigned corpus (at 100 TB: the "
+    "persisted cell-PARTITIONED layout, so only probed cells' files "
+    "are read), exact distance + WindowGroupLimit top-k per query. "
+    "The corpus is scanned once for the whole batch — vs once per "
+    "query in the single-probe path — and never shuffles: the "
+    "bounded probe side moves instead.",
+)
+def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import l2_sq
+    from cnc_visionsearch_spark.operators.ann import ivf_assign, ivf_centroids
+    from pyspark.sql import Window
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    cents = ivf_centroids(emb, 8)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("nvec").alias("qvec")
+    )
+    ranked = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("cdist", l2_sq("centroid", "qvec"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("cdist").asc(), F.col("cell_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 4)
+        .select("qid", "qvec", "cell_id")
+    )
+    assigned = ivf_assign(emb, cents)
+    cand = F.broadcast(ranked).join(assigned, "cell_id")
+    w = Window.partitionBy("qid").orderBy(
+        l2_sq("nvec", "qvec").asc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("distance", l2_sq("nvec", "qvec"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id", "distance")
+    )
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+WITH {_NORM_CTE}, {_IVF_CTE},
+q AS (SELECT nvec AS qv FROM normed WHERE vec_id = 11),
+probe AS (
+  SELECT cell_id FROM centroids, q
+  ORDER BY {_L2SQ.format(a="centroid", b="qv")} ASC, cell_id ASC
+  LIMIT 4
+),
+pruned AS (
+  SELECT a.vec_id, a.nvec FROM assigned a
+  WHERE a.cell_id IN (SELECT cell_id FROM probe)
+),
+w AS (SELECT CAST(len(nvec) // 8 AS INT) AS w FROM normed LIMIT 1),
+subs AS (
+  SELECT vec_id, j.j AS sub_j, nvec[j.j*w+1 : j.j*w+w] AS sv
+  FROM pruned, w, (SELECT unnest(range(8)) AS j) j
+),
+cbsubs AS (
+  SELECT cell_id AS code, j.j AS sub_j, centroid[j.j*w+1 : j.j*w+w] AS cv
+  FROM centroids, w, (SELECT unnest(range(8)) AS j) j
+),
+codes AS (
+  SELECT vec_id, sub_j,
+    min(struct_pack(d := {_L2SQ.format(a="sv", b="cv")}, c := code)).c AS code
+  FROM subs JOIN cbsubs USING (sub_j)
+  GROUP BY vec_id, sub_j
+),
+qsubs AS (
+  SELECT c.sub_j, c.code, c.cv, qv[c.sub_j*w+1 : c.sub_j*w+w] AS qsv
+  FROM cbsubs c, q, w
+),
+qd AS (
+  SELECT sub_j, code, {_L2SQ.format(a="cv", b="qsv")} AS qdist FROM qsubs
+),
+est AS (
+  SELECT vec_id, CAST(SUM(CAST(qdist AS DECIMAL(27,12))) AS DOUBLE) AS adc
+  FROM codes JOIN qd USING (sub_j, code)
+  GROUP BY vec_id
+),
+cand AS (SELECT vec_id FROM est ORDER BY adc ASC, vec_id ASC LIMIT 30)
+SELECT p.vec_id, {_L2SQ.format(a="p.nvec", b="q.qv")} AS distance
+FROM pruned p JOIN cand USING (vec_id), q
+ORDER BY distance ASC, p.vec_id ASC
+LIMIT 10
+""",
+    doc="Triple-composed ANN: IVF partition pruning x PQ/ADC code scan "
+    "x fp64 re-score. The probe reads nprobe/n_cells of the FILES "
+    "(persisted cell-partitioned layout), scores ONLY the m-byte PQ "
+    "codes of the pruned slice against the broadcast query-codeword "
+    "lookup table (32x less I/O than raw vectors), and re-scores the "
+    "ADC top-30 at full precision. Selectivity (nprobe), memory (PQ), "
+    "and exactness (re-score depth) are three independent knobs that "
+    "stack because each acts before the next — same composition law "
+    "as ann_ivf_int8_topk, one tier deeper.",
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import l2_sq
+    from cnc_visionsearch_spark.operators.ann import (
+        ivf_probe_cells,
+        pq_assign,
+        pq_codebook,
+    )
+
+    path = ensure_ivf_built(spark, sf_dir, n_cells=8)
+    q = _norm_query_vec(spark, sf_dir, 11)
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    pruned = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell_id").isin(ivf_probe_cells(spark, path, q, nprobe=4))
+    )
+    cb = pq_codebook(
+        spark.read.parquet(f"{path}/codebook"), m=8
+    )
+    codes = pq_assign(pruned, cb, m=8)
+    w = len(q) // 8
+    qd = cb.select(
+        "sub_j",
+        "code",
+        l2_sq(F.col("cv"), F.slice(qcol, F.col("sub_j") * w + 1, w)).alias("qdist"),
+    )
+    est = (
+        codes.join(F.broadcast(qd), ["sub_j", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("qdist").cast("decimal(27,12)")).cast("double").alias("adc")
+        )
+    )
+    cand = est.orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(30)
+    return (
+        pruned.join(F.broadcast(cand.select("vec_id")), "vec_id")
+        .select("vec_id", l2_sq("nvec", qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
