@@ -224,3 +224,22 @@ def test_mllib_similarity_join_finds_planted_neardups(spark):
     pairs = {(r.id_a, r.id_b) for r in got}
     assert {(i, 100 + i) for i in range(20)} <= pairs
     assert all(r.distance <= 0.1 * 0.1 + 1e-12 for r in got)
+
+
+def test_ivf_knn_join_recall_vs_exact_join(spark):
+    """Batch ANN join: per-query recall@5 vs the exact kNN join, gated
+    at the IVF tier's documented floor (nprobe=4 of 8 cells)."""
+    from cnc_visionsearch_spark.registry import all_queries
+
+    qs = all_queries()
+    approx = {}
+    for r in qs["ann_ivf_knn_join"](spark, SF_01).collect():
+        approx.setdefault(r.qid, set()).add(r.vec_id)
+    emb_n = with_normalized(load_table(spark, SF_01, "embeddings"))
+    recalls = []
+    for qid in approx:
+        q = _norm_q(emb_n, qid)
+        exact = set(_ids(knn_single(emb_n, q, k=5, normalize_query=False)))
+        recalls.append(len(approx[qid] & exact) / 5)
+    assert len(recalls) == 5
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
