@@ -182,3 +182,23 @@ def frame_samples(
             )
 
     return media.mapInPandas(gen, schema=schema)
+
+
+def fake_cross_encoder(query_payload: bytes):
+    """pandas_udf factory: deterministic fake cross-encoder relevance
+    score for (query, candidate) payload pairs — score =
+    u32(md5(query || ':' || candidate)) / 2^32, uniform in [0, 1) and a
+    function of BOTH inputs, exactly the shape a real cross-encoder
+    (query+document jointly encoded, one scalar out) plugs into: swap
+    the body for a per-executor model singleton scoring Arrow batches;
+    signature, batching, and the rerank plan stay identical.
+    """
+    q = bytes(query_payload)
+
+    @F.pandas_udf(DoubleType())
+    def score(payloads: pd.Series) -> pd.Series:
+        return payloads.map(
+            lambda b: _md5_u32(q + b":" + bytes(b)) / 4294967296.0
+        )
+
+    return score

@@ -8,6 +8,8 @@ reproduces the same md5 arithmetic on the same bytes).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -244,4 +246,73 @@ def mm_search_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.join(F.broadcast(meta), "doc_id")
         .select("doc_id", "distance", "lang", "n_chars")
         .orderBy(F.col("distance").asc(), F.col("doc_id").asc())
+    )
+
+
+@register(
+    "mm_rerank_crossencoder",
+    oracle="""
+WITH dims AS (SELECT unnest(range(8)) AS j),
+emb AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(text || ':' || j), 1, 8))::BIGINT
+     / 4294967296.0) * 2.0 - 1.0 AS e,
+    j
+  FROM documents, dims WHERE doc_id < 60
+),
+vecs AS (SELECT doc_id, list(e ORDER BY j) AS v FROM emb GROUP BY doc_id),
+qv AS (SELECT v AS q FROM vecs WHERE doc_id = 3),
+qt AS (SELECT text AS qtext FROM documents WHERE doc_id = 3),
+hits AS (
+  SELECT vecs.doc_id,
+    list_sum(list_transform(range(1, len(vecs.v)+1),
+             i -> (vecs.v[i]-qv.q[i])*(vecs.v[i]-qv.q[i]))) AS distance
+  FROM vecs, qv WHERE vecs.doc_id <> 3
+  ORDER BY distance ASC, vecs.doc_id ASC LIMIT 20
+)
+SELECT h.doc_id, h.distance,
+  ('0x' || substr(md5(qt.qtext || ':' || d.text), 1, 8))::BIGINT
+    / 4294967296.0 AS rerank_score
+FROM hits h JOIN documents d USING (doc_id), qt
+ORDER BY rerank_score DESC, h.doc_id ASC
+LIMIT 5
+""",
+    doc="Two-stage retrieval — retrieve-then-rerank, the shape every "
+    "modern search/RAG pipeline runs: stage 1 is the cheap biencoder "
+    "kNN (embedding distance, TakeOrderedAndProject over the corpus), "
+    "stage 2 re-scores ONLY the top-20 candidates with a cross-encoder "
+    "(query+document jointly scored; deterministic md5 fake, per-"
+    "executor model singleton slot). The expensive model touches 20 "
+    "rows regardless of corpus size — the whole point of the "
+    "composition — and candidates join their payloads via broadcast "
+    "before one Arrow batch crosses to Python.",
+)
+def mm_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import l2_sq
+    from cnc_visionsearch_spark.operators.multimodal import fake_cross_encoder
+    from cnc_visionsearch_spark.sources.catalog import memoized_point_value
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    media = attach_payload(d).select("doc_id", "payload")
+    embedded = media.withColumn("v", fake_image_embedding(8)(F.col("payload")))
+    qtext = memoized_point_value(spark, sf_dir, "documents", "doc_id", 3, "text")
+    qv_list = [
+        (int(hashlib.md5(qtext.encode() + f":{j}".encode()).hexdigest()[:8], 16)
+         / 4294967296.0) * 2.0 - 1.0
+        for j in range(8)
+    ]
+    qcol = F.array(*[F.lit(float(x)) for x in qv_list]).cast("array<double>")
+    hits = (
+        embedded.filter(F.col("doc_id") != 3)
+        .select("doc_id", l2_sq("v", qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    scorer = fake_cross_encoder(qtext.encode("utf-8"))
+    return (
+        hits.join(F.broadcast(media), "doc_id")
+        .withColumn("rerank_score", scorer(F.col("payload")))
+        .select("doc_id", "distance", "rerank_score")
+        .orderBy(F.col("rerank_score").desc(), F.col("doc_id").asc())
+        .limit(5)
     )

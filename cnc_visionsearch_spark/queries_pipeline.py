@@ -465,3 +465,61 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("s") * F.col("s")).cast("decimal(30,12)")).over(w).cast("double")
     )
     return s.select("dim", "s", (F.col("s") / norm).alias("loading"))
+
+
+# ------------------------------------------------ hard-negative mining
+
+
+@register(
+    "emb_hard_negatives",
+    oracle=f"""
+WITH {_NORM_CTE},
+anchors AS (
+  SELECT vec_id AS aid, label AS alabel, nvec AS av
+  FROM normed WHERE vec_id < 5
+)
+SELECT aid, vec_id, distance FROM (
+  SELECT a.aid, n.vec_id,
+    list_sum(list_transform(range(1, len(n.nvec)+1),
+             i -> (n.nvec[i]-a.av[i])**2)) AS distance,
+    row_number() OVER (
+      PARTITION BY a.aid
+      ORDER BY list_sum(list_transform(range(1, len(n.nvec)+1),
+               i -> (n.nvec[i]-a.av[i])**2)) ASC, n.vec_id ASC
+    ) AS rn
+  FROM anchors a JOIN normed n ON n.label <> a.alabel
+) WHERE rn <= 3
+""",
+    doc="Hard-negative mining — the contrastive-training data pass: for "
+    "each anchor, the nearest vectors with a DIFFERENT label (close in "
+    "embedding space, wrong class = the negatives that actually teach "
+    "the model). Plan: the anchor batch is bounded by construction -> "
+    "broadcast nested-loop over the corpus (scanned ONCE for the whole "
+    "batch, never shuffled) -> label-mismatch filter fused into the "
+    "join -> WindowGroupLimit top-3 per anchor. Same physical shape as "
+    "the exact kNN join, plus the anti-label predicate.",
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cnc_visionsearch_spark.functions.vector import l2_sq
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("alabel"),
+        F.col("nvec").alias("av"),
+    )
+    joined = F.broadcast(anchors).join(
+        emb, F.col("label") != F.col("alabel")
+    )
+    w = Window.partitionBy("aid").orderBy(
+        l2_sq("nvec", "av").asc(), F.col("vec_id").asc()
+    )
+    return (
+        joined.withColumn("distance", l2_sq("nvec", "av"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("aid", "vec_id", "distance")
+    )
