@@ -63,6 +63,7 @@ __all__ = [
     "pq_subvectors",
     "pq_codebook",
     "pq_assign",
+    "pq_build",
 ]
 
 
@@ -654,4 +655,29 @@ def pq_assign(
     )
     return scored.groupBy(id_col, "sub_j").agg(
         F.min("dc")["c"].alias("code")
+    )
+
+
+def pq_build(
+    path: str,
+    spark=None,
+    m: int = 8,
+    vec_col: str = "nvec",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the PQ code table for an :func:`ivf_build` layout at
+    ``path``: codes derived from the layout's own codebook, written to
+    ``{path}/pq_codes`` PARTITIONED BY cell_id — the same pruning axis
+    as the vectors, so an IVF-probed ADC scan reads nprobe/n_cells of a
+    table that is m bytes/vector instead of the raw vectors. Run once
+    per corpus version, after (or as part of) the IVF build.
+    """
+    cents = spark.read.parquet(f"{path}/codebook")
+    cb = pq_codebook(cents, m)
+    cells = spark.read.parquet(f"{path}/cells")
+    codes = pq_assign(cells, cb, m, id_col=id_col, vec_col=vec_col).join(
+        cells.select(id_col, "cell_id"), id_col
+    )
+    codes.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{path}/pq_codes"
     )

@@ -410,11 +410,19 @@ def ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF); assignment = lexicographic-min (distance, code). DuckDB list
 # slices are 1-based end-INCLUSIVE: v[j*w+1 : j*w+w].
 _PQ_M = 8
-_PQ_CTE = f"""
+
+
+def _pq_sql(source: str = "normed") -> str:
+    """PQ oracle CTE chunk (w/subs/cbsubs/codes) parameterized by the
+    vector-source CTE — one definition of the subtle slice arithmetic
+    (1-based end-inclusive ``[j*w+1 : j*w+w]``) for every PQ oracle.
+    Code assignment is per-vector, so codes over any ``source`` subset
+    equal the global codes restricted to it."""
+    return f"""
 w AS (SELECT CAST(len(nvec) // {_PQ_M} AS INT) AS w FROM normed LIMIT 1),
 subs AS (
   SELECT vec_id, j.j AS sub_j, nvec[j.j*w+1 : j.j*w+w] AS sv
-  FROM normed, w, (SELECT unnest(range({_PQ_M})) AS j) j
+  FROM {source}, w, (SELECT unnest(range({_PQ_M})) AS j) j
 ),
 cbsubs AS (
   SELECT cell_id AS code, j.j AS sub_j, centroid[j.j*w+1 : j.j*w+w] AS cv
@@ -427,6 +435,23 @@ codes AS (
   GROUP BY vec_id, sub_j
 )
 """
+
+
+_PQ_CTE = _pq_sql("normed")
+
+
+def ensure_pq_built(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> str:
+    """Idempotent PQ-code build over the IVF layout: persist the
+    cell-partitioned (vec_id, sub_j, code) table once per corpus; the
+    probed ADC scan then reads nprobe/n_cells of a table that is
+    m bytes/vector instead of the raw vectors."""
+    from cnc_visionsearch_spark.operators.ann import pq_build
+
+    path = ensure_ivf_built(spark, sf_dir, n_cells=n_cells)
+    if not os.path.exists(os.path.join(path, "_PQ_BUILT")):
+        pq_build(path, spark=spark, m=_PQ_M)
+        open(os.path.join(path, "_PQ_BUILT"), "w").close()
+    return path
 
 
 @register(
@@ -503,15 +528,14 @@ LIMIT 10
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnc_visionsearch_spark.functions.vector import l2_sq
-    from cnc_visionsearch_spark.operators.ann import (
-        ivf_centroids,
-        pq_assign,
-        pq_codebook,
-    )
+    from cnc_visionsearch_spark.operators.ann import pq_codebook
 
+    # probe the PERSISTED code table (built once per corpus) — the scan
+    # below touches m-byte codes, never raw vectors, until the re-score
+    path = ensure_pq_built(spark, sf_dir)
+    cb = pq_codebook(spark.read.parquet(f"{path}/codebook"), m=_PQ_M)
+    codes = spark.read.parquet(f"{path}/pq_codes")
     emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
-    cb = pq_codebook(ivf_centroids(emb, 8), m=_PQ_M)
-    codes = pq_assign(emb, cb, m=_PQ_M)
     q = _norm_query_vec(spark, sf_dir, 7)
     qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
     w = len(q) // _PQ_M
@@ -585,11 +609,14 @@ SELECT qid, vec_id, distance FROM (
 )
 def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnc_visionsearch_spark.functions.vector import l2_sq
-    from cnc_visionsearch_spark.operators.ann import ivf_assign, ivf_centroids
     from pyspark.sql import Window
 
+    # probe the PERSISTED ivf_build layout — the build is never re-run
+    # inside the query (cells are cell-PARTITIONED parquet; the cell_id
+    # filter below is partition pruning)
+    path = ensure_ivf_built(spark, sf_dir, n_cells=8)
+    cents = spark.read.parquet(f"{path}/codebook")
     emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
-    cents = ivf_centroids(emb, 8)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("nvec").alias("qvec")
     )
@@ -607,8 +634,14 @@ def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 4)
         .select("qid", "qvec", "cell_id")
     )
-    assigned = ivf_assign(emb, cents)
-    cand = F.broadcast(ranked).join(assigned, "cell_id")
+    # prune the corpus read to the union of probed cells (n_cells-row
+    # driver list, same pattern as ivf_probe_cells), then attach the
+    # bounded per-query probe set by broadcast
+    probed = [r.cell_id for r in ranked.select("cell_id").distinct().collect()]
+    cells = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell_id").isin(probed)
+    )
+    cand = F.broadcast(ranked).join(cells, "cell_id")
     w = Window.partitionBy("qid").orderBy(
         l2_sq("nvec", "qvec").asc(), F.col("vec_id").asc()
     )
@@ -634,21 +667,7 @@ pruned AS (
   SELECT a.vec_id, a.nvec FROM assigned a
   WHERE a.cell_id IN (SELECT cell_id FROM probe)
 ),
-w AS (SELECT CAST(len(nvec) // 8 AS INT) AS w FROM normed LIMIT 1),
-subs AS (
-  SELECT vec_id, j.j AS sub_j, nvec[j.j*w+1 : j.j*w+w] AS sv
-  FROM pruned, w, (SELECT unnest(range(8)) AS j) j
-),
-cbsubs AS (
-  SELECT cell_id AS code, j.j AS sub_j, centroid[j.j*w+1 : j.j*w+w] AS cv
-  FROM centroids, w, (SELECT unnest(range(8)) AS j) j
-),
-codes AS (
-  SELECT vec_id, sub_j,
-    min(struct_pack(d := {_L2SQ.format(a="sv", b="cv")}, c := code)).c AS code
-  FROM subs JOIN cbsubs USING (sub_j)
-  GROUP BY vec_id, sub_j
-),
+{_pq_sql("pruned").strip().rstrip()},
 qsubs AS (
   SELECT c.sub_j, c.code, c.cv, qv[c.sub_j*w+1 : c.sub_j*w+w] AS qsv
   FROM cbsubs c, q, w
@@ -679,22 +698,22 @@ LIMIT 10
 )
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnc_visionsearch_spark.functions.vector import l2_sq
-    from cnc_visionsearch_spark.operators.ann import (
-        ivf_probe_cells,
-        pq_assign,
-        pq_codebook,
-    )
+    from cnc_visionsearch_spark.operators.ann import ivf_probe_cells, pq_codebook
 
-    path = ensure_ivf_built(spark, sf_dir, n_cells=8)
+    path = ensure_pq_built(spark, sf_dir, n_cells=8)
     q = _norm_query_vec(spark, sf_dir, 11)
     qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    probed = ivf_probe_cells(spark, path, q, nprobe=4)
     pruned = spark.read.parquet(f"{path}/cells").filter(
-        F.col("cell_id").isin(ivf_probe_cells(spark, path, q, nprobe=4))
+        F.col("cell_id").isin(probed)
     )
-    cb = pq_codebook(
-        spark.read.parquet(f"{path}/codebook"), m=8
+    cb = pq_codebook(spark.read.parquet(f"{path}/codebook"), m=8)
+    # the ADC scan reads the PERSISTED cell-partitioned code table with
+    # the same partition filter — m bytes/vector, no raw vectors until
+    # the re-score
+    codes = spark.read.parquet(f"{path}/pq_codes").filter(
+        F.col("cell_id").isin(probed)
     )
-    codes = pq_assign(pruned, cb, m=8)
     w = len(q) // 8
     qd = cb.select(
         "sub_j",

@@ -239,7 +239,25 @@ def test_ivf_knn_join_recall_vs_exact_join(spark):
     recalls = []
     for qid in approx:
         q = _norm_q(emb_n, qid)
-        exact = set(_ids(knn_single(emb_n, q, k=5, normalize_query=False)))
-        recalls.append(len(approx[qid] & exact) / 5)
+        exact = _ids(knn_single(emb_n, q, k=5, normalize_query=False))
+        recalls.append(recall(list(approx[qid]), exact))
     assert len(recalls) == 5
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_pq_roundtrip_identity_on_codebook_vectors(spark, emb):
+    """Every stride-centroid vector must be assigned its OWN codeword in
+    every subspace (distance 0 beats all others; ties break by code)."""
+    from cnc_visionsearch_spark.operators.ann import (
+        ivf_centroids,
+        pq_assign,
+        pq_codebook,
+    )
+
+    cents = ivf_centroids(emb, 8)
+    cb = pq_codebook(cents, m=8)
+    cent_vecs = cents.select(
+        F.col("cell_id").alias("vec_id"), F.col("centroid").alias("nvec")
+    )
+    codes = pq_assign(cent_vecs, cb, m=8).collect()
+    assert codes and all(r.code == r.vec_id for r in codes)

@@ -166,22 +166,3 @@ def test_bucket_pairs_emits_exactly_n_choose_2(spark, ids):
     got = {(r.id_a, r.id_b) for r in rows}
     assert len(rows) == len(got) == n * (n - 1) // 2
     assert all(a < b for a, b in got)
-
-
-def test_pq_roundtrip_identity_on_codebook_vectors(spark):
-    """Every stride-centroid vector must be assigned its OWN codeword in
-    every subspace (distance 0 beats all others; ties break by code)."""
-    from cnc_visionsearch_spark.operators.ann import (
-        ivf_centroids,
-        pq_assign,
-        pq_codebook,
-    )
-
-    emb = with_normalized(load_table(spark, "/root/testdata/sf0.01", "embeddings"))
-    cents = ivf_centroids(emb, 8)
-    cb = pq_codebook(cents, m=8)
-    cent_vecs = cents.select(
-        F.col("cell_id").alias("vec_id"), F.col("centroid").alias("nvec")
-    )
-    codes = pq_assign(cent_vecs, cb, m=8).collect()
-    assert codes and all(r.code == r.vec_id for r in codes)
