@@ -611,3 +611,59 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_value", ignorenulls=True).over(w).alias("value"),
         )
     )
+
+
+@register(
+    "events_value_anomalies",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value FROM events),
+stats AS (
+  SELECT event_id, user_id, value,
+    CAST(count(value) OVER w AS BIGINT) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
+    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS ss
+  FROM ev
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_id, user_id, value,
+  (value - s / n) / sqrt(ss / n - (s / n) * (s / n)) AS z
+FROM stats
+WHERE n >= 10
+  AND ss / n - (s / n) * (s / n) > 0
+  AND abs((value - s / n) / sqrt(ss / n - (s / n) * (s / n))) > 3.0
+""",
+    doc="Rolling z-score anomaly detection per user: each event scored "
+    "against its own trailing 20-event mean/std (current row excluded "
+    "— no leakage), flag |z| > 3. The streaming-monitor shape run as "
+    "batch: one shuffle on user_id, bounded per-key window state, "
+    "moments from DECIMAL-exact window sums (the trailing frame is "
+    "fully ordered by (ts, event_id), so both engines fold the same "
+    "sequence) -> the z arithmetic is a deterministic double chain.",
+)
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    frame = (
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"
+    )
+    n = F.expr(f"CAST(count(value) OVER ({frame}) AS BIGINT)")
+    s = F.expr(
+        f"CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER ({frame}) AS DOUBLE)"
+    )
+    ss = F.expr(
+        f"CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) "
+        f"OVER ({frame}) AS DOUBLE)"
+    )
+    stats = ev.select(
+        "event_id", "user_id", "value", n.alias("n"), s.alias("s"), ss.alias("ss")
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        stats.filter((F.col("n") >= 10) & (var > 0) & (F.abs(z) > 3.0))
+        .select("event_id", "user_id", "value", z.alias("z"))
+    )
