@@ -502,7 +502,7 @@ qd AS (
 ),
 est AS (
   SELECT vec_id,
-    CAST(SUM(CAST(qdist AS DECIMAL(27,12))) AS DOUBLE) AS adc
+    CAST(SUM(CAST(qdist AS DECIMAL(38,18))) AS DOUBLE) AS adc
   FROM codes JOIN qd USING (sub_j, code)
   GROUP BY vec_id
 ),
@@ -552,7 +552,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.join(F.broadcast(qd), ["sub_j", "code"])
         .groupBy("vec_id")
         .agg(
-            F.sum(F.col("qdist").cast("decimal(27,12)"))
+            F.sum(F.col("qdist").cast("decimal(38,18)"))
             .cast("double")
             .alias("adc")
         )
@@ -676,7 +676,7 @@ qd AS (
   SELECT sub_j, code, {_L2SQ.format(a="cv", b="qsv")} AS qdist FROM qsubs
 ),
 est AS (
-  SELECT vec_id, CAST(SUM(CAST(qdist AS DECIMAL(27,12))) AS DOUBLE) AS adc
+  SELECT vec_id, CAST(SUM(CAST(qdist AS DECIMAL(38,18))) AS DOUBLE) AS adc
   FROM codes JOIN qd USING (sub_j, code)
   GROUP BY vec_id
 ),
@@ -724,7 +724,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.join(F.broadcast(qd), ["sub_j", "code"])
         .groupBy("vec_id")
         .agg(
-            F.sum(F.col("qdist").cast("decimal(27,12)")).cast("double").alias("adc")
+            F.sum(F.col("qdist").cast("decimal(38,18)")).cast("double").alias("adc")
         )
     )
     cand = est.orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(30)

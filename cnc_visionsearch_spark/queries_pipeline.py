@@ -326,7 +326,7 @@ memb AS (
 ),
 newc AS (
   SELECT cell_id, dim, CAST(count(*) AS BIGINT) AS n_members,
-    CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS new_c
+    CAST(SUM(CAST(floor(x * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q
   FROM memb GROUP BY cell_id, dim
 ),
 oldc AS (
@@ -334,16 +334,21 @@ oldc AS (
     unnest(centroid) AS old_c
   FROM centroids
 )
-SELECT n.cell_id, n.dim, n.n_members, o.old_c, n.new_c
+SELECT n.cell_id, n.dim, n.n_members, o.old_c, n.sum_q
 FROM newc n JOIN oldc o ON n.cell_id = o.cell_id AND n.dim = o.dim
 """,
     doc="One Lloyd iteration over the IVF coarse quantizer: assign "
-    "every vector to its nearest stride centroid, recompute per-cell "
-    "per-dimension means (decimal-summed -> order-independent), emit "
-    "(cell, dim, n_members, old_c, new_c). The building block an "
-    "offline codebook-training job loops; one scan + one (cell_id, "
-    "dim) agg shuffle of scalar doubles, old codebook broadcast back "
-    "for the delta. Iterating = re-running with the emitted centroids.",
+    "every vector to its nearest stride centroid, emit the per-cell "
+    "per-dimension EXACT decimal component sums + member counts "
+    "(the sufficient statistics; mean = sum_q * 1e-9 / n_members in "
+    "one caller-side step). Components are fixed-point quantized "
+    "(floor(x * 1e9 + 0.5) — pure IEEE double ops, identical on both "
+    "engines) and summed as exact BIGINTs: double<->decimal casts of "
+    "full-precision values round differently per engine at every "
+    "scale, so integer arithmetic is the only bit-stable sum "
+    "contract. 1e-9 resolution is far below fp32 embedding noise. "
+    "One scan + one (cell_id, dim) agg shuffle, old codebook "
+    "broadcast back. Iterating = re-running with emitted centroids.",
 )
 def emb_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnc_visionsearch_spark.operators.ann import ivf_assign, ivf_centroids
@@ -353,18 +358,16 @@ def emb_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_centroids(emb, 8)
     assigned = ivf_assign(emb, cents)
     memb = assigned.select("cell_id", F.posexplode("nvec").alias("dim", "x"))
+    q = F.floor(F.col("x") * 1000000000.0 + 0.5).cast("bigint")
     newc = memb.groupBy("cell_id", "dim").agg(
         F.count(F.lit(1)).alias("n_members"),
-        (
-            F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("new_c"),
+        F.sum(q).alias("sum_q"),
     )
     oldc = cents.select(
         "cell_id", F.posexplode("centroid").alias("dim", "old_c")
     )
     return newc.join(F.broadcast(oldc), ["cell_id", "dim"]).select(
-        "cell_id", "dim", "n_members", "old_c", "new_c"
+        "cell_id", "dim", "n_members", "old_c", "sum_q"
     )
 
 
@@ -428,22 +431,23 @@ terms AS (
   FROM proj
 ),
 s AS (
-  SELECT dim, CAST(SUM(CAST(t AS DECIMAL(27,12))) AS DOUBLE) AS s
+  SELECT dim,
+    CAST(SUM(CAST(floor(t * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_q
   FROM terms GROUP BY dim
 )
-SELECT dim, s,
-  s / sqrt(CAST(SUM(CAST(s * s AS DECIMAL(30,12))) OVER () AS DOUBLE))
-    AS loading
-FROM s
+SELECT dim, s_q FROM s
 """,
     doc="One PCA power-iteration step over the (uncentered) Gram matrix: "
-    "v1 = normalize(sum_x (x . v0) x) with v0 = the uniform unit vector "
-    "(1/8 per component at d=64 — exact in binary). The building block "
-    "of distributed top-eigenvector extraction: each step is ONE corpus "
-    "scan (the d x d covariance is never materialized), a (dim)-keyed "
-    "agg of d scalar terms per row, and a d-row normalization window. "
-    "Deterministic: projections are sequential folds, per-dim sums are "
-    "exact decimal, so the iterate matches DuckDB bit-for-bit.",
+    "the unnormalized iterate v1_j = sum_x (x . v0) x_j with v0 = the "
+    "uniform unit vector (1/8 per component at d=64 — exact in "
+    "binary), emitted as exact fixed-point BIGINT sums at 1e-9 "
+    "resolution (d rows; the caller scales + normalizes in one "
+    "vector op). The quantize-then-integer-sum contract is the only "
+    "cross-engine bit-stable reduction for full-precision doubles — "
+    "double<->decimal casts round differently per engine. Each step "
+    "is ONE corpus scan (the d x d covariance is never "
+    "materialized) + a (dim)-keyed agg of d scalar terms per row; "
+    "projections are sequential folds, identical on both engines.",
 )
 def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -457,14 +461,8 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = proj.select(
         F.posexplode(F.expr("transform(nvec, x -> x * p)")).alias("dim", "t")
     )
-    s = terms.groupBy("dim").agg(
-        F.sum(F.col("t").cast("decimal(27,12)")).cast("double").alias("s")
-    )
-    w = Window.partitionBy()
-    norm = F.sqrt(
-        F.sum((F.col("s") * F.col("s")).cast("decimal(30,12)")).over(w).cast("double")
-    )
-    return s.select("dim", "s", (F.col("s") / norm).alias("loading"))
+    tq = F.floor(F.col("t") * 1000000000.0 + 0.5).cast("bigint")
+    return terms.groupBy("dim").agg(F.sum(tq).alias("s_q"))
 
 
 # ------------------------------------------------ hard-negative mining

@@ -428,19 +428,20 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle="""
-SELECT CAST(
-    100.0 * SUM(CAST(CASE WHEN p.p_type LIKE 'PROMO%'
-        THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END AS DECIMAL(18,6)))
-    / SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
-  AS DOUBLE) AS promo_revenue_pct
+SELECT 100.0 * (
+    CAST(SUM(CAST(CASE WHEN p.p_type LIKE 'PROMO%'
+        THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+    / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+  ) AS promo_revenue_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
   AND l.l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
 """,
     doc="TPC-H Q14 analog: conditional aggregate ratio over a fact-dim join "
     "(part is AQE-sized: auto-broadcast at bench scale, shuffle at "
-    "100 TB where part is TB-scale). Decimal partials keep the ratio "
-    "hash-stable.",
+    "100 TB where part is TB-scale). Decimal partials, then the ratio "
+    "taken in DOUBLE on both engines (a decimal-arithmetic division "
+    "would round differently per engine).",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -455,11 +456,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(promo.cast("decimal(18,6)"))
-                / F.sum(disc_price.cast("decimal(18,6)"))
-            )
-            .cast("double")
-            .alias("promo_revenue_pct")
+                * (
+                    F.sum(promo.cast("decimal(18,6)")).cast("double")
+                    / F.sum(disc_price.cast("decimal(18,6)")).cast("double")
+                )
+            ).alias("promo_revenue_pct")
         )
     )
 

@@ -22,6 +22,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -153,4 +154,46 @@ def streaming_funnel_stage(events: DataFrame) -> DataFrame:
         stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class _RunningTotalsProcessor(StatefulProcessor):
+    """transformWithStateInPandas processor — the Spark 4 successor to
+    applyInPandasWithState (typed named-state handles, per-state TTL,
+    timers). Functionally the twin of :func:`running_user_stats`, kept
+    side by side so both stateful APIs stay exercised: migrating an
+    operator is exactly this diff."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState(
+            "totals", "n_events bigint, sum_value double"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n_events, sum_value = (
+            tuple(self._totals.get()) if self._totals.exists() else (0, 0.0)
+        )
+        for pdf in rows:
+            n_events += int(len(pdf))
+            sum_value += float(pdf["value"].sum())
+        self._totals.update((n_events, sum_value))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n_events, "sum_value": sum_value}]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    new arbitrary-state API. Same contract as running_user_stats: the
+    LAST emitted row per user after the replay drains equals the batch
+    aggregate (double sums compared with tolerance: accumulation order
+    across micro-batches differs from the batch plan's)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _RunningTotalsProcessor(),
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        outputMode="Update",
+        timeMode="None",
     )

