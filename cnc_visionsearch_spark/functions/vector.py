@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["as_double_array", "dot", "l2_norm", "l2_normalize", "l2_sq", "cosine_sim", "abs_max", "int8_dequant_errors", "int8_dequant"]
+__all__ = ["as_double_array", "dot", "l2_norm", "l2_normalize", "l2_sq", "cosine_sim", "abs_max", "int8_dequant_errors", "int8_dequant", "fixed_point_q", "FIXED_POINT_SQL"]
 
 
 def _c(col: Column | str) -> Column:
@@ -151,3 +151,18 @@ def int8_dequant(a: Column | str) -> Column:
     return F.when(
         amax == 0.0, F.transform(v, lambda x: F.lit(0.0))
     ).otherwise(F.zip_with(v, F.array_repeat(amax, F.size(v)), dq))
+
+
+# Cross-engine bit-stable reduction key for full-precision doubles:
+# floor(x*1e9 + 0.5) is pure IEEE double arithmetic (identical on every
+# engine), and BIGINT sums are exact and order-free — whereas
+# double<->DECIMAL casts round differently per engine at every scale.
+# 1e-9 resolution is far below fp32 embedding noise. Keep the Spark
+# expression and the SQL template in lockstep.
+FIXED_POINT_SQL = "CAST(floor({x} * 1000000000.0 + 0.5) AS BIGINT)"
+
+
+def fixed_point_q(col: Column | str) -> Column:
+    """``floor(x * 1e9 + 0.5)`` as BIGINT — quantize a full-precision
+    double for an exact integer reduction (SQL twin: FIXED_POINT_SQL)."""
+    return F.floor(_c(col) * 1000000000.0 + 0.5).cast("bigint")

@@ -24,6 +24,7 @@ from cnc_visionsearch_spark.operators.ann import (
     shard_build,
     sharded_topk_persisted,
 )
+from cnc_visionsearch_spark.functions.vector import fixed_point_q
 from cnc_visionsearch_spark.operators.knn import with_normalized
 from cnc_visionsearch_spark.registry import register
 from cnc_visionsearch_spark.sources.catalog import load_table
@@ -502,7 +503,7 @@ qd AS (
 ),
 est AS (
   SELECT vec_id,
-    CAST(SUM(CAST(qdist AS DECIMAL(38,18))) AS DOUBLE) AS adc
+    CAST(SUM(CAST(floor(qdist * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS adc
   FROM codes JOIN qd USING (sub_j, code)
   GROUP BY vec_id
 ),
@@ -551,11 +552,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = (
         codes.join(F.broadcast(qd), ["sub_j", "code"])
         .groupBy("vec_id")
-        .agg(
-            F.sum(F.col("qdist").cast("decimal(38,18)"))
-            .cast("double")
-            .alias("adc")
-        )
+        .agg(F.sum(fixed_point_q("qdist")).alias("adc"))
     )
     cand = est.orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(40)
     return (
@@ -676,7 +673,8 @@ qd AS (
   SELECT sub_j, code, {_L2SQ.format(a="cv", b="qsv")} AS qdist FROM qsubs
 ),
 est AS (
-  SELECT vec_id, CAST(SUM(CAST(qdist AS DECIMAL(38,18))) AS DOUBLE) AS adc
+  SELECT vec_id,
+    CAST(SUM(CAST(floor(qdist * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS adc
   FROM codes JOIN qd USING (sub_j, code)
   GROUP BY vec_id
 ),
@@ -723,9 +721,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = (
         codes.join(F.broadcast(qd), ["sub_j", "code"])
         .groupBy("vec_id")
-        .agg(
-            F.sum(F.col("qdist").cast("decimal(38,18)")).cast("double").alias("adc")
-        )
+        .agg(F.sum(fixed_point_q("qdist")).alias("adc"))
     )
     cand = est.orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(30)
     return (

@@ -23,6 +23,7 @@ from cnc_visionsearch_spark.functions.text import (
     token_count,
     tokens,
 )
+from cnc_visionsearch_spark.functions.vector import FIXED_POINT_SQL, fixed_point_q
 from cnc_visionsearch_spark.queries_ann import _DIM, _IVF_CTE, _NORM_CTE
 from cnc_visionsearch_spark.registry import register
 from cnc_visionsearch_spark.sources.catalog import load_table
@@ -326,7 +327,7 @@ memb AS (
 ),
 newc AS (
   SELECT cell_id, dim, CAST(count(*) AS BIGINT) AS n_members,
-    CAST(SUM(CAST(floor(x * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q
+    CAST(SUM({FIXED_POINT_SQL.format(x='x')}) AS BIGINT) AS sum_q
   FROM memb GROUP BY cell_id, dim
 ),
 oldc AS (
@@ -358,10 +359,9 @@ def emb_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_centroids(emb, 8)
     assigned = ivf_assign(emb, cents)
     memb = assigned.select("cell_id", F.posexplode("nvec").alias("dim", "x"))
-    q = F.floor(F.col("x") * 1000000000.0 + 0.5).cast("bigint")
     newc = memb.groupBy("cell_id", "dim").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.sum(q).alias("sum_q"),
+        F.sum(fixed_point_q("x")).alias("sum_q"),
     )
     oldc = cents.select(
         "cell_id", F.posexplode("centroid").alias("dim", "old_c")
@@ -432,7 +432,7 @@ terms AS (
 ),
 s AS (
   SELECT dim,
-    CAST(SUM(CAST(floor(t * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_q
+    CAST(SUM({FIXED_POINT_SQL.format(x='t')}) AS BIGINT) AS s_q
   FROM terms GROUP BY dim
 )
 SELECT dim, s_q FROM s
@@ -450,8 +450,6 @@ SELECT dim, s_q FROM s
     "projections are sequential folds, identical on both engines.",
 )
 def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from cnc_visionsearch_spark.functions.vector import dot
     from cnc_visionsearch_spark.operators.knn import with_normalized
 
@@ -461,8 +459,7 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = proj.select(
         F.posexplode(F.expr("transform(nvec, x -> x * p)")).alias("dim", "t")
     )
-    tq = F.floor(F.col("t") * 1000000000.0 + 0.5).cast("bigint")
-    return terms.groupBy("dim").agg(F.sum(tq).alias("s_q"))
+    return terms.groupBy("dim").agg(F.sum(fixed_point_q("t")).alias("s_q"))
 
 
 # ------------------------------------------------ hard-negative mining

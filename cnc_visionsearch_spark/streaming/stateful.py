@@ -30,7 +30,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["running_user_stats", "streaming_funnel_stage"]
+__all__ = ["running_user_stats", "streaming_funnel_stage", "running_user_totals_tws"]
 
 STATE_SCHEMA = StructType(
     [
@@ -180,9 +180,6 @@ class _RunningTotalsProcessor(StatefulProcessor):
         yield pd.DataFrame(
             [{"user_id": key[0], "n_events": n_events, "sum_value": sum_value}]
         )
-
-    def close(self) -> None:
-        pass
 
 
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
