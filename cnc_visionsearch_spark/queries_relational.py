@@ -1380,3 +1380,49 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").cast("double").alias("min_value"),
         F.max("value").cast("double").alias("max_value"),
     )
+
+
+@register(
+    "orders_part_cooccurrence",
+    oracle="""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+FROM pairs GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 20
+""",
+    doc="Market-basket co-occurrence (frequent-pair mining): parts "
+    "bought together in the same order, top pairs by support — the "
+    "association-rules building block. Plan: ONE group-by on orderkey "
+    "collecting each basket's distinct part set (baskets are bounded "
+    "by construction — an order has at most 7 lines — so the in-row "
+    "pair expansion is O(21) per order, via the same shared "
+    "_bucket_pairs helper as the dedup blockers), then a (part_a, "
+    "part_b) count shuffle of bigint pairs. The oracle's per-order "
+    "self-join is the quadratic formulation the basket expansion "
+    "avoids; neither the order table nor lineitem ever self-joins in "
+    "the Spark plan.",
+)
+def orders_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.dedup import _bucket_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    pairs = _bucket_pairs(baskets, "named_struct('part_a', x, 'part_b', y)")
+    return (
+        pairs.groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(20)
+    )
