@@ -37,6 +37,9 @@ tests/test_ann.py, mirroring SURVEY §5.3.
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -51,9 +54,11 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "ivf_build",
+    "ivf_append",
     "ivf_probe",
     "ivf_probe_cells",
     "shard_build",
+    "shard_append",
     "sharded_topk",
     "sharded_topk_persisted",
     "mllib_lsh_model",
@@ -64,6 +69,7 @@ __all__ = [
     "pq_codebook",
     "pq_assign",
     "pq_build",
+    "pq_append",
 ]
 
 
@@ -241,6 +247,23 @@ def ivf_topk(
 # reads them — paying scan-of-nprobe-cells, never rebuild.
 
 
+def _write_geometry(path: str, **geometry) -> None:
+    """Sidecar recording the layout's build parameters (local-FS JSON;
+    a cluster deployment writes it through the Hadoop FS API next to
+    _SUCCESS). Appends read it back so a caller cannot silently append
+    with mismatched geometry."""
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "_GEOMETRY.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(geometry, f)
+    os.replace(tmp, os.path.join(path, "_GEOMETRY.json"))
+
+
+def read_geometry(path: str) -> dict:
+    with open(os.path.join(path, "_GEOMETRY.json")) as f:
+        return json.load(f)
+
+
 def ivf_build(
     emb: DataFrame,
     path: str,
@@ -253,12 +276,41 @@ def ivf_build(
     cell_id). Run once per corpus version — the S2 index-save step for
     the ANN tier. At 100 TB this is the one full shuffle-free scan +
     partitioned write; every later probe reads nprobe/n_cells of the
-    files via partition pruning.
+    files via partition pruning. Later batches extend the layout with
+    :func:`ivf_append` — no rebuild.
     """
     cents = ivf_centroids(emb, n_cells, id_col, vec_col)
     cents.write.mode("overwrite").parquet(f"{path}/codebook")
     assigned = ivf_assign(emb, cents, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/cells")
+    _write_geometry(path, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "nvec",
+) -> None:
+    """Append a batch of vectors into an EXISTING :func:`ivf_build`
+    layout — the batch twin of the reference's online
+    ``index.add_with_ids`` (main.py:134), and the piece that makes a
+    living 100 TB corpus affordable: daily ingest assigns only the NEW
+    vectors against the persisted codebook (broadcast, one batch-sized
+    scan) and appends files into their cell partitions. Untouched cell
+    partitions keep their existing files byte-identical; probes see the
+    union with unchanged semantics (same codebook -> same probe order).
+
+    The codebook is frozen at build time — appends never move it, so
+    cell boundaries (and therefore every previously written file) stay
+    valid. When drift accumulates (cell-size skew growing), re-run
+    :func:`ivf_build` as the periodic re-train, exactly like a FAISS
+    deployment periodically re-trains its coarse quantizer.
+    """
+    cents = spark.read.parquet(f"{path}/codebook")
+    assigned = ivf_assign(new_emb, cents, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("cell_id").parquet(f"{path}/cells")
 
 
 def ivf_probe(
@@ -310,23 +362,131 @@ def ivf_probe_cells(
     ]
 
 
+def _try_faiss():
+    try:  # pragma: no cover - faiss not in the test container
+        import faiss
+
+        return faiss
+    except ImportError:
+        return None
+
+
+def _faiss_shard_builder(id_col: str, vec_col: str):  # pragma: no cover
+    """applyInPandas fn serializing one HNSW index per shard (M=32,
+    efSearch=300 — the reference's knobs, main.py:30-31) into a
+    (shard, ids, index_bytes) row. FAISS internal ids are the row
+    positions, mapped back through the ``ids`` array at search time."""
+    import pandas as pd
+
+    def build(key, pdf):
+        import faiss
+
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+        index = faiss.IndexHNSWFlat(mat.shape[1], 32)
+        index.hnsw.efSearch = 300
+        index.add(mat)
+        buf = faiss.serialize_index(index)
+        return pd.DataFrame(
+            {
+                "shard": [int(key[0])],
+                "ids": [pdf[id_col].astype("int64").tolist()],
+                "index_bytes": [bytes(bytearray(buf))],
+            }
+        )
+
+    return build
+
+
+_FAISS_IDX_SCHEMA = "shard int, ids array<bigint>, index_bytes binary"
+
+
+def _write_faiss_shard_artifacts(
+    spark, path: str, shards: list[int] | None, id_col: str, vec_col: str
+) -> None:  # pragma: no cover - faiss not in the test container
+    """(Re)write the per-shard serialized-HNSW artifact table at
+    ``{path}/faiss_idx`` (parquet: shard, ids, index_bytes — FS-agnostic,
+    so the artifact travels with the layout on any Hadoop-compatible
+    store). ``shards=None`` rebuilds every shard; a list rebuilds only
+    those shards and carries the rest over unchanged. The swap is
+    write-to-tmp + rename so a crash leaves the old artifact readable.
+    """
+    import shutil
+
+    build = _faiss_shard_builder(id_col, vec_col)
+    src = spark.read.parquet(f"{path}/shards")
+    if shards is not None:
+        src = src.filter(F.col("shard").isin([int(s) for s in shards]))
+    rebuilt = src.groupBy("shard").applyInPandas(build, schema=_FAISS_IDX_SCHEMA)
+    idx_path = f"{path}/faiss_idx"
+    if shards is not None and os.path.exists(idx_path):
+        kept = spark.read.parquet(idx_path).filter(
+            ~F.col("shard").isin([int(s) for s in shards])
+        )
+        rebuilt = kept.unionByName(rebuilt)
+    tmp = idx_path + ".tmp"
+    rebuilt.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(idx_path):
+        shutil.rmtree(idx_path)
+    os.rename(tmp, idx_path)
+
+
 def shard_build(
     emb: DataFrame,
     path: str,
     num_shards: int = 8,
     id_col: str = "vec_id",
+    vec_col: str = "nvec",
 ) -> None:
     """Materialize the sharded-index layout at ``path``: embeddings
     written PARTITIONED BY shard (= id mod num_shards). This is the
     BASELINE 'batch FAISS index build' write step: with faiss installed
-    each probe's per-shard HNSW build happens over a stable, co-located
-    shard file set (and a serialized-index artifact per shard becomes a
-    drop-in upgrade in the same layout); without it the layout still
-    pins shard membership so probes skip the hash shuffle that
-    :func:`sharded_topk` pays per query.
+    the build also serializes one HNSW artifact per shard (M=32,
+    efSearch=300, main.py:30-31) into ``{path}/faiss_idx`` and
+    :func:`sharded_topk_persisted` searches those instead of scanning
+    raw vectors; without faiss the layout still pins shard membership so
+    probes skip the hash shuffle that :func:`sharded_topk` pays per
+    query. Extend with :func:`shard_append` — no rebuild.
     """
     sharded = emb.withColumn("shard", (F.col(id_col) % num_shards).cast("int"))
     sharded.write.mode("overwrite").partitionBy("shard").parquet(f"{path}/shards")
+    _write_geometry(path, num_shards=num_shards, id_col=id_col, vec_col=vec_col)
+    if _try_faiss() is not None:  # pragma: no cover
+        spark = emb.sparkSession
+        _write_faiss_shard_artifacts(spark, path, None, id_col, vec_col)
+
+
+def shard_append(
+    spark,
+    path: str,
+    new_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "nvec",
+) -> None:
+    """Append a batch into an existing :func:`shard_build` layout.
+
+    Shard membership (id mod num_shards) comes from the layout's
+    geometry sidecar — a caller cannot silently append with a different
+    modulus and corrupt shard membership. Untouched shard partitions
+    keep their files byte-identical; with faiss installed, only the
+    TOUCHED shards' serialized-HNSW artifacts are rebuilt (bounded by
+    the batch's shard spread, not the corpus).
+    """
+    geo = read_geometry(path)
+    num_shards = int(geo["num_shards"])
+    if geo.get("id_col", id_col) != id_col or geo.get("vec_col", vec_col) != vec_col:
+        raise ValueError(
+            f"shard_append: layout at {path!r} was built with columns "
+            f"({geo.get('id_col')}, {geo.get('vec_col')}), got "
+            f"({id_col}, {vec_col})"
+        )
+    sharded = new_emb.withColumn("shard", (F.col(id_col) % num_shards).cast("int"))
+    sharded.write.mode("append").partitionBy("shard").parquet(f"{path}/shards")
+    if _try_faiss() is not None and os.path.exists(f"{path}/faiss_idx"):  # pragma: no cover
+        touched = sorted(
+            r.shard for r in sharded.select("shard").distinct().collect()
+        )
+        _write_faiss_shard_artifacts(spark, path, touched, id_col, vec_col)
 
 
 def sharded_topk_persisted(
@@ -339,28 +499,58 @@ def sharded_topk_persisted(
 ) -> DataFrame:
     """Sharded kNN probe over a :func:`shard_build` layout.
 
-    The layout is already partitioned by shard, so per-shard local
-    search runs as ``mapInPandas`` over the scan partitions — ZERO
-    shuffle before the candidate merge (vs. sharded_topk's
-    groupBy-shard hash exchange of the whole corpus per query). Each
-    scan partition yields its local exact top-k (FAISS HNSW when
-    installed); the union of per-partition top-k necessarily contains
-    the global top-k, which the JVM-side re-score + TakeOrdered
-    extracts bit-identically to the exact tier.
+    With faiss installed AND the build's serialized per-shard HNSW
+    artifacts present (``{path}/faiss_idx``), the probe NEVER touches
+    raw vectors for candidate generation: it scans the num_shards-row
+    artifact table, deserializes each shard's index, and beam-searches
+    it (efSearch=300) — the reference's query path (main.py:150-156)
+    distributed one index per shard. Otherwise the layout is already
+    partitioned by shard, so per-shard local search runs as
+    ``mapInPandas`` over the scan partitions — ZERO shuffle before the
+    candidate merge (vs. sharded_topk's groupBy-shard hash exchange of
+    the whole corpus per query). With exact local search (the numpy
+    fallback) the candidate union provably contains the global top-k;
+    with HNSW it holds at the recall the beam reaches (gated in
+    test_real_deps). Either way the JVM-side re-score + TakeOrdered
+    ranks candidates bit-identically to the exact tier (Python only
+    nominates candidate ids; floats never cross back).
     """
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
-    search = _local_topk_fn(q, k, id_col, vec_col)
+    idx_path = f"{path}/faiss_idx"
+    if _try_faiss() is not None and os.path.exists(idx_path):  # pragma: no cover
+        import pandas as pd
 
-    def per_partition(batches):
-        # top-k per Arrow batch (bounded memory; the union of per-batch
-        # top-ks is a superset of the global top-k, restored exactly by
-        # the JVM re-score + TakeOrdered)
-        for pdf in batches:
-            if len(pdf):
-                yield search(pdf)
+        qf = q.astype(np.float32)
 
-    shards = spark.read.parquet(f"{path}/shards").select(id_col, vec_col)
-    cand_ids = shards.mapInPandas(per_partition, schema=f"{id_col} bigint")
+        def search_artifacts(batches):
+            import faiss
+
+            for pdf in batches:
+                out = []
+                for _, row in pdf.iterrows():
+                    index = faiss.deserialize_index(
+                        np.frombuffer(row["index_bytes"], dtype=np.uint8)
+                    )
+                    _, hit = index.search(qf[None, :], min(k, index.ntotal))
+                    out.extend(int(row["ids"][i]) for i in hit[0] if i >= 0)
+                yield pd.DataFrame({id_col: np.asarray(out, dtype=np.int64)})
+
+        cand_ids = spark.read.parquet(idx_path).mapInPandas(
+            search_artifacts, schema=f"{id_col} bigint"
+        )
+    else:
+        search = _local_topk_fn(q, k, id_col, vec_col)
+
+        def per_partition(batches):
+            # top-k per Arrow batch (bounded memory; the union of
+            # per-batch top-ks is a superset of the global top-k,
+            # restored exactly by the JVM re-score + TakeOrdered)
+            for pdf in batches:
+                if len(pdf):
+                    yield search(pdf)
+
+        shards = spark.read.parquet(f"{path}/shards").select(id_col, vec_col)
+        cand_ids = shards.mapInPandas(per_partition, schema=f"{id_col} bigint")
     emb = spark.read.parquet(f"{path}/shards")
     qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     # candidate side is bounded by construction (<= k rows per Arrow
@@ -659,8 +849,8 @@ def pq_assign(
 
 
 def pq_build(
+    spark,
     path: str,
-    spark=None,
     m: int = 8,
     vec_col: str = "nvec",
     id_col: str = "vec_id",
@@ -681,3 +871,29 @@ def pq_build(
     codes.write.mode("overwrite").partitionBy("cell_id").parquet(
         f"{path}/pq_codes"
     )
+
+
+def pq_append(
+    spark,
+    path: str,
+    new_emb: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "nvec",
+) -> None:
+    """Append a batch's PQ codes into an existing :func:`pq_build`
+    layout — the code-table twin of :func:`ivf_append`. Codes are
+    per-vector functions of the FROZEN codebook, so appending a batch's
+    codes leaves every existing code file byte-identical and exactly
+    equals a full re-encode of the union (asserted in tests). Cell ids
+    come from the same persisted codebook the vectors were appended
+    under, so the code table and the vector table stay partitioned on
+    the same axis.
+    """
+    cents = spark.read.parquet(f"{path}/codebook")
+    cb = pq_codebook(cents, m)
+    assigned = ivf_assign(new_emb, cents, id_col, vec_col)
+    codes = pq_assign(assigned, cb, m, id_col=id_col, vec_col=vec_col).join(
+        assigned.select(id_col, "cell_id"), id_col
+    )
+    codes.write.mode("append").partitionBy("cell_id").parquet(f"{path}/pq_codes")

@@ -269,7 +269,7 @@ def simhash(
 
     Each token contributes ±1 per bit position (from its md5-derived
     32-bit hash); the sketch sets bit b iff the signed sum is > 0.
-    Returns (id, simhash BIGINT, n_tokens). One explode (tokens x bits)
+    Returns (id, simhash BIGINT). One explode (tokens x bits)
     + two aggregations, both keyed on id — no cross-doc shuffle.
     """
     toks = _spread(df, id_col).select(

@@ -87,7 +87,13 @@ def build_training_corpus(
     # contradicts stage 5's multilingual sampling schedule. The full
     # cascade remains the per-language EN branch (doc_training_filter_funnel).
     n_tok = F.size(F.split("text", " "))
-    non_alpha = F.length(F.regexp_replace("text", r"[a-z0-9 ]", "")).cast("double")
+    # Unicode-aware clean ratio: any letter or digit in ANY script (plus
+    # space) counts as clean — an ASCII-only class would score real
+    # zh/ru/ar text as 100% dirty and drop it wholesale, contradicting
+    # stage 5's multilingual sampling schedule
+    non_alpha = F.length(
+        F.regexp_replace("text", r"[\p{L}\p{N} ]", "")
+    ).cast("double")
     clean = F.lit(1.0) - non_alpha / F.greatest(F.length("text").cast("double"), F.lit(1.0))
     stage3 = stage2.filter((n_tok >= 12) & (clean >= 0.7)).localCheckpoint(
         eager=False

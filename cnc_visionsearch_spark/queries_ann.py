@@ -42,12 +42,34 @@ _ARTIFACT_ROOT = os.environ.get("SPARK_GRAFT_ANN_DIR", "/tmp/cnc_ann_artifacts")
 
 
 def _corpus_tag(sf_dir: str) -> str:
-    return os.path.basename(sf_dir.rstrip("/")) or "corpus"
+    """Corpus key = sf-dir basename + a CONTENT fingerprint of the
+    embeddings parquet (relative name, size, mtime_ns of every data
+    file). The fixtures are regenerated between driver rounds with the
+    same path, so a basename-only key would happily serve an IVF/PQ
+    layout built from last round's corpus against this round's oracles.
+    Any content change flips the fingerprint -> a fresh artifact dir ->
+    rebuild; stale dirs are just dead files under /tmp."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    h = hashlib.md5()
+    if os.path.isdir(src):
+        for root, _dirs, files in sorted(os.walk(src)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                rel = os.path.relpath(os.path.join(root, f), src)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+    elif os.path.exists(src):
+        st = os.stat(src)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    base = os.path.basename(sf_dir.rstrip("/")) or "corpus"
+    return f"{base}-{h.hexdigest()[:12]}"
 
 
 def ensure_ivf_built(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> str:
     """Idempotent IVF build: materialize codebook + cell-partitioned
-    layout once per (corpus, n_cells); return the artifact path."""
+    layout once per (corpus content, n_cells); return the artifact
+    path."""
     path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir)}/ivf_c{n_cells}"
     if not os.path.exists(os.path.join(path, "_BUILT")):
         emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
@@ -449,9 +471,12 @@ def ensure_pq_built(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> str:
     from cnc_visionsearch_spark.operators.ann import pq_build
 
     path = ensure_ivf_built(spark, sf_dir, n_cells=n_cells)
-    if not os.path.exists(os.path.join(path, "_PQ_BUILT")):
-        pq_build(path, spark=spark, m=_PQ_M)
-        open(os.path.join(path, "_PQ_BUILT"), "w").close()
+    # marker carries m: a different subspace count is a different code
+    # table, not a cache hit (corpus content is already in the path via
+    # _corpus_tag's fingerprint)
+    if not os.path.exists(os.path.join(path, f"_PQ_BUILT_m{_PQ_M}")):
+        pq_build(spark, path, m=_PQ_M)
+        open(os.path.join(path, f"_PQ_BUILT_m{_PQ_M}"), "w").close()
     return path
 
 
@@ -631,9 +656,10 @@ def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 4)
         .select("qid", "qvec", "cell_id")
     )
-    # prune the corpus read to the union of probed cells (n_cells-row
-    # driver list, same pattern as ivf_probe_cells), then attach the
-    # bounded per-query probe set by broadcast
+    # prune the corpus read to the union of probed cells, then attach
+    # the bounded per-query probe set by broadcast. The collect is
+    # bounded at <= n_cells rows (distinct cell ids) — a driver-side
+    # constant like ivf_probe_cells', never corpus-scale.
     probed = [r.cell_id for r in ranked.select("cell_id").distinct().collect()]
     cells = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell_id").isin(probed)

@@ -88,6 +88,10 @@ def _load_all() -> None:
         queries_pipeline,
         queries_events,
         queries_multimodal,
+        # NEW modules append BELOW this line only: everything above
+        # feeds the frozen 50-entry driver window
+        # (tests/test_registry_window.py)
+        queries_ann_incremental,
     )
 
     _LOADED = True

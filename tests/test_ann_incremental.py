@@ -1,0 +1,169 @@
+"""Incremental ANN index maintenance (VERDICT r3 §Next-round #1):
+append batches must extend a persisted layout without touching existing
+files, and probes over the appended layout must equal a from-scratch
+computation over the full corpus with the same frozen codebook.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.operators.ann import (
+    ivf_append,
+    ivf_assign,
+    ivf_build,
+    ivf_probe,
+    ivf_topk,
+    pq_append,
+    pq_assign,
+    pq_build,
+    pq_codebook,
+    read_geometry,
+    shard_append,
+    shard_build,
+    sharded_topk_persisted,
+)
+from cnc_visionsearch_spark.operators.knn import knn_single, with_normalized
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.01"
+SPLIT = 300
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return with_normalized(load_table(spark, SF, "embeddings"))
+
+
+def _norm_q(emb, vec_id):
+    raw = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()[0]
+    q = [float(x) for x in raw]
+    n = sum(x * x for x in q) ** 0.5
+    return [x / n for x in q]
+
+
+def _file_md5s(root):
+    """relative path -> md5 for every parquet data file under root."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = hashlib.md5(
+                        fh.read()
+                    ).hexdigest()
+    return out
+
+
+def test_ivf_append_extends_layout_without_touching_files(spark, emb, tmp_path):
+    """Build over the base slice, append the rest: every pre-existing
+    cell file must survive byte-identical (append adds files, never
+    rewrites), and the probe over the appended layout must equal an
+    in-memory probe of the FULL corpus assigned against the same
+    frozen codebook."""
+    path = str(tmp_path / "ivf")
+    base = emb.filter(F.col("vec_id") < SPLIT)
+    rest = emb.filter(F.col("vec_id") >= SPLIT)
+    ivf_build(base, path, n_cells=8)
+    before = _file_md5s(f"{path}/cells")
+    assert before  # the build wrote real files
+
+    ivf_append(spark, path, rest)
+    after = _file_md5s(f"{path}/cells")
+
+    for rel, digest in before.items():
+        assert after.get(rel) == digest, f"append rewrote existing file {rel}"
+    assert set(after) - set(before), "append added no files"
+
+    # probe equivalence: appended layout == full corpus under the
+    # build-time codebook (ids AND exact distances)
+    cents = spark.read.parquet(f"{path}/codebook")
+    q = _norm_q(emb, 3)
+    want = [
+        (r.vec_id, r.distance)
+        for r in ivf_topk(ivf_assign(emb, cents), cents, q, k=10, nprobe=4).collect()
+    ]
+    got = [
+        (r.vec_id, r.distance)
+        for r in ivf_probe(spark, path, q, k=10, nprobe=4).collect()
+    ]
+    assert got == want
+    # the appended half is actually visible to probes
+    assert spark.read.parquet(f"{path}/cells").filter(
+        F.col("vec_id") >= SPLIT
+    ).count() == rest.count()
+
+
+def test_pq_append_equals_full_reencode(spark, emb, tmp_path):
+    """Codes are per-vector functions of the frozen codebook: appending
+    the rest's codes must leave existing code files untouched and make
+    the code table equal a from-scratch encode of the union."""
+    path = str(tmp_path / "ivfpq")
+    base = emb.filter(F.col("vec_id") < SPLIT)
+    rest = emb.filter(F.col("vec_id") >= SPLIT)
+    ivf_build(base, path, n_cells=8)
+    pq_build(spark, path, m=8)
+    before = _file_md5s(f"{path}/pq_codes")
+    assert before
+
+    ivf_append(spark, path, rest)
+    pq_append(spark, path, rest, m=8)
+    after = _file_md5s(f"{path}/pq_codes")
+    for rel, digest in before.items():
+        assert after.get(rel) == digest, f"append rewrote existing file {rel}"
+
+    cents = spark.read.parquet(f"{path}/codebook")
+    cb = pq_codebook(cents, m=8)
+    want = sorted(
+        (r.vec_id, r.sub_j, r.code)
+        for r in pq_assign(emb, cb, m=8).collect()
+    )
+    got = sorted(
+        (r.vec_id, r.sub_j, r.code)
+        for r in spark.read.parquet(f"{path}/pq_codes")
+        .select("vec_id", "sub_j", "code")
+        .collect()
+    )
+    assert got == want
+
+
+def test_shard_append_probe_equals_exact(spark, emb, tmp_path):
+    """Appended shard layout: geometry pinned by the sidecar, existing
+    shard files untouched, probe equals the exact tier over the UNION
+    (numpy local search is exact)."""
+    path = str(tmp_path / "shards")
+    base = emb.filter(F.col("vec_id") < SPLIT)
+    rest = emb.filter(F.col("vec_id") >= SPLIT)
+    shard_build(base, path, num_shards=8)
+    assert read_geometry(path)["num_shards"] == 8
+    before = _file_md5s(f"{path}/shards")
+
+    shard_append(spark, path, rest)
+    after = _file_md5s(f"{path}/shards")
+    for rel, digest in before.items():
+        assert after.get(rel) == digest, f"append rewrote existing file {rel}"
+
+    q = _norm_q(emb, 9)
+    want = [
+        (r.vec_id, r.distance)
+        for r in knn_single(emb, q, k=10, normalize_query=False).collect()
+    ]
+    got = [
+        (r.vec_id, r.distance)
+        for r in sharded_topk_persisted(spark, path, q, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_shard_append_refuses_mismatched_columns(spark, emb, tmp_path):
+    path = str(tmp_path / "shards2")
+    shard_build(emb.filter(F.col("vec_id") < 50), path, num_shards=4)
+    with pytest.raises(ValueError, match="built with columns"):
+        shard_append(
+            spark, path, emb.filter(F.col("vec_id") >= 50), id_col="doc_id"
+        )
