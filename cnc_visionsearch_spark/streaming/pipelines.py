@@ -37,6 +37,7 @@ __all__ = [
     "sliding_counts_stream",
     "session_window_stream",
     "streaming_upsert_sink",
+    "compact_id_mapping",
     "dedup_event_stream",
     "purchase_after_error_stream",
     "lsh_ingest_stream",
@@ -382,3 +383,58 @@ def streaming_upsert_sink(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def compact_id_mapping(
+    spark: SparkSession, state_dir: str, files_per_bucket: int = 1
+) -> None:
+    """Manifest-aware small-file compaction for the upsert state
+    (VERDICT r3 §Next-round #5): the bucket-versioned sink accretes one
+    file per touched bucket per micro-batch — after K batches a bucket
+    holds up to K small files, and at 100 TB that is metadata death for
+    every later read (the same disease :func:`sources.formats
+    .compact_layout` treats for plain layouts, solved here through the
+    manifest instead of a directory swap).
+
+    Rewrites the CURRENT state (all buckets, resolved through the
+    manifest) into one fresh version directory with ``files_per_bucket``
+    files per bucket, then atomically repoints every bucket at it.
+    Crash-safety is the sink's own mechanism, reused: the manifest swap
+    is the last step, so death at any earlier point leaves the old
+    state fully readable and the half-written version dir is orphan-GC'd
+    by the next successful batch or compaction. Results are identical
+    before/after by construction (same rows, new files). Run from the
+    maintenance schedule, not the ingest path.
+    """
+    man = _read_manifest(state_dir)
+    if not man or not man["buckets"]:
+        return  # empty state: nothing to compact
+    root = os.path.join(state_dir, "id_mapping")
+    n_buckets = int(man.get("n_buckets", N_BUCKETS))
+    ver = f"v_{man['version'] + 1:06d}"
+    vdir = os.path.join(root, ver)
+    current = read_id_mapping(spark, state_dir)
+    (
+        current.withColumn("bucket", _bucket_expr(n_buckets))
+        # repartition BY the partition column: each bucket lands in one
+        # task -> files_per_bucket files per hive partition (a bare
+        # repartition(n) would emit up to n files per bucket again)
+        .repartition(n_buckets * files_per_bucket, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(vdir)
+    )
+    new_man = {
+        "version": man["version"] + 1,
+        "max_faiss_id": man["max_faiss_id"],
+        "buckets": {b: ver for b in man["buckets"]},
+        "n_buckets": n_buckets,
+    }
+    tmp = _manifest_path(state_dir) + ".tmp_compact"
+    with open(tmp, "w") as f:
+        json.dump(new_man, f)
+    os.replace(tmp, _manifest_path(state_dir))  # atomic swap, LAST step
+    live = set(new_man["buckets"].values())
+    for d in os.listdir(root):
+        if d.startswith("v_") and d not in live:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)

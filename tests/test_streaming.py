@@ -523,3 +523,89 @@ def test_transform_with_state_converges_to_batch(spark, tmp_path):
     for uid, got in last.items():
         assert got.n_events == want[uid].n
         assert abs(got.sum_value - want[uid].s) < 1e-6
+
+
+def test_compact_id_mapping_after_many_batches(spark, tmp_path):
+    """~20 micro-batches accrete one small file per touched bucket per
+    batch; compaction must (a) shrink the file count to ~one per
+    bucket, (b) leave the mapping rows identical, (c) keep the
+    crash-safe manifest layout (single live version, valid counter) so
+    further upserts continue correctly."""
+    from cnc_visionsearch_spark.streaming.pipelines import (
+        compact_id_mapping,
+        _read_manifest,
+    )
+
+    chunks = []
+    for b in range(20):
+        rows = [(f"img_{b:02d}_{j}", f"text {b}/{j}") for j in range(3)]
+        # batch 10+ also re-ingests an old id: exercises the update path
+        if b >= 10:
+            rows.append((f"img_{b - 10:02d}_0", f"UPDATED in {b}"))
+        chunks.append(
+            spark.createDataFrame(rows, "str_id: string, text_content: string")
+        )
+    stream_dir = _write_chunks(spark, str(tmp_path), chunks)
+    state_dir = os.path.join(str(tmp_path), "state")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    stream = (
+        spark.readStream.schema("str_id string, text_content string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = streaming_upsert_sink(stream, state_dir, ckpt).start()
+    q.awaitTermination(300)
+
+    root = os.path.join(state_dir, "id_mapping")
+
+    def n_files():
+        return sum(
+            1
+            for dp, _d, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before_rows = sorted(
+        map(tuple, read_id_mapping(spark, state_dir).collect())
+    )
+    before_files = n_files()
+    man_before = _read_manifest(state_dir)
+
+    compact_id_mapping(spark, state_dir)
+
+    after_rows = sorted(map(tuple, read_id_mapping(spark, state_dir).collect()))
+    assert after_rows == before_rows  # compaction never changes results
+    after_files = n_files()
+    assert after_files < before_files, (before_files, after_files)
+    man = _read_manifest(state_dir)
+    # all buckets point at the single fresh version; counter preserved
+    assert len(set(man["buckets"].values())) == 1
+    assert man["max_faiss_id"] == man_before["max_faiss_id"]
+    assert man["version"] == man_before["version"] + 1
+    # <= one file per bucket after compaction
+    assert after_files <= len(man["buckets"])
+    # old version dirs are GC'd: only the live one remains
+    vdirs = [d for d in os.listdir(root) if d.startswith("v_")]
+    assert vdirs == [sorted(set(man["buckets"].values()))[0]]
+
+    # the state is still writable with correct MAX+1 semantics
+    extra = spark.createDataFrame(
+        [("img_new_after_compact", "hello")],
+        "str_id: string, text_content: string",
+    )
+    stream_dir2 = _write_chunks(spark, str(tmp_path / "again"), [extra])
+    stream2 = (
+        spark.readStream.schema("str_id string, text_content string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir2)
+    )
+    q2 = streaming_upsert_sink(
+        stream2, state_dir, os.path.join(str(tmp_path), "ckpt2")
+    ).start()
+    q2.awaitTermination(120)
+    final = {
+        r.str_id: r.faiss_id for r in read_id_mapping(spark, state_dir).collect()
+    }
+    assert final["img_new_after_compact"] == man["max_faiss_id"] + 1
+    assert len(final) == len(before_rows) + 1
