@@ -40,8 +40,12 @@ HEADLINE = [
     "knn_search_with_metadata",
     "knn_join_batch",
     "cosine_topk",
-    # ANN + sharded tiers and the text-search endpoint
+    # ANN + sharded tiers and the text-search endpoint — including the
+    # COMPOSED probes the 100 TB design leans on (IVF x PQ x rescore,
+    # batch ANN join)
     "ann_ivf_topk",
+    "ann_ivf_pq_topk",
+    "ann_ivf_knn_join",
     "knn_sharded_topk",
     "text_search_topk",
     # multimodal Arrow plumbing
@@ -93,6 +97,17 @@ def main() -> None:
             print(f"  pass{pass_no} {name}: {elapsed:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # Measured ANN recall evidence (RECALL.json, outside the timed
+    # passes): recall@10 vs exact for the IVF/PQ/LSH tiers at this sf.
+    # Never lets a recall hiccup break the headline bench line.
+    try:
+        from cnc_visionsearch_spark.recall import emit_recall
+
+        emit_recall(spark, sf_dir, os.path.join(os.path.dirname(__file__) or ".", "RECALL.json"))
+    except Exception as exc:  # pragma: no cover
+        print(f"  RECALL.json emission failed: {exc}", file=sys.stderr)
+
     print(
         json.dumps(
             {

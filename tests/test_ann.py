@@ -83,6 +83,30 @@ def test_ivf_recall_reasonable_and_monotone(spark, emb):
     assert recalls[2] >= 0.5, f"nprobe=4 recall {recalls[2]} too low"
 
 
+def test_ivf_default_nprobe_meets_baseline_recall_gate(spark, emb):
+    """BASELINE.md quality gate: recall@10 >= 0.95 vs exact at the
+    DEFAULT probe knobs (DEFAULT_NPROBE, chosen from the measured sweep
+    in RECALL.json / recall.py — the engine's analog of the reference's
+    HNSW M=32/efSearch=300 accuracy-first defaults, main.py:30-31).
+    Mean over the same 20-query panel RECALL.json reports."""
+    from cnc_visionsearch_spark.operators.ann import DEFAULT_NPROBE
+
+    cents = ivf_centroids(emb, n_cells=8)
+    assigned = ivf_assign(emb, cents).localCheckpoint(eager=False)
+    qids = [
+        r.vec_id
+        for r in emb.select("vec_id").orderBy("vec_id").limit(40).collect()
+    ][::2]
+    recalls = []
+    for vid in qids:
+        q = _norm_q(emb, vid)
+        exact = _ids(knn_single(emb, q, k=K, normalize_query=False))
+        approx = _ids(ivf_topk(assigned, cents, q, k=K, nprobe=DEFAULT_NPROBE))
+        recalls.append(recall(approx, exact))
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.95, f"recall@10 {mean:.3f} < 0.95 at nprobe={DEFAULT_NPROBE}"
+
+
 def test_lsh_bucket_determinism_and_partition(spark, emb):
     """Every vector lands in exactly one bucket; recomputation agrees."""
     planes = hyperplanes(64, 6, 42)
