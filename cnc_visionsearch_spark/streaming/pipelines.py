@@ -41,6 +41,7 @@ __all__ = [
     "dedup_event_stream",
     "purchase_after_error_stream",
     "lsh_ingest_stream",
+    "ivf_ingest_stream",
     "read_id_mapping",
 ]
 
@@ -220,6 +221,56 @@ def lsh_ingest_stream(
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def ivf_ingest_stream(
+    spark: SparkSession,
+    in_path: str,
+    index_path: str,
+    checkpoint: str,
+    pq_m: int | None = None,
+    max_files_per_trigger: int = 10,
+):
+    """Streaming ingest into a PERSISTED :func:`operators.ann.ivf_build`
+    layout — the streaming twin of the batch append path, and together
+    with it the full living-corpus story the reference serves online
+    (``index.add_with_ids``, main.py:134): each micro-batch of new
+    embeddings is assigned against the layout's frozen codebook and
+    appended into its cell partitions (``ivf_append``); when the layout
+    carries a PQ code table and ``pq_m`` is set, codes append in the
+    same batch (``pq_append``). Probes launched after any micro-batch
+    commit see the new vectors at unchanged cost — cell partition
+    pruning does not care how many batches built the files. Pair with
+    :func:`sources.formats.compact_layout` on the cells/ and pq_codes/
+    subtrees from the maintenance schedule: one file per cell per batch
+    accretes exactly like the upsert state's buckets.
+
+    Returns the configured DataStreamWriter — call ``.start()``.
+    """
+    from cnc_visionsearch_spark.operators.ann import ivf_append, pq_append
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+    from cnc_visionsearch_spark.schemas import EMBEDDINGS
+
+    stream = (
+        spark.readStream.schema(EMBEDDINGS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        normed = with_normalized(batch_df)
+        ivf_append(s, index_path, normed)
+        if pq_m is not None:
+            pq_append(s, index_path, normed, m=pq_m)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
     )
 
 

@@ -167,3 +167,80 @@ def test_shard_append_refuses_mismatched_columns(spark, emb, tmp_path):
         shard_append(
             spark, path, emb.filter(F.col("vec_id") >= 50), id_col="doc_id"
         )
+
+
+def test_compact_appended_cells_preserves_probe_and_pruning(spark, emb, tmp_path):
+    """Repeated appends accrete one file per touched cell per batch —
+    compact_layout on the cells/ subtree must shrink files, keep the
+    hive partitioning (so PartitionFilters pruning survives), and leave
+    probe results bit-identical."""
+    from cnc_visionsearch_spark.sources.formats import compact_layout
+
+    path = str(tmp_path / "ivf")
+    ivf_build(emb.filter(F.col("vec_id") < 200), path, n_cells=8)
+    # five append batches -> up to 5 extra file sets per cell
+    for i in range(5):
+        ivf_append(
+            spark, path, emb.filter((F.col("vec_id") >= 200 + 60 * i) & (F.col("vec_id") < 260 + 60 * i))
+        )
+    q = _norm_q(emb, 3)
+    before = [
+        (r.vec_id, r.distance)
+        for r in ivf_probe(spark, path, q, k=10, nprobe=4).collect()
+    ]
+
+    def n_files():
+        return sum(
+            1
+            for dp, _d, fs in os.walk(f"{path}/cells")
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    files_before = n_files()
+    compact_layout(spark, f"{path}/cells", partition_by=["cell_id"])
+    assert n_files() < files_before
+    # hive layout intact -> cell_id IN (...) stays partition pruning
+    assert any(
+        d.startswith("cell_id=") for d in os.listdir(f"{path}/cells")
+    )
+    after = [
+        (r.vec_id, r.distance)
+        for r in ivf_probe(spark, path, q, k=10, nprobe=4).collect()
+    ]
+    assert after == before
+
+
+def test_ivf_build_with_trained_codebook(spark, emb, tmp_path):
+    """A caller-supplied (trained) codebook slots into the same layout:
+    probe/append semantics are unchanged — full probe over the custom
+    codebook equals the exact tier, and appends assign against the
+    persisted custom centroids."""
+    path = str(tmp_path / "ivf_trained")
+    # stand-in "trained" codebook: 4 corpus vectors as centroids
+    cents = (
+        emb.filter(F.col("vec_id").isin([10, 20, 30, 40]))
+        .select(
+            ((F.col("vec_id") / 10).cast("int") - 1).alias("cell_id"),
+            F.col("nvec").alias("centroid"),
+        )
+    )
+    ivf_build(
+        emb.filter(F.col("vec_id") < SPLIT), path, n_cells=4, centroids=cents
+    )
+    ivf_append(spark, path, emb.filter(F.col("vec_id") >= SPLIT))
+    q = _norm_q(emb, 7)
+    want = [
+        (r.vec_id, r.distance)
+        for r in knn_single(emb, q, k=10, normalize_query=False).collect()
+    ]
+    # full probe (nprobe = all 4 cells) must equal exact over the union
+    got = [
+        (r.vec_id, r.distance)
+        for r in ivf_probe(spark, path, q, k=10, nprobe=4).collect()
+    ]
+    assert got == want
+    # every vector landed in one of the custom cells
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.count() == emb.count()
+    assert cells.filter(~F.col("cell_id").isin([0, 1, 2, 3])).count() == 0

@@ -609,3 +609,86 @@ def test_compact_id_mapping_after_many_batches(spark, tmp_path):
     }
     assert final["img_new_after_compact"] == man["max_faiss_id"] + 1
     assert len(final) == len(before_rows) + 1
+
+
+def test_ivf_ingest_stream_extends_persisted_index(spark, tmp_path):
+    """Streaming twin of the batch append path: micro-batches of new
+    embeddings land in the persisted IVF layout's cell partitions (and
+    its PQ code table) against the frozen codebook; a probe after the
+    stream commits equals a probe over the full corpus with the same
+    codebook, and pre-existing files survive byte-identical."""
+    import hashlib
+
+    from cnc_visionsearch_spark.operators.ann import (
+        ivf_assign,
+        ivf_build,
+        ivf_probe,
+        ivf_topk,
+        pq_build,
+    )
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+    from cnc_visionsearch_spark.streaming.pipelines import ivf_ingest_stream
+
+    emb = with_normalized(load_table(spark, SF, "embeddings"))
+    path = str(tmp_path / "ivf")
+    ivf_build(emb.filter(F.col("vec_id") < 300), path, n_cells=8)
+    pq_build(spark, path, m=8)
+
+    def md5s(root):
+        out = {}
+        for dp, _d, fs in os.walk(root):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dp, f)
+                    with open(p, "rb") as fh:
+                        out[os.path.relpath(p, root)] = hashlib.md5(
+                            fh.read()
+                        ).hexdigest()
+        return out
+
+    before_cells = md5s(f"{path}/cells")
+    before_codes = md5s(f"{path}/pq_codes")
+
+    rest = emb.filter(F.col("vec_id") >= 300).select(
+        "vec_id", "embedding", "label"
+    )
+    chunks = [
+        rest.filter(F.col("vec_id") % 3 == i) for i in range(3)
+    ]
+    stream_dir = _write_chunks(spark, str(tmp_path), chunks)
+    q = ivf_ingest_stream(
+        spark,
+        stream_dir,
+        path,
+        os.path.join(str(tmp_path), "ckpt"),
+        pq_m=8,
+    ).start()
+    q.awaitTermination(180)
+
+    after_cells = md5s(f"{path}/cells")
+    after_codes = md5s(f"{path}/pq_codes")
+    for rel, digest in before_cells.items():
+        assert after_cells.get(rel) == digest
+    for rel, digest in before_codes.items():
+        assert after_codes.get(rel) == digest
+
+    # probe over the streamed-into layout == full-corpus probe under
+    # the frozen codebook (ids and distances)
+    cents = spark.read.parquet(f"{path}/codebook")
+    raw = emb.filter(F.col("vec_id") == 301).select("nvec").first()[0]
+    qv = [float(x) for x in raw]
+    want = [
+        (r.vec_id, r.distance)
+        for r in ivf_topk(ivf_assign(emb, cents), cents, qv, k=10, nprobe=4).collect()
+    ]
+    got = [
+        (r.vec_id, r.distance)
+        for r in ivf_probe(spark, path, qv, k=10, nprobe=4).collect()
+    ]
+    assert got == want
+    assert got[0][0] == 301 and got[0][1] == 0.0  # streamed vector found
+    # code table is complete: 8 codes for every vector incl. streamed
+    n_vec = emb.count()
+    assert (
+        spark.read.parquet(f"{path}/pq_codes").count() == n_vec * 8
+    )
