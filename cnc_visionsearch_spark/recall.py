@@ -115,34 +115,46 @@ def measure_recall(spark: SparkSession, sf_dir: str) -> dict:
         **ivf_sweep[str(DEFAULT_NPROBE)],
     }
 
-    # ---- IVF x PQ: persisted code table, ADC rescore-depth sweep
-    path = ensure_pq_built(spark, sf_dir, n_cells=8)
-    codes_rows = (
-        spark.read.parquet(f"{path}/pq_codes")
-        .select("vec_id", "sub_j", "code")
-        .collect()
-    )
-    m = 1 + max(r.sub_j for r in codes_rows)
-    w = mat.shape[1] // m
-    codes = np.zeros((len(ids), m), dtype=int)
-    pos = {int(v): i for i, v in enumerate(ids)}
-    for r in codes_rows:
-        codes[pos[r.vec_id], r.sub_j] = r.code
-    cbs = cmat[np.argsort(cid)].reshape(len(cid), m, w)
-    pq_sweep = {}
-    for depth in (10, 20, 40, 80, 160):
-        recs = []
-        for q in qids:
-            lut = ((cbs - qvec[q].reshape(m, w)[None, :, :]) ** 2).sum(axis=-1)
-            adc = lut.T[np.arange(m)[:, None], codes.T].sum(axis=0)
-            sel = np.lexsort((ids, adc))[:depth]
-            mask = np.zeros(len(ids), bool)
-            mask[sel] = True
-            got = topk_within(qvec[q], mask)
-            recs.append(len(got & exact[q]) / K)
-        pq_sweep[str(depth)] = stats(recs)
+    # ---- IVF x PQ: persisted code tables, ADC rescore-depth sweep,
+    # at the default k*=8 codebook AND the wide k*=128 codebook (the
+    # quality knob ann_pq_wide_codebook_topk materializes)
+    def pq_sweep_for(n_cells: int, depths) -> dict:
+        path = ensure_pq_built(spark, sf_dir, n_cells=n_cells)
+        codes_rows = (
+            spark.read.parquet(f"{path}/pq_codes")
+            .select("vec_id", "sub_j", "code")
+            .collect()
+        )
+        m = 1 + max(r.sub_j for r in codes_rows)
+        w = mat.shape[1] // m
+        codes = np.zeros((len(ids), m), dtype=int)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        for r in codes_rows:
+            codes[pos[r.vec_id], r.sub_j] = r.code
+        crows2 = spark.read.parquet(f"{path}/codebook").collect()
+        cid2 = np.array([r.cell_id for r in crows2])
+        cmat2 = np.stack([np.asarray(r.centroid) for r in crows2])
+        cbs = cmat2[np.argsort(cid2)].reshape(len(cid2), m, w)
+        sweep = {}
+        for depth in depths:
+            recs = []
+            for q in qids:
+                lut = ((cbs - qvec[q].reshape(m, w)[None, :, :]) ** 2).sum(axis=-1)
+                adc = lut.T[np.arange(m)[:, None], codes.T].sum(axis=0)
+                sel = np.lexsort((ids, adc))[:depth]
+                mask = np.zeros(len(ids), bool)
+                mask[sel] = True
+                got = topk_within(qvec[q], mask)
+                recs.append(len(got & exact[q]) / K)
+            sweep[str(depth)] = stats(recs)
+        return sweep
+
+    pq_sweep = pq_sweep_for(8, (10, 20, 40, 80, 160))
     out["pq_rescore_depth_sweep"] = pq_sweep
-    out["defaults"]["pq"] = {"m": int(m), "rescore_depth": 40, **pq_sweep["40"]}
+    out["defaults"]["pq"] = {"m": 8, "rescore_depth": 40, **pq_sweep["40"]}
+    wide = pq_sweep_for(128, (40, 80))
+    out["pq_wide_codebook_sweep"] = wide
+    out["defaults"]["pq_wide"] = {"m": 8, "k_star": 128, "rescore_depth": 80, **wide["80"]}
 
     # ---- hyperplane LSH: engine signatures, planes sweep
     lsh_sweep = {}

@@ -348,3 +348,25 @@ def test_simhash_pairs_single_groupby_no_selfjoin(spark, queries):
     plan = plan_of(queries["simhash_neardup_pairs"](spark, SF))
     assert "Join" not in plan
     assert "Generate" in plan  # the in-bucket pair expansion explode
+
+
+def test_ivf_pq_probe_prunes_code_partitions(spark, queries):
+    """The composed IVF x PQ probe must prune BOTH persisted tables on
+    cell_id (PartitionFilters on the pq_codes scan as well as the cells
+    scan) — the ADC stage reads nprobe/n_cells of the m-byte code
+    files, never a full code-table scan."""
+    df = queries["ann_ivf_pq_topk"](spark, SF)
+    plan = plan_of(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    pruned = [ln for ln in pf if "cell_id" in ln and "IN (" in ln]
+    assert len(pruned) >= 2, f"expected cells+codes both pruned, got {pf}"
+
+
+def test_ivf_append_probe_still_prunes(spark, queries):
+    """Probes over an APPENDED layout keep the same pruned plan shape:
+    appends add files inside cell partitions, they never degrade the
+    probe to a full scan."""
+    df = queries["ann_ivf_append_topk"](spark, SF)
+    plan = plan_of(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("cell_id" in ln and "IN (" in ln for ln in pf)
