@@ -55,6 +55,8 @@ __all__ = [
     "ivf_topk",
     "ivf_build",
     "ivf_append",
+    "ivf_delete",
+    "ivf_vacuum",
     "ivf_probe",
     "ivf_probe_cells",
     "shard_build",
@@ -338,6 +340,75 @@ def ivf_append(
     assigned.write.mode("append").partitionBy("cell_id").parquet(f"{path}/cells")
 
 
+def ivf_delete(spark, path: str, ids: list[int], id_col: str = "vec_id") -> None:
+    """Tombstone delete from an :func:`ivf_build` layout — the operation
+    the REFERENCE CANNOT perform (HNSW has no delete: re-ingesting an
+    existing id updates text only and leaves the stale vector resident
+    forever, main.py:119-126). Here a delete appends the ids to
+    ``{path}/tombstones``; every probe anti-joins the (broadcast-small)
+    tombstone set, so deleted vectors disappear from results
+    immediately while resident data files stay untouched — O(batch)
+    like the appends. Physical removal is deferred to
+    :func:`ivf_vacuum` (or the next full rebuild). The codebook is NOT
+    edited: it is a quantizer, not data — a deleted vector that served
+    as a stride centroid keeps partitioning space perfectly well.
+    """
+    df = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} bigint")
+    df.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def _without_tombstones(spark, path: str, cells: DataFrame, id_col: str) -> DataFrame:
+    """Anti-join the layout's tombstone set (broadcast — deletes are
+    batch-scale, never corpus-scale; a corpus-scale tombstone set means
+    it is time to vacuum). No-op when the layout has no tombstones, so
+    delete-free layouts keep their exact plan shape."""
+    if not os.path.exists(f"{path}/tombstones"):
+        return cells
+    tombs = spark.read.parquet(f"{path}/tombstones").select(id_col).distinct()
+    return cells.join(F.broadcast(tombs), id_col, "left_anti")
+
+
+def ivf_vacuum(spark, path: str, id_col: str = "vec_id") -> None:
+    """Apply accumulated tombstones physically: rewrite ONLY the cell
+    partitions that contain deleted rows (touched cells resolved from
+    the assignments — bounded by the tombstone set's cell spread, not
+    the corpus), then drop the tombstone dir. Untouched cell partitions
+    keep their files byte-identical. Probe results are unchanged by
+    construction (the anti-join already hid the rows); the vacuum just
+    reclaims space and restores tombstone-free probe plans. Also
+    rewrites ``pq_codes`` partitions when the layout carries them.
+    """
+    import shutil
+
+    tdir = f"{path}/tombstones"
+    if not os.path.exists(tdir):
+        return
+    tombs = spark.read.parquet(tdir).select(id_col).distinct()
+    cells = spark.read.parquet(f"{path}/cells")
+    touched = [
+        r.cell_id
+        for r in cells.join(F.broadcast(tombs), id_col)
+        .select("cell_id")
+        .distinct()
+        .collect()
+    ]
+    for sub in ("cells", "pq_codes"):
+        if not os.path.exists(f"{path}/{sub}"):
+            continue
+        for cell in touched:
+            part = f"{path}/{sub}/cell_id={cell}"
+            if not os.path.exists(part):
+                continue
+            kept = spark.read.parquet(part).join(
+                F.broadcast(tombs), id_col, "left_anti"
+            )
+            tmp = part + ".vacuum_tmp"
+            kept.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(part)
+            os.rename(tmp, part)
+    shutil.rmtree(tdir)
+
+
 def ivf_probe(
     spark,
     path: str,
@@ -360,6 +431,7 @@ def ivf_probe(
     cells = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell_id").isin(ivf_probe_cells(spark, path, query_vec, nprobe))
     )
+    cells = _without_tombstones(spark, path, cells, id_col)
     return (
         cells.select(F.col(id_col), l2_sq(F.col(vec_col), qcol).alias("distance"))
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())

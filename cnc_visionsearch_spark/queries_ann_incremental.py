@@ -277,3 +277,77 @@ def ann_pq_wide_codebook_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# --------------------------------------------------- delete lifecycle
+
+_DELETED_IDS = [3, 17, 23]
+
+
+def ensure_deleted_layout(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> str:
+    """Dedicated layout for the delete-probe query: full build, then
+    tombstone-delete a few ids. (Deletes target their own layout —
+    the shared ivf_c8 artifacts stay tombstone-free so every other
+    probe keeps its exact plan shape.)"""
+    from cnc_visionsearch_spark.operators.ann import ivf_delete
+
+    path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir)}/ivf_delete_c{n_cells}"
+    marker = os.path.join(path, "_DELETED")
+    if not os.path.exists(marker):
+        emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+        ivf_build(emb, path, n_cells=n_cells)
+        ivf_delete(spark, path, _DELETED_IDS)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "ann_ivf_delete_probe",
+    oracle=f"""
+WITH {_NORM_CTE},
+stride AS (SELECT greatest(max(vec_id) // 8, 1) AS s FROM embeddings),
+centroids AS (
+  SELECT CAST(vec_id // s AS INT) AS cell_id, nvec AS centroid
+  FROM normed, stride
+  WHERE vec_id % s = 0 AND vec_id // s < 8
+),
+assigned AS (
+  SELECT vec_id, cell_id, nvec FROM (
+    SELECT n.vec_id, c.cell_id, n.nvec,
+      row_number() OVER (
+        PARTITION BY n.vec_id
+        ORDER BY {_L2SQ.format(a="n.nvec", b="c.centroid")} ASC, c.cell_id ASC
+      ) AS rn
+    FROM normed n, centroids c
+  ) WHERE rn = 1
+),
+q AS (SELECT nvec AS qvec FROM normed WHERE vec_id = 3),
+probe AS (
+  SELECT cell_id FROM centroids, q
+  ORDER BY {_L2SQ.format(a="centroid", b="qvec")} ASC, cell_id ASC
+  LIMIT 4
+)
+SELECT a.vec_id, {_L2SQ.format(a="a.nvec", b="q.qvec")} AS distance
+FROM assigned a, q
+WHERE a.cell_id IN (SELECT cell_id FROM probe)
+  AND a.vec_id NOT IN ({", ".join(str(i) for i in _DELETED_IDS)})
+ORDER BY distance ASC, a.vec_id ASC
+LIMIT 10
+""",
+    doc="IVF probe after tombstone DELETES — the operation the "
+    "reference cannot perform (HNSW has no delete; re-ingest updates "
+    "text only and the stale vector stays resident forever, "
+    "main.py:119-126). ivf_delete appends ids to the layout's "
+    "tombstone set; the probe anti-joins it (broadcast — delete "
+    "batches are bounded), so deleted vectors vanish from results "
+    "immediately at O(batch) cost, resident files untouched. The "
+    "query vector is id 3 — ITSELF deleted — so the exact self-match "
+    "the flagship query pins must NOT appear; the oracle recomputes "
+    "the probe minus the deleted set. ivf_vacuum later rewrites only "
+    "the touched cell partitions and restores the tombstone-free "
+    "plan (test-pinned).",
+)
+def ann_ivf_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = ensure_deleted_layout(spark, sf_dir, n_cells=8)
+    q = _norm_query_vec(spark, sf_dir, 3)
+    return ivf_probe(spark, path, q, k=10, nprobe=4)

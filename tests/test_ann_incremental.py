@@ -244,3 +244,68 @@ def test_ivf_build_with_trained_codebook(spark, emb, tmp_path):
     cells = spark.read.parquet(f"{path}/cells")
     assert cells.count() == emb.count()
     assert cells.filter(~F.col("cell_id").isin([0, 1, 2, 3])).count() == 0
+
+
+def test_ivf_delete_then_vacuum_lifecycle(spark, emb, tmp_path):
+    """Tombstone delete hides ids immediately without touching resident
+    files; vacuum rewrites ONLY the touched cell partitions (and the
+    code table), drops the tombstones, and leaves probe results
+    unchanged."""
+    from cnc_visionsearch_spark.operators.ann import ivf_delete, ivf_vacuum
+
+    path = str(tmp_path / "ivf_del")
+    ivf_build(emb, path, n_cells=8)
+    pq_build(spark, path, m=8)
+    q = _norm_q(emb, 3)
+    pre = [r.vec_id for r in ivf_probe(spark, path, q, k=10, nprobe=8).collect()]
+    assert pre[0] == 3  # self-match present before the delete
+
+    files_before = _file_md5s(f"{path}/cells")
+    ivf_delete(spark, path, [3, 17, 23])
+    files_after = _file_md5s(f"{path}/cells")
+    assert files_after == files_before  # delete touches no resident file
+
+    post = [r.vec_id for r in ivf_probe(spark, path, q, k=10, nprobe=8).collect()]
+    assert 3 not in post and 17 not in post and 23 not in post
+    # full-probe semantics: post == pre minus deleted, refilled from rank 11+
+    want = [
+        r.vec_id
+        for r in knn_single(
+            emb.filter(~F.col("vec_id").isin([3, 17, 23])), q, k=10,
+            normalize_query=False,
+        ).collect()
+    ]
+    assert post == want
+
+    # vacuum: tombstones gone, untouched cells byte-identical, results same
+    deleted_cells = {
+        r.cell_id
+        for r in spark.read.parquet(f"{path}/cells")
+        .filter(F.col("vec_id").isin([3, 17, 23]))
+        .select("cell_id")
+        .collect()
+    }
+    ivf_vacuum(spark, path)
+    assert not os.path.exists(f"{path}/tombstones")
+    files_vac = _file_md5s(f"{path}/cells")
+    for rel, digest in files_before.items():
+        cell = rel.split("/")[0]
+        if int(cell.split("=")[1]) not in deleted_cells:
+            assert files_vac.get(rel) == digest, f"untouched cell rewritten: {rel}"
+    after_vac = [
+        r.vec_id for r in ivf_probe(spark, path, q, k=10, nprobe=8).collect()
+    ]
+    assert after_vac == post
+    # physically gone from cells AND pq_codes
+    assert (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("vec_id").isin([3, 17, 23]))
+        .count()
+        == 0
+    )
+    assert (
+        spark.read.parquet(f"{path}/pq_codes")
+        .filter(F.col("vec_id").isin([3, 17, 23]))
+        .count()
+        == 0
+    )
