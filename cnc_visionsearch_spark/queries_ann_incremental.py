@@ -351,3 +351,62 @@ def ann_ivf_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_deleted_layout(spark, sf_dir, n_cells=8)
     q = _norm_query_vec(spark, sf_dir, 3)
     return ivf_probe(spark, path, q, k=10, nprobe=4)
+
+
+@register(
+    "ann_ivf_cell_skew",
+    oracle=f"""
+WITH {_NORM_CTE},
+stride AS (SELECT greatest(max(vec_id) // 8, 1) AS s FROM embeddings),
+centroids AS (
+  SELECT CAST(vec_id // s AS INT) AS cell_id, nvec AS centroid
+  FROM normed, stride
+  WHERE vec_id % s = 0 AND vec_id // s < 8
+),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT n.vec_id, c.cell_id,
+      row_number() OVER (
+        PARTITION BY n.vec_id
+        ORDER BY {_L2SQ.format(a="n.nvec", b="c.centroid")} ASC, c.cell_id ASC
+      ) AS rn
+    FROM normed n, centroids c
+  ) WHERE rn = 1
+),
+cells AS (SELECT cell_id, count(*) AS n FROM assigned GROUP BY cell_id)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+  CAST(sum(n) AS BIGINT) AS n_vectors,
+  CAST(min(n) AS BIGINT) AS min_cell,
+  CAST(max(n) AS BIGINT) AS max_cell,
+  CAST(max(n) AS DOUBLE) * CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+    AS skew_ratio
+FROM cells
+""",
+    doc="Cell-population skew audit over the PERSISTED IVF layout — the "
+    "maintenance signal that schedules a codebook re-train: appends "
+    "against a frozen codebook drift cell sizes, and skew_ratio "
+    "(max/mean) growing past ~2-3 means probe cost is no longer "
+    "~nprobe/n_cells of the corpus. The scan reads ONLY the cell_id "
+    "partition column of the layout (no vector bytes). Deterministic: "
+    "integer counts, one exact double division.",
+)
+def ann_ivf_cell_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.queries_ann import ensure_ivf_built
+
+    path = ensure_ivf_built(spark, sf_dir, n_cells=8)
+    per_cell = (
+        spark.read.parquet(f"{path}/cells")
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_cell.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").alias("n_vectors"),
+        F.min("n").alias("min_cell"),
+        F.max("n").alias("max_cell"),
+        (
+            F.max("n").cast("double")
+            * F.count(F.lit(1)).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("skew_ratio"),
+    )
