@@ -1,0 +1,89 @@
+"""Maintenance runbook: the periodic job a deployment schedules beside
+the ingest/delete streams, composing the repo's maintenance primitives
+in their correct order. None of this runs on the query path — probes
+and sinks stay O(batch)/O(probe); this job bounds the costs that
+accrete between runs:
+
+1. **Vacuum** (:func:`operators.ann.ivf_vacuum`): apply tombstones
+   physically — rewrites only touched cell partitions, restores
+   tombstone-free probe plans.
+2. **Compact** (:func:`sources.formats.compact_layout` over cells/ and
+   pq_codes/; :func:`streaming.pipelines.compact_id_mapping` for the
+   upsert state): bound the one-file-per-partition-per-batch accretion
+   of the append/upsert paths.
+3. **Audit** (cell-population skew, the ann_ivf_cell_skew measure):
+   report whether append drift against the frozen codebook warrants an
+   ``ivf_build`` re-train — the one maintenance action this job does
+   NOT take automatically (re-training changes cell boundaries and
+   deserves an operator decision plus a fresh layout version).
+
+Ordering matters: vacuum BEFORE compact (compaction rewrites would
+otherwise carry soon-to-be-deleted rows), audit last (it reads the
+settled layout).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["run_index_maintenance"]
+
+
+def run_index_maintenance(
+    spark: SparkSession,
+    index_path: str | None = None,
+    state_dir: str | None = None,
+    skew_retrain_threshold: float = 3.0,
+) -> dict:
+    """Run the maintenance pass; return a report dict (counts before/
+    after, skew audit, retrain recommendation). Idempotent — a second
+    run on a settled layout changes nothing."""
+    from cnc_visionsearch_spark.operators.ann import ivf_vacuum
+    from cnc_visionsearch_spark.sources.formats import compact_layout
+    from cnc_visionsearch_spark.streaming.pipelines import compact_id_mapping
+
+    def n_files(root: str) -> int:
+        return sum(
+            1
+            for dp, _d, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    report: dict = {}
+    if index_path is not None:
+        had_tombstones = os.path.exists(f"{index_path}/tombstones")
+        ivf_vacuum(spark, index_path)
+        report["vacuum_applied"] = had_tombstones
+        for sub in ("cells", "pq_codes"):
+            root = f"{index_path}/{sub}"
+            if not os.path.exists(root):
+                continue
+            before = n_files(root)
+            compact_layout(spark, root, partition_by=["cell_id"])
+            report[f"{sub}_files"] = {"before": before, "after": n_files(root)}
+        per_cell = (
+            spark.read.parquet(f"{index_path}/cells")
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        row = per_cell.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n").alias("n_vectors"),
+            F.max("n").alias("max_cell"),
+        ).first()
+        skew = float(row.max_cell) * float(row.n_cells) / float(row.n_vectors)
+        report["skew_ratio"] = round(skew, 4)
+        report["recommend_retrain"] = skew >= skew_retrain_threshold
+    if state_dir is not None:
+        root = os.path.join(state_dir, "id_mapping")
+        before = n_files(root) if os.path.exists(root) else 0
+        compact_id_mapping(spark, state_dir)
+        report["id_mapping_files"] = {
+            "before": before,
+            "after": n_files(root) if os.path.exists(root) else 0,
+        }
+    return report

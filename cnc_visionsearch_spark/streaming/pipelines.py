@@ -42,6 +42,7 @@ __all__ = [
     "purchase_after_error_stream",
     "lsh_ingest_stream",
     "ivf_ingest_stream",
+    "ivf_delete_stream",
     "read_id_mapping",
 ]
 
@@ -266,6 +267,47 @@ def ivf_ingest_stream(
         ivf_append(s, index_path, normed)
         if pq_m is not None:
             pq_append(s, index_path, normed, m=pq_m)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def ivf_delete_stream(
+    spark: SparkSession,
+    in_path: str,
+    index_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 10,
+):
+    """Streaming deletes against a persisted IVF layout: drops of
+    (vec_id) rows become tombstone appends (``ivf_delete``) per
+    micro-batch, so a probe after any commit no longer returns the
+    deleted vectors — the third leg of the streaming CRUD story
+    (upsert: :func:`streaming_upsert_sink`; insert:
+    :func:`ivf_ingest_stream`). The collect is bounded by the
+    micro-batch's distinct id count (delete batches are request-scale,
+    never corpus-scale). Physical removal stays deferred to
+    ``ivf_vacuum`` on the maintenance schedule.
+
+    Returns the configured DataStreamWriter — call ``.start()``.
+    """
+    from cnc_visionsearch_spark.operators.ann import ivf_delete
+
+    stream = (
+        spark.readStream.schema("vec_id bigint")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ids = [
+            r.vec_id for r in batch_df.select("vec_id").distinct().collect()
+        ]
+        if ids:
+            ivf_delete(batch_df.sparkSession, index_path, sorted(ids))
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -309,3 +309,74 @@ def test_ivf_delete_then_vacuum_lifecycle(spark, emb, tmp_path):
         .count()
         == 0
     )
+
+
+def test_streaming_deletes_then_maintenance_runbook(spark, emb, tmp_path):
+    """End-to-end operational lifecycle: appends accrete files, a
+    delete stream tombstones ids, run_index_maintenance vacuums +
+    compacts + audits — probe results match the exact tier minus
+    deletes throughout, and a second maintenance run is a no-op."""
+    from cnc_visionsearch_spark.maintenance import run_index_maintenance
+    from cnc_visionsearch_spark.streaming.pipelines import ivf_delete_stream
+
+    path = str(tmp_path / "ivf")
+    ivf_build(emb.filter(F.col("vec_id") < 300), path, n_cells=8)
+    pq_build(spark, path, m=8)
+    for lo in (300, 400):
+        ivf_append(
+            spark, path,
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100)),
+        )
+
+    # stream two delete drops
+    drops = os.path.join(str(tmp_path), "del_drops")
+    os.makedirs(drops)
+    for i, ids in enumerate([[3, 17], [23]]):
+        spark.createDataFrame([(v,) for v in ids], "vec_id bigint").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(str(tmp_path), f"d{i}"))
+        src = [
+            f
+            for f in os.listdir(os.path.join(str(tmp_path), f"d{i}"))
+            if f.endswith(".parquet")
+        ][0]
+        os.rename(
+            os.path.join(str(tmp_path), f"d{i}", src),
+            os.path.join(drops, f"drop_{i}.parquet"),
+        )
+    q = ivf_delete_stream(
+        spark, drops, path, os.path.join(str(tmp_path), "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    qv = _norm_q(emb, 3)
+    want = [
+        (r.vec_id, r.distance)
+        for r in knn_single(
+            emb.filter(~F.col("vec_id").isin([3, 17, 23])), qv, k=10,
+            normalize_query=False,
+        ).collect()
+    ]
+    got = [
+        (r.vec_id, r.distance)
+        for r in ivf_probe(spark, path, qv, k=10, nprobe=8).collect()
+    ]
+    assert got == want
+
+    report = run_index_maintenance(spark, index_path=path)
+    assert report["vacuum_applied"] is True
+    assert report["cells_files"]["after"] < report["cells_files"]["before"]
+    assert not os.path.exists(f"{path}/tombstones")
+    assert "recommend_retrain" in report and report["skew_ratio"] >= 1.0
+    after = [
+        (r.vec_id, r.distance)
+        for r in ivf_probe(spark, path, qv, k=10, nprobe=8).collect()
+    ]
+    assert after == want  # maintenance never changes results
+
+    report2 = run_index_maintenance(spark, index_path=path)
+    assert report2["vacuum_applied"] is False  # idempotent: settled layout
+    assert (
+        report2["cells_files"]["after"] == report2["cells_files"]["before"]
+        or report2["cells_files"]["after"] <= report["cells_files"]["after"]
+    )
