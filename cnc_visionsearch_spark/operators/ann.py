@@ -61,6 +61,8 @@ __all__ = [
     "ivf_probe_cells",
     "shard_build",
     "shard_append",
+    "shard_delete",
+    "shard_vacuum",
     "sharded_topk",
     "sharded_topk_persisted",
     "mllib_lsh_model",
@@ -368,35 +370,34 @@ def _without_tombstones(spark, path: str, cells: DataFrame, id_col: str) -> Data
     return cells.join(F.broadcast(tombs), id_col, "left_anti")
 
 
-def ivf_vacuum(spark, path: str, id_col: str = "vec_id") -> None:
-    """Apply accumulated tombstones physically: rewrite ONLY the cell
-    partitions that contain deleted rows (touched cells resolved from
-    the assignments — bounded by the tombstone set's cell spread, not
-    the corpus), then drop the tombstone dir. Untouched cell partitions
-    keep their files byte-identical. Probe results are unchanged by
-    construction (the anti-join already hid the rows); the vacuum just
-    reclaims space and restores tombstone-free probe plans. Also
-    rewrites ``pq_codes`` partitions when the layout carries them.
-    """
+def _vacuum_layout(
+    spark, path: str, subs: tuple[str, ...], part_col: str, id_col: str
+) -> None:
+    """Shared vacuum: rewrite ONLY the partitions of each ``subs``
+    table that contain tombstoned rows (touched set resolved from the
+    first table — bounded by the tombstone set's partition spread, not
+    the corpus), then drop the tombstone dir. Untouched partitions keep
+    their files byte-identical; results are unchanged by construction
+    (the probe anti-join already hid the rows)."""
     import shutil
 
     tdir = f"{path}/tombstones"
     if not os.path.exists(tdir):
         return
     tombs = spark.read.parquet(tdir).select(id_col).distinct()
-    cells = spark.read.parquet(f"{path}/cells")
+    first = spark.read.parquet(f"{path}/{subs[0]}")
     touched = [
-        r.cell_id
-        for r in cells.join(F.broadcast(tombs), id_col)
-        .select("cell_id")
+        r[0]
+        for r in first.join(F.broadcast(tombs), id_col)
+        .select(part_col)
         .distinct()
         .collect()
     ]
-    for sub in ("cells", "pq_codes"):
+    for sub in subs:
         if not os.path.exists(f"{path}/{sub}"):
             continue
-        for cell in touched:
-            part = f"{path}/{sub}/cell_id={cell}"
+        for pv in touched:
+            part = f"{path}/{sub}/{part_col}={pv}"
             if not os.path.exists(part):
                 continue
             kept = spark.read.parquet(part).join(
@@ -407,6 +408,45 @@ def ivf_vacuum(spark, path: str, id_col: str = "vec_id") -> None:
             shutil.rmtree(part)
             os.rename(tmp, part)
     shutil.rmtree(tdir)
+
+
+def ivf_vacuum(spark, path: str, id_col: str = "vec_id") -> None:
+    """Apply accumulated tombstones physically: rewrite ONLY the cell
+    partitions that contain deleted rows, then drop the tombstone dir
+    (see :func:`_vacuum_layout`). Also rewrites ``pq_codes`` partitions
+    when the layout carries them; restores tombstone-free probe plans.
+    """
+    _vacuum_layout(spark, path, ("cells", "pq_codes"), "cell_id", id_col)
+
+
+def shard_delete(
+    spark, path: str, ids: list[int], id_col: str = "vec_id"
+) -> None:
+    """Tombstone delete from a :func:`shard_build` layout — same
+    contract as :func:`ivf_delete`: O(batch) tombstone append, resident
+    files untouched, probes exclude the ids immediately
+    (:func:`sharded_topk_persisted` filters tombstones BEFORE the
+    per-shard local search, so per-shard candidate sets are computed
+    over surviving rows and the exact-merge guarantee holds). With
+    faiss installed, the touched shards' serialized artifacts are
+    rebuilt from the surviving rows so artifact search never nominates
+    deleted ids. Physical removal: :func:`shard_vacuum`.
+    """
+    df = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} bigint")
+    df.write.mode("append").parquet(f"{path}/tombstones")
+    if _try_faiss() is not None and os.path.exists(f"{path}/faiss_idx"):  # pragma: no cover
+        geo = read_geometry(path)
+        num_shards = int(geo["num_shards"])
+        touched = sorted({int(i) % num_shards for i in ids})
+        _write_faiss_shard_artifacts(
+            spark, path, touched, id_col, geo.get("vec_col", "nvec")
+        )
+
+
+def shard_vacuum(spark, path: str, id_col: str = "vec_id") -> None:
+    """Apply a shard layout's tombstones physically (touched shard
+    partitions only); see :func:`_vacuum_layout`."""
+    _vacuum_layout(spark, path, ("shards",), "shard", id_col)
 
 
 def ivf_probe(
@@ -512,6 +552,9 @@ def _write_faiss_shard_artifacts(
 
     build = _faiss_shard_builder(id_col, vec_col)
     src = spark.read.parquet(f"{path}/shards")
+    # artifacts must index only SURVIVING rows (tombstoned ids would
+    # otherwise be nominated by artifact search forever)
+    src = _without_tombstones(spark, path, src, id_col)
     if shards is not None:
         src = src.filter(F.col("shard").isin([int(s) for s in shards]))
     rebuilt = src.groupBy("shard").applyInPandas(build, schema=_FAISS_IDX_SCHEMA)
@@ -635,6 +678,9 @@ def sharded_topk_persisted(
         cand_ids = spark.read.parquet(idx_path).mapInPandas(
             search_artifacts, schema=f"{id_col} bigint"
         )
+        # artifacts are rebuilt tombstone-free on shard_delete, but a
+        # hand-written tombstone set must still be honored
+        cand_ids = _without_tombstones(spark, path, cand_ids, id_col)
     else:
         search = _local_topk_fn(q, k, id_col, vec_col)
 
@@ -647,6 +693,10 @@ def sharded_topk_persisted(
                     yield search(pdf)
 
         shards = spark.read.parquet(f"{path}/shards").select(id_col, vec_col)
+        # tombstones filter BEFORE the local search: per-shard top-k is
+        # then computed over surviving rows, preserving the exact-merge
+        # guarantee (filtering after would starve the candidate set)
+        shards = _without_tombstones(spark, path, shards, id_col)
         cand_ids = shards.mapInPandas(per_partition, schema=f"{id_col} bigint")
     emb = spark.read.parquet(f"{path}/shards")
     qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")

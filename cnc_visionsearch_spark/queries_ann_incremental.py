@@ -410,3 +410,49 @@ def ann_ivf_cell_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").cast("double")
         ).alias("skew_ratio"),
     )
+
+
+_SHARD_DELETED = [9, 11]
+
+
+def ensure_deleted_shards(
+    spark: SparkSession, sf_dir: str, num_shards: int = 8
+) -> str:
+    """Dedicated shard layout: full build, then tombstone-delete ids."""
+    from cnc_visionsearch_spark.operators.ann import shard_delete
+
+    path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir)}/shards_delete_s{num_shards}"
+    marker = os.path.join(path, "_DELETED")
+    if not os.path.exists(marker):
+        emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+        shard_build(emb, path, num_shards=num_shards)
+        shard_delete(spark, path, _SHARD_DELETED)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "ann_shard_delete_topk",
+    oracle=f"""
+WITH {_NORM_CTE},
+q AS (SELECT nvec AS qvec FROM normed WHERE vec_id = 9)
+SELECT vec_id, {_L2SQ.format(a="nvec", b="qvec")} AS distance
+FROM normed, q
+WHERE vec_id NOT IN ({", ".join(str(i) for i in _SHARD_DELETED)})
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+""",
+    doc="Sharded kNN probe after tombstone deletes: the tombstone set "
+    "filters BEFORE the per-shard local search, so per-shard top-k is "
+    "computed over surviving rows and the exact-merge guarantee holds "
+    "(filtering after the search would starve the candidate set). The "
+    "query vector is id 9 — itself deleted — so the self-match "
+    "vanishes and the oracle is the exact top-10 minus the deleted "
+    "set. Same no-rewrite O(batch) delete contract as the IVF tier; "
+    "with faiss installed the touched shards' serialized artifacts "
+    "rebuild tombstone-free.",
+)
+def ann_shard_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = ensure_deleted_shards(spark, sf_dir, num_shards=8)
+    q = _norm_query_vec(spark, sf_dir, 9)
+    return sharded_topk_persisted(spark, path, q, k=10)

@@ -380,3 +380,51 @@ def test_streaming_deletes_then_maintenance_runbook(spark, emb, tmp_path):
         report2["cells_files"]["after"] == report2["cells_files"]["before"]
         or report2["cells_files"]["after"] <= report["cells_files"]["after"]
     )
+
+
+def test_shard_delete_then_vacuum(spark, emb, tmp_path):
+    """Shard-tier delete lifecycle: tombstones exclude ids from the
+    exact-merge probe immediately (filter-before-search), vacuum
+    rewrites only touched shard partitions and drops tombstones,
+    results unchanged."""
+    from cnc_visionsearch_spark.operators.ann import shard_delete, shard_vacuum
+
+    path = str(tmp_path / "sh_del")
+    shard_build(emb, path, num_shards=8)
+    before = _file_md5s(f"{path}/shards")
+    shard_delete(spark, path, [9, 11])
+    assert _file_md5s(f"{path}/shards") == before  # no resident rewrite
+
+    q = _norm_q(emb, 9)
+    want = [
+        (r.vec_id, r.distance)
+        for r in knn_single(
+            emb.filter(~F.col("vec_id").isin([9, 11])), q, k=10,
+            normalize_query=False,
+        ).collect()
+    ]
+    got = [
+        (r.vec_id, r.distance)
+        for r in sharded_topk_persisted(spark, path, q, k=10).collect()
+    ]
+    assert got == want
+
+    shard_vacuum(spark, path)
+    assert not os.path.exists(f"{path}/tombstones")
+    after = [
+        (r.vec_id, r.distance)
+        for r in sharded_topk_persisted(spark, path, q, k=10).collect()
+    ]
+    assert after == want
+    # untouched shard partitions byte-identical (9 % 8 = 1, 11 % 8 = 3)
+    vac = _file_md5s(f"{path}/shards")
+    for rel, digest in before.items():
+        shard = rel.split("/")[0]
+        if shard not in ("shard=1", "shard=3"):
+            assert vac.get(rel) == digest, f"untouched shard rewritten: {rel}"
+    assert (
+        spark.read.parquet(f"{path}/shards")
+        .filter(F.col("vec_id").isin([9, 11]))
+        .count()
+        == 0
+    )
