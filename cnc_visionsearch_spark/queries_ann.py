@@ -41,9 +41,9 @@ _SEED = 42
 _ARTIFACT_ROOT = os.environ.get("SPARK_GRAFT_ANN_DIR", "/tmp/cnc_ann_artifacts")
 
 
-def _corpus_tag(sf_dir: str) -> str:
+def _corpus_tag(sf_dir: str, table: str = "embeddings") -> str:
     """Corpus key = sf-dir basename + a CONTENT fingerprint of the
-    embeddings parquet (relative name, size, mtime_ns of every data
+    source parquet (relative name, size, mtime_ns of every data
     file). The fixtures are regenerated between driver rounds with the
     same path, so a basename-only key would happily serve an IVF/PQ
     layout built from last round's corpus against this round's oracles.
@@ -51,7 +51,7 @@ def _corpus_tag(sf_dir: str) -> str:
     rebuild; stale dirs are just dead files under /tmp."""
     import hashlib
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     h = hashlib.md5()
     if os.path.isdir(src):
         for root, _dirs, files in sorted(os.walk(src)):

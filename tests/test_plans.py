@@ -370,3 +370,13 @@ def test_ivf_append_probe_still_prunes(spark, queries):
     plan = plan_of(df)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("cell_id" in ln and "IN (" in ln for ln in pf)
+
+
+def test_text_search_probes_persisted_index_no_python(spark, queries):
+    """/search_by_text probes the PERSISTED text index: the corpus
+    encode (pandas_udf) runs once at build; the query plan must contain
+    no Python evaluation at all — scan -> codegen distance -> top-k."""
+    df = queries["text_search_topk"](spark, SF)
+    plan = plan_of(df)
+    assert "ArrowEvalPython" not in plan
+    assert "PythonUDF" not in plan
