@@ -456,3 +456,84 @@ def ann_shard_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_deleted_shards(spark, sf_dir, num_shards=8)
     q = _norm_query_vec(spark, sf_dir, 9)
     return sharded_topk_persisted(spark, path, q, k=10)
+
+
+# ------------------------------------------------ persisted LSH layout
+
+
+def ensure_lsh_built(
+    spark: SparkSession, sf_dir: str, n_planes: int = 6
+) -> str:
+    """Build-once for the LSH tier: signatures computed in ONE corpus
+    scan, layout written PARTITIONED BY lsh_bucket — probes then read a
+    single bucket partition (~1/2^P of the files). The streaming twin
+    (lsh_ingest_stream) appends into the same layout shape."""
+    from cnc_visionsearch_spark.operators.ann import (
+        hyperplane_signature,
+        hyperplanes,
+    )
+    from cnc_visionsearch_spark.queries_ann import _DIM, _SEED
+
+    path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir)}/lsh_p{n_planes}"
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+        planes = hyperplanes(_DIM, n_planes, _SEED)
+        (
+            emb.withColumn("lsh_bucket", hyperplane_signature("nvec", planes))
+            .write.mode("overwrite")
+            .partitionBy("lsh_bucket")
+            .parquet(f"{path}/buckets")
+        )
+        open(os.path.join(path, "_BUILT"), "w").close()
+    return path
+
+
+from cnc_visionsearch_spark.queries_ann import _SIG_CTE, _planes_cte  # noqa: E402
+
+
+@register(
+    "ann_lsh_persisted_topk",
+    oracle=f"""
+WITH {_NORM_CTE}, {_planes_cte()}, {_SIG_CTE},
+q AS (
+  SELECT n.nvec AS qvec, s.lsh_bucket AS qsig
+  FROM normed n JOIN sigs s USING (vec_id) WHERE n.vec_id = 21
+)
+SELECT s.vec_id, {_L2SQ.format(a="n.nvec", b="q.qvec")} AS distance
+FROM sigs s JOIN normed n USING (vec_id), q
+WHERE s.lsh_bucket = q.qsig
+ORDER BY distance ASC, s.vec_id ASC
+LIMIT 10
+""",
+    doc="LSH probe over the PERSISTED bucket-partitioned layout "
+    "(ensure_lsh_built): signatures are computed once per corpus "
+    "version in the build scan; the probe's bucket-equality filter is "
+    "a PartitionFilter (plan-asserted) reading ~1/2^P of the files — "
+    "the same build-once/probe-cheap lifecycle as the IVF tier, on the "
+    "LSH axis. Result is bit-identical to the in-query ann_lsh_topk "
+    "computation (same planes, same fold), oracle-checked.",
+)
+def ann_lsh_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.ann import hyperplanes
+    from cnc_visionsearch_spark.functions.vector import l2_sq
+    from cnc_visionsearch_spark.queries_ann import _DIM, _N_PLANES, _SEED
+
+    path = ensure_lsh_built(spark, sf_dir, n_planes=_N_PLANES)
+    q = _norm_query_vec(spark, sf_dir, 21)
+    planes = hyperplanes(_DIM, _N_PLANES, _SEED)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        acc = 0.0
+        for x, p in zip(q, plane):
+            acc = acc + x * p
+        if acc >= 0.0:
+            qsig += 1 << i
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    bucket = spark.read.parquet(f"{path}/buckets").filter(
+        F.col("lsh_bucket") == qsig
+    )
+    return (
+        bucket.select("vec_id", l2_sq("nvec", qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -380,3 +380,14 @@ def test_text_search_probes_persisted_index_no_python(spark, queries):
     plan = plan_of(df)
     assert "ArrowEvalPython" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_lsh_persisted_probe_prunes_bucket_partition(spark, queries):
+    """The persisted LSH probe reads ONE bucket partition: the bucket
+    equality must surface as a PartitionFilter, and no signature
+    arithmetic may appear in the probe plan (signatures were computed
+    at build)."""
+    df = queries["ann_lsh_persisted_topk"](spark, SF)
+    plan = plan_of(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("lsh_bucket" in ln for ln in pf)
