@@ -37,7 +37,6 @@ import json
 
 import numpy as np
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 from cnc_visionsearch_spark.operators.ann import (
     DEFAULT_NPROBE,
