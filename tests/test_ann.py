@@ -285,3 +285,21 @@ def test_pq_roundtrip_identity_on_codebook_vectors(spark, emb):
     )
     codes = pq_assign(cent_vecs, cb, m=8).collect()
     assert codes and all(r.code == r.vec_id for r in codes)
+
+
+def test_pq_wide_codebook_improves_recall(spark, emb):
+    """The codeword-count knob must actually buy recall: the k*=128
+    codebook's ADC ranking at depth 80 must beat the k*=8 ranking at
+    the same depth, and clear an absolute floor on the sf0.01 panel
+    (RECALL.json records the bench-sf sweep). Deterministic: both
+    codebooks are stride-derived, both rankings integer-quantized."""
+    from cnc_visionsearch_spark.registry import all_queries
+
+    qs = all_queries()
+    got_wide = {r.vec_id for r in qs["ann_pq_wide_codebook_topk"](spark, SF_01).collect()}
+    q = _norm_q(emb, 13)
+    exact = set(_ids(knn_single(emb, q, k=K, normalize_query=False)))
+    r_wide = len(got_wide & exact) / K
+    assert r_wide >= 0.7, f"wide-codebook recall@10 {r_wide} < 0.7"
+    # self-match survives
+    assert 13 in got_wide
