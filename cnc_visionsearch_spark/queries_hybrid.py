@@ -1,0 +1,236 @@
+"""Hybrid retrieval ([EXT]): BM25 lexical scoring over the documents
+corpus and reciprocal-rank fusion with the exact vector tier — the
+"second index" story (README.md:25-27) taken to where production
+search actually lands: lexical + dense retrieval fused per query.
+
+Determinism doctrine (registry.py / FIXTURES.md): BM25 sums per-term
+scores across a row SET, so raw double aggregation would be
+order-dependent — each per-(doc, term) score is a single double chain
+(bit-identical on both engines), quantized to 1e-9 fixed point and
+summed as BIGINT. The idf is the RATIONAL probabilistic form
+(N - df + 0.5)/(df + 0.5) WITHOUT the classic ln(): ln is
+libm-dependent and would break the cross-engine hash gate (same
+decision as doc_top_terms_by_lift); per-term ranking is monotone in
+the classic idf. RRF needs no quantization: the fused score is a
+fixed-order sum of exactly two per-row doubles.
+
+REGISTRATION ORDER: imports after queries_ann_incremental — all
+entries sit past the driver's frozen 50-query window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.functions.vector import fixed_point_q, l2_sq
+from cnc_visionsearch_spark.operators.knn import with_normalized
+from cnc_visionsearch_spark.registry import register
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+# Fixed lexical query (fixture vocabulary, FIXTURES.md) and the
+# standard BM25 knobs.
+_TERMS = ["spark", "vector", "scan"]
+_K1 = 1.2
+_B = 0.75
+_RRF_K = 60.0
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_terms, score_q) for every document matching >= 1 query
+    term. One explode -> early term filter -> tf per (doc, term) ->
+    broadcast join of the 3-row df table and the 1-row (N, avgdl)
+    aggregate -> quantized per-term score -> BIGINT sum."""
+    d = load_table(spark, sf_dir, "documents")
+    dl = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("double").alias("dl")
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok").isin(_TERMS))
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tok.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    corpus = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    avg = dl.agg(
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(avg))
+    )
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    denom = F.col("tf") + F.lit(_K1) * (
+        F.lit(1.0) - F.lit(_B) + F.lit(_B) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * (F.col("tf") * F.lit(_K1 + 1.0)) / denom
+    return (
+        scored.select("doc_id", fixed_point_q(term_score).alias("sq"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("sq").alias("score_q"),
+        )
+    )
+
+
+_BM25_CTES = f"""
+dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+qtok AS (SELECT doc_id, tok FROM tok WHERE tok IN ({", ".join(repr(t) for t in _TERMS)})),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+  FROM qtok GROUP BY doc_id, tok
+),
+dfreq AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM qtok GROUP BY tok
+),
+corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+avg AS (SELECT sum(dl) / count(*) AS avgdl FROM dl),
+perterm AS (
+  SELECT tf.doc_id,
+    CAST(floor(
+      (((n_docs - df + 0.5) / (df + 0.5))
+        * (tf * {_K1 + 1.0}) / (tf + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl)))
+      * 1000000000.0 + 0.5) AS BIGINT) AS sq
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), corpus, avg
+),
+bm25 AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+    CAST(sum(sq) AS BIGINT) AS score_q
+  FROM perterm GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH {_BM25_CTES}
+SELECT doc_id, n_terms, score_q
+FROM bm25
+ORDER BY score_q DESC, doc_id ASC
+LIMIT 10
+""",
+    doc="BM25 lexical retrieval over the documents corpus (rational "
+    "probabilistic idf — no ln(), same libm-independence decision as "
+    "doc_top_terms_by_lift; per-term ranking monotone in classic "
+    "BM25): one token explode with the 3-term query filter applied "
+    "BEFORE any aggregation, tf keyed on (doc, term), the 3-row df "
+    "table and the 1-row (N, avgdl) corpus stats broadcast, per-term "
+    "scores quantized at 1e-9 and BIGINT-summed so the cross-term "
+    "reduction is order-free. At 100 TB this is one corpus scan + "
+    "doc_id-keyed shuffles of matched docs only — the standard "
+    "inverted-index-free BM25 on a data lake.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "hybrid_rrf_topk",
+    oracle=f"""
+WITH {_BM25_CTES},
+normed AS (
+  SELECT vec_id, list_transform(
+    embedding::DOUBLE[],
+    x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))
+  ) AS nvec
+  FROM embeddings
+),
+q AS (SELECT nvec AS qvec FROM normed WHERE vec_id = 7),
+vrank AS (
+  SELECT vec_id AS doc_id, CAST(row_number() OVER (
+    ORDER BY list_sum(list_transform(range(1, len(nvec)+1),
+      i -> (nvec[i]-qvec[i])**2)) ASC, vec_id ASC
+  ) AS INT) AS vr
+  FROM normed, q
+  QUALIFY vr <= 20
+),
+trank AS (
+  SELECT doc_id, CAST(row_number() OVER (
+    ORDER BY score_q DESC, doc_id ASC
+  ) AS INT) AS tr
+  FROM bm25
+  QUALIFY tr <= 20
+),
+fused AS (
+  SELECT COALESCE(vrank.doc_id, trank.doc_id) AS doc_id, vr, tr,
+    COALESCE(1.0 / ({_RRF_K} + vr), 0.0)
+      + COALESCE(1.0 / ({_RRF_K} + tr), 0.0) AS rrf_score
+  FROM vrank FULL OUTER JOIN trank USING (doc_id)
+)
+SELECT doc_id, vr, tr, rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 10
+""",
+    doc="Hybrid retrieval: reciprocal-rank fusion (k=60) of the exact "
+    "vector top-20 (query = embedding 7) and the BM25 lexical top-20 "
+    "— the fusion production search engines run over dense + sparse "
+    "retrievers. Ranks come from the two tiers' own orderings; the "
+    "fused score is a fixed-order sum of exactly TWO per-row doubles "
+    "(1/(60+rank)), so no quantization is needed — rank integers are "
+    "engine-identical and the two-term double chain is bit-stable. "
+    "FULL OUTER join on doc_id: a doc found by only one retriever "
+    "still fuses (its other rank contributes 0). Both inputs are "
+    "bounded top-20 sets -> the join is trivially broadcastable; at "
+    "100 TB the expensive parts are the two retrievals, each already "
+    "build-once/probe-cheap.",
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    from cnc_visionsearch_spark.queries_ann import _norm_query_vec
+
+    q = _norm_query_vec(spark, sf_dir, 7)
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    # bound FIRST (TakeOrderedAndProject over the corpus), then rank the
+    # 20 surviving rows — a global row_number over the unbounded input
+    # would single-partition the whole corpus (WindowExec warning)
+    vtop = (
+        emb.select("vec_id", l2_sq("nvec", qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+    vrank = vtop.withColumn(
+        "vr",
+        F.row_number()
+        .over(Window.orderBy(F.col("distance").asc(), F.col("vec_id").asc()))
+        .cast("int"),
+    ).select(F.col("vec_id").alias("doc_id"), "vr")
+    ttop = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    trank = ttop.withColumn(
+        "tr",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_q").desc(), F.col("doc_id").asc()))
+        .cast("int"),
+    ).select("doc_id", "tr")
+    fused = vrank.join(trank, "doc_id", "full_outer").select(
+        "doc_id",
+        "vr",
+        "tr",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("vr")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("tr")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(10)

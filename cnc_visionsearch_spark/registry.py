@@ -71,6 +71,7 @@ _MODULE_ORDER = [
     "cnc_visionsearch_spark.queries_events",
     "cnc_visionsearch_spark.queries_multimodal",
     "cnc_visionsearch_spark.queries_ann_incremental",
+    "cnc_visionsearch_spark.queries_hybrid",
 ]
 
 
@@ -137,6 +138,7 @@ def _load_all() -> None:
         # feeds the frozen 50-entry driver window
         # (tests/test_registry_window.py)
         queries_ann_incremental,
+        queries_hybrid,
     )
 
     _LOADED = True
