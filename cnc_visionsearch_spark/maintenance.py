@@ -63,7 +63,14 @@ def run_index_maintenance(
             if not os.path.exists(root):
                 continue
             before = n_files(root)
-            compact_layout(spark, root, partition_by=["cell_id"])
+            n_parts = sum(
+                1 for d in os.listdir(root) if d.startswith("cell_id=")
+            )
+            # already-settled layout (<= 1 file per partition): skip the
+            # rewrite entirely — this is what makes a second maintenance
+            # run a true no-op instead of a same-content file churn
+            if before > n_parts:
+                compact_layout(spark, root, partition_by=["cell_id"])
             report[f"{sub}_files"] = {"before": before, "after": n_files(root)}
         per_cell = (
             spark.read.parquet(f"{index_path}/cells")

@@ -428,3 +428,18 @@ def test_shard_delete_then_vacuum(spark, emb, tmp_path):
         .count()
         == 0
     )
+
+
+def test_maintenance_second_run_is_true_noop(spark, emb, tmp_path):
+    """A settled layout (<=1 file per partition, no tombstones) must
+    pass through maintenance byte-identically — no same-content file
+    churn."""
+    from cnc_visionsearch_spark.maintenance import run_index_maintenance
+
+    path = str(tmp_path / "ivf")
+    ivf_build(emb, path, n_cells=8)
+    run_index_maintenance(spark, index_path=path)
+    settled = _file_md5s(f"{path}/cells")
+    report = run_index_maintenance(spark, index_path=path)
+    assert report["vacuum_applied"] is False
+    assert _file_md5s(f"{path}/cells") == settled
