@@ -537,3 +537,125 @@ def ann_lsh_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ------------------------------------- filtered / diversified search
+
+_IVF_FULL_CTE = f"""
+stride AS (SELECT greatest(max(vec_id) // 8, 1) AS s FROM embeddings),
+centroids AS (
+  SELECT CAST(vec_id // s AS INT) AS cell_id, nvec AS centroid
+  FROM normed, stride
+  WHERE vec_id % s = 0 AND vec_id // s < 8
+),
+assigned AS (
+  SELECT vec_id, cell_id, nvec FROM (
+    SELECT n.vec_id, c.cell_id, n.nvec,
+      row_number() OVER (
+        PARTITION BY n.vec_id
+        ORDER BY {_L2SQ.format(a="n.nvec", b="c.centroid")} ASC, c.cell_id ASC
+      ) AS rn
+    FROM normed n, centroids c
+  ) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "ann_ivf_filtered_topk",
+    oracle=f"""
+WITH {_NORM_CTE}, {_IVF_FULL_CTE},
+q AS (SELECT nvec AS qvec FROM normed WHERE vec_id = 5),
+probe AS (
+  SELECT cell_id FROM centroids, q
+  ORDER BY {_L2SQ.format(a="centroid", b="qvec")} ASC, cell_id ASC
+  LIMIT 4
+)
+SELECT a.vec_id, e.label, {_L2SQ.format(a="a.nvec", b="q.qvec")} AS distance
+FROM assigned a JOIN embeddings e USING (vec_id), q
+WHERE a.cell_id IN (SELECT cell_id FROM probe) AND e.label = 3
+ORDER BY distance ASC, a.vec_id ASC
+LIMIT 10
+""",
+    doc="FILTERED vector search — the feature FAISS deployments bolt on "
+    "with pre-/post-filter hacks (pre-filter needs an id allowlist "
+    "into the index; post-filter starves k) and a relational engine "
+    "gets for free: the metadata predicate (label = 3) composes into "
+    "the SAME scan as the IVF partition pruning, both pushed to "
+    "parquet (PartitionFilters on cell_id + PushedFilters on label), "
+    "then exact top-k over survivors. No candidate starvation: the "
+    "filter applies BEFORE the top-k, so k results come back whenever "
+    "k matches exist in the probed cells.",
+)
+def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import l2_sq
+    from cnc_visionsearch_spark.operators.ann import ivf_probe_cells
+    from cnc_visionsearch_spark.queries_ann import ensure_ivf_built
+
+    path = ensure_ivf_built(spark, sf_dir, n_cells=8)
+    q = _norm_query_vec(spark, sf_dir, 5)
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    cells = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell_id").isin(ivf_probe_cells(spark, path, q, nprobe=4))
+        & (F.col("label") == 3)
+    )
+    return (
+        cells.select("vec_id", "label", l2_sq("nvec", qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "ann_ivf_grouped_topk",
+    oracle=f"""
+WITH {_NORM_CTE}, {_IVF_FULL_CTE},
+q AS (SELECT nvec AS qvec FROM normed WHERE vec_id = 5),
+probe AS (
+  SELECT cell_id FROM centroids, q
+  ORDER BY {_L2SQ.format(a="centroid", b="qvec")} ASC, cell_id ASC
+  LIMIT 4
+),
+scored AS (
+  SELECT a.vec_id, e.label, {_L2SQ.format(a="a.nvec", b="q.qvec")} AS distance
+  FROM assigned a JOIN embeddings e USING (vec_id), q
+  WHERE a.cell_id IN (SELECT cell_id FROM probe)
+)
+SELECT vec_id, label, distance FROM (
+  SELECT vec_id, label, distance,
+    row_number() OVER (
+      PARTITION BY label ORDER BY distance ASC, vec_id ASC
+    ) AS rn
+  FROM scored
+) WHERE rn <= 2
+""",
+    doc="DIVERSIFIED vector search: top-2 nearest neighbors PER LABEL "
+    "group over the probed cells — the 'don't show ten near-identical "
+    "results' product requirement, expressed as WindowGroupLimit "
+    "(partial per-label top-2 before the rank shuffle) composed with "
+    "the same IVF partition pruning. A FAISS index cannot group; here "
+    "it is one window over the pruned scan.",
+)
+def ann_ivf_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cnc_visionsearch_spark.functions.vector import l2_sq
+    from cnc_visionsearch_spark.operators.ann import ivf_probe_cells
+    from cnc_visionsearch_spark.queries_ann import ensure_ivf_built
+
+    path = ensure_ivf_built(spark, sf_dir, n_cells=8)
+    q = _norm_query_vec(spark, sf_dir, 5)
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    scored = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell_id").isin(ivf_probe_cells(spark, path, q, nprobe=4)))
+        .select("vec_id", "label", l2_sq("nvec", qcol).alias("distance"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("vec_id", "label", "distance")
+    )

@@ -391,3 +391,15 @@ def test_lsh_persisted_probe_prunes_bucket_partition(spark, queries):
     plan = plan_of(df)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("lsh_bucket" in ln for ln in pf)
+
+
+def test_filtered_ann_pushes_both_predicates(spark, queries):
+    """Filtered vector search composes the metadata predicate with the
+    IVF pruning in ONE scan: cell_id surfaces as a PartitionFilter AND
+    label as a PushedFilter on the same parquet read."""
+    df = queries["ann_ivf_filtered_topk"](spark, SF)
+    plan = plan_of(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("cell_id" in ln for ln in pf)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("label" in ln for ln in pushed)
