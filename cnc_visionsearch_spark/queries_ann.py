@@ -407,11 +407,18 @@ def ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cnc_visionsearch_spark.operators.ann import ivf_probe_cells
 
+    from cnc_visionsearch_spark.operators.ann import _without_tombstones
+
     path = ensure_ivf_built(spark, sf_dir, n_cells=8)
     q = _norm_query_vec(spark, sf_dir, 3)
     qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
-    cells = spark.read.parquet(f"{path}/cells").filter(
-        F.col("cell_id").isin(ivf_probe_cells(spark, path, q, nprobe=4))
+    cells = _without_tombstones(
+        spark,
+        path,
+        spark.read.parquet(f"{path}/cells").filter(
+            F.col("cell_id").isin(ivf_probe_cells(spark, path, q, nprobe=4))
+        ),
+        "vec_id",
     )
     staged = cells.select("vec_id", "nvec", int8_dequant("nvec").alias("rv"))
     cand = (
@@ -554,13 +561,17 @@ LIMIT 10
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnc_visionsearch_spark.functions.vector import l2_sq
-    from cnc_visionsearch_spark.operators.ann import pq_codebook
+    from cnc_visionsearch_spark.operators.ann import _without_tombstones, pq_codebook
 
     # probe the PERSISTED code table (built once per corpus) — the scan
-    # below touches m-byte codes, never raw vectors, until the re-score
+    # below touches m-byte codes, never raw vectors, until the re-score.
+    # Tombstone filter keeps deletes coherent across EVERY probe path of
+    # a layout (no-op plan change on delete-free layouts).
     path = ensure_pq_built(spark, sf_dir)
     cb = pq_codebook(spark.read.parquet(f"{path}/codebook"), m=_PQ_M)
-    codes = spark.read.parquet(f"{path}/pq_codes")
+    codes = _without_tombstones(
+        spark, path, spark.read.parquet(f"{path}/pq_codes"), "vec_id"
+    )
     emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
     q = _norm_query_vec(spark, sf_dir, 7)
     qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
@@ -661,8 +672,13 @@ def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded at <= n_cells rows (distinct cell ids) — a driver-side
     # constant like ivf_probe_cells', never corpus-scale.
     probed = [r.cell_id for r in ranked.select("cell_id").distinct().collect()]
-    cells = spark.read.parquet(f"{path}/cells").filter(
-        F.col("cell_id").isin(probed)
+    from cnc_visionsearch_spark.operators.ann import _without_tombstones
+
+    cells = _without_tombstones(
+        spark,
+        path,
+        spark.read.parquet(f"{path}/cells").filter(F.col("cell_id").isin(probed)),
+        "vec_id",
     )
     cand = F.broadcast(ranked).join(cells, "cell_id")
     w = Window.partitionBy("qid").orderBy(
@@ -722,21 +738,33 @@ LIMIT 10
 )
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnc_visionsearch_spark.functions.vector import l2_sq
-    from cnc_visionsearch_spark.operators.ann import ivf_probe_cells, pq_codebook
+    from cnc_visionsearch_spark.operators.ann import (
+        _without_tombstones,
+        ivf_probe_cells,
+        pq_codebook,
+    )
 
     path = ensure_pq_built(spark, sf_dir, n_cells=8)
     q = _norm_query_vec(spark, sf_dir, 11)
     qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
     probed = ivf_probe_cells(spark, path, q, nprobe=4)
-    pruned = spark.read.parquet(f"{path}/cells").filter(
-        F.col("cell_id").isin(probed)
+    pruned = _without_tombstones(
+        spark,
+        path,
+        spark.read.parquet(f"{path}/cells").filter(F.col("cell_id").isin(probed)),
+        "vec_id",
     )
     cb = pq_codebook(spark.read.parquet(f"{path}/codebook"), m=8)
     # the ADC scan reads the PERSISTED cell-partitioned code table with
     # the same partition filter — m bytes/vector, no raw vectors until
-    # the re-score
-    codes = spark.read.parquet(f"{path}/pq_codes").filter(
-        F.col("cell_id").isin(probed)
+    # the re-score (tombstone-filtered like every probe path)
+    codes = _without_tombstones(
+        spark,
+        path,
+        spark.read.parquet(f"{path}/pq_codes").filter(
+            F.col("cell_id").isin(probed)
+        ),
+        "vec_id",
     )
     w = len(q) // 8
     qd = cb.select(

@@ -443,3 +443,44 @@ def test_maintenance_second_run_is_true_noop(spark, emb, tmp_path):
     report = run_index_maintenance(spark, index_path=path)
     assert report["vacuum_applied"] is False
     assert _file_md5s(f"{path}/cells") == settled
+
+
+def test_deletes_honored_by_every_probe_path(spark, monkeypatch, tmp_path):
+    """A tombstone delete must be invisible to NO probe path of the
+    layout: the plain IVF probe, the composed ADC/int8 probes, and the
+    batch knn-join all read through the tombstone filter. Runs against
+    a private artifact root so the shared build cache is untouched."""
+    import cnc_visionsearch_spark.queries_ann as qa
+    from cnc_visionsearch_spark.operators.ann import ivf_delete
+    from cnc_visionsearch_spark.registry import all_queries
+
+    monkeypatch.setattr(qa, "_ARTIFACT_ROOT", str(tmp_path / "artifacts"))
+    qs = all_queries()
+    probes = {
+        "ann_ivf_topk": 3,
+        "ann_pq_adc_topk": 7,
+        "ann_ivf_int8_topk": 3,
+        "ann_ivf_pq_topk": 11,
+    }
+    base = {
+        name: [r.vec_id for r in qs[name](spark, SF).collect()]
+        for name in probes
+    }
+    join_base = {
+        (r.qid, r.vec_id) for r in qs["ann_ivf_knn_join"](spark, SF).collect()
+    }
+    # delete each probe's SELF-MATCH id (rank-1 result) plus a join hit
+    victim_ids = sorted(set(probes.values()) | {2})
+    path = qa.ensure_ivf_built(spark, SF, n_cells=8)
+    ivf_delete(spark, path, victim_ids)
+
+    for name, qid in probes.items():
+        got = [r.vec_id for r in qs[name](spark, SF).collect()]
+        assert qid not in got, f"{name} resurrected deleted id {qid}"
+        assert len(got) == 10, f"{name} starved after delete: {len(got)}"
+        assert got != base[name]
+    join_got = {
+        (r.qid, r.vec_id) for r in qs["ann_ivf_knn_join"](spark, SF).collect()
+    }
+    assert all(v not in {v2 for _, v2 in join_got} for v in victim_ids)
+    assert join_got != join_base
