@@ -172,6 +172,38 @@ def measure_recall(spark: SparkSession, sf_dir: str) -> dict:
     out["lsh_planes_sweep"] = lsh_sweep
     out["defaults"]["lsh"] = {"n_planes": 6, **lsh_sweep["6"]}
 
+    # ---- multi-probe LSH (Lv et al. VLDB'07): Hamming-radius sweep at
+    # P=6 — the recall-vs-buckets-read trade ann_lsh_multiprobe_topk
+    # materializes at radius 1
+    import itertools
+
+    planes6 = hyperplanes(mat.shape[1], 6, 42)
+    sig_rows = emb.select(
+        "vec_id", hyperplane_signature("nvec", planes6).alias("b")
+    ).collect()
+    bucket_of = {r.vec_id: r.b for r in sig_rows}
+    bucket_arr = np.array([bucket_of[i] for i in ids])
+    mp_sweep = {}
+    for ham in (0, 1, 2):
+        recs = []
+        n_buckets = sum(
+            1
+            for r in range(ham + 1)
+            for _ in itertools.combinations(range(6), r)
+        )
+        for q in qids:
+            probe = {bucket_of[q]}
+            for r in range(1, ham + 1):
+                for bits in itertools.combinations(range(6), r):
+                    b = bucket_of[q]
+                    for i in bits:
+                        b ^= 1 << i
+                    probe.add(b)
+            got = topk_within(qvec[q], np.isin(bucket_arr, list(probe)))
+            recs.append(len(got & exact[q]) / K)
+        mp_sweep[str(ham)] = {**stats(recs), "buckets_read": n_buckets}
+    out["lsh_multiprobe_sweep"] = mp_sweep
+
     out["notes"] = (
         "Isotropic random fixture + untrained stride quantizer: recall "
         "concentrates only under deep probes (DEFAULT_NPROBE="
