@@ -1044,3 +1044,166 @@ def pq_append(
         assigned.select(id_col, "cell_id"), id_col
     )
     codes.write.mode("append").partitionBy("cell_id").parquet(f"{path}/pq_codes")
+
+
+def pq_train_codebook(
+    emb: DataFrame,
+    m: int = 16,
+    k_star: int = 128,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "nvec",
+    train_cap: int = 100_000,
+) -> list[tuple[int, int, list[float]]]:
+    """Train per-subspace PQ codebooks (Jegou et al. TPAMI'11 §III):
+    ``iters`` Lloyd iterations per subspace, initialized from the same
+    deterministic stride sample the IVF tier uses. Returns the trained
+    codebook as ``[(sub_j, code, cv), ...]`` rows.
+
+    Scale contract (the FAISS-training analog — faiss trains its PQ on
+    a bounded sample, never the full corpus): the training set is the
+    deterministic id-stride sample of at most ~``train_cap`` vectors,
+    so every per-iteration job is bounded regardless of corpus size. At
+    fixture scale the stride is 1 (full corpus). Per iteration: one
+    assign pass over the sample (broadcast m*k*-row codebook, shuffle
+    keyed (id, sub_j)) + one (sub_j, code, dim) aggregate whose result
+    — m*k**(dim/m) rows — is collected as the next codebook. Driver
+    traffic is the MODEL (bounded by geometry), never data.
+
+    Bit-stability across engines (the determinism contract every
+    iterative op here follows — see emb_kmeans_refine): centroid
+    updates are fixed-point integer sums (order-independent) dequantized
+    as ``double(sum_q) / double(n) / 1e9`` — pure IEEE ops a DuckDB
+    oracle reproduces exactly; assignment ties break lexicographically
+    on (distance, code) via struct min. Codewords with no members keep
+    their previous value (standard empty-cluster rule).
+    """
+    from cnc_visionsearch_spark.functions.vector import fixed_point_q
+
+    spark = emb.sparkSession
+    max_id = emb.agg(F.max(id_col)).first()[0]
+    t_stride = max((int(max_id) + 1) // train_cap, 1)
+    train = pq_subvectors(
+        emb.filter(F.col(id_col) % t_stride == 0), m, id_col, vec_col
+    ).persist()
+    try:
+        s = max(int(max_id) // k_star, 1)
+        init_rows = (
+            train.filter(
+                (F.col(id_col) % s == 0) & (F.col(id_col) / s < k_star)
+            )
+            .select(
+                (F.col(id_col) / s).cast("int").alias("code"),
+                "sub_j",
+                F.col("sv").alias("cv"),
+            )
+            .collect()
+        )
+        cb: dict[tuple[int, int], list[float]] = {
+            (r.sub_j, r.code): [float(x) for x in r.cv] for r in init_rows
+        }
+        w = len(next(iter(cb.values())))
+        schema = "sub_j int, code int, cv array<double>"
+        for _ in range(iters):
+            cb_df = spark.createDataFrame(
+                [(sj, c, v) for (sj, c), v in sorted(cb.items())], schema
+            )
+            # argmin codeword per (vector, subspace); carrying sv inside
+            # the struct rides the (d, code) lexicographic min (codes are
+            # distinct, so (d, code) alone decides) and saves a re-join
+            assigned = (
+                train.join(F.broadcast(cb_df), "sub_j")
+                .select(
+                    id_col,
+                    "sub_j",
+                    F.struct(
+                        l2_sq("sv", "cv").alias("d"),
+                        F.col("code").alias("c"),
+                        F.col("sv").alias("sv"),
+                    ).alias("dcs"),
+                )
+                .groupBy(id_col, "sub_j")
+                .agg(F.min("dcs").alias("mn"))
+            )
+            sums = (
+                assigned.select(
+                    "sub_j",
+                    F.col("mn.c").alias("code"),
+                    F.posexplode("mn.sv").alias("dim", "x"),
+                )
+                .groupBy("sub_j", "code", "dim")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(fixed_point_q("x")).alias("sum_q"),
+                )
+                .collect()
+            )
+            upd: dict[tuple[int, int], dict[int, float]] = {}
+            for r in sums:
+                upd.setdefault((r.sub_j, r.code), {})[r.dim] = (
+                    float(r.sum_q) / float(r.n) / 1e9
+                )
+            for key, dims in upd.items():
+                cb[key] = [dims[d] for d in range(w)]
+        return [(sj, c, v) for (sj, c), v in sorted(cb.items())]
+    finally:
+        train.unpersist()
+
+
+def pq_trained_build(
+    spark,
+    path: str,
+    m: int = 16,
+    k_star: int = 128,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "nvec",
+) -> None:
+    """Materialize the TRAINED-codebook PQ tier over an
+    :func:`ivf_build` layout: ``{path}/pq_trained_codebook`` (the
+    m*k*-row model) + ``{path}/pq_trained_codes`` PARTITIONED BY
+    cell_id (same pruning axis as the vectors and the stride-PQ codes).
+    The trained tier exists because the stride codebook is an untrained
+    placeholder whose ADC ranking is weak (RECALL.json documents the
+    floor); k-means-trained codewords move ADC recall@10 to >= 0.95 at
+    the default rescore depth on the same fixture. Run once per corpus
+    version; probes only ever read the artifacts.
+    """
+    cells = spark.read.parquet(f"{path}/cells")
+    rows = pq_train_codebook(cells, m, k_star, iters, id_col, vec_col)
+    cb_df = spark.createDataFrame(rows, "sub_j int, code int, cv array<double>")
+    cb_df.write.mode("overwrite").parquet(f"{path}/pq_trained_codebook")
+    cb = spark.read.parquet(f"{path}/pq_trained_codebook")
+    codes = pq_assign(cells, cb, m, id_col=id_col, vec_col=vec_col).join(
+        cells.select(id_col, "cell_id"), id_col
+    )
+    codes.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{path}/pq_trained_codes"
+    )
+
+
+def pq_trained_append(
+    spark,
+    path: str,
+    new_emb: DataFrame,
+    m: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "nvec",
+) -> None:
+    """Append a batch's codes into an existing :func:`pq_trained_build`
+    layout — the trained-tier twin of :func:`pq_append`. The trained
+    codebook is FROZEN at build time (exactly like FAISS: the PQ is
+    trained once on a sample, then encodes every later add), so a
+    batch append equals a full re-encode of the union (tests assert
+    it) and existing code files stay byte-identical. Re-train = re-run
+    :func:`pq_trained_build` as periodic maintenance.
+    """
+    cb = spark.read.parquet(f"{path}/pq_trained_codebook")
+    cents = spark.read.parquet(f"{path}/codebook")
+    assigned = ivf_assign(new_emb, cents, id_col, vec_col)
+    codes = pq_assign(assigned, cb, m, id_col=id_col, vec_col=vec_col).join(
+        assigned.select(id_col, "cell_id"), id_col
+    )
+    codes.write.mode("append").partitionBy("cell_id").parquet(
+        f"{path}/pq_trained_codes"
+    )

@@ -1,0 +1,289 @@
+"""Trained-codebook PQ tier (SURVEY §4; Jegou et al. TPAMI'11 §III).
+
+The stride PQ codebook in queries_ann.py is an untrained placeholder —
+deliberately SQL-derivable, but its ADC ranking on the isotropic
+fixture is weak (RECALL.json documents the floor: mean 0.27 at the
+default rescore depth). This module adds the tier a production
+deployment actually runs: per-subspace k-means codebooks trained with
+Lloyd iterations, persisted into the IVF layout once per corpus
+version, probed via the identical ADC-then-rescore composition. On the
+same fixture the trained tier reaches recall@10 ≥ 0.95 at the default
+knobs (m=16, k*=128, 5 iterations, rescore depth 120) — the BASELINE.md
+quality gate the reference meets with HNSW M=32/efSearch=300
+(/root/reference/main.py:30-31).
+
+Cross-engine determinism (how a TRAINED model can still hash-match a
+DuckDB oracle): every Lloyd update is a fixed-point integer sum
+(order-independent) dequantized as ``double(sum_q)/double(n)/1e9`` —
+pure IEEE ops both engines perform bit-identically — and every
+assignment breaks ties lexicographically on (distance, code). The
+oracle replays the same 5 iterations as generated chained CTEs
+(:func:`_trained_cb_chain`); the engine trains distributed
+(operators/ann.py pq_train_codebook) with the codebook — a bounded
+model, never data — collected per iteration.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.functions.vector import (
+    FIXED_POINT_SQL,
+    fixed_point_q,
+    l2_sq,
+)
+from cnc_visionsearch_spark.operators.knn import with_normalized
+from cnc_visionsearch_spark.queries_ann import (
+    _L2SQ,
+    _NORM_CTE,
+    _norm_query_vec,
+    ensure_ivf_built,
+)
+from cnc_visionsearch_spark.registry import register
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+_M = 16  # subspaces (width 4 at dim=64): finer than the stride tier's 8
+_KSTAR = 128  # codewords per subspace
+_ITERS = 5  # Lloyd iterations — recall saturates by 5 on the fixture
+_DEPTH = 120  # ADC candidate depth re-scored fp64 (6% of sf0.1 corpus)
+_TRAIN_CAP = 100_000  # FAISS-style bounded training sample
+
+
+def _trained_cb_chain() -> str:
+    """The trained codebook as a generated CTE chain ending in
+    ``cbt(sub_j, code, cv)`` — one Lloyd iteration per block, exactly
+    the arithmetic of operators/ann.py pq_train_codebook. Assumes a
+    preceding ``normed`` CTE. DuckDB list slices are 1-based
+    end-inclusive: ``v[j*w+1 : j*w+w]`` is subvector ``j``.
+    """
+    fx = FIXED_POINT_SQL.format(x="x")
+    parts = [
+        f"""
+tw AS (SELECT CAST(len(nvec) // {_M} AS INT) AS w FROM normed LIMIT 1),
+tsubs AS (
+  SELECT vec_id, j.j AS sub_j, nvec[j.j*w+1 : j.j*w+w] AS sv
+  FROM normed, tw, (SELECT unnest(range({_M})) AS j) j
+),
+tstr AS (SELECT greatest((max(vec_id) + 1) // {_TRAIN_CAP}, 1) AS ts FROM normed),
+train AS (SELECT t.vec_id, t.sub_j, t.sv FROM tsubs t, tstr WHERE t.vec_id % ts = 0),
+kstr AS (SELECT greatest(max(vec_id) // {_KSTAR}, 1) AS s FROM normed),
+cb0 AS (
+  SELECT CAST(t.vec_id // s AS INT) AS code, t.sub_j, t.sv AS cv
+  FROM train t, kstr WHERE t.vec_id % s = 0 AND t.vec_id // s < {_KSTAR}
+)"""
+    ]
+    for i in range(1, _ITERS + 1):
+        p = i - 1
+        parts.append(
+            f""",
+asg{i} AS (
+  SELECT t.vec_id, t.sub_j,
+    min(struct_pack(d := {_L2SQ.format(a="t.sv", b="c.cv")}, c := c.code)).c AS code
+  FROM train t JOIN cb{p} c USING (sub_j)
+  GROUP BY t.vec_id, t.sub_j
+),
+ex{i} AS (
+  SELECT a.sub_j, a.code, unnest(range(1, len(t.sv) + 1)) - 1 AS dim,
+    unnest(t.sv) AS x
+  FROM asg{i} a JOIN train t ON a.vec_id = t.vec_id AND a.sub_j = t.sub_j
+),
+agg{i} AS (
+  SELECT sub_j, code, dim, CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM({fx}) AS BIGINT) AS sum_q
+  FROM ex{i} GROUP BY sub_j, code, dim
+),
+upd{i} AS (
+  SELECT sub_j, code,
+    list(CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0 ORDER BY dim) AS cv
+  FROM agg{i} GROUP BY sub_j, code
+),
+cb{i} AS (
+  SELECT o.sub_j, o.code, coalesce(u.cv, o.cv) AS cv
+  FROM cb{p} o LEFT JOIN upd{i} u ON o.sub_j = u.sub_j AND o.code = u.code
+)"""
+        )
+    parts.append(f",\ncbt AS (SELECT sub_j, code, cv FROM cb{_ITERS})")
+    return "".join(parts)
+
+
+_CBT_CHAIN = _trained_cb_chain()
+
+# full-corpus code assignment under the trained codebook
+_FCODES_CTE = f"""
+fcodes AS (
+  SELECT s.vec_id, s.sub_j,
+    min(struct_pack(d := {_L2SQ.format(a="s.sv", b="c.cv")}, c := c.code)).c AS code
+  FROM tsubs s JOIN cbt c USING (sub_j)
+  GROUP BY s.vec_id, s.sub_j
+)
+"""
+
+
+def ensure_pq_trained_built(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent trained-PQ build over the IVF layout: train the
+    codebook + persist the cell-partitioned code table once per
+    (corpus content, geometry); probes only read artifacts."""
+    from cnc_visionsearch_spark.operators.ann import pq_trained_build
+
+    path = ensure_ivf_built(spark, sf_dir, n_cells=8)
+    marker = os.path.join(
+        path, f"_PQ_TRAINED_m{_M}_k{_KSTAR}_t{_ITERS}"
+    )
+    if not os.path.exists(marker):
+        pq_trained_build(spark, path, m=_M, k_star=_KSTAR, iters=_ITERS)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "ann_pq_trained_topk",
+    oracle=f"""
+WITH {_NORM_CTE}, {_CBT_CHAIN}, {_FCODES_CTE},
+q AS (SELECT nvec AS qv FROM normed WHERE vec_id = 11),
+lut AS (
+  SELECT c.sub_j, c.code,
+    {_L2SQ.format(a="c.cv", b="qv[c.sub_j*w+1 : c.sub_j*w+w]")} AS qdist
+  FROM cbt c, q, tw
+),
+est AS (
+  SELECT vec_id,
+    CAST(SUM({FIXED_POINT_SQL.format(x="qdist")}) AS BIGINT) AS adc
+  FROM fcodes JOIN lut USING (sub_j, code)
+  GROUP BY vec_id
+),
+cand AS (SELECT vec_id FROM est ORDER BY adc ASC, vec_id ASC LIMIT {_DEPTH})
+SELECT n.vec_id, {_L2SQ.format(a="n.nvec", b="q.qv")} AS distance
+FROM normed n JOIN cand USING (vec_id), q
+ORDER BY distance ASC, n.vec_id ASC
+LIMIT 10
+""",
+    doc="ADC search over the TRAINED per-subspace k-means codebook "
+    "(m=16, k*=128, 5 bit-stable Lloyd iterations — operators/ann.py "
+    "pq_train_codebook), probing the persisted pq_trained_codes "
+    "artifact. Same memory-bound scan shape as ann_pq_adc_topk — "
+    "broadcast m*k* lookup table, m-byte codes, order-independent "
+    "fixed-point ADC sums, fp64 re-score of the top candidates — but "
+    "the trained codewords lift ADC recall@10 from the stride tier's "
+    "~0.27 to >= 0.95 at rescore depth 120 (RECALL.json), meeting the "
+    "BASELINE.md quality gate the reference hits with HNSW "
+    "M=32/efSearch=300. The training cost is one bounded-sample build "
+    "per corpus version; the query plan is unchanged.",
+)
+def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.ann import _without_tombstones
+
+    path = ensure_pq_trained_built(spark, sf_dir)
+    cb = spark.read.parquet(f"{path}/pq_trained_codebook")
+    codes = _without_tombstones(
+        spark, path, spark.read.parquet(f"{path}/pq_trained_codes"), "vec_id"
+    )
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    q = _norm_query_vec(spark, sf_dir, 11)
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    w = len(q) // _M
+    lut = cb.select(
+        "sub_j",
+        "code",
+        l2_sq(F.col("cv"), F.slice(qcol, F.col("sub_j") * w + 1, w)).alias(
+            "qdist"
+        ),
+    )
+    est = (
+        codes.join(F.broadcast(lut), ["sub_j", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum(fixed_point_q("qdist")).alias("adc"))
+    )
+    cand = est.orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(_DEPTH)
+    return (
+        emb.join(F.broadcast(cand.select("vec_id")), "vec_id")
+        .select("vec_id", l2_sq("nvec", qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "ann_pq_trained_distortion",
+    oracle=f"""
+WITH {_NORM_CTE}, {_CBT_CHAIN},
+tderr AS (
+  SELECT s.sub_j,
+    min(struct_pack(d := {_L2SQ.format(a="s.sv", b="c.cv")}, c := c.code)) AS mn
+  FROM tsubs s JOIN cbt c USING (sub_j)
+  GROUP BY s.vec_id, s.sub_j
+),
+trained AS (
+  SELECT sub_j,
+    CAST(count(DISTINCT mn.c) AS BIGINT) AS n_codes_trained,
+    CAST(SUM({FIXED_POINT_SQL.format(x="mn.d")}) AS BIGINT) AS err_q_trained
+  FROM tderr GROUP BY sub_j
+),
+iderr AS (
+  SELECT s.sub_j,
+    min(struct_pack(d := {_L2SQ.format(a="s.sv", b="c.cv")}, c := c.code)) AS mn
+  FROM tsubs s JOIN cb0 c USING (sub_j)
+  GROUP BY s.vec_id, s.sub_j
+),
+init AS (
+  SELECT sub_j,
+    CAST(count(DISTINCT mn.c) AS BIGINT) AS n_codes_init,
+    CAST(SUM({FIXED_POINT_SQL.format(x="mn.d")}) AS BIGINT) AS err_q_init
+  FROM iderr GROUP BY sub_j
+)
+SELECT t.sub_j, t.n_codes_trained, t.err_q_trained, i.n_codes_init,
+  i.err_q_init
+FROM trained t JOIN init i ON t.sub_j = i.sub_j
+""",
+    doc="Training-effectiveness audit for the trained PQ tier: "
+    "per-subspace codebook utilization and total quantization "
+    "distortion (exact fixed-point sums) under the TRAINED codebook "
+    "vs the stride INITIALIZATION it started from — the evidence a "
+    "PQ build job emits to prove the Lloyd iterations moved the "
+    "codebook (distortion strictly drops on every subspace; "
+    "tests/test_ann_trained.py asserts it). Two assign passes over "
+    "the corpus subvectors, both broadcast-codebook scans keyed "
+    "(vec_id, sub_j); output is m rows.",
+)
+def ann_pq_trained_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.ann import (
+        ivf_centroids,
+        pq_codebook,
+        pq_subvectors,
+    )
+
+    path = ensure_pq_trained_built(spark, sf_dir)
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    subs = pq_subvectors(emb, _M)
+    trained_cb = spark.read.parquet(f"{path}/pq_trained_codebook")
+    init_cb = pq_codebook(ivf_centroids(emb, _KSTAR), m=_M)
+
+    def per_subspace(cb: DataFrame, n_alias: str, e_alias: str) -> DataFrame:
+        mn = (
+            subs.join(F.broadcast(cb), "sub_j")
+            .select(
+                "vec_id",
+                "sub_j",
+                F.struct(
+                    l2_sq("sv", "cv").alias("d"), F.col("code").alias("c")
+                ).alias("dc"),
+            )
+            .groupBy("vec_id", "sub_j")
+            .agg(F.min("dc").alias("mn"))
+        )
+        return mn.groupBy("sub_j").agg(
+            F.countDistinct("mn.c").alias(n_alias),
+            F.sum(fixed_point_q("mn.d")).alias(e_alias),
+        )
+
+    t = per_subspace(trained_cb, "n_codes_trained", "err_q_trained")
+    i = per_subspace(init_cb, "n_codes_init", "err_q_init")
+    return t.join(i, "sub_j").select(
+        "sub_j",
+        "n_codes_trained",
+        "err_q_trained",
+        "n_codes_init",
+        "err_q_init",
+    )

@@ -72,6 +72,7 @@ _MODULE_ORDER = [
     "cnc_visionsearch_spark.queries_multimodal",
     "cnc_visionsearch_spark.queries_ann_incremental",
     "cnc_visionsearch_spark.queries_hybrid",
+    "cnc_visionsearch_spark.queries_ann_trained",
 ]
 
 
@@ -139,6 +140,7 @@ def _load_all() -> None:
         # (tests/test_registry_window.py)
         queries_ann_incremental,
         queries_hybrid,
+        queries_ann_trained,
     )
 
     _LOADED = True

@@ -1,0 +1,155 @@
+"""Trained-PQ tier tests (SURVEY §5.3): recall gates vs the exact
+tier, training-effectiveness invariants, and the frozen-codebook
+append contract. Correctness (hash-match vs the DuckDB Lloyd replay)
+is covered by the registered oracles; these gate the QUALITY the
+training buys.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.operators.ann import (
+    ivf_build,
+    pq_assign,
+    pq_train_codebook,
+    pq_trained_append,
+    pq_trained_build,
+)
+from cnc_visionsearch_spark.operators.knn import knn_single, with_normalized
+from cnc_visionsearch_spark.queries_ann_trained import (
+    _DEPTH,
+    _KSTAR,
+    _M,
+    ann_pq_trained_distortion,
+    ann_pq_trained_topk,
+    ensure_pq_trained_built,
+)
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+SF_01 = "/root/testdata/sf0.01"
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return with_normalized(load_table(spark, SF_01, "embeddings"))
+
+
+@pytest.fixture(scope="module")
+def trained_path(spark):
+    return ensure_pq_trained_built(spark, SF_01)
+
+
+def _norm_q(emb, vec_id):
+    raw = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()[0]
+    q = [float(x) for x in raw]
+    n = sum(x * x for x in q) ** 0.5
+    return [x / n for x in q]
+
+
+def test_training_strictly_reduces_distortion(spark):
+    """Every Lloyd iteration is monotone non-increasing in total
+    quantization error; after 5 iterations each subspace must be
+    strictly below its stride initialization on this fixture."""
+    rows = ann_pq_trained_distortion(spark, SF_01).collect()
+    assert len(rows) == _M
+    for r in rows:
+        assert r.err_q_trained < r.err_q_init, (
+            f"sub_j={r.sub_j}: trained {r.err_q_trained} !< init "
+            f"{r.err_q_init}"
+        )
+        assert r.n_codes_trained >= 1
+
+
+def test_trained_adc_recall_meets_baseline_gate(spark, emb, trained_path):
+    """BASELINE.md quality gate (recall@10 >= 0.95 vs exact) at a
+    rescore depth SHALLOWER than the default (40 vs 120): the trained
+    codebook's ADC ranking concentrates true neighbors early, unlike
+    the stride tier (RECALL.json documents both)."""
+    cb = spark.read.parquet(f"{trained_path}/pq_trained_codebook")
+    codes = spark.read.parquet(f"{trained_path}/pq_trained_codes")
+    from cnc_visionsearch_spark.functions.vector import fixed_point_q, l2_sq
+
+    recalls = []
+    for qid in (1, 5, 9, 33, 77):
+        q = _norm_q(emb, qid)
+        qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+        w = len(q) // _M
+        lut = cb.select(
+            "sub_j",
+            "code",
+            l2_sq(F.col("cv"), F.slice(qcol, F.col("sub_j") * w + 1, w)).alias("qd"),
+        )
+        cand = (
+            codes.join(F.broadcast(lut), ["sub_j", "code"])
+            .groupBy("vec_id")
+            .agg(F.sum(fixed_point_q("qd")).alias("adc"))
+            .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+            .limit(40)
+        )
+        approx = {r.vec_id for r in cand.collect()}
+        exact = {
+            r.vec_id
+            for r in knn_single(emb, q, k=K, normalize_query=False).collect()
+        }
+        recalls.append(len(approx & exact) / K)
+    assert sum(recalls) / len(recalls) >= 0.95, recalls
+
+
+def test_trained_full_depth_query_is_exact(spark, emb):
+    """Structural exactness: rescore depth >= corpus size makes the
+    trained-PQ query identical to the exact tier (ids AND distances) —
+    the ADC stage only selects candidates, floats never degrade."""
+    n = emb.count()
+    assert _DEPTH < n  # the registered query IS approximate at sf0.01
+    q = _norm_q(emb, 11)
+    exact = knn_single(emb, q, k=K, normalize_query=False).collect()
+    # replay the registered query with depth >= n
+    import cnc_visionsearch_spark.queries_ann_trained as qt
+
+    orig = qt._DEPTH
+    qt._DEPTH = n
+    try:
+        full = ann_pq_trained_topk(spark, SF_01).collect()
+    finally:
+        qt._DEPTH = orig
+    assert [(r.vec_id, r.distance) for r in exact] == [
+        (r.vec_id, r.distance) for r in full
+    ]
+
+
+def test_trained_append_equals_full_reencode(spark, tmp_path, emb):
+    """Frozen-codebook contract: build on the first 400 vectors, append
+    the remaining batch — the code table must equal a one-shot encode
+    of the union under the same (frozen) codebook."""
+    path = str(tmp_path / "layout")
+    head = emb.filter(F.col("vec_id") < 400)
+    tail = emb.filter(F.col("vec_id") >= 400)
+    ivf_build(head, path, n_cells=8)
+    pq_trained_build(spark, path, m=_M, k_star=_KSTAR, iters=2)
+    pq_trained_append(spark, path, tail, m=_M)
+
+    cb = spark.read.parquet(f"{path}/pq_trained_codebook")
+    expect = {
+        (r.vec_id, r.sub_j, r.code)
+        for r in pq_assign(emb, cb, m=_M).collect()
+    }
+    got = {
+        (r.vec_id, r.sub_j, r.code)
+        for r in spark.read.parquet(f"{path}/pq_trained_codes")
+        .select("vec_id", "sub_j", "code")
+        .collect()
+    }
+    assert got == expect
+
+
+def test_train_codebook_geometry(spark, emb):
+    """Trained codebook covers every subspace with k* codewords of
+    width dim/m (fixture: 16 x 128 x 4)."""
+    rows = pq_train_codebook(emb, m=_M, k_star=_KSTAR, iters=1)
+    assert len(rows) == _M * _KSTAR
+    subs = {sj for sj, _, _ in rows}
+    assert subs == set(range(_M))
+    assert all(len(cv) == 64 // _M for _, _, cv in rows)
