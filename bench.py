@@ -45,6 +45,7 @@ HEADLINE = [
     # batch ANN join)
     "ann_ivf_topk",
     "ann_ivf_pq_topk",
+    "ann_pq_trained_topk",
     "ann_ivf_knn_join",
     "knn_sharded_topk",
     "text_search_topk",

@@ -667,3 +667,70 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.filter((F.col("n") >= 10) & (var > 0) & (F.abs(z) > 3.0))
         .select("event_id", "user_id", "value", z.alias("z"))
     )
+
+
+# --------------------------------------------------- cardinality sketch
+
+
+@register(
+    "events_kmv_distinct",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 1073741824 AS hv
+  FROM events
+),
+kmin AS (SELECT hv FROM h ORDER BY hv ASC LIMIT 64),
+kth AS (
+  SELECT CAST(max(hv) AS BIGINT) AS kth_hash,
+    CAST(count(*) AS BIGINT) AS k
+  FROM kmin
+),
+ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+SELECT ex.n_exact, kth.k, kth.kth_hash,
+  CAST(kth.k - 1 AS DOUBLE)
+    / (CAST(kth.kth_hash AS DOUBLE) / 1073741824.0) AS kmv_estimate
+FROM ex, kth
+""",
+    doc="KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et "
+    "al. RANDOM'02): estimate |distinct users| from the k=64 smallest "
+    "deterministic md5 hash values — estimate = (k-1)/u_k with u_k the "
+    "k-th smallest unit-interval hash. The streaming/mergeable "
+    "cardinality primitive an event pipeline keeps per partition and "
+    "unions by re-min-ing (same family as HyperLogLog, but exactly "
+    "reproducible in ANSI SQL — no engine-specific register layout, so "
+    "the sketch itself is hash-gated against the oracle, alongside the "
+    "exact count for the measured error). At 100 TB: the shuffle "
+    "carries 8-byte DISTINCT hashes (Spark's TakeOrdered computes "
+    "per-partition k-minima then merges k·P rows on the driver side "
+    "of the exchange — never raw user ids).",
+)
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.text import hex_to_long
+
+    ev = load_table(spark, sf_dir, "events")
+    hv = (
+        hex_to_long(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8
+            )
+        )
+        % 1073741824
+    )
+    h = ev.select(hv.alias("hv")).distinct()
+    kth = (
+        h.orderBy(F.col("hv").asc())
+        .limit(64)
+        .agg(
+            F.max("hv").alias("kth_hash"),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
+    ex = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    est = (F.col("k") - 1).cast("double") / (
+        F.col("kth_hash").cast("double") / F.lit(1073741824.0)
+    )
+    return ex.crossJoin(kth).select(
+        "n_exact", "k", "kth_hash", est.alias("kmv_estimate")
+    )
+

@@ -234,3 +234,110 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(10)
+
+
+# ------------------------------------------- multi-vector max retrieval
+
+from cnc_visionsearch_spark.queries_ann import _L2SQ, _NORM_CTE  # noqa: E402
+
+
+@register(
+    "knn_multiquery_max_topk",
+    oracle=f"""
+WITH {_NORM_CTE},
+qs AS (SELECT vec_id AS qid, nvec AS qv FROM normed WHERE vec_id IN (2, 4, 6)),
+best AS (
+  SELECT n.vec_id, min({_L2SQ.format(a="n.nvec", b="q.qv")}) AS best_distance
+  FROM normed n, qs q
+  WHERE n.vec_id NOT IN (2, 4, 6)
+  GROUP BY n.vec_id
+)
+SELECT vec_id, best_distance FROM best
+ORDER BY best_distance ASC, vec_id ASC
+LIMIT 10
+""",
+    doc="Late-interaction / multi-vector retrieval (the MaxSim "
+    "primitive of ColBERT-style retrievers, and of query-expansion "
+    "search): a query is a SET of vectors; a corpus vector's score is "
+    "its best match over the set (max cosine = min L2 on normalized "
+    "vectors), top-k by best score. Plan: the query set is a bounded "
+    "PARAMETER (like every single-vector probe here), so the scores "
+    "compile to a least() over per-query codegen distances — ONE "
+    "corpus scan, zero joins, zero Exchange, straight into "
+    "TakeOrderedAndProject (plan-pinned in tests/test_plans.py; the "
+    "naive broadcast-join + re-group formulation shuffles one row "
+    "per corpus vector for nothing). At 100 TB: composing with the "
+    "IVF layout (probe the union of every query vector's cells) "
+    "bounds the scan the same way it does for single-vector probes.",
+)
+def knn_multiquery_max_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.queries_ann import _norm_query_vec
+    from cnc_visionsearch_spark.sources.catalog import load_table
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    dists = [
+        l2_sq(
+            "nvec",
+            F.array(*[F.lit(float(x)) for x in _norm_query_vec(spark, sf_dir, q)]),
+        )
+        for q in (2, 4, 6)
+    ]
+    return (
+        emb.filter(~F.col("vec_id").isin(2, 4, 6))
+        .select("vec_id", F.least(*dists).alias("best_distance"))
+        .orderBy(F.col("best_distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "ann_matryoshka_topk",
+    oracle=f"""
+WITH {_NORM_CTE},
+q AS (SELECT nvec AS qv FROM normed WHERE vec_id = 13),
+coarse AS (
+  SELECT n.vec_id,
+    {_L2SQ.format(a="n.nvec[1:16]", b="q.qv[1:16]")} AS cd
+  FROM normed n, q
+),
+cand AS (SELECT vec_id FROM coarse ORDER BY cd ASC, vec_id ASC LIMIT 40)
+SELECT n.vec_id, {_L2SQ.format(a="n.nvec", b="q.qv")} AS distance
+FROM normed n JOIN cand USING (vec_id), q
+ORDER BY distance ASC, n.vec_id ASC
+LIMIT 10
+""",
+    doc="Matryoshka / truncated-prefix retrieval (Kusupati et al. "
+    "NeurIPS'22): rank on the FIRST 16 of 64 dimensions (4x less "
+    "arithmetic and — when the prefix is stored as its own column or "
+    "the vectors are dimension-major — 4x less I/O), then re-score "
+    "the top-40 candidates at full precision. The same "
+    "candidates-then-rescore shape as the int8/PQ tiers with a third "
+    "compression axis: PREFIX truncation instead of scalar/product "
+    "quantization. Plan: one scan, codegen prefix distance, "
+    "TakeOrderedAndProject for candidates, broadcast re-score — no "
+    "shuffle of the corpus. On MRL-trained production embeddings the "
+    "prefix carries most of the signal; on the isotropic fixture it "
+    "carries exactly 16/64 of it, so the recall floor is documented "
+    "in tests rather than assumed.",
+)
+def ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.queries_ann import _norm_query_vec
+    from cnc_visionsearch_spark.sources.catalog import load_table
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    q = _norm_query_vec(spark, sf_dir, 13)
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    qpre = F.array(*[F.lit(float(x)) for x in q[:16]]).cast("array<double>")
+    cand = (
+        emb.select(
+            "vec_id", l2_sq(F.slice("nvec", 1, 16), qpre).alias("cd")
+        )
+        .orderBy(F.col("cd").asc(), F.col("vec_id").asc())
+        .limit(40)
+    )
+    return (
+        emb.join(F.broadcast(cand.select("vec_id")), "vec_id")
+        .select("vec_id", l2_sq("nvec", qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )

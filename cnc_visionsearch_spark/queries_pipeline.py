@@ -14,7 +14,7 @@ would feed at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cnc_visionsearch_spark.functions.text import (
@@ -517,4 +517,75 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("aid", "vec_id", "distance")
+    )
+
+
+# --------------------------------------------------- sequence packing
+
+
+@register(
+    "doc_sequence_packing",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, h % 32 AS bucket, n_tok,
+    SUM(n_tok) OVER (
+      PARTITION BY h % 32 ORDER BY h ASC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) - n_tok AS start_off
+  FROM t
+)
+SELECT CAST(bucket AS INT) AS bucket,
+  CAST(start_off // 512 AS BIGINT) AS pack_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+  CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM placed
+GROUP BY bucket, start_off // 512
+""",
+    doc="Sequence packing for LLM pre-training batches: shuffle docs "
+    "by a deterministic hash, concatenate, cut into fixed token "
+    "budgets (512) — each doc joins the pack containing its START "
+    "offset (the greedy concat-then-cut packing GPT-style pipelines "
+    "use; the report shows docs-per-pack and fill). Scale design: "
+    "packing runs INDEPENDENTLY per hash bucket (PARTITION BY bucket "
+    "window), so at 100 TB the cumulative-sum window never sees a "
+    "global ordering — one shuffle keyed on the 32-way (configurable "
+    "to n_executors-way) bucket, embarrassingly parallel within. The "
+    "deterministic hash makes the batch layout reproducible across "
+    "backfills — same property as every sampling operator here.",
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.text import hex_to_long, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    h = hex_to_long(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8)
+    )
+    t = d.select(
+        "doc_id", h.alias("h"), token_count("text").alias("n_tok")
+    ).withColumn("bucket", F.col("h") % 32)
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = t.withColumn(
+        "start_off", F.sum("n_tok").over(win) - F.col("n_tok")
+    )
+    return (
+        placed.groupBy(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.floor(F.col("start_off") / 512).alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
     )

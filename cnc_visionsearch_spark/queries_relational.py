@@ -1426,3 +1426,175 @@ def orders_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
         .limit(20)
     )
+
+
+# --------------------------------------------------------------- PIVOT
+
+
+@register(
+    "orders_pivot_status_year",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS rev_o,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS rev_f,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS rev_p,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders
+GROUP BY 1
+""",
+    doc="PIVOT / wide cross-tab report: revenue + order count per "
+    "order-status, one column set per status, one row per year — the "
+    "long-to-wide reshape every BI layer asks of an engine (reverse "
+    "of lineitem_unpivot_measures). Spark's relational pivot "
+    "(RelationalGroupedDataset.pivot) with EXPLICIT values compiles "
+    "to a two-phase aggregate — (year, status) partial+final, then "
+    "the pivot agg by year; both exchanges carry at most "
+    "|years|x|statuses| rows per partition after map-side combine, "
+    "so the reshape is scan-bound at any scale (pivoting without "
+    "explicit values would add a distinct-scan job to discover "
+    "them; never do that at 100 TB). "
+    "Decimal sums for cross-engine bit-stability per the registry "
+    "determinism rules.",
+)
+def orders_pivot_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # pivot names columns "<value>_<aggAlias>"; counts arrive BIGINT but
+    # a status absent from a year would be NULL — the oracle's ELSE 0
+    # twin is coalesce
+    return piv.select(
+        "o_year",
+        F.col("O_rev").alias("rev_o"),
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("bigint").alias("n_o"),
+        F.col("F_rev").alias("rev_f"),
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("bigint").alias("n_f"),
+        F.col("P_rev").alias("rev_p"),
+        F.coalesce(F.col("P_n"), F.lit(0)).cast("bigint").alias("n_p"),
+    )
+
+
+# ----------------------------------------------------------- PageRank
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """PageRank power iterations as generated chained CTEs — all-integer
+    arithmetic (pr mass in 1e-9 units, damping 0.85 as the rational
+    85/100, integer floor division everywhere), so both engines iterate
+    bit-identically: the same oracle-replay contract as the trained-PQ
+    Lloyd chain."""
+    parts = [
+        """
+lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+edges AS (SELECT DISTINCT src, dst FROM e),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+pr0 AS (SELECT src AS node, 1000000000 // n_nodes AS pr_q FROM deg, nn)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+pr{i} AS (
+  SELECT e.dst AS node,
+    15000000000 // (100 * nn.n_nodes)
+      + CAST(sum((p.pr_q * 85) // (100 * d.outdeg)) AS BIGINT) AS pr_q
+  FROM edges e
+  JOIN pr{i - 1} p ON e.src = p.node
+  JOIN deg d ON d.src = e.src
+  CROSS JOIN nn
+  GROUP BY e.dst, nn.n_nodes
+)"""
+        )
+    return "".join(parts) + f",\nprt AS (SELECT node, pr_q FROM pr{iters})"
+
+
+@register(
+    "part_pagerank_power_iter",
+    oracle=f"""
+WITH {_pagerank_sql(3)}
+SELECT node AS part, pr_q FROM prt
+ORDER BY pr_q DESC, part ASC
+LIMIT 20
+""",
+    doc="PageRank over the part co-purchase graph (3 power "
+    "iterations, damping 0.85): the iterative graph-centrality "
+    "algorithm — which parts anchor the co-purchase network, the "
+    "recommendation/popularity signal association rules alone miss. "
+    "Determinism: PageRank mass lives in integer 1e-9 units, damping "
+    "is the rational 85/100, every spread is integer floor division "
+    "and every gather an exact BIGINT sum — both engines iterate "
+    "bit-identically (the oracle replays the iterations as chained "
+    "CTEs, same contract as the trained-PQ Lloyd chain). Plan per "
+    "iteration: edges join the pr vector on src (both hash-"
+    "partitioned on the same key -> exchange reuse across "
+    "iterations), aggregate keyed dst — the canonical Pregel-as-"
+    "join-agg loop; the edge set builds ONCE via the bounded basket "
+    "expansion (never a lineitem self-join) and localCheckpoints so "
+    "iterations do not recompute it.",
+)
+def part_pagerank_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.dedup import _bucket_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    pairs = _bucket_pairs(baskets, "named_struct('a', x, 'b', y)").select(
+        F.col("p.a").alias("src"), F.col("p.b").alias("dst")
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    pr = deg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("src").alias("node"),
+        F.expr("1000000000 div n_nodes").alias("pr_q"),
+    )
+    for _ in range(3):
+        pr = (
+            edges.join(pr, edges.src == pr.node)
+            .join(F.broadcast(deg), "src")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                F.col("dst"),
+                F.expr("(pr_q * 85) div (100 * outdeg)").alias("contrib"),
+                F.expr("15000000000 div (100 * n_nodes)").alias("base"),
+            )
+            .groupBy("dst", "base")
+            .agg(F.sum("contrib").alias("mass"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("base") + F.col("mass")).alias("pr_q"),
+            )
+        )
+    return (
+        pr.select(F.col("node").alias("part"), "pr_q")
+        .orderBy(F.col("pr_q").desc(), F.col("part").asc())
+        .limit(20)
+    )

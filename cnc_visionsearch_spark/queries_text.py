@@ -395,3 +395,62 @@ def doc_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ----------------------------------------------- unigram LM surprisal
+
+
+@register(
+    "doc_unigram_surprisal",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY term),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+scored AS (
+  SELECT t.doc_id,
+    CAST(length(bin(total.n_total // tf.n)) - 1 AS BIGINT) AS bits
+  FROM toks t JOIN tf USING (term), total
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(bits) AS BIGINT) AS total_bits,
+  CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bits_per_token
+FROM scored GROUP BY doc_id
+""",
+    doc="Unigram language-model surprisal scoring — the "
+    "perplexity-proxy quality signal pre-training pipelines use to "
+    "rank documents (rare-token-heavy docs score high, boilerplate "
+    "scores low). Per-token surprisal = floor(log2(N/tf)) computed "
+    "EXACTLY in integers as length(bin(N div tf)) - 1 (both engines' "
+    "bin() of a BIGINT) — whole-bit Shannon information with zero "
+    "libm dependence, same doctrine as the BM25 probabilistic-idf "
+    "(ln() rounds differently per engine and would break the hash "
+    "gate). At 100 TB: the term-frequency model is a vocabulary-sized "
+    "table (broadcast after a map-side-combined term count); the "
+    "scoring join shuffles (doc_id, term) pairs only; the doc "
+    "aggregate is keyed on doc_id.",
+)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (
+                F.length(F.bin(F.expr("n_total div n"))) - 1
+            ).cast("bigint").alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("bits").alias("total_bits"),
+        (
+            F.sum("bits").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("bits_per_token"),
+    )

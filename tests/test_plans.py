@@ -403,3 +403,42 @@ def test_filtered_ann_pushes_both_predicates(spark, queries):
     assert pf and any("cell_id" in ln for ln in pf)
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and any("label" in ln for ln in pushed)
+
+
+def test_multiquery_max_is_single_scan_topk(spark, queries):
+    """MaxSim over a bounded query set is a PARAMETER expression, not a
+    join: one scan, least() projection, TakeOrderedAndProject — zero
+    Exchange — with the query-id exclusion pushed to parquet."""
+    df = queries["knn_multiquery_max_topk"](spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("vec_id" in ln for ln in pushed)
+
+
+def test_sequence_packing_single_data_shuffle(spark, queries):
+    """Packing is parallel per hash bucket: exactly one full-data
+    Exchange (the bucket window partitioning); the pack aggregate
+    shuffles only pack-level partials."""
+    df = queries["doc_sequence_packing"](spark, SF)
+    plan = plan_of(df)
+    assert "Window" in plan
+    # two shuffles total: bucket repartition (full data) + pack agg
+    # (pack-level rows); a third would mean a lost co-partitioning
+    assert plan.count("+- Exchange") <= 2
+
+
+def test_kmv_sketch_side_shuffles_hashes_not_ids(spark, queries):
+    """The KMV k-minima must come from a TakeOrdered partial merge over
+    DISTINCT 8-byte hashes (an hv-keyed exchange), never a full Sort.
+    (The query also reports the EXACT count for the measured error —
+    that side shuffles user_id by definition; the sketch side is what
+    replaces it at scale.)"""
+    df = queries["events_kmv_distinct"](spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # k-minima never global-sort the table
+    exch = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert any("hv#" in ln for ln in exch)
