@@ -8,7 +8,7 @@ accrete between runs:
    physically — rewrites only touched cell partitions, restores
    tombstone-free probe plans.
 2. **Compact** (:func:`sources.formats.compact_layout` over cells/ and
-   pq_codes/; :func:`streaming.pipelines.compact_id_mapping` for the
+   pq_codes/ + pq_trained_codes/; :func:`streaming.pipelines.compact_id_mapping` for the
    upsert state): bound the one-file-per-partition-per-batch accretion
    of the append/upsert paths.
 3. **Audit** (cell-population skew, the ann_ivf_cell_skew measure):
@@ -58,7 +58,7 @@ def run_index_maintenance(
         had_tombstones = os.path.exists(f"{index_path}/tombstones")
         ivf_vacuum(spark, index_path)
         report["vacuum_applied"] = had_tombstones
-        for sub in ("cells", "pq_codes"):
+        for sub in ("cells", "pq_codes", "pq_trained_codes"):
             root = f"{index_path}/{sub}"
             if not os.path.exists(root):
                 continue

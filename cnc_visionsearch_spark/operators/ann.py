@@ -414,9 +414,14 @@ def ivf_vacuum(spark, path: str, id_col: str = "vec_id") -> None:
     """Apply accumulated tombstones physically: rewrite ONLY the cell
     partitions that contain deleted rows, then drop the tombstone dir
     (see :func:`_vacuum_layout`). Also rewrites ``pq_codes`` partitions
-    when the layout carries them; restores tombstone-free probe plans.
+    when the layout carries them (both the stride and the trained code
+    tables — a vacuum that skipped one would resurrect deleted ids on
+    that probe path the moment the tombstone set is dropped); restores
+    tombstone-free probe plans.
     """
-    _vacuum_layout(spark, path, ("cells", "pq_codes"), "cell_id", id_col)
+    _vacuum_layout(
+        spark, path, ("cells", "pq_codes", "pq_trained_codes"), "cell_id", id_col
+    )
 
 
 def shard_delete(

@@ -153,3 +153,33 @@ def test_train_codebook_geometry(spark, emb):
     subs = {sj for sj, _, _ in rows}
     assert subs == set(range(_M))
     assert all(len(cv) == 64 // _M for _, _, cv in rows)
+
+
+def test_vacuum_rewrites_trained_codes(spark, tmp_path, emb):
+    """Delete coherence for the trained tier: after ivf_delete +
+    ivf_vacuum (which drops the tombstone set), the trained code table
+    must no longer contain the deleted ids — a vacuum that skipped
+    pq_trained_codes would resurrect them on this probe path."""
+    from cnc_visionsearch_spark.operators.ann import ivf_delete, ivf_vacuum
+
+    path = str(tmp_path / "layout")
+    ivf_build(emb, path, n_cells=8)
+    pq_trained_build(spark, path, m=_M, k_star=_KSTAR, iters=1)
+    ivf_delete(spark, path, [3, 7])
+    ivf_vacuum(spark, path)
+    import os
+
+    assert not os.path.exists(f"{path}/tombstones")
+    left = {
+        r.vec_id
+        for r in spark.read.parquet(f"{path}/pq_trained_codes")
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    assert 3 not in left and 7 not in left
+    cells_left = {
+        r.vec_id
+        for r in spark.read.parquet(f"{path}/cells").select("vec_id").collect()
+    }
+    assert left == cells_left
