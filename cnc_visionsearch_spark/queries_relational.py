@@ -1598,3 +1598,62 @@ def part_pagerank_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pr_q").desc(), F.col("part").asc())
         .limit(20)
     )
+
+
+@register(
+    "customer_spend_deciles",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey, total_spend,
+    CAST(ntile(10) OVER (ORDER BY total_spend ASC, o_custkey ASC) AS INT)
+      AS decile
+  FROM spend
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+  min(total_spend) AS min_spend,
+  max(total_spend) AS max_spend,
+  CAST(SUM(CAST(total_spend AS DECIMAL(18,6))) AS DOUBLE) AS sum_spend
+FROM tiled GROUP BY decile
+""",
+    doc="Customer-value decile segmentation: lifetime spend per "
+    "customer -> NTILE(10) bands -> per-band stats — the RFM-style "
+    "banding every marketing/finance report runs. Determinism: the "
+    "NTILE ordering tie-breaks on custkey, band populations are "
+    "fixed by row count, band sums are exact decimals. Plan note: "
+    "NTILE over an un-partitioned window is a single-partition sort "
+    "of the CUSTOMER AGGREGATE (one row per customer, not per "
+    "order) — at 100 TB the per-customer table is ~1/10 of orders "
+    "and the production variant replaces the global window with "
+    "percentile boundaries from a sample + a broadcast band join; "
+    "the aggregate before it is the standard partial+final shape.",
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_spend")
+    )
+    tiled = spend.select(
+        "o_custkey",
+        "total_spend",
+        F.ntile(10)
+        .over(
+            Window.orderBy(F.col("total_spend").asc(), F.col("o_custkey").asc())
+        )
+        .cast("int")
+        .alias("decile"),
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("total_spend").alias("min_spend"),
+        F.max("total_spend").alias("max_spend"),
+        F.sum(F.col("total_spend").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_spend"),
+    )
