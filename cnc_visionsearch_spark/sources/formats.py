@@ -155,3 +155,36 @@ def compact_layout(
     os.rename(live, bak)
     os.rename(tmp, live)
     shutil.rmtree(bak)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a BUCKETED catalog table — the pre-shuffled
+    layout that makes repeated big-table joins free at 100 TB: two
+    tables bucketed (and sorted) on the same key with the same bucket
+    count join with ZERO Exchange — the shuffle was paid once at write
+    time and amortizes over every later join/aggregate on that key
+    (tests/test_plans.py pins the exchange-free SortMergeJoin). This is
+    Spark's table-format analog of the cell-partitioned ANN layouts:
+    co-locate ONCE, probe forever. Bucket pruning additionally turns
+    equality predicates on the bucket key into file skipping.
+
+    Uses the session catalog (Parquet + bucket metadata); on a real
+    deployment the same call targets the lakehouse metastore. sort=True
+    adds sortBy(bucket_cols) so merge joins skip the per-partition
+    Sort when bucket-sorted reads apply.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.saveAsTable(table)

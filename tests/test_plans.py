@@ -442,3 +442,45 @@ def test_kmv_sketch_side_shuffles_hashes_not_ids(spark, queries):
     assert "Sort " not in plan  # k-minima never global-sort the table
     exch = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln]
     assert any("hv#" in ln for ln in exch)
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """The pre-shuffled layout contract: two tables bucketed on the
+    same key with the same bucket count join with ZERO Exchange — the
+    shuffle was paid once at write time. Broadcast is disabled for the
+    assertion so the plan must be the bucket-co-located SortMergeJoin
+    (at real scale both sides are TBs and broadcast was never an
+    option)."""
+    from cnc_visionsearch_spark.sources.catalog import load_table
+    from cnc_visionsearch_spark.sources.formats import write_bucketed_table
+
+    sf = "/root/testdata/sf0.001"
+    write_bucketed_table(
+        load_table(spark, sf, "orders"), "t_orders_b", ["o_custkey"], 4
+    )
+    write_bucketed_table(
+        load_table(spark, sf, "customer")
+        .withColumnRenamed("c_custkey", "o_custkey"),
+        "t_customer_b",
+        ["o_custkey"],
+        4,
+    )
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_customer_b"), "o_custkey"
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is None:
+            conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
