@@ -24,13 +24,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
     StructType,
 )
 
-__all__ = ["running_user_stats", "streaming_funnel_stage", "running_user_totals_tws"]
+__all__ = ["running_user_stats", "streaming_funnel_stage", "running_user_totals_tws", "kmv_sketch_stream", "kmv_hash"]
 
 STATE_SCHEMA = StructType(
     [
@@ -193,4 +194,91 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputStructType="user_id bigint, n_events bigint, sum_value double",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+# --------------------------------------------------- KMV distinct sketch
+
+KMV_K = 64
+KMV_HASH_MOD = 1073741824  # 2^30, matching events_kmv_distinct
+
+KMV_STATE_SCHEMA = StructType(
+    [StructField("minima", ArrayType(LongType()))]
+)
+
+KMV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("n_minima", LongType()),
+        StructField("kth_hash", LongType()),
+        StructField("minima", ArrayType(LongType())),
+    ]
+)
+
+
+def kmv_hash(col):
+    """The deterministic unit hash the KMV sketch keys on — the SAME
+    expression as the batch `events_kmv_distinct` query, so the
+    streaming sketch and the batch sketch are comparable states."""
+    from pyspark.sql import functions as F
+
+    from cnc_visionsearch_spark.functions.text import hex_to_long
+
+    return (
+        hex_to_long(F.substring(F.md5(col.cast("string").cast("binary")), 1, 8))
+        % KMV_HASH_MOD
+    )
+
+
+def _kmv_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (shard,) = key
+    seen = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        seen.update(int(h) for h in pdf["hv"])
+    minima = sorted(seen)[:KMV_K]
+    state.update((minima,))
+    yield pd.DataFrame(
+        [
+            {
+                "shard": shard,
+                "n_minima": len(minima),
+                "kth_hash": minima[-1] if minima else None,
+                "minima": minima,
+            }
+        ]
+    )
+
+
+def kmv_sketch_stream(events: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Streaming KMV cardinality sketch — the incremental twin of the
+    batch `events_kmv_distinct` query: per hash-shard, maintain the k
+    smallest DISTINCT user hashes across micro-batches (bounded state:
+    k BIGINTs per shard, ever) and emit the shard's sketch each batch.
+
+    Mergeability is the point: the global k-minima are exactly the k
+    smallest of the union of per-shard minima (each shard holds its
+    own k smallest, and the global minima within a shard are a prefix
+    of that), so a reader re-mins S·k rows to get the same estimate
+    the batch sketch computes — tested to be IDENTICAL to the batch
+    k-minima over the same input. This is the general shape of every
+    distributed sketch (HLL registers, t-digest centroids): tiny
+    keyed state + an associative merge, here with state the engine
+    can hash-compare exactly.
+
+    At scale: the pre-shuffle projection is (shard, hv) — 16 bytes/
+    event; state is n_shards × k BIGINTs regardless of stream volume.
+    """
+    from pyspark.sql import functions as F
+
+    hashed = events.select(
+        kmv_hash(F.col("user_id")).alias("hv")
+    ).withColumn("shard", F.col("hv") % n_shards)
+    return hashed.groupBy("shard").applyInPandasWithState(
+        _kmv_update,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -692,3 +692,50 @@ def test_ivf_ingest_stream_extends_persisted_index(spark, tmp_path):
     assert (
         spark.read.parquet(f"{path}/pq_codes").count() == n_vec * 8
     )
+
+
+def test_kmv_sketch_stream_merges_to_batch_sketch(spark, tmp_path):
+    """Streaming KMV: per-shard k-minima maintained across micro-batches
+    must MERGE (re-min of the union) to exactly the batch k-minima over
+    the same input — the associative-merge contract every distributed
+    sketch rests on. State is bounded (k BIGINTs per shard) no matter
+    how many events stream through."""
+    from cnc_visionsearch_spark.streaming.stateful import (
+        KMV_K,
+        kmv_hash,
+        kmv_sketch_stream,
+    )
+
+    events = load_table(spark, SF, "events").limit(1500)
+    chunks = [events.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    stream_dir = _write_chunks(spark, str(tmp_path), chunks)
+
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        kmv_sketch_stream(stream)
+        .writeStream.format("memory")
+        .queryName("kmv_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = spark.sql("select * from kmv_test").collect()
+    final: dict[int, list[int]] = {}
+    for r in emitted:  # last emission per shard is the final state
+        final[r.shard] = list(r.minima)
+    for minima in final.values():
+        assert len(minima) <= KMV_K
+        assert minima == sorted(minima)
+
+    merged = sorted(set().union(*map(set, final.values())))[:KMV_K]
+    batch = [
+        r.hv
+        for r in events.select(kmv_hash(F.col("user_id")).alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(KMV_K)
+        .collect()
+    ]
+    assert merged == batch
