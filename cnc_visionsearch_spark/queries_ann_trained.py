@@ -52,7 +52,7 @@ _DEPTH = 120  # ADC candidate depth re-scored fp64 (6% of sf0.1 corpus)
 _TRAIN_CAP = 100_000  # FAISS-style bounded training sample
 
 
-def _trained_cb_chain() -> str:
+def _trained_cb_chain(train_where: str = "") -> str:
     """The trained codebook as a generated CTE chain ending in
     ``cbt(sub_j, code, cv)`` — one Lloyd iteration per block, exactly
     the arithmetic of operators/ann.py pq_train_codebook. Assumes a
@@ -60,6 +60,7 @@ def _trained_cb_chain() -> str:
     end-inclusive: ``v[j*w+1 : j*w+w]`` is subvector ``j``.
     """
     fx = FIXED_POINT_SQL.format(x="x")
+    where = f" WHERE {train_where}" if train_where else ""
     parts = [
         f"""
 tw AS (SELECT CAST(len(nvec) // {_M} AS INT) AS w FROM normed LIMIT 1),
@@ -67,9 +68,10 @@ tsubs AS (
   SELECT vec_id, j.j AS sub_j, nvec[j.j*w+1 : j.j*w+w] AS sv
   FROM normed, tw, (SELECT unnest(range({_M})) AS j) j
 ),
-tstr AS (SELECT greatest((max(vec_id) + 1) // {_TRAIN_CAP}, 1) AS ts FROM normed),
-train AS (SELECT t.vec_id, t.sub_j, t.sv FROM tsubs t, tstr WHERE t.vec_id % ts = 0),
-kstr AS (SELECT greatest(max(vec_id) // {_KSTAR}, 1) AS s FROM normed),
+tsrc AS (SELECT vec_id, sub_j, sv FROM tsubs{where}),
+tstr AS (SELECT greatest((max(vec_id) + 1) // {_TRAIN_CAP}, 1) AS ts FROM tsrc),
+train AS (SELECT t.vec_id, t.sub_j, t.sv FROM tsrc t, tstr WHERE t.vec_id % ts = 0),
+kstr AS (SELECT greatest(max(vec_id) // {_KSTAR}, 1) AS s FROM tsrc),
 cb0 AS (
   SELECT CAST(t.vec_id // s AS INT) AS code, t.sub_j, t.sv AS cv
   FROM train t, kstr WHERE t.vec_id % s = 0 AND t.vec_id // s < {_KSTAR}
@@ -286,4 +288,68 @@ def ann_pq_trained_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "err_q_trained",
         "n_codes_init",
         "err_q_init",
+    )
+
+
+# -------------------------------------------- frozen-codebook append path
+
+_APPEND_SPLIT = 400  # head = vec_id < 400 trains; tail appends frozen
+
+
+def ensure_pq_trained_appended(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent APPENDED trained-PQ layout: build (IVF + trained
+    codebook + codes) over the head of the corpus, then append the tail
+    against the FROZEN codebooks — materializing the living-corpus
+    lifecycle so a registered probe can hash-gate it."""
+    from cnc_visionsearch_spark.operators.ann import (
+        ivf_append,
+        ivf_build,
+        pq_trained_append,
+        pq_trained_build,
+    )
+    from cnc_visionsearch_spark.queries_ann import _ARTIFACT_ROOT, _corpus_tag
+
+    path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir)}/ivf_trained_app"
+    marker = os.path.join(path, f"_BUILT_m{_M}_k{_KSTAR}_t{_ITERS}")
+    if not os.path.exists(marker):
+        emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+        head = emb.filter(F.col("vec_id") < _APPEND_SPLIT)
+        tail = emb.filter(F.col("vec_id") >= _APPEND_SPLIT)
+        ivf_build(head, path, n_cells=8)
+        pq_trained_build(spark, path, m=_M, k_star=_KSTAR, iters=_ITERS)
+        ivf_append(spark, path, tail)
+        pq_trained_append(spark, path, tail, m=_M)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "ann_pq_trained_append_histogram",
+    oracle=f"""
+WITH {_NORM_CTE}, {_trained_cb_chain(f"vec_id < {_APPEND_SPLIT}")}, {_FCODES_CTE}
+SELECT sub_j, code, CAST(count(*) AS BIGINT) AS n_vectors,
+  CAST(min(vec_id) AS BIGINT) AS sample_id
+FROM fcodes GROUP BY sub_j, code
+""",
+    doc="The trained tier's living-corpus contract under the hash "
+    "gate: the codebook TRAINS on the head of the corpus (vec_id < "
+    "400), the tail arrives later and is encoded by pq_trained_append "
+    "against the FROZEN codebook — so the appended code table must "
+    "equal a one-shot encode of the union under the head-trained "
+    "codebook, which is exactly what the oracle computes (training "
+    "CTEs restricted to the head, final assignment over everything). "
+    "The probe reads only the persisted appended layout. Same "
+    "contract the stride tier pins with ann_pq_append_code_histogram; "
+    "here the MODEL itself (not just the codes) came from the "
+    "truncated history, mirroring how FAISS trains once on an early "
+    "sample and encodes every later add.",
+)
+def ann_pq_trained_append_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = ensure_pq_trained_appended(spark, sf_dir)
+    codes = spark.read.parquet(f"{path}/pq_trained_codes")
+    return codes.groupBy("sub_j", "code").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("sample_id"),
     )
