@@ -734,3 +734,76 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact", "k", "kth_hash", est.alias("kmv_estimate")
     )
 
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day,
+    max(struct_pack(ts := ts, eid := event_id, v := value)).v AS day_value
+  FROM events WHERE user_id < 20
+  GROUP BY user_id, date_trunc('day', ts)::TIMESTAMP
+),
+marked AS (
+  SELECT user_id, day, day_value,
+    CASE WHEN lag(day_value) OVER w IS NULL
+           OR lag(day_value) OVER w <> day_value
+         THEN 1 ELSE 0 END AS is_start
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day ASC)
+),
+starts AS (
+  SELECT user_id, day AS effective_from, day_value,
+    lead(day) OVER (PARTITION BY user_id ORDER BY day ASC) AS next_from
+  FROM marked WHERE is_start = 1
+)
+SELECT user_id, effective_from, next_from AS effective_to, day_value,
+  CAST(next_from IS NULL AS BOOLEAN) AS is_current
+FROM starts
+""",
+    doc="Slowly-changing-dimension (SCD Type 2) interval build: "
+    "collapse a per-day observation series into validity intervals "
+    "[effective_from, effective_to) per entity — the versioned-"
+    "dimension table a warehouse maintains so the as-of join "
+    "(events_asof_last_purchase) has something to join against. "
+    "Change detection via lag(), interval close via lead(), both "
+    "over the same (user, day) window — one shuffle keyed user_id, "
+    "windows and the daily pre-aggregate reuse the partitioning. "
+    "Interval semantics: half-open, effective_to NULL = current row "
+    "(flagged). Entity-bounded (user_id < 20) like every per-entity "
+    "expansion here; at 100 TB the daily pre-aggregate is the "
+    "volume-reducer (events -> entity-days) before any window runs.",
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    daily = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.struct(
+                F.col("ts"), F.col("event_id").alias("eid"), F.col("value").alias("v")
+            ).alias("tev"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.max("tev")["v"].alias("day_value"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    marked = daily.withColumn(
+        "is_start",
+        F.when(
+            F.lag("day_value").over(w).isNull()
+            | (F.lag("day_value").over(w) != F.col("day_value")),
+            1,
+        ).otherwise(0),
+    )
+    starts = marked.filter(F.col("is_start") == 1).withColumn(
+        "next_from", F.lead("day").over(w)
+    )
+    return starts.select(
+        "user_id",
+        F.col("day").alias("effective_from"),
+        F.col("next_from").alias("effective_to"),
+        "day_value",
+        F.col("next_from").isNull().alias("is_current"),
+    )

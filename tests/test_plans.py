@@ -451,8 +451,18 @@ def test_bucketed_tables_join_without_exchange(spark):
     assertion so the plan must be the bucket-co-located SortMergeJoin
     (at real scale both sides are TBs and broadcast was never an
     option)."""
+    import shutil
+
     from cnc_visionsearch_spark.sources.catalog import load_table
     from cnc_visionsearch_spark.sources.formats import write_bucketed_table
+
+    # the session catalog is in-memory but managed-table LOCATIONS
+    # persist under spark-warehouse/ — clean both or a rerun hits
+    # LOCATION_ALREADY_EXISTS
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_orders_b", "t_customer_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
 
     sf = "/root/testdata/sf0.001"
     write_bucketed_table(
