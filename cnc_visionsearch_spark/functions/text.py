@@ -152,3 +152,17 @@ def training_filter_verdict(
         .when(quality_score(t) < min_quality, F.lit("low_quality"))
         .otherwise(F.lit("kept"))
     )
+
+
+def kmv_hash(col, mod: int = 1073741824):
+    """The deterministic unit hash the KMV cardinality sketch keys on
+    (md5 -> first 8 hex -> BIGINT mod 2^30). ONE definition shared by
+    the batch query (events_kmv_distinct) and the streaming sketch
+    (streaming/stateful.py kmv_sketch_stream) — their merge-identity
+    contract requires byte-equivalent hashing."""
+    from pyspark.sql import functions as F
+
+    return (
+        hex_to_long(F.substring(F.md5(col.cast("string").cast("binary")), 1, 8))
+        % mod
+    )

@@ -1087,11 +1087,19 @@ def pq_train_codebook(
 
     spark = emb.sparkSession
     max_id = emb.agg(F.max(id_col)).first()[0]
+    if max_id is None:
+        raise ValueError(
+            "pq_train_codebook: cannot train on an empty embeddings "
+            "table (same empty-index guard as ivf_centroids)"
+        )
     t_stride = max((int(max_id) + 1) // train_cap, 1)
     train = pq_subvectors(
         emb.filter(F.col(id_col) % t_stride == 0), m, id_col, vec_col
     ).persist()
     try:
+        # init stride from the SOURCE max id; init rows additionally
+        # carry the train-sample filter (they select from `train`) —
+        # matching the oracle chain's kstr-over-tsrc + cb0-over-train
         s = max(int(max_id) // k_star, 1)
         init_rows = (
             train.filter(
@@ -1107,6 +1115,12 @@ def pq_train_codebook(
         cb: dict[tuple[int, int], list[float]] = {
             (r.sub_j, r.code): [float(x) for x in r.cv] for r in init_rows
         }
+        if not cb:
+            raise ValueError(
+                "pq_train_codebook: id-stride init selected no codewords "
+                f"(max_id={max_id}, k_star={k_star}) — ids must be dense "
+                "enough that some id % stride == 0 lands under k_star"
+            )
         w = len(next(iter(cb.values())))
         schema = "sub_j int, code int, cv array<double>"
         for _ in range(iters):

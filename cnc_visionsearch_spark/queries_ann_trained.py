@@ -250,17 +250,28 @@ FROM trained t JOIN init i ON t.sub_j = i.sub_j
     "(vec_id, sub_j); output is m rows.",
 )
 def ann_pq_trained_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cnc_visionsearch_spark.operators.ann import (
-        ivf_centroids,
-        pq_codebook,
-        pq_subvectors,
-    )
+    from cnc_visionsearch_spark.operators.ann import pq_codebook, pq_subvectors
 
     path = ensure_pq_trained_built(spark, sf_dir)
     emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
     subs = pq_subvectors(emb, _M)
     trained_cb = spark.read.parquet(f"{path}/pq_trained_codebook")
-    init_cb = pq_codebook(ivf_centroids(emb, _KSTAR), m=_M)
+    # init codebook reconstructed EXACTLY like the oracle's cb0: stride
+    # s from the full-corpus max id, membership additionally filtered
+    # to the ts training sample — ivf_centroids(emb, ...) alone would
+    # skip the ts filter and diverge once the corpus exceeds _TRAIN_CAP
+    max_id = int(emb.agg(F.max("vec_id")).first()[0])
+    ts = max((max_id + 1) // _TRAIN_CAP, 1)
+    s = max(max_id // _KSTAR, 1)
+    init_vecs = emb.filter(
+        (F.col("vec_id") % ts == 0)
+        & (F.col("vec_id") % s == 0)
+        & (F.col("vec_id") / s < _KSTAR)
+    ).select(
+        (F.col("vec_id") / s).cast("int").alias("cell_id"),
+        F.col("nvec").alias("centroid"),
+    )
+    init_cb = pq_codebook(init_vecs, m=_M)
 
     def per_subspace(cb: DataFrame, n_alias: str, e_alias: str) -> DataFrame:
         mn = (

@@ -706,17 +706,10 @@ FROM ex, kth
     "of the exchange — never raw user ids).",
 )
 def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cnc_visionsearch_spark.functions.text import hex_to_long
+    from cnc_visionsearch_spark.functions.text import kmv_hash
 
     ev = load_table(spark, sf_dir, "events")
-    hv = (
-        hex_to_long(
-            F.substring(
-                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8
-            )
-        )
-        % 1073741824
-    )
+    hv = kmv_hash(F.col("user_id"))
     h = ev.select(hv.alias("hv")).distinct()
     kth = (
         h.orderBy(F.col("hv").asc())

@@ -410,12 +410,13 @@ def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
 
     def _bits(vals):
+        # 32 sign bits per word (bits 0-31 of a BIGINT): always
+        # non-negative, no sign-wrap concerns
         word = 0
         for i, x in enumerate(vals):
             if x >= 0:
                 word |= 1 << i
-        # two's-complement wrap to the signed 64-bit value Spark holds
-        return word - (1 << 64) if word >= (1 << 63) else word
+        return word
 
     qlo, qhi = _bits(q[:32]), _bits(q[32:])
     sigs = emb.filter(F.col("vec_id") != 17).select(

@@ -180,15 +180,18 @@ def measure_recall(spark: SparkSession, sf_dir: str) -> dict:
     t_cb = np.zeros((T_M, T_KSTAR, t_w))
     for r in spark.read.parquet(f"{tpath}/pq_trained_codebook").collect():
         t_cb[r.sub_j, r.code] = np.asarray(r.cv)
+    # rank once per query (depth only changes the final slice)
+    t_rank = {}
+    for q in qids:
+        lut = ((t_cb - qvec[q].reshape(T_M, 1, t_w)) ** 2).sum(axis=-1)
+        adc = lut[np.arange(T_M)[:, None], t_codes.T].sum(axis=0)
+        t_rank[q] = np.lexsort((ids, adc))
     t_sweep = {}
     for depth in (40, 80, T_DEPTH, 160):
         recs = []
         for q in qids:
-            lut = ((t_cb - qvec[q].reshape(T_M, 1, t_w)) ** 2).sum(axis=-1)
-            adc = lut[np.arange(T_M)[:, None], t_codes.T].sum(axis=0)
-            sel = np.lexsort((ids, adc))[:depth]
             mask = np.zeros(len(ids), bool)
-            mask[sel] = True
+            mask[t_rank[q][:depth]] = True
             got = topk_within(qvec[q], mask)
             recs.append(len(got & exact[q]) / K)
         t_sweep[str(depth)] = stats(recs)

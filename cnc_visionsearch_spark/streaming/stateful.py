@@ -217,17 +217,12 @@ KMV_OUTPUT_SCHEMA = StructType(
 
 
 def kmv_hash(col):
-    """The deterministic unit hash the KMV sketch keys on — the SAME
-    expression as the batch `events_kmv_distinct` query, so the
-    streaming sketch and the batch sketch are comparable states."""
-    from pyspark.sql import functions as F
+    """The shared KMV hash (one definition: functions/text.py) at this
+    module's modulus — streaming sketch and batch query stay
+    byte-equivalent by construction."""
+    from cnc_visionsearch_spark.functions.text import kmv_hash as _kh
 
-    from cnc_visionsearch_spark.functions.text import hex_to_long
-
-    return (
-        hex_to_long(F.substring(F.md5(col.cast("string").cast("binary")), 1, 8))
-        % KMV_HASH_MOD
-    )
+    return _kh(col, KMV_HASH_MOD)
 
 
 def _kmv_update(
