@@ -74,6 +74,11 @@ __all__ = [
     "pq_assign",
     "pq_build",
     "pq_append",
+    "pq_train_codebook",
+    "pq_trained_build",
+    "pq_trained_append",
+    "ivf_cell_radii",
+    "ivf_range_search",
 ]
 
 
@@ -1226,3 +1231,70 @@ def pq_trained_append(
     codes.write.mode("append").partitionBy("cell_id").parquet(
         f"{path}/pq_trained_codes"
     )
+
+
+def ivf_cell_radii(spark, path: str, vec_col: str = "nvec") -> DataFrame:
+    """(cell_id, radius) — max member-to-centroid L2 distance per cell
+    of an :func:`ivf_build` layout. One layout scan + broadcast
+    codebook + n_cells-row aggregate; a build job co-computes and
+    persists this next to the codebook at scale (it is metadata-sized).
+    The radius is what makes range-search cell pruning LOSSLESS: by the
+    triangle inequality no vector of cell c can lie within R of the
+    query if d(q, centroid_c) - radius_c > R.
+    """
+    cells = spark.read.parquet(f"{path}/cells")
+    cents = spark.read.parquet(f"{path}/codebook")
+    return (
+        cells.join(F.broadcast(cents), "cell_id")
+        .select(
+            "cell_id", F.sqrt(l2_sq(vec_col, "centroid")).alias("member_d")
+        )
+        .groupBy("cell_id")
+        .agg(F.max("member_d").alias("radius"))
+    )
+
+
+def ivf_range_search(
+    spark,
+    path: str,
+    query_vec: list[float],
+    r2: float,
+    vec_col: str = "nvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Radius (range) search over an :func:`ivf_build` layout — the
+    FAISS ``range_search`` analog: every vector with squared-L2
+    distance <= ``r2`` from the query. Cells are pruned by the
+    triangle inequality (d(q, centroid) - cell_radius > R cannot hold
+    any match), so the scan reads only surviving cell partitions —
+    EXACTLY the flat scan's result set, just cheaper (the DuckDB
+    oracle for the registered query IS the flat scan: hash-match
+    proves losslessness). On the isotropic fixture the untrained
+    cells are wide (radius ~ sqrt(2)) so pruning rarely fires —
+    tests demonstrate the skip on clustered data, where this is the
+    operation's payoff.
+    """
+    import math
+
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    r = math.sqrt(r2)
+    # bounded driver-side collect: n_cells rows, like ivf_probe_cells
+    radii = ivf_cell_radii(spark, path, vec_col)
+    cents = spark.read.parquet(f"{path}/codebook")
+    keep = [
+        row.cell_id
+        for row in cents.join(radii, "cell_id")
+        .select(
+            "cell_id",
+            (F.sqrt(l2_sq("centroid", qcol)) - F.col("radius")).alias("lb"),
+        )
+        .collect()
+        if row.lb <= r
+    ]
+    cells = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell_id").isin(keep)
+    )
+    cells = _without_tombstones(spark, path, cells, id_col)
+    return cells.select(
+        F.col(id_col), l2_sq(F.col(vec_col), qcol).alias("distance")
+    ).filter(F.col("distance") <= r2)

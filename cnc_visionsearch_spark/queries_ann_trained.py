@@ -364,3 +364,38 @@ def ann_pq_trained_append_histogram(
         F.count(F.lit(1)).alias("n_vectors"),
         F.min("vec_id").alias("sample_id"),
     )
+
+
+# ------------------------------------------------------- radius search
+
+
+@register(
+    "ann_ivf_range_search",
+    oracle=f"""
+WITH {_NORM_CTE},
+q AS (SELECT nvec AS qv FROM normed WHERE vec_id = 5)
+SELECT n.vec_id, {_L2SQ.format(a="n.nvec", b="q.qv")} AS distance
+FROM normed n, q
+WHERE {_L2SQ.format(a="n.nvec", b="q.qv")} <= 1.55
+""",
+    doc="Radius (range) search — the FAISS range_search analog the "
+    "reference's HNSW index family also exposes: every vector within "
+    "squared-L2 1.55 of the query. The engine probes the persisted "
+    "IVF layout with TRIANGLE-INEQUALITY cell pruning (skip cell c "
+    "when d(q, centroid_c) - radius_c > R, radii from ivf_cell_radii) "
+    "— pruning is mathematically lossless, so the oracle is simply "
+    "the FLAT scan and the hash-match PROVES no in-range vector was "
+    "pruned. On the isotropic fixture the untrained cells are wide "
+    "and pruning rarely fires (documented; "
+    "tests/test_ann_trained.py::test_range_search_prunes_clustered_cells "
+    "shows the skip on clustered data, where probing reads a fraction "
+    "of the partitions). Scan cost: pruned cell partitions only, "
+    "codegen distance filter, no shuffle, no top-k ordering — range "
+    "semantics return the full in-radius set.",
+)
+def ann_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.ann import ivf_range_search
+
+    path = ensure_ivf_built(spark, sf_dir, n_cells=8)
+    q = _norm_query_vec(spark, sf_dir, 5)
+    return ivf_range_search(spark, path, q, r2=1.55)

@@ -183,3 +183,79 @@ def test_vacuum_rewrites_trained_codes(spark, tmp_path, emb):
         for r in spark.read.parquet(f"{path}/cells").select("vec_id").collect()
     }
     assert left == cells_left
+
+
+def test_range_search_matches_flat_and_prunes_clustered_cells(spark, tmp_path):
+    """Radius search over an IVF layout: (a) on any data the pruned
+    probe returns EXACTLY the flat in-radius set (triangle-inequality
+    losslessness); (b) on clustered data the probe genuinely skips
+    cells — the payoff the fixture's wide isotropic cells cannot
+    show."""
+    import math
+
+    from cnc_visionsearch_spark.operators.ann import (
+        ivf_build,
+        ivf_cell_radii,
+        ivf_range_search,
+    )
+    from cnc_visionsearch_spark.functions.vector import l2_sq
+
+    # 4 tight clusters far apart on a 2-sphere-ish layout (dim 4)
+    centers = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    rows = []
+    vid = 0
+    for c in centers:
+        for j in range(25):
+            eps = 0.01 * ((j % 5) - 2)
+            v = [x + (eps if i == (j % 4) else 0.0) for i, x in enumerate(c)]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((vid, [x / n for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, nvec array<double>")
+    path = str(tmp_path / "clustered")
+    # plug the TRUE cluster centers in through ivf_build's trained-
+    # codebook slot (the production configuration): the default stride
+    # quantizer would drop one cluster and scatter its members, blowing
+    # every cell radius up to the inter-cluster distance
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "cell_id int, centroid array<double>",
+    )
+    ivf_build(emb, path, n_cells=4, centroids=cents)
+
+    q = rows[3][1]  # a member of cluster 0
+    r2 = 0.01  # tight radius: only cluster-0 neighbors qualify
+    got = {
+        (r.vec_id, r.distance)
+        for r in ivf_range_search(spark, path, q, r2).collect()
+    }
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    flat = {
+        (r.vec_id, r.distance)
+        for r in emb.select(
+            "vec_id", l2_sq("nvec", qcol).alias("distance")
+        )
+        .filter(F.col("distance") <= r2)
+        .collect()
+    }
+    assert got == flat and len(got) > 0
+
+    # pruning actually fired: at least one cell's lower bound exceeds R
+    radii = {r.cell_id: r.radius for r in ivf_cell_radii(spark, path).collect()}
+    cents = {
+        r.cell_id: r.centroid
+        for r in spark.read.parquet(f"{path}/codebook").collect()
+    }
+    # iterate populated cells only (a stride centroid can own zero
+    # members on clustered data; empty cells have no radius row and
+    # are trivially skipped by the probe)
+    lb = {
+        c: math.sqrt(sum((a - b) ** 2 for a, b in zip(cents[c], q))) - radii[c]
+        for c in radii
+    }
+    assert sum(1 for v in lb.values() if v > math.sqrt(r2)) >= 1
