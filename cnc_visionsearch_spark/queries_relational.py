@@ -1787,3 +1787,127 @@ def order_price_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_beyond_1z"),
         )
     )
+
+
+@register(
+    "lineitem_profile",
+    oracle="""
+WITH u AS (
+  SELECT unnest(['quantity', 'extendedprice', 'discount', 'tax']) AS col_name,
+    unnest([l_quantity, l_extendedprice, l_discount, l_tax]) AS value
+  FROM lineitem
+)
+SELECT col_name,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+  min(value) AS min_value,
+  max(value) AS max_value,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM u GROUP BY col_name
+""",
+    doc="Column profiler (the describe/data-quality pass every "
+    "ingestion job runs): per measure — row count, null count, "
+    "distinct cardinality, min/max, exact decimal sum — in ONE scan "
+    "via the unpivot-then-aggregate shape (stack() is a Generate, no "
+    "shuffle; the only exchanges feed the 4-group aggregate and its "
+    "distinct pre-aggregation). At 100 TB the n_distinct column is "
+    "the knob: swap count(DISTINCT) for approx_count_distinct (HLL, "
+    "one pass, mergeable) or the KMV sketch when exactness is not "
+    "required — the query shape is otherwise unchanged.",
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.expr(
+            "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
+            "'discount', l_discount, 'tax', l_tax) AS (col_name, value)"
+        )
+    )
+    return long.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("int")).cast("bigint").alias("n_null"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "orders_snapshot_diff",
+    oracle="""
+WITH prev AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 37 = 0 THEN 'STALE' ELSE o_orderstatus END
+      AS o_orderstatus,
+    o_totalprice
+  FROM orders WHERE o_orderkey % 50 <> 0
+),
+cur AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+joined AS (
+  SELECT cur.o_orderkey AS ck, prev.o_orderkey AS pk,
+    CASE WHEN cur.o_orderstatus = prev.o_orderstatus
+          AND cur.o_totalprice = prev.o_totalprice
+         THEN 1 ELSE 0 END AS same
+  FROM cur FULL OUTER JOIN prev ON cur.o_orderkey = prev.o_orderkey
+)
+SELECT
+  CAST(SUM(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(SUM(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(SUM(CASE WHEN ck IS NOT NULL AND pk IS NOT NULL AND same = 0
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(SUM(CASE WHEN ck IS NOT NULL AND pk IS NOT NULL AND same = 1
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM joined
+""",
+    doc="Snapshot reconciliation / data diff (the CDC audit between "
+    "two table versions): FULL OUTER join on the key, per-row "
+    "compare, one-row added/removed/changed/unchanged report. The "
+    "'previous' snapshot is derived deterministically in-query "
+    "(every 50th key removed, every 37th status mutated) so the diff "
+    "is hash-gated; a real deployment points the two sides at two "
+    "table versions and the plan is identical — one key-partitioned "
+    "shuffle join, comparison in codegen, counts partial+final. At "
+    "100 TB: compare HASHES of the value columns, not the columns "
+    "(32-byte md5 per side crosses the shuffle instead of the row), "
+    "same doctrine as the exact-dedup fingerprint projection.",
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cur = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    prev = (
+        o.filter(F.col("o_orderkey") % 50 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 37 == 0, F.lit("STALE"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    joined = cur.alias("c").join(
+        prev.alias("p"),
+        F.col("c.o_orderkey") == F.col("p.o_orderkey"),
+        "full_outer",
+    )
+    ck = F.col("c.o_orderkey")
+    pk = F.col("p.o_orderkey")
+    same = (
+        (F.col("c.o_orderstatus") == F.col("p.o_orderstatus"))
+        & (F.col("c.o_totalprice") == F.col("p.o_totalprice"))
+    ).cast("int")
+    return joined.agg(
+        F.sum(pk.isNull().cast("int")).cast("bigint").alias("n_added"),
+        F.sum(ck.isNull().cast("int")).cast("bigint").alias("n_removed"),
+        F.sum(
+            (ck.isNotNull() & pk.isNotNull() & (same == 0)).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum(
+            (ck.isNotNull() & pk.isNotNull() & (same == 1)).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_unchanged"),
+    )
