@@ -177,22 +177,21 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def minhash_banded(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
-    jaccard_threshold: float = 0.3,
 ) -> DataFrame:
-    """Near-duplicate pairs via banded MinHash LSH + exact verification.
-
-    Candidate generation: split the signature into `bands` bands of
-    num_hashes/bands values; docs sharing any (band_id, band_signature)
-    bucket are candidates. Verification: exact token-shingle Jaccard
-    >= threshold. Returns (id_a, id_b, jaccard), id_a < id_b.
-    """
+    """(id, band_id, band_sig) — the banded MinHash signature table,
+    i.e. the LSH blocking structure itself. At 100 TB this is what an
+    ingest pipeline CO-COMPUTES and persists next to the corpus (one
+    row of a few bytes per doc per band), so near-dedup passes probe
+    the persisted table instead of re-hashing every shingle of every
+    document per run (queries_dedup.ensure_minhash_built is that
+    build-once step, same doctrine as the ANN layouts)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = [
@@ -206,8 +205,7 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), *band_cols)
-    # explode to (id, band_id, band_sig); bucket on the band key
-    stacked = banded.select(
+    return banded.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -220,6 +218,30 @@ def minhash_lsh_pairs(
             )
         ).alias("bd"),
     ).select(id_col, "bd.band_id", "bd.band_sig")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.3,
+    banded: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH + exact verification.
+
+    Candidate generation: split the signature into `bands` bands of
+    num_hashes/bands values; docs sharing any (band_id, band_signature)
+    bucket are candidates. Verification: exact token-shingle Jaccard
+    >= threshold. Returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+    stacked = (
+        banded
+        if banded is not None
+        else minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    )
     # Pair generation via ONE group-by on the band key + in-bucket
     # expansion, instead of a bucket self-join: a self-join re-executes
     # the whole signature pipeline for its second input (broadcast

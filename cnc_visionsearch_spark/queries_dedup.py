@@ -95,6 +95,31 @@ def minhash_signatures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "p.seed", "p.min_hash")
 
 
+def ensure_minhash_built(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent banded-MinHash build: persist the (doc_id, band_id,
+    band_sig) blocking table once per corpus content — the structure a
+    100 TB ingest co-computes next to the corpus, so every near-dedup
+    pass probes a few bytes per doc per band instead of re-hashing
+    every shingle of every document (same build-once/probe-cheap
+    doctrine as the ANN layouts; content-fingerprint key rebuilds on
+    any corpus change). Exact verification still reads the documents
+    table — only the CANDIDATE GENERATION rides the artifact."""
+    from cnc_visionsearch_spark.operators.dedup import minhash_banded
+    from cnc_visionsearch_spark.queries_ann import _ARTIFACT_ROOT, _corpus_tag
+
+    path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir, table='documents')}/minhash_b4h16s3"
+    import os
+
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        d = load_table(spark, sf_dir, "documents")
+        minhash_banded(d, num_hashes=16, bands=4, shingle_n=3).write.mode(
+            "overwrite"
+        ).parquet(path)
+        open(os.path.join(path, "_BUILT"), "w").close()
+    return path
+
+
+
 @register(
     "minhash_lsh_neardup_pairs",
     oracle=f"""
@@ -134,8 +159,14 @@ WHERE c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common)::DOUBLE >= 0.3
 )
 def minhash_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    banded = spark.read.parquet(ensure_minhash_built(spark, sf_dir))
     return minhash_lsh_pairs(
-        d, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.3
+        d,
+        num_hashes=16,
+        bands=4,
+        shingle_n=3,
+        jaccard_threshold=0.3,
+        banded=banded,
     )
 
 
