@@ -259,3 +259,26 @@ def test_range_search_matches_flat_and_prunes_clustered_cells(spark, tmp_path):
         for c in radii
     }
     assert sum(1 for v in lb.values() if v > math.sqrt(r2)) >= 1
+
+
+def test_train_codebook_is_deterministic(spark, emb):
+    """The cross-engine contract rests on training being a pure
+    function of the data: two runs must produce BIT-IDENTICAL
+    codebooks (fixed-point integer means, lexicographic ties — no
+    accumulation-order or partitioning dependence)."""
+    a = pq_train_codebook(emb.repartition(7), m=_M, k_star=_KSTAR, iters=2)
+    b = pq_train_codebook(emb.repartition(3), m=_M, k_star=_KSTAR, iters=2)
+    assert a == b
+
+
+def test_range_search_empty_when_nothing_in_radius(spark, tmp_path, emb):
+    """A query with no in-radius vectors returns an empty frame (and
+    when every cell's lower bound exceeds R, the probe scans nothing)."""
+    from cnc_visionsearch_spark.operators.ann import ivf_build, ivf_range_search
+
+    path = str(tmp_path / "layout")
+    ivf_build(emb, path, n_cells=8)
+    q = _norm_q(emb, 2)
+    assert ivf_range_search(spark, path, q, r2=1e-6).filter(
+        F.col("vec_id") != 2
+    ).count() == 0
