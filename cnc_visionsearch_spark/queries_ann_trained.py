@@ -52,32 +52,43 @@ _DEPTH = 120  # ADC candidate depth re-scored fp64 (6% of sf0.1 corpus)
 _TRAIN_CAP = 100_000  # FAISS-style bounded training sample
 
 
-def _trained_cb_chain(train_where: str = "") -> str:
+def _trained_cb_chain(
+    train_where: str = "",
+    m: int | None = None,
+    k_star: int | None = None,
+    iters: int | None = None,
+) -> str:
     """The trained codebook as a generated CTE chain ending in
     ``cbt(sub_j, code, cv)`` — one Lloyd iteration per block, exactly
     the arithmetic of operators/ann.py pq_train_codebook. Assumes a
     preceding ``normed`` CTE. DuckDB list slices are 1-based
-    end-inclusive: ``v[j*w+1 : j*w+w]`` is subvector ``j``.
+    end-inclusive: ``v[j*w+1 : j*w+w]`` is subvector ``j``. With
+    ``m=1`` the "subspace" is the whole vector and the chain trains a
+    COARSE quantizer (the IVF codebook) instead of a product one —
+    identical arithmetic, different geometry.
     """
+    m = _M if m is None else m
+    k_star = _KSTAR if k_star is None else k_star
+    iters = _ITERS if iters is None else iters
     fx = FIXED_POINT_SQL.format(x="x")
     where = f" WHERE {train_where}" if train_where else ""
     parts = [
         f"""
-tw AS (SELECT CAST(len(nvec) // {_M} AS INT) AS w FROM normed LIMIT 1),
+tw AS (SELECT CAST(len(nvec) // {m} AS INT) AS w FROM normed LIMIT 1),
 tsubs AS (
   SELECT vec_id, j.j AS sub_j, nvec[j.j*w+1 : j.j*w+w] AS sv
-  FROM normed, tw, (SELECT unnest(range({_M})) AS j) j
+  FROM normed, tw, (SELECT unnest(range({m})) AS j) j
 ),
 tsrc AS (SELECT vec_id, sub_j, sv FROM tsubs{where}),
 tstr AS (SELECT greatest((max(vec_id) + 1) // {_TRAIN_CAP}, 1) AS ts FROM tsrc),
 train AS (SELECT t.vec_id, t.sub_j, t.sv FROM tsrc t, tstr WHERE t.vec_id % ts = 0),
-kstr AS (SELECT greatest(max(vec_id) // {_KSTAR}, 1) AS s FROM tsrc),
+kstr AS (SELECT greatest(max(vec_id) // {k_star}, 1) AS s FROM tsrc),
 cb0 AS (
   SELECT CAST(t.vec_id // s AS INT) AS code, t.sub_j, t.sv AS cv
-  FROM train t, kstr WHERE t.vec_id % s = 0 AND t.vec_id // s < {_KSTAR}
+  FROM train t, kstr WHERE t.vec_id % s = 0 AND t.vec_id // s < {k_star}
 )"""
     ]
-    for i in range(1, _ITERS + 1):
+    for i in range(1, iters + 1):
         p = i - 1
         parts.append(
             f""",
@@ -107,7 +118,7 @@ cb{i} AS (
   FROM cb{p} o LEFT JOIN upd{i} u ON o.sub_j = u.sub_j AND o.code = u.code
 )"""
         )
-    parts.append(f",\ncbt AS (SELECT sub_j, code, cv FROM cb{_ITERS})")
+    parts.append(f",\ncbt AS (SELECT sub_j, code, cv FROM cb{iters})")
     return "".join(parts)
 
 
@@ -399,3 +410,79 @@ def ann_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_ivf_built(spark, sf_dir, n_cells=8)
     q = _norm_query_vec(spark, sf_dir, 5)
     return ivf_range_search(spark, path, q, r2=1.55)
+
+
+# --------------------------------------------- trained COARSE quantizer
+
+
+def ensure_ivf_trained_built(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent IVF layout whose codebook is k-means TRAINED (m=1
+    Lloyd chain over whole vectors) instead of the stride placeholder —
+    the production coarse quantizer, plugged in through ivf_build's
+    trained-codebook slot. Probe/append/delete semantics are identical;
+    only centroid quality differs."""
+    from cnc_visionsearch_spark.operators.ann import (
+        ivf_build,
+        pq_train_codebook,
+    )
+    from cnc_visionsearch_spark.queries_ann import _ARTIFACT_ROOT, _corpus_tag
+
+    path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir)}/ivf_trained_c8_t{_ITERS}"
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
+        emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+        rows = pq_train_codebook(emb, m=1, k_star=8, iters=_ITERS)
+        cents = spark.createDataFrame(
+            [(code, cv) for _sj, code, cv in rows],
+            "cell_id int, centroid array<double>",
+        )
+        ivf_build(emb, path, n_cells=8, centroids=cents)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "ann_ivf_trained_topk",
+    oracle=f"""
+WITH {_NORM_CTE}, {_trained_cb_chain(m=1, k_star=8)},
+centroids AS (SELECT code AS cell_id, cv AS centroid FROM cbt),
+assigned AS (
+  SELECT vec_id, cell_id, nvec FROM (
+    SELECT n.vec_id, c.cell_id, n.nvec,
+      row_number() OVER (
+        PARTITION BY n.vec_id
+        ORDER BY {_L2SQ.format(a="n.nvec", b="c.centroid")} ASC, c.cell_id ASC
+      ) AS rn
+    FROM normed n, centroids c
+  ) WHERE rn = 1
+),
+q AS (SELECT nvec AS qvec FROM normed WHERE vec_id = 3),
+probe AS (
+  SELECT cell_id FROM centroids, q
+  ORDER BY {_L2SQ.format(a="centroid", b="qvec")} ASC, cell_id ASC
+  LIMIT 4
+)
+SELECT a.vec_id, {_L2SQ.format(a="a.nvec", b="q.qvec")} AS distance
+FROM assigned a, q
+WHERE a.cell_id IN (SELECT cell_id FROM probe)
+ORDER BY distance ASC, a.vec_id ASC
+LIMIT 10
+""",
+    doc="IVF probe over a layout whose COARSE quantizer is k-means "
+    "TRAINED (5 bit-stable Lloyd iterations over whole vectors — the "
+    "m=1 degenerate of the PQ training chain), plugged in through "
+    "ivf_build's trained-codebook slot. This closes the loop the "
+    "stride tier documents ('at real scale you'd train k-means once "
+    "and broadcast it'): the full production configuration — trained "
+    "codebook, partitioned layout, nprobe=4 partition-pruned probe — "
+    "under the hash gate, oracle replaying the coarse training as "
+    "chained CTEs. On clustered production data THIS is the layout "
+    "whose nprobe recall beats the stride cells; on the isotropic "
+    "fixture the gain is structural, not recall (RECALL.json notes).",
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.ann import ivf_probe
+
+    path = ensure_ivf_trained_built(spark, sf_dir)
+    q = _norm_query_vec(spark, sf_dir, 3)
+    return ivf_probe(spark, path, q, k=10, nprobe=4)
