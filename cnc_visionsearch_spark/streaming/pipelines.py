@@ -267,6 +267,19 @@ def ivf_ingest_stream(
         ivf_append(s, index_path, normed)
         if pq_m is not None:
             pq_append(s, index_path, normed, m=pq_m)
+        # layouts carrying a TRAINED code table stay coherent too: a
+        # streamed vector missing from pq_trained_codes would be
+        # invisible to the trained-ADC probe path forever
+        if os.path.exists(f"{index_path}/pq_trained_codebook"):
+            from cnc_visionsearch_spark.operators.ann import pq_trained_append
+
+            t_m = (
+                s.read.parquet(f"{index_path}/pq_trained_codebook")
+                .agg(F.max("sub_j"))
+                .first()[0]
+                + 1
+            )
+            pq_trained_append(s, index_path, normed, m=int(t_m))
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -746,3 +746,51 @@ def test_kmv_sketch_stream_merges_to_batch_sketch(spark, tmp_path):
         .collect()
     ]
     assert merged == batch
+
+
+def test_ivf_ingest_stream_extends_trained_codes(spark, tmp_path):
+    """A layout carrying a TRAINED code table stays coherent under
+    streaming ingest: streamed vectors appear in pq_trained_codes
+    encoded against the frozen trained codebook (equal to a one-shot
+    re-encode of the union) — otherwise the trained-ADC probe would
+    never see them."""
+    from cnc_visionsearch_spark.operators.ann import (
+        ivf_build,
+        pq_assign,
+        pq_trained_build,
+    )
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+    from cnc_visionsearch_spark.streaming.pipelines import ivf_ingest_stream
+
+    emb = with_normalized(load_table(spark, SF, "embeddings"))
+    path = str(tmp_path / "ivf")
+    ivf_build(emb.filter(F.col("vec_id") < 300), path, n_cells=8)
+    pq_trained_build(spark, path, m=16, k_star=128, iters=1)
+
+    rest = emb.filter(F.col("vec_id") >= 300).select(
+        "vec_id", "embedding", "label"
+    )
+    stream_dir = _write_chunks(
+        spark, str(tmp_path / "in"), [rest.filter(F.col("vec_id") % 2 == i) for i in range(2)]
+    )
+    q = ivf_ingest_stream(
+        spark,
+        stream_dir,
+        path,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    ).start()
+    q.awaitTermination(180)
+
+    cb = spark.read.parquet(f"{path}/pq_trained_codebook")
+    expect = {
+        (r.vec_id, r.sub_j, r.code)
+        for r in pq_assign(emb, cb, m=16).collect()
+    }
+    got = {
+        (r.vec_id, r.sub_j, r.code)
+        for r in spark.read.parquet(f"{path}/pq_trained_codes")
+        .select("vec_id", "sub_j", "code")
+        .collect()
+    }
+    assert got == expect
