@@ -800,3 +800,46 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_value",
         F.col("next_from").isNull().alias("is_current"),
     )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+WITH ext AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events
+),
+binned AS (
+  SELECT least(CAST(floor((value - lo) / ((hi - lo) / 20.0)) AS INT), 19)
+    AS bin, value
+  FROM events, ext
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+  min(value) AS bin_min, max(value) AS bin_max
+FROM binned GROUP BY bin
+""",
+    doc="Equi-width histogram (20 bins over the observed range) — the "
+    "describe-step distribution summary. Two passes: a scalar min/max "
+    "aggregate (broadcast back), then one binning scan with a "
+    "partial+final count — the exact shape Spark's own "
+    "df.stat.histogram RDD helper uses, expressed relationally so it "
+    "stays in codegen and hash-gates. The least(...) clamp puts the "
+    "range maximum into the last bin (the standard closed-top rule). "
+    "Bin arithmetic is a single IEEE double chain per row — "
+    "deterministic across engines.",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ext = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    binned = ev.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+            F.lit(19),
+        ).alias("bin"),
+        "value",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("bin_min"),
+        F.max("value").alias("bin_max"),
+    )

@@ -1911,3 +1911,75 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_unchanged"),
     )
+
+
+@register(
+    "nation_revenue_pareto",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation,
+    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+      AS DOUBLE) AS revenue
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+),
+tot AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE) AS total FROM rev)
+SELECT nation, revenue,
+  CAST(rank() OVER (ORDER BY revenue DESC, nation ASC) AS INT) AS rnk,
+  revenue / total AS share,
+  CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER (
+    ORDER BY revenue DESC, nation ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) / total AS cum_share
+FROM rev, tot
+""",
+    doc="Pareto / ratio-to-report analysis: revenue per customer "
+    "nation, each nation's share of total, and the cumulative share "
+    "in rank order — the 80/20 concentration report. The fact joins "
+    "reduce to a 25-row nation aggregate BEFORE any window runs; the "
+    "rank/cumsum window is single-partition over dimension-sized "
+    "data only (same doctrine as the mixture-weights window). "
+    "Decimal sums for the aggregate AND the running total keep both "
+    "order-independent; shares divide two exact-decimal-derived "
+    "doubles per row.",
+)
+def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    tot = rev.agg(
+        F.sum(F.col("revenue").cast("decimal(18,6)")).cast("double").alias("total")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("nation").asc())
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "revenue",
+        F.rank().over(w).cast("int").alias("rnk"),
+        (F.col("revenue") / F.col("total")).alias("share"),
+        (
+            F.sum(F.col("revenue").cast("decimal(18,6)"))
+            .over(wcum)
+            .cast("double")
+            / F.col("total")
+        ).alias("cum_share"),
+    )
