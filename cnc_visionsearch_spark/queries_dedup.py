@@ -120,10 +120,11 @@ def ensure_minhash_built(spark: SparkSession, sf_dir: str) -> str:
 
 
 
-@register(
-    "minhash_lsh_neardup_pairs",
-    oracle=f"""
-WITH {_MINHASH_16},
+# banded-LSH candidate generation + exact-Jaccard verification as a
+# reusable CTE block ending in verified(id_a, id_b, jaccard) — shared
+# by the near-dedup oracle and the split-leakage oracle so the two can
+# never drift apart
+_LSH_VERIFY_CTES = """
 sigs AS (
   SELECT doc_id, list(h ORDER BY i) AS sig FROM hashes GROUP BY doc_id
 ),
@@ -144,14 +145,24 @@ common AS (
   FROM sh a JOIN sh b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common)::DOUBLE AS jaccard
+  FROM common c
+  JOIN cand USING (id_a, id_b)
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common)::DOUBLE >= 0.3
 )
-SELECT c.id_a, c.id_b,
-  c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common)::DOUBLE AS jaccard
-FROM common c
-JOIN cand USING (id_a, id_b)
-JOIN sizes sa ON sa.doc_id = c.id_a
-JOIN sizes sb ON sb.doc_id = c.id_b
-WHERE c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common)::DOUBLE >= 0.3
+"""
+
+
+@register(
+    "minhash_lsh_neardup_pairs",
+    oracle=f"""
+WITH {_MINHASH_16}, {_LSH_VERIFY_CTES}
+SELECT id_a, id_b, jaccard FROM verified
 """,
     doc="MinHash LSH near-dedup: 16 hashes, 4 bands of 4; bucket-join "
     "candidates verified by exact shingle Jaccard >= 0.3. The 100 TB "
@@ -497,3 +508,4 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+

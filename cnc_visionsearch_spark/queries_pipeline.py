@@ -589,3 +589,152 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+# ------------------------------------------------------- RAG chunking
+
+
+@register(
+    "doc_rag_chunks",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+  WHERE doc_id < 30
+),
+chunks AS (
+  SELECT doc_id, s.s AS start_pos,
+    tk[s.s : least(s.s + 31, len(tk))] AS chunk
+  FROM toks, (SELECT unnest(range(1, 10000, 24)) AS s) s
+  WHERE s.s <= len(tk)
+)
+SELECT doc_id, CAST((start_pos - 1) // 24 AS INT) AS chunk_idx,
+  CAST(len(chunk) AS BIGINT) AS n_tokens,
+  md5(array_to_string(chunk, ' ')) AS chunk_fp
+FROM chunks
+""",
+    doc="RAG document chunking: overlapping token windows (size 32, "
+    "stride 24 -> 8-token overlap) with a per-chunk content "
+    "fingerprint — the retrieval-corpus construction step between "
+    "the document store and the embedding pass (each chunk, not "
+    "each doc, gets embedded and indexed). Pure codegen: tokenize "
+    "once, explode the bounded start-offset sequence, slice — no "
+    "UDF, no shuffle (chunking is a per-row expansion; the 100 TB "
+    "pass writes chunks partitioned alongside their source shards). "
+    "Chunk boundaries are a pure function of the text, so re-runs "
+    "and backfills produce identical chunk ids/fingerprints — the "
+    "dedup-safe property chunk stores need.",
+)
+def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    tk = d.select("doc_id", tokens("text").alias("tk"))
+    chunks = tk.select(
+        "doc_id",
+        "tk",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(1), F.size("tk"), F.lit(24)),
+                lambda s: s <= F.size("tk"),
+            )
+        ).alias("start_pos"),
+    ).select(
+        "doc_id",
+        "start_pos",
+        F.slice("tk", F.col("start_pos"), 32).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        ((F.col("start_pos") - 1) / 24).cast("int").alias("chunk_idx"),
+        F.size("chunk").cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join("chunk", " ").cast("binary")).alias("chunk_fp"),
+    )
+
+
+# --------------------------------------------------- split-leakage audit
+
+from cnc_visionsearch_spark.queries_dedup import (  # noqa: E402
+    _LSH_VERIFY_CTES,
+    _MINHASH_16,
+)
+
+# REGISTRATION ORDER NOTE: this lives here (a post-window module)
+# rather than queries_dedup because queries_dedup registers INSIDE the
+# driver's frozen 50-query window — appending there evicts a
+# driver-green query (tests/test_registry_window.py catches exactly
+# that).
+
+
+@register(
+    "doc_split_leakage_pairs",
+    oracle=f"""
+WITH {_MINHASH_16}, {_LSH_VERIFY_CTES},
+splits AS (
+  SELECT doc_id,
+    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 100 < 80 THEN 'train'
+         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+SELECT v.id_a, v.id_b, v.jaccard, sa.split AS split_a, sb.split AS split_b
+FROM verified v
+JOIN splits sa ON sa.doc_id = v.id_a
+JOIN splits sb ON sb.doc_id = v.id_b
+WHERE sa.split <> sb.split
+""",
+    doc="Train/eval split-leakage audit: near-duplicate pairs "
+    "(banded-MinHash candidates + exact Jaccard >= 0.3, probing the "
+    "persisted blocking table) whose two sides land in DIFFERENT "
+    "splits of the deterministic 80/10/10 hash split — the eval-"
+    "hygiene check every training run needs, since a val/test doc "
+    "with a train-side near-duplicate measures memorization, not "
+    "generalization. Composes the dedup verify pipeline with the "
+    "consistent-hash split assignment (the bounded pair set is the "
+    "broadcast side — AQE's runtime call, never an author hint on "
+    "the corpus-sized split table); the fix downstream is dropping the "
+    "TRAIN side of each leaked pair, never the eval side.",
+)
+def doc_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.dedup import minhash_lsh_pairs
+    from cnc_visionsearch_spark.queries_dedup import ensure_minhash_built
+
+    d = load_table(spark, sf_dir, "documents")
+    banded = spark.read.parquet(ensure_minhash_built(spark, sf_dir))
+    pairs = minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.3,
+        banded=banded,
+    )
+    bucket = (
+        hex_to_long(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15)
+        )
+        % 100
+    )
+    splits = d.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    # no author broadcast hint: splits is CORPUS-sized (hinting it is
+    # the fact-table-broadcast anti-pattern); the verified pair set is
+    # the bounded side and AQE broadcasts it at runtime
+    return (
+        pairs.join(
+            splits.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "split", "split_a"
+            ),
+            "id_a",
+        )
+        .join(
+            splits.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "split", "split_b"
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )
