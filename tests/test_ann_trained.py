@@ -282,3 +282,20 @@ def test_range_search_empty_when_nothing_in_radius(spark, tmp_path, emb):
     assert ivf_range_search(spark, path, q, r2=1e-6).filter(
         F.col("vec_id") != 2
     ).count() == 0
+
+
+def test_train_codebook_empty_table_raises(spark):
+    empty = spark.createDataFrame([], "vec_id bigint, nvec array<double>")
+    with pytest.raises(ValueError, match="empty embeddings"):
+        pq_train_codebook(empty, m=_M, k_star=_KSTAR, iters=1)
+
+
+def test_train_codebook_sparse_ids_raise(spark):
+    """Offset/sparse ids where no id satisfies the stride init must
+    fail loudly, not with a bare StopIteration."""
+    sparse = spark.createDataFrame(
+        [(10_000_001, [0.1] * 64), (10_000_003, [0.2] * 64)],
+        "vec_id bigint, nvec array<double>",
+    )
+    with pytest.raises(ValueError, match="no codewords"):
+        pq_train_codebook(sparse, m=_M, k_star=_KSTAR, iters=1)
