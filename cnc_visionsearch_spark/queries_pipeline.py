@@ -738,3 +738,63 @@ def doc_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "jaccard", "split_a", "split_b")
     )
+
+
+@register(
+    "chunk_dedup_groups",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+chunks AS (
+  SELECT doc_id, s.s AS start_pos,
+    md5(array_to_string(tk[s.s : least(s.s + 31, len(tk))], ' ')) AS chunk_fp
+  FROM toks, (SELECT unnest(range(1, 10000, 24)) AS s) s
+  WHERE s.s <= len(tk)
+)
+SELECT chunk_fp,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(min(doc_id) AS BIGINT) AS keeper_doc
+FROM chunks
+GROUP BY chunk_fp
+HAVING count(*) > 1
+""",
+    doc="Chunk-level exact dedup: the chunk store's write-side audit — "
+    "identical 32-token windows appearing more than once (within a "
+    "doc via overlap, or across near-duplicate docs), grouped by "
+    "content fingerprint with a deterministic min-doc keeper. A RAG "
+    "index that skips this embeds and serves the same passage many "
+    "times; running dedup at CHUNK granularity catches boilerplate "
+    "that document-level near-dedup leaves behind (shared headers, "
+    "quoted passages). Same md5-fingerprint group-by shape as "
+    "dedup_exact_groups — the shuffle carries 32-byte fingerprints, "
+    "never chunk text — over the full-corpus chunk expansion.",
+)
+def chunk_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens("text").alias("tk"))
+    chunks = tk.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(1), F.size("tk"), F.lit(24)),
+                lambda s: s <= F.size("tk"),
+            )
+        ).alias("start_pos"),
+        "tk",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice("tk", F.col("start_pos"), 32), " ").cast("binary")
+        ).alias("chunk_fp"),
+    )
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_chunks") > 1)
+    )
