@@ -843,3 +843,54 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("bin_min"),
         F.max("value").alias("bin_max"),
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type,
+    CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+rowtot AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n FROM trans GROUP BY prev_type
+)
+SELECT t.prev_type, t.next_type, t.n,
+  CAST(t.n AS DOUBLE) / CAST(r.row_n AS DOUBLE) AS p
+FROM trans t JOIN rowtot r ON t.prev_type = r.prev_type
+""",
+    doc="Behavioral transition matrix (first-order Markov estimate): "
+    "per-user event sequences -> (prev_type, next_type) bigram counts "
+    "-> row-normalized transition probabilities — the session-flow "
+    "model product analytics and anomaly detection both start from. "
+    "One user-keyed window (bounded per-key state, the streaming-"
+    "friendly frame), then a |types|^2-row aggregate; probabilities "
+    "divide two exact counts, so the matrix hash-gates. At 100 TB "
+    "the only full-data operation is the lag window over the "
+    "user-partitioned shuffle the sessionizer already pays.",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rowtot = trans.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return trans.join(F.broadcast(rowtot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("row_n").cast("double")).alias("p"),
+    )

@@ -798,3 +798,80 @@ def chunk_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_chunks") > 1)
     )
+
+
+@register(
+    "emb_drift_report",
+    oracle=f"""
+WITH {_NORM_CTE},
+halves AS (
+  SELECT vec_id, nvec,
+    CASE WHEN vec_id < (SELECT max(vec_id) FROM normed) // 2
+         THEN 'old' ELSE 'new' END AS cohort
+  FROM normed
+),
+comps AS (
+  SELECT cohort, unnest(range(1, len(nvec) + 1)) - 1 AS dim,
+    unnest(nvec) AS x
+  FROM halves
+),
+stats AS (
+  SELECT cohort, dim, CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM({FIXED_POINT_SQL.format(x='x')}) AS BIGINT) AS sum_q
+  FROM comps GROUP BY cohort, dim
+),
+means AS (
+  SELECT dim,
+    max(CASE WHEN cohort = 'old'
+      THEN CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0 END)
+      AS mean_old,
+    max(CASE WHEN cohort = 'new'
+      THEN CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0 END)
+      AS mean_new
+  FROM stats GROUP BY dim
+)
+SELECT CAST(dim AS INT) AS dim, mean_old, mean_new,
+  abs(mean_new - mean_old) AS drift
+FROM means
+ORDER BY drift DESC, dim ASC
+LIMIT 10
+""",
+    doc="Embedding drift monitor: per-dimension mean of the OLD id "
+    "cohort vs the NEW (the before/after of a model or data refresh), "
+    "top drifted dimensions — the MLOps check that catches a silently "
+    "retrained/re-normalized encoder before mixed-generation vectors "
+    "poison every distance in the index. Means are exact fixed-point "
+    "integer sums per (cohort, dim) — the bit-stable reduction "
+    "doctrine — so the report hash-gates; one explode + one "
+    "(cohort, dim) aggregate, output 2·d rows reduced to top-10. On "
+    "a real refresh the cohorts come from an ingest-batch column "
+    "rather than the id split.",
+)
+def emb_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint").alias("h"))
+    halves = emb.crossJoin(F.broadcast(half)).select(
+        F.when(F.col("vec_id") < F.col("h"), "old").otherwise("new").alias("cohort"),
+        F.posexplode("nvec").alias("dim", "x"),
+    )
+    stats = halves.groupBy("cohort", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(fixed_point_q("x")).alias("sum_q"),
+    )
+    mean = F.col("sum_q").cast("double") / F.col("n").cast("double") / F.lit(1e9)
+    means = stats.select("cohort", "dim", mean.alias("m")).groupBy("dim").agg(
+        F.max(F.when(F.col("cohort") == "old", F.col("m"))).alias("mean_old"),
+        F.max(F.when(F.col("cohort") == "new", F.col("m"))).alias("mean_new"),
+    )
+    return (
+        means.select(
+            F.col("dim").cast("int").alias("dim"),
+            "mean_old",
+            "mean_new",
+            F.abs(F.col("mean_new") - F.col("mean_old")).alias("drift"),
+        )
+        .orderBy(F.col("drift").desc(), F.col("dim").asc())
+        .limit(10)
+    )
