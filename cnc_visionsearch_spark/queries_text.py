@@ -454,3 +454,114 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bits").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("bits_per_token"),
     )
+
+
+@register(
+    "doc_surprisal_stratified_sample",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY term),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+scored AS (
+  SELECT t.doc_id,
+    CAST(length(bin(total.n_total // tf.n)) - 1 AS BIGINT) AS bits
+  FROM toks t JOIN tf USING (term), total
+),
+docs AS (
+  SELECT doc_id,
+    CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bpt
+  FROM scored GROUP BY doc_id
+),
+cuts AS (
+  SELECT quantile_cont(bpt, 0.25) AS q1, quantile_cont(bpt, 0.5) AS q2,
+    quantile_cont(bpt, 0.75) AS q3
+  FROM docs
+),
+tagged AS (
+  SELECT d.doc_id, d.bpt,
+    CASE WHEN d.bpt < c.q1 THEN 1 WHEN d.bpt < c.q2 THEN 2
+         WHEN d.bpt < c.q3 THEN 3 ELSE 4 END AS quartile,
+    CASE WHEN d.bpt < c.q1 THEN 100 WHEN d.bpt < c.q2 THEN 250
+         WHEN d.bpt < c.q3 THEN 500 ELSE 1000 END AS keep_permille,
+    ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS draw
+  FROM docs d, cuts c
+)
+SELECT quartile, CAST(count(*) AS BIGINT) AS n_total,
+  CAST(SUM(CASE WHEN draw < keep_permille THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  min(bpt) AS min_bpt, max(bpt) AS max_bpt
+FROM tagged GROUP BY quartile
+""",
+    doc="Quality-aware curriculum sampling: documents bucketed into "
+    "surprisal quartiles (the unigram-LM bits-per-token quality "
+    "signal), each quartile sampled at its own rate — 10%% for the "
+    "most-predictable boilerplate quartile up to 100%% for the "
+    "rarest-token quartile — with the same deterministic doc-id hash "
+    "draw as every sampler here (reproducible across runs and "
+    "backfills). This composes three oracled operators (surprisal "
+    "scoring, exact quantile cuts, hash sampling) into the actual "
+    "quality-weighted corpus pass; quartile boundaries come from two "
+    "scalar quantile aggregates broadcast back, so the scoring scan "
+    "runs once and nothing but (doc_id, term) pairs ever shuffle.",
+)
+def doc_surprisal_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    docs = (
+        toks.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.expr("n_total div n"))) - 1)
+            .cast("bigint")
+            .alias("bits"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("bits").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "bpt"
+            )
+        )
+    )
+    cuts = docs.agg(
+        F.percentile("bpt", F.lit(0.25)).alias("q1"),
+        F.percentile("bpt", F.lit(0.5)).alias("q2"),
+        F.percentile("bpt", F.lit(0.75)).alias("q3"),
+    )
+    quartile = (
+        F.when(F.col("bpt") < F.col("q1"), 1)
+        .when(F.col("bpt") < F.col("q2"), 2)
+        .when(F.col("bpt") < F.col("q3"), 3)
+        .otherwise(4)
+    )
+    keep = (
+        F.when(F.col("bpt") < F.col("q1"), 100)
+        .when(F.col("bpt") < F.col("q2"), 250)
+        .when(F.col("bpt") < F.col("q3"), 500)
+        .otherwise(1000)
+    )
+    draw = (
+        hex_to_long(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8)
+        )
+        % 1000
+    )
+    tagged = docs.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "bpt",
+        quartile.alias("quartile"),
+        keep.alias("keep_permille"),
+        draw.alias("draw"),
+    )
+    return tagged.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((F.col("draw") < F.col("keep_permille")).cast("int"))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.min("bpt").alias("min_bpt"),
+        F.max("bpt").alias("max_bpt"),
+    )
