@@ -35,6 +35,7 @@ HEADLINE = [
     # text / dedup: group stats, BPE tokenization, MinHash LSH end-to-end
     "doc_stats_by_lang_source",
     "doc_bpe_token_stats",
+    "doc_sequence_packing",
     "minhash_lsh_neardup_pairs",
     # vector core: single-query kNN + metadata join, kNN join, cosine top-k
     "knn_search_with_metadata",
