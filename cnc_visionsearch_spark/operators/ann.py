@@ -79,6 +79,7 @@ __all__ = [
     "pq_trained_append",
     "ivf_cell_radii",
     "ivf_range_search",
+    "ivf_knn_join_probe",
 ]
 
 
@@ -1298,3 +1299,61 @@ def ivf_range_search(
     return cells.select(
         F.col(id_col), l2_sq(F.col(vec_col), qcol).alias("distance")
     ).filter(F.col("distance") <= r2)
+
+
+def ivf_knn_join_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "nvec",
+) -> DataFrame:
+    """Batch kNN JOIN against a persisted :func:`ivf_build` layout:
+    every query row gets its top-k neighbors. The probe set
+    (|queries| x nprobe rows, bounded by construction) broadcasts; the
+    corpus read is pruned to the UNION of probed cell partitions and
+    scanned ONCE for the whole batch; WindowGroupLimit ranks per
+    query. The bounded driver-side collect is <= n_cells distinct cell
+    ids (ivf_probe_cells' contract). Shared by the registered
+    ann_ivf_knn_join query and the streaming serving job
+    (streaming.pipelines.knn_serving_stream), so batch and online
+    semantics cannot drift.
+    """
+    from pyspark.sql import Window
+
+    cents = spark.read.parquet(f"{path}/codebook")
+    ranked = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("cdist", l2_sq("centroid", qvec_col))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(qid_col).orderBy(
+                    F.col("cdist").asc(), F.col("cell_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select(qid_col, qvec_col, "cell_id")
+    )
+    probed = [r.cell_id for r in ranked.select("cell_id").distinct().collect()]
+    cells = _without_tombstones(
+        spark,
+        path,
+        spark.read.parquet(f"{path}/cells").filter(F.col("cell_id").isin(probed)),
+        id_col,
+    )
+    cand = F.broadcast(ranked).join(cells, "cell_id")
+    w = Window.partitionBy(qid_col).orderBy(
+        l2_sq(vec_col, qvec_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("distance", l2_sq(vec_col, qvec_col))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(qid_col, id_col, "distance")
+    )

@@ -641,55 +641,18 @@ SELECT qid, vec_id, distance FROM (
     "bounded probe side moves instead.",
 )
 def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cnc_visionsearch_spark.functions.vector import l2_sq
-    from pyspark.sql import Window
+    from cnc_visionsearch_spark.operators.ann import ivf_knn_join_probe
 
     # probe the PERSISTED ivf_build layout — the build is never re-run
-    # inside the query (cells are cell-PARTITIONED parquet; the cell_id
-    # filter below is partition pruning)
+    # inside the query; the shared ivf_knn_join_probe operator also
+    # backs the streaming serving job, so batch and online semantics
+    # cannot drift
     path = ensure_ivf_built(spark, sf_dir, n_cells=8)
-    cents = spark.read.parquet(f"{path}/codebook")
     emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("nvec").alias("qvec")
     )
-    ranked = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("cdist", l2_sq("centroid", "qvec"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(
-                    F.col("cdist").asc(), F.col("cell_id").asc()
-                )
-            ),
-        )
-        .filter(F.col("rn") <= 4)
-        .select("qid", "qvec", "cell_id")
-    )
-    # prune the corpus read to the union of probed cells, then attach
-    # the bounded per-query probe set by broadcast. The collect is
-    # bounded at <= n_cells rows (distinct cell ids) — a driver-side
-    # constant like ivf_probe_cells', never corpus-scale.
-    probed = [r.cell_id for r in ranked.select("cell_id").distinct().collect()]
-    from cnc_visionsearch_spark.operators.ann import _without_tombstones
-
-    cells = _without_tombstones(
-        spark,
-        path,
-        spark.read.parquet(f"{path}/cells").filter(F.col("cell_id").isin(probed)),
-        "vec_id",
-    )
-    cand = F.broadcast(ranked).join(cells, "cell_id")
-    w = Window.partitionBy("qid").orderBy(
-        l2_sq("nvec", "qvec").asc(), F.col("vec_id").asc()
-    )
-    return (
-        cand.withColumn("distance", l2_sq("nvec", "qvec"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "vec_id", "distance")
-    )
+    return ivf_knn_join_probe(spark, path, queries, k=5, nprobe=4)
 
 
 @register(

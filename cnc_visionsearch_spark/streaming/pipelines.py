@@ -544,3 +544,58 @@ def compact_id_mapping(
     for d in os.listdir(root):
         if d.startswith("v_") and d not in live:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
+def knn_serving_stream(
+    spark: SparkSession,
+    in_path: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 5,
+    nprobe: int = 4,
+    max_files_per_trigger: int = 10,
+):
+    """The reference's online ``/search_drawing`` (main.py:138-165) as
+    a STREAMING serving job: a stream of query vectors, each
+    micro-batch answered with its top-k neighbors from the PERSISTED
+    IVF layout (stream-static: the index is the static side, probed —
+    never rebuilt — per batch via the same ``ivf_knn_join_probe``
+    operator the batch kNN-join query uses, so online and batch
+    results cannot drift). Results append to ``out_path`` as
+    (qid, vec_id, distance) parquet; the checkpoint gives
+    exactly-once batches over the file source.
+
+    This is the honest Spark answer to online serving (BASELINE.json:
+    sub-second point lookups belong on a serving tier, not Spark):
+    micro-batch latency in seconds, but arbitrarily high query
+    THROUGHPUT — each batch pays one partition-pruned corpus read for
+    ALL its queries. Returns the configured DataStreamWriter — call
+    ``.start()``.
+    """
+    from cnc_visionsearch_spark.operators.ann import ivf_knn_join_probe
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+    from cnc_visionsearch_spark.schemas import EMBEDDINGS
+
+    stream = (
+        spark.readStream.schema(EMBEDDINGS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        queries = with_normalized(batch_df).select(
+            F.col("vec_id").alias("qid"), F.col("nvec").alias("qvec")
+        )
+        ivf_knn_join_probe(
+            s, index_path, queries, k=k, nprobe=nprobe
+        ).write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

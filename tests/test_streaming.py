@@ -794,3 +794,54 @@ def test_ivf_ingest_stream_extends_trained_codes(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_knn_serving_stream_matches_batch_probe(spark, tmp_path):
+    """The streaming serving job answers each micro-batch from the
+    persisted IVF layout via the SAME probe operator as the batch
+    kNN join — the union of streamed answers must equal the one-shot
+    batch answer for the same query set."""
+    from cnc_visionsearch_spark.operators.ann import (
+        ivf_build,
+        ivf_knn_join_probe,
+    )
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+    from cnc_visionsearch_spark.streaming.pipelines import knn_serving_stream
+
+    emb = with_normalized(load_table(spark, SF, "embeddings"))
+    path = str(tmp_path / "ivf")
+    ivf_build(emb, path, n_cells=8)
+
+    qset = emb.filter(F.col("vec_id") < 6).select(
+        "vec_id", "embedding", "label"
+    )
+    stream_dir = _write_chunks(
+        spark,
+        str(tmp_path / "in"),
+        [qset.filter(F.col("vec_id") % 2 == i) for i in range(2)],
+    )
+    out = str(tmp_path / "answers")
+    q = knn_serving_stream(
+        spark,
+        stream_dir,
+        path,
+        out,
+        str(tmp_path / "ckpt"),
+        k=5,
+        nprobe=4,
+        max_files_per_trigger=1,
+    ).start()
+    q.awaitTermination(180)
+
+    streamed = {
+        (r.qid, r.vec_id, r.distance)
+        for r in spark.read.parquet(out).collect()
+    }
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), F.col("nvec").alias("qvec")
+    )
+    batch = {
+        (r.qid, r.vec_id, r.distance)
+        for r in ivf_knn_join_probe(spark, path, queries, k=5, nprobe=4).collect()
+    }
+    assert streamed == batch and len(batch) == 30
