@@ -486,3 +486,98 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_ivf_trained_built(spark, sf_dir)
     q = _norm_query_vec(spark, sf_dir, 3)
     return ivf_probe(spark, path, q, k=10, nprobe=4)
+
+
+@register(
+    "ann_pq_trained_knn_join",
+    oracle=f"""
+WITH {_NORM_CTE}, {_CBT_CHAIN}, {_FCODES_CTE},
+qs AS (
+  SELECT vec_id AS qid, nvec AS qv FROM normed WHERE vec_id < 4
+),
+qsubs AS (
+  SELECT q.qid, c.sub_j, c.code,
+    {_L2SQ.format(a="c.cv", b="q.qv[c.sub_j*w+1 : c.sub_j*w+w]")} AS qdist
+  FROM cbt c, qs q, tw
+),
+est AS (
+  SELECT q.qid, f.vec_id,
+    CAST(SUM({FIXED_POINT_SQL.format(x="q.qdist")}) AS BIGINT) AS adc
+  FROM fcodes f JOIN qsubs q USING (sub_j, code)
+  GROUP BY q.qid, f.vec_id
+),
+cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+      row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rn
+    FROM est
+  ) WHERE rn <= 60
+)
+SELECT qid, vec_id, distance FROM (
+  SELECT c.qid, n.vec_id,
+    {_L2SQ.format(a="n.nvec", b="q.qv")} AS distance,
+    row_number() OVER (
+      PARTITION BY c.qid
+      ORDER BY {_L2SQ.format(a="n.nvec", b="q.qv")} ASC, n.vec_id ASC
+    ) AS rn
+  FROM cand c JOIN normed n USING (vec_id) JOIN qs q ON q.qid = c.qid
+) WHERE rn <= 5
+""",
+    doc="Batch kNN JOIN through the TRAINED-PQ tier: every query in a "
+    "batch scans the m-byte code table ONCE (the per-query lookup "
+    "tables — |queries| x m x k* rows, bounded — broadcast; ADC "
+    "estimates are order-free fixed-point sums per (query, vector)), "
+    "ADC top-60 per query re-scored fp64, WindowGroupLimit top-5. "
+    "This is the trained tier's join primitive — the shape embedding "
+    "dedup and retrieval fan-outs run at 100 TB, where the corpus "
+    "side is 16 bytes/vector instead of raw vectors (16x less I/O "
+    "than the exact batch join) and recall rides the trained "
+    "codebook (RECALL.json). Completes the trained tier's surface: "
+    "single probe, append lifecycle, streaming coherence, and now "
+    "the batch join, all hash-gated.",
+)
+def ann_pq_trained_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cnc_visionsearch_spark.operators.ann import _without_tombstones
+
+    path = ensure_pq_trained_built(spark, sf_dir)
+    cb = spark.read.parquet(f"{path}/pq_trained_codebook")
+    codes = _without_tombstones(
+        spark, path, spark.read.parquet(f"{path}/pq_trained_codes"), "vec_id"
+    )
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("nvec").alias("qv")
+    )
+    w = 64 // _M
+    luts = (
+        queries.crossJoin(F.broadcast(cb))
+        .select(
+            "qid",
+            "sub_j",
+            "code",
+            l2_sq(F.col("cv"), F.slice(F.col("qv"), F.col("sub_j") * w + 1, w)).alias(
+                "qdist"
+            ),
+        )
+    )
+    est = (
+        codes.join(F.broadcast(luts), ["sub_j", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(fixed_point_q("qdist")).alias("adc"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    cand = est.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") <= 60)
+    wd = Window.partitionBy("qid").orderBy(
+        l2_sq("nvec", "qv").asc(), F.col("vec_id").asc()
+    )
+    return (
+        F.broadcast(cand.select("qid", "vec_id"))
+        .join(emb, "vec_id")
+        .join(F.broadcast(queries), "qid")
+        .withColumn("distance", l2_sq("nvec", "qv"))
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id", "distance")
+    )
