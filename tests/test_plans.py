@@ -494,3 +494,15 @@ def test_bucketed_tables_join_without_exchange(spark):
             conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         else:
             conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+
+def test_rag_chunking_is_shuffle_free(spark, queries):
+    """Chunking is a pure per-row expansion: tokenize -> explode the
+    bounded start-offset sequence -> slice/fingerprint. Any Exchange
+    here would mean chunk construction is paying a shuffle it never
+    needs."""
+    df = queries["doc_rag_chunks"](spark, SF)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+    assert "Join" not in plan
