@@ -166,3 +166,21 @@ def kmv_hash(col, mod: int = 1073741824):
         hex_to_long(F.substring(F.md5(col.cast("string").cast("binary")), 1, 8))
         % mod
     )
+
+
+def split_assignment(id_col, train_pct: int = 80, val_pct: int = 10):
+    """The canonical deterministic train/val/test assignment (md5 of
+    the id, 15 hex chars, mod 100; 80/10/10 by default) — ONE
+    definition shared by doc_train_val_test_split and the split-leakage
+    audit, so the audited split can never drift from the written one."""
+    from pyspark.sql import functions as F
+
+    bucket = (
+        hex_to_long(F.substring(F.md5(_c(id_col).cast("string").cast("binary")), 1, 15))
+        % 100
+    )
+    return (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )

@@ -78,6 +78,7 @@ __all__ = [
     "pq_trained_build",
     "pq_trained_append",
     "ivf_cell_radii",
+    "write_cell_radii",
     "ivf_range_search",
     "ivf_knn_join_probe",
 ]
@@ -319,6 +320,8 @@ def ivf_build(
     assigned = ivf_assign(emb, cents, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/cells")
     _write_geometry(path, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    # metadata-sized range-search pruning bounds, kept current by appends
+    write_cell_radii(emb.sparkSession, path, vec_col)
 
 
 def ivf_append(
@@ -346,6 +349,9 @@ def ivf_append(
     cents = spark.read.parquet(f"{path}/codebook")
     assigned = ivf_assign(new_emb, cents, id_col, vec_col)
     assigned.write.mode("append").partitionBy("cell_id").parquet(f"{path}/cells")
+    # appended vectors can only GROW a cell radius — refresh the bounds
+    if os.path.exists(f"{path}/cell_radii"):
+        write_cell_radii(spark, path, vec_col)
 
 
 def ivf_delete(spark, path: str, ids: list[int], id_col: str = "vec_id") -> None:
@@ -1234,15 +1240,8 @@ def pq_trained_append(
     )
 
 
-def ivf_cell_radii(spark, path: str, vec_col: str = "nvec") -> DataFrame:
-    """(cell_id, radius) — max member-to-centroid L2 distance per cell
-    of an :func:`ivf_build` layout. One layout scan + broadcast
-    codebook + n_cells-row aggregate; a build job co-computes and
-    persists this next to the codebook at scale (it is metadata-sized).
-    The radius is what makes range-search cell pruning LOSSLESS: by the
-    triangle inequality no vector of cell c can lie within R of the
-    query if d(q, centroid_c) - radius_c > R.
-    """
+def _compute_cell_radii(spark, path: str, vec_col: str = "nvec") -> DataFrame:
+    """One layout scan + broadcast codebook + n_cells-row aggregate."""
     cells = spark.read.parquet(f"{path}/cells")
     cents = spark.read.parquet(f"{path}/codebook")
     return (
@@ -1253,6 +1252,31 @@ def ivf_cell_radii(spark, path: str, vec_col: str = "nvec") -> DataFrame:
         .groupBy("cell_id")
         .agg(F.max("member_d").alias("radius"))
     )
+
+
+def write_cell_radii(spark, path: str, vec_col: str = "nvec") -> None:
+    """Materialize ``{path}/cell_radii`` (metadata-sized) — the radius
+    table range search prunes with. Called by :func:`ivf_build` and
+    refreshed by :func:`ivf_append` (appends can only GROW a radius;
+    a vacuum may leave it conservatively large, which costs pruning
+    opportunity, never correctness)."""
+    _compute_cell_radii(spark, path, vec_col).write.mode("overwrite").parquet(
+        f"{path}/cell_radii"
+    )
+
+
+def ivf_cell_radii(spark, path: str, vec_col: str = "nvec") -> DataFrame:
+    """(cell_id, radius) — max member-to-centroid L2 distance per cell
+    of an :func:`ivf_build` layout, read from the PERSISTED
+    ``cell_radii`` artifact when present (the build/append jobs keep it
+    current), recomputed with one layout scan otherwise (pre-artifact
+    layouts). The radius is what makes range-search cell pruning
+    LOSSLESS: by the triangle inequality no vector of cell c can lie
+    within R of the query if d(q, centroid_c) - radius_c > R.
+    """
+    if os.path.exists(f"{path}/cell_radii"):
+        return spark.read.parquet(f"{path}/cell_radii")
+    return _compute_cell_radii(spark, path, vec_col)
 
 
 def ivf_range_search(
@@ -1279,7 +1303,9 @@ def ivf_range_search(
 
     qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     r = math.sqrt(r2)
-    # bounded driver-side collect: n_cells rows, like ivf_probe_cells
+    # bounded driver-side collect: n_cells rows, like ivf_probe_cells;
+    # radii come from the persisted artifact — a per-query recompute
+    # would cost the full scan the pruning exists to avoid
     radii = ivf_cell_radii(spark, path, vec_col)
     cents = spark.read.parquet(f"{path}/codebook")
     keep = [

@@ -236,6 +236,13 @@ def minhash_lsh_pairs(
     num_hashes/bands values; docs sharing any (band_id, band_signature)
     bucket are candidates. Verification: exact token-shingle Jaccard
     >= threshold. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    ``banded`` plugs in a PREBUILT (id, band_id, band_sig) table (the
+    persisted blocking artifact): candidate generation then ignores
+    num_hashes/bands, but shingle_n still drives verification — the
+    caller MUST pass a table built with the SAME parameters (the
+    ensure_minhash_built artifact path encodes them: minhash_b4h16s3);
+    a mismatched table silently yields an inconsistent candidate set.
     """
     stacked = (
         banded

@@ -37,6 +37,7 @@ from cnc_visionsearch_spark.functions.vector import (
 )
 from cnc_visionsearch_spark.operators.knn import with_normalized
 from cnc_visionsearch_spark.queries_ann import (
+    _DIM,
     _L2SQ,
     _NORM_CTE,
     _norm_query_vec,
@@ -550,7 +551,7 @@ def ann_pq_trained_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("qid"), F.col("nvec").alias("qv")
     )
-    w = 64 // _M
+    w = _DIM // _M
     luts = (
         queries.crossJoin(F.broadcast(cb))
         .select(

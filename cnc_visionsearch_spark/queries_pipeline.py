@@ -601,11 +601,14 @@ WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS tk FROM documents
   WHERE doc_id < 30
 ),
+starts AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 24)) AS start_pos
+  FROM toks
+),
 chunks AS (
-  SELECT doc_id, s.s AS start_pos,
-    tk[s.s : least(s.s + 31, len(tk))] AS chunk
-  FROM toks, (SELECT unnest(range(1, 10000, 24)) AS s) s
-  WHERE s.s <= len(tk)
+  SELECT doc_id, start_pos,
+    tk[start_pos : least(start_pos + 31, len(tk))] AS chunk
+  FROM starts
 )
 SELECT doc_id, CAST((start_pos - 1) // 24 AS INT) AS chunk_idx,
   CAST(len(chunk) AS BIGINT) AS n_tokens,
@@ -633,10 +636,7 @@ def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "tk",
         F.explode(
-            F.filter(
-                F.sequence(F.lit(1), F.size("tk"), F.lit(24)),
-                lambda s: s <= F.size("tk"),
-            )
+            F.sequence(F.lit(1), F.size("tk"), F.lit(24))
         ).alias("start_pos"),
     ).select(
         "doc_id",
@@ -697,6 +697,7 @@ WHERE sa.split <> sb.split
     "TRAIN side of each leaked pair, never the eval side.",
 )
 def doc_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.text import split_assignment
     from cnc_visionsearch_spark.operators.dedup import minhash_lsh_pairs
     from cnc_visionsearch_spark.queries_dedup import ensure_minhash_built
 
@@ -706,19 +707,7 @@ def doc_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.3,
         banded=banded,
     )
-    bucket = (
-        hex_to_long(
-            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15)
-        )
-        % 100
-    )
-    splits = d.select(
-        "doc_id",
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    splits = d.select("doc_id", split_assignment("doc_id").alias("split"))
     # no author broadcast hint: splits is CORPUS-sized (hinting it is
     # the fact-table-broadcast anti-pattern); the verified pair set is
     # the bounded side and AQE broadcasts it at runtime
@@ -746,11 +735,15 @@ def doc_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS tk FROM documents
 ),
+starts AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 24)) AS start_pos
+  FROM toks
+),
 chunks AS (
-  SELECT doc_id, s.s AS start_pos,
-    md5(array_to_string(tk[s.s : least(s.s + 31, len(tk))], ' ')) AS chunk_fp
-  FROM toks, (SELECT unnest(range(1, 10000, 24)) AS s) s
-  WHERE s.s <= len(tk)
+  SELECT doc_id,
+    md5(array_to_string(tk[start_pos : least(start_pos + 31, len(tk))], ' '))
+      AS chunk_fp
+  FROM starts
 )
 SELECT chunk_fp,
   CAST(count(*) AS BIGINT) AS n_chunks,
@@ -777,10 +770,7 @@ def chunk_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = tk.select(
         "doc_id",
         F.explode(
-            F.filter(
-                F.sequence(F.lit(1), F.size("tk"), F.lit(24)),
-                lambda s: s <= F.size("tk"),
-            )
+            F.sequence(F.lit(1), F.size("tk"), F.lit(24))
         ).alias("start_pos"),
         "tk",
     ).select(

@@ -380,18 +380,11 @@ FROM assigned GROUP BY split, lang
     "keeps eval sets stable across corpus refreshes at 100 TB.",
 )
 def doc_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.text import split_assignment
+
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        hex_to_long(
-            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15)
-        )
-        % 100
-    )
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
     return (
-        d.select(split.alias("split"), "lang")
+        d.select(split_assignment("doc_id").alias("split"), "lang")
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -253,6 +253,18 @@ def ivf_ingest_stream(
     from cnc_visionsearch_spark.operators.knn import with_normalized
     from cnc_visionsearch_spark.schemas import EMBEDDINGS
 
+    # the trained codebook is FROZEN at build time, so resolve its
+    # geometry ONCE here instead of paying a parquet read + aggregate
+    # job on every micro-batch of a long-running stream
+    trained_m: int | None = None
+    if os.path.exists(f"{index_path}/pq_trained_codebook"):
+        trained_m = int(
+            spark.read.parquet(f"{index_path}/pq_trained_codebook")
+            .agg(F.max("sub_j"))
+            .first()[0]
+            + 1
+        )
+
     stream = (
         spark.readStream.schema(EMBEDDINGS)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -270,16 +282,10 @@ def ivf_ingest_stream(
         # layouts carrying a TRAINED code table stay coherent too: a
         # streamed vector missing from pq_trained_codes would be
         # invisible to the trained-ADC probe path forever
-        if os.path.exists(f"{index_path}/pq_trained_codebook"):
+        if trained_m is not None:
             from cnc_visionsearch_spark.operators.ann import pq_trained_append
 
-            t_m = (
-                s.read.parquet(f"{index_path}/pq_trained_codebook")
-                .agg(F.max("sub_j"))
-                .first()[0]
-                + 1
-            )
-            pq_trained_append(s, index_path, normed, m=int(t_m))
+            pq_trained_append(s, index_path, normed, m=trained_m)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
@@ -592,7 +598,7 @@ def knn_serving_stream(
         )
         ivf_knn_join_probe(
             s, index_path, queries, k=k, nprobe=nprobe
-        ).write.mode("append").parquet(out_path)
+        ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

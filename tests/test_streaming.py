@@ -706,7 +706,9 @@ def test_kmv_sketch_stream_merges_to_batch_sketch(spark, tmp_path):
         kmv_sketch_stream,
     )
 
-    events = load_table(spark, SF, "events").limit(1500)
+    # deterministic subset: limit() on an unordered scan can pick a
+    # different row set per execution if partition planning shifts
+    events = load_table(spark, SF, "events").filter(F.col("event_id") < 1500)
     chunks = [events.filter(F.col("event_id") % 3 == i) for i in range(3)]
     stream_dir = _write_chunks(spark, str(tmp_path), chunks)
 
