@@ -349,9 +349,29 @@ def ivf_append(
     cents = spark.read.parquet(f"{path}/codebook")
     assigned = ivf_assign(new_emb, cents, id_col, vec_col)
     assigned.write.mode("append").partitionBy("cell_id").parquet(f"{path}/cells")
-    # appended vectors can only GROW a cell radius — refresh the bounds
+    # appended vectors can only GROW a cell radius: merge-update the
+    # persisted bounds from the BATCH alone (O(batch) + metadata —
+    # recomputing from the full layout would break append's O(batch)
+    # contract)
     if os.path.exists(f"{path}/cell_radii"):
-        write_cell_radii(spark, path, vec_col)
+        batch_radii = (
+            assigned.join(F.broadcast(cents), "cell_id")
+            .select(
+                "cell_id", F.sqrt(l2_sq(vec_col, "centroid")).alias("member_d")
+            )
+            .groupBy("cell_id")
+            .agg(F.max("member_d").alias("radius"))
+        )
+        merged = (
+            spark.read.parquet(f"{path}/cell_radii")
+            .unionByName(batch_radii)
+            .groupBy("cell_id")
+            .agg(F.max("radius").alias("radius"))
+            .collect()
+        )  # bounded: n_cells rows
+        spark.createDataFrame(merged).write.mode("overwrite").parquet(
+            f"{path}/cell_radii"
+        )
 
 
 def ivf_delete(spark, path: str, ids: list[int], id_col: str = "vec_id") -> None:

@@ -299,3 +299,26 @@ def test_train_codebook_sparse_ids_raise(spark):
     )
     with pytest.raises(ValueError, match="no codewords"):
         pq_train_codebook(sparse, m=_M, k_star=_KSTAR, iters=1)
+
+
+def test_append_merge_updates_persisted_radii(spark, tmp_path, emb):
+    """ivf_append refreshes the persisted cell_radii from the BATCH
+    alone (O(batch) merge-update); the merged bounds must equal a full
+    recompute over the unioned layout."""
+    from cnc_visionsearch_spark.operators.ann import (
+        _compute_cell_radii,
+        ivf_append,
+        ivf_build,
+    )
+
+    path = str(tmp_path / "layout")
+    ivf_build(emb.filter(F.col("vec_id") < 300), path, n_cells=8)
+    ivf_append(spark, path, emb.filter(F.col("vec_id") >= 300))
+    persisted = {
+        r.cell_id: r.radius
+        for r in spark.read.parquet(f"{path}/cell_radii").collect()
+    }
+    full = {
+        r.cell_id: r.radius for r in _compute_cell_radii(spark, path).collect()
+    }
+    assert persisted == full
