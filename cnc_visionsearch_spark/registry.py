@@ -73,6 +73,7 @@ _MODULE_ORDER = [
     "cnc_visionsearch_spark.queries_ann_incremental",
     "cnc_visionsearch_spark.queries_hybrid",
     "cnc_visionsearch_spark.queries_ann_trained",
+    "cnc_visionsearch_spark.queries_layout",
 ]
 
 
@@ -141,6 +142,7 @@ def _load_all() -> None:
         queries_ann_incremental,
         queries_hybrid,
         queries_ann_trained,
+        queries_layout,
     )
 
     _LOADED = True
