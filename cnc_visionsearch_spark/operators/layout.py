@@ -100,6 +100,50 @@ def zorder_layout(
     )
 
 
+def pruned_scan(
+    spark,
+    path: str,
+    ranges: dict[str, tuple],
+) -> "DataFrame":
+    """Footer-stats file skipping: read ONLY the files whose per-column
+    min/max intersect every ``col: (lo, hi)`` range, then apply the
+    ranges as a residual row filter.
+
+    This is the manifest-prune an Iceberg/Delta reader does before
+    handing Spark a file list; over a :func:`zorder_layout` table a
+    multi-dimensional predicate selects O(matching volume) files. The
+    driver-side loop is over FILES (footers only, no data) — at 100 TB
+    that list lives in a real table format's manifest; here the
+    listing itself is the bounded metadata operation.
+
+    Returns an empty DataFrame with the layout's schema when no file
+    intersects (read.schema avoids a files-less read error).
+    """
+    import functools
+    import operator
+
+    cols = list(ranges)
+    keep = []
+    for entry in file_bucket_spans(path, cols):
+        ok = True
+        for c, (lo, hi) in ranges.items():
+            fmin, fmax = entry[c]
+            if fmin is None or fmax < lo or fmin > hi:
+                ok = False
+                break
+        if ok:
+            keep.append(os.path.join(path, entry["file"]))
+    schema = spark.read.parquet(path).schema
+    if not keep:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(*keep)
+    residual = functools.reduce(
+        operator.and_,
+        (F.col(c).between(lo, hi) for c, (lo, hi) in ranges.items()),
+    )
+    return df.filter(residual)
+
+
 def file_bucket_spans(path: str, cols: list[str]) -> list[dict]:
     """Per parquet file: min/max (from footer statistics only — no data
     read) for each of ``cols``, plus the per-dimension span. This is

@@ -118,6 +118,42 @@ def test_block_stats_tiles_bounded(spark, sf_dir):
         assert r.vb_max - r.vb_min <= 15
 
 
+def test_pruned_scan_skips_files_same_answer(spark, sf_dir, tmp_path):
+    """Footer-prune scan over the z layout: strictly fewer files read,
+    identical rows to a full-scan filter."""
+    from cnc_visionsearch_spark.operators.layout import pruned_scan
+
+    b = _bucketed_events(spark, sf_dir)
+    path = str(tmp_path / "z3")
+    zorder_layout(b, ["ub", "vb"], path, bits=8, n_files=8)
+    ranges = {"ub": (0, 3), "vb": (0, 31)}
+
+    pruned = pruned_scan(spark, path, ranges)
+    full = spark.read.parquet(path).filter(
+        F.col("ub").between(0, 3) & F.col("vb").between(0, 31)
+    )
+    assert sorted(r.event_id for r in pruned.collect()) == sorted(
+        r.event_id for r in full.collect()
+    )
+    spans = file_bucket_spans(path, ["ub", "vb"])
+    n_files_read = sum(
+        1 for e in spans
+        if e["ub"][0] <= 3 and e["vb"][0] <= 31  # lows are >= 0 everywhere
+    )
+    assert n_files_read < len(spans)
+
+
+def test_pruned_scan_empty_intersection(spark, sf_dir, tmp_path):
+    from cnc_visionsearch_spark.operators.layout import pruned_scan
+
+    b = _bucketed_events(spark, sf_dir)
+    path = str(tmp_path / "z4")
+    zorder_layout(b, ["ub", "vb"], path, bits=8, n_files=4)
+    out = pruned_scan(spark, path, {"ub": (300, 400)})
+    assert out.count() == 0
+    assert out.columns == b.columns
+
+
 def test_pruning_gain_prunes_most_blocks(spark, sf_dir):
     r = events_zorder_pruning_gain(spark, sf_dir).first()
     assert r.rows_in_touched_blocks >= r.rows_matched
