@@ -52,6 +52,8 @@ HEADLINE = [
     "text_search_topk",
     # multimodal Arrow plumbing
     "mm_media_metadata",
+    # data layout: Morton-key tile profile (the z-order pruning tier)
+    "events_zorder_block_stats",
 ]
 
 

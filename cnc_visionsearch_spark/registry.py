@@ -74,6 +74,7 @@ _MODULE_ORDER = [
     "cnc_visionsearch_spark.queries_hybrid",
     "cnc_visionsearch_spark.queries_ann_trained",
     "cnc_visionsearch_spark.queries_layout",
+    "cnc_visionsearch_spark.queries_rerank",
 ]
 
 
@@ -143,6 +144,7 @@ def _load_all() -> None:
         queries_hybrid,
         queries_ann_trained,
         queries_layout,
+        queries_rerank,
     )
 
     _LOADED = True
