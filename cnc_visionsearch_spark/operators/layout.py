@@ -100,6 +100,53 @@ def zorder_layout(
     )
 
 
+def zorder_write(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    bits: int = 8,
+    n_files: int = 16,
+) -> None:
+    """:func:`zorder_layout` for RAW numeric columns: quantile-bucket
+    each column to [0, 2**bits) first, then z-order on the buckets.
+
+    Buckets come from ``approxQuantile`` (driver-side, but its result
+    is 2**bits-1 split points per column — parameter-sized, one pass
+    over the data with a bounded-error sketch). Quantile buckets beat
+    fixed-width ones under skew: every bucket holds ~equal row counts,
+    so z-tiles stay balanced and range predicates prune proportionally
+    to selectivity, not to value-range coverage. The bucketed helper
+    columns are derived and not persisted (the original columns carry
+    the footer stats a reader prunes on).
+    """
+    from pyspark.ml.feature import Bucketizer
+
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    quantiles = df.approxQuantile(cols, probs, 0.001)
+    bucketed = df
+    bcols = []
+    for c, cuts in zip(cols, quantiles):
+        # strictly-increasing split points (duplicate quantiles collapse)
+        splits = [float("-inf"), *sorted(set(cuts)), float("inf")]
+        tmp = f"__zbd_{c}"
+        bucketed = Bucketizer(
+            splits=splits, inputCol=c, outputCol=tmp
+        ).transform(bucketed)
+        bucketed = bucketed.withColumn(
+            f"__zb_{c}", F.col(tmp).cast("bigint")
+        ).drop(tmp)
+        bcols.append(f"__zb_{c}")
+    keyed = bucketed.withColumn("__z", morton_key(bcols, bits))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *bcols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def pruned_scan(
     spark,
     path: str,

@@ -154,6 +154,27 @@ def test_pruned_scan_empty_intersection(spark, sf_dir, tmp_path):
     assert out.columns == b.columns
 
 
+def test_zorder_write_raw_columns_tight_value_spans(spark, sf_dir, tmp_path):
+    """zorder_write quantile-buckets RAW columns itself; the persisted
+    files carry tight footer spans on the original value column."""
+    from cnc_visionsearch_spark.operators.layout import zorder_write
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    zpath, rpath = str(tmp_path / "zw"), str(tmp_path / "zw_rr")
+    zorder_write(ev, ["user_id", "value"], zpath, bits=6, n_files=8)
+    ev.repartition(8).write.mode("overwrite").parquet(rpath)
+
+    def mean_span(path):
+        spans = [e["value_span"] for e in file_bucket_spans(path, ["value"])
+                 if e["value_span"] is not None]
+        return sum(spans) / len(spans)
+
+    assert mean_span(zpath) < 0.6 * mean_span(rpath)
+    back = spark.read.parquet(zpath)
+    assert back.columns == ev.columns  # helper columns not persisted
+    assert back.count() == ev.count()
+
+
 def test_pruning_gain_prunes_most_blocks(spark, sf_dir):
     r = events_zorder_pruning_gain(spark, sf_dir).first()
     assert r.rows_in_touched_blocks >= r.rows_matched
