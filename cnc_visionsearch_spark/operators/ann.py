@@ -516,24 +516,76 @@ def ivf_probe(
     )
 
 
+_ARTIFACT_MEMO: dict[str, tuple[str, list[dict]]] = {}
+
+
+def _metadata_rows(dir_path: str) -> list[dict]:
+    """Driver-side read of a metadata-sized layout artifact (codebook,
+    cell_radii: n_cells rows) via pyarrow — no Spark job. Memoized per
+    directory, keyed on a content fingerprint (file name/size/mtime of
+    every parquet part), so an append/rebuild that refreshes the
+    artifact invalidates the cache while steady-state probes pay zero
+    I/O. This is the planner-side role these artifacts play at 100 TB:
+    the coarse quantizer lives with the query planner (exactly where
+    FAISS keeps it), and ranking nprobe cells must not cost a cluster
+    job.
+    """
+    d = dir_path[5:] if dir_path.startswith("file:") else dir_path
+    parts = sorted(
+        f for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    fp = ";".join(
+        f"{f}:{os.stat(os.path.join(d, f)).st_size}:"
+        f"{os.stat(os.path.join(d, f)).st_mtime_ns}"
+        for f in parts
+    )
+    hit = _ARTIFACT_MEMO.get(d)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    import pyarrow.parquet as pap
+
+    rows: list[dict] = []
+    for f in parts:
+        rows.extend(pap.read_table(os.path.join(d, f)).to_pylist())
+    _ARTIFACT_MEMO[d] = (fp, rows)
+    return rows
+
+
+def _seq_l2_sq(a, b) -> float:
+    """Sequential-fold squared L2 in index order — the same operation
+    order as the JVM expression (functions.vector.l2_sq: zip_with then
+    aggregate over a double fold) and the SQL oracles' list fold, so
+    driver-side cell ranking is bit-identical to the cluster-side
+    expression it replaces."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        t = float(x) - float(y)
+        acc += t * t
+    return acc
+
+
 def ivf_probe_cells(
     spark, path: str, query_vec: list[float], nprobe: int = DEFAULT_NPROBE
 ) -> list[int]:
     """The nprobe cell ids nearest the query, ranked on the driver from
-    the materialized codebook (nprobe rows — not a distributed job);
+    the materialized codebook (n_cells rows — metadata, not data);
     ties break by cell_id. Shared by every probe variant over an
-    :func:`ivf_build` layout so probe semantics cannot diverge."""
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
-    cents = spark.read.parquet(f"{path}/codebook")
-    return [
-        r.cell_id
-        for r in cents.select(
-            "cell_id", l2_sq(F.col("centroid"), qcol).alias("cdist")
-        )
-        .orderBy(F.col("cdist").asc(), F.col("cell_id").asc())
-        .limit(nprobe)
-        .collect()
-    ]
+    :func:`ivf_build` layout so probe semantics cannot diverge.
+
+    The codebook is read driver-side (:func:`_metadata_rows`, memoized)
+    rather than through a Spark job: probe planning is a query-planner
+    step, and at any scale it must cost microseconds, not a cluster
+    round-trip. Distances use the same sequential fold as the codegen
+    expression, so the chosen cell set is identical to the previous
+    cluster-ranked implementation (and to the SQL oracles' replay).
+    ``spark`` stays in the signature for call-site compatibility.
+    """
+    q = [float(x) for x in query_vec]
+    scored = sorted(
+        (_seq_l2_sq(r["centroid"], q), int(r["cell_id"]))
+        for r in _metadata_rows(f"{path}/codebook")
+    )
+    return [cid for _, cid in scored[:nprobe]]
 
 
 def _try_faiss():
@@ -1323,21 +1375,38 @@ def ivf_range_search(
 
     qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     r = math.sqrt(r2)
-    # bounded driver-side collect: n_cells rows, like ivf_probe_cells;
-    # radii come from the persisted artifact — a per-query recompute
-    # would cost the full scan the pruning exists to avoid
-    radii = ivf_cell_radii(spark, path, vec_col)
-    cents = spark.read.parquet(f"{path}/codebook")
-    keep = [
-        row.cell_id
-        for row in cents.join(radii, "cell_id")
-        .select(
-            "cell_id",
-            (F.sqrt(l2_sq("centroid", qcol)) - F.col("radius")).alias("lb"),
-        )
-        .collect()
-        if row.lb <= r
-    ]
+    q = [float(x) for x in query_vec]
+    if os.path.exists(f"{path}/cell_radii"):
+        # planner-side pruning: codebook + radii are metadata-sized
+        # (n_cells rows) persisted artifacts — rank driver-side like
+        # ivf_probe_cells, zero cluster jobs before the pruned scan.
+        # math.sqrt == JVM sqrt (both IEEE-754 correctly rounded), so
+        # the keep set matches the previous cluster-computed bound.
+        rad = {
+            int(x["cell_id"]): float(x["radius"])
+            for x in _metadata_rows(f"{path}/cell_radii")
+        }
+        keep = [
+            int(c["cell_id"])
+            for c in _metadata_rows(f"{path}/codebook")
+            if math.sqrt(_seq_l2_sq(c["centroid"], q)) - rad[int(c["cell_id"])]
+            <= r
+        ]
+    else:
+        # pre-artifact layout: one scan to recompute radii, then the
+        # same bounded n_cells-row collect
+        radii = ivf_cell_radii(spark, path, vec_col)
+        cents = spark.read.parquet(f"{path}/codebook")
+        keep = [
+            row.cell_id
+            for row in cents.join(radii, "cell_id")
+            .select(
+                "cell_id",
+                (F.sqrt(l2_sq("centroid", qcol)) - F.col("radius")).alias("lb"),
+            )
+            .collect()
+            if row.lb <= r
+        ]
     cells = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell_id").isin(keep)
     )
