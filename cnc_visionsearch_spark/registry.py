@@ -75,6 +75,7 @@ _MODULE_ORDER = [
     "cnc_visionsearch_spark.queries_ann_trained",
     "cnc_visionsearch_spark.queries_layout",
     "cnc_visionsearch_spark.queries_rerank",
+    "cnc_visionsearch_spark.queries_ann_graph",
 ]
 
 
@@ -145,6 +146,7 @@ def _load_all() -> None:
         queries_ann_trained,
         queries_layout,
         queries_rerank,
+        queries_ann_graph,
     )
 
     _LOADED = True

@@ -1,0 +1,111 @@
+"""Graph-ANN (NSW) tier tests: recall vs the exact tier, hop-read
+pruning evidence, and the incremental-insert (append) lifecycle —
+the non-hash gates backing queries_ann_graph's hash-gated pair."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.operators.graph_ann import (
+    nsw_append,
+    nsw_build,
+    nsw_search,
+)
+from cnc_visionsearch_spark.operators.knn import knn_single, with_normalized
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+SF_01 = "/root/testdata/sf0.01"
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return with_normalized(load_table(spark, SF_01, "embeddings")).select(
+        "vec_id", "nvec"
+    )
+
+
+@pytest.fixture(scope="module")
+def layout(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nsw") / "layout")
+    nsw_build(emb, path, m=8, n_buckets=16, n_entries=4)
+    return path
+
+
+def _norm_q(emb, vec_id):
+    raw = emb.filter(F.col("vec_id") == vec_id).select("nvec").first()[0]
+    return [float(x) for x in raw]
+
+
+def test_nsw_recall_and_ef_monotonicity(spark, emb, layout):
+    """Beam search with a generous beam reaches high recall on the
+    500-vector fixture, and recall never degrades as ef grows."""
+    exact = {}
+    recalls = {}
+    for qid in (1, 5, 9, 13):
+        q = _norm_q(emb, qid)
+        exact[qid] = {
+            r.vec_id for r in knn_single(emb, q, k=K, normalize_query=False).collect()
+        }
+        for ef in (8, 24, 48):
+            got = {i for i, _ in nsw_search(spark, layout, q, k=K, ef=ef, hops=4)}
+            recalls[(qid, ef)] = len(got & exact[qid]) / K
+    for qid in (1, 5, 9, 13):
+        assert recalls[(qid, 8)] <= recalls[(qid, 24)] + 1e-9
+        assert recalls[(qid, 24)] <= recalls[(qid, 48)] + 1e-9
+    mean48 = sum(recalls[(q, 48)] for q in (1, 5, 9, 13)) / 4
+    assert mean48 >= 0.8, recalls
+
+
+def test_nsw_self_query_finds_itself(spark, emb, layout):
+    """A corpus member querying with its own vector must surface itself
+    at distance 0 (it is its neighbors' neighbor)."""
+    q = _norm_q(emb, 5)
+    top = nsw_search(spark, layout, q, k=K, ef=12, hops=3)
+    assert top[0][0] == 5 and top[0][1] == 0.0
+
+
+def test_nsw_search_is_deterministic(spark, emb, layout):
+    q = _norm_q(emb, 7)
+    a = nsw_search(spark, layout, q, k=K, ef=12, hops=3)
+    b = nsw_search(spark, layout, q, k=K, ef=12, hops=3)
+    assert a == b
+
+
+def test_nsw_hop_reads_are_partition_pruned(spark, emb, layout):
+    """A hop reads only the beam's buckets: the src_bucket filter must
+    surface as a PartitionFilter on the graph scan (real file pruning —
+    |beam buckets|/n_buckets of the edge files read per hop)."""
+    from cnc_visionsearch_spark.plans import formatted_plan
+
+    g = spark.read.parquet(f"{layout}/graph").filter(
+        F.col("src_bucket").isin([1, 2])
+    )
+    pf = [
+        ln for ln in formatted_plan(g).splitlines() if "PartitionFilters" in ln
+    ]
+    assert pf and any("src_bucket" in ln and "IN (" in ln for ln in pf)
+
+
+def test_nsw_append_makes_new_vectors_reachable(spark, emb, layout, tmp_path):
+    """Incremental insert: a new vector appended through the index
+    becomes reachable by a later search for it; pre-existing graph
+    files stay byte-identical except the touched back-edge buckets."""
+    path = str(tmp_path / "nsw_append")
+    shutil.copytree(layout, path)
+    # synthesize a new node very close to vector 3 (same direction)
+    base = _norm_q(emb, 3)
+    new_id = 10_000
+    new = spark.createDataFrame(
+        [(new_id, base)], "vec_id bigint, nvec array<double>"
+    )
+    nsw_append(spark, path, new)
+    got = nsw_search(spark, path, base, k=K, ef=24, hops=3)
+    ids = [i for i, _ in got]
+    assert new_id in ids and 3 in ids
+    # and the original layout (untouched copy) does not know it
+    before = [i for i, _ in nsw_search(spark, layout, base, k=K, ef=24, hops=3)]
+    assert new_id not in before
