@@ -76,6 +76,7 @@ _MODULE_ORDER = [
     "cnc_visionsearch_spark.queries_layout",
     "cnc_visionsearch_spark.queries_rerank",
     "cnc_visionsearch_spark.queries_ann_graph",
+    "cnc_visionsearch_spark.queries_analytics",
 ]
 
 
@@ -147,6 +148,7 @@ def _load_all() -> None:
         queries_layout,
         queries_rerank,
         queries_ann_graph,
+        queries_analytics,
     )
 
     _LOADED = True

@@ -1,0 +1,94 @@
+"""Property tests for queries_analytics: each operator's defining
+invariant checked against a brute-force formulation at sf0.001."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.queries_analytics import (
+    _SESSION_MIN,
+    events_heavy_hitters_cms,
+    events_max_concurrency,
+    orders_incremental_daily_agg,
+    part_skyline_price_size,
+)
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_skyline_matches_naive_not_exists(spark):
+    """The grouped/prefix-min formulation must equal the O(n^2) NOT
+    EXISTS definition of the skyline."""
+    part = load_table(spark, SF, "part")
+    got = {
+        r.p_partkey for r in part_skyline_price_size(spark, SF).collect()
+    }
+    a, b = part.alias("a"), part.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("b.p_retailprice") <= F.col("a.p_retailprice"))
+            & (F.col("b.p_size") <= F.col("a.p_size"))
+            & (
+                (F.col("b.p_retailprice") < F.col("a.p_retailprice"))
+                | (F.col("b.p_size") < F.col("a.p_size"))
+            ),
+            "left_semi",
+        )
+        .select("a.p_partkey")
+        .collect()
+    )
+    naive = {r.p_partkey for r in part.select("p_partkey").collect()} - {
+        r.p_partkey for r in dominated
+    }
+    assert got == naive and got
+
+
+def test_cms_estimate_never_undercounts(spark):
+    """Count-min guarantee: est >= true for every reported key."""
+    rows = events_heavy_hitters_cms(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.est_count >= r.true_count
+
+
+def test_max_concurrency_peak_is_attained(spark):
+    """At first_peak_at, the number of open intervals (ts <= t <
+    ts + 5min) must equal the reported peak — the sweep's cumulative
+    sum is a real attained concurrency, not an artifact of ordering."""
+    ev = load_table(spark, SF, "events")
+    for r in events_max_concurrency(spark, SF).collect():
+        open_now = ev.filter(
+            (F.col("event_type") == r.event_type)
+            & (F.col("ts") <= F.lit(r.first_peak_at))
+            & (
+                F.col("ts") + F.expr(f"INTERVAL {_SESSION_MIN} MINUTES")
+                > F.lit(r.first_peak_at)
+            )
+        ).count()
+        assert open_now == r.peak_concurrency, r
+
+
+def test_incremental_agg_merge_equals_direct(spark):
+    """merge(partial(base), agg(delta)) == one-pass agg — Spark-side
+    twin of the oracle hash gate."""
+    orders = load_table(spark, SF, "orders")
+    direct = {
+        (str(r.order_date), r.n_orders, r.revenue)
+        for r in orders.groupBy(
+            F.col("o_orderdate").cast("date").alias("order_date")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .collect()
+    }
+    merged = {
+        (str(r.order_date), r.n_orders, r.revenue)
+        for r in orders_incremental_daily_agg(spark, SF).collect()
+    }
+    assert merged == direct
