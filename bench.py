@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     "ann_pq_trained_topk",
     "ann_ivf_knn_join",
+    "ann_nsw_beam_topk",
     "knn_sharded_topk",
     "text_search_topk",
     # multimodal Arrow plumbing

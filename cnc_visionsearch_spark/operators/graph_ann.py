@@ -56,7 +56,7 @@ def _meta(path: str) -> dict:
 def nsw_build(
     emb: DataFrame,
     path: str,
-    m: int = 6,
+    m: int = 12,
     n_buckets: int = 16,
     n_entries: int = 4,
     id_col: str = "vec_id",
@@ -151,8 +151,8 @@ def nsw_search(
     path: str,
     query_vec: list[float],
     k: int = 10,
-    ef: int = 12,
-    hops: int = 3,
+    ef: int = 24,
+    hops: int = 6,
 ) -> list[tuple[int, float]]:
     """Beam search over a :func:`nsw_build` layout; returns the top-k
     ``(vec_id, distance)``. Entry distances fold driver-side
@@ -191,8 +191,8 @@ def nsw_search_df(
     path: str,
     query_vec: list[float],
     k: int = 10,
-    ef: int = 12,
-    hops: int = 3,
+    ef: int = 24,
+    hops: int = 6,
 ) -> DataFrame:
     """:func:`nsw_search` as a (vec_id, distance) DataFrame — the
     registered-query surface."""

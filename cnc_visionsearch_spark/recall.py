@@ -253,6 +253,52 @@ def measure_recall(spark: SparkSession, sf_dir: str) -> dict:
         mp_sweep[str(ham)] = {**stats(recs), "buckets_read": n_buckets}
     out["lsh_multiprobe_sweep"] = mp_sweep
 
+    # ---- NSW graph tier: persisted adjacency, beam-width (ef) sweep —
+    # the driver-side replay runs the identical beam-search semantics
+    # over the persisted graph (numpy distances are measurement-only;
+    # the hash gate pins exactness separately)
+    from cnc_visionsearch_spark.operators.ann import _metadata_rows
+    from cnc_visionsearch_spark.queries_ann_graph import (
+        _EF,
+        _HOPS,
+        ensure_nsw_built,
+    )
+
+    npath = ensure_nsw_built(spark, sf_dir)
+    adj: dict[int, list[int]] = {}
+    for r in spark.read.parquet(f"{npath}/graph").select("src", "dst").collect():
+        adj.setdefault(int(r.src), []).append(int(r.dst))
+    entry_ids = [
+        int(e["vec_id"]) for e in _metadata_rows(f"{npath}/entries")
+    ]
+    idx_of = {int(i): n for n, i in enumerate(ids.tolist())}
+
+    def nsw_recall(q, ef: int, hops: int) -> float:
+        def dist(i: int) -> float:
+            return float(((mat[idx_of[i]] - qvec[q]) ** 2).sum())
+
+        beam = {e: dist(e) for e in entry_ids}
+        beam = dict(sorted(beam.items(), key=lambda kv: (kv[1], kv[0]))[:ef])
+        for _ in range(hops):
+            for s in list(beam):
+                for d2 in adj.get(s, []):
+                    if d2 not in beam:
+                        beam[d2] = dist(d2)
+            beam = dict(sorted(beam.items(), key=lambda kv: (kv[1], kv[0]))[:ef])
+        got = set(sorted(beam, key=lambda i: (beam[i], i))[:K])
+        return len(got & exact[q]) / K
+
+    nsw_sweep = {
+        str(ef): stats([nsw_recall(q, ef, _HOPS) for q in qids])
+        for ef in (8, 12, 24, 48, 96)
+    }
+    out["nsw_ef_sweep"] = nsw_sweep
+    out["defaults"]["nsw"] = {
+        "ef": _EF,
+        "hops": _HOPS,
+        **nsw_sweep[str(_EF)],
+    }
+
     out["notes"] = (
         "Isotropic random fixture + untrained stride quantizer: recall "
         "concentrates only under deep probes (DEFAULT_NPROBE="

@@ -60,6 +60,29 @@ def test_nsw_recall_and_ef_monotonicity(spark, emb, layout):
     assert mean48 >= 0.8, recalls
 
 
+def test_nsw_default_knobs_meet_baseline_recall_gate(spark, emb):
+    """At the registered defaults (m/ef/hops from queries_ann_graph)
+    the tier must meet BASELINE.md's >= 0.95 recall@10 — the graph
+    analog of the reference's M=32/efSearch=300 quality contract."""
+    from cnc_visionsearch_spark.queries_ann_graph import (
+        _EF,
+        _HOPS,
+        ensure_nsw_built,
+    )
+
+    path = ensure_nsw_built(spark, SF_01)
+    recs = []
+    for qid in (1, 5, 9, 13, 17):
+        q = _norm_q(emb, qid)
+        exact = {
+            r.vec_id
+            for r in knn_single(emb, q, k=K, normalize_query=False).collect()
+        }
+        got = {i for i, _ in nsw_search(spark, path, q, k=K, ef=_EF, hops=_HOPS)}
+        recs.append(len(got & exact) / K)
+    assert sum(recs) / len(recs) >= 0.95, recs
+
+
 def test_nsw_self_query_finds_itself(spark, emb, layout):
     """A corpus member querying with its own vector must surface itself
     at distance 0 (it is its neighbors' neighbor)."""
