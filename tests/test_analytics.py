@@ -70,6 +70,50 @@ def test_max_concurrency_peak_is_attained(spark):
         assert open_now == r.peak_concurrency, r
 
 
+def test_phrase_probe_prunes_buckets_and_matches_rescan(spark):
+    """The inverted-layout phrase probe must (a) surface the bucket
+    filter as a PartitionFilter on the postings scan and (b) agree
+    with a from-scratch corpus rescan for an arbitrary other phrase."""
+    from cnc_visionsearch_spark.operators.text_index import phrase_probe
+    from cnc_visionsearch_spark.plans import formatted_plan
+    from cnc_visionsearch_spark.queries_analytics import (
+        _INV_BUCKETS,
+        ensure_inverted_built,
+    )
+
+    path = ensure_inverted_built(spark, SF)
+    probe = phrase_probe(spark, path, "slow", "fast", n_buckets=_INV_BUCKETS)
+    pf = [
+        ln
+        for ln in formatted_plan(probe).splitlines()
+        if "PartitionFilters" in ln
+    ]
+    assert pf and any("bucket" in ln and "IN (" in ln for ln in pf)
+
+    docs = load_table(spark, SF, "documents")
+    sp = F.split("text", " ")
+    rescan = {
+        (r.doc_id, r.n)
+        for r in docs.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(sp) - 1),
+                        lambda j: (F.element_at(sp, j) == "slow")
+                        & (F.element_at(sp, j + 1) == "fast"),
+                    ),
+                    lambda x: x,
+                )
+            ).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    got = {(r.doc_id, r.n_occurrences) for r in probe.collect()}
+    assert got == rescan and got
+
+
 def test_incremental_agg_merge_equals_direct(spark):
     """merge(partial(base), agg(delta)) == one-pass agg — Spark-side
     twin of the oracle hash gate."""
