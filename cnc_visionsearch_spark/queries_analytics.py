@@ -225,6 +225,210 @@ def part_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning
+
+_BF_P = 2147483647
+_BF_BPW = 62  # usable bits per 64-bit word (sign + top bit never set)
+_BF_WORDS = 64
+_BF_BITS = _BF_WORDS * _BF_BPW  # 248
+_BF_HASHES = [(0, 61, 3), (1, 179, 23), (2, 389, 41)]
+_BF_NATION = "NATION_7"
+
+
+@register(
+    "orders_bloom_filter_prune",
+    oracle=f"""
+WITH fr AS (
+  SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name = '{_BF_NATION}'
+),
+js(j, a, b) AS (VALUES {", ".join(f"({j}, {a}, {b})" for j, a, b in _BF_HASHES)}),
+bits AS (
+  SELECT DISTINCT ((a * c_custkey + b) % {_BF_P}) % {_BF_BITS} AS h
+  FROM fr CROSS JOIN js
+),
+words AS (
+  SELECT h // {_BF_BPW} AS w,
+    CAST(bit_or(1::BIGINT << (h % {_BF_BPW})) AS BIGINT) AS word
+  FROM bits GROUP BY 1
+),
+probe AS (
+  SELECT o.o_orderkey, o.o_custkey,
+    CASE WHEN SUM(CASE WHEN (COALESCE(wd.word, 0)
+           & (1::BIGINT << (((js.a * o.o_custkey + js.b) % {_BF_P})
+                            % {_BF_BITS} % {_BF_BPW}))) <> 0
+         THEN 1 ELSE 0 END) = {len(_BF_HASHES)} THEN 1 ELSE 0 END AS pass
+  FROM orders o CROSS JOIN js
+  LEFT JOIN words wd
+    ON wd.w = ((js.a * o.o_custkey + js.b) % {_BF_P}) % {_BF_BITS} // {_BF_BPW}
+  GROUP BY o.o_orderkey, o.o_custkey
+),
+truth AS (SELECT DISTINCT c_custkey FROM fr)
+SELECT CAST(count(*) AS BIGINT) AS total_orders,
+  CAST(sum(p.pass) AS BIGINT) AS candidates_passed,
+  CAST(sum(CASE WHEN t.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS true_matches,
+  CAST(sum(CASE WHEN p.pass = 1 AND t.c_custkey IS NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS false_positives
+FROM probe p LEFT JOIN truth t ON p.o_custkey = t.c_custkey
+""",
+    doc=f"Runtime Bloom-filter join pruning, made oracle-replayable: a "
+    f"{_BF_BITS}-bit Bloom filter ({len(_BF_HASHES)} fixed affine hash "
+    "rows, 62 usable bits per word so no sign-bit traps) is built over "
+    f"the {_BF_NATION}-customer keys and COLLAPSED TO {_BF_WORDS} BIGINT "
+    "literals in the probe expression — the fact scan then prunes with "
+    "pure codegen bit tests, NO join, exactly the runtime-filter shape "
+    "that saves the shuffle at 100 TB (the build side is dim-sized; "
+    "the words are planner state like the IVF codebook). Reported: "
+    "pass/true/false-positive counts, so the filter's selectivity and "
+    "FP rate are visible in the hash-gated output.",
+)
+def orders_bloom_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    fr = (
+        customer.join(
+            F.broadcast(nation.filter(F.col("n_name") == _BF_NATION)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    # build the words driver-side: the Bloom filter IS planner state
+    # (bounded: _BF_WORDS rows), so the probe needs no join at all
+    bits = sorted(
+        {
+            ((a * int(r.c_custkey) + b) % _BF_P) % _BF_BITS
+            for r in fr.collect()
+            for _, a, b in _BF_HASHES
+        }
+    )
+    words = [0] * _BF_WORDS
+    for h in bits:
+        words[h // _BF_BPW] |= 1 << (h % _BF_BPW)
+    warr_sql = (
+        "array(" + ", ".join(f"CAST({w} AS BIGINT)" for w in words) + ")"
+    )
+
+    def bit_set(a: int, b: int):
+        h = f"(({a} * o_custkey + {b}) % {_BF_P}) % {_BF_BITS}"
+        return F.expr(
+            f"(element_at({warr_sql}, CAST(({h}) / {_BF_BPW} AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(({h}) % {_BF_BPW} AS INT)))"
+            " <> 0"
+        )
+
+    passed = orders.select(
+        "o_custkey",
+        F.when(
+            bit_set(_BF_HASHES[0][1], _BF_HASHES[0][2])
+            & bit_set(_BF_HASHES[1][1], _BF_HASHES[1][2])
+            & bit_set(_BF_HASHES[2][1], _BF_HASHES[2][2]),
+            1,
+        )
+        .otherwise(0)
+        .alias("pass"),
+    )
+    truth = fr.distinct().withColumnRenamed("c_custkey", "t_key")
+    joined = passed.join(
+        F.broadcast(truth), passed.o_custkey == truth.t_key, "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_orders"),
+        F.sum("pass").cast("bigint").alias("candidates_passed"),
+        F.sum(F.when(F.col("t_key").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("true_matches"),
+        F.sum(
+            F.when((F.col("pass") == 1) & F.col("t_key").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("false_positives"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation of the hourly event-count series
+
+_AC_LAGS = (1, 2, 3)
+
+
+@register(
+    "events_hourly_autocorr",
+    oracle=f"""
+WITH hours AS (
+  SELECT date_trunc('hour', ts::TIMESTAMP) AS h,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT c AS x,
+    {", ".join(f"lag(c, {k}) OVER (ORDER BY h) AS y{k}" for k in _AC_LAGS)}
+  FROM hours
+),
+stats AS (
+  {" UNION ALL ".join(
+      f'''SELECT {k} AS lag, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y{k}) AS BIGINT) AS sy,
+        CAST(sum(x * x) AS BIGINT) AS sxx,
+        CAST(sum(y{k} * y{k}) AS BIGINT) AS syy,
+        CAST(sum(x * y{k}) AS BIGINT) AS sxy
+      FROM lagged WHERE y{k} IS NOT NULL'''
+      for k in _AC_LAGS
+  )}
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+    AS autocorr
+FROM stats ORDER BY lag
+""",
+    doc="Lag-1/2/3 Pearson autocorrelation of the hourly event-count "
+    "series: every moment is an exact BIGINT sum over integer counts "
+    "(bit-stable across engines and partitionings); the only floating "
+    "ops are the single final division and sqrt. The hourly rollup is "
+    "one partial-aggregating shuffle; the lagged series is "
+    "metadata-sized (one row per hour), so the window is planner-"
+    "scale, never data-scale.",
+)
+def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.orderBy("h")
+    lagged = hours.select(
+        F.col("c").alias("x"),
+        *[F.lag("c", k).over(w).alias(f"y{k}") for k in _AC_LAGS],
+    )
+    parts = []
+    for k in _AC_LAGS:
+        y = F.col(f"y{k}")
+        parts.append(
+            lagged.filter(y.isNotNull()).agg(
+                F.lit(k).cast("bigint").alias("lag"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("x").cast("bigint").alias("sx"),
+                F.sum(y).cast("bigint").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+                F.sum(y * y).cast("bigint").alias("syy"),
+                F.sum(F.col("x") * y).cast("bigint").alias("sxy"),
+            )
+        )
+    stats = parts[0]
+    for p in parts[1:]:
+        stats = stats.unionAll(p)
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return stats.select(
+        "lag", (num / den).alias("autocorr")
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
 # inverted text index: build-once postings layout, pruned phrase probe
 
 _INV_BUCKETS = 16
