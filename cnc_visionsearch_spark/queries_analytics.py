@@ -225,6 +225,144 @@ def part_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# rollup serving from a persisted daily aggregate
+
+
+def ensure_daily_rollup_built(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the daily orders rollup once per corpus content —
+    the persisted aggregate a 100 TB pipeline maintains incrementally
+    (orders_incremental_daily_agg proves the merge invariant) and
+    serves coarser queries from."""
+    import os
+
+    from cnc_visionsearch_spark.queries_ann import _ARTIFACT_ROOT, _corpus_tag
+
+    path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir, 'orders')}/daily_rollup"
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        orders = load_table(spark, sf_dir, "orders")
+        (
+            orders.groupBy(
+                F.col("o_orderdate").cast("date").alias("order_date")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias(
+                    "revenue_dec"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/daily")
+        )
+        open(os.path.join(path, "_BUILT"), "w").close()
+    return path
+
+
+@register(
+    "orders_monthly_from_daily_rollup",
+    oracle="""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1
+""",
+    doc="Materialized-view rewrite, proven by the hash gate: the "
+    "monthly revenue report is answered FROM the persisted daily "
+    "rollup (re-aggregating ~30 decimal partials per month — the "
+    "rollup is |days| rows, 5-6 orders of magnitude smaller than the "
+    "fact table it summarizes) while the oracle recomputes from raw "
+    "orders. Exact DECIMAL partials make the re-aggregation "
+    "order-insensitive, so serving from the rollup is bit-identical "
+    "to the full scan — the contract that lets a 100 TB warehouse "
+    "route dashboard queries to metadata-sized aggregates.",
+)
+def orders_monthly_from_daily_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = ensure_daily_rollup_built(spark, sf_dir)
+    daily = spark.read.parquet(f"{path}/daily")
+    return (
+        daily.groupBy(
+            F.date_trunc("month", F.col("order_date")).cast("date").alias("month")
+        )
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("revenue_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence crosstab
+
+@register(
+    "events_type_hour_chi2",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, CAST(hour(ts::TIMESTAMP) AS BIGINT) AS hr,
+    CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, hr, o,
+    SUM(o) OVER (PARTITION BY event_type) AS rt,
+    SUM(o) OVER (PARTITION BY hr) AS ct,
+    SUM(o) OVER () AS n
+  FROM obs
+),
+terms AS (
+  SELECT event_type,
+    CAST(FLOOR(
+      CAST((n * o - rt * ct) * (n * o - rt * ct) AS DOUBLE)
+        / CAST(n * rt * ct AS DOUBLE) * 1000000000.0 + 0.5
+    ) AS BIGINT) AS tq
+  FROM tot
+)
+SELECT event_type,
+  CAST(SUM(tq) AS DOUBLE) / 1000000000.0 AS chi2_contrib
+FROM terms GROUP BY event_type
+""",
+    doc="Chi-square independence test of event_type x hour-of-day, "
+    "reported as per-type contributions: each cell's (O - E)^2 / E is "
+    "computed as the exact-integer rational (N*O - RT*CT)^2 / (N*RT*CT) "
+    "evaluated in one double division, then 1e9-quantized to BIGINT so "
+    "the cross-cell reduction is an exact integer sum — the "
+    "fixed-point discipline every floating aggregate in this repo uses "
+    "to stay bit-stable across engines and partitionings. Inputs are "
+    "one partial-aggregating shuffle (|types| x 24 cells).",
+)
+def events_type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    tot = (
+        obs.withColumn(
+            "rt", F.sum("o").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("ct", F.sum("o").over(Window.partitionBy("hr")))
+        .withColumn(
+            "n", F.sum("o").over(Window.partitionBy())
+        )
+    )
+    num = F.col("n") * F.col("o") - F.col("rt") * F.col("ct")
+    tq = F.floor(
+        (num * num).cast("double")
+        / (F.col("n") * F.col("rt") * F.col("ct")).cast("double")
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        tot.withColumn("tq", tq)
+        .groupBy("event_type")
+        .agg(
+            (F.sum("tq").cast("double") / F.lit(1000000000.0)).alias(
+                "chi2_contrib"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter semi-join pruning
 
 _BF_P = 2147483647
