@@ -700,3 +700,317 @@ def orders_incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("prev").cast("double").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting on the co-occurrence graph
+
+@register(
+    "part_cooccurrence_triangles",
+    oracle="""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+member AS (
+  SELECT x AS p FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+)
+SELECT p AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM member GROUP BY p
+ORDER BY n_triangles DESC, p_partkey ASC LIMIT 10
+""",
+    doc="Triangle counting on the support-pruned part co-occurrence "
+    "graph (edges = pairs bought together in >= 2 orders), top-10 "
+    "parts by triangle participation. The a < b edge orientation IS "
+    "the classic degree-orientation trick: every triangle is "
+    "enumerated exactly once as a < b < c, so the two-hop join never "
+    "double-counts and the join fan-out is bounded by forward-degree, "
+    "not total degree. Support pruning (HAVING >= 2) keeps the edge "
+    "table 30x smaller than the raw pair set before any self-join — "
+    "the same candidate-pruning discipline as the dedup blockers.",
+)
+def part_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a = lp.alias("a")
+    b = lp.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ea"), F.col("b.l_partkey").alias("eb")
+        )
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("ea", "eb")
+        .localCheckpoint(eager=False)
+    )
+    e1 = e.select(F.col("ea").alias("x"), F.col("eb").alias("y"))
+    e2 = e.select(F.col("ea").alias("y2"), F.col("eb").alias("z"))
+    e3 = e.select(F.col("ea").alias("x3"), F.col("eb").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(
+            e3,
+            (F.col("x3") == F.col("x")) & (F.col("z3") == F.col("z")),
+        )
+        .select("x", "y", "z")
+    )
+    member = (
+        tri.select(F.col("x").alias("p"))
+        .unionAll(tri.select(F.col("y").alias("p")))
+        .unionAll(tri.select(F.col("z").alias("p")))
+    )
+    return (
+        member.groupBy(F.col("p").alias("p_partkey"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), F.col("p_partkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# last-touch conversion attribution
+
+_ATTR_WINDOW_MIN = 30
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value FROM events
+),
+seq AS (
+  SELECT *,
+    last_value(CASE WHEN event_type IN ('click', 'view') THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts,
+    last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+  FROM ev
+),
+conv AS (
+  SELECT CASE WHEN touch_ts IS NOT NULL
+              AND ts <= touch_ts + INTERVAL '{_ATTR_WINDOW_MIN} minutes'
+         THEN touch_type ELSE 'none' END AS channel,
+    value
+  FROM seq WHERE event_type = 'purchase'
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+FROM conv GROUP BY channel
+""",
+    doc="Last-touch conversion attribution: each purchase is credited "
+    f"to the user's most recent click/view within {_ATTR_WINDOW_MIN} "
+    "minutes (else 'none'). One window pass per user stream — "
+    "last_value IGNORE NULLS carries the touch forward, the marketing "
+    "twin of the LOCF gap-fill operator — then a tiny channel "
+    "aggregate of exact DECIMAL value sums. Shuffles key on user_id "
+    "(event-time locality), nothing is ever self-joined.",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    seq = ev.withColumn(
+        "touch_ts", F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w)
+    ).withColumn(
+        "touch_type",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w),
+    )
+    conv = seq.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_ts").isNotNull()
+            & (
+                F.col("ts")
+                <= F.col("touch_ts")
+                + F.expr(f"INTERVAL {_ATTR_WINDOW_MIN} MINUTES")
+            ),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("channel"),
+        "value",
+    )
+    return conv.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity / data-quality audit
+
+@register(
+    "catalog_quality_audit",
+    oracle="""
+SELECT 'customer_dup_pk' AS check_name,
+  CAST((SELECT COALESCE(SUM(c), 0) FROM
+        (SELECT count(*) - 1 AS c FROM customer GROUP BY c_custkey
+         HAVING count(*) > 1) d) AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'orders_dup_pk',
+  CAST((SELECT COALESCE(SUM(c), 0) FROM
+        (SELECT count(*) - 1 AS c FROM orders GROUP BY o_orderkey
+         HAVING count(*) > 1) d) AS BIGINT)
+UNION ALL
+SELECT 'orders_orphan_custkey',
+  CAST((SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_orphan_orderkey',
+  CAST((SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_orphan_partkey',
+  CAST((SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+UNION ALL
+SELECT 'events_null_user',
+  CAST((SELECT count(*) FROM events WHERE user_id IS NULL) AS BIGINT)
+ORDER BY check_name
+""",
+    doc="One-pass data-quality audit across the catalog: primary-key "
+    "duplicate counts, referential-integrity orphans (left-anti "
+    "probes: fact side streams, key side is dim-sized), and null-key "
+    "counts — the expectation suite a pipeline gates a snapshot "
+    "publish on. Each check is a count the optimizer reduces to "
+    "key-only scans (column pruning leaves 8-byte keys in every "
+    "shuffle).",
+)
+def catalog_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    events = load_table(spark, sf_dir, "events")
+
+    def dup_pk(df, key, name):
+        return (
+            df.groupBy(key)
+            .agg((F.count(F.lit(1)) - 1).alias("c"))
+            .filter(F.col("c") > 0)
+            .agg(
+                F.lit(name).alias("check_name"),
+                F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_violations"),
+            )
+        )
+
+    def orphans(fact, fkey, dim, dkey, name):
+        return (
+            fact.select(F.col(fkey).alias("k"))
+            .join(dim.select(F.col(dkey).alias("k")), "k", "left_anti")
+            .agg(
+                F.lit(name).alias("check_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+            )
+        )
+
+    checks = [
+        dup_pk(customer, "c_custkey", "customer_dup_pk"),
+        dup_pk(orders, "o_orderkey", "orders_dup_pk"),
+        orphans(orders, "o_custkey", customer, "c_custkey", "orders_orphan_custkey"),
+        orphans(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_orphan_orderkey"),
+        orphans(lineitem, "l_partkey", part, "p_partkey", "lineitem_orphan_partkey"),
+        events.filter(F.col("user_id").isNull()).agg(
+            F.lit("events_null_user").alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# per-group KMV distinct sketch
+
+@register(
+    "events_kmv_distinct_by_type",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT event_type,
+    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 1073741824 AS hv
+  FROM events
+),
+rk AS (
+  SELECT event_type, hv,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn
+  FROM h
+),
+kth AS (
+  SELECT event_type, CAST(max(hv) AS BIGINT) AS kth_hash,
+    CAST(count(*) AS BIGINT) AS k
+  FROM rk WHERE rn <= 32 GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT ex.event_type, ex.n_exact, kth.k, kth.kth_hash,
+  CAST(kth.k - 1 AS DOUBLE)
+    / (CAST(kth.kth_hash AS DOUBLE) / 1073741824.0) AS kmv_estimate
+FROM ex JOIN kth USING (event_type)
+""",
+    doc="GROUPED KMV cardinality sketch: per event type, distinct-user "
+    "estimate from the k=32 smallest deterministic hashes next to the "
+    "exact count (measured error in the gated output). The grouped "
+    "form is what a pipeline keeps per (source, day) cell: each "
+    "group's state is 32 8-byte values regardless of row count, "
+    "merged across partitions by re-min-ing — WindowGroupLimit "
+    "computes per-partition k-minima before the shuffle, so the "
+    "exchange carries k rows per (partition, group), never user ids.",
+)
+def events_kmv_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.text import kmv_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type", kmv_hash(F.col("user_id")).alias("hv")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.col("hv").asc())
+    kth = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 32)
+        .groupBy("event_type")
+        .agg(
+            F.max("hv").cast("bigint").alias("kth_hash"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return ex.join(kth, "event_type").select(
+        "event_type",
+        "n_exact",
+        "k",
+        "kth_hash",
+        (
+            (F.col("k") - 1).cast("double")
+            / (F.col("kth_hash").cast("double") / F.lit(1073741824.0))
+        ).alias("kmv_estimate"),
+    )
