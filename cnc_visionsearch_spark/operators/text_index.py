@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 
 from cnc_visionsearch_spark.operators.dedup import _MERSENNE31, _base_hash
 
-__all__ = ["inverted_build", "term_bucket", "phrase_probe"]
+__all__ = [
+    "inverted_build",
+    "inverted_append",
+    "term_bucket",
+    "phrase_probe",
+]
 
 
 def term_bucket(term: str, n_buckets: int) -> int:
@@ -41,8 +46,14 @@ def inverted_build(
     oracle), aggregate per (term, doc) into tf + sorted positions, and
     write partitioned by the term's hash bucket. One shuffle, keyed on
     (term, doc_id) — the shuffle carries positions, never text."""
+    _postings(docs, n_buckets).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/postings")
+
+
+def _postings(docs: DataFrame, n_buckets: int) -> DataFrame:
     sp = F.split("text", " ")
-    posts = (
+    return (
         docs.select("doc_id", F.posexplode(sp).alias("pos0", "term"))
         .withColumn("pos", F.col("pos0") + 1)
         .groupBy("term", "doc_id")
@@ -52,9 +63,20 @@ def inverted_build(
         )
         .withColumn("bucket", _base_hash(F.col("term")) % F.lit(n_buckets))
     )
-    posts.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/postings"
-    )
+
+
+def inverted_append(
+    docs: DataFrame, path: str, n_buckets: int = 16
+) -> None:
+    """Append a document batch's postings into an existing layout —
+    the maintenance twin of :func:`inverted_build` (same shape as
+    ivf_append for the vector tiers): postings are per-document facts,
+    so a batch append equals a full rebuild over the union, existing
+    files stay byte-identical, and probes see the new documents at the
+    same pruned cost. O(batch), never a corpus rescan."""
+    _postings(docs, n_buckets).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/postings")
 
 
 def phrase_probe(

@@ -42,6 +42,7 @@ __all__ = [
     "purchase_after_error_stream",
     "lsh_ingest_stream",
     "ivf_ingest_stream",
+    "inverted_ingest_stream",
     "ivf_delete_stream",
     "read_id_mapping",
 ]
@@ -291,6 +292,43 @@ def ivf_ingest_stream(
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
+    )
+
+
+def inverted_ingest_stream(
+    spark: SparkSession,
+    in_path: str,
+    index_path: str,
+    checkpoint: str,
+    n_buckets: int = 16,
+    max_files_per_trigger: int = 10,
+):
+    """Streaming ingest for the inverted text index: each micro-batch
+    of new documents gets its postings computed (batch-local group-by —
+    a document arrives whole, so its postings are complete within the
+    batch) and appended into the term-bucket-partitioned layout that
+    phrase probes prune. The text-tier twin of ivf_ingest_stream:
+    probes launched after any committed batch see the new documents at
+    unchanged pruned cost; resident files are never rewritten. Returns
+    the started StreamingQuery.
+    """
+    from cnc_visionsearch_spark.operators.text_index import inverted_append
+    from cnc_visionsearch_spark.schemas import DOCUMENTS
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+
+    def apply_batch(batch_df, _batch_id):
+        inverted_append(batch_df, index_path, n_buckets=n_buckets)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

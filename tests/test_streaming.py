@@ -847,3 +847,67 @@ def test_knn_serving_stream_matches_batch_probe(spark, tmp_path):
         for r in ivf_knn_join_probe(spark, path, queries, k=5, nprobe=4).collect()
     }
     assert streamed == batch and len(batch) == 30
+
+
+def test_inverted_ingest_stream_extends_postings(spark, tmp_path):
+    """Streaming document drops append into the inverted layout: after
+    two micro-batches, a phrase probe over the layout equals the
+    full-corpus rescan, and the base build's files are byte-identical
+    (appends add files, never rewrite)."""
+    from cnc_visionsearch_spark.operators.text_index import (
+        inverted_build,
+        phrase_probe,
+    )
+    from cnc_visionsearch_spark.streaming.pipelines import inverted_ingest_stream
+
+    docs = load_table(spark, SF, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    chunks = [docs.filter(F.col("doc_id") % 4 == i) for i in (1, 3)]
+
+    idx = str(tmp_path / "inverted")
+    inverted_build(base, idx, n_buckets=8)
+
+    def file_sizes(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(f"{root}/postings"):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.path.getsize(p)
+        return out
+
+    before = file_sizes(idx)
+    stream_dir = _write_chunks(spark, str(tmp_path), chunks)
+    q = inverted_ingest_stream(
+        spark, stream_dir, idx, str(tmp_path / "ckpt_inv"),
+        n_buckets=8, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    after = file_sizes(idx)
+    assert set(before) <= set(after) and len(after) > len(before)
+    for p, sz in before.items():
+        assert after[p] == sz  # resident files untouched
+
+    probe = phrase_probe(spark, idx, "slow", "fast", n_buckets=8)
+    got = {(r.doc_id, r.n_occurrences) for r in probe.collect()}
+    sp = F.split("text", " ")
+    want = {
+        (r.doc_id, r.n)
+        for r in docs.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(sp) - 1),
+                        lambda j: (F.element_at(sp, j) == "slow")
+                        & (F.element_at(sp, j + 1) == "fast"),
+                    ),
+                    lambda x: x,
+                )
+            ).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    assert got == want
