@@ -15,8 +15,11 @@ unchanged corpus is a no-op):
   - appended-lifecycle demo layout (head-trained, tail-appended)
   - sharded local-index layout (FAISS artifacts when faiss installed)
   - hyperplane-LSH bucket-partitioned layout
+  - NSW graph layout (bucket-partitioned kNN graph + entry points)
   - encoded text index
+  - inverted text index (term-bucket-partitioned postings)
   - banded-MinHash dedup blocking table
+  - daily orders rollup (the serving aggregate)
 
 Prints ONE JSON line: per-artifact path + wall-clock seconds.
 """
@@ -45,6 +48,11 @@ def main() -> int:
         ensure_pq_trained_appended,
         ensure_pq_trained_built,
     )
+    from cnc_visionsearch_spark.queries_ann_graph import ensure_nsw_built
+    from cnc_visionsearch_spark.queries_analytics import (
+        ensure_daily_rollup_built,
+        ensure_inverted_built,
+    )
     from cnc_visionsearch_spark.queries_dedup import ensure_minhash_built
     from cnc_visionsearch_spark.service import ensure_text_index_built
     from cnc_visionsearch_spark.session import get_session
@@ -58,8 +66,11 @@ def main() -> int:
         ("pq_trained_appended", lambda: ensure_pq_trained_appended(spark, sf_dir)),
         ("shards", lambda: ensure_shards_built(spark, sf_dir)),
         ("lsh", lambda: ensure_lsh_built(spark, sf_dir)),
+        ("nsw", lambda: ensure_nsw_built(spark, sf_dir)),
         ("text_index", lambda: ensure_text_index_built(spark, sf_dir)),
+        ("inverted", lambda: ensure_inverted_built(spark, sf_dir)),
         ("minhash", lambda: ensure_minhash_built(spark, sf_dir)),
+        ("daily_rollup", lambda: ensure_daily_rollup_built(spark, sf_dir)),
     ]
     report: dict = {"sf_dir": sf_dir, "artifacts": {}}
     for name, fn in steps:
