@@ -506,3 +506,51 @@ def test_rag_chunking_is_shuffle_free(spark, queries):
     assert "Exchange" not in plan
     assert "Generate" in plan  # the explode
     assert "Join" not in plan
+
+
+def test_bloom_prune_probe_is_join_free_on_the_filter(spark, queries):
+    """orders_bloom_filter_prune: the Bloom test itself must be pure
+    codegen on the fact scan — the ONLY join in the plan is the
+    broadcast truth join (for the audit columns), never a join that
+    implements the filter, and never a sort-merge join."""
+    plan = plan_of(queries["orders_bloom_filter_prune"](spark, SF))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # exactly two broadcast joins: the dim-side truth build (customer x
+    # nation) and the left-outer truth audit join — the Bloom test
+    # itself contributes none
+    assert plan.count(") BroadcastHashJoin") == 2
+
+
+def test_skyline_join_back_is_broadcast(spark, queries):
+    """part_skyline_price_size: the strict-prefix frontier (distinct
+    prices) must broadcast back onto the part table — no shuffle of
+    the fact side for the final filter, no cartesian."""
+    plan = plan_of(queries["part_skyline_price_size"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_sketch_side_broadcasts(spark, queries):
+    """events_heavy_hitters_cms: the 96-counter sketch must be the
+    broadcast side of the estimate join — constant-size state never
+    shuffles the candidate set."""
+    plan = plan_of(queries["events_heavy_hitters_cms"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_monthly_rollup_serves_from_daily_artifact(spark, queries):
+    """orders_monthly_from_daily_rollup must scan the persisted daily
+    rollup, NOT the orders fact table."""
+    df = queries["orders_monthly_from_daily_rollup"](spark, SF)
+    files = df.inputFiles()
+    assert files and all("daily_rollup" in f for f in files)
+
+
+def test_inverted_phrase_probe_schema_is_postings_only(spark, queries):
+    """text_inverted_phrase_hits reads the postings layout (never the
+    documents table) and prunes the scan to the probe's buckets."""
+    df = queries["text_inverted_phrase_hits"](spark, SF)
+    files = df.inputFiles()
+    assert files and all("inverted" in f for f in files)
+    pf = [ln for ln in plan_of(df).splitlines() if "PartitionFilters" in ln]
+    assert pf and any("bucket" in ln and "IN (" in ln for ln in pf)
