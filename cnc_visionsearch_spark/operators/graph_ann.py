@@ -116,13 +116,13 @@ def nsw_append(spark, path: str, new_emb: DataFrame) -> None:
     out, back = [], []
     for r in new_rows:
         nvec = [float(x) for x in r.nvec]
-        nbrs = nsw_search(spark, path, nvec, k=m, ef=4 * m, hops=3)
-        for nb_id, nb_d in nbrs:
-            out.append((int(r.vec_id), int(nb_id), None, nb_d))
+        nbrs = nsw_search(spark, path, nvec, k=m, ef=4 * m)
+        for nb_id, _nb_d in nbrs:
+            out.append((int(r.vec_id), int(nb_id)))
             back.append((int(nb_id), int(r.vec_id), nvec))
     # out-edges need the neighbor vectors denormalized: fetch them in
     # one bounded pruned read (≤ batch·m distinct ids)
-    nbr_ids = sorted({dst for _, dst, _, _ in out})
+    nbr_ids = sorted({dst for _, dst in out})
     nbr_vec = {
         int(x["dst"]): x["dvec"]
         for x in spark.read.parquet(f"{path}/graph")
@@ -137,7 +137,7 @@ def nsw_append(spark, path: str, new_emb: DataFrame) -> None:
         nbr_vec.setdefault(int(e["vec_id"]), e["nvec"])
     rows = [
         (src, dst, [float(v) for v in nbr_vec[dst]], src % n_buckets)
-        for src, dst, _, _ in out
+        for src, dst in out
         if dst in nbr_vec
     ] + [(src, dst, dvec, src % n_buckets) for src, dst, dvec in back]
     schema = "src bigint, dst bigint, dvec array<double>, src_bucket int"
