@@ -8,7 +8,9 @@ accrete between runs:
    physically — rewrites only touched cell partitions, restores
    tombstone-free probe plans.
 2. **Compact** (:func:`sources.formats.compact_layout` over cells/ and
-   pq_codes/ + pq_trained_codes/; :func:`streaming.pipelines.compact_id_mapping` for the
+   pq_codes/ + pq_trained_codes/, the inverted index's postings/ and
+   the NSW graph/ when their paths are passed;
+   :func:`streaming.pipelines.compact_id_mapping` for the
    upsert state): bound the one-file-per-partition-per-batch accretion
    of the append/upsert paths.
 3. **Audit** (cell-population skew, the ann_ivf_cell_skew measure):
@@ -36,6 +38,8 @@ def run_index_maintenance(
     spark: SparkSession,
     index_path: str | None = None,
     state_dir: str | None = None,
+    inverted_path: str | None = None,
+    nsw_path: str | None = None,
     skew_retrain_threshold: float = 3.0,
 ) -> dict:
     """Run the maintenance pass; return a report dict (counts before/
@@ -85,6 +89,22 @@ def run_index_maintenance(
         skew = float(row.max_cell) * float(row.n_cells) / float(row.n_vectors)
         report["skew_ratio"] = round(skew, 4)
         report["recommend_retrain"] = skew >= skew_retrain_threshold
+    # append-accreting auxiliary layouts: same settled-skip compaction
+    # discipline as the cell tables (inverted postings per term bucket,
+    # NSW edges per src bucket)
+    for label, root_dir, part_col in (
+        ("postings", inverted_path and f"{inverted_path}/postings", "bucket"),
+        ("nsw_graph", nsw_path and f"{nsw_path}/graph", "src_bucket"),
+    ):
+        if not root_dir or not os.path.exists(root_dir):
+            continue
+        before = n_files(root_dir)
+        n_parts = sum(
+            1 for d in os.listdir(root_dir) if d.startswith(f"{part_col}=")
+        )
+        if before > n_parts:
+            compact_layout(spark, root_dir, partition_by=[part_col])
+        report[f"{label}_files"] = {"before": before, "after": n_files(root_dir)}
     if state_dir is not None:
         root = os.path.join(state_dir, "id_mapping")
         before = n_files(root) if os.path.exists(root) else 0

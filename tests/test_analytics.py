@@ -136,3 +136,57 @@ def test_incremental_agg_merge_equals_direct(spark):
         for r in orders_incremental_daily_agg(spark, SF).collect()
     }
     assert merged == direct
+
+
+def test_maintenance_compacts_inverted_and_nsw_layouts(spark, tmp_path):
+    """run_index_maintenance with the auxiliary layout paths: after
+    append accretion, both the postings and the NSW graph shrink to
+    <= one file per partition with probe results unchanged."""
+    import os
+
+    from cnc_visionsearch_spark.maintenance import run_index_maintenance
+    from cnc_visionsearch_spark.operators.graph_ann import (
+        nsw_append,
+        nsw_build,
+        nsw_search,
+    )
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+    from cnc_visionsearch_spark.operators.text_index import (
+        inverted_append,
+        inverted_build,
+        phrase_probe,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    inv = str(tmp_path / "inv")
+    inverted_build(docs.filter(F.col("doc_id") % 2 == 0), inv, n_buckets=4)
+    inverted_append(docs.filter(F.col("doc_id") % 2 == 1), inv, n_buckets=4)
+
+    emb = with_normalized(load_table(spark, SF, "embeddings")).select(
+        "vec_id", "nvec"
+    )
+    nsw = str(tmp_path / "nsw")
+    nsw_build(emb.filter(F.col("vec_id") < 400), nsw, m=6, n_buckets=8)
+    nsw_append(
+        spark, nsw, emb.filter(F.col("vec_id").between(400, 405))
+    )
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first().nvec]
+    probe_before = {
+        (r.doc_id, r.n_occurrences)
+        for r in phrase_probe(spark, inv, "slow", "fast", n_buckets=4).collect()
+    }
+    nsw_before = nsw_search(spark, nsw, q, k=5)
+
+    report = run_index_maintenance(
+        spark, inverted_path=inv, nsw_path=nsw
+    )
+    assert report["postings_files"]["after"] <= report["postings_files"]["before"]
+    assert report["nsw_graph_files"]["after"] < report["nsw_graph_files"]["before"]
+
+    probe_after = {
+        (r.doc_id, r.n_occurrences)
+        for r in phrase_probe(spark, inv, "slow", "fast", n_buckets=4).collect()
+    }
+    assert probe_after == probe_before
+    assert nsw_search(spark, nsw, q, k=5) == nsw_before

@@ -911,3 +911,46 @@ def test_inverted_ingest_stream_extends_postings(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_inverted_postings_compaction_preserves_probe(spark, tmp_path):
+    """St5 for the text tier: streaming appends accrete one file per
+    micro-batch per bucket; compact_layout must shrink the file count
+    while keeping phrase-probe results identical and the bucket
+    partitioning (pruning) intact."""
+    from cnc_visionsearch_spark.operators.text_index import (
+        inverted_append,
+        inverted_build,
+        phrase_probe,
+    )
+    from cnc_visionsearch_spark.plans import formatted_plan
+    from cnc_visionsearch_spark.sources.formats import compact_layout
+
+    docs = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "inv")
+    inverted_build(docs.filter(F.col("doc_id") % 2 == 0), idx, n_buckets=4)
+    for i in (1, 3):  # two appends -> extra files per touched bucket
+        inverted_append(docs.filter(F.col("doc_id") % 4 == i), idx, n_buckets=4)
+
+    def n_files():
+        n = 0
+        for dirpath, _dirs, files in os.walk(f"{idx}/postings"):
+            n += sum(f.endswith(".parquet") for f in files)
+        return n
+
+    before_files = n_files()
+    before = {
+        (r.doc_id, r.n_occurrences)
+        for r in phrase_probe(spark, idx, "slow", "fast", n_buckets=4).collect()
+    }
+    compact_layout(spark, f"{idx}/postings", partition_by=["bucket"])
+    assert n_files() < before_files
+    probe = phrase_probe(spark, idx, "slow", "fast", n_buckets=4)
+    after = {(r.doc_id, r.n_occurrences) for r in probe.collect()}
+    assert after == before and after
+    pf = [
+        ln
+        for ln in formatted_plan(probe).splitlines()
+        if "PartitionFilters" in ln
+    ]
+    assert pf and any("bucket" in ln for ln in pf)
