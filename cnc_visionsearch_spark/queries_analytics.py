@@ -1014,3 +1014,111 @@ def events_kmv_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("kth_hash").cast("double") / F.lit(1073741824.0))
         ).alias("kmv_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule training (vocabulary induction)
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_pairs_cte(i: int) -> str:
+    return f"""
+p{i} AS (
+  SELECT unnest(pairs) AS p, cnt FROM (
+    SELECT cnt,
+      list_transform(range(1, len(s)),
+                     j -> struct_pack(l := s[j], r := s[j+1])) AS pairs
+    FROM (SELECT cnt, string_split(ltrim(state), ' ') AS s FROM w{i - 1})
+  )
+),
+g{i} AS (SELECT p.l AS lhs, p.r AS rhs, CAST(SUM(cnt) AS BIGINT) AS pc
+         FROM p{i} GROUP BY 1, 2),
+b{i} AS (SELECT lhs, rhs, pc FROM g{i} ORDER BY pc DESC, lhs ASC, rhs ASC LIMIT 1),
+w{i} AS (SELECT word, cnt,
+         replace(state, ' ' || lhs || ' ' || rhs, ' ' || lhs || rhs) AS state
+         FROM w{i - 1}, b{i})"""
+
+
+_BPE_ORACLE = (
+    """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+    regexp_replace(word, '(.)', ' \\1', 'g') AS state
+  FROM tok GROUP BY word
+),"""
+    + ",".join(_bpe_pairs_cte(i) for i in range(1, _BPE_ROUNDS + 1))
+    + """
+"""
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, lhs, rhs, "
+        f"lhs || rhs AS merged, pc AS pair_count FROM b{i}"
+        for i in range(1, _BPE_ROUNDS + 1)
+    )
+)
+
+
+@register(
+    "doc_bpe_train_merges",
+    oracle=_BPE_ORACLE,
+    doc=f"Train the first {_BPE_ROUNDS} BPE merge rules on the corpus "
+    "vocabulary — tokenizer induction as a query. State is the "
+    "space-joined symbol string per word; a merge is replace(state, "
+    "' l r', ' lr'), whose left-to-right non-overlapping scan IS the "
+    "greedy BPE merge application, identical in Spark and DuckDB (the "
+    "oracle unrolls all rounds as CTEs, so the hash gate pins every "
+    "argmax AND every state rewrite). Per round: one scan of the "
+    "VOCABULARY table (word, count, state — corpus-derived and "
+    "bounded, never the corpus itself), weighted adjacent-pair "
+    "counts, a 1-row argmax (ties by pair lexicographic) collected "
+    "driver-side like a probe-cell list. At 100 TB the corpus is "
+    "touched once (the word-count aggregate); training cost is "
+    "O(rounds x |vocab|).",
+)
+def doc_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("state", F.regexp_replace("word", "(.)", " $1"))
+        .localCheckpoint(eager=True)
+    )
+    # sequence(1, n) is always ascending for n >= 1; pairs past the end
+    # surface as NULL rhs (try_element_at) and are filtered — this is
+    # how a 1-symbol word (no adjacent pair) contributes nothing
+    # without tripping a descending sequence(1, 0)
+    pair_expr = F.explode(
+        F.expr(
+            "filter(transform(sequence(1, size(split(ltrim(state), ' '))), "
+            "j -> struct(try_element_at(split(ltrim(state), ' '), j) AS lhs, "
+            "try_element_at(split(ltrim(state), ' '), j + 1) AS rhs)), "
+            "p -> p.rhs IS NOT NULL)"
+        )
+    )
+    merges = []
+    for rank in range(1, _BPE_ROUNDS + 1):
+        best = (
+            vocab.select("cnt", pair_expr.alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("cnt").cast("bigint").alias("pc"))
+            .orderBy(F.col("pc").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+            .limit(1)
+            .collect()[0]  # 1-row argmax: a planner decision, like probe cells
+        )
+        merges.append(
+            (rank, best.lhs, best.rhs, best.lhs + best.rhs, int(best.pc))
+        )
+        vocab = vocab.withColumn(
+            "state",
+            F.replace(
+                F.col("state"),
+                F.lit(f" {best.lhs} {best.rhs}"),
+                F.lit(f" {best.lhs}{best.rhs}"),
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, lhs string, rhs string, merged string, pair_count bigint",
+    )
