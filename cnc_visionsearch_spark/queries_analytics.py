@@ -1122,3 +1122,75 @@ def doc_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "merge_rank bigint, lhs string, rhs string, merged string, pair_count bigint",
     )
+
+
+_BPE_APPLY_ORACLE = (
+    _BPE_ORACLE[: _BPE_ORACLE.index("\nUNION ALL\n")]
+    .replace(
+        f"SELECT CAST({1} AS BIGINT) AS merge_rank, lhs, rhs, "
+        f"lhs || rhs AS merged, pc AS pair_count FROM b1",
+        "",
+    )
+    + f"""
+SELECT
+  CAST(SUM(cnt) AS BIGINT) AS n_words,
+  CAST(SUM(cnt * len(string_split(ltrim(w0.state), ' '))) AS BIGINT)
+    AS n_symbols_before,
+  CAST(SUM(cnt * len(string_split(ltrim(w{_BPE_ROUNDS}.state), ' '))) AS BIGINT)
+    AS n_symbols_after,
+  CAST((SELECT count(DISTINCT s) FROM (
+     SELECT unnest(string_split(ltrim(state), ' ')) AS s FROM w{_BPE_ROUNDS}
+  )) AS BIGINT) AS vocab_symbols_after
+FROM w0 JOIN w{_BPE_ROUNDS} USING (word, cnt)
+"""
+)
+
+
+@register(
+    "doc_bpe_apply_stats",
+    oracle=_BPE_APPLY_ORACLE,
+    doc="Apply the trained BPE merges (doc_bpe_train_merges' exact "
+    "chain — the oracle reuses the SAME unrolled training CTEs) to the "
+    "corpus and report the compression: total word occurrences, symbol "
+    "counts before/after the merges, and the symbol-vocabulary size "
+    "after. Application is a join of the corpus word counts against "
+    "the rewritten vocabulary table — the corpus text itself is never "
+    "re-scanned per merge, which is what makes tokenizer application "
+    "O(|vocab|) per rule at 100 TB.",
+)
+def doc_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("state", F.regexp_replace("word", "(.)", " $1"))
+        .localCheckpoint(eager=True)
+    )
+    before = vocab.withColumnRenamed("state", "state0")
+    merges = doc_bpe_train_merges(spark, sf_dir).collect()
+    state = F.col("state0")
+    for m in merges:
+        state = F.replace(
+            state, F.lit(f" {m.lhs} {m.rhs}"), F.lit(f" {m.lhs}{m.rhs}")
+        )
+    applied = before.withColumn("state_after", state).localCheckpoint(
+        eager=True
+    )
+    n_syms = lambda c: F.size(F.split(F.ltrim(F.col(c)), " "))  # noqa: E731
+    stats = applied.agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.col("cnt") * n_syms("state0")).cast("bigint").alias(
+            "n_symbols_before"
+        ),
+        F.sum(F.col("cnt") * n_syms("state_after")).cast("bigint").alias(
+            "n_symbols_after"
+        ),
+    )
+    vocab_after = (
+        applied.select(
+            F.explode(F.split(F.ltrim(F.col("state_after")), " ")).alias("s")
+        )
+        .agg(F.countDistinct("s").cast("bigint").alias("vocab_symbols_after"))
+    )
+    return stats.crossJoin(vocab_after)
