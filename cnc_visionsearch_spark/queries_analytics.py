@@ -368,7 +368,7 @@ def events_type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BF_P = 2147483647
 _BF_BPW = 62  # usable bits per 64-bit word (sign + top bit never set)
 _BF_WORDS = 64
-_BF_BITS = _BF_WORDS * _BF_BPW  # 248
+_BF_BITS = _BF_WORDS * _BF_BPW  # 3968
 _BF_HASHES = [(0, 61, 3), (1, 179, 23), (2, 389, 41)]
 _BF_NATION = "NATION_7"
 
