@@ -1194,3 +1194,147 @@ def doc_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("s").cast("bigint").alias("vocab_symbols_after"))
     )
     return stats.crossJoin(vocab_after)
+
+
+# ---------------------------------------------------------------------------
+# ranked conjunctive (AND) search over the inverted index
+
+_AND_TERMS = ("hash", "join", "table")
+
+
+@register(
+    "text_inverted_and_topk",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ({", ".join(f"'{t}'" for t in _AND_TERMS)})
+  GROUP BY doc_id, term
+),
+hits AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_sum
+  FROM tf GROUP BY doc_id HAVING count(*) = {len(_AND_TERMS)}
+)
+SELECT doc_id, tf_sum FROM hits
+ORDER BY tf_sum DESC, doc_id ASC LIMIT 10
+""",
+    doc=f"Conjunctive (AND) search '{' '.join(_AND_TERMS)}' over the "
+    "inverted layout, ranked by summed term frequency: the probe reads "
+    "only the query terms' bucket partitions (plan-pruned), keeps docs "
+    "containing ALL terms (group count = |terms| over the postings "
+    "rows — a join-free conjunction), and ranks top-10. The oracle "
+    "rescans the raw text, so the gate proves postings == corpus for "
+    "the ranked multi-term path too.",
+)
+def text_inverted_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.text_index import term_bucket
+
+    path = ensure_inverted_built(spark, sf_dir)
+    buckets = sorted(
+        {term_bucket(t, _INV_BUCKETS) for t in _AND_TERMS}
+    )
+    posts = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(list(_AND_TERMS)))
+    )
+    return (
+        posts.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("tf_sum"),
+            F.count(F.lit(1)).alias("nt"),
+        )
+        .filter(F.col("nt") == len(_AND_TERMS))
+        .select("doc_id", "tf_sum")
+        .orderBy(F.col("tf_sum").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# seasonal anomaly detection (hour-of-day baseline)
+
+@register(
+    "events_seasonal_anomalies",
+    oracle="""
+WITH cells AS (
+  SELECT event_type, CAST(ts::TIMESTAMP AS DATE) AS d,
+    CAST(hour(ts::TIMESTAMP) AS BIGINT) AS hod,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+base AS (
+  SELECT event_type, hod,
+    quantile_cont(c, 0.5) AS med_c,
+    CAST(count(*) AS BIGINT) AS n_days
+  FROM cells GROUP BY 1, 2
+),
+mad AS (
+  SELECT c.event_type, c.hod, max(b.med_c) AS med_c, max(b.n_days) AS n_days,
+    quantile_cont(abs(c.c - b.med_c), 0.5) AS mad_c
+  FROM cells c JOIN base b ON c.event_type = b.event_type AND c.hod = b.hod
+  GROUP BY c.event_type, c.hod
+)
+SELECT c.event_type, c.hod, max(m.n_days) AS n_days,
+  max(m.med_c) AS med_c, max(m.mad_c) AS mad_c,
+  CAST(SUM(CASE WHEN m.mad_c > 0
+       AND abs(c.c - m.med_c) > 3 * 1.4826 * m.mad_c
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous_days
+FROM cells c JOIN mad m ON c.event_type = m.event_type AND c.hod = m.hod
+GROUP BY c.event_type, c.hod
+""",
+    doc="Seasonal anomaly detection: the (event_type, hour-of-day) "
+    "baseline is the MEDIAN daily count with its MAD (the same robust "
+    "pair as the MAD profile — exact interpolated quantiles, Spark "
+    "percentile == DuckDB quantile_cont), and a (type, day, hour) cell "
+    "is anomalous when it sits beyond 3 robust sigma of its hour's "
+    "baseline. Shuffles carry (type, day, hour) BIGINT counts — one "
+    "partial-aggregating rollup, two baseline joins broadcast "
+    "(baseline is |types| x 24 rows). At 100 TB the medians move to "
+    "percentile_approx with the scoring pass unchanged.",
+)
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    base = cells.groupBy("event_type", "hod").agg(
+        F.percentile("c", F.lit(0.5)).alias("med_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    mad = (
+        cells.join(F.broadcast(base), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.max("med_c").alias("med_c"),
+            F.max("n_days").alias("n_days"),
+            F.percentile(F.abs(F.col("c") - F.col("med_c")), F.lit(0.5)).alias(
+                "mad_c"
+            ),
+        )
+    )
+    return (
+        cells.join(F.broadcast(mad), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.max("med_c").alias("med_c"),
+            F.max("mad_c").alias("mad_c"),
+            F.sum(
+                F.when(
+                    (F.col("mad_c") > 0)
+                    & (
+                        F.abs(F.col("c") - F.col("med_c"))
+                        > 3 * 1.4826 * F.col("mad_c")
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalous_days"),
+        )
+    )
