@@ -303,3 +303,31 @@ def test_pq_wide_codebook_improves_recall(spark, emb):
     assert r_wide >= 0.7, f"wide-codebook recall@10 {r_wide} < 0.7"
     # self-match survives
     assert 13 in got_wide
+
+
+def test_metadata_rows_memo_invalidates_on_artifact_change(spark, tmp_path):
+    """The driver-side artifact memo (codebook/radii/entries reads) is
+    keyed on a content fingerprint: rewriting the artifact must refresh
+    the cached rows, and an untouched artifact must serve from cache."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from cnc_visionsearch_spark.operators.ann import _metadata_rows
+
+    d = tmp_path / "artifact"
+    d.mkdir()
+
+    def write(vals, name="part-0.parquet"):
+        papq.write_table(
+            pa.table({"cell_id": vals}), str(d / name)
+        )
+
+    write([1, 2, 3])
+    assert [r["cell_id"] for r in _metadata_rows(str(d))] == [1, 2, 3]
+    # same content -> cached object identity (no re-read)
+    first = _metadata_rows(str(d))
+    assert _metadata_rows(str(d)) is first
+    # rewrite (append-style: extra file) -> fingerprint flips -> fresh read
+    write([9], name="part-1.parquet")
+    got = sorted(r["cell_id"] for r in _metadata_rows(str(d)))
+    assert got == [1, 2, 3, 9]
