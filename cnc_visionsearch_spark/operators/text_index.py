@@ -11,6 +11,15 @@ its terms' buckets: term lookup is partition pruning, and at 100 TB a
 phrase query reads |terms|/n_buckets of the postings instead of
 scanning the corpus. Positions in the row make phrase adjacency a
 per-row array intersection — no second corpus pass, no shuffle.
+
+``{path}/doclens`` is the layout's norms table — one (doc_id, dl) row
+per document, dl = whitespace token count. It is what lets RANKED
+probes (BM25, :func:`bm25_probe`) run without ever touching the
+corpus: tf and df come from the pruned postings buckets, dl from this
+table, and avgdl/N from its 1-row aggregate. Every production
+inverted index (Lucene norms, Tantivy fieldnorms) keeps exactly this
+side table; it is ~1/avg_dl the size of the postings and appends are
+per-document facts, so :func:`inverted_append` extends it O(batch).
 """
 
 from __future__ import annotations
@@ -27,6 +36,7 @@ __all__ = [
     "inverted_append",
     "term_bucket",
     "phrase_probe",
+    "bm25_probe",
 ]
 
 
@@ -45,10 +55,14 @@ def inverted_build(
     tokens (the corpus tokenization convention shared with every text
     oracle), aggregate per (term, doc) into tf + sorted positions, and
     write partitioned by the term's hash bucket. One shuffle, keyed on
-    (term, doc_id) — the shuffle carries positions, never text."""
+    (term, doc_id) — the shuffle carries positions, never text.
+
+    Also writes the ``doclens`` norms table (doc_id, dl) — shuffle-free
+    (a per-row projection of the same scan)."""
     _postings(docs, n_buckets).write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(f"{path}/postings")
+    _doclens(docs).write.mode("overwrite").parquet(f"{path}/doclens")
 
 
 def _postings(docs: DataFrame, n_buckets: int) -> DataFrame:
@@ -65,6 +79,13 @@ def _postings(docs: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+def _doclens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("dl"),
+    )
+
+
 def inverted_append(
     docs: DataFrame, path: str, n_buckets: int = 16
 ) -> None:
@@ -77,6 +98,7 @@ def inverted_append(
     _postings(docs, n_buckets).write.mode("append").partitionBy(
         "bucket"
     ).parquet(f"{path}/postings")
+    _doclens(docs).write.mode("append").parquet(f"{path}/doclens")
 
 
 def phrase_probe(
@@ -111,4 +133,72 @@ def phrase_probe(
             .alias("n_occurrences"),
         )
         .filter(F.col("n_occurrences") > 0)
+    )
+
+
+def bm25_probe(
+    spark,
+    path: str,
+    terms: list[str],
+    n_buckets: int = 16,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Ranked BM25 retrieval served ENTIRELY from the persisted layout
+    — no corpus scan: tf and df come from the query terms' pruned
+    postings buckets (|terms|/n_buckets of the postings files), dl from
+    the ``doclens`` norms table, N/avgdl from its 1-row aggregate.
+
+    Same determinism doctrine as queries_hybrid._bm25_scored (the
+    corpus-rescan BM25 this probe must hash-match): rational
+    probabilistic idf (N - df + 0.5)/(df + 0.5) without ln() (libm
+    independence), each per-(doc, term) score a single double chain
+    quantized at 1e-9 and BIGINT-summed so the cross-term reduction is
+    order-free. Returns (doc_id, n_terms, score_q) for docs matching
+    >= 1 term.
+
+    100 TB shape: postings reads are partition-pruned; the df table is
+    <= |terms| rows (broadcast); N/avgdl is 1 row (broadcast); the only
+    doc-keyed join is matched-postings x doclens — the norms table is
+    ~1/avg_dl the corpus and the matched side is term-selective, which
+    AQE is free to broadcast. This is Lucene's execution shape on a
+    data lake."""
+    from cnc_visionsearch_spark.functions.vector import fixed_point_q
+
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+    posts = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("term", "doc_id", F.col("tf").cast("double").alias("tf"))
+    )
+    dfreq = posts.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    dl = spark.read.parquet(f"{path}/doclens").select(
+        "doc_id", F.col("dl").cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    scored = (
+        posts.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    return (
+        scored.select("doc_id", fixed_point_q(term_score).alias("sq"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("sq").alias("score_q"),
+        )
     )

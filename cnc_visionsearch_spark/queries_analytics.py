@@ -581,9 +581,11 @@ def ensure_inverted_built(spark: SparkSession, sf_dir: str) -> str:
     from cnc_visionsearch_spark.operators.text_index import inverted_build
     from cnc_visionsearch_spark.queries_ann import _ARTIFACT_ROOT, _corpus_tag
 
+    # v2: layout gained the doclens norms table (BM25 serving) — the
+    # version suffix retires any v1 artifact dir that lacks it.
     path = (
         f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir, 'documents')}"
-        f"/inverted_b{_INV_BUCKETS}"
+        f"/inverted_b{_INV_BUCKETS}v2"
     )
     if not os.path.exists(os.path.join(path, "_BUILT")):
         docs = load_table(spark, sf_dir, "documents")
@@ -1337,4 +1339,76 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_anomalous_days"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval served from the inverted layout
+
+_BM25_IDX_TERMS = ("query", "window", "stream")
+
+
+@register(
+    "text_inverted_bm25_topk",
+    oracle=f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+qtok AS (SELECT doc_id, tok FROM tok
+         WHERE tok IN ({", ".join(f"'{t}'" for t in _BM25_IDX_TERMS)})),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+  FROM qtok GROUP BY doc_id, tok
+),
+dfreq AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM qtok GROUP BY tok
+),
+corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+avg AS (SELECT sum(dl) / count(*) AS avgdl FROM dl),
+perterm AS (
+  SELECT tf.doc_id,
+    CAST(floor(
+      (((n_docs - df + 0.5) / (df + 0.5))
+        * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+      * 1000000000.0 + 0.5) AS BIGINT) AS sq
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), corpus, avg
+),
+bm25 AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+    CAST(sum(sq) AS BIGINT) AS score_q
+  FROM perterm GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score_q
+FROM bm25
+ORDER BY score_q DESC, doc_id ASC
+LIMIT 10
+""",
+    doc=f"BM25 top-10 for '{' '.join(_BM25_IDX_TERMS)}' served ENTIRELY "
+    "from the persisted inverted layout (operators/text_index.bm25_probe) "
+    "— tf/df from the query terms' pruned postings buckets, dl from the "
+    "doclens norms table, N/avgdl from its 1-row aggregate; the corpus "
+    "text is never read. The oracle recomputes BM25 from the raw text "
+    "(same rational-idf, 1e-9-quantized doctrine as text_bm25_topk), so "
+    "the hash gate proves index-served ranking == corpus-truth ranking. "
+    "This is the difference between the data-lake BM25 (one corpus scan "
+    "per query, text_bm25_topk) and the search-engine BM25 (reads "
+    "|terms|/n_buckets of an index ~1/avg_dl the corpus size) — the "
+    "shape that answers lexical queries at 100 TB without touching "
+    "100 TB.",
+)
+def text_inverted_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.text_index import bm25_probe
+
+    path = ensure_inverted_built(spark, sf_dir)
+    return (
+        bm25_probe(
+            spark, path, list(_BM25_IDX_TERMS), n_buckets=_INV_BUCKETS
+        )
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(10)
     )

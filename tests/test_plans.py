@@ -554,3 +554,17 @@ def test_inverted_phrase_probe_schema_is_postings_only(spark, queries):
     assert files and all("inverted" in f for f in files)
     pf = [ln for ln in plan_of(df).splitlines() if "PartitionFilters" in ln]
     assert pf and any("bucket" in ln and "IN (" in ln for ln in pf)
+
+
+def test_inverted_bm25_probe_reads_index_only(spark, queries):
+    """text_inverted_bm25_topk is served entirely from the inverted
+    layout: every input file is postings or doclens (the corpus
+    documents table is never scanned), and the postings scan is
+    partition-pruned to the query terms' buckets."""
+    df = queries["text_inverted_bm25_topk"](spark, SF)
+    files = df.inputFiles()
+    assert files and all("inverted" in f for f in files)
+    assert any("doclens" in f for f in files)
+    assert any("postings" in f for f in files)
+    pf = [ln for ln in plan_of(df).splitlines() if "PartitionFilters" in ln]
+    assert pf and any("bucket" in ln and "IN (" in ln for ln in pf)
