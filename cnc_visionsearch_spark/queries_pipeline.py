@@ -865,3 +865,86 @@ def emb_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("drift").desc(), F.col("dim").asc())
         .limit(10)
     )
+
+
+# ------------------------------------------- weighted priority sampling
+
+# the f = h1 / 2^e mantissa and the Padé ln-approx, kept textually
+# identical on both engines (each piece is a per-row double chain)
+_AES_N = 100
+
+
+@register(
+    "doc_weighted_priority_sample",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS weight,
+    CAST(n_chars AS DOUBLE) AS w,
+    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2147483647) + 1 AS h1
+  FROM documents WHERE n_chars > 0
+),
+pr AS (
+  SELECT doc_id, lang, source, weight,
+    CAST(floor(
+      ((((31.0 - CAST(length(bin(h1)) - 1 AS DOUBLE)) * 0.6931471805599453)
+        - (2.0 * ((h1 / CAST(1::BIGINT << (length(bin(h1)) - 1) AS DOUBLE)) - 1.0))
+          / ((h1 / CAST(1::BIGINT << (length(bin(h1)) - 1) AS DOUBLE)) + 1.0))
+       / w) * 1000000000.0 + 0.5) AS BIGINT) AS priority_q
+  FROM h
+)
+SELECT doc_id, lang, source, weight, priority_q
+FROM pr ORDER BY priority_q ASC, doc_id ASC LIMIT 100
+""",
+    doc="Fixed-size weighted sample WITHOUT replacement in one scan — "
+    "the A-ES / exponential-race scheme (Efraimidis & Spirakis 2006): "
+    "each doc draws a deterministic uniform u = (md5-hash + 1) / 2^31 "
+    "and a race key -ln(u) / weight (weight = n_chars); the 100 "
+    "smallest keys ARE a weighted sample without replacement. ln is "
+    "libm-dependent, so it is computed EXACTLY-portably: e = "
+    "length(bin(h)) - 1 whole bits (the doc_unigram_surprisal idiom) "
+    "plus the Padé mantissa term 2(f-1)/(f+1), f = h/2^e in [1,2) — "
+    "literal-constant ln2, integer shifts, one per-row double chain "
+    "quantized at 1e-9 (max approximation error 1.7e-3 in ln-space, "
+    "distributionally negligible, deterministic on both engines by "
+    "construction). 100 TB story: NO global sort, no per-stratum "
+    "pass — the plan is scan -> per-row key -> TakeOrderedAndProject "
+    "(per-partition top-100 + driver merge of 100-row heaps), the only "
+    "scale-safe way to draw a quality-weighted training subset from "
+    "the full corpus; re-running on an appended corpus preserves prior "
+    "draws' keys (hash-deterministic), so the sample is reproducible "
+    "and incrementally mergeable.",
+)
+def doc_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h1 = (
+        hex_to_long(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8)
+        )
+        % F.lit(2147483647)
+        + F.lit(1)
+    )
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        F.col("n_chars").cast("double").alias("w"),
+        h1.alias("h1"),
+    )
+    # textual twin of the oracle's chain: (31 - e)*ln2 - 2(f-1)/(f+1),
+    # then / w, quantized 1e-9
+    pr = base.withColumn(
+        "priority_q",
+        F.expr(
+            "CAST(floor("
+            "((((31.0 - CAST(length(bin(h1)) - 1 AS DOUBLE)) * 0.6931471805599453)"
+            "  - (2.0 * ((h1 / CAST(shiftleft(CAST(1 AS BIGINT), length(bin(h1)) - 1) AS DOUBLE)) - 1.0))"
+            "    / ((h1 / CAST(shiftleft(CAST(1 AS BIGINT), length(bin(h1)) - 1) AS DOUBLE)) + 1.0))"
+            " / w) * 1000000000.0 + 0.5) AS BIGINT)"
+        ),
+    )
+    return (
+        pr.select("doc_id", "lang", "source", "weight", "priority_q")
+        .orderBy(F.col("priority_q").asc(), F.col("doc_id").asc())
+        .limit(_AES_N)
+    )

@@ -136,3 +136,26 @@ def test_build_training_corpus_end_to_end(spark, tmp_path):
     ids1 = {r.doc_id for r in got.select("doc_id").collect()}
     ids2 = {r.doc_id for r in spark.read.parquet(out2).select("doc_id").collect()}
     assert ids1 == ids2
+
+
+def test_weighted_priority_sample_is_weighted_and_shuffle_free(spark):
+    """A-ES sampling must (a) plan as TakeOrderedAndProject — a
+    per-partition top-k + driver heap merge, never a global sort
+    Exchange — and (b) actually tilt toward heavy docs: the sampled
+    mean weight exceeds the corpus mean (n_chars weighting)."""
+    from cnc_visionsearch_spark.queries_pipeline import (
+        doc_weighted_priority_sample,
+    )
+
+    df = doc_weighted_priority_sample(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+    rows = df.collect()
+    assert len(rows) == 100
+    sample_mean = sum(r.weight for r in rows) / len(rows)
+    corpus = load_table(spark, SF, "documents").agg(
+        F.avg("n_chars").alias("m")
+    ).collect()[0].m
+    assert sample_mean > corpus
