@@ -568,3 +568,12 @@ def test_inverted_bm25_probe_reads_index_only(spark, queries):
     assert any("postings" in f for f in files)
     pf = [ln for ln in plan_of(df).splitlines() if "PartitionFilters" in ln]
     assert pf and any("bucket" in ln and "IN (" in ln for ln in pf)
+
+
+def test_semdedup_rides_the_ivf_layout(spark, queries):
+    """emb_semdedup_cell_report reads the persisted IVF cells layout —
+    never the raw embeddings table — so semantic dedup costs one read
+    of an index the pipeline already maintains."""
+    df = queries["emb_semdedup_cell_report"](spark, SF)
+    files = df.inputFiles()
+    assert files and all("/cells/" in f for f in files)
