@@ -948,3 +948,240 @@ def doc_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority_q").asc(), F.col("doc_id").asc())
         .limit(_AES_N)
     )
+
+
+# ------------------------------------- trained quality classifier (GD)
+
+# fasttext-style linear quality classifier, trained by full-batch
+# gradient ascent with a libm-free rational sigmoid. lr/iters are
+# fixture-scale knobs; the TRAINER mechanics are the deliverable.
+_LOGREG_LR = 0.5
+_LOGREG_ITERS = 6
+_LOGREG_THR = 0.6
+_LOGREG_FEATURES = ("w0_bias", "w1_len", "w2_stopword", "w3_clean")
+
+
+def _logreg_feats_cte() -> str:
+    """Feature/label CTE — the doc_quality_scores surface features,
+    uncapped, plus the weak label quality >= threshold."""
+    from cnc_visionsearch_spark.queries_text import _SW
+
+    return f"""raw AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tok,
+    len(list_filter(string_split(text, ' '), t -> t IN ({_SW}))) AS sw_hits,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS non_alpha
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+    CAST(n_tok AS DOUBLE) / 100.0 AS x1,
+    (CAST(sw_hits AS DOUBLE) / CAST(n_tok AS DOUBLE)) * 4.0 AS x2,
+    1.0 - CAST(non_alpha AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) AS x3,
+    CASE WHEN (0.4 * least(n_tok / 100.0, 1.0)
+      + 0.3 * least((sw_hits::DOUBLE / n_tok::DOUBLE) * 4.0, 1.0)
+      + 0.3 * (1.0 - non_alpha::DOUBLE / greatest(n_chars::DOUBLE, 1.0)))
+      >= {_LOGREG_THR} THEN 1.0 ELSE 0.0 END AS y
+  FROM raw
+)"""
+
+
+def _logreg_z(w0: str, w1: str, w2: str, w3: str) -> str:
+    return f"((({w0} + ({w1} * x1)) + ({w2} * x2)) + ({w3} * x3))"
+
+
+def _logreg_gd_ctes() -> str:
+    """The unrolled GD rounds as chained CTEs (the doc_bpe_train_merges
+    replay discipline): each round aggregates 1e-9-quantized per-row
+    gradient contributions to exact BIGINTs, then forms the next weight
+    vector with the same double chain the Spark driver loop runs."""
+    ctes = ["w0s AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"]
+    for t in range(_LOGREG_ITERS):
+        z = _logreg_z("w0", "w1", "w2", "w3")
+        p = f"(0.5 + (({z} / (1.0 + abs({z}))) * 0.5))"
+        err = f"(y - {p})"
+
+        def g(xe: str) -> str:
+            return (
+                "CAST(SUM(CAST(floor((" + err + xe
+                + ") * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)"
+            )
+
+        ctes.append(
+            f"g{t + 1} AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            f"{g('')} AS g0, {g(' * x1')} AS g1, "
+            f"{g(' * x2')} AS g2, {g(' * x3')} AS g3 "
+            f"FROM feats CROSS JOIN w{t}s)"
+        )
+        wnew = ", ".join(
+            f"(w{j} + ({_LOGREG_LR} * ((CAST(g{j} AS DOUBLE) * 1e-9) "
+            f"/ CAST(n AS DOUBLE)))) AS w{j}"
+            for j in range(4)
+        )
+        ctes.append(
+            f"w{t + 1}s AS (SELECT {wnew} FROM w{t}s CROSS JOIN g{t + 1})"
+        )
+    return ",\n".join(ctes)
+
+
+def _logreg_feats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.text import (
+        quality_score,
+        stopword_ratio,
+        token_count,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    x1 = token_count(t).cast("double") / F.lit(100.0)
+    x2 = stopword_ratio(t) * F.lit(4.0)
+    n_chars = F.length(t).cast("double")
+    non_alpha = F.length(F.regexp_replace(t, r"[a-z0-9 ]", "")).cast("double")
+    x3 = F.lit(1.0) - non_alpha / F.greatest(n_chars, F.lit(1.0))
+    y = (
+        F.when(quality_score(t) >= F.lit(_LOGREG_THR), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    return d.select(
+        "doc_id",
+        x1.alias("x1"),
+        x2.alias("x2"),
+        x3.alias("x3"),
+        y.alias("y"),
+    )
+
+
+def _logreg_p(w: list[float]):
+    """The fast-sigmoid score column for a weight vector — textual twin
+    of the oracle's p expression."""
+    z = (
+        (F.lit(w[0]) + (F.lit(w[1]) * F.col("x1")))
+        + (F.lit(w[2]) * F.col("x2"))
+    ) + (F.lit(w[3]) * F.col("x3"))
+    return F.lit(0.5) + ((z / (F.lit(1.0) + F.abs(z))) * F.lit(0.5))
+
+
+def _train_quality_logreg(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[float], DataFrame]:
+    """Full-batch gradient ascent, one corpus scan per round (the
+    emb_kmeans_refine / pca_power_iter driver-loop shape): per-row
+    gradient contributions quantized at 1e-9, summed as exact BIGINTs,
+    weights advanced driver-side with the identical double chain the
+    oracle CTEs run."""
+    feats = _logreg_feats_df(spark, sf_dir).localCheckpoint()
+    w = [0.0, 0.0, 0.0, 0.0]
+    xs = [None, "x1", "x2", "x3"]
+    for _ in range(_LOGREG_ITERS):
+        p = _logreg_p(w)
+        err = F.col("y") - p
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for j, xc in enumerate(xs):
+            contrib = err if xc is None else (err * F.col(xc))
+            aggs.append(F.sum(fixed_point_q(contrib)).alias(f"g{j}"))
+        row = feats.agg(*aggs).collect()[0]
+        n = row.n
+        w = [
+            w[j] + (_LOGREG_LR * ((row[f"g{j}"] * 1e-9) / n))
+            for j in range(4)
+        ]
+    return w, feats
+
+
+@register(
+    "doc_quality_classifier_weights",
+    oracle=f"""
+WITH {_logreg_feats_cte()},
+{_logreg_gd_ctes()}
+SELECT feature, weight_q FROM (
+  SELECT 'w0_bias' AS feature,
+    CAST(floor(w0 * 1000000000.0 + 0.5) AS BIGINT) AS weight_q
+  FROM w{_LOGREG_ITERS}s
+  UNION ALL SELECT 'w1_len',
+    CAST(floor(w1 * 1000000000.0 + 0.5) AS BIGINT) FROM w{_LOGREG_ITERS}s
+  UNION ALL SELECT 'w2_stopword',
+    CAST(floor(w2 * 1000000000.0 + 0.5) AS BIGINT) FROM w{_LOGREG_ITERS}s
+  UNION ALL SELECT 'w3_clean',
+    CAST(floor(w3 * 1000000000.0 + 0.5) AS BIGINT) FROM w{_LOGREG_ITERS}s
+)
+ORDER BY feature
+""",
+    doc="Trained linear quality classifier, the fasttext-pattern "
+    "distillation a pre-training pipeline runs (weak labels from an "
+    "expensive judge -> cheap linear scorer over surface features): "
+    f"{_LOGREG_ITERS} full-batch gradient-ascent rounds, lr "
+    f"{_LOGREG_LR}, label = quality-heuristic >= {_LOGREG_THR}, "
+    "features = the uncapped doc_quality_scores components. The "
+    "sigmoid is the rational fast-sigmoid 0.5 + z/(2(1+|z|)) — exact "
+    "arithmetic, no exp() (libm would break the gate); per-row "
+    "gradient contributions are 1e-9-quantized and summed as exact "
+    "BIGINTs, so each round is ONE corpus scan reducing to 5 integers "
+    "— the only communication a 1000-executor GD round needs. The "
+    "oracle replays every round as chained CTEs with the identical "
+    "double chain; hash-matching the final quantized weights proves "
+    "distributed training == sequential replay bit-for-bit.",
+)
+def doc_quality_classifier_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    w, _ = _train_quality_logreg(spark, sf_dir)
+    rows = [
+        (name, int(math.floor(w[j] * 1000000000.0 + 0.5)))
+        for j, name in enumerate(_LOGREG_FEATURES)
+    ]
+    return (
+        spark.createDataFrame(rows, "feature string, weight_q bigint")
+        .orderBy("feature")
+    )
+
+
+@register(
+    "doc_quality_classifier_report",
+    oracle=f"""
+WITH {_logreg_feats_cte()},
+{_logreg_gd_ctes()},
+final AS (
+  SELECT y,
+    (0.5 + (({_logreg_z("w0", "w1", "w2", "w3")}
+      / (1.0 + abs({_logreg_z("w0", "w1", "w2", "w3")}))) * 0.5)) AS p
+  FROM feats CROSS JOIN w{_LOGREG_ITERS}s
+)
+SELECT CAST(y AS BIGINT) AS label,
+  CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CAST(floor(p * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_score_q
+FROM final GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="Confusion matrix + quantized score mass of the trained "
+    "quality classifier (same GD replay as "
+    "doc_quality_classifier_weights): label vs thresholded "
+    "fast-sigmoid prediction at 0.5. The scoring pass is one corpus "
+    "scan with four broadcast scalar weights — at 100 TB this is the "
+    "shape of every learned-filter application: train rarely, score "
+    "as a per-row codegen expression, never a UDF.",
+)
+def doc_quality_classifier_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    w, feats = _train_quality_logreg(spark, sf_dir)
+    p = _logreg_p(w)
+    return (
+        feats.select(
+            F.col("y").cast("bigint").alias("label"),
+            F.when(p >= F.lit(0.5), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("pred"),
+            fixed_point_q(p).alias("pq"),
+        )
+        .groupBy("label", "pred")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("pq").cast("bigint").alias("sum_score_q"),
+        )
+        .orderBy("label", "pred")
+    )

@@ -159,3 +159,31 @@ def test_weighted_priority_sample_is_weighted_and_shuffle_free(spark):
         F.avg("n_chars").alias("m")
     ).collect()[0].m
     assert sample_mean > corpus
+
+
+def test_quality_logreg_learns_and_is_deterministic(spark):
+    """The GD trainer must actually learn (the length feature carries
+    the heuristic's largest coefficient and must come out positive;
+    accuracy beats the majority-class baseline) and be bit-stable
+    across runs (quantized-gradient reductions leave nothing to
+    partition order)."""
+    from cnc_visionsearch_spark.queries_pipeline import (
+        _logreg_p,
+        _train_quality_logreg,
+    )
+
+    w1, feats = _train_quality_logreg(spark, SF)
+    w2, _ = _train_quality_logreg(spark, SF)
+    assert w1 == w2
+    assert w1[1] > 0.0  # length component learned positive
+
+    p = _logreg_p(w1)
+    hits = feats.select(
+        (
+            (p >= F.lit(0.5)).cast("int") == F.col("y").cast("int")
+        ).cast("int").alias("ok")
+    )
+    acc = hits.agg(F.avg("ok")).collect()[0][0]
+    n_pos = feats.agg(F.avg("y")).collect()[0][0]
+    majority = max(n_pos, 1.0 - n_pos)
+    assert acc > majority
