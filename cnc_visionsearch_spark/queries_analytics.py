@@ -1412,3 +1412,164 @@ def text_inverted_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance under DELETES (retractions)
+
+_IVM_DEL_CUTOFF = "1998-06-01"
+
+
+@register(
+    "orders_incremental_agg_retract",
+    oracle=f"""
+SELECT CAST(o_orderdate AS DATE) AS order_date,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders
+WHERE NOT (o_orderdate >= '{_IVM_DEL_CUTOFF}')
+GROUP BY 1
+""",
+    doc="Incremental view maintenance under DELETES — the retraction "
+    "half of the orders_incremental_daily_agg invariant: the Spark "
+    "side holds the persisted BASE partials over ALL orders, applies "
+    f"a retraction batch (orders on/after {_IVM_DEL_CUTOFF}) as "
+    "NEGATED partials (-count, -decimal sum), merges, and drops "
+    "groups whose maintained count reaches zero — the subtlety "
+    "retraction IVM actually has to get right (a zero-count group "
+    "must disappear, not linger as an empty row). The oracle "
+    "recomputes from scratch over the surviving rows; hash-match IS "
+    "merge(partial(base), -partial(deleted)) == agg(base MINUS "
+    "deleted). Exact DECIMAL partials make the merge order-free. At "
+    "100 TB this is how a GDPR delete or a bad-batch rollback "
+    "updates a corpus-scale rollup by touching only the deleted "
+    "rows' partitions.",
+)
+def orders_incremental_agg_retract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_IVM_DEL_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy(
+            F.col("o_orderdate").cast("date").alias("order_date")
+        ).agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias("pn"),
+            (
+                F.lit(sign)
+                * F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            ).alias("prev"),
+        )
+
+    base = partial(orders, 1)
+    retract = partial(orders.filter(F.col("o_orderdate") >= cutoff), -1)
+    return (
+        base.unionAll(retract)
+        .groupBy("order_date")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_orders"),
+            F.sum("prev").cast("double").alias("revenue"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# watermark late-data audit
+
+_LATE_DELAY_MIN = 10
+
+
+@register(
+    "events_late_data_audit",
+    oracle=f"""
+WITH arr AS (
+  SELECT event_type, user_id, event_id, ts::TIMESTAMP AS ts,
+    MAX(ts::TIMESTAMP) OVER (
+      PARTITION BY user_id
+      ORDER BY ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT,
+               event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS hwm
+  FROM events
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN ts < hwm - INTERVAL '{_LATE_DELAY_MIN} minutes'
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_late_dropped,
+  CAST(SUM(CASE WHEN ts < hwm AND
+       ts >= hwm - INTERVAL '{_LATE_DELAY_MIN} minutes'
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_late_in_grace,
+  CAST(COALESCE(MAX(CASE WHEN ts < hwm
+       THEN date_diff('second', ts, hwm) END), 0) AS BIGINT)
+    AS max_lateness_s
+FROM arr GROUP BY event_type ORDER BY event_type
+""",
+    doc="Watermark sizing audit — the question every Structured "
+    "Streaming deployment must answer BEFORE picking "
+    f"withWatermark(): with a {_LATE_DELAY_MIN}-minute delay, how "
+    "much data would each stream drop? Arrival order is a per-key "
+    "ingestion sequence (the Kafka-partition-per-key model) — the "
+    "fixture's event_id is time-ordered, so arrival is the "
+    "deterministic md5 permutation of event_id, which models the "
+    "shuffled interleaving real collectors produce (on production "
+    "logs, substitute the ingest offset column). The high-water mark "
+    "is the running max event time over STRICTLY EARLIER arrivals "
+    "within the key, and an event is "
+    "max event time over STRICTLY EARLIER arrivals, and an event is "
+    "late-dropped when it sits more than the delay behind that mark, "
+    "late-in-grace when inside it. The window is partitioned by "
+    "user_id — per-key state exactly like the streaming watermark "
+    "itself, never a global sort. Output per event_type: totals, "
+    "drop/grace splits, worst lateness in seconds.",
+)
+def events_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.text import hex_to_long
+
+    ev = load_table(spark, sf_dir, "events")
+    arrival = hex_to_long(
+        F.substring(
+            F.md5(F.col("event_id").cast("string").cast("binary")), 1, 8
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(arrival.asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    delay = F.expr(f"INTERVAL {_LATE_DELAY_MIN} MINUTES")
+    arr = ev.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("hwm"),
+    )
+    late = F.col("ts") < F.col("hwm")
+    dropped = F.col("ts") < (F.col("hwm") - delay)
+    return (
+        arr.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(dropped, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_late_dropped"),
+            F.sum(F.when(late & ~dropped, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_late_in_grace"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        late,
+                        (
+                            F.col("hwm").cast("long")
+                            - F.col("ts").cast("long")
+                        ),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("max_lateness_s"),
+        )
+        .orderBy("event_type")
+    )
