@@ -1573,3 +1573,143 @@ def events_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis (deterministic hash assignment)
+
+
+@register(
+    "events_ab_experiment",
+    oracle="""
+WITH assign AS (
+  SELECT DISTINCT user_id,
+    CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS BIGINT)
+      AS arm
+  FROM events
+),
+conv AS (
+  SELECT user_id,
+    CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         >= 14 THEN 1 ELSE 0 END AS BIGINT) AS converted,
+    CAST(SUM(CASE WHEN event_type = 'purchase'
+         THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+      AS DOUBLE) AS purchase_value
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+    CAST(SUM(converted) AS BIGINT) AS n_converted,
+    CAST(SUM(CAST(floor(purchase_value * 1000000000.0 + 0.5) AS BIGINT))
+      AS BIGINT) AS value_q
+  FROM assign JOIN conv USING (user_id) GROUP BY arm
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
+    MAX(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+    MAX(CASE WHEN arm = 1 THEN n_users END) AS n1,
+    MAX(CASE WHEN arm = 1 THEN n_converted END) AS c1,
+    MAX(CASE WHEN arm = 0 THEN value_q END) AS v0_q,
+    MAX(CASE WHEN arm = 1 THEN value_q END) AS v1_q
+  FROM arms
+)
+SELECT n0, c0, n1, c1, v0_q, v1_q,
+  ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+    - (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))) AS lift,
+  (((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+    - (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+   / sqrt(((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+     * (1.0 - (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))))
+     * ((1.0 / CAST(n0 AS DOUBLE)) + (1.0 / CAST(n1 AS DOUBLE))))) AS z_score
+FROM wide
+""",
+    doc="Two-arm experiment readout — the analytics workload every "
+    "event platform runs daily: deterministic assignment (md5(user) "
+    "mod 2 — the hash-bucket split production experiment systems use, "
+    "reproducible across engines and re-runs), per-user conversion "
+    "(heavy purchaser, >= 14 purchases — a mid-prevalence metric on "
+    "the fixture; production swaps the predicate for its conversion "
+    "event) and DECIMAL-exact purchase value, then the pooled "
+    "two-proportion z-test. All moments reduce to exact integers "
+    "(counts + 1e-9-quantized value mass); lift and z are single "
+    "double chains over those integers — sqrt is IEEE "
+    "correctly-rounded, so the chain is bit-identical cross-engine "
+    "(same doctrine as events_hourly_autocorr). 100 TB: two shuffles "
+    "(user grain, then a 2-row arm rollup) — assignment is a hash, "
+    "never a join against an assignment table.",
+)
+def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.text import hex_to_long
+    from cnc_visionsearch_spark.functions.vector import fixed_point_q
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        hex_to_long(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8
+            )
+        )
+        % 2
+    ).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("converted"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        )
+        .cast("double")
+        .alias("purchase_value"),
+    )
+    arms = (
+        per_user.withColumn("arm", arm)
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.sum(fixed_point_q("purchase_value"))
+            .cast("bigint")
+            .alias("value_q"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c1"),
+        F.max(F.when(F.col("arm") == 0, F.col("value_q"))).alias("v0_q"),
+        F.max(F.when(F.col("arm") == 1, F.col("value_q"))).alias("v1_q"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    se = F.sqrt(
+        (pp * (F.lit(1.0) - pp))
+        * (
+            (F.lit(1.0) / F.col("n0").cast("double"))
+            + (F.lit(1.0) / F.col("n1").cast("double"))
+        )
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        "v0_q",
+        "v1_q",
+        (p1 - p0).alias("lift"),
+        ((p1 - p0) / se).alias("z_score"),
+    )
