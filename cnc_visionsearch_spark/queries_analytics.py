@@ -1713,3 +1713,140 @@ def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p1 - p0).alias("lift"),
         ((p1 - p0) / se).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pseudo-relevance-feedback query expansion over the inverted layout
+
+_PRF_SEEDS = ("spark", "scan")
+_PRF_FB_DOCS = 10
+
+
+@register(
+    "text_prf_expansion",
+    oracle=f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+qtok AS (SELECT doc_id, tok FROM tok
+         WHERE tok IN ({", ".join(f"'{t}'" for t in _PRF_SEEDS)})),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+  FROM qtok GROUP BY doc_id, tok
+),
+dfreq AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM qtok GROUP BY tok
+),
+corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+avg AS (SELECT sum(dl) / count(*) AS avgdl FROM dl),
+perterm AS (
+  SELECT tf.doc_id,
+    CAST(floor(
+      (((n_docs - df + 0.5) / (df + 0.5))
+        * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+      * 1000000000.0 + 0.5) AS BIGINT) AS sq
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), corpus, avg
+),
+fb AS (
+  SELECT doc_id, CAST(sum(sq) AS BIGINT) AS score_q
+  FROM perterm GROUP BY doc_id
+  ORDER BY score_q DESC, doc_id ASC LIMIT {_PRF_FB_DOCS}
+),
+fbterms AS (
+  SELECT t.tok AS term, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS df_fb
+  FROM tok t JOIN fb USING (doc_id)
+  WHERE t.tok NOT IN ({", ".join(f"'{t}'" for t in _PRF_SEEDS)})
+  GROUP BY t.tok
+),
+gdf AS (
+  SELECT t.tok AS term, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS df
+  FROM tok t
+  WHERE t.tok IN (SELECT term FROM fbterms)
+  GROUP BY t.tok
+)
+SELECT f.term, f.df_fb, g.df,
+  CAST(floor(
+    ((CAST(f.df_fb AS DOUBLE) / {float(_PRF_FB_DOCS)})
+     / (CAST(g.df AS DOUBLE) / (SELECT n_docs FROM corpus)))
+    * 1000000000.0 + 0.5) AS BIGINT) AS lift_q
+FROM fbterms f JOIN gdf g USING (term)
+ORDER BY lift_q DESC, term ASC LIMIT 10
+""",
+    doc=f"Pseudo-relevance-feedback query expansion (Rocchio/RM "
+    f"pattern) for the seed query '{' '.join(_PRF_SEEDS)}', served by "
+    "the index tiers end to end: (1) BM25 top-"
+    f"{_PRF_FB_DOCS} feedback docs from the pruned postings probe "
+    "(bm25_probe — never a corpus scan), (2) the feedback ids — a "
+    f"bounded <= {_PRF_FB_DOCS}-row collect, the ivf_probe_cells "
+    "pattern — become PUSHED point-read predicates on the documents "
+    "table, (3) candidate terms (the feedback docs' vocabulary, "
+    "bounded by 10 docs' distinct tokens) prune the postings buckets "
+    "driver-side for global df, (4) rank by quantized rarity lift "
+    "(share-in-feedback / share-in-corpus — the rational RSJ form, no "
+    "log, same libm doctrine as BM25 itself). The oracle rescans raw "
+    "text for every stage, so the gate proves the full two-round-trip "
+    "index-served flow equals corpus truth. This is how a search "
+    "engine proposes expansion terms at 100 TB: every stage reads "
+    "either a pruned index slice or <= 10 documents.",
+)
+def text_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import fixed_point_q
+    from cnc_visionsearch_spark.operators.text_index import (
+        bm25_probe,
+        term_bucket,
+    )
+
+    path = ensure_inverted_built(spark, sf_dir)
+    fb = (
+        bm25_probe(spark, path, list(_PRF_SEEDS), n_buckets=_INV_BUCKETS)
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(_PRF_FB_DOCS)
+    )
+    # bounded collect: <= _PRF_FB_DOCS ids (the ivf_probe_cells pattern)
+    fb_ids = [r.doc_id for r in fb.select("doc_id").collect()]
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isin(fb_ids)
+    )
+    fbterms = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+        )
+        .filter(~F.col("term").isin(list(_PRF_SEEDS)))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df_fb"))
+    )
+    # bounded collect: the feedback docs' vocabulary (10 docs' tokens)
+    cand = [r.term for r in fbterms.select("term").collect()]
+    buckets = sorted({term_bucket(t, _INV_BUCKETS) for t in cand})
+    gdf = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(cand))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    n_docs = (
+        spark.read.parquet(f"{path}/doclens")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
+    lift = (
+        F.col("df_fb").cast("double") / F.lit(float(_PRF_FB_DOCS))
+    ) / (F.col("df").cast("double") / F.col("n_docs"))
+    return (
+        fbterms.join(gdf, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df_fb",
+            "df",
+            fixed_point_q(lift).alias("lift_q"),
+        )
+        .orderBy(F.col("lift_q").desc(), F.col("term").asc())
+        .limit(10)
+    )
