@@ -51,6 +51,8 @@ HEADLINE = [
     "ann_nsw_beam_topk",
     "knn_sharded_topk",
     "text_search_topk",
+    # lexical retrieval served from the persisted inverted index
+    "text_inverted_bm25_topk",
     # multimodal Arrow plumbing
     "mm_media_metadata",
     # data layout: Morton-key tile profile (the z-order pruning tier)
