@@ -25,6 +25,7 @@ per-document facts, so :func:`inverted_append` extends it O(batch).
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -34,7 +35,10 @@ from cnc_visionsearch_spark.operators.dedup import _MERSENNE31, _base_hash
 __all__ = [
     "inverted_build",
     "inverted_append",
+    "inverted_delete",
     "term_bucket",
+    "read_postings",
+    "read_doclens",
     "phrase_probe",
     "bm25_probe",
 ]
@@ -101,6 +105,45 @@ def inverted_append(
     _doclens(docs).write.mode("append").parquet(f"{path}/doclens")
 
 
+def inverted_delete(spark, path: str, doc_ids: list[int]) -> None:
+    """Tombstone delete from the inverted layout — the document
+    analog of operators/ann.ivf_delete (and another operation the
+    reference structurally lacks, main.py:119-126): append the doc ids
+    to ``{path}/tombstones``; EVERY probe reads postings and doclens
+    through :func:`read_postings` / :func:`read_doclens`, which
+    anti-join the broadcast-small tombstone set — deleted documents
+    disappear from hits, tf/df, and the N/avgdl norms immediately,
+    resident postings files stay byte-identical. O(batch); physical
+    removal rides the layout's next compaction/rebuild."""
+    df = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id bigint")
+    df.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def _without_deleted(spark, path: str, df: DataFrame) -> DataFrame:
+    """Anti-join the layout's tombstones (broadcast — deletes are
+    batch-scale). No-op when the layout has none, so delete-free
+    layouts keep their exact plan shape."""
+    if not os.path.exists(f"{path}/tombstones"):
+        return df
+    tombs = (
+        spark.read.parquet(f"{path}/tombstones").select("doc_id").distinct()
+    )
+    return df.join(F.broadcast(tombs), "doc_id", "left_anti")
+
+
+def read_postings(spark, path: str) -> DataFrame:
+    """The ONLY sanctioned way to read ``{path}/postings`` — applies
+    the tombstone filter so no probe path can resurrect deleted
+    documents (the ANN tiers' read-through-the-filter doctrine)."""
+    return _without_deleted(spark, path, spark.read.parquet(f"{path}/postings"))
+
+
+def read_doclens(spark, path: str) -> DataFrame:
+    """Tombstone-aware reader for the doclens norms table: deleted
+    documents leave N and avgdl as if they were never indexed."""
+    return _without_deleted(spark, path, spark.read.parquet(f"{path}/doclens"))
+
+
 def phrase_probe(
     spark, path: str, first: str, second: str, n_buckets: int = 16
 ) -> DataFrame:
@@ -111,7 +154,7 @@ def phrase_probe(
     array arithmetic on metadata-sized rows. Returns
     (doc_id, n_occurrences > 0)."""
     buckets = sorted({term_bucket(first, n_buckets), term_bucket(second, n_buckets)})
-    posts = spark.read.parquet(f"{path}/postings").filter(
+    posts = read_postings(spark, path).filter(
         F.col("bucket").isin(buckets)
     )
     a = posts.filter(F.col("term") == first).select(
@@ -167,7 +210,7 @@ def bm25_probe(
 
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     posts = (
-        spark.read.parquet(f"{path}/postings")
+        read_postings(spark, path)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
         .select("term", "doc_id", F.col("tf").cast("double").alias("tf"))
@@ -175,7 +218,7 @@ def bm25_probe(
     dfreq = posts.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
-    dl = spark.read.parquet(f"{path}/doclens").select(
+    dl = read_doclens(spark, path).select(
         "doc_id", F.col("dl").cast("double").alias("dl")
     )
     stats = dl.agg(

@@ -613,9 +613,11 @@ ORDER BY doc_freq DESC, term ASC LIMIT 20
     "exact. The build shuffles (term, doc_id, positions), never text.",
 )
 def text_inverted_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.text_index import read_postings
+
     path = ensure_inverted_built(spark, sf_dir)
     return (
-        spark.read.parquet(f"{path}/postings")
+        read_postings(spark, path)
         .groupBy("term")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
@@ -1231,14 +1233,17 @@ ORDER BY tf_sum DESC, doc_id ASC LIMIT 10
     "the ranked multi-term path too.",
 )
 def text_inverted_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cnc_visionsearch_spark.operators.text_index import term_bucket
+    from cnc_visionsearch_spark.operators.text_index import (
+        read_postings,
+        term_bucket,
+    )
 
     path = ensure_inverted_built(spark, sf_dir)
     buckets = sorted(
         {term_bucket(t, _INV_BUCKETS) for t in _AND_TERMS}
     )
     posts = (
-        spark.read.parquet(f"{path}/postings")
+        read_postings(spark, path)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(list(_AND_TERMS)))
     )
@@ -1798,6 +1803,8 @@ def text_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnc_visionsearch_spark.functions.vector import fixed_point_q
     from cnc_visionsearch_spark.operators.text_index import (
         bm25_probe,
+        read_doclens,
+        read_postings,
         term_bucket,
     )
 
@@ -1825,14 +1832,14 @@ def text_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = [r.term for r in fbterms.select("term").collect()]
     buckets = sorted({term_bucket(t, _INV_BUCKETS) for t in cand})
     gdf = (
-        spark.read.parquet(f"{path}/postings")
+        read_postings(spark, path)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(cand))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     )
     n_docs = (
-        spark.read.parquet(f"{path}/doclens")
+        read_doclens(spark, path)
         .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     )
     lift = (
@@ -1848,5 +1855,118 @@ def text_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             fixed_point_q(lift).alias("lift_q"),
         )
         .orderBy(F.col("lift_q").desc(), F.col("term").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# inverted-index deletes: tombstoned layout, ranked probe reads through
+
+_INV_DEL_MOD = 7
+_INV_DEL_REM = 2
+
+
+def ensure_inverted_deleted_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Dedicated layout for the delete-probe query: full build, then
+    tombstone-delete every doc with doc_id % 7 == 2 (~14% of the
+    corpus — big enough that hits AND the N/avgdl norms must move).
+    Deletes target their own artifact dir so the shared layout stays
+    tombstone-free and every other probe keeps its exact plan shape
+    (the ensure_deleted_layout pattern from the IVF tier)."""
+    import os
+
+    from cnc_visionsearch_spark.operators.text_index import (
+        inverted_build,
+        inverted_delete,
+    )
+    from cnc_visionsearch_spark.queries_ann import _ARTIFACT_ROOT, _corpus_tag
+
+    path = (
+        f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir, 'documents')}"
+        f"/inverted_del_b{_INV_BUCKETS}"
+    )
+    marker = os.path.join(path, "_DELETED")
+    if not os.path.exists(marker):
+        docs = load_table(spark, sf_dir, "documents")
+        inverted_build(docs, path, n_buckets=_INV_BUCKETS)
+        ids = [
+            r.doc_id
+            for r in docs.filter(
+                F.col("doc_id") % _INV_DEL_MOD == _INV_DEL_REM
+            )
+            .select("doc_id")
+            .collect()
+        ]
+        inverted_delete(spark, path, ids)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "text_inverted_delete_bm25",
+    oracle=f"""
+WITH live AS (
+  SELECT * FROM documents
+  WHERE NOT (doc_id % {_INV_DEL_MOD} = {_INV_DEL_REM})
+),
+dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM live
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM live
+),
+qtok AS (SELECT doc_id, tok FROM tok
+         WHERE tok IN ({", ".join(f"'{t}'" for t in _BM25_IDX_TERMS)})),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+  FROM qtok GROUP BY doc_id, tok
+),
+dfreq AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM qtok GROUP BY tok
+),
+corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM live),
+avg AS (SELECT sum(dl) / count(*) AS avgdl FROM dl),
+perterm AS (
+  SELECT tf.doc_id,
+    CAST(floor(
+      (((n_docs - df + 0.5) / (df + 0.5))
+        * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+      * 1000000000.0 + 0.5) AS BIGINT) AS sq
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), corpus, avg
+),
+bm25 AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+    CAST(sum(sq) AS BIGINT) AS score_q
+  FROM perterm GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score_q
+FROM bm25
+ORDER BY score_q DESC, doc_id ASC
+LIMIT 10
+""",
+    doc="Delete semantics for the text index — the document analog of "
+    "ann_ivf_delete_probe, and one more operation the reference "
+    "structurally cannot do (main.py:119-126): ~14% of docs are "
+    "tombstoned (O(batch) append, resident postings files untouched) "
+    "and the SAME bm25_probe then ranks as if they were never "
+    "indexed — hits vanish AND tf/df/N/avgdl all shift, because every "
+    "probe path reads postings and doclens through the tombstone "
+    "anti-join (read_postings/read_doclens — the ANN tiers' "
+    "read-through-the-filter doctrine). The oracle recomputes BM25 "
+    "from the surviving raw text; hash-match proves no resurrection "
+    "and no stale norms. Production deletes pass a DataFrame of ids, "
+    "not a driver list; physical removal rides compaction.",
+)
+def text_inverted_delete_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.text_index import bm25_probe
+
+    path = ensure_inverted_deleted_layout(spark, sf_dir)
+    return (
+        bm25_probe(
+            spark, path, list(_BM25_IDX_TERMS), n_buckets=_INV_BUCKETS
+        )
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
         .limit(10)
     )

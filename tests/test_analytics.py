@@ -190,3 +190,48 @@ def test_maintenance_compacts_inverted_and_nsw_layouts(spark, tmp_path):
     }
     assert probe_after == probe_before
     assert nsw_search(spark, nsw, q, k=5) == nsw_before
+
+
+def test_inverted_delete_no_resurrection_and_resident_files_untouched(
+    spark, tmp_path
+):
+    """Tombstone-delete on the inverted layout: deleted docs vanish
+    from every probe (postings AND norms read through the filter),
+    resident postings files stay byte-identical, and the tombstone-free
+    layout keeps its plan shape (no tombstone scan)."""
+    import glob
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from cnc_visionsearch_spark.operators.text_index import (
+        bm25_probe,
+        inverted_build,
+        inverted_delete,
+        read_doclens,
+    )
+    from cnc_visionsearch_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 120)
+    idx = str(tmp_path / "inv")
+    inverted_build(docs, idx, n_buckets=4)
+
+    def digest():
+        out = {}
+        for f in sorted(glob.glob(f"{idx}/postings/**/*.parquet", recursive=True)):
+            out[f] = hashlib.md5(open(f, "rb").read()).hexdigest()
+        return out
+
+    before_files = digest()
+    full = bm25_probe(spark, idx, ["hash", "join"], n_buckets=4)
+    full_ids = {r.doc_id for r in full.collect()}
+    victims = sorted(full_ids)[:3]
+    inverted_delete(spark, idx, victims)
+
+    after = bm25_probe(spark, idx, ["hash", "join"], n_buckets=4)
+    after_ids = {r.doc_id for r in after.collect()}
+    assert not (after_ids & set(victims)), "deleted doc resurrected"
+    assert digest() == before_files, "delete rewrote resident files"
+    # norms shift: N excludes tombstoned docs
+    n_live = read_doclens(spark, idx).count()
+    assert n_live == docs.count() - len(victims)
