@@ -41,6 +41,7 @@ __all__ = [
     "read_doclens",
     "phrase_probe",
     "bm25_probe",
+    "bm25_multi_probe",
 ]
 
 
@@ -244,4 +245,85 @@ def bm25_probe(
             F.count(F.lit(1)).alias("n_terms"),
             F.sum("sq").alias("score_q"),
         )
+    )
+
+
+def bm25_multi_probe(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[str]]],
+    n_buckets: int = 16,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch BM25 kNN-join over the inverted layout — the lexical twin
+    of ann.ivf_knn_join_probe: MANY queries answered from ONE pruned
+    read of the union of their terms' buckets. Per-term, per-doc
+    scores depend only on (term, doc) — so the postings slice is
+    scored once and every query reuses it through a broadcast
+    (qid, term) join; the per-query reduction is a BIGINT sum of the
+    shared 1e-9-quantized scores (identical chain to
+    :func:`bm25_probe`, so single- and multi-query ranking cannot
+    drift). Top-k per qid via the row_number window Spark rewrites to
+    WindowGroupLimit. Returns (qid, doc_id, n_terms, score_q).
+
+    100 TB: one partition-pruned postings read + one doclens join pays
+    for the WHOLE query batch — the amortization that makes
+    micro-batch lexical serving (bm25_serving_stream) throughput-bound
+    instead of per-query-bound."""
+    from pyspark.sql import Window
+
+    from cnc_visionsearch_spark.functions.vector import fixed_point_q
+
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
+    posts = (
+        read_postings(spark, path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(all_terms))
+        .select("term", "doc_id", F.col("tf").cast("double").alias("tf"))
+    )
+    dfreq = posts.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    dl = read_doclens(spark, path).select(
+        "doc_id", F.col("dl").cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    scored = (
+        posts.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("term", "doc_id", fixed_point_q(term_score).alias("sq"))
+    )
+    qterms = spark.createDataFrame(
+        [(int(q), t) for q, ts in queries for t in ts],
+        "qid bigint, term string",
+    )
+    per_query = (
+        scored.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("sq").alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_query.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "doc_id", "n_terms", "score_q")
     )

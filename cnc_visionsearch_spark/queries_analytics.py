@@ -1970,3 +1970,96 @@ def text_inverted_delete_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# batch BM25 kNN-join (multi-query lexical retrieval)
+
+_BM25_BATCH = (
+    (0, ("query", "window")),
+    (1, ("stream", "scan")),
+    (2, ("hash", "join", "table")),
+)
+
+
+def _bm25_batch_qterms_values() -> str:
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in _BM25_BATCH for t in ts
+    )
+    return f"qterms(qid, tok) AS (VALUES {rows})"
+
+
+@register(
+    "text_bm25_batch_topk",
+    oracle=f"""
+WITH {_bm25_batch_qterms_values()},
+dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+atok AS (SELECT doc_id, tok FROM tok
+         WHERE tok IN (SELECT DISTINCT tok FROM qterms)),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+  FROM atok GROUP BY doc_id, tok
+),
+dfreq AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM atok GROUP BY tok
+),
+corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+avg AS (SELECT sum(dl) / count(*) AS avgdl FROM dl),
+perterm AS (
+  SELECT tf.doc_id, tf.tok,
+    CAST(floor(
+      (((n_docs - df + 0.5) / (df + 0.5))
+        * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+      * 1000000000.0 + 0.5) AS BIGINT) AS sq
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), corpus, avg
+),
+per_query AS (
+  SELECT q.qid, p.doc_id,
+    CAST(count(*) AS BIGINT) AS n_terms,
+    CAST(sum(p.sq) AS BIGINT) AS score_q
+  FROM perterm p JOIN qterms q USING (tok)
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id, n_terms, score_q,
+    row_number() OVER (PARTITION BY qid
+                       ORDER BY score_q DESC, doc_id ASC) AS rn
+  FROM per_query
+)
+SELECT qid, doc_id, n_terms, score_q FROM ranked WHERE rn <= 5
+ORDER BY qid, score_q DESC, doc_id
+""",
+    doc="Batch BM25 kNN-join — the lexical twin of ann_ivf_knn_join: "
+    f"{len(_BM25_BATCH)} queries answered from ONE pruned read of the "
+    "union of their terms' postings buckets. Per-(term, doc) scores "
+    "are computed once and shared across queries through a broadcast "
+    "(qid, term) join (scores depend only on the term and doc — the "
+    "amortization inverted indexes exist for); per-query reduction is "
+    "a BIGINT sum of the shared quantized scores, top-5 per qid via "
+    "the WindowGroupLimit shape. The oracle rescans raw text; "
+    "hash-match proves batch == per-query semantics. At 100 TB one "
+    "postings read + one doclens join pays for the whole query batch "
+    "— the shape micro-batch lexical serving (bm25_serving_stream) "
+    "replays per trigger.",
+)
+def text_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.text_index import bm25_multi_probe
+
+    path = ensure_inverted_built(spark, sf_dir)
+    res = bm25_multi_probe(
+        spark,
+        path,
+        [(q, list(ts)) for q, ts in _BM25_BATCH],
+        n_buckets=_INV_BUCKETS,
+        k=5,
+    )
+    return res.orderBy(
+        "qid", F.col("score_q").desc(), F.col("doc_id").asc()
+    )

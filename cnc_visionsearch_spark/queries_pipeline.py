@@ -1185,3 +1185,160 @@ def doc_quality_classifier_report(
         )
         .orderBy("label", "pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup riding the IVF index's cell partitioning
+
+_SEMDEDUP_TAU = 0.42  # fixture-calibrated; production SemDeDup uses ~0.95+
+
+
+def _semdedup_pairs_sql() -> str:
+    """Within-cell pair CTE shared by the two SemDeDup oracles —
+    IVF assignment replayed via queries_ann's normed/assigned CTEs."""
+    from cnc_visionsearch_spark.queries_ann import _IVF_CTE, _NORM_CTE
+
+    return f"""{_NORM_CTE}, {_IVF_CTE},
+pairs AS (
+  SELECT a.cell_id, a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(range(1, len(a.nvec)+1), k -> a.nvec[k]*b.nvec[k]))
+      AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+)"""
+
+
+@register(
+    "emb_semdedup_cell_report",
+    oracle=f"""
+WITH {_semdedup_pairs_sql()},
+percell AS (
+  SELECT cell_id,
+    CAST(count(*) AS BIGINT) AS n_pairs,
+    max(cosine) AS max_cosine,
+    CAST(count(DISTINCT CASE WHEN cosine >= {_SEMDEDUP_TAU} THEN id_b END)
+      AS BIGINT) AS n_removed
+  FROM pairs GROUP BY cell_id
+),
+sizes AS (
+  SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vectors
+  FROM assigned GROUP BY cell_id
+)
+SELECT s.cell_id, s.n_vectors,
+  COALESCE(p.n_pairs, 0) AS n_pairs, p.max_cosine,
+  COALESCE(p.n_removed, 0) AS n_removed
+FROM sizes s LEFT JOIN percell p USING (cell_id)
+ORDER BY cell_id
+""",
+    doc="SemDeDup (Abbas et al. 2023) — semantic dedup riding the IVF "
+    "index: cluster = the persisted layout's cell partition, exact "
+    "cosine scored ONLY within a cell, a vector is removed when a "
+    f"smaller-id cell-mate sits above tau={_SEMDEDUP_TAU} "
+    "(fixture-calibrated; production uses ~0.95). Per-cell report: "
+    "size, pairs scored, max cosine, removals. 100 TB shape: the pair "
+    "space is sum(|cell|^2) not N^2 and the candidate generation is "
+    "THE SAME artifact the ANN probes read — dedup costs one extra "
+    "read of an index you already maintain, no new blocking structure; "
+    "cross-cell near-dups are the LSH tier's job "
+    "(embedding_neardup_lsh_bucketed), exactly the two-tier split the "
+    "SemDeDup paper runs at scale. The oracle replays assignment from "
+    "raw embeddings, so the gate also re-proves layout == truth.",
+)
+def emb_semdedup_cell_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import dot
+    from cnc_visionsearch_spark.queries_ann import ensure_ivf_built
+
+    path = ensure_ivf_built(spark, sf_dir)
+    cells = spark.read.parquet(f"{path}/cells").select(
+        "cell_id", "vec_id", "nvec"
+    )
+    left = cells.select(
+        "cell_id", F.col("vec_id").alias("id_a"), F.col("nvec").alias("va")
+    )
+    right = cells.select(
+        "cell_id", F.col("vec_id").alias("id_b"), F.col("nvec").alias("vb")
+    )
+    pairs = (
+        left.join(right, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cell_id", "id_b", dot("va", "vb").alias("cosine"))
+    )
+    percell = pairs.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.max("cosine").alias("max_cosine"),
+        F.count_distinct(
+            F.when(F.col("cosine") >= _SEMDEDUP_TAU, F.col("id_b"))
+        )
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+    sizes = cells.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    return (
+        sizes.join(percell, "cell_id", "left")
+        .select(
+            "cell_id",
+            "n_vectors",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            "max_cosine",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+        .orderBy("cell_id")
+    )
+
+
+@register(
+    "emb_semdedup_removed",
+    oracle=f"""
+WITH {_semdedup_pairs_sql()},
+dups AS (
+  SELECT id_b AS vec_id, cell_id, id_a, cosine,
+    row_number() OVER (PARTITION BY id_b ORDER BY id_a ASC) AS rn
+  FROM pairs WHERE cosine >= {_SEMDEDUP_TAU}
+)
+SELECT vec_id, cell_id, CAST(id_a AS BIGINT) AS dup_of, cosine
+FROM dups WHERE rn = 1
+ORDER BY vec_id
+""",
+    doc="The SemDeDup removal list: every vector with a smaller-id "
+    f"cell-mate above tau={_SEMDEDUP_TAU}, attributed to its "
+    "smallest-id qualifying duplicate (deterministic greedy-by-id "
+    "keep rule — the removable set is identical to the paper's "
+    "one-per-group rule when groups are cliques, and the gate makes "
+    "the rule itself reproducible). Output is O(|removed|) — the list "
+    "a 100 TB pipeline anti-joins against the corpus to materialize "
+    "the kept set.",
+)
+def emb_semdedup_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import dot
+    from cnc_visionsearch_spark.queries_ann import ensure_ivf_built
+
+    path = ensure_ivf_built(spark, sf_dir)
+    cells = spark.read.parquet(f"{path}/cells").select(
+        "cell_id", "vec_id", "nvec"
+    )
+    left = cells.select(
+        "cell_id", F.col("vec_id").alias("id_a"), F.col("nvec").alias("va")
+    )
+    right = cells.select(
+        "cell_id", F.col("vec_id").alias("id_b"), F.col("nvec").alias("vb")
+    )
+    dups = (
+        left.join(right, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cell_id", "id_a", "id_b", dot("va", "vb").alias("cosine"))
+        .filter(F.col("cosine") >= _SEMDEDUP_TAU)
+    )
+    w = Window.partitionBy("id_b").orderBy(F.col("id_a").asc())
+    return (
+        dups.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id_b").alias("vec_id"),
+            "cell_id",
+            F.col("id_a").cast("bigint").alias("dup_of"),
+            "cosine",
+        )
+        .orderBy("vec_id")
+    )
