@@ -44,6 +44,7 @@ __all__ = [
     "ivf_ingest_stream",
     "inverted_ingest_stream",
     "ivf_delete_stream",
+    "bm25_serving_stream",
     "read_id_mapping",
 ]
 
@@ -636,6 +637,71 @@ def knn_serving_stream(
         )
         ivf_knn_join_probe(
             s, index_path, queries, k=k, nprobe=nprobe
+        ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def bm25_serving_stream(
+    spark: SparkSession,
+    in_path: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 5,
+    n_buckets: int = 16,
+    max_files_per_trigger: int = 10,
+):
+    """Streaming lexical serving — the text twin of
+    :func:`knn_serving_stream`, and the online form of the README's
+    declared-but-unimplemented ``/search_by_text`` (README.md:96-103)
+    done over the LEXICAL index: a stream of (qid, terms) queries,
+    each micro-batch answered with BM25 top-k from the PERSISTED
+    inverted layout via the SAME ``bm25_multi_probe`` operator the
+    batch query uses (stream-static; one pruned postings read answers
+    the whole batch, so online and batch rankings cannot drift).
+    Results append to ``out_path`` as (qid, doc_id, n_terms, score_q)
+    parquet; the checkpoint gives exactly-once batches over the file
+    source. The per-batch term collect is bounded by the batch's
+    query count — the driver round-trip that buys bucket partition
+    pruning, same trade as the batch probe. Returns the configured
+    DataStreamWriter — call ``.start()``.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from cnc_visionsearch_spark.operators.text_index import bm25_multi_probe
+
+    schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("terms", ArrayType(StringType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        queries = [
+            (r.qid, list(r.terms)) for r in batch_df.collect()
+        ]  # bounded: one row per query in the micro-batch
+        bm25_multi_probe(
+            s, index_path, queries, n_buckets=n_buckets, k=k
         ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
 
     return (

@@ -954,3 +954,55 @@ def test_inverted_postings_compaction_preserves_probe(spark, tmp_path):
         if "PartitionFilters" in ln
     ]
     assert pf and any("bucket" in ln for ln in pf)
+
+
+def test_bm25_serving_stream_matches_batch_probe(spark, tmp_path):
+    """Streaming lexical serving answers each micro-batch from the
+    persisted inverted layout via the SAME bm25_multi_probe operator
+    as the batch query — the union of streamed answers must equal the
+    one-shot batch answer for the same query set."""
+    from cnc_visionsearch_spark.operators.text_index import (
+        bm25_multi_probe,
+        inverted_build,
+    )
+    from cnc_visionsearch_spark.streaming.pipelines import bm25_serving_stream
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "inv")
+    inverted_build(docs, path, n_buckets=8)
+
+    qs = [
+        (0, ["hash", "join"]),
+        (1, ["stream", "scan"]),
+        (2, ["query", "window", "table"]),
+        (3, ["vector"]),
+    ]
+    qdf = spark.createDataFrame(
+        [(q, ts) for q, ts in qs], "qid bigint, terms array<string>"
+    )
+    stream_dir = _write_chunks(
+        spark,
+        str(tmp_path / "in"),
+        [qdf.filter(F.col("qid") % 2 == i) for i in range(2)],
+    )
+    out = str(tmp_path / "answers")
+    bm25_serving_stream(
+        spark,
+        stream_dir,
+        path,
+        out,
+        str(tmp_path / "ckpt"),
+        k=5,
+        n_buckets=8,
+        max_files_per_trigger=1,
+    ).start().awaitTermination(180)
+
+    streamed = {
+        (r.qid, r.doc_id, r.n_terms, r.score_q)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.qid, r.doc_id, r.n_terms, r.score_q)
+        for r in bm25_multi_probe(spark, path, qs, n_buckets=8, k=5).collect()
+    }
+    assert streamed == batch and streamed
