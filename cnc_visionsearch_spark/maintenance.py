@@ -89,21 +89,41 @@ def run_index_maintenance(
         skew = float(row.max_cell) * float(row.n_cells) / float(row.n_vectors)
         report["skew_ratio"] = round(skew, 4)
         report["recommend_retrain"] = skew >= skew_retrain_threshold
+    # the inverted layout's delete lifecycle: apply tombstones
+    # physically BEFORE compaction (vacuum rewrites touched buckets;
+    # compacting first would churn files the vacuum rewrites again)
+    if inverted_path is not None:
+        from cnc_visionsearch_spark.operators.text_index import inverted_vacuum
+
+        had = os.path.exists(f"{inverted_path}/tombstones")
+        inverted_vacuum(spark, inverted_path)
+        report["inverted_vacuum_applied"] = had
     # append-accreting auxiliary layouts: same settled-skip compaction
     # discipline as the cell tables (inverted postings per term bucket,
     # NSW edges per src bucket)
     for label, root_dir, part_col in (
         ("postings", inverted_path and f"{inverted_path}/postings", "bucket"),
+        ("doclens", inverted_path and f"{inverted_path}/doclens", None),
         ("nsw_graph", nsw_path and f"{nsw_path}/graph", "src_bucket"),
     ):
         if not root_dir or not os.path.exists(root_dir):
             continue
         before = n_files(root_dir)
-        n_parts = sum(
-            1 for d in os.listdir(root_dir) if d.startswith(f"{part_col}=")
+        n_parts = (
+            sum(
+                1
+                for d in os.listdir(root_dir)
+                if d.startswith(f"{part_col}=")
+            )
+            if part_col
+            else 1
         )
         if before > n_parts:
-            compact_layout(spark, root_dir, partition_by=[part_col])
+            compact_layout(
+                spark,
+                root_dir,
+                partition_by=[part_col] if part_col else None,
+            )
         report[f"{label}_files"] = {"before": before, "after": n_files(root_dir)}
     if state_dir is not None:
         root = os.path.join(state_dir, "id_mapping")

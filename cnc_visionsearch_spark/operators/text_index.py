@@ -36,6 +36,7 @@ __all__ = [
     "inverted_build",
     "inverted_append",
     "inverted_delete",
+    "inverted_vacuum",
     "term_bucket",
     "read_postings",
     "read_doclens",
@@ -327,3 +328,49 @@ def bm25_multi_probe(
         .filter(F.col("rn") <= k)
         .select("qid", "doc_id", "n_terms", "score_q")
     )
+
+
+def inverted_vacuum(spark, path: str) -> None:
+    """Apply accumulated tombstones physically — the text-index twin
+    of ann.ivf_vacuum: rewrite ONLY the postings bucket partitions
+    that contain tombstoned docs (a document's terms spread across
+    buckets, so the touched set is wider than the vector tiers' — the
+    cost a vacuum SCHEDULE amortizes), rewrite the small doclens norms
+    table wholesale, then drop the tombstone dir. Results are
+    unchanged by construction (the read_postings/read_doclens
+    anti-join already hid the rows); tombstone-free probe plans are
+    restored. Untouched bucket partitions keep their files
+    byte-identical."""
+    import shutil
+
+    tdir = f"{path}/tombstones"
+    if not os.path.exists(tdir):
+        return
+    tombs = spark.read.parquet(tdir).select("doc_id").distinct()
+    posts = spark.read.parquet(f"{path}/postings")
+    touched = [
+        r[0]
+        for r in posts.join(F.broadcast(tombs), "doc_id")
+        .select("bucket")
+        .distinct()
+        .collect()
+    ]
+    for bv in touched:
+        part = f"{path}/postings/bucket={bv}"
+        if not os.path.exists(part):
+            continue
+        kept = spark.read.parquet(part).join(
+            F.broadcast(tombs), "doc_id", "left_anti"
+        )
+        tmp = part + ".vacuum_tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(part)
+        os.rename(tmp, part)
+    kept_dl = spark.read.parquet(f"{path}/doclens").join(
+        F.broadcast(tombs), "doc_id", "left_anti"
+    )
+    tmp = f"{path}/doclens.vacuum_tmp"
+    kept_dl.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(f"{path}/doclens")
+    os.rename(tmp, f"{path}/doclens")
+    shutil.rmtree(tdir)

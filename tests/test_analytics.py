@@ -235,3 +235,45 @@ def test_inverted_delete_no_resurrection_and_resident_files_untouched(
     # norms shift: N excludes tombstoned docs
     n_live = read_doclens(spark, idx).count()
     assert n_live == docs.count() - len(victims)
+
+
+def test_inverted_vacuum_preserves_results_and_drops_tombstones(
+    spark, tmp_path
+):
+    """Physical delete: vacuum rewrites only tombstone-touched bucket
+    partitions + the doclens table, drops the tombstone dir, and every
+    probe result is bit-identical before/after (the anti-join had
+    already hidden the rows)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cnc_visionsearch_spark.operators.text_index import (
+        bm25_probe,
+        inverted_build,
+        inverted_delete,
+        inverted_vacuum,
+    )
+    from cnc_visionsearch_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 120)
+    idx = str(tmp_path / "inv")
+    inverted_build(docs, idx, n_buckets=4)
+    inverted_delete(spark, idx, [4, 11, 25])
+
+    before = sorted(
+        (r.doc_id, r.n_terms, r.score_q)
+        for r in bm25_probe(spark, idx, ["hash", "join"], n_buckets=4).collect()
+    )
+    inverted_vacuum(spark, idx)
+    assert not os.path.exists(f"{idx}/tombstones")
+    after = sorted(
+        (r.doc_id, r.n_terms, r.score_q)
+        for r in bm25_probe(spark, idx, ["hash", "join"], n_buckets=4).collect()
+    )
+    assert before == after and before
+    # physically gone: raw reads no longer contain the ids
+    raw = spark.read.parquet(f"{idx}/postings").filter(
+        F.col("doc_id").isin([4, 11, 25])
+    )
+    assert raw.count() == 0
