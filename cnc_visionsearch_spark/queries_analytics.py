@@ -2063,3 +2063,178 @@ def text_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.orderBy(
         "qid", F.col("score_q").desc(), F.col("doc_id").asc()
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA trend monitor (sequential fold, engine-identical recurrence)
+
+_EWMA_FOLD = (
+    "(acc, x) -> ((acc * CAST({om} AS DOUBLE)) + (x * CAST({al} AS DOUBLE)))"
+)
+_EWMA_FAST = (0.7, 0.3)
+_EWMA_SLOW = (0.95, 0.05)
+
+
+@register(
+    "events_ewma_trend",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS h,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n_hours,
+    list(CAST(c AS DOUBLE) ORDER BY h) AS xs
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type, n_hours,
+  CAST(xs[len(xs)] AS BIGINT) AS last_count,
+  CAST(floor(list_reduce(xs,
+    {_EWMA_FOLD.format(om=_EWMA_FAST[0], al=_EWMA_FAST[1])})
+    * 1000000000.0 + 0.5) AS BIGINT) AS ewma_fast_q,
+  CAST(floor(list_reduce(xs,
+    {_EWMA_FOLD.format(om=_EWMA_SLOW[0], al=_EWMA_SLOW[1])})
+    * 1000000000.0 + 0.5) AS BIGINT) AS ewma_slow_q,
+  CAST(floor(list_reduce(xs,
+    {_EWMA_FOLD.format(om=_EWMA_FAST[0], al=_EWMA_FAST[1])})
+    * 1000000000.0 + 0.5) AS BIGINT)
+  - CAST(floor(list_reduce(xs,
+    {_EWMA_FOLD.format(om=_EWMA_SLOW[0], al=_EWMA_SLOW[1])})
+    * 1000000000.0 + 0.5) AS BIGINT) AS trend_gap_q
+FROM series ORDER BY event_type
+""",
+    doc="Exponentially-weighted moving averages over each type's "
+    "hourly count series — the MACD-style fast/slow pair (alpha 0.3 "
+    "vs 0.05) whose quantized gap is the trend/momentum signal a "
+    "monitoring pipeline alerts on. The recurrence s_t = "
+    "(1-a)*s_(t-1) + a*x_t is inherently sequential, so it runs as a "
+    "higher-order FOLD over the sorted per-type series (Spark "
+    "aggregate() == DuckDB list_reduce(), seeded with the first "
+    "element, the identical double chain both engines execute "
+    "left-to-right — proven bit-equal by the gate). 100 TB: the "
+    "hourly pre-aggregate bounds the array at hours-per-type (never "
+    "row count), the fold is per-group JVM codegen, and the same "
+    "recurrence runs incrementally in streaming by carrying s_t as "
+    "keyed state — one double per (type) key.",
+)
+def events_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    series = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(h, c))), "
+            "s -> CAST(s.c AS DOUBLE))"
+        ).alias("xs"),
+    )
+
+    def fold(om: float, al: float):
+        return F.expr(
+            f"aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), "
+            f"{_EWMA_FOLD.format(om=om, al=al)})"
+        )
+
+    from cnc_visionsearch_spark.functions.vector import fixed_point_q
+
+    fast_q = fixed_point_q(fold(*_EWMA_FAST))
+    slow_q = fixed_point_q(fold(*_EWMA_SLOW))
+    return series.select(
+        "event_type",
+        "n_hours",
+        F.element_at("xs", -1).cast("bigint").alias("last_count"),
+        fast_q.alias("ewma_fast_q"),
+        slow_q.alias("ewma_slow_q"),
+        (fast_q - slow_q).alias("trend_gap_q"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# linear multi-touch attribution
+
+_MTA_WINDOW_MIN = 30
+
+
+@register(
+    "events_attribution_linear",
+    oracle=f"""
+WITH purchases AS (
+  SELECT event_id AS pid, user_id, ts::TIMESTAMP AS pts,
+    CAST(value AS DOUBLE) AS value
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, ts::TIMESTAMP AS tts, event_type AS touch_type
+  FROM events WHERE event_type != 'purchase'
+),
+pairs AS (
+  SELECT p.pid, p.value, t.touch_type,
+    CAST(count(*) OVER (PARTITION BY p.pid) AS BIGINT) AS n_touches
+  FROM purchases p JOIN touches t
+    ON p.user_id = t.user_id
+   AND t.tts < p.pts
+   AND t.tts >= p.pts - INTERVAL '{_MTA_WINDOW_MIN} minutes'
+)
+SELECT touch_type,
+  CAST(count(*) AS BIGINT) AS n_credits,
+  CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases_touched,
+  CAST(SUM(CAST(floor((value / CAST(n_touches AS DOUBLE))
+    * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS credit_q
+FROM pairs GROUP BY touch_type ORDER BY touch_type
+""",
+    doc="Linear multi-touch attribution — the equal-credit complement "
+    "of events_attribution_last_touch: every purchase splits its "
+    f"value evenly across the user's touches in the preceding "
+    f"{_MTA_WINDOW_MIN} minutes; per-touch credit value/n is a "
+    "per-row double chain quantized at 1e-9 and BIGINT-summed per "
+    "touch type (the cross-row reduction stays integer-exact). The "
+    "purchase-touch pairing is a user-keyed interval join — per-user "
+    "fanout is bounded by the window, and at 100 TB the time-bucketed "
+    "range-join shape (operators/skew.py) applies unchanged; the "
+    "touch-count window partitions by purchase id, never globally. "
+    "Purchases with no in-window touch stay unattributed (standard "
+    "MTA semantics).",
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import fixed_point_q
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    win = F.expr(f"INTERVAL {_MTA_WINDOW_MIN} MINUTES")
+    pairs = purchases.join(
+        touches,
+        (purchases.user_id == touches.user_id)
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - win),
+    ).select("pid", "value", "touch_type")
+    w = Window.partitionBy("pid")
+    credited = pairs.withColumn(
+        "n_touches", F.count(F.lit(1)).over(w).cast("bigint")
+    )
+    share_q = fixed_point_q(
+        F.col("value") / F.col("n_touches").cast("double")
+    )
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            F.count_distinct("pid").cast("bigint").alias(
+                "n_purchases_touched"
+            ),
+            F.sum(share_q).cast("bigint").alias("credit_q"),
+        )
+        .orderBy("touch_type")
+    )
