@@ -577,3 +577,14 @@ def test_semdedup_rides_the_ivf_layout(spark, queries):
     df = queries["emb_semdedup_cell_report"](spark, SF)
     files = df.inputFiles()
     assert files and all("/cells/" in f for f in files)
+
+
+def test_bm25_batch_probe_plan_shape(spark, queries):
+    """text_bm25_batch_topk: index-only inputs (pruned postings +
+    doclens, never the corpus) and the per-query top-k plans as
+    WindowGroupLimit — a real group top-k, not a full sort."""
+    df = queries["text_bm25_batch_topk"](spark, SF)
+    files = df.inputFiles()
+    assert files and all("inverted" in f for f in files)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan
