@@ -2238,3 +2238,52 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew audit (feeds the salted-join decision)
+
+
+@register(
+    "lineitem_key_skew_report",
+    oracle="""
+WITH freq AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+  CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(max(n) AS BIGINT) AS max_freq,
+  (CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS avg_freq,
+  (CAST(max(n) AS DOUBLE)
+    / (CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE))) AS skew_ratio,
+  (CAST(max(n) AS DOUBLE)
+    / (CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 3.0)
+    AS recommend_salting
+FROM freq
+""",
+    doc="Join-key skew audit for the hottest fact join key "
+    "(l_orderkey) — the measurement that decides between a plain "
+    "shuffle join, AQE skew splitting, and operators/skew.py's "
+    "salted_join, the same max/avg skew-ratio rule "
+    "maintenance.run_index_maintenance applies to IVF cells. One "
+    "map-side-combined key count + a 1-row rollup; ratios are single "
+    "double chains over exact integers. At 100 TB this is the cheap "
+    "pre-flight a pipeline runs BEFORE committing to a join strategy "
+    "— measured, not guessed.",
+)
+def lineitem_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    avg = F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")
+    skew = F.max("n").cast("double") / avg
+    return freq.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_freq"),
+        avg.alias("avg_freq"),
+        skew.alias("skew_ratio"),
+        (skew >= F.lit(3.0)).alias("recommend_salting"),
+    )

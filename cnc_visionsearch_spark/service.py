@@ -191,3 +191,29 @@ def text_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qtext = memoized_point_value(spark, sf_dir, "documents", "doc_id", 7, "text")
     return search_by_text(spark, sf_dir, qtext, top_k=10)
+
+
+def search_by_text_lexical(
+    spark: SparkSession, sf_dir: str, query_text: str, top_k: int = 10
+) -> DataFrame:
+    """GET /search_by_text, lexical flavor: whitespace-tokenize the
+    query and rank BM25 over the PERSISTED inverted layout
+    (operators/text_index.bm25_probe — pruned bucket reads, the
+    corpus is never scanned; the path text_inverted_bm25_topk
+    hash-gates). Together with :func:`search_by_text` (dense) and the
+    fusion query hybrid_rrf_topk this completes the dense+sparse
+    retrieval pair production search serves. Returns
+    (doc_id, n_terms, score_q) best-first."""
+    from cnc_visionsearch_spark.operators.text_index import bm25_probe
+    from cnc_visionsearch_spark.queries_analytics import (
+        _INV_BUCKETS,
+        ensure_inverted_built,
+    )
+
+    terms = sorted({t for t in query_text.split(" ") if t})
+    path = ensure_inverted_built(spark, sf_dir)
+    return (
+        bm25_probe(spark, path, terms, n_buckets=_INV_BUCKETS)
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(top_k)
+    )

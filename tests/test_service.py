@@ -50,3 +50,21 @@ def test_search_by_text_self_match(spark, sf_dir):
 def test_text_query_embedding_unit_norm(spark):
     v = embed_text_query("a drawing of a cat")
     assert abs(sum(x * x for x in v) - 1.0) < 1e-12
+
+
+def test_search_by_text_lexical_matches_registered_probe(spark, sf_dir):
+    """The lexical service facade is the same ranked path the
+    registered text_inverted_bm25_topk gate pins — same query terms in
+    any order, same top-10."""
+    from cnc_visionsearch_spark.queries_analytics import (
+        _BM25_IDX_TERMS,
+        text_inverted_bm25_topk,
+    )
+    from cnc_visionsearch_spark.service import search_by_text_lexical
+
+    via_service = search_by_text_lexical(
+        spark, sf_dir, " ".join(reversed(_BM25_IDX_TERMS)), top_k=10
+    ).collect()
+    via_query = text_inverted_bm25_topk(spark, sf_dir).collect()
+    assert [tuple(r) for r in via_service] == [tuple(r) for r in via_query]
+    assert via_service
