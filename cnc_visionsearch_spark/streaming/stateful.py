@@ -27,11 +27,12 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
 
-__all__ = ["running_user_stats", "streaming_funnel_stage", "running_user_totals_tws", "kmv_sketch_stream", "kmv_hash"]
+__all__ = ["running_user_stats", "streaming_funnel_stage", "running_user_totals_tws", "kmv_sketch_stream", "kmv_hash", "ewma_trend_stream"]
 
 STATE_SCHEMA = StructType(
     [
@@ -274,6 +275,81 @@ def kmv_sketch_stream(events: DataFrame, n_shards: int = 8) -> DataFrame:
         _kmv_update,
         outputStructType=KMV_OUTPUT_SCHEMA,
         stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------- EWMA trend state
+
+EWMA_ALPHAS = ((0.7, 0.3), (0.95, 0.05))  # (1-a, a): fast, slow
+
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("fast", DoubleType()),
+        StructField("slow", DoubleType()),
+        StructField("n_points", LongType()),
+    ]
+)
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_points", LongType()),
+        StructField("ewma_fast", DoubleType()),
+        StructField("ewma_slow", DoubleType()),
+    ]
+)
+
+
+def _ewma_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (etype,) = key
+    if state.exists:
+        fast, slow, n = state.get
+    else:
+        fast = slow = None
+        n = 0
+    rows = pd.concat(list(pdfs)).sort_values("h")
+    for x in rows["c"]:
+        x = float(x)
+        if fast is None:
+            fast = x
+            slow = x
+        else:
+            # the IDENTICAL chain the batch fold runs: (acc*om)+(x*al)
+            fast = (fast * 0.7) + (x * 0.3)
+            slow = (slow * 0.95) + (x * 0.05)
+        n += 1
+    state.update((fast, slow, n))
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": etype,
+                "n_points": n,
+                "ewma_fast": fast,
+                "ewma_slow": slow,
+            }
+        ]
+    )
+
+
+def ewma_trend_stream(hourly: DataFrame) -> DataFrame:
+    """Streaming twin of the batch `events_ewma_trend` fold: per
+    event_type, carry the fast/slow EWMA levels as TWO DOUBLES of
+    keyed state across micro-batches (the recurrence is sequential —
+    exactly what keyed streaming state is for). Input is the hourly
+    count stream (event_type, h, c) an upstream windowed aggregate
+    emits; rows are applied in hour order within each batch, so as
+    long as triggers respect hour order the final state is
+    BIT-IDENTICAL to the batch fold over the same series
+    (test-pinned). State per key never grows — the 100 TB monitoring
+    shape: O(|event types|) doubles, any stream length."""
+    return hourly.groupBy("event_type").applyInPandasWithState(
+        _ewma_update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

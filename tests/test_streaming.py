@@ -1006,3 +1006,54 @@ def test_bm25_serving_stream_matches_batch_probe(spark, tmp_path):
         for r in bm25_multi_probe(spark, path, qs, n_buckets=8, k=5).collect()
     }
     assert streamed == batch and streamed
+
+
+def test_ewma_trend_stream_matches_batch_fold(spark, tmp_path):
+    """The streaming EWMA carries two doubles of keyed state; applied
+    over the same hourly series in hour order it must land on levels
+    BIT-IDENTICAL to the batch events_ewma_trend fold."""
+    import math
+
+    from cnc_visionsearch_spark.queries_analytics import events_ewma_trend
+    from cnc_visionsearch_spark.streaming.stateful import ewma_trend_stream
+
+    hourly = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cut = hourly.agg(F.expr("percentile(cast(h as long), 0.5)")).first()[0]
+    chunks = [
+        hourly.filter(F.col("h").cast("long") <= cut),
+        hourly.filter(F.col("h").cast("long") > cut),
+    ]
+    stream_dir = _write_chunks(spark, str(tmp_path / "in"), chunks)
+    schema = hourly.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    out_rows = []
+    q = (
+        ewma_trend_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, bid: out_rows.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    final = {}
+    for r in out_rows:  # last update per type wins
+        final[r.event_type] = r
+    batch = {r.event_type: r for r in events_ewma_trend(spark, SF).collect()}
+    assert set(final) == set(batch) and final
+    for et, b in batch.items():
+        s = final[et]
+        assert s.n_points == b.n_hours
+        assert int(math.floor(s.ewma_fast * 1e9 + 0.5)) == b.ewma_fast_q
+        assert int(math.floor(s.ewma_slow * 1e9 + 0.5)) == b.ewma_slow_q
