@@ -2214,11 +2214,11 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("touch_type"),
     )
     win = F.expr(f"INTERVAL {_MTA_WINDOW_MIN} MINUTES")
-    pairs = purchases.join(
-        touches,
-        (purchases.user_id == touches.user_id)
-        & (F.col("tts") < F.col("pts"))
-        & (F.col("tts") >= F.col("pts") - win),
+    pairs = purchases.alias("p").join(
+        touches.alias("t"),
+        (F.col("p.user_id") == F.col("t.user_id"))
+        & (F.col("t.tts") < F.col("p.pts"))
+        & (F.col("t.tts") >= F.col("p.pts") - win),
     ).select("pid", "value", "touch_type")
     w = Window.partitionBy("pid")
     credited = pairs.withColumn(
