@@ -1342,3 +1342,148 @@ def emb_semdedup_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------- source-overlap diagnostics
+
+_SRC_SEEDS = 16
+
+
+@register(
+    "source_overlap_minhash",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(tk) - 2, 0) + 1),
+    j -> tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2]))) AS shingle
+  FROM toks
+),
+srchashes AS (
+  SELECT d.source, seeds.i AS i,
+    min((((1000003*seeds.i + 12345) % 2147483647)
+         * (('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647)
+         + ((7919*seeds.i + 104729) % 2147483647)) % 2147483647) AS h
+  FROM sh JOIN documents d USING (doc_id),
+       (SELECT unnest(range({_SRC_SEEDS})) AS i) seeds
+  GROUP BY d.source, seeds.i
+),
+sigpairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_seeds_matched
+  FROM srchashes a JOIN srchashes b
+    ON a.i = b.i AND a.source < b.source
+  GROUP BY 1, 2
+),
+ss AS (
+  SELECT DISTINCT d.source, shingle
+  FROM sh JOIN documents d USING (doc_id)
+),
+counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY 1),
+inter AS (
+  SELECT x.source AS source_a, y.source AS source_b,
+    CAST(count(*) AS BIGINT) AS n_common
+  FROM ss x JOIN ss y ON x.shingle = y.shingle AND x.source < y.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.n_seeds_matched,
+  COALESCE(i.n_common, 0) AS n_common,
+  (CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+    / CAST(ca.n + cb.n - COALESCE(i.n_common, 0) AS DOUBLE))
+    AS exact_jaccard
+FROM sigpairs p
+JOIN counts ca ON ca.source = p.source_a
+JOIN counts cb ON cb.source = p.source_b
+LEFT JOIN inter i
+  ON i.source_a = p.source_a AND i.source_b = p.source_b
+ORDER BY p.n_seeds_matched DESC, exact_jaccard DESC,
+         p.source_a ASC, p.source_b ASC
+LIMIT 20
+""",
+    doc="Corpus-sourcing diagnostic: which SOURCES duplicate each "
+    "other? Source-level MinHash signatures come from the SAME affine "
+    "family as the doc-level dedup tier, exploiting MinHash's "
+    "mergeability — min over a source's shingles == element-wise min "
+    "of its docs' signatures, so source signatures cost one pass (or "
+    "a fold over already-computed doc signatures in the persisted "
+    "blocking table). The 16-seed match count estimates Jaccard per "
+    "source pair; the EXACT shingle-set Jaccard is computed beside it "
+    "(the estimate-next-to-truth pattern of events_kmv_distinct) so "
+    "the estimator's error is visible in the gated output. At 100 TB "
+    "the pairwise stage is |sources|^2 over 16-BIGINT signatures — "
+    "nothing; the exact verify is vocabulary-sized and would be "
+    "sampled or skipped, exactly what the estimate is for.",
+)
+def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.dedup import minhash_signatures
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        d, text_col="text", id_col="source", num_hashes=_SRC_SEEDS
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    matched = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(_SRC_SEEDS)
+    )
+    sigpairs = (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            matched.cast("bigint").alias("n_seeds_matched"),
+        )
+    )
+    ss = d.select(
+        "source",
+        F.explode(
+            F.array_distinct(shingles_from_tokens(tokens("text"), 3))
+        ).alias("shingle"),
+    ).distinct()
+    counts = ss.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    inter = (
+        ss.alias("x")
+        .join(
+            ss.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    n_common = F.coalesce("n_common", F.lit(0))
+    return (
+        sigpairs.join(
+            F.broadcast(ca), F.col("source_a") == F.col("ca.source")
+        )
+        .join(F.broadcast(cb), F.col("source_b") == F.col("cb.source"))
+        .join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_seeds_matched",
+            n_common.cast("bigint").alias("n_common"),
+            (
+                n_common.cast("double")
+                / (
+                    F.col("ca.n") + F.col("cb.n") - n_common
+                ).cast("double")
+            ).alias("exact_jaccard"),
+        )
+        .orderBy(
+            F.col("n_seeds_matched").desc(),
+            F.col("exact_jaccard").desc(),
+            F.col("source_a").asc(),
+            F.col("source_b").asc(),
+        )
+        .limit(20)
+    )
