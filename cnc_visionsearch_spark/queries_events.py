@@ -894,3 +894,104 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("row_n").cast("double")).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# session quality stats (bounce rate / duration distribution)
+
+
+@register(
+    "events_session_stats",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events),
+seq AS (
+  SELECT user_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM ev
+),
+flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL '30 minutes'
+         THEN 1 ELSE 0 END AS new_session
+  FROM seq
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id,
+    CAST(count(*) AS BIGINT) AS n_events,
+    CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+  (CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE)) AS bounce_rate,
+  (CAST(SUM(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+    AS avg_events_per_session,
+  quantile_cont(CAST(duration_s AS DOUBLE), 0.5) AS median_duration_s,
+  CAST(max(duration_s) AS BIGINT) AS max_duration_s
+FROM per_session
+""",
+    doc="Session quality rollup over the SAME 30-minute gap "
+    "sessionization events_sessionize gates (lag -> flag -> "
+    "cumulative sum, per-user windows only): bounce rate "
+    "(single-event sessions), events per session, median/max "
+    "duration. Spark `percentile` == DuckDB `quantile_cont` "
+    "(FIXTURES determinism rules); every ratio is a single double "
+    "chain over exact integers. The product-analytics companion to "
+    "sessionize/funnel/cohort — one extra user-keyed aggregate, no "
+    "new shuffle key.",
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.select(
+        "user_id", "ts", F.lag("ts").over(w_seq).alias("prev_ts")
+    )
+    flagged = seq.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id", "ts", F.sum("new_session").over(w_cum).alias("session_id")
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("ts").cast("long") - F.min("ts").cast("long"))
+        .cast("bigint")
+        .alias("duration_s"),
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_session.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        bounces.cast("bigint").alias("n_bounces"),
+        (bounces.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "bounce_rate"
+        ),
+        (
+            F.sum("n_events").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_events_per_session"),
+        F.expr("percentile(CAST(duration_s AS DOUBLE), 0.5)").alias(
+            "median_duration_s"
+        ),
+        F.max("duration_s").cast("bigint").alias("max_duration_s"),
+    )

@@ -1983,3 +1983,247 @@ def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total")
         ).alias("cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+WITH anchor AS (SELECT max(o_orderdate::TIMESTAMP) AS mx FROM orders),
+rfm AS (
+  SELECT o_custkey,
+    CAST(date_diff('day', max(o_orderdate::TIMESTAMP), anchor.mx) AS BIGINT)
+      AS recency_days,
+    CAST(count(*) AS BIGINT) AS frequency,
+    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary
+  FROM orders, anchor GROUP BY o_custkey, anchor.mx
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+    CAST(6 - ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+      AS BIGINT) AS r_score,
+    CAST(ntile(5) OVER (ORDER BY frequency ASC, o_custkey ASC)
+      AS BIGINT) AS f_score,
+    CAST(ntile(5) OVER (ORDER BY monetary ASC, o_custkey ASC)
+      AS BIGINT) AS m_score
+  FROM rfm
+),
+seg AS (
+  SELECT *,
+    CASE
+      WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champions'
+      WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_reactivated'
+      WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+      WHEN r_score <= 2 AND m_score <= 2 THEN 'hibernating'
+      ELSE 'core'
+    END AS segment
+  FROM scored
+)
+SELECT segment,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  (CAST(SUM(recency_days) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+    AS avg_recency_days,
+  (CAST(SUM(frequency) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+    AS avg_frequency,
+  CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+FROM seg GROUP BY segment ORDER BY segment
+""",
+    doc="RFM (recency / frequency / monetary) segmentation — the "
+    "classic CRM warehouse rollup: per-customer stats from one orders "
+    "scan, quintile scores via NTILE over the CUSTOMER AGGREGATE "
+    "(customer-scale, the customer_spend_deciles doctrine — the "
+    "global window sorts one row per customer, never the fact table; "
+    "ties broken by custkey so ntile boundaries are deterministic), "
+    "r-score inverted so 5 = most recent, then a rule-based segment "
+    "label and a per-segment rollup. Monetary keeps exact DECIMAL "
+    "until the final DOUBLE cast. At extreme scale the quintile "
+    "boundaries come from sampled percentiles + a broadcast band "
+    "join, same swap as the deciles query documents.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    rfm = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey", "mx")
+        .agg(
+            (
+                (F.col("mx").cast("long") - F.max("o_orderdate").cast("long"))
+                / 86400
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias(
+                "monetary"
+            ),
+        )
+    )
+    r = F.lit(6) - F.ntile(5).over(
+        Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    )
+    f = F.ntile(5).over(
+        Window.orderBy(F.col("frequency").asc(), F.col("o_custkey").asc())
+    )
+    m = F.ntile(5).over(
+        Window.orderBy(F.col("monetary").asc(), F.col("o_custkey").asc())
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.cast("bigint").alias("r_score"),
+        f.cast("bigint").alias("f_score"),
+        m.cast("bigint").alias("m_score"),
+    )
+    seg = scored.withColumn(
+        "segment",
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champions",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new_or_reactivated")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk_loyal")
+        .when((F.col("r_score") <= 2) & (F.col("m_score") <= 2), "hibernating")
+        .otherwise("core"),
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (
+                F.sum("recency_days").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_recency_days"),
+            (
+                F.sum("frequency").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_frequency"),
+            F.sum("monetary").cast("double").alias("total_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# association rules (support / confidence / lift)
+
+_RULE_MIN_PAIR = 3  # min co-occurrence support count for a rule
+
+
+@register(
+    "part_association_rules",
+    oracle=f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM lp),
+item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+         FROM lp GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+    CAST(count(*) AS BIGINT) AS n_ab
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_RULE_MIN_PAIR}
+),
+rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent, n_ab FROM pairs
+  UNION ALL
+  SELECT part_b, part_a, n_ab FROM pairs
+)
+SELECT r.antecedent, r.consequent, r.n_ab,
+  (CAST(r.n_ab AS DOUBLE) / CAST(n_orders.n AS DOUBLE)) AS support,
+  (CAST(r.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE)) AS confidence,
+  ((CAST(r.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE))
+    / (CAST(ic.n_item AS DOUBLE) / CAST(n_orders.n AS DOUBLE))) AS lift
+FROM rules r
+JOIN item ia ON ia.l_partkey = r.antecedent
+JOIN item ic ON ic.l_partkey = r.consequent, n_orders
+ORDER BY lift DESC, r.antecedent ASC, r.consequent ASC
+LIMIT 20
+""",
+    doc="Association rules over co-purchased parts — support, "
+    "confidence, and lift for every directed rule whose pair support "
+    f"clears {_RULE_MIN_PAIR} orders, top-20 by lift: the "
+    "market-basket classic built ON the orders_part_cooccurrence "
+    "basket expansion (one group-by per order, in-row O(basket^2) "
+    "pair expansion — bounded by construction, never a lineitem "
+    "self-join) plus a per-item count and a 1-row order count, both "
+    "broadcast. Every metric is a single double chain over exact "
+    "integers. The support floor is what bounds the rule table at "
+    "100 TB — pairs below it never leave the first aggregate.",
+)
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.dedup import _bucket_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = lp.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n")
+    )
+    item = lp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    baskets = (
+        lp.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    pairs = (
+        _bucket_pairs(baskets, "named_struct('part_a', x, 'part_b', y)")
+        .groupBy(
+            F.col("p.part_a").alias("part_a"),
+            F.col("p.part_b").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= _RULE_MIN_PAIR)
+    )
+    rules = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "n_ab",
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "n_ab",
+        )
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("antecedent"),
+        F.col("n_item").alias("n_ant"),
+    )
+    ic = item.select(
+        F.col("l_partkey").alias("consequent"),
+        F.col("n_item").alias("n_con"),
+    )
+    conf = F.col("n_ab").cast("double") / F.col("n_ant").cast("double")
+    return (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            (F.col("n_ab").cast("double") / F.col("n").cast("double")).alias(
+                "support"
+            ),
+            conf.alias("confidence"),
+            (
+                conf
+                / (F.col("n_con").cast("double") / F.col("n").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("lift").desc(),
+            F.col("antecedent").asc(),
+            F.col("consequent").asc(),
+        )
+        .limit(20)
+    )
