@@ -995,3 +995,68 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("duration_s").cast("bigint").alias("max_duration_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU stickiness
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(ts::TIMESTAMP AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM du),
+dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d),
+wau AS (
+  SELECT days.d, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+  FROM days JOIN du
+    ON du.d <= days.d AND du.d > days.d - 7
+  GROUP BY days.d
+)
+SELECT dau.d AS day, dau.dau, wau.wau,
+  (CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+ORDER BY day
+""",
+    doc="DAU / trailing-7-day WAU / stickiness per day — the growth "
+    "dashboard every event platform serves. Computed from the "
+    "per-(day, user) DISTINCT projection (the shuffle carries 12-byte "
+    "rows, never events); the trailing window is a day-spine range "
+    "join with fan-out <= 7 (the bucketed interval-join shape — at "
+    "100 TB the same metric merges per-day KMV sketches instead of "
+    "re-distinct-counting, the swap events_kmv_distinct documents). "
+    "Stickiness is one double division of exact counts.",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    wau = (
+        days.alias("sp")
+        .join(
+            du.alias("u"),
+            (F.col("u.d") <= F.col("sp.d"))
+            & (F.col("u.d") > F.date_sub(F.col("sp.d"), 7)),
+        )
+        .groupBy(F.col("sp.d").alias("d"))
+        .agg(F.count_distinct("u.user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
