@@ -2287,3 +2287,84 @@ def lineitem_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         skew.alias("skew_ratio"),
         (skew >= F.lit(3.0)).alias("recommend_salting"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KWIC snippets: search-result rendering from index positions
+
+_KWIC_TERM = "merge"
+_KWIC_DOCS = 5
+_KWIC_CTX = 2  # tokens of context either side
+
+
+@register(
+    "text_kwic_snippets",
+    oracle=f"""
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+occ AS (
+  SELECT doc_id, CAST(len(list_filter(s, t -> t = '{_KWIC_TERM}')) AS BIGINT)
+    AS tf,
+    list_position(s, '{_KWIC_TERM}') AS pos
+  FROM sp WHERE len(list_filter(s, t -> t = '{_KWIC_TERM}')) > 0
+),
+top AS (
+  SELECT doc_id, tf, pos FROM occ
+  ORDER BY tf DESC, doc_id ASC LIMIT {_KWIC_DOCS}
+)
+SELECT f.doc_id, f.tf, CAST(f.pos AS BIGINT) AS pos,
+  array_to_string(
+    list_slice(sp.s, greatest(f.pos - {_KWIC_CTX}, 1),
+               least(f.pos + {_KWIC_CTX}, len(sp.s))), ' ') AS snippet
+FROM top f JOIN sp ON sp.doc_id = f.doc_id
+ORDER BY f.tf DESC, f.doc_id ASC
+""",
+    doc=f"Keyword-in-context snippets for '{_KWIC_TERM}' — the "
+    "search-result RENDERING step, and where the postings layout's "
+    "positions column earns its keep beyond phrase matching: the "
+    "top-docs-by-tf ranking AND the first occurrence offset both come "
+    "from the pruned postings bucket (tf + positions per row, no "
+    "corpus scan); only the final snippet slice reads the "
+    f"{_KWIC_DOCS} winning docs by id — pushed point reads, the PRF "
+    "pattern. The oracle recomputes occurrences from raw text, so the "
+    "gate proves index positions == corpus truth down to the token "
+    "offset. At 100 TB this is how a search page renders: index for "
+    "ranking and offsets, K point reads for display text.",
+)
+def text_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.text_index import (
+        read_postings,
+        term_bucket,
+    )
+
+    path = ensure_inverted_built(spark, sf_dir)
+    bucket = term_bucket(_KWIC_TERM, _INV_BUCKETS)
+    top = (
+        read_postings(spark, path)
+        .filter(F.col("bucket") == bucket)
+        .filter(F.col("term") == _KWIC_TERM)
+        .select("doc_id", F.col("tf").cast("bigint").alias("tf"),
+                F.element_at("positions", 1).alias("pos"))
+        .orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+        .limit(_KWIC_DOCS)
+    )
+    # bounded collect: <= _KWIC_DOCS winners -> pushed point reads
+    ids = [r.doc_id for r in top.select("doc_id").collect()]
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(ids))
+        .select("doc_id", F.split("text", " ").alias("s"))
+    )
+    lo = F.greatest(F.col("pos") - _KWIC_CTX, F.lit(1))
+    hi = F.least(F.col("pos") + _KWIC_CTX, F.size("s"))
+    return (
+        top.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "tf",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.array_join(
+                F.slice(F.col("s"), lo, hi - lo + F.lit(1)), " "
+            ).alias("snippet"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+    )
