@@ -2368,3 +2368,110 @@ def text_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("tf").desc(), F.col("doc_id").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# bounded-hop BFS reach over the co-purchase graph
+
+_BFS_SEED = 55  # highest-degree node of the support-pruned graph
+
+
+@register(
+    "part_bfs_3hop_reach",
+    oracle=f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+f0 AS (SELECT CAST({_BFS_SEED} AS BIGINT) AS p),
+f1 AS (
+  SELECT DISTINCT und.b AS p FROM und JOIN f0 ON und.a = f0.p
+  WHERE und.b NOT IN (SELECT p FROM f0)
+),
+f2 AS (
+  SELECT DISTINCT und.b AS p FROM und JOIN f1 ON und.a = f1.p
+  WHERE und.b NOT IN (SELECT p FROM f0 UNION ALL SELECT p FROM f1)
+),
+f3 AS (
+  SELECT DISTINCT und.b AS p FROM und JOIN f2 ON und.a = f2.p
+  WHERE und.b NOT IN (SELECT p FROM f0 UNION ALL SELECT p FROM f1
+                      UNION ALL SELECT p FROM f2)
+),
+lv AS (
+  SELECT 0 AS hop, p FROM f0 UNION ALL SELECT 1, p FROM f1
+  UNION ALL SELECT 2, p FROM f2 UNION ALL SELECT 3, p FROM f3
+)
+SELECT CAST(hop AS BIGINT) AS hop,
+  CAST(count(*) AS BIGINT) AS n_new_parts,
+  CAST(min(p) AS BIGINT) AS min_part,
+  CAST(max(p) AS BIGINT) AS max_part
+FROM lv GROUP BY hop ORDER BY hop
+""",
+    doc=f"Bounded-hop BFS reach from part {_BFS_SEED} (the pruned "
+    "co-purchase graph's highest-degree node): per-hop newly-reached "
+    "counts to depth 3 — the substitution/recommendation radius "
+    "question graph warehouses answer. Edges are the SAME "
+    "support-pruned (>= 2 co-orders) set the triangle query builds; "
+    "each hop is one equi-join frontier-expand + anti-join against "
+    "the reached set (frontiers are localCheckpointed so hop k+1 "
+    "never recomputes hop k's lineage — the connected-components "
+    "discipline). Hop count is FIXED, so unlike CC there is no "
+    "convergence loop: 3 joins, each keyed on the node id, reached "
+    "set broadcast (bounded by the 3-hop ball, not the graph).",
+)
+def part_bfs_3hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a = lp.alias("a")
+    b = lp.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"),
+            F.col("b.l_partkey").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("x", "y")
+    )
+    und = e.unionAll(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    und = und.localCheckpoint()
+
+    frontier = spark.createDataFrame(
+        [(int(_BFS_SEED),)], "p bigint"
+    ).localCheckpoint()
+    reached = frontier
+    levels = [frontier.withColumn("hop", F.lit(0))]
+    for hop in (1, 2, 3):
+        nxt = (
+            und.join(
+                F.broadcast(frontier), und.x == F.col("p")
+            )
+            .select(F.col("y").alias("p"))
+            .distinct()
+            .join(F.broadcast(reached), "p", "left_anti")
+            .localCheckpoint()
+        )
+        levels.append(nxt.withColumn("hop", F.lit(hop)))
+        reached = reached.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    lv = levels[0]
+    for l in levels[1:]:
+        lv = lv.unionAll(l)
+    return (
+        lv.groupBy(F.col("hop").cast("bigint").alias("hop"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_new_parts"),
+            F.min("p").cast("bigint").alias("min_part"),
+            F.max("p").cast("bigint").alias("max_part"),
+        )
+        .orderBy("hop")
+    )
