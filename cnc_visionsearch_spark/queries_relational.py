@@ -2227,3 +2227,119 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# equi-depth histogram (quantile buckets)
+
+
+@register(
+    "order_price_equidepth_histogram",
+    oracle="""
+WITH b AS (
+  SELECT o_totalprice,
+    CAST(ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+      AS BIGINT) AS bucket
+  FROM orders
+)
+SELECT bucket,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  min(o_totalprice) AS lo,
+  max(o_totalprice) AS hi
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+    doc="Equi-DEPTH (quantile-bucket) histogram of order prices — the "
+    "companion to the equi-width events_value_histogram and the shape "
+    "optimizer statistics actually store (bucket boundaries adapt to "
+    "the distribution, so every bucket carries equal weight). NTILE "
+    "over the fact with a deterministic orderkey tie-break; at scale "
+    "the boundaries come from percentile_approx sketches + one "
+    "broadcast band join instead of the global window (the "
+    "customer_spend_deciles swap), which this fixture-scale exact "
+    "form hash-pins the semantics of.",
+)
+def order_price_equidepth_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(
+            Window.orderBy(
+                F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+            )
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# supplier lead-time percentiles
+
+
+@register(
+    "supplier_lead_time_percentiles",
+    oracle="""
+WITH lt AS (
+  SELECT l_suppkey,
+    CAST(date_diff('day', o.o_orderdate::TIMESTAMP, l.l_shipdate::TIMESTAMP)
+      AS DOUBLE) AS lead_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT l_suppkey,
+  CAST(count(*) AS BIGINT) AS n_shipments,
+  quantile_cont(lead_days, 0.5) AS p50_days,
+  quantile_cont(lead_days, 0.9) AS p90_days,
+  CAST(max(lead_days) AS BIGINT) AS max_days
+FROM lt GROUP BY l_suppkey
+ORDER BY p90_days DESC, l_suppkey ASC
+LIMIT 15
+""",
+    doc="Supplier lead-time SLA report: order-to-ship days per "
+    "shipment (one orderkey-keyed fact-fact join — the bucketed-table "
+    "layout pays this shuffle once at write time, per SCALE.md), "
+    "exact interpolated p50/p90 per supplier (Spark percentile == "
+    "DuckDB quantile_cont, FIXTURES rules), worst suppliers first. "
+    "At 100 TB the per-group exact percentile swaps for "
+    "percentile_approx's mergeable t-digest — the same one-line swap "
+    "every quantile query here documents.",
+)
+def supplier_lead_time_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lt = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        "l_suppkey",
+        (
+            (
+                F.col("l_shipdate").cast("long")
+                - F.col("o_orderdate").cast("long")
+            )
+            / 86400
+        ).alias("lead_days"),
+    )
+    return (
+        lt.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shipments"),
+            F.expr("percentile(lead_days, 0.5)").alias("p50_days"),
+            F.expr("percentile(lead_days, 0.9)").alias("p90_days"),
+            F.max("lead_days").cast("bigint").alias("max_days"),
+        )
+        .orderBy(F.col("p90_days").desc(), F.col("l_suppkey").asc())
+        .limit(15)
+    )
