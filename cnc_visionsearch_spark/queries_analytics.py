@@ -2475,3 +2475,77 @@ def part_bfs_3hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hop")
     )
+
+
+# ---------------------------------------------------------------------------
+# did-you-mean: edit-distance term suggestions from the index dictionary
+
+_SPELL_QUERY = "qurey"  # misspelling of fixture-vocab 'query'
+_SPELL_MAX_DIST = 2
+
+
+@register(
+    "text_spell_suggest",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dict AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM tok GROUP BY term
+),
+cand AS (
+  SELECT term, doc_freq,
+    CAST(levenshtein(term, '{_SPELL_QUERY}') AS BIGINT) AS dist
+  FROM dict
+  WHERE abs(length(term) - length('{_SPELL_QUERY}')) <= {_SPELL_MAX_DIST}
+    AND levenshtein(term, '{_SPELL_QUERY}') <= {_SPELL_MAX_DIST}
+    AND term != '{_SPELL_QUERY}'
+)
+SELECT term, dist, doc_freq
+FROM cand
+ORDER BY dist ASC, doc_freq DESC, term ASC
+LIMIT 5
+""",
+    doc=f"Did-you-mean suggestions for '{_SPELL_QUERY}': dictionary "
+    "terms within Levenshtein distance "
+    f"{_SPELL_MAX_DIST}, closest first, popular (by document "
+    "frequency) first within a distance — the spell-correction step "
+    "in front of every lexical search box. The dictionary is the "
+    "inverted index's term set with df (vocabulary-sized — the "
+    "part_name_fuzzy_matches doctrine: resolve the dictionary, never "
+    "the corpus), length-blocked before the Levenshtein verify so "
+    "the distance function runs on a band of the vocabulary, not all "
+    "of it. levenshtein() returns identical integers on both engines.",
+)
+def text_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.text_index import read_postings
+
+    path = ensure_inverted_built(spark, sf_dir)
+    dict_df = (
+        read_postings(spark, path)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+    )
+    q = F.lit(_SPELL_QUERY)
+    cand = (
+        dict_df.filter(
+            F.abs(F.length("term") - F.length(q)) <= _SPELL_MAX_DIST
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("term"), q).cast("bigint")
+        )
+        .filter(
+            (F.col("dist") <= _SPELL_MAX_DIST)
+            & (F.col("term") != _SPELL_QUERY)
+        )
+    )
+    return (
+        cand.select("term", "dist", "doc_freq")
+        .orderBy(
+            F.col("dist").asc(),
+            F.col("doc_freq").desc(),
+            F.col("term").asc(),
+        )
+        .limit(5)
+    )

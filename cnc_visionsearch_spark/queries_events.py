@@ -1060,3 +1060,104 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel time-to-convert
+
+
+@register(
+    "events_funnel_time_to_convert",
+    oracle="""
+WITH ev AS (SELECT ts::TIMESTAMP AS ts, user_id, event_type FROM events),
+v AS (SELECT user_id, min(ts) AS t0 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t1 FROM ev e JOIN v ON v.user_id = e.user_id
+        AND e.ts > v.t0 AND e.ts <= v.t0 + INTERVAL '12 hours'
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN c ON c.user_id = e.user_id
+        AND e.ts > c.t1 AND e.ts <= c.t1 + INTERVAL '48 hours'
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+d1 AS (
+  SELECT CAST(date_diff('second', v.t0, c.t1) AS DOUBLE) AS s
+  FROM c JOIN v USING (user_id)
+),
+d2 AS (
+  SELECT CAST(date_diff('second', c.t1, p.t2) AS DOUBLE) AS s
+  FROM p JOIN c USING (user_id)
+)
+SELECT 'view_to_click' AS stage_pair, CAST(1 AS INT) AS pair_idx,
+  CAST(count(*) AS BIGINT) AS n_users,
+  quantile_cont(s, 0.5) AS p50_s, quantile_cont(s, 0.9) AS p90_s
+FROM d1
+UNION ALL
+SELECT 'click_to_purchase', CAST(2 AS INT),
+  CAST(count(*) AS BIGINT), quantile_cont(s, 0.5), quantile_cont(s, 0.9)
+FROM d2
+""",
+    doc="Time-to-convert between funnel stages — the latency half of "
+    "the funnel report (events_funnel_conversion counts WHO "
+    "converts; this measures HOW FAST): p50/p90 seconds from first "
+    "view to first qualifying click, and from that click to the "
+    "first qualifying purchase, over the SAME min-ts stage chain the "
+    "funnel gate pins. Exact interpolated percentiles (Spark "
+    "percentile == DuckDB quantile_cont); every join keys on "
+    "user_id, so the whole report reuses one partitioning. At scale "
+    "the per-pair percentile swaps for the mergeable "
+    "percentile_approx sketch.",
+)
+def events_funnel_time_to_convert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .alias("e")
+        .join(v.alias("v"), "user_id")
+        .filter(
+            (F.col("e.ts") > F.col("t0"))
+            & (F.col("e.ts") <= F.col("t0") + F.expr("INTERVAL 12 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("e.ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .alias("e")
+        .join(c.alias("c"), "user_id")
+        .filter(
+            (F.col("e.ts") > F.col("t1"))
+            & (F.col("e.ts") <= F.col("t1") + F.expr("INTERVAL 48 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("e.ts").alias("t2"))
+    )
+    d1 = c.join(v, "user_id").select(
+        (F.col("t1").cast("long") - F.col("t0").cast("long"))
+        .cast("double")
+        .alias("s")
+    )
+    d2 = p.join(c, "user_id").select(
+        (F.col("t2").cast("long") - F.col("t1").cast("long"))
+        .cast("double")
+        .alias("s")
+    )
+
+    def pair(df: DataFrame, name: str, idx: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage_pair"),
+            F.lit(idx).cast("int").alias("pair_idx"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.expr("percentile(s, 0.5)").alias("p50_s"),
+            F.expr("percentile(s, 0.9)").alias("p90_s"),
+        ).select("stage_pair", "pair_idx", "n_users", "p50_s", "p90_s")
+
+    return pair(d1, "view_to_click", 1).unionAll(
+        pair(d2, "click_to_purchase", 2)
+    )
