@@ -277,3 +277,38 @@ def test_inverted_vacuum_preserves_results_and_drops_tombstones(
         F.col("doc_id").isin([4, 11, 25])
     )
     assert raw.count() == 0
+
+
+def test_bm25_single_and_batch_probes_cannot_drift(spark, tmp_path):
+    """bm25_multi_probe shares per-(term, doc) scores across queries;
+    for a one-query batch its ranking and quantized scores must equal
+    bm25_probe's exactly — the no-drift contract the serving stream
+    relies on."""
+    from pyspark.sql import functions as F
+
+    from cnc_visionsearch_spark.operators.text_index import (
+        bm25_multi_probe,
+        bm25_probe,
+        inverted_build,
+    )
+    from cnc_visionsearch_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "inv")
+    inverted_build(docs, idx, n_buckets=8)
+    terms = ["hash", "join", "table"]
+
+    single = {
+        (r.doc_id, r.n_terms, r.score_q)
+        for r in bm25_probe(spark, idx, terms, n_buckets=8)
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(5)
+        .collect()
+    }
+    batch = {
+        (r.doc_id, r.n_terms, r.score_q)
+        for r in bm25_multi_probe(
+            spark, idx, [(0, terms)], n_buckets=8, k=5
+        ).collect()
+    }
+    assert single == batch and single
