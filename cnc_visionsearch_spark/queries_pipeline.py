@@ -1487,3 +1487,181 @@ def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# ------------------------------------------- nearest-centroid evaluation
+
+
+@register(
+    "emb_centroid_classification_report",
+    oracle=f"""
+WITH {_NORM_CTE},
+sums AS (
+  SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(floor(x * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+  FROM (
+    SELECT label, unnest(range(1, len(nvec) + 1)) - 1 AS dim,
+      unnest(nvec) AS x
+    FROM normed
+  ) GROUP BY label, dim
+),
+cents AS (
+  SELECT label AS c_label, dim,
+    (CAST(sq AS DOUBLE) * 1e-9) / CAST(n AS DOUBLE) AS c
+  FROM sums
+),
+scored AS (
+  SELECT n.vec_id, n.label, c.c_label,
+    SUM(CAST(floor((nv.x * c.c) * 1000000000.0 + 0.5) AS BIGINT)) AS dot_q
+  FROM normed n,
+    LATERAL (SELECT unnest(range(1, len(n.nvec) + 1)) - 1 AS dim,
+                    unnest(n.nvec) AS x) nv
+  JOIN cents c ON c.dim = nv.dim
+  GROUP BY n.vec_id, n.label, c.c_label
+),
+pred AS (
+  SELECT vec_id, label, c_label AS pred_label FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dot_q DESC, c_label ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT CAST(label AS BIGINT) AS label,
+  CAST(pred_label AS BIGINT) AS pred_label,
+  CAST(count(*) AS BIGINT) AS n_vectors
+FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="Nearest-class-centroid evaluation over the labeled embedding "
+    "store — the cheap linear probe that tells you whether an "
+    "embedding space separates its classes before you spend on a "
+    "real classifier: per-label mean centroids from 1e-9-quantized "
+    "exact component sums (the emb_kmeans_refine discipline), every "
+    "vector scored against every centroid by QUANTIZED dot product "
+    "(per-(vector, centroid) BIGINT sums — order-free), argmax with "
+    "deterministic label tie-break, label x prediction confusion "
+    "counts. One corpus scan for centroids (|labels| x d integers "
+    "out), one for scoring with the centroid table broadcast — the "
+    "same two-scan shape at any corpus size.",
+)
+def emb_centroid_classification_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    comp = emb.select(
+        "vec_id", "label", F.posexplode("nvec").alias("dim", "x")
+    )
+    cents = (
+        comp.groupBy(F.col("label").alias("c_label"), "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(fixed_point_q("x")).alias("sq"),
+        )
+        .select(
+            "c_label",
+            "dim",
+            (
+                (F.col("sq").cast("double") * F.lit(1e-9))
+                / F.col("n").cast("double")
+            ).alias("c"),
+        )
+    )
+    scored = (
+        comp.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(fixed_point_q(F.col("x") * F.col("c"))).alias("dot_q"))
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("dot_q").desc(), F.col("c_label").asc()
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("pred_label").cast("bigint").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .orderBy("label", "pred_label")
+    )
+
+
+# ------------------------------------------- MIPS via L2 augmentation
+
+_MIPS_QID = 13
+
+
+@register(
+    "ann_mips_augmented_topk",
+    oracle=f"""
+WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM raw WHERE vec_id = {_MIPS_QID})
+SELECT vec_id,
+  list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i])) AS dot
+FROM raw, q
+ORDER BY dot DESC, vec_id ASC
+LIMIT 10
+""",
+    doc="Maximum-inner-product search served by an L2 engine — the "
+    "Bachrach et al. order-preserving reduction every MIPS-on-L2 "
+    "deployment uses: augment each RAW corpus vector with "
+    "sqrt(M^2 - |x|^2) (M = max corpus norm) and the query with 0; "
+    "then L2^2(aug) = M^2 + |q|^2 - 2 x.q is MONOTONE in the inner "
+    "product, so the L2 top-k IS the MIPS top-k. The Spark side ranks "
+    "through the augmentation (the path that composes with every L2 "
+    "tier here - IVF cells, PQ codes, NSW graph all rank by L2); the "
+    "oracle ranks by the inner product directly - hash-match is a "
+    "PROOF the reduction preserved the ranking, with the reported "
+    "dot column computed by the identical per-row chain on both "
+    "sides. The augmented dimension costs one extra float per vector; "
+    "M^2 is a 1-row broadcast aggregate.",
+)
+def ann_mips_augmented_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import (
+        as_double_array,
+        dot,
+        l2_sq,
+    )
+    from cnc_visionsearch_spark.sources.catalog import memoized_point_value
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    qv = [
+        float(x)
+        for x in memoized_point_value(
+            spark, sf_dir, "embeddings", "vec_id", _MIPS_QID, "embedding"
+        )
+    ]
+    qcol = F.array(*[F.lit(x) for x in qv]).cast("array<double>")
+    sq_norm = F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    m2 = emb.agg(F.max(sq_norm).alias("m2"))
+    aug = emb.crossJoin(F.broadcast(m2)).select(
+        "vec_id",
+        "v",
+        F.concat(
+            F.col("v"), F.array(F.sqrt(F.col("m2") - sq_norm))
+        ).alias("va"),
+    )
+    qaug = F.concat(qcol, F.array(F.lit(0.0))).cast("array<double>")
+    return (
+        aug.select(
+            "vec_id",
+            dot("v", qcol).alias("dot"),
+            l2_sq("va", qaug).alias("aug_d"),
+        )
+        # rank by the AUGMENTED L2 - the reduction under test; the
+        # oracle ranks by dot directly, so the hash gate proves order
+        # preservation
+        .orderBy(F.col("aug_d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "dot")
+    )
