@@ -1161,3 +1161,61 @@ def events_funnel_time_to_convert(
     return pair(d1, "view_to_click", 1).unionAll(
         pair(d2, "click_to_purchase", 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern mining: top event trigram paths
+
+
+@register(
+    "events_top_trigram_paths",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id FROM events
+),
+seq AS (
+  SELECT user_id, event_type,
+    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS nxt1,
+    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS nxt2
+  FROM ev
+)
+SELECT event_type AS step1, nxt1 AS step2, nxt2 AS step3,
+  CAST(count(*) AS BIGINT) AS n_occurrences,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE nxt1 IS NOT NULL AND nxt2 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_occurrences DESC, step1, step2, step3
+LIMIT 15
+""",
+    doc="Order-2 sequential pattern mining: the most frequent "
+    "3-event paths across user journeys (the transition matrix "
+    "events_transition_matrix generalized one step deeper) — "
+    "occurrence and distinct-user support per path. lead() windows "
+    "partitioned by user_id with deterministic (ts, event_id) "
+    "ordering; the per-user window and the path group-by reuse the "
+    "same user-keyed partitioning, then the path aggregate shuffles "
+    "only (type^3)-cardinality keys. The product-analytics input to "
+    "journey-map dashboards and Markov-chain attribution.",
+)
+def events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+    return (
+        seq.groupBy("step1", "step2", "step3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(
+            F.col("n_occurrences").desc(), "step1", "step2", "step3"
+        )
+        .limit(15)
+    )
