@@ -558,3 +558,100 @@ def doc_surprisal_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFra
         F.min("bpt").alias("min_bpt"),
         F.max("bpt").alias("max_bpt"),
     )
+
+
+# ---------------------------------------- bigram LM surprisal (backoff)
+
+
+@register(
+    "doc_bigram_surprisal",
+    oracle="""
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+idx AS (SELECT doc_id, unnest(range(1, len(s) + 1)) AS j FROM sp),
+pairs AS (
+  SELECT idx.doc_id, idx.j, sp.s[idx.j] AS cur,
+    CASE WHEN idx.j > 1 THEN sp.s[idx.j - 1] END AS prev
+  FROM idx JOIN sp USING (doc_id)
+),
+big AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+  FROM pairs WHERE prev IS NOT NULL GROUP BY prev, cur
+),
+ctx AS (
+  SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM big GROUP BY prev
+),
+uni AS (SELECT cur AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM pairs GROUP BY cur),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pairs),
+scored AS (
+  SELECT p.doc_id,
+    CASE WHEN p.prev IS NULL
+      THEN CAST(length(bin(tot.n_total // u.tf)) - 1 AS BIGINT)
+      ELSE CAST(length(bin(ctx.c1 // big.c2)) - 1 AS BIGINT)
+    END AS bits
+  FROM pairs p
+  LEFT JOIN big ON big.prev = p.prev AND big.cur = p.cur
+  LEFT JOIN ctx ON ctx.prev = p.prev
+  JOIN uni u ON u.term = p.cur, tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(bits) AS BIGINT) AS total_bits,
+  CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bits_per_token
+FROM scored GROUP BY doc_id
+""",
+    doc="Bigram language-model surprisal — doc_unigram_surprisal with "
+    "one token of conditioning: per-token bits = "
+    "floor(log2(c(prev) / c(prev, cur))) computed EXACTLY in integers "
+    "(length(bin(n div m)) - 1, the established libm-free idiom); a "
+    "document's first token backs off to the unigram model. "
+    "Conditioning tightens the model, so scores drop vs the unigram "
+    "tier on natural text and spike on incoherent token salads — the "
+    "stronger perplexity-proxy quality filter. At 100 TB the bigram "
+    "table is vocab^2-bounded in theory but Zipf-sparse in practice "
+    "(broadcast after a map-side-combined count; fall back to a "
+    "doc-keyed shuffle join if a corpus outgrows the broadcast "
+    "budget); scoring is one explode + two joins + a doc_id "
+    "aggregate.",
+)
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "cur")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.withColumn("prev", F.lag("cur").over(w))
+    big = (
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    ctx = big.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    uni = pairs.groupBy(F.col("cur").alias("term")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    tot = pairs.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        pairs.join(F.broadcast(big), ["prev", "cur"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .join(F.broadcast(uni), pairs.cur == F.col("term"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("prev").isNull(),
+                F.length(F.bin(F.expr("n_total div tf"))) - 1,
+            )
+            .otherwise(F.length(F.bin(F.expr("c1 div c2"))) - 1)
+            .cast("bigint")
+            .alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("bits").cast("bigint").alias("total_bits"),
+        (
+            F.sum("bits").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("bits_per_token"),
+    )
