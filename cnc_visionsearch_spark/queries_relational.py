@@ -2343,3 +2343,66 @@ def supplier_lead_time_percentiles(
         .orderBy(F.col("p90_days").desc(), F.col("l_suppkey").asc())
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of brand revenue
+
+
+@register(
+    "part_brand_revenue_gini",
+    oracle="""
+WITH rev AS (
+  SELECT p.p_brand,
+    SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+),
+ranked AS (
+  SELECT p_brand, r,
+    CAST(row_number() OVER (ORDER BY r ASC, p_brand ASC) AS BIGINT) AS i
+  FROM rev
+)
+SELECT CAST(count(*) AS BIGINT) AS n_brands,
+  CAST(SUM(r) AS DOUBLE) AS total_revenue,
+  (((2.0 * CAST(SUM(i * r) AS DOUBLE)) / (CAST(count(*) AS DOUBLE)
+      * CAST(SUM(r) AS DOUBLE)))
+    - ((CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE)))
+    AS gini
+FROM ranked
+""",
+    doc="Gini coefficient of revenue concentration across part brands "
+    "— the inequality statistic next to nation_revenue_pareto's "
+    "cumulative-share view: rank brands by exact-DECIMAL revenue "
+    "(deterministic brand tie-break), then the closed-form "
+    "G = 2*sum(i*r_i)/(n*sum(r)) - (n+1)/n as one double chain over "
+    "DECIMAL-exact sums (i*r stays DECIMAL until the final cast). "
+    "The rank window sorts the BRAND AGGREGATE — bounded dimension "
+    "cardinality, never the fact table.",
+)
+def part_brand_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("r")
+        )
+    )
+    ranked = rev.withColumn(
+        "i",
+        F.row_number()
+        .over(Window.orderBy(F.col("r").asc(), F.col("p_brand").asc()))
+        .cast("bigint"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sr = F.sum("r").cast("double")
+    sir = F.sum(F.col("i") * F.col("r")).cast("double")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+        F.sum("r").cast("double").alias("total_revenue"),
+        (((F.lit(2.0) * sir) / (n * sr)) - ((n + F.lit(1.0)) / n)).alias(
+            "gini"
+        ),
+    )
