@@ -439,3 +439,130 @@ def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# three-tier compression cascade
+
+_CASCADE_QID = 29
+_CASCADE_N1 = 200  # hamming survivors
+_CASCADE_N2 = 40   # int8 survivors
+
+
+@register(
+    "ann_cascade_topk",
+    oracle=f"""
+WITH {_NORM_CTE},
+sigs AS (
+  SELECT vec_id,
+    {_BSIG_LO_SQL.format(v="nvec")} AS lo,
+    {_BSIG_HI_SQL.format(v="nvec")} AS hi
+  FROM normed
+),
+q AS (
+  SELECT n.nvec AS qv, s.lo AS qlo, s.hi AS qhi
+  FROM normed n JOIN sigs s USING (vec_id) WHERE n.vec_id = {_CASCADE_QID}
+),
+c1 AS (
+  SELECT s.vec_id FROM sigs s, q
+  ORDER BY bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi)) ASC,
+           s.vec_id ASC
+  LIMIT {_CASCADE_N1}
+),
+recon AS (
+  SELECT b.vec_id, b.nvec,
+    CASE WHEN b.amax = 0 THEN list_transform(b.nvec, x -> 0.0)
+         ELSE list_transform(b.nvec, x ->
+            least(greatest(floor(x * 127.0 / b.amax + 0.5), -127.0), 127.0)
+            * b.amax / 127.0)
+    END AS rv
+  FROM (
+    SELECT normed.vec_id, normed.nvec,
+      list_aggregate(list_transform(normed.nvec, x -> abs(x)), 'max') AS amax
+    FROM normed JOIN c1 USING (vec_id)
+  ) b
+),
+c2 AS (
+  SELECT r.vec_id, r.nvec FROM recon r, q
+  ORDER BY {_L2SQ.format(a="r.rv", b="q.qv")} ASC, r.vec_id ASC
+  LIMIT {_CASCADE_N2}
+)
+SELECT c2.vec_id, {_L2SQ.format(a="c2.nvec", b="q.qv")} AS distance
+FROM c2, q
+ORDER BY distance ASC, c2.vec_id ASC
+LIMIT 10
+""",
+    doc="Three-tier compression CASCADE — the production funnel that "
+    "composes the engine's compression axes in one query: (1) 64 "
+    f"sign bits / two BIGINT words rank everything by Hamming (256x "
+    f"compression, two bit_count ops/row) -> top {_CASCADE_N1}; "
+    "(2) int8 symmetric dequantized L2 (4x compression) over the "
+    f"survivors -> top {_CASCADE_N2}; (3) exact fp64 re-score -> "
+    "final 10. Each stage reads a strictly cheaper representation "
+    "over a strictly smaller set — at 100 TB stage 1 scans 625 GB of "
+    "resident signatures, stage 2 touches ~N1/corpus of the int8 "
+    "column, stage 3 is 40 full vectors: the I/O shape bitmap-index "
+    "engines and GPU rerankers both converge on. Every stage is "
+    "integer or single-chain-double arithmetic with vec_id "
+    "tie-breaks, so the whole approximate cascade is hash-gated "
+    "end to end.",
+)
+def ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.queries_ann import _norm_query_vec
+    from cnc_visionsearch_spark.sources.catalog import load_table
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    q = _norm_query_vec(spark, sf_dir, _CASCADE_QID)
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+
+    def _bits(vals, base):
+        word = 0
+        for i, x in enumerate(vals):
+            if x >= 0:
+                word |= 1 << i
+        return word
+
+    qlo, qhi = _bits(q[:32], 0), _bits(q[32:], 32)
+    sigs = emb.select(
+        "vec_id",
+        F.expr(_BSIG_LO.format(v="nvec")).alias("lo"),
+        F.expr(_BSIG_HI.format(v="nvec")).alias("hi"),
+    )
+    ham = F.bit_count(F.col("lo").bitwiseXOR(F.lit(qlo))) + F.bit_count(
+        F.col("hi").bitwiseXOR(F.lit(qhi))
+    )
+    c1 = (
+        sigs.select("vec_id", ham.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(_CASCADE_N1)
+        .select("vec_id")
+    )
+    surv = emb.join(F.broadcast(c1), "vec_id").select("vec_id", "nvec")
+    amax = F.array_max(F.transform("nvec", lambda x: F.abs(x)))
+    rv = F.when(
+        F.col("amax") == 0, F.transform("nvec", lambda x: F.lit(0.0))
+    ).otherwise(
+        F.transform(
+            "nvec",
+            lambda x: F.least(
+                F.greatest(
+                    F.floor(x * F.lit(127.0) / F.col("amax") + F.lit(0.5)),
+                    F.lit(-127.0),
+                ),
+                F.lit(127.0),
+            )
+            * F.col("amax")
+            / F.lit(127.0),
+        )
+    )
+    recon = surv.withColumn("amax", amax).withColumn("rv", rv)
+    c2 = (
+        recon.select("vec_id", "nvec", l2_sq("rv", qcol).alias("qd"))
+        .orderBy(F.col("qd").asc(), F.col("vec_id").asc())
+        .limit(_CASCADE_N2)
+    )
+    return (
+        c2.select("vec_id", l2_sq("nvec", qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
