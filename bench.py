@@ -49,6 +49,7 @@ HEADLINE = [
     "ann_pq_trained_topk",
     "ann_ivf_knn_join",
     "ann_nsw_beam_topk",
+    "ann_cascade_topk",
     "knn_sharded_topk",
     "text_search_topk",
     # lexical retrieval served from the persisted inverted index
