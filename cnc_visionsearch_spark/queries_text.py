@@ -655,3 +655,100 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bits").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("bits_per_token"),
     )
+
+
+# ------------------------------------------- term association (lift/PMI)
+
+_ASSOC_MIN_DF = 50
+
+
+@register(
+    "term_cooccurrence_lift",
+    oracle=f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+  FROM documents
+),
+n_docs AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM dt),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_t FROM dt GROUP BY term
+  HAVING count(*) >= {_ASSOC_MIN_DF}
+),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+    CAST(count(*) AS BIGINT) AS n_ab
+  FROM dt a JOIN dt b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  WHERE a.term IN (SELECT term FROM df)
+    AND b.term IN (SELECT term FROM df)
+  GROUP BY 1, 2
+)
+SELECT p.term_a, p.term_b, p.n_ab, da.n_t AS df_a, db.n_t AS df_b,
+  ((CAST(p.n_ab AS DOUBLE) * CAST(n_docs.n AS DOUBLE))
+    / (CAST(da.n_t AS DOUBLE) * CAST(db.n_t AS DOUBLE))) AS lift
+FROM pairs p
+JOIN df da ON da.term = p.term_a
+JOIN df db ON db.term = p.term_b, n_docs
+ORDER BY lift DESC, p.term_a ASC, p.term_b ASC
+LIMIT 20
+""",
+    doc="Term-association mining: document-level co-occurrence lift "
+    "P(a,b)/(P(a)P(b)) — exp(PMI), the same rational no-log form as "
+    "every idf/lift here — for term pairs above a df floor of "
+    f"{_ASSOC_MIN_DF} docs, top 20. The text twin of "
+    "part_association_rules: per-doc distinct-term sets expand to "
+    "pairs IN-ROW (the _bucket_pairs basket shape — no dt self-join "
+    "in the Spark plan; the oracle's self-join is the quadratic "
+    "formulation), df floors bound the eligible vocabulary before "
+    "expansion, and the (term_a, term_b) count shuffle carries only "
+    "string pairs. Feeds phrase-lexicon induction and query "
+    "suggestion at corpus scale.",
+)
+def term_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.dedup import _bucket_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens("text"))).alias("term"),
+    )
+    n_docs = dt.agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n")
+    )
+    df = (
+        dt.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+        .filter(F.col("n_t") >= _ASSOC_MIN_DF)
+    )
+    eligible = dt.join(F.broadcast(df.select("term")), "term")
+    baskets = eligible.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("term")).alias("members")
+    ).filter(F.size("members") >= 2)
+    pairs = (
+        _bucket_pairs(baskets, "named_struct('term_a', x, 'term_b', y)")
+        .groupBy(
+            F.col("p.term_a").alias("term_a"),
+            F.col("p.term_b").alias("term_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    da = df.select(F.col("term").alias("term_a"), F.col("n_t").alias("df_a"))
+    db = df.select(F.col("term").alias("term_b"), F.col("n_t").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            "df_a",
+            "df_b",
+            (
+                (F.col("n_ab").cast("double") * F.col("n").cast("double"))
+                / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("term_a").asc(), F.col("term_b").asc())
+        .limit(20)
+    )
