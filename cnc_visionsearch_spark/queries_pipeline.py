@@ -1665,3 +1665,92 @@ def ann_mips_augmented_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "dot")
     )
+
+
+# ------------------------------------------- two-NN ratio profile
+
+
+@register(
+    "emb_two_nn_profile",
+    oracle=f"""
+WITH {_NORM_CTE},
+d AS (
+  SELECT a.vec_id,
+    sqrt({{l2}}) AS dist,
+    row_number() OVER (
+      PARTITION BY a.vec_id
+      ORDER BY {{l2}} ASC, b.vec_id ASC
+    ) AS rn
+  FROM normed a JOIN normed b ON a.vec_id != b.vec_id
+),
+two AS (
+  SELECT vec_id,
+    MAX(CASE WHEN rn = 1 THEN dist END) AS d1,
+    MAX(CASE WHEN rn = 2 THEN dist END) AS d2
+  FROM d WHERE rn <= 2 GROUP BY vec_id
+),
+mu AS (SELECT vec_id, d2 / d1 AS mu FROM two WHERE d1 > 0)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+  quantile_cont(mu, 0.25) AS p25_mu,
+  quantile_cont(mu, 0.5) AS p50_mu,
+  quantile_cont(mu, 0.75) AS p75_mu,
+  CAST(SUM(CASE WHEN mu <= 1.1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_tight_pairs
+FROM mu
+""".format(
+        l2="list_sum(list_transform(range(1, len(a.nvec)+1), "
+        "i -> (a.nvec[i]-b.nvec[i])**2))"
+    ),
+    doc="Two-NN ratio profile of the embedding space — the "
+    "Levina-Bickel / TwoNN intrinsic-dimension diagnostic's raw "
+    "signal, log-free: for every vector, mu = d2/d1 (2nd vs 1st "
+    "nearest-neighbor Euclidean distance; sqrt is IEEE "
+    "correctly-rounded). Low quartiles = points living on a "
+    "low-dimensional manifold or near-duplicate clumps (n_tight_"
+    "pairs counts mu <= 1.1); mu near the high-dim expectation "
+    "signals an isotropic, information-dense space. Spark side runs "
+    "the 2-NN join through the SAME WindowGroupLimit kNN-join "
+    "operator every batch retrieval uses (at 100 TB: through the IVF "
+    "probe); the oracle's all-pairs window is the quadratic "
+    "formulation. The diagnostic every embedding-store migration "
+    "should run before trusting recall numbers.",
+)
+def emb_two_nn_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.knn import knn_join, with_normalized
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("nvec").alias("qv")
+    )
+    corpus = emb.select("vec_id", "nvec")
+    nn = knn_join(
+        queries,
+        corpus,
+        k=3,
+        query_id="query_id",
+        query_vec="qv",
+        corpus_id="vec_id",
+        corpus_vec="nvec",
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc()
+    )
+    ranked = nn.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    two = ranked.groupBy("query_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.sqrt("distance"))).alias("d1"),
+        F.max(F.when(F.col("rn") == 2, F.sqrt("distance"))).alias("d2"),
+    )
+    mu = two.filter(F.col("d1") > 0).select(
+        (F.col("d2") / F.col("d1")).alias("mu")
+    )
+    return mu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.expr("percentile(mu, 0.25)").alias("p25_mu"),
+        F.expr("percentile(mu, 0.5)").alias("p50_mu"),
+        F.expr("percentile(mu, 0.75)").alias("p75_mu"),
+        F.sum(F.when(F.col("mu") <= 1.1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tight_pairs"),
+    )
