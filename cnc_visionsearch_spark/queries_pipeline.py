@@ -1754,3 +1754,160 @@ def emb_two_nn_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tight_pairs"),
     )
+
+
+# ------------------------------------------- LSH operating-point curve
+
+_CURVE_CONFIGS = ((8, 2), (4, 4), (2, 8))  # (bands, rows_per_band)
+_CURVE_J = 0.3
+
+
+def _curve_oracle() -> str:
+    from cnc_visionsearch_spark.queries_dedup import _MINHASH_16
+
+    per_cfg = []
+    for bands, rows in _CURVE_CONFIGS:
+        per_cfg.append(f"""
+SELECT {bands} AS bands, {rows} AS rows_per_band,
+  (SELECT CAST(count(*) AS BIGINT) FROM (
+     SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+     FROM bands_{bands} x JOIN bands_{bands} y
+       ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+      AND x.doc_id < y.doc_id)) AS n_candidates,
+  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+  (SELECT CAST(count(*) AS BIGINT) FROM truth t
+   WHERE EXISTS (
+     SELECT 1 FROM bands_{bands} x JOIN bands_{bands} y
+       ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+     WHERE x.doc_id = t.ia AND y.doc_id = t.ib)) AS n_captured""")
+    band_ctes = []
+    for bands, rows in _CURVE_CONFIGS:
+        sig = " || ',' || ".join(
+            f"MAX(CASE WHEN i = b * {rows} + {r} THEN h::VARCHAR END)"
+            for r in range(rows)
+        )
+        band_ctes.append(
+            f"bands_{bands} AS (\n"
+            f"  SELECT doc_id, b AS band_id, {sig} AS band_sig\n"
+            f"  FROM hashes, (SELECT unnest(range({bands})) AS b) bs\n"
+            f"  WHERE i >= b * {rows} AND i < (b + 1) * {rows}\n"
+            f"  GROUP BY doc_id, b)"
+        )
+    return f"""
+WITH {_MINHASH_16},
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT ia, ib FROM inter
+  JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= {_CURVE_J}
+),
+{", ".join(band_ctes)}
+SELECT bands, rows_per_band, n_candidates, n_true, n_captured,
+  (CAST(n_captured AS DOUBLE) / CAST(n_true AS DOUBLE)) AS recall
+FROM ({" UNION ALL ".join(per_cfg)})
+ORDER BY bands DESC
+"""
+
+
+@register(
+    "minhash_band_recall_curve",
+    oracle=_curve_oracle(),
+    doc="MEASURED LSH operating points — the empirical S-curve check "
+    "every near-dedup deployment should run instead of trusting "
+    "1-(1-s^r)^b: for three band configurations of the same 16-hash "
+    "signature (8x2, 4x4, 2x8), the candidate-pair count and the "
+    f"recall against exact-Jaccard truth (J >= {_CURVE_J}). More "
+    "rows per band = sharper threshold = fewer candidates and lower "
+    "recall at this J — the measured trade the banding knob buys. "
+    "Truth comes from the exact shingle-intersection join; candidate "
+    "sets from the SAME signature table all three ways (one "
+    "signature computation, three band projections — exactly how a "
+    "deployment A/B-tests its blocking config against a labeled "
+    "sample at 100 TB).",
+)
+def minhash_band_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.dedup import (
+        _bucket_pairs,
+        minhash_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "text", "doc_id", 16, 3).localCheckpoint()
+
+    # exact truth: shingle-intersection Jaccard over all pairs
+    sh = _distinct_trigrams(d).withColumnRenamed("gram", "shingle")
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = (
+        inter.join(sz.select(F.col("doc_id").alias("ia"), F.col("n").alias("na")), "ia")
+        .join(sz.select(F.col("doc_id").alias("ib"), F.col("n").alias("nb")), "ib")
+        .filter(
+            F.col("c").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
+            >= _CURVE_J
+        )
+        .select("ia", "ib")
+        .localCheckpoint()
+    )
+    n_true = truth.count()
+
+    rows_out = []
+    for bands, rows in _CURVE_CONFIGS:
+        band_cols = [
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"h{b * rows + r}").cast("string")
+                    for r in range(rows)
+                ],
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        stacked = (
+            sig.select("doc_id", *band_cols)
+            .selectExpr(
+                "doc_id",
+                "stack("
+                + str(bands)
+                + ", "
+                + ", ".join(f"{b}, band{b}" for b in range(bands))
+                + ") AS (band_id, band_sig)",
+            )
+        )
+        buckets = (
+            stacked.groupBy("band_id", "band_sig")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+            .filter(F.size("members") > 1)
+        )
+        cand = (
+            _bucket_pairs(buckets, "named_struct('ia', x, 'ib', y)")
+            .select("p.ia", "p.ib")
+            .distinct()
+            .localCheckpoint()
+        )
+        n_cand = cand.count()
+        n_cap = truth.join(cand, ["ia", "ib"]).count()
+        rows_out.append(
+            (bands, rows, n_cand, n_true, n_cap, float(n_cap) / float(n_true))
+        )
+    return spark.createDataFrame(
+        rows_out,
+        "bands bigint, rows_per_band bigint, n_candidates bigint, "
+        "n_true bigint, n_captured bigint, recall double",
+    ).orderBy(F.col("bands").desc())
