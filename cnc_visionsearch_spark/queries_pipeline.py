@@ -1911,3 +1911,106 @@ def minhash_band_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bands bigint, rows_per_band bigint, n_candidates bigint, "
         "n_true bigint, n_captured bigint, recall double",
     ).orderBy(F.col("bands").desc())
+
+
+# ------------------------------------------- OOD query detection
+
+
+@register(
+    "ann_ood_query_report",
+    oracle=f"""
+WITH {_NORM_CTE},
+queries AS (SELECT vec_id AS qid, nvec AS qv FROM normed WHERE vec_id < 10),
+cal AS (SELECT vec_id AS cid, nvec AS cv FROM normed WHERE vec_id % 10 = 3),
+qpairs AS (
+  SELECT q.qid,
+    list_sum(list_transform(range(1, len(n.nvec)+1),
+      i -> (n.nvec[i]-q.qv[i])**2)) AS dist,
+    n.vec_id
+  FROM queries q JOIN normed n ON n.vec_id != q.qid
+),
+d5 AS (
+  SELECT qid, MAX(dist) AS d5 FROM (
+    SELECT qid, dist,
+      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC)
+        AS rn
+    FROM qpairs
+  ) WHERE rn <= 5 GROUP BY qid
+),
+cpairs AS (
+  SELECT c.cid,
+    list_sum(list_transform(range(1, len(n.nvec)+1),
+      i -> (n.nvec[i]-c.cv[i])**2)) AS dist,
+    n.vec_id
+  FROM cal c JOIN normed n ON n.vec_id != c.cid
+),
+cald5 AS (
+  SELECT cid, MAX(dist) AS d5 FROM (
+    SELECT cid, dist,
+      row_number() OVER (PARTITION BY cid ORDER BY dist ASC, vec_id ASC)
+        AS rn
+    FROM cpairs
+  ) WHERE rn <= 5 GROUP BY cid
+),
+thr AS (SELECT quantile_cont(d5, 0.9) AS cal_p90 FROM cald5)
+SELECT d5.qid, d5.d5, thr.cal_p90, (d5.d5 > thr.cal_p90) AS is_ood
+FROM d5, thr ORDER BY d5.qid
+""",
+    doc="Out-of-distribution query detection for the retrieval "
+    "service — the guardrail that catches garbage queries BEFORE "
+    "their bad neighbors reach a user: a query's 5th-NN distance is "
+    "compared against the p90 of the same statistic over a "
+    "deterministic 10% calibration sample of the corpus (hash "
+    "membership, re-runnable). Both sides run through the shared "
+    "kNN-join operator (at 100 TB: through the IVF probe; the "
+    "calibration quantile is computed once per corpus version and "
+    "cached as a scalar next to the index artifacts). Exact "
+    "interpolated percentile + identical distance chains keep the "
+    "whole guardrail hash-gated.",
+)
+def ann_ood_query_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.knn import knn_join, with_normalized
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    corpus = emb.select("vec_id", "nvec")
+
+    def d5_of(queries: DataFrame, qid_col: str) -> DataFrame:
+        nn = knn_join(
+            queries,
+            corpus,
+            k=6,
+            query_id=qid_col,
+            query_vec="qv",
+            corpus_id="vec_id",
+            corpus_vec="nvec",
+        ).filter(F.col(qid_col) != F.col("vec_id"))
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col("distance").asc(), F.col("vec_id").asc()
+        )
+        return (
+            nn.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .groupBy(qid_col)
+            .agg(F.max("distance").alias("d5"))
+        )
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("nvec").alias("qv")
+    )
+    cal = emb.filter(F.col("vec_id") % 10 == 3).select(
+        F.col("vec_id").alias("cid"), F.col("nvec").alias("qv")
+    )
+    qd5 = d5_of(queries, "qid")
+    thr = d5_of(cal, "cid").agg(
+        F.expr("percentile(d5, 0.9)").alias("cal_p90")
+    )
+    return (
+        qd5.crossJoin(F.broadcast(thr))
+        .select(
+            "qid",
+            "d5",
+            "cal_p90",
+            (F.col("d5") > F.col("cal_p90")).alias("is_ood"),
+        )
+        .orderBy("qid")
+    )
