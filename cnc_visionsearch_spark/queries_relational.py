@@ -2406,3 +2406,80 @@ def part_brand_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# year-over-year growth
+
+
+@register(
+    "nation_yoy_revenue_growth",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation,
+    CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+    SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+      AS r
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT nation, o_year, r,
+    lag(r) OVER (PARTITION BY nation ORDER BY o_year) AS prev_r
+  FROM rev
+)
+SELECT nation, o_year,
+  CAST(r AS DOUBLE) AS revenue,
+  CAST(prev_r AS DOUBLE) AS prev_revenue,
+  ((CAST(r AS DOUBLE) - CAST(prev_r AS DOUBLE)) / CAST(prev_r AS DOUBLE))
+    AS yoy_growth
+FROM g WHERE prev_r IS NOT NULL
+ORDER BY nation, o_year
+""",
+    doc="Year-over-year revenue growth per nation — the BI report "
+    "every warehouse serves: discounted revenue through the "
+    "lineitem-orders-customer-nation star (dims broadcast, fact "
+    "joins AQE-sized — the q5 doctrine), exact DECIMAL sums per "
+    "(nation, year), then a lag window over the AGGREGATE (25 "
+    "nations x a handful of years — dimension-scale, never the "
+    "fact). Growth is one double chain over the two DECIMAL-exact "
+    "sums cast at the end.",
+)
+def nation_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                ).cast("decimal(18,6)")
+            ).alias("r")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("o_year")
+    g = rev.withColumn("prev_r", F.lag("r").over(w)).filter(
+        F.col("prev_r").isNotNull()
+    )
+    return g.select(
+        "nation",
+        "o_year",
+        F.col("r").cast("double").alias("revenue"),
+        F.col("prev_r").cast("double").alias("prev_revenue"),
+        (
+            (F.col("r").cast("double") - F.col("prev_r").cast("double"))
+            / F.col("prev_r").cast("double")
+        ).alias("yoy_growth"),
+    ).orderBy("nation", "o_year")
