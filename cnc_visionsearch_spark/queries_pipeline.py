@@ -2014,3 +2014,87 @@ def ann_ood_query_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ------------------------------------------- dimension variance spectrum
+
+
+@register(
+    "emb_dim_variance_spectrum",
+    oracle=f"""
+WITH {_NORM_CTE},
+comp AS (
+  SELECT unnest(range(1, len(nvec) + 1)) - 1 AS dim,
+    unnest(nvec) AS x
+  FROM normed
+),
+s AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(floor(x * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+      AS sx_q,
+    CAST(SUM(CAST(floor((x * x) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+      AS sxx_q
+  FROM comp GROUP BY dim
+),
+v AS (
+  SELECT dim,
+    (((CAST(sxx_q AS DOUBLE) * 1e-9) / CAST(n AS DOUBLE))
+      - (((CAST(sx_q AS DOUBLE) * 1e-9) / CAST(n AS DOUBLE))
+         * ((CAST(sx_q AS DOUBLE) * 1e-9) / CAST(n AS DOUBLE)))) AS var
+  FROM s
+),
+tot AS (SELECT SUM(CAST(floor(var * 1000000000.0 + 0.5) AS BIGINT))
+          AS tot_q FROM v)
+SELECT v.dim, v.var,
+  (CAST(floor(v.var * 1000000000.0 + 0.5) AS BIGINT) * 1.0)
+    / CAST(tot.tot_q AS DOUBLE) AS var_share
+FROM v, tot
+ORDER BY v.var DESC, v.dim ASC
+LIMIT 10
+""",
+    doc="Per-dimension variance spectrum of the normalized embedding "
+    "store, top-10 axes by variance with their share of total "
+    "variance — the diagnostic that catches ROGUE DIMENSIONS "
+    "(single axes hoarding variance, a documented failure mode of "
+    "real embedding models that wrecks cosine retrieval and "
+    "quantization alike; it is also why the Matryoshka and PQ tiers "
+    "care about per-axis balance). One scan: (dim, x) explode -> "
+    "quantized exact first/second moments per dim (d rows out), "
+    "variance and shares as single double chains with 1e-9-quantized "
+    "numerators so the share division is integer-over-integer. The "
+    "spectrum is the cheap precursor to the PCA tier "
+    "(embedding_pca_power_iter): axis-aligned variance needs no "
+    "iteration at all.",
+)
+def emb_dim_variance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    comp = emb.select(F.posexplode("nvec").alias("dim", "x"))
+    s = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(fixed_point_q("x")).alias("sx_q"),
+        F.sum(fixed_point_q(F.col("x") * F.col("x"))).alias("sxx_q"),
+    )
+    mean = (F.col("sx_q").cast("double") * F.lit(1e-9)) / F.col("n").cast(
+        "double"
+    )
+    var = (
+        (F.col("sxx_q").cast("double") * F.lit(1e-9))
+        / F.col("n").cast("double")
+    ) - (mean * mean)
+    v = s.select("dim", var.alias("var"))
+    tot = v.agg(F.sum(fixed_point_q("var")).alias("tot_q"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .select(
+            "dim",
+            "var",
+            (
+                (fixed_point_q("var") * F.lit(1.0))
+                / F.col("tot_q").cast("double")
+            ).alias("var_share"),
+        )
+        .orderBy(F.col("var").desc(), F.col("dim").asc())
+        .limit(10)
+    )
