@@ -1426,6 +1426,7 @@ def ivf_knn_join_probe(
     qvec_col: str = "qvec",
     id_col: str = "vec_id",
     vec_col: str = "nvec",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Batch kNN JOIN against a persisted :func:`ivf_build` layout:
     every query row gets its top-k neighbors. The probe set
@@ -1437,6 +1438,14 @@ def ivf_knn_join_probe(
     ann_ivf_knn_join query and the streaming serving job
     (streaming.pipelines.knn_serving_stream), so batch and online
     semantics cannot drift.
+
+    ``broadcast_probes=False`` drops the broadcast hint on the probe
+    set and joins it to the cells by a plain cell_id equi-join
+    (shuffle/AQE's call) — REQUIRED when the query batch is itself
+    corpus-sized (the NSW graph build routes the whole corpus through
+    this probe as its candidate generator, graph_ann.nsw_build
+    candidates='ivf'); broadcasting a corpus-sized probe set would be
+    the OOM the hint exists to prevent.
     """
     from pyspark.sql import Window
 
@@ -1462,7 +1471,8 @@ def ivf_knn_join_probe(
         spark.read.parquet(f"{path}/cells").filter(F.col("cell_id").isin(probed)),
         id_col,
     )
-    cand = F.broadcast(ranked).join(cells, "cell_id")
+    probe_side = F.broadcast(ranked) if broadcast_probes else ranked
+    cand = probe_side.join(cells, "cell_id")
     w = Window.partitionBy(qid_col).orderBy(
         l2_sq(vec_col, qvec_col).asc(), F.col(id_col).asc()
     )

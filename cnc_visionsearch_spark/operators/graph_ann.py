@@ -28,10 +28,16 @@ unrolled CTEs and the registered query is hash-gated even though the
 search itself is approximate (recall gates live in
 tests/test_ann_graph.py).
 
-At 100 TB the build step would generate candidate edges with the
-IVF-pruned batch join (operators.ann.ivf_knn_join_probe) instead of
-the exact pair join used here for oracle parity; the graph layout,
-append path, and search are unchanged by that swap.
+At 100 TB the build step generates candidate edges with the
+IVF-pruned batch join (``nsw_build(..., candidates="ivf")`` routes the
+whole corpus through operators.ann.ivf_knn_join_probe with
+``broadcast_probes=False``): per-vector candidates are the nprobe
+nearest IVF cells — O(n · nprobe · avg_cell) instead of the O(n²)
+exact pair join, which remains available as ``candidates="exact"``
+for oracle parity at fixture scale. With ``ivf_nprobe >= n_cells`` the
+two modes produce the IDENTICAL graph (every cell probed ⇒ the pruned
+candidate set is the whole corpus); the graph layout, append path, and
+search are unchanged by the swap.
 """
 
 from __future__ import annotations
@@ -45,12 +51,91 @@ from pyspark.sql import functions as F
 from cnc_visionsearch_spark.functions.vector import l2_sq
 from cnc_visionsearch_spark.operators.ann import _metadata_rows, _seq_l2_sq
 
-__all__ = ["nsw_build", "nsw_append", "nsw_search", "nsw_search_df"]
+__all__ = [
+    "nsw_build",
+    "nsw_candidate_edges",
+    "nsw_append",
+    "nsw_search",
+    "nsw_search_df",
+]
 
 
 def _meta(path: str) -> dict:
     with open(os.path.join(path, "_NSW.json")) as fh:
         return json.load(fh)
+
+
+def nsw_candidate_edges(
+    emb: DataFrame,
+    m: int,
+    candidates: str = "exact",
+    ivf_path: str | None = None,
+    ivf_nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "nvec",
+) -> DataFrame:
+    """The build's candidate generator: per-src exact top-``m``
+    ``(src, dst, dvec)`` edges over either candidate set.
+
+    ``candidates="exact"`` — the O(n²) pair join (fixture-scale oracle
+    parity: this IS the graph the DuckDB oracle rebuilds).
+    ``candidates="ivf"`` — the 100 TB shape: every vector probes the
+    ``ivf_nprobe`` nearest cells of the persisted IVF layout at
+    ``ivf_path`` through :func:`~cnc_visionsearch_spark.operators.ann.
+    ivf_knn_join_probe` (``broadcast_probes=False`` — the probe set is
+    the corpus, it must equi-join on cell_id, never broadcast), then
+    exact top-m rank on the pruned candidate set. Cost is
+    O(n · nprobe · avg_cell); no corpus×corpus join exists in the plan
+    (pinned by tests/test_ann_graph.py). With ``ivf_nprobe >= n_cells``
+    the candidate set is total, so the result is bit-identical to the
+    exact mode."""
+    if candidates == "exact":
+        a = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("svec"))
+        b = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("dvec"))
+        w = Window.partitionBy("src").orderBy(
+            F.col("gd").asc(), F.col("dst").asc()
+        )
+        return (
+            a.join(b, F.col("src") != F.col("dst"))
+            .withColumn("gd", l2_sq("svec", "dvec"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= m)
+            .select("src", "dst", "dvec")
+        )
+    if candidates != "ivf":
+        raise ValueError(f"candidates must be 'exact' or 'ivf', got {candidates!r}")
+    if ivf_path is None:
+        raise ValueError("candidates='ivf' requires ivf_path")
+    from cnc_visionsearch_spark.operators.ann import ivf_knn_join_probe
+
+    spark = emb.sparkSession
+    qs = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    # k=m+1: the self-match (distance 0, own cell is always probed
+    # first) occupies one slot; drop it, then exact top-m re-rank on
+    # the pruned candidates (covers the rare self-not-in-top case).
+    cand = ivf_knn_join_probe(
+        spark,
+        ivf_path,
+        qs,
+        k=m + 1,
+        nprobe=ivf_nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        broadcast_probes=False,
+    ).filter(F.col("qid") != F.col(id_col))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    edges = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+        .select(F.col("qid").alias("src"), F.col(id_col).alias("dst"))
+    )
+    # denormalize the destination vectors — a plain dst equi-join of
+    # n·m narrow rows against the corpus, the layout's HNSW-style
+    # "vectors live next to the adjacency lists" invariant
+    b = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("dvec"))
+    return edges.join(b, "dst").select("src", "dst", "dvec")
 
 
 def nsw_build(
@@ -61,31 +146,52 @@ def nsw_build(
     n_entries: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "nvec",
+    candidates: str = "exact",
+    ivf_path: str | None = None,
+    ivf_cells: int = 8,
+    ivf_nprobe: int = 4,
 ) -> None:
-    """Materialize the NSW layout at ``path``: the exact top-``m``
-    neighbor graph (one shuffle: the per-src window rank), destination
+    """Materialize the NSW layout at ``path``: the per-src top-``m``
+    neighbor graph (candidate set per ``candidates`` — see
+    :func:`nsw_candidate_edges`; "exact" is the fixture-scale oracle-
+    parity mode, "ivf" the 100 TB IVF-pruned mode), destination
     vectors denormalized into edge rows, partitioned by
     ``src % n_buckets``; plus ``{path}/entries`` — the ``n_entries``
     smallest ids with their vectors, the fixed search entry points
-    (metadata-sized, read driver-side like the IVF codebook)."""
-    a = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("svec"))
-    b = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("dvec"))
-    w = Window.partitionBy("src").orderBy(F.col("gd").asc(), F.col("dst").asc())
-    graph = (
-        a.join(b, F.col("src") != F.col("dst"))
-        .withColumn("gd", l2_sq("svec", "dvec"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= m)
-        .select(
-            "src",
-            "dst",
-            "dvec",
-            F.pmod(F.col("src"), F.lit(n_buckets)).alias("src_bucket"),
-        )
+    (metadata-sized, read driver-side like the IVF codebook).
+
+    In ivf mode, ``ivf_path`` reuses an existing
+    :func:`~cnc_visionsearch_spark.operators.ann.ivf_build` layout
+    (the production shape: the corpus already has one); when omitted a
+    transient ``ivf_cells``-cell layout is built under ``path`` and
+    removed after the graph is written."""
+    transient_ivf = None
+    if candidates == "ivf" and ivf_path is None:
+        from cnc_visionsearch_spark.operators.ann import ivf_build
+
+        transient_ivf = ivf_path = os.path.join(path, "_build_ivf")
+        ivf_build(emb, ivf_path, n_cells=ivf_cells, id_col=id_col, vec_col=vec_col)
+    graph = nsw_candidate_edges(
+        emb,
+        m,
+        candidates=candidates,
+        ivf_path=ivf_path,
+        ivf_nprobe=ivf_nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(
+        "src",
+        "dst",
+        "dvec",
+        F.pmod(F.col("src"), F.lit(n_buckets)).alias("src_bucket"),
     )
     graph.write.mode("overwrite").partitionBy("src_bucket").parquet(
         f"{path}/graph"
     )
+    if transient_ivf is not None:
+        import shutil
+
+        shutil.rmtree(transient_ivf, ignore_errors=True)
     (
         emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("nvec"))
         .orderBy("vec_id")

@@ -330,6 +330,43 @@ def bm25_multi_probe(
     )
 
 
+def _swap_in(live: str) -> None:
+    """Crash-safe directory swap (compact_layout's order — see
+    sources/formats.py:120): live -> ``.bak``, tmp -> live, drop
+    ``.bak``. A ``rmtree(live); rename(tmp, live)`` order loses the
+    partition forever if the process dies between the two calls; with
+    this order every crash window leaves either the old or the new
+    layout plus a recoverable sibling."""
+    import shutil
+
+    tmp = live + ".vacuum_tmp"
+    bak = live + ".vacuum_bak"
+    os.rename(live, bak)
+    os.rename(tmp, live)
+    shutil.rmtree(bak)
+
+
+def _heal_swaps(root: str) -> None:
+    """Self-heal leftovers of a crashed ``_swap_in`` under ``root``:
+    a ``.vacuum_bak`` with no live path (death between the renames) is
+    restored; a ``.vacuum_bak``/``.vacuum_tmp`` beside a live path
+    (death before or after the swap) is discarded."""
+    import shutil
+
+    if not os.path.isdir(root):
+        return
+    for name in os.listdir(root):
+        full = os.path.join(root, name)
+        if name.endswith(".vacuum_bak"):
+            live = full[: -len(".vacuum_bak")]
+            if not os.path.exists(live):
+                os.rename(full, live)
+            else:
+                shutil.rmtree(full)
+        elif name.endswith(".vacuum_tmp"):
+            shutil.rmtree(full)
+
+
 def inverted_vacuum(spark, path: str) -> None:
     """Apply accumulated tombstones physically — the text-index twin
     of ann.ivf_vacuum: rewrite ONLY the postings bucket partitions
@@ -340,9 +377,13 @@ def inverted_vacuum(spark, path: str) -> None:
     unchanged by construction (the read_postings/read_doclens
     anti-join already hid the rows); tombstone-free probe plans are
     restored. Untouched bucket partitions keep their files
-    byte-identical."""
+    byte-identical. Each rewritten dir is swapped in crash-safely
+    (``_swap_in``) and entry self-heals any earlier crash
+    (``_heal_swaps``)."""
     import shutil
 
+    _heal_swaps(f"{path}/postings")
+    _heal_swaps(path)
     tdir = f"{path}/tombstones"
     if not os.path.exists(tdir):
         return
@@ -362,15 +403,11 @@ def inverted_vacuum(spark, path: str) -> None:
         kept = spark.read.parquet(part).join(
             F.broadcast(tombs), "doc_id", "left_anti"
         )
-        tmp = part + ".vacuum_tmp"
-        kept.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(part)
-        os.rename(tmp, part)
+        kept.write.mode("overwrite").parquet(part + ".vacuum_tmp")
+        _swap_in(part)
     kept_dl = spark.read.parquet(f"{path}/doclens").join(
         F.broadcast(tombs), "doc_id", "left_anti"
     )
-    tmp = f"{path}/doclens.vacuum_tmp"
-    kept_dl.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(f"{path}/doclens")
-    os.rename(tmp, f"{path}/doclens")
+    kept_dl.write.mode("overwrite").parquet(f"{path}/doclens.vacuum_tmp")
+    _swap_in(f"{path}/doclens")
     shutil.rmtree(tdir)

@@ -1522,7 +1522,6 @@ FROM arr GROUP BY event_type ORDER BY event_type
     "logs, substitute the ingest offset column). The high-water mark "
     "is the running max event time over STRICTLY EARLIER arrivals "
     "within the key, and an event is "
-    "max event time over STRICTLY EARLIER arrivals, and an event is "
     "late-dropped when it sits more than the delay behind that mark, "
     "late-in-grace when inside it. The window is partitioned by "
     "user_id — per-key state exactly like the streaming watermark "

@@ -1808,7 +1808,7 @@ truth AS (
 ),
 {", ".join(band_ctes)}
 SELECT bands, rows_per_band, n_candidates, n_true, n_captured,
-  (CAST(n_captured AS DOUBLE) / CAST(n_true AS DOUBLE)) AS recall
+  (CAST(n_captured AS DOUBLE) / CAST(NULLIF(n_true, 0) AS DOUBLE)) AS recall
 FROM ({" UNION ALL ".join(per_cfg)})
 ORDER BY bands DESC
 """
@@ -1903,9 +1903,10 @@ def minhash_band_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_cand = cand.count()
         n_cap = truth.join(cand, ["ia", "ib"]).count()
-        rows_out.append(
-            (bands, rows, n_cand, n_true, n_cap, float(n_cap) / float(n_true))
-        )
+        # empty truth set -> recall is undefined; emit NULL like the
+        # SQL oracle's NULLIF-guarded division, never ZeroDivisionError
+        recall = float(n_cap) / float(n_true) if n_true else None
+        rows_out.append((bands, rows, n_cand, n_true, n_cap, recall))
     return spark.createDataFrame(
         rows_out,
         "bands bigint, rows_per_band bigint, n_candidates bigint, "

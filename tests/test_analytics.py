@@ -279,6 +279,58 @@ def test_inverted_vacuum_preserves_results_and_drops_tombstones(
     assert raw.count() == 0
 
 
+def test_inverted_vacuum_self_heals_crashed_swap(spark, tmp_path):
+    """Crash-safety of the vacuum swap: simulate every crash window of
+    _swap_in (a .vacuum_bak with no live dir = died between renames; a
+    leftover .vacuum_tmp beside a live dir = died before the swap) and
+    assert the next vacuum entry restores a probe-identical index
+    instead of losing the partition."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cnc_visionsearch_spark.operators.text_index import (
+        bm25_probe,
+        inverted_build,
+        inverted_vacuum,
+    )
+    from cnc_visionsearch_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 120)
+    idx = str(tmp_path / "inv")
+    inverted_build(docs, idx, n_buckets=4)
+
+    def probe():
+        return sorted(
+            (r.doc_id, r.n_terms, r.score_q)
+            for r in bm25_probe(
+                spark, idx, ["hash", "join"], n_buckets=4
+            ).collect()
+        )
+
+    expected = probe()
+    assert expected
+
+    # crash window 1: died between rename(live->bak) and rename(tmp->live)
+    part = next(
+        f"{idx}/postings/{d}"
+        for d in os.listdir(f"{idx}/postings")
+        if d.startswith("bucket=")
+    )
+    shutil.copytree(part, part + ".vacuum_tmp")
+    os.rename(part, part + ".vacuum_bak")
+    shutil.rmtree(part + ".vacuum_tmp")  # tmp swap-in also never happened
+    inverted_vacuum(spark, idx)  # no tombstones: heal-only entry
+    assert probe() == expected, "bak-without-live not restored"
+
+    # crash window 2: died after writing tmp, before any rename
+    shutil.copytree(part, part + ".vacuum_tmp")
+    inverted_vacuum(spark, idx)
+    assert not os.path.exists(part + ".vacuum_tmp")
+    assert probe() == expected, "leftover tmp corrupted the index"
+
+
 def test_bm25_single_and_batch_probes_cannot_drift(spark, tmp_path):
     """bm25_multi_probe shares per-(term, doc) scores across queries;
     for a one-query batch its ranking and quantized scores must equal
