@@ -373,6 +373,42 @@ _BF_HASHES = [(0, 61, 3), (1, 179, 23), (2, 389, 41)]
 _BF_NATION = "NATION_7"
 
 
+def _bloom_words(fr: DataFrame) -> list[int]:
+    """Fold the build-side keys into the ``_BF_WORDS`` filter words
+    DISTRIBUTED: explode each key into its hash bits, map each bit to
+    (word_index, single-bit mask), ``groupBy(word).agg(bit_or)`` — a
+    partial+final integer aggregate whose shuffle carries at most
+    ``_BF_WORDS`` rows per map task. Only the <= ``_BF_WORDS``
+    aggregated word rows ever reach the driver (genuine planner state,
+    like the IVF probe-cell list); the keys themselves never do — at
+    100 TB the build side is GBs of keys, and collecting them is the
+    OOM this shape removes."""
+    hbit = F.explode(
+        F.array(
+            *[
+                ((F.lit(a) * F.col("c_custkey") + F.lit(b)) % _BF_P) % _BF_BITS
+                for _, a, b in _BF_HASHES
+            ]
+        )
+    ).alias("h")
+    word_rows = (
+        fr.select(hbit)
+        .select(
+            (F.col("h") / _BF_BPW).cast("int").alias("w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(h % {_BF_BPW} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("word"))
+        .collect()  # bounded: <= _BF_WORDS rows by construction (w < _BF_WORDS)
+    )
+    words = [0] * _BF_WORDS
+    for r in word_rows:
+        words[int(r.w)] = int(r.word)
+    return words
+
+
 @register(
     "orders_bloom_filter_prune",
     oracle=f"""
@@ -432,18 +468,9 @@ def orders_bloom_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey")
     )
-    # build the words driver-side: the Bloom filter IS planner state
-    # (bounded: _BF_WORDS rows), so the probe needs no join at all
-    bits = sorted(
-        {
-            ((a * int(r.c_custkey) + b) % _BF_P) % _BF_BITS
-            for r in fr.collect()
-            for _, a, b in _BF_HASHES
-        }
-    )
-    words = [0] * _BF_WORDS
-    for h in bits:
-        words[h // _BF_BPW] |= 1 << (h % _BF_BPW)
+    # the Bloom filter IS planner state (<= _BF_WORDS bigints), built by
+    # a distributed bit_or fold — the probe then needs no join at all
+    words = _bloom_words(fr)
     warr_sql = (
         "array(" + ", ".join(f"CAST({w} AS BIGINT)" for w in words) + ")"
     )

@@ -279,6 +279,35 @@ def test_inverted_vacuum_preserves_results_and_drops_tombstones(
     assert raw.count() == 0
 
 
+def test_bloom_words_distributed_build_matches_python_fold(spark):
+    """The Bloom build folds bits with a distributed groupBy(word) +
+    bit_or — only <= _BF_WORDS aggregated rows reach the driver, never
+    the keys. Pin (a) word-exactness vs a pure-Python fold and (b) that
+    the only collect in the build is the bounded word-row one."""
+    import inspect
+
+    from cnc_visionsearch_spark.queries_analytics import (
+        _BF_BITS,
+        _BF_BPW,
+        _BF_HASHES,
+        _BF_P,
+        _BF_WORDS,
+        _bloom_words,
+    )
+
+    keys = [3, 17, 101, 4444, 987654, 15000]
+    fr = spark.createDataFrame([(k,) for k in keys], "c_custkey bigint")
+    got = _bloom_words(fr)
+    exp = [0] * _BF_WORDS
+    for k in keys:
+        for _, a, b in _BF_HASHES:
+            h = ((a * k + b) % _BF_P) % _BF_BITS
+            exp[h // _BF_BPW] |= 1 << (h % _BF_BPW)
+    assert got == exp
+    src = inspect.getsource(_bloom_words)
+    assert src.count(".collect()") == 1 and "bit_or" in src
+
+
 def test_inverted_vacuum_self_heals_crashed_swap(spark, tmp_path):
     """Crash-safety of the vacuum swap: simulate every crash window of
     _swap_in (a .vacuum_bak with no live dir = died between renames; a
