@@ -47,6 +47,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_ivf_pq_topk",
     "ann_pq_trained_topk",
+    # the production composed default: IVF x TRAINED PQ x rescore
+    # (recall gated >= 0.95 — tests/test_ann_trained.py, RECALL.json)
+    "ann_ivf_pq_trained_topk",
     "ann_ivf_knn_join",
     "ann_nsw_beam_topk",
     "ann_cascade_topk",

@@ -38,6 +38,7 @@ from cnc_visionsearch_spark.functions.vector import (
 from cnc_visionsearch_spark.operators.knn import with_normalized
 from cnc_visionsearch_spark.queries_ann import (
     _DIM,
+    _IVF_CTE,
     _L2SQ,
     _NORM_CTE,
     _norm_query_vec,
@@ -487,6 +488,98 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_ivf_trained_built(spark, sf_dir)
     q = _norm_query_vec(spark, sf_dir, 3)
     return ivf_probe(spark, path, q, k=10, nprobe=4)
+
+
+@register(
+    "ann_ivf_pq_trained_topk",
+    oracle=f"""
+WITH {_NORM_CTE}, {_IVF_CTE}, {_CBT_CHAIN}, {_FCODES_CTE},
+q AS (SELECT nvec AS qv FROM normed WHERE vec_id = 21),
+probe AS (
+  SELECT cell_id FROM centroids, q
+  ORDER BY {_L2SQ.format(a="centroid", b="qv")} ASC, cell_id ASC
+  LIMIT 7
+),
+pruned AS (
+  SELECT a.vec_id, a.nvec FROM assigned a
+  WHERE a.cell_id IN (SELECT cell_id FROM probe)
+),
+lut AS (
+  SELECT c.sub_j, c.code,
+    {_L2SQ.format(a="c.cv", b="qv[c.sub_j*w+1 : c.sub_j*w+w]")} AS qdist
+  FROM cbt c, q, tw
+),
+est AS (
+  SELECT f.vec_id,
+    CAST(SUM({FIXED_POINT_SQL.format(x="qdist")}) AS BIGINT) AS adc
+  FROM fcodes f JOIN pruned p USING (vec_id) JOIN lut USING (sub_j, code)
+  GROUP BY f.vec_id
+),
+cand AS (SELECT vec_id FROM est ORDER BY adc ASC, vec_id ASC LIMIT {_DEPTH})
+SELECT p.vec_id, {_L2SQ.format(a="p.nvec", b="q.qv")} AS distance
+FROM pruned p JOIN cand USING (vec_id), q
+ORDER BY distance ASC, p.vec_id ASC
+LIMIT 10
+""",
+    doc="The PRODUCTION composed probe: IVF partition pruning x "
+    "TRAINED-codebook PQ/ADC x fp64 re-score — the trained twin of "
+    "ann_ivf_pq_topk (whose stride codebook is a documented-weak "
+    "placeholder, RECALL.json pq mean 0.27). nprobe=7 prunes the cell "
+    "partitions of BOTH the m-byte trained code table and the raw "
+    "vectors; the ADC scan reads only probed cells' codes against the "
+    f"broadcast m*k* lookup table; the ADC top-{_DEPTH} re-scores at "
+    "full precision. Composed recall@10 at these defaults is gated "
+    ">= 0.95 in tests/test_ann_trained.py and recorded in RECALL.json "
+    "(ivf_pq_trained_composed) — this is the default the bench tracks "
+    "and the configuration a 100 TB deployment runs.",
+)
+def ann_ivf_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.ann import (
+        DEFAULT_NPROBE,
+        _without_tombstones,
+        ivf_probe_cells,
+    )
+
+    path = ensure_pq_trained_built(spark, sf_dir)
+    q = _norm_query_vec(spark, sf_dir, 21)
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    probed = ivf_probe_cells(spark, path, q, nprobe=DEFAULT_NPROBE)
+    cb = spark.read.parquet(f"{path}/pq_trained_codebook")
+    codes = _without_tombstones(
+        spark,
+        path,
+        spark.read.parquet(f"{path}/pq_trained_codes").filter(
+            F.col("cell_id").isin(probed)
+        ),
+        "vec_id",
+    )
+    w = _DIM // _M
+    lut = cb.select(
+        "sub_j",
+        "code",
+        l2_sq(F.col("cv"), F.slice(qcol, F.col("sub_j") * w + 1, w)).alias(
+            "qdist"
+        ),
+    )
+    est = (
+        codes.join(F.broadcast(lut), ["sub_j", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum(fixed_point_q("qdist")).alias("adc"))
+    )
+    cand = est.orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(_DEPTH)
+    pruned = _without_tombstones(
+        spark,
+        path,
+        spark.read.parquet(f"{path}/cells").filter(F.col("cell_id").isin(probed)),
+        "vec_id",
+    )
+    return (
+        pruned.join(F.broadcast(cand.select("vec_id")), "vec_id")
+        .select("vec_id", l2_sq("nvec", qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
 
 
 @register(

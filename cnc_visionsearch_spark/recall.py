@@ -204,6 +204,28 @@ def measure_recall(spark: SparkSession, sf_dir: str) -> dict:
         **t_sweep[str(T_DEPTH)],
     }
 
+    # ---- COMPOSED IVF x trained-PQ — the benched production default
+    # (ann_ivf_pq_trained_topk): nprobe cell pruning intersected with
+    # the trained ADC top-depth; tpath IS the ivf layout, so cell_arr
+    # and the coarse codebook above describe the same partitions
+    comp = []
+    for q in qids:
+        cd = ((cmat - qvec[q]) ** 2).sum(axis=1)
+        probe = set(cid[np.lexsort((cid, cd))[:DEFAULT_NPROBE]].tolist())
+        cell_mask = np.isin(cell_arr, list(probe))
+        in_cells = t_rank[q][cell_mask[t_rank[q]]][:T_DEPTH]
+        mask = np.zeros(len(ids), bool)
+        mask[in_cells] = True
+        got = topk_within(qvec[q], mask)
+        comp.append(len(got & exact[q]) / K)
+    out["defaults"]["ivf_pq_trained_composed"] = {
+        "n_cells": int(len(cid)),
+        "nprobe": DEFAULT_NPROBE,
+        "m": T_M,
+        "rescore_depth": T_DEPTH,
+        **stats(comp),
+    }
+
     # ---- hyperplane LSH: engine signatures, planes sweep
     lsh_sweep = {}
     for n_planes in (2, 4, 6, 8):
