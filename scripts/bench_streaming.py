@@ -1,0 +1,140 @@
+"""Streaming serving latency evidence (VERDICT r4 #6): per-micro-batch
+latency of the two online serving jobs — knn_serving_stream (vector
+top-k from the persisted IVF layout) and bm25_serving_stream (lexical
+top-k from the persisted inverted layout) — measured from Spark's own
+StreamingQueryProgress (durationMs.triggerExecution), at
+$SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Emits STREAM_BENCH.json at the repo root:
+
+    {"sf_dir": ..., "knn_serving": {"n_batches": N, "queries_per_batch":
+     Q, "median_ms": m, "p95_ms": p}, "bm25_serving": {...}}
+
+Each stream is driven with maxFilesPerTrigger=1 over a file source of
+N_BATCHES parquet files (Q queries per file), trigger availableNow —
+so every data batch is a real serve: one partition-pruned index read
+answering the whole batch. This is micro-batch serving (seconds-scale
+latency, arbitrarily high throughput), the honest Spark shape
+BASELINE.md's sub-second point-lookup row calls out — SCALE.md's
+serving row cites these numbers.
+
+Usage: python scripts/bench_streaming.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cnc_visionsearch_spark.operators.knn import with_normalized  # noqa: E402
+from cnc_visionsearch_spark.session import get_session  # noqa: E402
+from cnc_visionsearch_spark.sources.catalog import load_table  # noqa: E402
+
+N_BATCHES = 12
+KNN_QPB = 10  # query vectors per micro-batch
+BM25_QPB = 5  # term queries per micro-batch
+
+
+def _batch_stats(query, queries_per_batch: int) -> dict:
+    durs = [
+        p["durationMs"]["triggerExecution"]
+        for p in query.recentProgress
+        if p["numInputRows"] > 0
+    ]
+    durs.sort()
+    return {
+        "n_batches": len(durs),
+        "queries_per_batch": queries_per_batch,
+        "median_ms": statistics.median(durs) if durs else None,
+        "p95_ms": durs[max(0, int(len(durs) * 0.95) - 1)] if durs else None,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session(app_name="stream-bench")
+    from cnc_visionsearch_spark.queries_analytics import ensure_inverted_built
+    from cnc_visionsearch_spark.queries_ann import ensure_ivf_built
+    from cnc_visionsearch_spark.streaming.pipelines import (
+        bm25_serving_stream,
+        knn_serving_stream,
+    )
+
+    ivf_path = ensure_ivf_built(spark, sf_dir, n_cells=8)
+    inv_path = ensure_inverted_built(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    out: dict = {"sf_dir": sf_dir}
+    try:
+        # ---- kNN serving: N_BATCHES files of KNN_QPB query vectors
+        emb = load_table(spark, sf_dir, "embeddings")
+        qpool = emb.filter(F.col("vec_id") < N_BATCHES * KNN_QPB)
+        knn_in = f"{work}/knn_in"
+        for i in range(N_BATCHES):
+            qpool.filter(F.col("vec_id") % N_BATCHES == i).coalesce(
+                1
+            ).write.mode("append").parquet(knn_in)
+        q = knn_serving_stream(
+            spark,
+            knn_in,
+            ivf_path,
+            f"{work}/knn_out",
+            f"{work}/knn_ckpt",
+            k=5,
+            nprobe=4,
+            max_files_per_trigger=1,
+        ).start()
+        q.awaitTermination(600)
+        out["knn_serving"] = _batch_stats(q, KNN_QPB)
+
+        # ---- BM25 serving: N_BATCHES files of BM25_QPB term queries
+        terms_pool = [
+            ["hash", "join"],
+            ["table", "index"],
+            ["query", "scan"],
+            ["data", "filter"],
+            ["sort", "merge"],
+        ]
+        bm_in = f"{work}/bm25_in"
+        for i in range(N_BATCHES):
+            rows = [
+                (i * BM25_QPB + j, terms_pool[j % len(terms_pool)])
+                for j in range(BM25_QPB)
+            ]
+            spark.createDataFrame(
+                rows, "qid bigint, terms array<string>"
+            ).coalesce(1).write.mode("append").parquet(bm_in)
+        q2 = bm25_serving_stream(
+            spark,
+            bm_in,
+            inv_path,
+            f"{work}/bm25_out",
+            f"{work}/bm25_ckpt",
+            k=5,
+            n_buckets=16,
+            max_files_per_trigger=1,
+        ).start()
+        q2.awaitTermination(600)
+        out["bm25_serving"] = _batch_stats(q2, BM25_QPB)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    dest = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "STREAM_BENCH.json",
+    )
+    with open(dest, "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -3,8 +3,12 @@ and its oracle_sql() on DuckDB over the same parquet, compare
 row-count + column names + order-insensitive values.
 
 Usage: python scripts/check_correctness.py [sf_dir] [query-prefix ...]
+       python scripts/check_correctness.py --json CORRECTNESS_FULL.json
 
 Args containing "/" select the sf_dir (default /root/testdata/sf0.01);
+``--json PATH`` additionally writes the per-query results in the round
+driver's CORRECTNESS_r{N}.json format (the committed full-surface
+artifact — the driver's own file hard-gates only its first-50 window);
 anything else filters queries by name prefix.
 """
 
@@ -42,9 +46,15 @@ def canon_rows(cols, rows):
 
 
 def main() -> int:
-    dirs = [a for a in sys.argv[1:] if "/" in a]
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    dirs = [a for a in args if "/" in a]
     sf_dir = dirs[0] if dirs else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if "/" not in a]
+    only = [a for a in args if "/" not in a]
 
     import __spark_entry__ as entrymod
 
@@ -59,39 +69,57 @@ def main() -> int:
         )
 
     n_pass = n_fail = n_weak = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and not any(name.startswith(p) for p in only):
             continue
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        results[name] = rec
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = sdf.collect()
+            rec["spark_rows"] = len(srows)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            rec["err"] = f"spark error: {e}"
             n_fail += 1
             continue
         if name not in oracles:
             print(f"weak {name}: rows={len(srows)} (no oracle) [{time.time()-t0:.1f}s]")
+            rec["err"] = "no oracle (rows-only)"
             n_weak += 1
             continue
         try:
             res = con.sql(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            rec["oracle_rows"] = len(drows)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            rec["err"] = f"duckdb error: {e}"
             n_fail += 1
             continue
         problems = []
-        if sorted(scols) != sorted(dcols):
+        rec["schema_match"] = sorted(scols) == sorted(dcols)
+        if not rec["schema_match"]:
             problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
-        if len(srows) != len(drows):
+        rec["rows_match"] = len(srows) == len(drows)
+        if not rec["rows_match"]:
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if not problems:
             cs = canon_rows(scols, [[row[c] for c in scols] for row in srows])
             cd = canon_rows(dcols, drows)
-            if cs != cd:
+            rec["hash_match"] = cs == cd
+            if not rec["hash_match"]:
                 diffs = [
                     (a, b) for a, b in zip(cs, cd) if a != b
                 ][:3]
@@ -103,6 +131,12 @@ def main() -> int:
             print(f"PASS {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {json_out} ({len(results)} queries)")
     return 1 if n_fail else 0
 
 

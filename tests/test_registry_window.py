@@ -72,6 +72,52 @@ DRIVER_WINDOW = [
 ]
 
 
+def test_correctness_full_artifact_fresh_and_green():
+    """The committed full-surface artifact (CORRECTNESS_FULL.json — all
+    registered queries vs their DuckDB oracles at sf0.01, driver file
+    format) must cover EXACTLY the current registry and be all-green.
+    The driver's own CORRECTNESS_r{N}.json hard-gates only the first-50
+    window; this pins a machine-checked artifact for the rest. Adding or
+    renaming a query without regenerating fails here — regenerate with:
+    python scripts/check_correctness.py --json CORRECTNESS_FULL.json"""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_FULL.json")
+    assert os.path.exists(path), "missing CORRECTNESS_FULL.json — regenerate"
+    with open(path) as fh:
+        data = json.load(fh)
+    assert set(data) == set(all_queries()), (
+        "CORRECTNESS_FULL.json is stale vs the registry — regenerate: "
+        f"only_in_artifact={sorted(set(data) - set(all_queries()))[:5]} "
+        f"only_in_registry={sorted(set(all_queries()) - set(data))[:5]}"
+    )
+    bad = {
+        n: r
+        for n, r in data.items()
+        if r["err"] is not None
+        or not (r["rows_match"] and r["schema_match"] and r["hash_match"])
+    }
+    assert not bad, f"non-green entries: {sorted(bad)[:10]}"
+
+
+def test_stream_bench_artifact_present_and_sane():
+    """STREAM_BENCH.json (scripts/bench_streaming.py) records measured
+    per-micro-batch serving latency for both serving streams — the
+    committed evidence SCALE.md's serving row cites."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "STREAM_BENCH.json")
+    assert os.path.exists(path), "missing STREAM_BENCH.json — regenerate"
+    with open(path) as fh:
+        data = json.load(fh)
+    for key in ("knn_serving", "bm25_serving"):
+        stats = data[key]
+        assert stats["n_batches"] > 0
+        assert stats["median_ms"] > 0 and stats["p95_ms"] >= stats["median_ms"]
+
+
 def test_first_50_registrations_match_driver_window():
     names = list(all_queries())
     assert len(names) >= 50
