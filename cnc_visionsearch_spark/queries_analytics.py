@@ -1107,7 +1107,12 @@ w0 AS (
     "touched once (the word-count aggregate); training cost is "
     "O(rounds x |vocab|).",
 )
-def doc_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_bpe_train_merges(
+    spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
+) -> DataFrame:
+    from cnc_visionsearch_spark.iterative import check_rounds
+
+    check_rounds(rounds, "doc_bpe_train_merges")
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1129,7 +1134,7 @@ def doc_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     merges = []
-    for rank in range(1, _BPE_ROUNDS + 1):
+    for rank in range(1, rounds + 1):
         best = (
             vocab.select("cnt", pair_expr.alias("p"))
             .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
@@ -2400,11 +2405,26 @@ def text_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bounded-hop BFS reach over the co-purchase graph
 
 _BFS_SEED = 55  # highest-degree node of the support-pruned graph
+_BFS_HOPS = 3
 
 
-@register(
-    "part_bfs_3hop_reach",
-    oracle=f"""
+def _bfs_oracle(hops: int) -> str:
+    """The bounded-hop BFS oracle generated from the SAME hop constant
+    the engine loop uses — one frontier CTE per hop (the iterative-
+    driver oracle pattern shared with the BPE/PageRank chains)."""
+    parts = [f"f0 AS (SELECT CAST({_BFS_SEED} AS BIGINT) AS p)"]
+    for i in range(1, hops + 1):
+        prior = " UNION ALL ".join(f"SELECT p FROM f{j}" for j in range(i))
+        parts.append(
+            f"""f{i} AS (
+  SELECT DISTINCT und.b AS p FROM und JOIN f{i - 1} ON und.a = f{i - 1}.p
+  WHERE und.b NOT IN ({prior})
+)"""
+        )
+    lv = " UNION ALL ".join(
+        f"SELECT {i} AS hop, p FROM f{i}" for i in range(hops + 1)
+    )
+    return f"""
 WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
   SELECT a.l_partkey AS a, b.l_partkey AS b
@@ -2413,30 +2433,19 @@ e AS (
   GROUP BY 1, 2 HAVING count(*) >= 2
 ),
 und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
-f0 AS (SELECT CAST({_BFS_SEED} AS BIGINT) AS p),
-f1 AS (
-  SELECT DISTINCT und.b AS p FROM und JOIN f0 ON und.a = f0.p
-  WHERE und.b NOT IN (SELECT p FROM f0)
-),
-f2 AS (
-  SELECT DISTINCT und.b AS p FROM und JOIN f1 ON und.a = f1.p
-  WHERE und.b NOT IN (SELECT p FROM f0 UNION ALL SELECT p FROM f1)
-),
-f3 AS (
-  SELECT DISTINCT und.b AS p FROM und JOIN f2 ON und.a = f2.p
-  WHERE und.b NOT IN (SELECT p FROM f0 UNION ALL SELECT p FROM f1
-                      UNION ALL SELECT p FROM f2)
-),
-lv AS (
-  SELECT 0 AS hop, p FROM f0 UNION ALL SELECT 1, p FROM f1
-  UNION ALL SELECT 2, p FROM f2 UNION ALL SELECT 3, p FROM f3
-)
+{",".join(parts)},
+lv AS ({lv})
 SELECT CAST(hop AS BIGINT) AS hop,
   CAST(count(*) AS BIGINT) AS n_new_parts,
   CAST(min(p) AS BIGINT) AS min_part,
   CAST(max(p) AS BIGINT) AS max_part
 FROM lv GROUP BY hop ORDER BY hop
-""",
+"""
+
+
+@register(
+    "part_bfs_3hop_reach",
+    oracle=_bfs_oracle(_BFS_HOPS),
     doc=f"Bounded-hop BFS reach from part {_BFS_SEED} (the pruned "
     "co-purchase graph's highest-degree node): per-hop newly-reached "
     "counts to depth 3 — the substitution/recommendation radius "
@@ -2449,7 +2458,12 @@ FROM lv GROUP BY hop ORDER BY hop
     "convergence loop: 3 joins, each keyed on the node id, reached "
     "set broadcast (bounded by the 3-hop ball, not the graph).",
 )
-def part_bfs_3hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+def part_bfs_3hop_reach(
+    spark: SparkSession, sf_dir: str, hops: int = _BFS_HOPS
+) -> DataFrame:
+    from cnc_visionsearch_spark.iterative import check_rounds
+
+    check_rounds(hops, "part_bfs_3hop_reach")
     li = load_table(spark, sf_dir, "lineitem")
     lp = li.select("l_orderkey", "l_partkey").distinct()
     a = lp.alias("a")
@@ -2476,7 +2490,7 @@ def part_bfs_3hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     reached = frontier
     levels = [frontier.withColumn("hop", F.lit(0))]
-    for hop in (1, 2, 3):
+    for hop in range(1, hops + 1):
         nxt = (
             und.join(
                 F.broadcast(frontier), und.x == F.col("p")
@@ -2575,3 +2589,119 @@ def text_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peel) over the co-purchase graph
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """k-core peel as unrolled CTE rounds from the SAME constants the
+    engine loop uses (the iterative-driver oracle pattern): per round,
+    drop nodes of degree < k and restrict edges to survivors."""
+    parts = [
+        """
+lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+d0 AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+deg{i} AS (SELECT a AS node, count(*) AS deg FROM d{i - 1} GROUP BY a),
+keep{i} AS (SELECT node FROM deg{i} WHERE deg >= {k}),
+d{i} AS (
+  SELECT d.a, d.b FROM d{i - 1} d
+  JOIN keep{i} ka ON d.a = ka.node
+  JOIN keep{i} kb ON d.b = kb.node
+)"""
+        )
+    stats = " UNION ALL ".join(
+        f"SELECT {i} AS round, "
+        f"CAST((SELECT count(DISTINCT a) FROM d{i}) AS BIGINT) AS n_nodes, "
+        f"CAST((SELECT count(*) FROM d{i}) // 2 AS BIGINT) AS n_edges"
+        for i in range(rounds + 1)
+    )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT CAST(round AS BIGINT) AS round, n_nodes, n_edges "
+        f"FROM ({stats}) s ORDER BY round"
+    )
+
+
+@register(
+    "part_kcore_peel",
+    oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
+    doc=f"k-core decomposition (k={_KCORE_K}, {_KCORE_ROUNDS} bounded "
+    "peel rounds) over the support-pruned co-purchase graph: "
+    "iteratively drop nodes with degree < k, report surviving "
+    "node/edge counts per round — the graph-densification diagnostic "
+    "(which parts sit in the stable co-purchase core vs the peelable "
+    "fringe) recommendation pipelines use to pick anchor items. Each "
+    "round is one degree aggregate + two semi-join restrictions, "
+    "localCheckpointed so round r+1 never recomputes round r's "
+    "lineage; the round count rides the iterative.check_rounds budget "
+    "guard and the oracle unrolls the SAME rounds as CTEs, so every "
+    "peel decision is hash-gated. Convergence shows as repeated "
+    "(n_nodes, n_edges) rows once the core stabilizes.",
+)
+def part_kcore_peel(
+    spark: SparkSession, sf_dir: str, rounds: int = _KCORE_ROUNDS
+) -> DataFrame:
+    from cnc_visionsearch_spark.iterative import check_rounds
+
+    check_rounds(rounds, "part_kcore_peel")
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a = lp.alias("a")
+    b = lp.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("x", "y")
+    )
+    und = e.unionAll(
+        e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).localCheckpoint()
+
+    def stats_row(edges: DataFrame, rnd: int) -> DataFrame:
+        return edges.agg(
+            F.lit(rnd).cast("bigint").alias("round"),
+            F.countDistinct("x").cast("bigint").alias("n_nodes"),
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        )
+
+    out = stats_row(und, 0)
+    cur = und
+    for rnd in range(1, rounds + 1):
+        keep = (
+            cur.groupBy(F.col("x").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("node")
+        )
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "x"), "x")
+            .join(keep.withColumnRenamed("node", "y"), "y")
+            .select("x", "y")
+            .localCheckpoint()
+        )
+        out = out.unionAll(stats_row(cur, rnd))
+    return out.orderBy("round")

@@ -279,6 +279,39 @@ def test_inverted_vacuum_preserves_results_and_drops_tombstones(
     assert raw.count() == 0
 
 
+def test_iterative_driver_loops_are_budget_guarded(spark):
+    """Driver-coordinated iterative loops (BPE training, PageRank,
+    bounded-hop BFS) take their round count as a parameter validated by
+    iterative.check_rounds — a copied query cannot silently crank the
+    count into a job storm, and 0/negative/bool typos fail loudly
+    before any job launches."""
+    import pytest
+
+    from cnc_visionsearch_spark.iterative import MAX_DRIVER_ROUNDS, check_rounds
+    from cnc_visionsearch_spark.queries_analytics import (
+        doc_bpe_train_merges,
+        part_bfs_3hop_reach,
+    )
+    from cnc_visionsearch_spark.queries_relational import (
+        part_pagerank_power_iter,
+    )
+
+    assert check_rounds(1, "t") == 1
+    assert check_rounds(MAX_DRIVER_ROUNDS, "t") == MAX_DRIVER_ROUNDS
+    for bad in (0, -1, MAX_DRIVER_ROUNDS + 1, True, 2.0):
+        with pytest.raises(ValueError):
+            check_rounds(bad, "t")
+    for fn, kw in (
+        (doc_bpe_train_merges, "rounds"),
+        (part_bfs_3hop_reach, "hops"),
+        (part_pagerank_power_iter, "iters"),
+    ):
+        with pytest.raises(ValueError):
+            fn(spark, SF, **{kw: 0})
+        with pytest.raises(ValueError):
+            fn(spark, SF, **{kw: MAX_DRIVER_ROUNDS + 1})
+
+
 def test_bloom_words_distributed_build_matches_python_fold(spark):
     """The Bloom build folds bits with a distributed groupBy(word) +
     bit_or — only <= _BF_WORDS aggregated rows reach the driver, never
