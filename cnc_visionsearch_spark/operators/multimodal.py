@@ -42,6 +42,7 @@ __all__ = [
     "fake_image_embedding",
     "ocr_text",
     "frame_samples",
+    "audio_features",
     "HAVE_REAL_DECODERS",
 ]
 
@@ -179,6 +180,56 @@ def frame_samples(
                     )
             yield pd.DataFrame(
                 rows, columns=[id_col, "frame_no", "frame_bytes", "frame_md5"]
+            )
+
+    return media.mapInPandas(gen, schema=schema)
+
+
+def audio_features(
+    media: DataFrame,
+    n_windows: int = 4,
+    samples_per_window: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio-shaped feature extraction via mapInPandas — the third
+    media modality next to image (media_metadata/embed) and video
+    (frame_samples): per analysis window, the classic signal features
+    a speech/music pipeline filters on — energy, zero-crossing rate,
+    peak amplitude. One row per (id, window).
+
+    FAKE decode: int16 PCM samples derived from the payload hash
+    (``u32(md5(payload || ':w:i')) % 65536 - 32768``) — a real
+    implementation swaps the sample generator for soundfile/librosa
+    frames; the windowing, Arrow batching, and feature arithmetic are
+    the production shape. All features are exact integers, so the
+    modality sits in the hash-match gate like the rest of the family.
+    """
+    schema = (
+        f"{id_col} bigint, window_no int, energy_q bigint, "
+        "zero_crossings bigint, peak bigint"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(b)
+                for w in range(n_windows):
+                    ss = [
+                        _md5_u32(raw + f":{w}:{i}".encode()) % 65536 - 32768
+                        for i in range(samples_per_window)
+                    ]
+                    energy = sum(s * s for s in ss)
+                    zc = sum(
+                        1
+                        for j in range(1, len(ss))
+                        if (ss[j] >= 0) != (ss[j - 1] >= 0)
+                    )
+                    rows.append((int(rid), w, energy, zc, max(abs(s) for s in ss)))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "window_no", "energy_q", "zero_crossings", "peak"],
             )
 
     return media.mapInPandas(gen, schema=schema)

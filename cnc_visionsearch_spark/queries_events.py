@@ -1219,3 +1219,191 @@ def events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(15)
     )
+
+
+# --------------------------------------------- KMV sketch set operations
+
+
+@register(
+    "events_kmv_set_ops",
+    oracle="""
+WITH ha AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 1073741824 AS hv
+  FROM events WHERE event_type = 'purchase' AND value > 70.0
+),
+hb AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 1073741824 AS hv
+  FROM events WHERE event_type = 'error' AND value > 70.0
+),
+ka AS (SELECT hv FROM ha ORDER BY hv ASC LIMIT 64),
+kb AS (SELECT hv FROM hb ORDER BY hv ASC LIMIT 64),
+ku AS (
+  SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb) u
+  ORDER BY hv ASC LIMIT 64
+),
+sa AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(hv) AS BIGINT) AS u FROM ka),
+sb AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(hv) AS BIGINT) AS u FROM kb),
+su AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(hv) AS BIGINT) AS u FROM ku),
+exact AS (
+  SELECT
+    CAST((SELECT count(DISTINCT user_id) FROM events
+          WHERE event_type = 'purchase' AND value > 70.0) AS BIGINT) AS n_a,
+    CAST((SELECT count(DISTINCT user_id) FROM events
+          WHERE event_type = 'error' AND value > 70.0) AS BIGINT) AS n_b,
+    CAST((SELECT count(*) FROM
+           (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 70.0) a
+           JOIN
+           (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'error' AND value > 70.0) b
+           USING (user_id)) AS BIGINT) AS n_inter
+)
+SELECT exact.n_a, exact.n_b, exact.n_inter,
+  CAST(sa.k - 1 AS DOUBLE) / (CAST(sa.u AS DOUBLE) / 1073741824.0) AS est_a,
+  CAST(sb.k - 1 AS DOUBLE) / (CAST(sb.u AS DOUBLE) / 1073741824.0) AS est_b,
+  CAST(su.k - 1 AS DOUBLE) / (CAST(su.u AS DOUBLE) / 1073741824.0) AS est_union,
+  CAST(sa.k - 1 AS DOUBLE) / (CAST(sa.u AS DOUBLE) / 1073741824.0)
+    + CAST(sb.k - 1 AS DOUBLE) / (CAST(sb.u AS DOUBLE) / 1073741824.0)
+    - CAST(su.k - 1 AS DOUBLE) / (CAST(su.u AS DOUBLE) / 1073741824.0)
+    AS est_intersection
+FROM exact, sa, sb, su
+""",
+    doc="KMV sketch SET OPERATIONS (the theta-sketch trick, Dasgupta "
+    "et al.): distinct-user audiences of two segments (high-value "
+    "purchasers vs high-value error reporters) estimated from their "
+    "k=64-minima sketches — the UNION sketch is just a re-min over "
+    "the two sketch hash sets (mergeability is the whole point: per-"
+    "segment sketches persist per partition/day and any ad-hoc "
+    "audience overlap is answered from 64-row artifacts, never a "
+    "corpus rescan), and the INTERSECTION estimate falls out by "
+    "inclusion-exclusion. Exact counts sit alongside so the hash-"
+    "gated output shows the measured error. Deterministic md5 hashing "
+    "keeps every estimate bit-reproducible cross-engine. At 100 TB "
+    "the shuffle per segment carries distinct 8-byte hashes only.",
+)
+def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.text import kmv_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    K = 64
+
+    def seg(etype: str):
+        return ev.filter(
+            (F.col("event_type") == etype) & (F.col("value") > 70.0)
+        )
+
+    def minima(df) -> DataFrame:
+        return (
+            df.select(kmv_hash(F.col("user_id")).alias("hv"))
+            .distinct()
+            .orderBy(F.col("hv").asc())
+            .limit(K)
+        )
+
+    def sketch_stats(kdf: DataFrame, k_alias: str, u_alias: str) -> DataFrame:
+        return kdf.agg(
+            F.count(F.lit(1)).cast("bigint").alias(k_alias),
+            F.max("hv").cast("bigint").alias(u_alias),
+        )
+
+    ka = minima(seg("purchase")).localCheckpoint(eager=True)
+    kb = minima(seg("error")).localCheckpoint(eager=True)
+    ku = ka.union(kb).distinct().orderBy(F.col("hv").asc()).limit(K)
+    sa = sketch_stats(ka, "k_a", "u_a")
+    sb = sketch_stats(kb, "k_b", "u_b")
+    su = sketch_stats(ku, "k_u", "u_u")
+    a_users = seg("purchase").select("user_id").distinct()
+    b_users = seg("error").select("user_id").distinct()
+    exact = (
+        seg("purchase")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_a"))
+        .crossJoin(
+            seg("error").agg(
+                F.countDistinct("user_id").cast("bigint").alias("n_b")
+            )
+        )
+        .crossJoin(
+            a_users.join(b_users, "user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+        )
+    )
+
+    def est(k_col: str, u_col: str):
+        return (F.col(k_col) - 1).cast("double") / (
+            F.col(u_col).cast("double") / F.lit(1073741824.0)
+        )
+
+    return (
+        exact.crossJoin(sa)
+        .crossJoin(sb)
+        .crossJoin(su)
+        .select(
+            "n_a",
+            "n_b",
+            "n_inter",
+            est("k_a", "u_a").alias("est_a"),
+            est("k_b", "u_b").alias("est_b"),
+            est("k_u", "u_u").alias("est_union"),
+            (
+                est("k_a", "u_a") + est("k_b", "u_b") - est("k_u", "u_u")
+            ).alias("est_intersection"),
+        )
+    )
+
+
+# ------------------------------------------ next-event Markov transitions
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS src,
+    lead(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ) AS dst
+  FROM events
+),
+t AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+),
+tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS row_total FROM t GROUP BY src)
+SELECT t.src, t.dst, t.n, tot.row_total,
+  CAST(t.n AS DOUBLE) / CAST(tot.row_total AS DOUBLE) AS p
+FROM t JOIN tot USING (src)
+ORDER BY t.src, t.dst
+""",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | current) — the behavioral model "
+    "behind churn prediction and next-action recommendation, and the "
+    "sanity check every sessionization pipeline runs (a broken "
+    "collector shows up as impossible transitions). One lead() window "
+    "per user (ts, event_id tie-break: deterministic under same-"
+    "timestamp events), then a (src, dst) count and a per-src "
+    "normalize — 25 output rows regardless of corpus size; the only "
+    "shuffle is the user_id window partition the sessionization "
+    "family already pays.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    t = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = t.groupBy("src").agg(F.sum("n").cast("bigint").alias("row_total"))
+    return (
+        t.join(tot, "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            "row_total",
+            (F.col("n").cast("double") / F.col("row_total").cast("double")).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from cnc_visionsearch_spark.operators.multimodal import (
     attach_payload,
+    audio_features,
     fake_image_embedding,
     frame_samples,
     media_metadata,
@@ -316,3 +317,42 @@ def mm_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rerank_score").desc(), F.col("doc_id").asc())
         .limit(5)
     )
+
+
+@register(
+    "mm_audio_features",
+    oracle="""
+WITH smp AS (
+  SELECT doc_id, w.w AS w, i.i AS i,
+    ('0x' || substr(md5(text || ':' || w.w || ':' || i.i), 1, 8))::BIGINT
+      % 65536 - 32768 AS s
+  FROM documents,
+    (SELECT unnest(range(4)) AS w) w,
+    (SELECT unnest(range(64)) AS i) i
+  WHERE doc_id < 40
+),
+win AS (
+  SELECT doc_id, w, list(s ORDER BY i) AS ss
+  FROM smp GROUP BY doc_id, w
+)
+SELECT doc_id, CAST(w AS INT) AS window_no,
+  CAST(list_sum(list_transform(ss, x -> x * x)) AS BIGINT) AS energy_q,
+  CAST(list_sum(list_transform(range(2, len(ss) + 1),
+    j -> CASE WHEN (ss[j] >= 0) <> (ss[j-1] >= 0) THEN 1 ELSE 0 END))
+    AS BIGINT) AS zero_crossings,
+  CAST(list_max(list_transform(ss, x -> abs(x))) AS BIGINT) AS peak
+FROM win
+""",
+    doc="Audio-shaped plumbing — the third media modality, completing "
+    "image/video/OCR/audio: mapInPandas payload -> 4 analysis windows "
+    "x 64 fake int16 PCM samples (md5-derived; soundfile/librosa frame "
+    "reads swap in per executor) -> per-window energy, zero-crossing "
+    "count, peak amplitude. The features a speech/music corpus "
+    "pipeline filters on (silence gates, clipping detection) before "
+    "paying for transcription or embedding. All-integer features keep "
+    "the modality hash-gated end to end like the rest of the family.",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    media = attach_payload(d).select("doc_id", "payload")
+    return audio_features(media, n_windows=4, samples_per_window=64)

@@ -1490,8 +1490,10 @@ def orders_pivot_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------- PageRank
 
+_PR_ITERS = 3
 
-def _pagerank_sql(iters: int = 3) -> str:
+
+def _pagerank_sql(iters: int = _PR_ITERS) -> str:
     """PageRank power iterations as generated chained CTEs — all-integer
     arithmetic (pr mass in 1e-9 units, damping 0.85 as the rational
     85/100, integer floor division everywhere), so both engines iterate
@@ -1530,7 +1532,7 @@ pr{i} AS (
 @register(
     "part_pagerank_power_iter",
     oracle=f"""
-WITH {_pagerank_sql(3)}
+WITH {_pagerank_sql(_PR_ITERS)}
 SELECT node AS part, pr_q FROM prt
 ORDER BY pr_q DESC, part ASC
 LIMIT 20
@@ -1551,8 +1553,13 @@ LIMIT 20
     "expansion (never a lineitem self-join) and localCheckpoints so "
     "iterations do not recompute it.",
 )
-def part_pagerank_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def part_pagerank_power_iter(
+    spark: SparkSession, sf_dir: str, iters: int = _PR_ITERS
+) -> DataFrame:
+    from cnc_visionsearch_spark.iterative import check_rounds
     from cnc_visionsearch_spark.operators.dedup import _bucket_pairs
+
+    check_rounds(iters, "part_pagerank_power_iter")
 
     li = load_table(spark, sf_dir, "lineitem")
     baskets = (
@@ -1576,7 +1583,7 @@ def part_pagerank_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"),
         F.expr("1000000000 div n_nodes").alias("pr_q"),
     )
-    for _ in range(3):
+    for _ in range(iters):
         pr = (
             edges.join(pr, edges.src == pr.node)
             .join(F.broadcast(deg), "src")
