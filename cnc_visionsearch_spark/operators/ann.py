@@ -57,6 +57,7 @@ __all__ = [
     "ivf_append",
     "ivf_delete",
     "ivf_vacuum",
+    "ivf_rebalance",
     "ivf_probe",
     "ivf_probe_cells",
     "shard_build",
@@ -1482,3 +1483,167 @@ def ivf_knn_join_probe(
         .filter(F.col("rn") <= k)
         .select(qid_col, id_col, "distance")
     )
+
+
+def ivf_rebalance(
+    spark,
+    path: str,
+    max_splits: int = 1,
+    min_factor: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "nvec",
+) -> list[dict]:
+    """Split the hottest cells of an :func:`ivf_build` layout in two —
+    the maintenance step that keeps probe cost flat as appends skew a
+    frozen codebook (the skew the layout's skew-audit query surfaces).
+    FAISS answers drift with a periodic full re-train; at 100 TB a full
+    rebuild rewrites every partition, while a split rewrites ONLY the
+    hot cells — the incremental middle ground.
+
+    Per split, deterministically: members of the hot cell are
+    reassigned to two children seeded by the cell's min- and max-id
+    vectors (ties to the lo seed), children get fresh cell ids past the
+    current max, the parent partition is swapped out crash-safely
+    (journal sidecar + ``.bak`` — self-healed on entry, the
+    compact_layout discipline), and the codebook swaps the parent
+    centroid for the two seeds. Probes need no code change: the probe
+    path reads the codebook, so the next query simply sees more,
+    smaller cells; the UNION of members is untouched (full-coverage
+    probes are bit-identical before/after — test-pinned), and
+    recall-at-nprobe over the hot region improves because the two
+    children can be pruned independently.
+
+    Hot = live rows > ``min_factor`` × mean live rows (tombstones
+    excluded from the census), largest first, at most ``max_splits``
+    cells, never a cell of < 2 rows. Returns a report of performed
+    splits: ``{"cell_id", "n_rows", "lo_cell", "hi_cell"}``.
+    Cost: one metadata-sized census + one partition-bounded rewrite
+    per split — O(hot cells), never a corpus scan.
+    """
+    import shutil
+
+    journal = os.path.join(path, "_REBALANCE_INPROGRESS.json")
+    cells_root = f"{path}/cells"
+    # self-heal a crashed prior run: the journal records the parent and
+    # child partitions of the in-flight split
+    if os.path.exists(journal):
+        with open(journal) as fh:
+            j = json.load(fh)
+        parent = os.path.join(cells_root, f"cell_id={j['cell_id']}")
+        bak = parent + ".bak"
+        kids = [
+            os.path.join(cells_root, f"cell_id={c}")
+            for c in (j["lo_cell"], j["hi_cell"])
+        ]
+        if all(os.path.exists(k) for k in kids):
+            # died after the children landed: finish the cleanup
+            if os.path.exists(bak):
+                shutil.rmtree(bak)
+        else:
+            # died mid-swap: restore the parent, discard partial kids
+            for k in kids:
+                if os.path.exists(k):
+                    shutil.rmtree(k)
+            if os.path.exists(bak):
+                os.rename(bak, parent)
+        tmp = os.path.join(path, ".rebalance_tmp")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.remove(journal)
+
+    geo = read_geometry(path)
+    cells = spark.read.parquet(cells_root)
+    live = _without_tombstones(spark, path, cells, id_col)
+    census = {
+        int(r["cell_id"]): int(r["n"])
+        for r in live.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }  # bounded: one row per cell — planner state
+    if not census:
+        return []
+    mean = sum(census.values()) / len(census)
+    hot = sorted(
+        (c for c, n in census.items() if n > min_factor * mean and n >= 2),
+        key=lambda c: (-census[c], c),
+    )[:max_splits]
+    next_id = max(census) + 1
+    report = []
+    for c in hot:
+        parent = os.path.join(cells_root, f"cell_id={c}")
+        members = spark.read.parquet(parent)  # partition dir: no cell_id col
+        lo_seed = members.orderBy(F.col(id_col).asc()).select(vec_col).first()[0]
+        hi_seed = members.orderBy(F.col(id_col).desc()).select(vec_col).first()[0]
+        lo_cell, hi_cell = next_id, next_id + 1
+        next_id += 2
+        lo_col = F.array(*[F.lit(float(x)) for x in lo_seed]).cast("array<double>")
+        hi_col = F.array(*[F.lit(float(x)) for x in hi_seed]).cast("array<double>")
+        rea = members.withColumn(
+            "cell_id",
+            F.when(
+                l2_sq(vec_col, lo_col) <= l2_sq(vec_col, hi_col),
+                F.lit(lo_cell),
+            ).otherwise(F.lit(hi_cell)),
+        )
+        tmp = os.path.join(path, ".rebalance_tmp")
+        rea.write.mode("overwrite").partitionBy("cell_id").parquet(tmp)
+        with open(journal, "w") as fh:
+            json.dump({"cell_id": c, "lo_cell": lo_cell, "hi_cell": hi_cell}, fh)
+        os.rename(parent, parent + ".bak")
+        for child in (lo_cell, hi_cell):
+            src = os.path.join(tmp, f"cell_id={child}")
+            if os.path.exists(src):  # a seed pair can capture all rows
+                os.rename(src, os.path.join(cells_root, f"cell_id={child}"))
+        shutil.rmtree(parent + ".bak")
+        shutil.rmtree(tmp)
+        os.remove(journal)
+        # codebook swap: parent row out, the two seeds in (metadata-sized)
+        cb = [
+            (int(r["cell_id"]), [float(x) for x in r["centroid"]])
+            for r in spark.read.parquet(f"{path}/codebook").collect()
+            if int(r["cell_id"]) != c
+        ]
+        cb.append((lo_cell, [float(x) for x in lo_seed]))
+        cb.append((hi_cell, [float(x) for x in hi_seed]))
+        spark.createDataFrame(
+            cb, "cell_id int, centroid array<double>"
+        ).write.mode("overwrite").parquet(f"{path}/codebook.tmp")
+        shutil.rmtree(f"{path}/codebook")
+        os.rename(f"{path}/codebook.tmp", f"{path}/codebook")
+        report.append(
+            {"cell_id": c, "n_rows": census[c], "lo_cell": lo_cell, "hi_cell": hi_cell}
+        )
+    if report:
+        geo["n_cells"] = int(geo.get("n_cells", len(census))) + len(report)
+        _write_geometry(path, **geo)
+        if os.path.exists(f"{path}/cell_radii"):
+            # bounded radii refresh: drop the split parents' rows, add
+            # the children's — scans ONLY the children partitions (the
+            # O(hot cells) contract; a full write_cell_radii rescan
+            # would touch every cell)
+            split_parents = [r["cell_id"] for r in report]
+            kid_ids = [x for r in report for x in (r["lo_cell"], r["hi_cell"])]
+            cents = spark.read.parquet(f"{path}/codebook")
+            kid_radii = (
+                spark.read.parquet(cells_root)
+                .filter(F.col("cell_id").isin(kid_ids))
+                .join(F.broadcast(cents), "cell_id")
+                .select(
+                    "cell_id",
+                    F.sqrt(l2_sq(vec_col, "centroid")).alias("member_d"),
+                )
+                .groupBy("cell_id")
+                .agg(F.max("member_d").alias("radius"))
+                .collect()
+            )
+            kept = [
+                (int(r["cell_id"]), float(r["radius"]))
+                for r in spark.read.parquet(f"{path}/cell_radii").collect()
+                if int(r["cell_id"]) not in split_parents
+            ] + [(int(r["cell_id"]), float(r["radius"])) for r in kid_radii]
+            spark.createDataFrame(
+                kept, "cell_id int, radius double"
+            ).write.mode("overwrite").parquet(f"{path}/cell_radii.tmp")
+            import shutil as _sh
+
+            _sh.rmtree(f"{path}/cell_radii")
+            os.rename(f"{path}/cell_radii.tmp", f"{path}/cell_radii")
+    return report

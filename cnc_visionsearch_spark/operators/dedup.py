@@ -50,6 +50,7 @@ __all__ = [
     "embedding_similar_pairs",
     "embedding_lsh_bucketed_pairs",
     "neardup_components",
+    "cc_incremental_merge",
 ]
 
 
@@ -635,3 +636,56 @@ def simhash_neardup_pairs(
         pairs.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def cc_incremental_merge(
+    store: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Incremental connected-components maintenance — the daily-batch
+    twin of :func:`neardup_components`, for a PERSISTED cluster store.
+
+    ``store`` is the resident assignment table ``(doc_id,
+    component_id)`` (component_id = the component's min doc id, the
+    store invariant); ``new_pairs`` are the batch's near-dup edges
+    (batch×batch and batch×store — candidate generation stays LSH-
+    blocked upstream). Rather than re-running CC over the whole corpus,
+    only the TOUCHED part of the graph is relabeled:
+
+    1. affected components = store labels of any new-edge endpoint
+       (an equi-join on doc_id; new-edge endpoints are batch-bounded);
+    2. the subgraph = new edges ∪ one ``(member, old_root)`` edge per
+       member of an affected component — the old root edge is a
+       lossless contraction of the component's internal structure
+       (every member is connected to the root by construction), so the
+       relabel never needs the original corpus edges;
+    3. one :func:`neardup_components` pass over that subgraph.
+
+    Returns assignments for the touched docs only ``(doc_id,
+    component_id, is_keeper)``; the caller unions untouched store rows
+    back (or merges by key in the store table). Labels equal the
+    from-scratch result: the subgraph preserves connectivity of the
+    affected region exactly, and min-id labels are order-free.
+
+    Scale shape: per batch the work is O(|new edges| + |affected
+    members|) — the store is touched by one equi-join (probe side is
+    the batch's endpoint set) plus one semi-join for members of the
+    (typically few) affected components; resident components with no
+    new edge never enter a shuffle.
+    """
+    nodes = (
+        new_pairs.select(F.col(id_a).alias("doc_id"))
+        .union(new_pairs.select(F.col(id_b).alias("doc_id")))
+        .distinct()
+    )
+    affected = (
+        store.join(nodes, "doc_id").select("component_id").distinct()
+    )
+    members = store.join(F.broadcast(affected), "component_id")
+    old_edges = members.select(
+        F.col("doc_id").alias(id_a), F.col("component_id").alias(id_b)
+    )
+    sub = new_pairs.select(id_a, id_b).union(old_edges)
+    return neardup_components(sub, id_a=id_a, id_b=id_b)

@@ -712,3 +712,92 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ------------------------------------------------ hot-cell rebalance
+
+
+def ensure_ivf_rebalanced(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent: build a dedicated 8-cell IVF layout, then run ONE
+    ivf_rebalance split of the largest cell (min_factor=0 — always
+    fires, the deterministic fixture shape). A dedicated path: the
+    shared ivf_c8 artifact serves other queries and must not mutate."""
+    from cnc_visionsearch_spark.operators.ann import ivf_rebalance
+
+    path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir)}/ivf_rebal_c8"
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+        ivf_build(emb, path, n_cells=8)
+        ivf_rebalance(spark, path, max_splits=1, min_factor=0.0)
+        open(os.path.join(path, "_BUILT"), "w").close()
+    return path
+
+
+@register(
+    "ann_ivf_rebalance_cells",
+    oracle=f"""
+WITH {_NORM_CTE},
+stride AS (SELECT greatest(max(vec_id) // 8, 1) AS s FROM embeddings),
+centroids AS (
+  SELECT CAST(vec_id // s AS INT) AS cell_id, nvec AS centroid
+  FROM normed, stride
+  WHERE vec_id % s = 0 AND vec_id // s < 8
+),
+assigned AS (
+  SELECT vec_id, cell_id, nvec FROM (
+    SELECT n.vec_id, c.cell_id, n.nvec,
+      row_number() OVER (
+        PARTITION BY n.vec_id
+        ORDER BY {_L2SQ.format(a="n.nvec", b="c.centroid")} ASC, c.cell_id ASC
+      ) AS rn
+    FROM normed n, centroids c
+  ) WHERE rn = 1
+),
+sizes AS (SELECT cell_id, count(*) AS n FROM assigned GROUP BY cell_id),
+hot AS (SELECT cell_id FROM sizes ORDER BY n DESC, cell_id ASC LIMIT 1),
+members AS (SELECT a.* FROM assigned a JOIN hot USING (cell_id)),
+lo AS (SELECT nvec AS lov FROM members ORDER BY vec_id ASC LIMIT 1),
+hi AS (SELECT nvec AS hiv FROM members ORDER BY vec_id DESC LIMIT 1),
+rea AS (
+  SELECT m.vec_id,
+    CASE WHEN {_L2SQ.format(a="m.nvec", b="lov")}
+           <= {_L2SQ.format(a="m.nvec", b="hiv")}
+         THEN 8 ELSE 9 END AS cell_id
+  FROM members m, lo, hi
+),
+final AS (
+  SELECT vec_id, cell_id FROM assigned
+  WHERE cell_id NOT IN (SELECT cell_id FROM hot)
+  UNION ALL SELECT vec_id, cell_id FROM rea
+)
+SELECT CAST(cell_id AS INT) AS cell_id,
+  CAST(count(*) AS BIGINT) AS n_vectors,
+  (cell_id >= 8) AS is_split_child
+FROM final GROUP BY cell_id ORDER BY cell_id
+""",
+    doc="IVF hot-cell rebalance: ivf_rebalance splits the LARGEST cell "
+    "of a persisted 8-cell layout into two children seeded by the "
+    "cell's min- and max-id vectors (ties to the lo seed), swapping "
+    "only that cell's partition (journal + .bak crash-safe swap, "
+    "self-healed on entry) and its codebook row — the maintenance "
+    "step that keeps probe cost flat as appends skew a frozen "
+    "codebook, at O(hot cell) rewrite cost instead of a full "
+    "re-train/rebuild. The query reads the POST-rebalance cell "
+    "histogram from the layout; the oracle replays assignment + the "
+    "deterministic split from scratch — hash-matching proves the "
+    "on-disk swap preserved the member union exactly (full-coverage "
+    "probes are bit-identical before/after, test-pinned).",
+)
+def ann_ivf_rebalance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = ensure_ivf_rebalanced(spark, sf_dir)
+    return (
+        spark.read.parquet(f"{path}/cells")
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            F.col("cell_id").cast("int").alias("cell_id"),
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            (F.col("cell_id") >= 8).alias("is_split_child"),
+        )
+        .orderBy("cell_id")
+    )

@@ -2099,3 +2099,250 @@ def emb_dim_variance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("var").desc(), F.col("dim").asc())
         .limit(10)
     )
+
+
+# ------------------------------------------- boilerplate template removal
+
+_BP_FOOTER = "subscribe to our newsletter for updates terms of service apply"
+
+
+@register(
+    "doc_boilerplate_report",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 80 < 20 THEN text || ' {_BP_FOOTER}' ELSE text END
+      AS text
+  FROM documents
+),
+tk AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM corpus
+  WHERE len(string_split(text, ' ')) >= 5
+),
+starts AS (
+  SELECT doc_id, source, tk, unnest(range(1, len(tk) - 3)) AS i FROM tk
+),
+grams AS (
+  SELECT doc_id, source, i,
+    md5(array_to_string(tk[i : i + 4], ' ')) AS gfp
+  FROM starts
+),
+src AS (SELECT source, count(*) AS n_docs FROM corpus GROUP BY source),
+df AS (
+  SELECT source, gfp, count(DISTINCT doc_id) AS nd
+  FROM grams GROUP BY source, gfp
+),
+boiler AS (
+  SELECT df.source, df.gfp FROM df JOIN src USING (source)
+  WHERE df.nd * 5 >= src.n_docs
+),
+flagged AS (SELECT g.* FROM grams g JOIN boiler b USING (source, gfp)),
+covered AS (
+  SELECT DISTINCT doc_id, source, i + o AS pos
+  FROM flagged, unnest(range(0, 5)) AS t(o)
+),
+tot AS (
+  SELECT source, CAST(sum(len(tk)) AS BIGINT) AS tokens_total FROM tk
+  GROUP BY source
+)
+SELECT s.source, CAST(s.n_docs AS BIGINT) AS n_docs,
+  CAST(coalesce(nb.n_boiler_grams, 0) AS BIGINT) AS n_boiler_grams,
+  CAST(coalesce(fd.boiler_docs, 0) AS BIGINT) AS boiler_docs,
+  t.tokens_total,
+  CAST(coalesce(cv.tokens_flagged, 0) AS BIGINT) AS tokens_flagged
+FROM src s
+JOIN tot t USING (source)
+LEFT JOIN (
+  SELECT source, count(*) AS n_boiler_grams FROM boiler GROUP BY source
+) nb USING (source)
+LEFT JOIN (
+  SELECT source, count(DISTINCT doc_id) AS boiler_docs FROM flagged
+  GROUP BY source
+) fd USING (source)
+LEFT JOIN (
+  SELECT source, count(*) AS tokens_flagged FROM covered GROUP BY source
+) cv USING (source)
+ORDER BY s.source
+""",
+    doc="Boilerplate-template removal (the C4/RefinedWeb cleaning step): "
+    "word 5-grams appearing in >= 20% of a SOURCE's documents are "
+    "site-level templates (nav text, footers, cookie banners), and the "
+    "token positions they cover get stripped before training. The "
+    "fixture corpus is template-free random text, so the query plants "
+    "a known footer on a deterministic 28% of each source's docs "
+    "(doc_id % 80 < 20) IN BOTH ENGINES and the detector must recover "
+    "exactly it: grams fully inside the footer clear the threshold "
+    "(7 of 25 docs), grams straddling the splice boundary are "
+    "doc-unique and stay organic — the precision property that makes "
+    "stripping safe. Per source: flagged gram count, affected docs, "
+    "and flagged-token coverage (distinct positions under any flagged "
+    "gram). Scale shape: the shuffle key is (source, 32-byte gram "
+    "md5) — document text never shuffles; gram document-frequency is "
+    "a partial-aggregated group-by; the flag-back join prunes to "
+    "boilerplate grams only (a tiny fraction of the gram table). At "
+    "100 TB the df table shards by source exactly like the corpus, "
+    "so per-source template mining never crosses sources.",
+)
+def doc_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 80 < 20,
+            F.concat(F.col("text"), F.lit(" " + _BP_FOOTER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    tk = corpus.select(
+        "doc_id", "source", F.split("text", " ").alias("tk")
+    ).filter(F.size("tk") >= 5)
+    starts = tk.select(
+        "doc_id",
+        "source",
+        "tk",
+        F.explode(F.sequence(F.lit(1), F.size("tk") - 4)).alias("i"),
+    )
+    grams = starts.select(
+        "doc_id",
+        "source",
+        "i",
+        F.md5(
+            F.array_join(F.slice("tk", F.col("i"), 5), " ").cast("binary")
+        ).alias("gfp"),
+    )
+    src = corpus.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    df = grams.groupBy("source", "gfp").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    boiler = (
+        df.join(F.broadcast(src), "source")
+        .filter(F.col("nd") * 5 >= F.col("n_docs"))
+        .select("source", "gfp")
+    )
+    flagged = grams.join(boiler, ["source", "gfp"])
+    covered = flagged.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.col("i"), F.col("i") + 4)).alias("pos"),
+    ).distinct()
+    tot = tk.groupBy("source").agg(
+        F.sum(F.size("tk")).cast("bigint").alias("tokens_total")
+    )
+    nb = boiler.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_boiler_grams")
+    )
+    fd = flagged.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("boiler_docs")
+    )
+    cv = covered.groupBy("source").agg(
+        F.count(F.lit(1)).alias("tokens_flagged")
+    )
+    return (
+        src.join(tot, "source")
+        .join(nb, "source", "left")
+        .join(fd, "source", "left")
+        .join(cv, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.coalesce("n_boiler_grams", F.lit(0))
+            .cast("bigint")
+            .alias("n_boiler_grams"),
+            F.coalesce("boiler_docs", F.lit(0))
+            .cast("bigint")
+            .alias("boiler_docs"),
+            "tokens_total",
+            F.coalesce("tokens_flagged", F.lit(0))
+            .cast("bigint")
+            .alias("tokens_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------- incremental cluster-store merge
+
+
+@register(
+    "neardup_cc_incremental",
+    oracle=f"""
+WITH {_MINHASH_16}, {_LSH_VERIFY_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM verified
+  UNION SELECT id_b, id_a FROM verified
+  UNION SELECT id_a, id_a FROM verified
+  UNION SELECT id_b, id_b FROM verified
+),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+  )
+  SELECT a, b FROM r
+),
+comp AS (
+  SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component_id
+  FROM reach GROUP BY a
+),
+newnodes AS (
+  SELECT id_a AS doc_id FROM verified WHERE id_a >= 250 OR id_b >= 250
+  UNION
+  SELECT id_b FROM verified WHERE id_a >= 250 OR id_b >= 250
+),
+touched AS (
+  SELECT DISTINCT c.component_id FROM comp c JOIN newnodes USING (doc_id)
+)
+SELECT c.doc_id, c.component_id,
+  (c.doc_id = c.component_id) AS is_keeper,
+  CASE WHEN c.doc_id >= 250 THEN 'batch' ELSE 'store' END AS origin
+FROM comp c JOIN touched USING (component_id)
+ORDER BY c.doc_id
+""",
+    doc="Incremental cluster-store maintenance: the resident corpus "
+    "(doc_id < 250) holds a PERSISTED near-dup component store; a new "
+    "batch (doc_id >= 250) arrives with LSH-verified edges (batch-"
+    "internal and batch-to-store). cc_incremental_merge relabels ONLY "
+    "the touched region — new edges plus one (member, old_root) "
+    "contraction edge per member of an affected store component — so "
+    "per-batch cost is O(new edges + affected members), never a corpus "
+    "CC re-run. The oracle is the FULL from-scratch connected "
+    "components over all pairs (recursive CTE) restricted to touched "
+    "components — hash-matching it proves the incremental result "
+    "equals the from-scratch result (min-id labels are order-free, "
+    "the property that makes the contraction lossless). Covers all "
+    "three batch outcomes: extending a store component, MERGING two "
+    "store components through a batch doc, and forming batch-only "
+    "components.",
+)
+def neardup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.dedup import (
+        cc_incremental_merge,
+        minhash_lsh_pairs,
+        neardup_components,
+    )
+    from cnc_visionsearch_spark.queries_dedup import ensure_minhash_built
+
+    d = load_table(spark, sf_dir, "documents")
+    banded = spark.read.parquet(ensure_minhash_built(spark, sf_dir))
+    pairs = minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.3,
+        banded=banded,
+    ).localCheckpoint()
+    # the persisted store: CC over resident-only pairs (materialized
+    # once in production; recomputed here deterministically)
+    pairs_old = pairs.filter((F.col("id_a") < 250) & (F.col("id_b") < 250))
+    store = neardup_components(pairs_old).select("doc_id", "component_id")
+    # the day's edges: anything with a batch-side endpoint
+    pairs_new = pairs.filter((F.col("id_a") >= 250) | (F.col("id_b") >= 250))
+    touched = cc_incremental_merge(store, pairs_new)
+    return touched.select(
+        "doc_id",
+        "component_id",
+        "is_keeper",
+        F.when(F.col("doc_id") >= 250, F.lit("batch"))
+        .otherwise(F.lit("store"))
+        .alias("origin"),
+    ).orderBy("doc_id")

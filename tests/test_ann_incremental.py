@@ -484,3 +484,125 @@ def test_deletes_honored_by_every_probe_path(spark, monkeypatch, tmp_path):
     }
     assert all(v not in {v2 for _, v2 in join_got} for v in victim_ids)
     assert join_got != join_base
+
+
+# --------------------------------------------------- hot-cell rebalance
+
+
+class TestIvfRebalance:
+    def _build(self, spark, emb, tmp_path, n_cells=6):
+        path = str(tmp_path / "ivf_rebal")
+        ivf_build(emb.filter(F.col("vec_id") < 200), path, n_cells=n_cells)
+        return path
+
+    def test_member_union_preserved_and_probe_identical(
+        self, spark, emb, tmp_path
+    ):
+        from cnc_visionsearch_spark.operators.ann import ivf_rebalance
+
+        path = self._build(spark, emb, tmp_path)
+        before = sorted(
+            (int(r["vec_id"]),)
+            for r in spark.read.parquet(f"{path}/cells").select("vec_id").collect()
+        )
+        q = _norm_q(emb, 7)
+        full_before = [
+            (int(r["vec_id"]), float(r["distance"]))
+            for r in ivf_probe(spark, path, q, k=10, nprobe=100).collect()
+        ]
+        report = ivf_rebalance(spark, path, max_splits=1, min_factor=0.0)
+        assert len(report) == 1
+        r = report[0]
+        assert not os.path.exists(
+            os.path.join(path, "cells", f"cell_id={r['cell_id']}")
+        )
+        after = sorted(
+            (int(x["vec_id"]),)
+            for x in spark.read.parquet(f"{path}/cells").select("vec_id").collect()
+        )
+        assert before == after  # the union of members never changes
+        # full-coverage probe (every cell probed) is bit-identical
+        full_after = [
+            (int(x["vec_id"]), float(x["distance"]))
+            for x in ivf_probe(spark, path, q, k=10, nprobe=100).collect()
+        ]
+        assert full_before == full_after
+        # codebook swapped: parent gone, both children present
+        cb_ids = {
+            int(x["cell_id"])
+            for x in spark.read.parquet(f"{path}/codebook").collect()
+        }
+        assert r["cell_id"] not in cb_ids
+        assert {r["lo_cell"], r["hi_cell"]} <= cb_ids
+        assert read_geometry(path)["n_cells"] == 7
+
+    def test_untouched_partitions_stay_byte_identical(
+        self, spark, emb, tmp_path
+    ):
+        from cnc_visionsearch_spark.operators.ann import ivf_rebalance
+
+        path = self._build(spark, emb, tmp_path)
+        pre = _file_md5s(os.path.join(path, "cells"))
+        report = ivf_rebalance(spark, path, max_splits=1, min_factor=0.0)
+        parent = f"cell_id={report[0]['cell_id']}"
+        post = _file_md5s(os.path.join(path, "cells"))
+        untouched_pre = {k: v for k, v in pre.items() if not k.startswith(parent)}
+        assert {
+            k: v for k, v in post.items() if k in untouched_pre
+        } == untouched_pre
+
+    def test_crash_self_heal_restores_parent(self, spark, emb, tmp_path):
+        """Simulate death mid-swap (journal written, parent renamed to
+        .bak, children not landed): the next call must restore the
+        parent and proceed to a clean split."""
+        import json as _json
+        import shutil
+
+        from cnc_visionsearch_spark.operators.ann import ivf_rebalance
+
+        path = self._build(spark, emb, tmp_path)
+        sizes = {
+            int(r["cell_id"]): int(r["n"])
+            for r in spark.read.parquet(f"{path}/cells")
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        hot = max(sorted(sizes), key=lambda c: sizes[c])
+        parent = os.path.join(path, "cells", f"cell_id={hot}")
+        os.rename(parent, parent + ".bak")
+        with open(os.path.join(path, "_REBALANCE_INPROGRESS.json"), "w") as fh:
+            _json.dump({"cell_id": hot, "lo_cell": 90, "hi_cell": 91}, fh)
+        report = ivf_rebalance(spark, path, max_splits=1, min_factor=0.0)
+        # healed (parent restored) then split normally
+        assert len(report) == 1
+        assert not os.path.exists(parent + ".bak")
+        assert not os.path.exists(
+            os.path.join(path, "_REBALANCE_INPROGRESS.json")
+        )
+        n_total = spark.read.parquet(f"{path}/cells").count()
+        assert n_total == 200
+
+    def test_radii_refreshed_for_children_only(self, spark, emb, tmp_path):
+        from cnc_visionsearch_spark.operators.ann import (
+            ivf_cell_radii,
+            ivf_rebalance,
+        )
+
+        path = self._build(spark, emb, tmp_path)
+        report = ivf_rebalance(spark, path, max_splits=1, min_factor=0.0)
+        r = report[0]
+        radii = {
+            int(x["cell_id"]): float(x["radius"])
+            for x in ivf_cell_radii(spark, path).collect()
+        }
+        assert r["cell_id"] not in radii
+        assert r["lo_cell"] in radii and r["hi_cell"] in radii
+        # children radii match a from-scratch recompute of the layout
+        from cnc_visionsearch_spark.operators.ann import _compute_cell_radii
+
+        fresh = {
+            int(x["cell_id"]): float(x["radius"])
+            for x in _compute_cell_radii(spark, path).collect()
+        }
+        assert radii == fresh
