@@ -57,6 +57,11 @@ __all__ = [
     "nsw_append",
     "nsw_search",
     "nsw_search_df",
+    "hnsw_level_col",
+    "hnsw_build",
+    "hnsw_search",
+    "hnsw_search_df",
+    "hnsw_append",
 ]
 
 
@@ -307,3 +312,332 @@ def nsw_search_df(
         [(int(i), float(d)) for i, d in rows],
         "vec_id bigint, distance double",
     )
+
+
+# ----------------------------------------------------------- hierarchy
+#
+# The reference's index is HIERARCHICAL NSW (faiss.IndexHNSWFlat,
+# main.py:60): upper layers hold geometrically-thinning node subsets so
+# search enters near the query's region in O(log n) cheap hops before
+# the wide layer-0 beam. The flat NSW tier above re-expresses layer 0;
+# these functions add the hierarchy: level assignment is a
+# deterministic hash pyramid (P(level >= l) = level_mult^-l — the
+# integer-arithmetic analog of HNSW's floor(-ln(U)·mL) draw, chosen so
+# a SQL oracle replays it exactly), each layer >= 1 is the top-m
+# neighbor graph over its surviving nodes stored in the SAME
+# bucket-partitioned edge table under a layer= partition column, and
+# search descends: greedy width-1 hops per upper layer (each ONE
+# doubly-pruned scan: layer partition × src bucket), then the standard
+# beam at layer 0 seeded by the descended entry.
+#
+# 100 TB build note: layer 0 candidates route through the IVF-pruned
+# batch join exactly like nsw_build(candidates="ivf"). Layer l >= 1
+# over n·level_mult^-l nodes builds its OWN transient IVF layout over
+# the layer subset (a per-layer corpus in its own right at scale; the
+# geometric series bounds the extra cost at ~1/(level_mult-1) of the
+# base build). At fixture scale the exact pair join serves all layers
+# — same oracle-parity stance as the flat tier.
+
+
+def hnsw_level_col(id_col: str, level_mult: int, max_level: int):
+    """Deterministic level for a node id: the largest l <= max_level
+    with u32(md5(str(id))) % level_mult**l == 0 — pure integer
+    arithmetic, bit-replayable as a SQL CASE chain."""
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    expr = F.lit(0)
+    for l in range(1, max_level + 1):
+        expr = F.when(u % (level_mult**l) == 0, F.lit(l)).otherwise(expr)
+    return expr
+
+
+def hnsw_build(
+    emb: DataFrame,
+    path: str,
+    m: int = 12,
+    m_upper: int = 8,
+    level_mult: int = 8,
+    max_level: int = 3,
+    n_buckets: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "nvec",
+    candidates: str = "exact",
+    ivf_path: str | None = None,
+    ivf_nprobe: int = 4,
+) -> None:
+    """Materialize the hierarchical layout at ``path``:
+    ``{path}/graph`` partitioned by ``(layer, src_bucket)`` — layer 0
+    is the full top-``m`` graph (the flat NSW tier's table), layer
+    l >= 1 the top-``m_upper`` graph over nodes of level >= l — plus
+    ``{path}/entry`` (the max-level node, ties to min id: the fixed
+    search entry, metadata-sized) and ``_HNSW.json``."""
+    levels = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("nvec"),
+        hnsw_level_col(id_col, level_mult, max_level).alias("level"),
+    )
+    layers = []
+    for l in range(0, max_level + 1):
+        sub = levels.filter(F.col("level") >= l).select("vec_id", "nvec")
+        deg = m if l == 0 else m_upper
+        g = nsw_candidate_edges(
+            sub,
+            deg,
+            candidates=candidates if l == 0 else "exact",
+            ivf_path=ivf_path,
+            ivf_nprobe=ivf_nprobe,
+        ).select(
+            F.lit(l).alias("layer"),
+            "src",
+            "dst",
+            "dvec",
+            F.pmod(F.col("src"), F.lit(n_buckets)).alias("src_bucket"),
+        )
+        layers.append(g)
+    graph = layers[0]
+    for g in layers[1:]:
+        graph = graph.unionByName(g)
+    graph.write.mode("overwrite").partitionBy("layer", "src_bucket").parquet(
+        f"{path}/graph"
+    )
+    (
+        levels.orderBy(F.col("level").desc(), F.col("vec_id").asc())
+        .limit(1)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/entry")
+    )
+    with open(os.path.join(path, "_HNSW.json"), "w") as fh:
+        json.dump(
+            {
+                "m": m,
+                "m_upper": m_upper,
+                "level_mult": level_mult,
+                "max_level": max_level,
+                "n_buckets": n_buckets,
+            },
+            fh,
+        )
+
+
+def _hnsw_meta(path: str) -> dict:
+    with open(os.path.join(path, "_HNSW.json")) as fh:
+        return json.load(fh)
+
+
+def hnsw_search(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    ef: int = 24,
+    hops: int = 6,
+    upper_hops: int = 3,
+) -> list[tuple[int, float]]:
+    """HNSW descent over a :func:`hnsw_build` layout: from the fixed
+    max-level entry, ``upper_hops`` greedy width-1 hops per layer down
+    to 1 (each hop ONE scan pruned to layer partition × current node's
+    bucket, <= m_upper rows scored by the codegen fold; a hop that
+    finds no closer neighbor stays put, so converged layers are
+    no-ops), then the standard width-``ef`` beam at layer 0 seeded by
+    the descended node. All planner state is O(ef); the oracle replays
+    every hop of every layer as unrolled CTEs, so the registered query
+    is hash-gated like the flat tier."""
+    meta = _hnsw_meta(path)
+    n_buckets, max_level = meta["n_buckets"], meta["max_level"]
+    q = [float(x) for x in query_vec]
+    e = spark.read.parquet(f"{path}/entry").first()
+    cur_id, cur_d = int(e["vec_id"]), _seq_l2_sq(e["nvec"], q)
+    qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    graph = spark.read.parquet(f"{path}/graph")
+    for layer in range(max_level, 0, -1):
+        for _ in range(upper_hops):
+            nbrs = (
+                graph.filter(
+                    (F.col("layer") == layer)
+                    & (F.col("src_bucket") == cur_id % n_buckets)
+                    & (F.col("src") == cur_id)
+                )
+                .select("dst", l2_sq("dvec", qcol).alias("d"))
+                .collect()
+            )
+            best_id, best_d = cur_id, cur_d
+            for r in nbrs:
+                rid, rd = int(r.dst), float(r.d)
+                if (rd, rid) < (best_d, best_id):
+                    best_id, best_d = rid, rd
+            if best_id == cur_id:
+                break  # converged at this layer
+            cur_id, cur_d = best_id, best_d
+    beam: dict[int, float] = {cur_id: cur_d}
+    for _ in range(hops):
+        ids = sorted(beam)
+        buckets = sorted({i % n_buckets for i in ids})
+        nbrs = (
+            graph.filter(
+                (F.col("layer") == 0)
+                & F.col("src_bucket").isin(buckets)
+                & F.col("src").isin(ids)
+            )
+            .select("dst", l2_sq("dvec", qcol).alias("d"))
+            .collect()
+        )
+        for r in nbrs:
+            beam.setdefault(int(r.dst), float(r.d))
+        beam = dict(sorted(beam.items(), key=lambda kv: (kv[1], kv[0]))[:ef])
+    top = sorted(beam.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+    return [(i, d) for i, d in top]
+
+
+def hnsw_search_df(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    ef: int = 24,
+    hops: int = 6,
+    upper_hops: int = 3,
+) -> DataFrame:
+    """:func:`hnsw_search` as a (vec_id, distance) DataFrame."""
+    rows = hnsw_search(
+        spark, path, query_vec, k=k, ef=ef, hops=hops, upper_hops=upper_hops
+    )
+    return spark.createDataFrame(
+        [(int(i), float(d)) for i, d in rows],
+        "vec_id bigint, distance double",
+    )
+
+
+def _hnsw_beam_layer(
+    spark,
+    graph,
+    n_buckets: int,
+    layer: int,
+    q: list[float],
+    seeds: dict[int, float],
+    ef: int,
+    hops: int,
+) -> dict[int, float]:
+    """Width-``ef`` beam restricted to one layer's edges — the shared
+    loop behind layer-0 search and the per-layer neighbor finding of
+    :func:`hnsw_append` (HNSW inserts by searching the graph itself).
+    Each hop is one scan pruned to (layer, beam buckets)."""
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    beam = dict(sorted(seeds.items(), key=lambda kv: (kv[1], kv[0]))[:ef])
+    for _ in range(hops):
+        ids = sorted(beam)
+        buckets = sorted({i % n_buckets for i in ids})
+        nbrs = (
+            graph.filter(
+                (F.col("layer") == layer)
+                & F.col("src_bucket").isin(buckets)
+                & F.col("src").isin(ids)
+            )
+            .select("dst", l2_sq("dvec", qcol).alias("d"))
+            .collect()
+        )
+        for r in nbrs:
+            beam.setdefault(int(r.dst), float(r.d))
+        beam = dict(sorted(beam.items(), key=lambda kv: (kv[1], kv[0]))[:ef])
+    return beam
+
+
+def hnsw_append(spark, path: str, new_emb: DataFrame) -> None:
+    """Incremental insert into a :func:`hnsw_build` layout — the exact
+    HNSW insert algorithm, batched: each new node draws its
+    deterministic hash level, greedy-descends the upper layers to
+    localize, then at every layer <= its level finds its neighbors BY
+    SEARCHING THAT LAYER (beam over the layer's edges) and appends
+    out-edges plus back-edges into the touched (layer, bucket)
+    partitions. Existing files stay byte-identical; a node whose level
+    exceeds the current entry's becomes the new persisted entry.
+    O(batch) searches + appends, never a corpus rescan; degree may
+    temporarily exceed m on touched srcs (search only widens; periodic
+    rebuild re-trims), matching :func:`nsw_append`'s contract."""
+    meta = _hnsw_meta(path)
+    m, m_upper = meta["m"], meta["m_upper"]
+    n_buckets, max_level = meta["n_buckets"], meta["max_level"]
+    level_mult = meta["level_mult"]
+    graph = spark.read.parquet(f"{path}/graph")
+    entry = spark.read.parquet(f"{path}/entry").first()
+    new_rows = new_emb.select(
+        "vec_id",
+        "nvec",
+        hnsw_level_col("vec_id", level_mult, max_level).alias("level"),
+    ).collect()
+    out_edges = []  # (layer, src, dst)
+    back_edges = []  # (layer, src, dst, dvec)
+    entry_lvl = int(entry["level"])
+    entry_id, entry_vec = int(entry["vec_id"]), [float(x) for x in entry["nvec"]]
+    new_entry = None
+    for r in new_rows:
+        nvec = [float(x) for x in r.nvec]
+        lvl = int(r.level)
+        cur = {entry_id: _seq_l2_sq(entry_vec, nvec)}
+        for layer in range(max_level, 0, -1):
+            if layer > lvl:
+                cur = _hnsw_beam_layer(
+                    spark, graph, n_buckets, layer, nvec, cur, ef=1, hops=3
+                )
+            else:
+                found = _hnsw_beam_layer(
+                    spark, graph, n_buckets, layer, nvec, cur,
+                    ef=4 * m_upper, hops=3,
+                )
+                nbrs = sorted(found.items(), key=lambda kv: (kv[1], kv[0]))[
+                    :m_upper
+                ]
+                for nb_id, _d in nbrs:
+                    out_edges.append((layer, int(r.vec_id), nb_id))
+                    back_edges.append((layer, nb_id, int(r.vec_id), nvec))
+                cur = dict(nbrs[:1]) or cur
+        found0 = _hnsw_beam_layer(
+            spark, graph, n_buckets, 0, nvec, cur, ef=4 * m, hops=4
+        )
+        for nb_id, _d in sorted(found0.items(), key=lambda kv: (kv[1], kv[0]))[:m]:
+            out_edges.append((0, int(r.vec_id), nb_id))
+            back_edges.append((0, nb_id, int(r.vec_id), nvec))
+        if lvl > entry_lvl or (
+            lvl == entry_lvl and int(r.vec_id) < entry_id
+        ):
+            entry_lvl, entry_id, entry_vec = lvl, int(r.vec_id), nvec
+            new_entry = (int(r.vec_id), nvec, lvl)
+    # out-edges need neighbor vectors: one bounded pruned read over the
+    # distinct dst set (<= batch · (m + levels·m_upper) ids)
+    nbr_ids = sorted({dst for _l, _s, dst in out_edges})
+    nbr_vec = {
+        int(x["dst"]): [float(v) for v in x["dvec"]]
+        for x in graph.filter(F.col("dst").isin(nbr_ids))
+        .select("dst", "dvec")
+        .dropDuplicates(["dst"])
+        .collect()
+    }
+    nbr_vec.setdefault(entry_id, entry_vec)
+    new_vec = {int(r.vec_id): [float(x) for x in r.nvec] for r in new_rows}
+    nbr_vec.update(new_vec)  # batch nodes may neighbor each other
+    rows = [
+        (layer, src, dst, nbr_vec[dst], src % n_buckets)
+        for layer, src, dst in out_edges
+        if dst in nbr_vec
+    ] + [
+        (layer, src, dst, dvec, src % n_buckets)
+        for layer, src, dst, dvec in back_edges
+    ]
+    schema = (
+        "layer int, src bigint, dst bigint, dvec array<double>, src_bucket int"
+    )
+    spark.createDataFrame(rows, schema).write.mode("append").partitionBy(
+        "layer", "src_bucket"
+    ).parquet(f"{path}/graph")
+    if new_entry is not None:
+        vid, nvec, lvl = new_entry
+        spark.createDataFrame(
+            [(vid, nvec, lvl)], "vec_id bigint, nvec array<double>, level int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/entry.tmp")
+        import shutil
+
+        shutil.rmtree(f"{path}/entry")
+        os.rename(f"{path}/entry.tmp", f"{path}/entry")

@@ -142,3 +142,194 @@ def ann_nsw_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_nsw_built(spark, sf_dir)
     q = _norm_query_vec(spark, sf_dir, _QID)
     return nsw_search_df(spark, path, q, k=10, ef=_EF, hops=_HOPS)
+
+
+# ----------------------------------------------------------- hierarchy
+
+_M_UPPER = 8
+_LEVEL_MULT = 8
+_MAX_LEVEL = 3
+_UPPER_HOPS = 3
+_HQID = 11
+
+
+def ensure_hnsw_built(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent hierarchical build: layered graph + entry artifacts
+    once per corpus content; returns the layout path."""
+    from cnc_visionsearch_spark.operators.graph_ann import hnsw_build
+
+    path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir)}/hnsw_m{_M}"
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        emb = with_normalized(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "nvec"
+        )
+        hnsw_build(
+            emb,
+            path,
+            m=_M,
+            m_upper=_M_UPPER,
+            level_mult=_LEVEL_MULT,
+            max_level=_MAX_LEVEL,
+        )
+        open(os.path.join(path, "_BUILT"), "w").close()
+    return path
+
+
+def _lv_case() -> str:
+    u = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT"
+    whens = "".join(
+        f" WHEN {u} % {_LEVEL_MULT**l} = 0 THEN {l}"
+        for l in range(_MAX_LEVEL, 0, -1)
+    )
+    return f"CASE{whens} ELSE 0 END"
+
+
+_LV_CTE = f"""
+lv AS (SELECT vec_id, nvec, {_lv_case()} AS level FROM normed)
+"""
+
+
+def _layer_graph_ctes() -> str:
+    """g1..g{max_level}: top-m_upper graph over each layer's nodes."""
+    parts = []
+    for l in range(1, _MAX_LEVEL + 1):
+        parts.append(
+            f"""
+nodes{l} AS (SELECT vec_id, nvec FROM lv WHERE level >= {l}),
+pairs{l} AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, b.nvec AS dvec,
+    {_L2SQ.format(a="a.nvec", b="b.nvec")} AS gd
+  FROM nodes{l} a, nodes{l} b WHERE a.vec_id <> b.vec_id
+),
+g{l} AS (
+  SELECT src, dst, dvec FROM (
+    SELECT src, dst, dvec,
+      ROW_NUMBER() OVER (PARTITION BY src ORDER BY gd ASC, dst ASC) AS rn
+    FROM pairs{l}
+  ) r WHERE rn <= {_M_UPPER}
+)"""
+        )
+    return ",".join(parts)
+
+
+def _descent_ctes() -> str:
+    """entry -> per-layer greedy width-1 hop chains u{l}_{h}."""
+    parts = [
+        f"""
+entry AS (SELECT vec_id, nvec FROM lv ORDER BY level DESC, vec_id ASC LIMIT 1),
+u{_MAX_LEVEL}_0 AS MATERIALIZED (
+  SELECT vec_id AS id, {_L2SQ.format(a="nvec", b="qvec")} AS d FROM entry, q
+)"""
+    ]
+    for l in range(_MAX_LEVEL, 0, -1):
+        if l < _MAX_LEVEL:
+            parts.append(
+                f"u{l}_0 AS (SELECT id, d FROM u{l + 1}_{_UPPER_HOPS})"
+            )
+        for h in range(1, _UPPER_HOPS + 1):
+            parts.append(
+                f"""
+u{l}_{h} AS MATERIALIZED (
+  SELECT id, d FROM (
+    SELECT id, d FROM u{l}_{h - 1}
+    UNION
+    SELECT g.dst AS id, {_L2SQ.format(a="g.dvec", b="qvec")} AS d
+    FROM g{l} g, q WHERE g.src IN (SELECT id FROM u{l}_{h - 1})
+  ) ORDER BY d ASC, id ASC LIMIT 1
+)"""
+            )
+    return ",".join(parts)
+
+
+def _l0_beam_ctes(hops: int, ef: int) -> str:
+    """Layer-0 beam seeded by the descended node (vs the flat tier's
+    fixed smallest-id entries)."""
+    parts = [f"b0 AS (SELECT id, d FROM u1_{_UPPER_HOPS})"]
+    for i in range(1, hops + 1):
+        parts.append(
+            f"""
+c{i} AS MATERIALIZED (
+  SELECT id, d FROM b{i - 1}
+  UNION
+  SELECT g.dst AS id, {_L2SQ.format(a="g.dvec", b="qvec")} AS d
+  FROM graph g, q WHERE g.src IN (SELECT id FROM b{i - 1})
+),
+b{i} AS MATERIALIZED (SELECT id, d FROM c{i} ORDER BY d ASC, id ASC LIMIT {ef})"""
+        )
+    return ",".join(parts)
+
+
+@register(
+    "ann_hnsw_layer_census",
+    oracle=f"""
+WITH {_NORM_CTE}, {_LV_CTE}, {_GRAPH_CTE}, {_layer_graph_ctes()}
+SELECT 0 AS layer, CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+  CAST(count(*) AS BIGINT) AS n_edges FROM graph
+"""
+    + "".join(
+        f"""UNION ALL
+SELECT {l}, CAST(count(DISTINCT src) AS BIGINT),
+  CAST(count(*) AS BIGINT) FROM g{l}
+"""
+        for l in range(1, _MAX_LEVEL + 1)
+    )
+    + "ORDER BY layer",
+    doc="HNSW hierarchy build audit: nodes and edges per layer of the "
+    "persisted layered graph. Level assignment is a deterministic "
+    f"hash pyramid (P(level >= l) = {_LEVEL_MULT}^-l, integer "
+    "arithmetic over u32(md5(id)) — the SQL-replayable analog of "
+    "HNSW's geometric level draw, reference main.py:60 IndexHNSWFlat); "
+    "layer 0 is the flat NSW top-m graph, each upper layer the "
+    f"top-{_M_UPPER} graph over its surviving nodes, all in ONE table "
+    "partitioned by (layer, src_bucket). Hash-matching the oracle's "
+    "per-layer ranked pair joins pins membership AND adjacency of "
+    "every layer.",
+)
+def ann_hnsw_layer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = ensure_hnsw_built(spark, sf_dir)
+    g = spark.read.parquet(f"{path}/graph")
+    out = None
+    for l in range(0, _MAX_LEVEL + 1):
+        cen = g.filter(F.col("layer") == l).agg(
+            F.lit(l).alias("layer"),
+            F.countDistinct("src").cast("bigint").alias("n_nodes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        )
+        out = cen if out is None else out.unionByName(cen)
+    return out.orderBy("layer")
+
+
+@register(
+    "ann_hnsw_descend_topk",
+    oracle=f"""
+WITH {_NORM_CTE.replace("normed AS (", "normed AS MATERIALIZED (")},
+q AS (SELECT nvec AS qvec FROM normed WHERE vec_id = {_HQID}),
+{_LV_CTE.replace("lv AS (", "lv AS MATERIALIZED (")},
+{_GRAPH_CTE.replace("graph AS (", "graph AS MATERIALIZED (")},
+{_layer_graph_ctes().replace(" AS (", " AS MATERIALIZED (")},
+{_descent_ctes()},
+{_l0_beam_ctes(_HOPS, _EF)}
+SELECT CAST(id AS BIGINT) AS vec_id, d AS distance
+FROM b{_HOPS} ORDER BY distance ASC, vec_id ASC LIMIT 10
+""",
+    doc="Hierarchical NSW search — the full HNSW shape of the "
+    "reference's index (main.py:60-62): enter at the max-level node, "
+    f"{_UPPER_HOPS} greedy width-1 hops per upper layer (each ONE scan "
+    "pruned to layer partition x the current node's bucket, <= "
+    f"{_M_UPPER} edge rows; a layer with no closer neighbor is a "
+    "no-op), then the standard ef-wide beam at layer 0 SEEDED BY the "
+    "descended node instead of fixed smallest-id entries — the "
+    "O(log n) entry-point localization that makes graph search "
+    "corpus-size-independent before the wide beam starts. The oracle "
+    "replays level assignment, every layer graph, every descent hop, "
+    "and the layer-0 beam as unrolled CTEs: the whole hierarchy is "
+    "hash-gated. Recall gates vs exact live in tests/test_ann_graph.py.",
+)
+def ann_hnsw_descend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.graph_ann import hnsw_search_df
+
+    path = ensure_hnsw_built(spark, sf_dir)
+    q = _norm_query_vec(spark, sf_dir, _HQID)
+    return hnsw_search_df(
+        spark, path, q, k=10, ef=_EF, hops=_HOPS, upper_hops=_UPPER_HOPS
+    )

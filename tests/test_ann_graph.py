@@ -226,3 +226,123 @@ def test_nsw_append_makes_new_vectors_reachable(spark, emb, layout, tmp_path):
     # and the original layout (untouched copy) does not know it
     before = [i for i, _ in nsw_search(spark, layout, base, k=K, ef=24, hops=3)]
     assert new_id not in before
+
+
+# ----------------------------------------------------------- hierarchy
+
+
+@pytest.fixture(scope="module")
+def hlayout(spark, emb, tmp_path_factory):
+    from cnc_visionsearch_spark.operators.graph_ann import hnsw_build
+
+    path = str(tmp_path_factory.mktemp("hnsw") / "layout")
+    hnsw_build(emb, path, m=8, m_upper=6, level_mult=8, max_level=3)
+    return path
+
+
+def test_hnsw_layers_thin_geometrically(spark, hlayout):
+    g = spark.read.parquet(f"{hlayout}/graph")
+    nodes = {
+        l: g.filter(F.col("layer") == l).select("src").distinct().count()
+        for l in range(4)
+    }
+    # each layer a strict subset of the one below (levels are >= l)
+    assert nodes[0] > nodes[1] > nodes[2] >= nodes[3] >= 0
+    for l in (1, 2):
+        upper = {
+            r.src
+            for r in g.filter(F.col("layer") == l + 1)
+            .select("src")
+            .distinct()
+            .collect()
+        }
+        lower = {
+            r.src
+            for r in g.filter(F.col("layer") == l).select("src").distinct().collect()
+        }
+        assert upper <= lower
+
+
+def test_hnsw_entry_is_max_level_node(spark, hlayout):
+    e = spark.read.parquet(f"{hlayout}/entry").first()
+    g = spark.read.parquet(f"{hlayout}/graph")
+    top = int(
+        g.agg(F.max("layer")).first()[0]
+    )  # highest layer that actually has edges
+    assert int(e["level"]) >= top
+
+
+def test_hnsw_recall_meets_baseline_gate(spark, emb, hlayout):
+    from cnc_visionsearch_spark.operators.graph_ann import hnsw_search
+
+    recs = []
+    for qid in (1, 5, 9, 13, 17):
+        q = _norm_q(emb, qid)
+        exact = {
+            r.vec_id
+            for r in knn_single(emb, q, k=K, normalize_query=False).collect()
+        }
+        got = {
+            i for i, _ in hnsw_search(spark, hlayout, q, k=K, ef=24, hops=6)
+        }
+        recs.append(len(got & exact) / K)
+    assert sum(recs) / len(recs) >= 0.95, recs
+
+
+def test_hnsw_search_is_deterministic(spark, emb, hlayout):
+    from cnc_visionsearch_spark.operators.graph_ann import hnsw_search
+
+    q = _norm_q(emb, 29)
+    a = hnsw_search(spark, hlayout, q, k=K, ef=24, hops=6)
+    b = hnsw_search(spark, hlayout, q, k=K, ef=24, hops=6)
+    assert a == b
+
+
+def test_hnsw_append_reachable_and_entry_promotion(spark, emb, hlayout, tmp_path):
+    from cnc_visionsearch_spark.operators.graph_ann import (
+        hnsw_append,
+        hnsw_level_col,
+        hnsw_search,
+    )
+
+    path = str(tmp_path / "hnsw_append")
+    shutil.copytree(hlayout, path)
+    base = _norm_q(emb, 3)
+    new_id = 10_000
+    new = spark.createDataFrame(
+        [(new_id, base)], "vec_id bigint, nvec array<double>"
+    )
+    hnsw_append(spark, path, new)
+    got = hnsw_search(spark, path, base, k=K, ef=24, hops=4)
+    ids = [i for i, _ in got]
+    assert new_id in ids and 3 in ids
+    # untouched copy does not know it
+    before = [i for i, _ in hnsw_search(spark, hlayout, base, k=K, ef=24, hops=4)]
+    assert new_id not in before
+    # if the new node out-levels the old entry, the entry artifact moves
+    lvl = (
+        spark.createDataFrame([(new_id,)], "vec_id bigint")
+        .select(hnsw_level_col("vec_id", 8, 3).alias("l"))
+        .first()[0]
+    )
+    e = spark.read.parquet(f"{path}/entry").first()
+    old_e = spark.read.parquet(f"{hlayout}/entry").first()
+    if int(lvl) > int(old_e["level"]):
+        assert int(e["vec_id"]) == new_id
+    else:
+        assert int(e["vec_id"]) == int(old_e["vec_id"])
+
+
+def test_hnsw_hop_reads_are_layer_and_bucket_pruned(spark, emb, hlayout):
+    """The descent scan must prune BOTH partition axes (layer and
+    src_bucket) — the physical property that keeps upper-layer hops
+    metadata-cheap at corpus scale."""
+    from cnc_visionsearch_spark.plans import formatted_plan
+
+    g = spark.read.parquet(f"{hlayout}/graph")
+    probe = g.filter(
+        (F.col("layer") == 2) & (F.col("src_bucket") == 3) & (F.col("src") == 99)
+    ).select("dst")
+    plan = formatted_plan(probe)
+    assert "PartitionFilters" in plan
+    assert "layer" in plan and "src_bucket" in plan
