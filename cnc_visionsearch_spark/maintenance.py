@@ -31,7 +31,7 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["run_index_maintenance"]
+__all__ = ["run_index_maintenance", "forget_vectors"]
 
 
 def run_index_maintenance(
@@ -133,4 +133,53 @@ def run_index_maintenance(
             "before": before,
             "after": n_files(root) if os.path.exists(root) else 0,
         }
+    return report
+
+
+def forget_vectors(
+    spark: SparkSession,
+    ids: list[int],
+    ivf_paths: tuple[str, ...] = (),
+    shard_paths: tuple[str, ...] = (),
+    inverted_paths: tuple[str, ...] = (),
+    doc_ids: list[int] | None = None,
+) -> dict:
+    """Right-to-be-forgotten runbook: ONE call tombstones an id set
+    across EVERY derived layout of a corpus — IVF cells (which also
+    shields both PQ code tables: their probes anti-join the same
+    tombstone set), sharded layouts, and inverted text indexes (by
+    ``doc_ids``, defaulting to ``ids`` — the canonical layout keys
+    vectors and documents by the same dense id).
+
+    The point is atomicity of INTENT, not of execution: each per-layout
+    delete is an O(batch) tombstone append (resident files untouched,
+    idempotent — re-running after a partial failure converges), so a
+    compliance job can drive this from a deletion queue and re-run
+    until the audit (queries: ``forget_audit``) reports the ids dark
+    everywhere. Physical removal rides the normal maintenance pass
+    (:func:`run_index_maintenance` vacuums every layout it is given).
+
+    Graph tiers (NSW/HNSW) are deliberately NOT in the runbook: graph
+    deletion needs edge repair (the reason the reference's HNSW cannot
+    delete at all, main.py:119-126) — those layouts drop forgotten
+    vectors at their next periodic rebuild, and because their probes
+    re-score hits against layouts that DO honor tombstones when
+    composed (cascade/hybrid paths), the serving surface goes dark
+    immediately even while graph edges linger.
+
+    Returns ``{path: n_ids}`` per layout touched.
+    """
+    from cnc_visionsearch_spark.operators.ann import ivf_delete, shard_delete
+    from cnc_visionsearch_spark.operators.text_index import inverted_delete
+
+    report: dict = {}
+    for p in ivf_paths:
+        ivf_delete(spark, p, ids)
+        report[p] = len(ids)
+    for p in shard_paths:
+        shard_delete(spark, p, ids)
+        report[p] = len(ids)
+    for p in inverted_paths:
+        inverted_delete(spark, p, list(doc_ids if doc_ids is not None else ids))
+        report[p] = len(ids)
     return report

@@ -2705,3 +2705,167 @@ def part_kcore_peel(
         )
         out = out.unionAll(stats_row(cur, rnd))
     return out.orderBy("round")
+
+
+# ------------------------------------------ right-to-be-forgotten audit
+
+
+def ensure_forget_layouts(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Dedicated IVF + shard + inverted layouts with the forget runbook
+    applied once: the forgotten ids are the query-21 vector's two exact
+    nearest non-self neighbors — a pure function of the corpus, so the
+    oracle derives the same set. Dedicated dirs: shared layouts must
+    stay tombstone-free for every other probe's plan shape."""
+    import os
+
+    from cnc_visionsearch_spark.functions.vector import l2_sq
+    from cnc_visionsearch_spark.maintenance import forget_vectors
+    from cnc_visionsearch_spark.operators.ann import ivf_build, shard_build
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+    from cnc_visionsearch_spark.operators.text_index import inverted_build
+    from cnc_visionsearch_spark.queries_ann import (
+        _ARTIFACT_ROOT,
+        _corpus_tag,
+        _norm_query_vec,
+    )
+
+    root = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir)}/forget"
+    p_ivf, p_sh, p_inv = f"{root}/ivf", f"{root}/shards", f"{root}/inverted"
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+        ivf_build(emb, p_ivf, n_cells=8)
+        shard_build(emb, p_sh, num_shards=4)
+        inverted_build(load_table(spark, sf_dir, "documents"), p_inv)
+        q = _norm_query_vec(spark, sf_dir, 21)
+        qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+        del_ids = [
+            int(r["vec_id"])
+            for r in emb.filter(F.col("vec_id") != 21)
+            .select("vec_id", l2_sq("nvec", qcol).alias("d"))
+            .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+            .limit(2)
+            .collect()
+        ]  # bounded: 2 rows — the deletion ticket
+        forget_vectors(
+            spark,
+            del_ids,
+            ivf_paths=(p_ivf,),
+            shard_paths=(p_sh,),
+            inverted_paths=(p_inv,),
+        )
+        open(os.path.join(root, "_BUILT"), "w").close()
+    return p_ivf, p_sh, p_inv
+
+
+@register(
+    "forget_audit",
+    oracle="""
+WITH normed AS (
+  SELECT vec_id,
+    list_transform(
+      embedding::DOUBLE[],
+      x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))
+    ) AS nvec
+  FROM embeddings
+),
+q AS (SELECT nvec AS qv FROM normed WHERE vec_id = 21),
+scored AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(1, len(nvec) + 1),
+      i -> (nvec[i] - qv[i]) * (nvec[i] - qv[i]))) AS d
+  FROM normed, q WHERE vec_id <> 21
+),
+del AS (SELECT vec_id FROM scored ORDER BY d ASC, vec_id ASC LIMIT 2),
+live AS (
+  SELECT * FROM scored WHERE vec_id NOT IN (SELECT vec_id FROM del)
+),
+nl AS (SELECT count(*) + 1 AS n_live FROM live),
+vt AS (SELECT vec_id, d FROM live ORDER BY d ASC, vec_id ASC LIMIT 1),
+docs_live AS (
+  SELECT * FROM documents WHERE doc_id NOT IN (SELECT vec_id FROM del)
+),
+ndl AS (SELECT count(*) AS n FROM docs_live),
+tf AS (
+  SELECT doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs_live)
+  WHERE tok = 'merge' GROUP BY doc_id
+  ORDER BY tf DESC, doc_id ASC LIMIT 1
+)
+SELECT 'inverted' AS layout, CAST(ndl.n AS BIGINT) AS n_live,
+  CAST(tf.doc_id AS BIGINT) AS top1_id, CAST(tf.tf AS DOUBLE) AS top1_metric
+FROM ndl, tf
+UNION ALL
+SELECT 'ivf', CAST(nl.n_live AS BIGINT), CAST(vt.vec_id AS BIGINT), vt.d
+FROM nl, vt
+UNION ALL
+SELECT 'shard', CAST(nl.n_live AS BIGINT), CAST(vt.vec_id AS BIGINT), vt.d
+FROM nl, vt
+ORDER BY layout
+""",
+    doc="Right-to-be-forgotten audit: after maintenance.forget_vectors "
+    "tombstones one deletion ticket (the query-21 vector's two exact "
+    "nearest neighbors — a pure function of the corpus, so the oracle "
+    "derives the identical set) across an IVF layout, a sharded "
+    "layout, and the inverted text index, this query probes ALL THREE "
+    "through their sanctioned tombstone-aware readers: live counts "
+    "must drop by exactly the ticket size, the vector probes' top-1 "
+    "must be the NEXT-nearest survivor (the deleted ids' absence "
+    "changes the answer, not just a count), and the text probe's "
+    "top-tf document must come from surviving docs only. Hash-"
+    "matching the from-scratch corpus-minus-ticket recomputation "
+    "proves no layout can resurrect a forgotten id. Each audit value "
+    "is planner-state-sized (a top-1 or a count); the compliance job "
+    "re-runs runbook + audit until green, then the normal maintenance "
+    "vacuum makes removal physical.",
+)
+def forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.ann import (
+        _without_tombstones,
+        ivf_probe,
+        sharded_topk_persisted,
+    )
+    from cnc_visionsearch_spark.operators.text_index import (
+        read_doclens,
+        read_postings,
+        term_bucket,
+    )
+    from cnc_visionsearch_spark.queries_ann import _norm_query_vec
+
+    p_ivf, p_sh, p_inv = ensure_forget_layouts(spark, sf_dir)
+    q = _norm_query_vec(spark, sf_dir, 21)
+    rows = []
+    # IVF: live census + full-coverage probe (top-1 past the self-match)
+    ivf_live = _without_tombstones(
+        spark, p_ivf, spark.read.parquet(f"{p_ivf}/cells"), "vec_id"
+    ).count()
+    r = (
+        ivf_probe(spark, p_ivf, q, k=2, nprobe=100)
+        .filter(F.col("vec_id") != 21)
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .first()
+    )
+    rows.append(("ivf", int(ivf_live), int(r["vec_id"]), float(r["distance"])))
+    # sharded: same audit through the persisted-shard probe
+    sh_live = _without_tombstones(
+        spark, p_sh, spark.read.parquet(f"{p_sh}/shards"), "vec_id"
+    ).count()
+    r = (
+        sharded_topk_persisted(spark, p_sh, q, k=2)
+        .filter(F.col("vec_id") != 21)
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .first()
+    )
+    rows.append(("shard", int(sh_live), int(r["vec_id"]), float(r["distance"])))
+    # inverted: norms census + top-tf doc for one term, bucket-pruned
+    inv_live = read_doclens(spark, p_inv).count()
+    b = term_bucket("merge", 16)
+    r = (
+        read_postings(spark, p_inv)
+        .filter((F.col("bucket") == b) & (F.col("term") == "merge"))
+        .orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+        .first()
+    )
+    rows.append(("inverted", int(inv_live), int(r["doc_id"]), float(r["tf"])))
+    return spark.createDataFrame(
+        rows, "layout string, n_live bigint, top1_id bigint, top1_metric double"
+    ).orderBy("layout")

@@ -2346,3 +2346,143 @@ def neardup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("store"))
         .alias("origin"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------- DSIR importance resampling
+
+_DSIR_BUCKETS = 64
+_DSIR_KEEP = 100
+
+
+@register(
+    "doc_dsir_importance",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+    ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+),
+tgt AS (
+  SELECT b, count(*) AS c FROM toks
+  WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY b
+),
+raw AS (SELECT b, count(*) AS c FROM toks GROUP BY b),
+tot AS (
+  SELECT (SELECT sum(c) FROM tgt) AS tt, (SELECT sum(c) FROM raw) AS tr
+),
+ratio AS (
+  SELECT r.b,
+    CAST(floor((ln((coalesce(t.c, 0) + 1)::DOUBLE
+                  / (tot.tt + {_DSIR_BUCKETS})::DOUBLE)
+              - ln((r.c + 1)::DOUBLE / (tot.tr + {_DSIR_BUCKETS})::DOUBLE))
+         * 1000000000.0 + 0.5) AS BIGINT) AS rq
+  FROM raw r LEFT JOIN tgt t USING (b), tot
+),
+wts AS (
+  SELECT toks.doc_id, any_value(toks.source) AS source,
+    CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(ratio.rq) AS BIGINT) AS weight_q
+  FROM toks JOIN ratio USING (b) GROUP BY toks.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY weight_q DESC, doc_id ASC) AS rn
+  FROM wts
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN rn <= {_DSIR_KEEP} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  CAST(sum(weight_q) AS BIGINT) AS sum_weight_q
+FROM ranked GROUP BY source ORDER BY source
+""",
+    doc="DSIR-style importance resampling (Xie et al. 2023, 'Data "
+    "Selection for Language Models via Importance Resampling'): score "
+    "every document by how much more likely its hashed-unigram bag is "
+    "under a TARGET distribution (here: the src0-src3 slice, the "
+    "high-quality-domain proxy) than under the raw corpus — weight = "
+    "sum over tokens of ln(p_target(bucket)/p_raw(bucket)), add-one "
+    "smoothed over "
+    f"{_DSIR_BUCKETS} hash buckets — then keep the top-{_DSIR_KEEP} "
+    "docs (the deterministic top-quantile variant of DSIR's "
+    "exp-weight sampling). Per-bucket log-ratios are quantized to "
+    "1e-9 BEFORE the per-doc reduction, so document weights are exact "
+    "integer sums (order-free — the float-summation discipline every "
+    "hash-gated reduction here follows). Per source: doc count, docs "
+    "kept, total weight. Scale shape: both LMs are "
+    f"{_DSIR_BUCKETS}-row broadcast tables built in one corpus scan; "
+    "scoring is a second scan joined against the broadcast ratios; "
+    "the only full shuffle keys on doc_id for the per-doc sum. The "
+    "selection cutoff is a corpus-wide order statistic — at 100 TB "
+    "swap the global row_number for approx_percentile on weight_q "
+    "(documented trade) or a two-pass exact histogram cut.",
+)
+def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    tgt = (
+        toks.filter(F.col("source").isin("src0", "src1", "src2", "src3"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    # totals fold out of the 64-row aggregates — no extra corpus scan
+    tots = raw.agg(F.sum("cr").alias("tr")).crossJoin(
+        tgt.agg(F.sum("ct").alias("tt"))
+    )
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        / (F.col("tt") + _DSIR_BUCKETS).cast("double")
+                    )
+                    - F.log(
+                        (F.col("cr") + 1).cast("double")
+                        / (F.col("tr") + _DSIR_BUCKETS).cast("double")
+                    )
+                )
+                * 1000000000.0
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("rq"),
+        )
+    )
+    wts = (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("rq").cast("bigint").alias("weight_q"),
+        )
+    )
+    w = Window.orderBy(F.col("weight_q").desc(), F.col("doc_id").asc())
+    ranked = wts.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("rn") <= _DSIR_KEEP, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum("weight_q").cast("bigint").alias("sum_weight_q"),
+        )
+        .orderBy("source")
+    )

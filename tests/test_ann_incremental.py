@@ -606,3 +606,53 @@ class TestIvfRebalance:
             for x in _compute_cell_radii(spark, path).collect()
         }
         assert radii == fresh
+
+
+# ------------------------------------------------ forget-vectors runbook
+
+
+def test_forget_vectors_runbook_is_idempotent_and_composes(
+    spark, emb, tmp_path
+):
+    """One forget_vectors call darkens the ids on every layout it is
+    given; re-running (the compliance-queue retry path) changes
+    nothing further; vacuum afterwards makes removal physical."""
+    from cnc_visionsearch_spark.maintenance import forget_vectors
+    from cnc_visionsearch_spark.operators.ann import (
+        _without_tombstones,
+        ivf_build,
+        ivf_probe,
+        ivf_vacuum,
+        shard_build,
+        sharded_topk_persisted,
+    )
+
+    sub = emb.filter(F.col("vec_id") < 100)
+    p_ivf = str(tmp_path / "f_ivf")
+    p_sh = str(tmp_path / "f_sh")
+    ivf_build(sub, p_ivf, n_cells=4)
+    shard_build(sub, p_sh, num_shards=4)
+    q = _norm_q(emb, 7)
+    pre = {int(r["vec_id"]) for r in ivf_probe(spark, p_ivf, q, k=5, nprobe=10).collect()}
+    victim = sorted(pre - {7})[:2]
+    rep = forget_vectors(spark, victim, ivf_paths=(p_ivf,), shard_paths=(p_sh,))
+    assert set(rep) == {p_ivf, p_sh}
+    for probe in (
+        ivf_probe(spark, p_ivf, q, k=5, nprobe=10),
+        sharded_topk_persisted(spark, p_sh, q, k=5),
+    ):
+        got = {int(r["vec_id"]) for r in probe.collect()}
+        assert not (got & set(victim))
+    # idempotent retry: live census unchanged after a second run
+    n1 = _without_tombstones(
+        spark, p_ivf, spark.read.parquet(f"{p_ivf}/cells"), "vec_id"
+    ).count()
+    forget_vectors(spark, victim, ivf_paths=(p_ivf,), shard_paths=(p_sh,))
+    n2 = _without_tombstones(
+        spark, p_ivf, spark.read.parquet(f"{p_ivf}/cells"), "vec_id"
+    ).count()
+    assert n1 == n2 == 98
+    # physical removal rides the normal vacuum
+    ivf_vacuum(spark, p_ivf)
+    assert spark.read.parquet(f"{p_ivf}/cells").count() == 98
+    assert not __import__("os").path.exists(f"{p_ivf}/tombstones")
