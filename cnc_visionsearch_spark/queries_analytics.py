@@ -2869,3 +2869,82 @@ def forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "layout string, n_live bigint, top1_id bigint, top1_metric double"
     ).orderBy("layout")
+
+
+# ----------------------------------------- JOIN-delta view maintenance
+
+
+@register(
+    "orders_lineitem_join_ivm",
+    oracle="""
+SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+""",
+    doc="Incremental maintenance of a JOIN view — the step beyond "
+    "single-table IVM (orders_incremental_daily_agg): the daily "
+    "line-revenue view gamma(orders JOIN lineitem) is maintained from "
+    "a persisted base plus the classical three-term join delta "
+    "delta(A JOIN B) = dA JOIN B_old + A_old JOIN dB + dA JOIN dB "
+    "(Blakeley et al.'s counting-free form for inserts). The split "
+    "models real late-arriving data: new ORDERS are o_orderkey % 5 = "
+    "0, new LINEITEMS are l_linenumber >= 4 — so some new lines land "
+    "on RESIDENT orders and some on new ones, exercising all three "
+    "delta terms. Each delta join is bounded by a delta side (the "
+    "broadcast side at 100 TB; the resident fact table is never "
+    "rescanned in full — base partials come from the persisted MV); "
+    "merge sums exact DECIMAL partials, so the incremental result is "
+    "bit-identical to the oracle's from-scratch join — the hash gate "
+    "IS the delta-rule correctness proof.",
+)
+def orders_lineitem_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("order_date")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        # per-row DOUBLE product (identical across engines), THEN the
+        # decimal cast: the registry's exact-reduction discipline
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("rev"),
+    )
+    o_old = o.filter(F.col("o_orderkey") % 5 != 0)
+    o_new = o.filter(F.col("o_orderkey") % 5 == 0)
+    l_old = l.filter(F.col("l_linenumber") < 4)
+    l_new = l.filter(F.col("l_linenumber") >= 4)
+
+    def agg(df):
+        return df.groupBy("order_date").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("rev").alias("rev_dec"),
+        )
+
+    # the persisted MV: base join aggregated once (in production this
+    # is READ, not recomputed — localCheckpoint stands in for the read)
+    base = agg(
+        o_old.join(l_old, o_old.o_orderkey == l_old.l_orderkey)
+    ).localCheckpoint()
+    # the three insert-delta terms, each keyed by its bounded delta side
+    d1 = o_new.join(l_old, o_new.o_orderkey == l_old.l_orderkey)
+    d2 = o_old.join(l_new, o_old.o_orderkey == l_new.l_orderkey)
+    d3 = o_new.join(l_new, o_new.o_orderkey == l_new.l_orderkey)
+    delta = agg(d1.unionByName(d2).unionByName(d3))
+    merged = (
+        base.select("order_date", "n_lines", "rev_dec")
+        .unionByName(delta.select("order_date", "n_lines", "rev_dec"))
+        .groupBy("order_date")
+        .agg(
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+            F.sum("rev_dec").alias("rev_dec"),
+        )
+    )
+    return merged.select(
+        "order_date",
+        "n_lines",
+        F.col("rev_dec").cast("double").alias("revenue"),
+    )

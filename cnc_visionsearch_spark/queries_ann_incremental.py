@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cnc_visionsearch_spark.operators.ann import (
@@ -800,4 +800,174 @@ def ann_ivf_rebalance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cell_id") >= 8).alias("is_split_child"),
         )
         .orderBy("cell_id")
+    )
+
+
+# ------------------------------------------------ retrieval evaluation
+
+_EVAL_NPROBE = 4
+_EVAL_K = 10
+
+
+@register(
+    "ann_eval_recall_mrr",
+    oracle=f"""
+WITH {_NORM_CTE},
+stride AS (SELECT greatest(max(vec_id) // 8, 1) AS s FROM embeddings),
+centroids AS (
+  SELECT CAST(vec_id // s AS INT) AS cell_id, nvec AS centroid
+  FROM normed, stride
+  WHERE vec_id % s = 0 AND vec_id // s < 8
+),
+assigned AS (
+  SELECT vec_id, cell_id, nvec FROM (
+    SELECT n.vec_id, c.cell_id, n.nvec,
+      row_number() OVER (
+        PARTITION BY n.vec_id
+        ORDER BY {_L2SQ.format(a="n.nvec", b="c.centroid")} ASC, c.cell_id ASC
+      ) AS rn
+    FROM normed n, centroids c
+  ) WHERE rn = 1
+),
+qs AS (
+  SELECT vec_id AS qid, nvec AS qv FROM normed
+  WHERE vec_id % 2 = 1 AND vec_id < 40
+),
+exact AS (
+  SELECT qid, vec_id, rn FROM (
+    SELECT q.qid, n.vec_id,
+      row_number() OVER (
+        PARTITION BY q.qid
+        ORDER BY {_L2SQ.format(a="n.nvec", b="q.qv")} ASC, n.vec_id ASC
+      ) AS rn
+    FROM normed n, qs q WHERE n.vec_id <> q.qid
+  ) WHERE rn <= {_EVAL_K}
+),
+probe AS (
+  SELECT qid, cell_id FROM (
+    SELECT q.qid, c.cell_id,
+      row_number() OVER (
+        PARTITION BY q.qid
+        ORDER BY {_L2SQ.format(a="c.centroid", b="q.qv")} ASC, c.cell_id ASC
+      ) AS rn
+    FROM centroids c, qs q
+  ) WHERE rn <= {_EVAL_NPROBE}
+),
+approx AS (
+  SELECT qid, vec_id, rn FROM (
+    SELECT p.qid, a.vec_id,
+      row_number() OVER (
+        PARTITION BY p.qid
+        ORDER BY {_L2SQ.format(a="a.nvec", b="q.qv")} ASC, a.vec_id ASC
+      ) AS rn
+    FROM assigned a JOIN probe p ON a.cell_id = p.cell_id
+    JOIN qs q ON q.qid = p.qid
+    WHERE a.vec_id <> p.qid
+  ) WHERE rn <= {_EVAL_K}
+),
+hits AS (
+  SELECT e.qid, count(*) AS n_hits
+  FROM exact e JOIN approx x ON e.qid = x.qid AND e.vec_id = x.vec_id
+  GROUP BY e.qid
+),
+truenn AS (SELECT qid, vec_id AS true_nn FROM exact WHERE rn = 1),
+rr AS (
+  SELECT t.qid, coalesce(max(1.0 / x.rn), 0.0) AS rr
+  FROM truenn t LEFT JOIN approx x ON x.qid = t.qid AND x.vec_id = t.true_nn
+  GROUP BY t.qid
+)
+SELECT q.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+  coalesce(h.n_hits, 0) / {_EVAL_K}.0 AS recall,
+  CAST(t.true_nn AS BIGINT) AS true_nn, rr.rr
+FROM qs q
+JOIN truenn t USING (qid)
+LEFT JOIN hits h USING (qid)
+JOIN rr USING (qid)
+ORDER BY q.qid
+""",
+    doc="Retrieval evaluation AS A QUERY — the IR eval harness built "
+    "into the engine rather than bolted on: for 20 held-out query "
+    f"vectors, exact top-{_EVAL_K} ground truth (batch brute-force "
+    "kNN join) and the IVF tier's answer at the LATENCY-oriented "
+    f"knob nprobe={_EVAL_NPROBE} (where recall is genuinely < 1 — "
+    "evaluating the accuracy knob nprobe=7 would measure nothing) "
+    "are computed side by side, yielding per-query recall@10, the "
+    "true nearest neighbor, and its reciprocal rank in the "
+    "approximate list (0 when missed). Self-matches are excluded "
+    "from both rankings. This is the continuously-runnable twin of "
+    "the offline RECALL.json evidence: a deployment schedules it "
+    "against the LIVE layout after appends/rebalances, and a recall "
+    "drop pages before users notice. One corpus scan per ranking; "
+    "metrics are exact rationals (n/10, 1/rank), so the whole eval "
+    "is hash-gated.",
+)
+def ann_eval_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.ann import ivf_knn_join_probe
+    from cnc_visionsearch_spark.operators.knn import knn_join
+    from cnc_visionsearch_spark.queries_ann import ensure_ivf_built
+
+    path = ensure_ivf_built(spark, sf_dir)
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    qs = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 40)).select(
+        F.col("vec_id").alias("qid"), F.col("nvec").alias("qvec")
+    )
+    # self is always rank 1 (d=0, own cell is the first probe cell):
+    # ask for k+1, drop self, shift ranks
+    exact = (
+        knn_join(
+            qs.withColumnRenamed("qvec", "nvec"),
+            emb,
+            k=_EVAL_K + 1,
+            query_id="qid",
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", (F.col("rank") - 1).alias("rn"))
+        .filter(F.col("rn") <= _EVAL_K)
+    )
+    approx = (
+        ivf_knn_join_probe(
+            spark, path, qs, k=_EVAL_K + 1, nprobe=_EVAL_NPROBE
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc()
+    )
+    approx = (
+        approx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _EVAL_K)
+        .select("qid", "vec_id", "rn")
+    )
+    hits = (
+        exact.join(approx.select("qid", "vec_id"), ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    truenn = exact.filter(F.col("rn") == 1).select(
+        "qid", F.col("vec_id").alias("true_nn")
+    )
+    rr = (
+        truenn.join(
+            approx.select("qid", F.col("vec_id").alias("true_nn"), "rn"),
+            ["qid", "true_nn"],
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.coalesce(F.max(F.lit(1.0) / F.col("rn")), F.lit(0.0)).alias("rr")
+        )
+    )
+    return (
+        qs.select("qid")
+        .join(truenn, "qid")
+        .join(hits, "qid", "left")
+        .join(rr, "qid")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / float(_EVAL_K)).alias("recall"),
+            F.col("true_nn").cast("bigint").alias("true_nn"),
+            "rr",
+        )
+        .orderBy("qid")
     )
