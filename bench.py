@@ -52,6 +52,7 @@ HEADLINE = [
     "ann_ivf_pq_trained_topk",
     "ann_ivf_knn_join",
     "ann_nsw_beam_topk",
+    "ann_hnsw_descend_topk",
     "ann_cascade_topk",
     "knn_sharded_topk",
     "text_search_topk",

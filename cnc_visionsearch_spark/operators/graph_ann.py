@@ -280,19 +280,27 @@ def nsw_search(
     }
     beam = dict(sorted(beam.items(), key=lambda kv: (kv[1], kv[0]))[:ef])
     qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    graph = spark.read.parquet(f"{path}/graph")
     for _ in range(hops):
         ids = sorted(beam)
         buckets = sorted({i % n_buckets for i in ids})
         nbrs = (
-            spark.read.parquet(f"{path}/graph")
-            .filter(F.col("src_bucket").isin(buckets))
+            graph.filter(F.col("src_bucket").isin(buckets))
             .filter(F.col("src").isin(ids))
             .select("dst", l2_sq("dvec", qcol).alias("d"))
             .collect()
         )
         for r in nbrs:
             beam.setdefault(int(r.dst), float(r.d))
-        beam = dict(sorted(beam.items(), key=lambda kv: (kv[1], kv[0]))[:ef])
+        nxt = dict(sorted(beam.items(), key=lambda kv: (kv[1], kv[0]))[:ef])
+        if sorted(nxt) == ids:
+            # fixpoint: an unchanged beam rescans the same srcs next
+            # hop and can never change again — remaining hops are
+            # no-ops on every engine, so breaking preserves the
+            # oracle's fixed-hop result bit-for-bit
+            beam = nxt
+            break
+        beam = nxt
     top = sorted(beam.items(), key=lambda kv: (kv[1], kv[0]))[:k]
     return [(i, d) for i, d in top]
 
@@ -453,7 +461,10 @@ def hnsw_search(
     cur_id, cur_d = int(e["vec_id"]), _seq_l2_sq(e["nvec"], q)
     qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
     graph = spark.read.parquet(f"{path}/graph")
-    for layer in range(max_level, 0, -1):
+    # layers above the entry's level are empty by construction (the
+    # entry IS a max-level node) — skip their no-op scans
+    start_layer = min(max_level, int(e["level"]))
+    for layer in range(start_layer, 0, -1):
         for _ in range(upper_hops):
             nbrs = (
                 graph.filter(
@@ -487,7 +498,11 @@ def hnsw_search(
         )
         for r in nbrs:
             beam.setdefault(int(r.dst), float(r.d))
-        beam = dict(sorted(beam.items(), key=lambda kv: (kv[1], kv[0]))[:ef])
+        nxt = dict(sorted(beam.items(), key=lambda kv: (kv[1], kv[0]))[:ef])
+        if sorted(nxt) == ids:
+            beam = nxt
+            break  # fixpoint — same justification as nsw_search
+        beam = nxt
     top = sorted(beam.items(), key=lambda kv: (kv[1], kv[0]))[:k]
     return [(i, d) for i, d in top]
 
