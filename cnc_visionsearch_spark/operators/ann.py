@@ -58,6 +58,7 @@ __all__ = [
     "ivf_delete",
     "ivf_vacuum",
     "ivf_rebalance",
+    "ivf_exact_pruned_search",
     "ivf_probe",
     "ivf_probe_cells",
     "shard_build",
@@ -1647,3 +1648,68 @@ def ivf_rebalance(
             _sh.rmtree(f"{path}/cell_radii")
             os.rename(f"{path}/cell_radii.tmp", f"{path}/cell_radii")
     return report
+
+
+def ivf_exact_pruned_search(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "nvec",
+) -> tuple[list[tuple[int, float]], list[int]]:
+    """EXACT top-k at ANN cost — triangle-inequality cell pruning over
+    an :func:`ivf_build` layout (the FAISS IVFFlat exact-search trick,
+    and the exact counterpart of the recall-gated nprobe probes): for
+    every cell, ``lb_c = max(0, d(q, centroid_c) - radius_c)²`` lower-
+    bounds the distance of ANY member (triangle inequality, radii from
+    the persisted ``cell_radii`` artifact). Cells are visited in
+    ascending-``lb`` order (ties by cell_id), each visit ONE
+    partition-pruned scan collecting that cell's top-k (k rows —
+    planner state); the walk stops at the first cell whose bound the
+    current kth-best already beats, which proves no unvisited cell can
+    improve the answer. Result is bit-identical to brute force — the
+    registered query's oracle IS plain exact top-k — while typically
+    scanning a fraction of the cells; unlike nprobe there is NO recall
+    knob to tune and no gate to monitor.
+
+    Returns ``(top_k [(id, distance)...], scanned_cell_ids)``.
+    """
+    import math
+
+    cents = _metadata_rows(f"{path}/codebook")
+    radii = {
+        int(r["cell_id"]): float(r["radius"])
+        for r in _metadata_rows(f"{path}/cell_radii")
+    }
+    q = [float(x) for x in query_vec]
+    def _lb(c):
+        g = max(
+            0.0,
+            math.sqrt(_seq_l2_sq(c["centroid"], q))
+            - radii.get(int(c["cell_id"]), 0.0),
+        )
+        return g * g  # g*g, not pow(g, 2): bit-stable vs the SQL replay
+
+    order = sorted((_lb(c), int(c["cell_id"])) for c in cents)
+    qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    cells = spark.read.parquet(f"{path}/cells")
+    best: list[tuple[float, int]] = []  # (distance, id), ascending
+    scanned: list[int] = []
+    for lb, cell_id in order:
+        if len(best) >= k and best[k - 1][0] <= lb:
+            break  # no unvisited cell can beat the kth-best
+        rows = (
+            _without_tombstones(
+                spark, path, cells.filter(F.col("cell_id") == cell_id), id_col
+            )
+            .select(id_col, l2_sq(vec_col, qcol).alias("d"))
+            .orderBy(F.col("d").asc(), F.col(id_col).asc())
+            .limit(k)
+            .collect()
+        )
+        scanned.append(cell_id)
+        best = sorted(
+            best + [(float(r["d"]), int(r[id_col])) for r in rows]
+        )[:k]
+    return [(i, d) for d, i in best], scanned

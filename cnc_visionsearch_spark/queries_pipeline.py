@@ -2486,3 +2486,85 @@ def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------- tf-idf keyphrases
+
+
+@register(
+    "doc_tfidf_keyphrases",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    CAST(floor(tf.tf * ln(n.nd::DOUBLE / df.df::DOUBLE)
+               * 1000000000.0 + 0.5) AS BIGINT) AS tfidf_q
+  FROM tf JOIN df USING (term), n
+  WHERE tf.doc_id < 20
+),
+ranked AS (
+  SELECT doc_id, term, tfidf_q,
+    row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf_q DESC, term ASC
+    ) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf_q
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+""",
+    doc="Per-document keyphrase extraction: top-3 terms by tf-idf "
+    "(tf x ln(N/df)) for the first 20 docs — the classic "
+    "summarization/tagging primitive between raw text and the "
+    "embedding pass, and the inspection surface a curation UI shows "
+    "next to each document. Corpus statistics (N, per-term df) are "
+    "computed over the WHOLE corpus even though only 20 docs are "
+    "scored — the property that makes scores comparable across "
+    "batches. The df aggregate shuffles (term, doc) pairs once and "
+    "is the same table the inverted-index build materializes, so at "
+    "100 TB this reads the persisted postings layout instead of "
+    "re-aggregating (documented rewrite); scoring is a broadcast-df "
+    "join over the bounded target slice. tf-idf itself is a single "
+    "double product of exact rationals — hash-stable without "
+    "quantization.",
+)
+def doc_tfidf_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    nd = toks.select("doc_id").distinct().count()  # one scalar — planner state
+    tf = (
+        toks.filter(F.col("doc_id") < 20)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # 1e-9 quantized score (the registry's ln discipline: raw ln
+    # differs in the last ulp across engines); ranking uses the SAME
+    # quantized value so order and output stay consistent
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.floor(
+            F.col("tf")
+            * F.log(F.lit(float(nd)) / F.col("df").cast("double"))
+            * 1000000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("tfidf_q"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_q").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id", F.col("rank").cast("int").alias("rank"), "term", "tfidf_q"
+        )
+        .orderBy("doc_id", "rank")
+    )

@@ -656,3 +656,34 @@ def test_forget_vectors_runbook_is_idempotent_and_composes(
     ivf_vacuum(spark, p_ivf)
     assert spark.read.parquet(f"{p_ivf}/cells").count() == 98
     assert not __import__("os").path.exists(f"{p_ivf}/tombstones")
+
+
+# ------------------------------------------- exact pruned search
+
+
+def test_exact_pruned_search_equals_brute_force(spark, emb, tmp_path):
+    """The triangle-inequality walk must be BIT-identical to brute
+    force for every query — exactness is the operator's contract, not
+    a recall gate."""
+    from cnc_visionsearch_spark.operators.ann import ivf_exact_pruned_search
+
+    sub = emb.filter(F.col("vec_id") < 200)
+    path = str(tmp_path / "xp_ivf")
+    ivf_build(sub, path, n_cells=6)
+    for qid in (3, 55, 111):
+        q = _norm_q(emb, qid)
+        exact = [
+            (int(r["vec_id"]), float(r["distance"]))
+            for r in knn_single(sub, q, k=10, normalize_query=False).collect()
+        ]
+        got, scanned = ivf_exact_pruned_search(spark, path, q, k=10)
+        assert got == exact
+        assert 1 <= len(scanned) <= 6
+    # k=1 with a resident query vector: the d=0 self-match is a
+    # stopping certificate the moment its cell is reached (cells with
+    # a zero lower bound ahead of it in the walk still scan), so the
+    # walk must genuinely prune — strictly fewer than all cells
+    q = _norm_q(emb, 55)
+    top, scanned = ivf_exact_pruned_search(spark, path, q, k=1)
+    assert top[0][0] == 55 and top[0][1] == 0.0
+    assert len(scanned) < 6
