@@ -2568,3 +2568,191 @@ def doc_tfidf_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rank")
     )
+
+
+# --------------------------------------------------- PII scrubbing
+
+
+@register(
+    "doc_pii_scrub_report",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, source,
+    CASE
+      WHEN doc_id % 6 = 1 THEN
+        text || ' contact me at user' || CAST(doc_id AS VARCHAR)
+             || '@example.com'
+      WHEN doc_id % 6 = 3 THEN text || ' call 555-0142 now'
+      ELSE text END AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, source, text,
+    regexp_replace(
+      regexp_replace(text, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+      '555-[0-9]{4}', '<PHONE>', 'g') AS clean,
+    len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_email,
+    len(regexp_extract_all(text, '555-[0-9]{4}')) AS n_phone
+  FROM corpus
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_email) AS BIGINT) AS emails_found,
+  CAST(sum(n_phone) AS BIGINT) AS phones_found,
+  CAST(sum(len(text) - len(clean)) AS BIGINT) AS chars_removed
+FROM scrubbed GROUP BY source ORDER BY source
+""",
+    doc="PII scrubbing (the C4/CCNet compliance pass): emails and "
+    "phone-shaped tokens are replaced with typed placeholders and "
+    "counted per source — the redaction report a data-governance "
+    "review signs off on. The fixture corpus is synthetic and "
+    "PII-free, so the query PLANTS deterministic PII (an email on "
+    "doc_id % 6 = 1, a phone on % 6 = 3) IN BOTH ENGINES and the "
+    "scrubber must find exactly it: per source, docs, emails, phones, "
+    "and characters removed. Patterns are engine-portable regex "
+    "(character classes + bounded quantifiers only — no lookaround, "
+    "which Java and RE2-family engines disagree on). Pure per-row "
+    "codegen: one scan, no UDF, no shuffle before the per-source "
+    "aggregate; at 100 TB this runs fused into the same pass as the "
+    "quality filters (one corpus read for the whole cleaning stage).",
+)
+def doc_pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    email_re = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone_re = r"555-[0-9]{4}"
+    corpus = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact me at user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(F.col("text"), F.lit(" call 555-0142 now")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scrubbed = corpus.select(
+        "source",
+        "text",
+        F.regexp_replace(
+            F.regexp_replace("text", email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ).alias("clean"),
+        F.size(F.expr(f"regexp_extract_all(text, '{email_re}', 0)")).alias(
+            "n_email"
+        ),
+        F.size(F.expr(f"regexp_extract_all(text, '{phone_re}', 0)")).alias(
+            "n_phone"
+        ),
+    )
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("emails_found"),
+            F.sum("n_phone").cast("bigint").alias("phones_found"),
+            F.sum(F.length("text") - F.length("clean"))
+            .cast("bigint")
+            .alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------- Gopher repetition filter
+
+
+@register(
+    "doc_gopher_repetition",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+tri AS (
+  SELECT doc_id, source,
+    md5(array_to_string(tk[i : i + 2], ' ')) AS g
+  FROM tk, unnest(range(1, len(tk) - 1)) AS t(i)
+),
+cnt AS (
+  SELECT doc_id, source, g, count(*) AS c
+  FROM tri GROUP BY doc_id, source, g
+),
+per_doc AS (
+  SELECT doc_id, source,
+    sum(c) AS n_instances,
+    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_instances
+  FROM cnt GROUP BY doc_id, source
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN dup_instances * 10 > n_instances THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_flagged,
+  CAST(sum(dup_instances) AS BIGINT) AS dup_instances,
+  CAST(sum(n_instances) AS BIGINT) AS total_instances
+FROM per_doc GROUP BY source ORDER BY source
+""",
+    doc="Intra-document repetition filter (the Gopher/MassiveText "
+    "quality rule 'fraction of duplicated word trigrams'): per doc, "
+    "the fraction of trigram INSTANCES belonging to a trigram that "
+    "repeats within the same document; docs above the 10% threshold "
+    "get flagged (machine-generated and template text repeat "
+    "n-grams; prose does not). Per source: docs, flagged docs, and "
+    "the exact instance sums (the fraction stays a ratio of integers "
+    "— no float reduction). Shuffle carries (doc_id, 16-byte trigram "
+    "md5) — text never leaves the scan; the per-doc group-by is "
+    "map-side-combinable because trigram counts are per-document "
+    "facts. One of the cheap one-scan filters that runs fused with "
+    "the length/stopword/PII stages in the corpus-builder funnel.",
+)
+def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", "source", F.split("text", " ").alias("tk")
+    ).filter(F.size("tk") >= 3)
+    tri = tk.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), F.size("tk") - 2)).alias("i"),
+        "tk",
+    ).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.array_join(F.slice("tk", F.col("i"), 3), " ").cast("binary")
+        ).alias("g"),
+    )
+    cnt = tri.groupBy("doc_id", "source", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = cnt.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_instances"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias(
+            "dup_instances"
+        ),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("dup_instances") * 10 > F.col("n_instances"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum("dup_instances").cast("bigint").alias("dup_instances"),
+            F.sum("n_instances").cast("bigint").alias("total_instances"),
+        )
+        .orderBy("source")
+    )
