@@ -321,6 +321,65 @@ def measure_recall(spark: SparkSession, sf_dir: str) -> dict:
         **nsw_sweep[str(_EF)],
     }
 
+    # ---- HNSW hierarchy: descent from the max-level entry, then the
+    # layer-0 beam — the layered twin of the flat sweep above
+    from cnc_visionsearch_spark.queries_ann_graph import (
+        _UPPER_HOPS,
+        ensure_hnsw_built,
+    )
+
+    hpath = ensure_hnsw_built(spark, sf_dir)
+    hadj: dict[int, dict[int, list[int]]] = {}
+    for r in (
+        spark.read.parquet(f"{hpath}/graph")
+        .select("layer", "src", "dst")
+        .collect()
+    ):
+        hadj.setdefault(int(r.layer), {}).setdefault(int(r.src), []).append(
+            int(r.dst)
+        )
+    he = spark.read.parquet(f"{hpath}/entry").first()
+    h_entry, h_lvl = int(he["vec_id"]), int(he["level"])
+
+    def hnsw_recall(q, ef: int, hops: int) -> float:
+        def dist(i: int) -> float:
+            return float(((mat[idx_of[i]] - qvec[q]) ** 2).sum())
+
+        cur, cur_d = h_entry, dist(h_entry)
+        for layer in range(min(h_lvl, max(hadj)), 0, -1):
+            for _ in range(_UPPER_HOPS):
+                best = (cur_d, cur)
+                for d2 in hadj.get(layer, {}).get(cur, []):
+                    c = (dist(d2), d2)
+                    if c < best:
+                        best = c
+                if best[1] == cur:
+                    break
+                cur_d, cur = best
+        beam = {cur: cur_d}
+        for _ in range(hops):
+            for s in list(beam):
+                for d2 in hadj.get(0, {}).get(s, []):
+                    if d2 not in beam:
+                        beam[d2] = dist(d2)
+            beam = dict(
+                sorted(beam.items(), key=lambda kv: (kv[1], kv[0]))[:ef]
+            )
+        got = set(sorted(beam, key=lambda i: (beam[i], i))[:K])
+        return len(got & exact[q]) / K
+
+    hnsw_sweep = {
+        str(ef): stats([hnsw_recall(q, ef, _HOPS) for q in qids])
+        for ef in (8, 12, 24, 48)
+    }
+    out["hnsw_ef_sweep"] = hnsw_sweep
+    out["defaults"]["hnsw"] = {
+        "ef": _EF,
+        "hops": _HOPS,
+        "upper_hops": _UPPER_HOPS,
+        **hnsw_sweep[str(_EF)],
+    }
+
     out["notes"] = (
         "Isotropic random fixture + untrained stride quantizer: recall "
         "concentrates only under deep probes (DEFAULT_NPROBE="
