@@ -42,6 +42,7 @@ __all__ = [
     "purchase_after_error_stream",
     "lsh_ingest_stream",
     "ivf_ingest_stream",
+    "hnsw_ingest_stream",
     "inverted_ingest_stream",
     "ivf_delete_stream",
     "bm25_serving_stream",
@@ -703,6 +704,55 @@ def bm25_serving_stream(
         bm25_multi_probe(
             s, index_path, queries, n_buckets=n_buckets, k=k
         ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def hnsw_ingest_stream(
+    spark: SparkSession,
+    in_path: str,
+    index_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 10,
+):
+    """Streaming ingest into a PERSISTED
+    :func:`operators.graph_ann.hnsw_build` layout — the streaming twin
+    of the hierarchy's batch append, completing the graph tier's
+    living-corpus story (the reference's own online path IS HNSW
+    insert, main.py:134): each micro-batch of new embeddings runs
+    :func:`operators.graph_ann.hnsw_append` — every node draws its
+    hash level, descends, finds neighbors BY SEARCHING each layer, and
+    appends out+back edges into the touched (layer, bucket)
+    partitions; a node that out-levels the current entry promotes the
+    entry artifact between batches. Searches launched after any commit
+    reach the new nodes through the appended edges at unchanged scan
+    cost. Per-batch work is O(batch) index searches — the insert cost
+    profile HNSW itself has — so keep micro-batches small relative to
+    serving load; edge-file accretion compacts via the normal
+    maintenance pass like every other append layout.
+
+    Returns the configured DataStreamWriter — call ``.start()``.
+    """
+    from cnc_visionsearch_spark.operators.graph_ann import hnsw_append
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+    from cnc_visionsearch_spark.schemas import EMBEDDINGS
+
+    stream = (
+        spark.readStream.schema(EMBEDDINGS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        normed = with_normalized(batch_df).select("vec_id", "nvec")
+        hnsw_append(s, index_path, normed)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

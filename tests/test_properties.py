@@ -166,3 +166,55 @@ def test_bucket_pairs_emits_exactly_n_choose_2(spark, ids):
     got = {(r.id_a, r.id_b) for r in rows}
     assert len(rows) == len(got) == n * (n - 1) // 2
     assert all(a < b for a, b in got)
+
+
+# ------------------------------- incremental CC == from-scratch CC
+
+edge = st.tuples(
+    st.integers(min_value=0, max_value=14),
+    st.integers(min_value=0, max_value=14),
+).filter(lambda e: e[0] != e[1])
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    old_edges=st.lists(edge, min_size=1, max_size=10),
+    new_edges=st.lists(edge, min_size=1, max_size=10),
+)
+def test_cc_incremental_merge_equals_from_scratch(spark, old_edges, new_edges):
+    """On ANY graph shape hypothesis produces (chains, merges of many
+    store components through one new edge, batch-only islands), the
+    incremental relabel of the touched region must equal from-scratch
+    connected components over the union — the contraction-edge
+    argument the operator's docstring makes, machine-checked."""
+    from cnc_visionsearch_spark.operators.dedup import (
+        cc_incremental_merge,
+        neardup_components,
+    )
+
+    def df(edges):
+        return spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges],
+            "id_a bigint, id_b bigint",
+        )
+
+    store = neardup_components(df(old_edges)).select("doc_id", "component_id")
+    got = {
+        (int(r["doc_id"]), int(r["component_id"]))
+        for r in cc_incremental_merge(store, df(new_edges)).collect()
+    }
+    full = neardup_components(df(old_edges + new_edges))
+    new_nodes = {n for e in new_edges for n in e}
+    want_rows = full.collect()
+    comp_of = {int(r["doc_id"]): int(r["component_id"]) for r in want_rows}
+    touched_comps = {comp_of[n] for n in new_nodes if n in comp_of}
+    want = {
+        (int(r["doc_id"]), int(r["component_id"]))
+        for r in want_rows
+        if int(r["component_id"]) in touched_comps
+    }
+    assert got == want

