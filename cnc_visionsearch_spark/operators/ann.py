@@ -41,7 +41,7 @@ import json
 import os
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cnc_visionsearch_spark.functions.vector import dot, l2_sq
@@ -1696,20 +1696,52 @@ def ivf_exact_pruned_search(
     cells = spark.read.parquet(f"{path}/cells")
     best: list[tuple[float, int]] = []  # (distance, id), ascending
     scanned: list[int] = []
-    for lb, cell_id in order:
-        if len(best) >= k and best[k - 1][0] <= lb:
+    # geometric batch doubling: visiting cells one job each would mean
+    # O(n_cells) sequential jobs when pruning is weak (the isotropic
+    # worst case) — instead scan 1, 1, 2, 4, ... cells per job, bound-
+    # checking between batches. Scanning a cell the one-at-a-time walk
+    # would have skipped only costs read volume, never correctness
+    # (extra candidates cannot displace true top-k members), and the
+    # walk stays O(log n_cells) jobs end to end. The one-at-a-time
+    # scanned-set semantics (what ann_ivf_exact_pruned_stats replays)
+    # are preserved by re-deriving the certificate per cell below.
+    i = 0
+    batch = 1
+    while i < len(order):
+        if len(best) >= k and best[k - 1][0] <= order[i][0]:
             break  # no unvisited cell can beat the kth-best
+        chunk = order[i : i + batch]
+        # within the chunk, keep only cells the sequential walk could
+        # reach before its stop bound — the rest are read-avoided
+        take = [c for lb, c in chunk if len(best) < k or best[k - 1][0] > lb]
+        w = Window.partitionBy("cell_id").orderBy(
+            F.col("d").asc(), F.col(id_col).asc()
+        )
         rows = (
             _without_tombstones(
-                spark, path, cells.filter(F.col("cell_id") == cell_id), id_col
+                spark, path, cells.filter(F.col("cell_id").isin(take)), id_col
             )
-            .select(id_col, l2_sq(vec_col, qcol).alias("d"))
-            .orderBy(F.col("d").asc(), F.col(id_col).asc())
-            .limit(k)
+            .select("cell_id", id_col, l2_sq(vec_col, qcol).alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)  # per-cell top-k, one job
             .collect()
         )
-        scanned.append(cell_id)
-        best = sorted(
-            best + [(float(r["d"]), int(r[id_col])) for r in rows]
-        )[:k]
+        by_cell: dict[int, list[tuple[float, int]]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell_id"]), []).append(
+                (float(r["d"]), int(r[id_col]))
+            )
+        # replay the sequential certificate inside the chunk so the
+        # reported scanned set matches the one-at-a-time walk exactly
+        for lb, cell_id in chunk:
+            if len(best) >= k and best[k - 1][0] <= lb:
+                i = len(order)  # outer walk stops here too
+                break
+            scanned.append(cell_id)
+            best = sorted(best + sorted(by_cell.get(cell_id, []))[:k])[:k]
+        else:
+            i += len(chunk)
+            batch *= 2
+            continue
+        break
     return [(i, d) for d, i in best], scanned
