@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cnc_visionsearch_spark.operators.multimodal import (
@@ -356,3 +356,103 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     media = attach_payload(d).select("doc_id", "payload")
     return audio_features(media, n_windows=4, samples_per_window=64)
+
+
+@register(
+    "mm_shot_boundaries",
+    oracle="""
+WITH fr AS (
+  SELECT doc_id, text, strlen(text) AS n,
+    greatest(strlen(text) // 8, 1) AS step,
+    unnest(range(8)) AS f
+  FROM documents WHERE doc_id < 30
+),
+c AS (
+  SELECT doc_id, CAST(f AS INT) AS frame_no,
+    CASE WHEN f < 7 THEN greatest(least((f+1)*step, n) - f*step, 0)
+         ELSE greatest(n - 7*step, 0) END AS blen,
+    substr(text, CAST(f*step + 1 AS INT),
+      CAST(CASE WHEN f < 7 THEN step ELSE greatest(n - 7*step, 0) END AS INT)
+    ) AS chunk
+  FROM fr
+),
+feats AS (
+  SELECT doc_id, frame_no,
+    ('0x' || substr(md5(chunk), 1, 8))::BIGINT / 4294967296.0 AS feat
+  FROM c WHERE blen > 0
+),
+deltas AS (
+  SELECT doc_id, frame_no, feat,
+    CASE WHEN lag(feat) OVER w IS NULL THEN 0
+         WHEN abs(feat - lag(feat) OVER w) > 0.5 THEN 1 ELSE 0 END AS cut
+  FROM feats WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)
+),
+segs AS (
+  SELECT doc_id, frame_no,
+    sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_no
+                   ROWS UNBOUNDED PRECEDING) AS shot_id
+  FROM deltas
+),
+shot_len AS (
+  SELECT doc_id, shot_id, count(*) AS flen FROM segs GROUP BY doc_id, shot_id
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_shots,
+  CAST(sum(flen) AS BIGINT) AS n_frames,
+  CAST(max(flen) AS BIGINT) AS longest_shot
+FROM shot_len GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="Shot-boundary detection over the video modality: 8 sampled "
+    "frames per payload (frame_samples), a scalar feature per frame "
+    "(here u32(frame_md5)/2^32 — the deterministic fake; a real "
+    "pipeline swaps in a color-histogram or embedding distance), and "
+    "a cut wherever the feature jumps by more than the threshold; "
+    "consecutive-cut cumulative sums segment frames into SHOTS (the "
+    "unit video dedup and sampling operate on). Per doc: shots, "
+    "frames, longest shot. The frame explode is the only Python "
+    "stage (Arrow-batched); feature deltas, cuts, and segmentation "
+    "are pure window codegen over (doc, frame_no) — at 100 TB the "
+    "window never crosses documents, so the shuffle keys on doc_id "
+    "and the segmentation is embarrassingly parallel.",
+)
+def mm_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.text import hex_to_long
+    from cnc_visionsearch_spark.operators.multimodal import (
+        attach_payload,
+        frame_samples,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    media = attach_payload(d).select("doc_id", "payload")
+    frames = frame_samples(media, n_frames=8)
+    feats = frames.select(
+        "doc_id",
+        "frame_no",
+        (
+            hex_to_long(F.substring("frame_md5", 1, 8)).cast("double")
+            / F.lit(4294967296.0)
+        ).alias("feat"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    deltas = feats.withColumn(
+        "cut",
+        F.when(F.lag("feat").over(w).isNull(), 0)
+        .when(F.abs(F.col("feat") - F.lag("feat").over(w)) > 0.5, 1)
+        .otherwise(0),
+    )
+    segs = deltas.withColumn(
+        "shot_id",
+        F.sum("cut").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    shot_len = segs.groupBy("doc_id", "shot_id").agg(
+        F.count(F.lit(1)).alias("flen")
+    )
+    return (
+        shot_len.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shots"),
+            F.sum("flen").cast("bigint").alias("n_frames"),
+            F.max("flen").cast("bigint").alias("longest_shot"),
+        )
+        .orderBy("doc_id")
+    )
