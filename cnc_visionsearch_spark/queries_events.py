@@ -1407,3 +1407,82 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+# ------------------------------------------------- bot-timing detection
+
+
+@register(
+    "events_bot_timing_report",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+    CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+per_user AS (
+  SELECT user_id,
+    count(*) AS n_gaps,
+    CAST(sum(gap_s) AS BIGINT) AS sum_s,
+    CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_s2
+  FROM gaps WHERE gap_s IS NOT NULL
+  GROUP BY user_id HAVING count(*) >= 20
+),
+scored AS (
+  SELECT user_id, n_gaps,
+    sum_s::DOUBLE / n_gaps AS mean_gap_s,
+    (sum_s2::DOUBLE / n_gaps) - (sum_s::DOUBLE / n_gaps)
+      * (sum_s::DOUBLE / n_gaps) AS var_gap
+  FROM per_user
+)
+SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps, mean_gap_s,
+  sqrt(var_gap) / mean_gap_s AS cv
+FROM scored
+WHERE mean_gap_s > 0
+ORDER BY cv ASC, user_id ASC
+LIMIT 15
+""",
+    doc="Bot detection by timing regularity: humans produce bursty "
+    "inter-event gaps, schedulers produce metronomic ones — so the "
+    "coefficient of variation (stddev/mean) of a user's gap sequence "
+    "is the classic first-line bot signal. Per user with >= 20 gaps: "
+    "gap count, mean gap, CV; the 15 most-regular users surface for "
+    "review. Gaps are integer seconds (lag over the per-user time "
+    "window — the shuffle keys on user_id), and mean/variance come "
+    "from exact integer sum/sum-of-squares partials, so the only "
+    "float arithmetic is the final single-chain divide/sqrt — "
+    "hash-stable without quantization. At 100 TB this is one window "
+    "pass plus a user-keyed aggregate, the same shape as the "
+    "rolling-stats family.",
+)
+def events_bot_timing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_s").cast("bigint").alias("sum_s"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("sum_s2"),
+        )
+        .filter(F.col("n_gaps") >= 20)
+    )
+    mean = F.col("sum_s").cast("double") / F.col("n_gaps")
+    var = (F.col("sum_s2").cast("double") / F.col("n_gaps")) - mean * mean
+    return (
+        per_user.select(
+            "user_id",
+            F.col("n_gaps").cast("bigint").alias("n_gaps"),
+            mean.alias("mean_gap_s"),
+            (F.sqrt(var) / mean).alias("cv"),
+        )
+        .filter(F.col("mean_gap_s") > 0)
+        .orderBy(F.col("cv").asc(), F.col("user_id").asc())
+        .limit(15)
+    )
