@@ -1537,9 +1537,49 @@ def ivf_rebalance(
             for c in (j["lo_cell"], j["hi_cell"])
         ]
         if all(os.path.exists(k) for k in kids):
-            # died after the children landed: finish the cleanup
+            # died after the children landed: finish the cleanup AND
+            # re-run the codebook swap (the journal outlives the swap,
+            # so a death between landing kids and rewriting the
+            # codebook heals here — without this, children partitions
+            # would be invisible to probes forever). The seeds are
+            # recoverable from the children: the lo seed was the
+            # parent's min-id member (assigned to itself, distance 0,
+            # hence in the lo child), the hi seed its max-id member.
             if os.path.exists(bak):
                 shutil.rmtree(bak)
+            cb_rows = {
+                int(r["cell_id"]): [float(x) for x in r["centroid"]]
+                for r in spark.read.parquet(f"{path}/codebook").collect()
+            }
+            if (
+                int(j["cell_id"]) in cb_rows
+                or j["lo_cell"] not in cb_rows
+                or j["hi_cell"] not in cb_rows
+            ):
+                union = spark.read.parquet(kids[0]).unionByName(
+                    spark.read.parquet(kids[1])
+                )
+                lo_seed = [
+                    float(x)
+                    for x in union.orderBy(F.col(j.get("id_col", "vec_id")).asc())
+                    .select(j.get("vec_col", "nvec"))
+                    .first()[0]
+                ]
+                hi_seed = [
+                    float(x)
+                    for x in union.orderBy(F.col(j.get("id_col", "vec_id")).desc())
+                    .select(j.get("vec_col", "nvec"))
+                    .first()[0]
+                ]
+                cb_rows.pop(int(j["cell_id"]), None)
+                cb_rows[int(j["lo_cell"])] = lo_seed
+                cb_rows[int(j["hi_cell"])] = hi_seed
+                spark.createDataFrame(
+                    sorted(cb_rows.items()),
+                    "cell_id int, centroid array<double>",
+                ).write.mode("overwrite").parquet(f"{path}/codebook.tmp")
+                shutil.rmtree(f"{path}/codebook")
+                os.rename(f"{path}/codebook.tmp", f"{path}/codebook")
         else:
             # died mid-swap: restore the parent, discard partial kids
             for k in kids:
@@ -1587,7 +1627,16 @@ def ivf_rebalance(
         tmp = os.path.join(path, ".rebalance_tmp")
         rea.write.mode("overwrite").partitionBy("cell_id").parquet(tmp)
         with open(journal, "w") as fh:
-            json.dump({"cell_id": c, "lo_cell": lo_cell, "hi_cell": hi_cell}, fh)
+            json.dump(
+                {
+                    "cell_id": c,
+                    "lo_cell": lo_cell,
+                    "hi_cell": hi_cell,
+                    "id_col": id_col,
+                    "vec_col": vec_col,
+                },
+                fh,
+            )
         os.rename(parent, parent + ".bak")
         for child in (lo_cell, hi_cell):
             src = os.path.join(tmp, f"cell_id={child}")
@@ -1595,8 +1644,9 @@ def ivf_rebalance(
                 os.rename(src, os.path.join(cells_root, f"cell_id={child}"))
         shutil.rmtree(parent + ".bak")
         shutil.rmtree(tmp)
-        os.remove(journal)
-        # codebook swap: parent row out, the two seeds in (metadata-sized)
+        # codebook swap: parent row out, the two seeds in (metadata-
+        # sized). The journal stays on disk until AFTER the swap so a
+        # crash here heals on the next entry (codebook repair above).
         cb = [
             (int(r["cell_id"]), [float(x) for x in r["centroid"]])
             for r in spark.read.parquet(f"{path}/codebook").collect()
@@ -1609,6 +1659,7 @@ def ivf_rebalance(
         ).write.mode("overwrite").parquet(f"{path}/codebook.tmp")
         shutil.rmtree(f"{path}/codebook")
         os.rename(f"{path}/codebook.tmp", f"{path}/codebook")
+        os.remove(journal)
         report.append(
             {"cell_id": c, "n_rows": census[c], "lo_cell": lo_cell, "hi_cell": hi_cell}
         )

@@ -608,6 +608,68 @@ class TestIvfRebalance:
         assert radii == fresh
 
 
+    def test_crash_after_kids_heals_codebook(self, spark, emb, tmp_path):
+        """Simulate death AFTER the children partitions landed but
+        BEFORE the codebook swap (journal still on disk, codebook
+        still carries the parent): the next call must repair the
+        codebook from the children — otherwise the split data would be
+        invisible to probes forever."""
+        import json as _json
+        import shutil
+
+        from cnc_visionsearch_spark.operators.ann import (
+            ivf_probe,
+            ivf_rebalance,
+        )
+
+        path = self._build(spark, emb, tmp_path)
+        report = ivf_rebalance(spark, path, max_splits=1, min_factor=0.0)
+        r = report[0]
+        # rewind the codebook to its pre-split state (parent in,
+        # children out) and resurrect the journal — the crash window
+        cb = spark.read.parquet(f"{path}/codebook").collect()
+        kid_rows = [x for x in cb if int(x["cell_id"]) in (r["lo_cell"], r["hi_cell"])]
+        assert len(kid_rows) == 2
+        lo_seed = [
+            float(v)
+            for v in next(
+                x["centroid"] for x in kid_rows if int(x["cell_id"]) == r["lo_cell"]
+            )
+        ]
+        old_rows = [
+            (int(x["cell_id"]), [float(v) for v in x["centroid"]])
+            for x in cb
+            if int(x["cell_id"]) not in (r["lo_cell"], r["hi_cell"])
+        ] + [(r["cell_id"], lo_seed)]
+        spark.createDataFrame(
+            old_rows, "cell_id int, centroid array<double>"
+        ).write.mode("overwrite").parquet(f"{path}/codebook.tmp")
+        shutil.rmtree(f"{path}/codebook")
+        os.rename(f"{path}/codebook.tmp", f"{path}/codebook")
+        with open(os.path.join(path, "_REBALANCE_INPROGRESS.json"), "w") as fh:
+            _json.dump(
+                {
+                    "cell_id": r["cell_id"],
+                    "lo_cell": r["lo_cell"],
+                    "hi_cell": r["hi_cell"],
+                },
+                fh,
+            )
+        # next entry heals: codebook swapped, probes see every member
+        ivf_rebalance(spark, path, max_splits=0, min_factor=0.0)
+        cb_ids = {
+            int(x["cell_id"])
+            for x in spark.read.parquet(f"{path}/codebook").collect()
+        }
+        assert r["cell_id"] not in cb_ids
+        assert {r["lo_cell"], r["hi_cell"]} <= cb_ids
+        q = _norm_q(emb, 7)
+        assert len(ivf_probe(spark, path, q, k=10, nprobe=100).collect()) == 10
+        assert not os.path.exists(
+            os.path.join(path, "_REBALANCE_INPROGRESS.json")
+        )
+
+
 # ------------------------------------------------ forget-vectors runbook
 
 
@@ -687,3 +749,4 @@ def test_exact_pruned_search_equals_brute_force(spark, emb, tmp_path):
     top, scanned = ivf_exact_pruned_search(spark, path, q, k=1)
     assert top[0][0] == 55 and top[0][1] == 0.0
     assert len(scanned) < 6
+
