@@ -1486,6 +1486,37 @@ def ivf_knn_join_probe(
     )
 
 
+def _swap_artifact_dir(live: str) -> None:
+    """Crash-safe replacement of a metadata artifact dir by its
+    freshly-written ``live + ".tmp"`` sibling: live -> .bak, tmp ->
+    live, drop .bak (the compact_layout swap order — a naive
+    rmtree-then-rename loses the artifact if the process dies between
+    the two). Pair with :func:`_heal_artifact_dir` at operation entry.
+    """
+    import shutil
+
+    bak = live + ".bak"
+    if os.path.exists(live):
+        os.rename(live, bak)
+    os.rename(live + ".tmp", live)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+
+
+def _heal_artifact_dir(live: str) -> None:
+    """Recover a :func:`_swap_artifact_dir` crash: a ``.bak`` with no
+    live dir is restored; stale ``.bak``/``.tmp`` beside a live dir
+    are discarded."""
+    import shutil
+
+    bak, tmp = live + ".bak", live + ".tmp"
+    if not os.path.exists(live) and os.path.exists(bak):
+        os.rename(bak, live)
+    for leftover in (bak, tmp):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
+
 def ivf_rebalance(
     spark,
     path: str,
@@ -1525,6 +1556,13 @@ def ivf_rebalance(
 
     journal = os.path.join(path, "_REBALANCE_INPROGRESS.json")
     cells_root = f"{path}/cells"
+    # artifact-dir swap recovery first: a crash inside a previous
+    # codebook/radii swap must not strand the layout unreadable
+    _heal_artifact_dir(f"{path}/codebook")
+    if os.path.exists(f"{path}/cell_radii") or os.path.exists(
+        f"{path}/cell_radii.bak"
+    ):
+        _heal_artifact_dir(f"{path}/cell_radii")
     # self-heal a crashed prior run: the journal records the parent and
     # child partitions of the in-flight split
     if os.path.exists(journal):
@@ -1578,8 +1616,7 @@ def ivf_rebalance(
                     sorted(cb_rows.items()),
                     "cell_id int, centroid array<double>",
                 ).write.mode("overwrite").parquet(f"{path}/codebook.tmp")
-                shutil.rmtree(f"{path}/codebook")
-                os.rename(f"{path}/codebook.tmp", f"{path}/codebook")
+                _swap_artifact_dir(f"{path}/codebook")
         else:
             # died mid-swap: restore the parent, discard partial kids
             for k in kids:
@@ -1657,8 +1694,7 @@ def ivf_rebalance(
         spark.createDataFrame(
             cb, "cell_id int, centroid array<double>"
         ).write.mode("overwrite").parquet(f"{path}/codebook.tmp")
-        shutil.rmtree(f"{path}/codebook")
-        os.rename(f"{path}/codebook.tmp", f"{path}/codebook")
+        _swap_artifact_dir(f"{path}/codebook")
         os.remove(journal)
         report.append(
             {"cell_id": c, "n_rows": census[c], "lo_cell": lo_cell, "hi_cell": hi_cell}
@@ -1694,10 +1730,7 @@ def ivf_rebalance(
             spark.createDataFrame(
                 kept, "cell_id int, radius double"
             ).write.mode("overwrite").parquet(f"{path}/cell_radii.tmp")
-            import shutil as _sh
-
-            _sh.rmtree(f"{path}/cell_radii")
-            os.rename(f"{path}/cell_radii.tmp", f"{path}/cell_radii")
+            _swap_artifact_dir(f"{path}/cell_radii")
     return report
 
 

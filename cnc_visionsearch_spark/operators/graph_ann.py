@@ -457,6 +457,9 @@ def hnsw_search(
     meta = _hnsw_meta(path)
     n_buckets, max_level = meta["n_buckets"], meta["max_level"]
     q = [float(x) for x in query_vec]
+    from cnc_visionsearch_spark.operators.ann import _heal_artifact_dir
+
+    _heal_artifact_dir(f"{path}/entry")  # crashed entry-promotion swap
     e = spark.read.parquet(f"{path}/entry").first()
     cur_id, cur_d = int(e["vec_id"]), _seq_l2_sq(e["nvec"], q)
     qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
@@ -576,6 +579,9 @@ def hnsw_append(spark, path: str, new_emb: DataFrame) -> None:
     m, m_upper = meta["m"], meta["m_upper"]
     n_buckets, max_level = meta["n_buckets"], meta["max_level"]
     level_mult = meta["level_mult"]
+    from cnc_visionsearch_spark.operators.ann import _heal_artifact_dir
+
+    _heal_artifact_dir(f"{path}/entry")  # crashed entry-promotion swap
     graph = spark.read.parquet(f"{path}/graph")
     entry = spark.read.parquet(f"{path}/entry").first()
     new_rows = new_emb.select(
@@ -652,7 +658,6 @@ def hnsw_append(spark, path: str, new_emb: DataFrame) -> None:
         spark.createDataFrame(
             [(vid, nvec, lvl)], "vec_id bigint, nvec array<double>, level int"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/entry.tmp")
-        import shutil
+        from cnc_visionsearch_spark.operators.ann import _swap_artifact_dir
 
-        shutil.rmtree(f"{path}/entry")
-        os.rename(f"{path}/entry.tmp", f"{path}/entry")
+        _swap_artifact_dir(f"{path}/entry")
