@@ -2948,3 +2948,54 @@ def orders_lineitem_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         F.col("rev_dec").cast("double").alias("revenue"),
     )
+
+
+# ------------------------------------------------ prefix autocomplete
+
+
+@register(
+    "text_autocomplete_prefix",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+vocab AS (
+  SELECT term,
+    CAST(count(*) AS BIGINT) AS total_tf,
+    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks WHERE term LIKE 's%' GROUP BY term
+)
+SELECT term, total_tf, df FROM vocab
+ORDER BY total_tf DESC, term ASC
+LIMIT 10
+""",
+    doc="Search-box autocomplete: top completions for a typed prefix "
+    "('s'), frequency-ranked with document frequency alongside — "
+    "SERVED FROM THE PERSISTED INVERTED LAYOUT (term/tf/doc rows "
+    "aggregated per term through the tombstone-aware reader), never "
+    "from a corpus rescan; the oracle recomputes from raw text, so "
+    "the hash gate doubles as an index-consistency check (postings "
+    "tf sums == corpus term counts). Scale note: the postings are "
+    "HASH-bucketed by term, so a prefix probe scans the vocabulary "
+    "rows of every bucket — correct but unpruned; a production "
+    "autocomplete keeps the term DICTIONARY (one row per term, "
+    "~1/df the postings size) range-partitioned by term so prefix "
+    "probes prune to one partition. The dictionary is exactly the "
+    "per-term aggregate this query computes — materialize it from "
+    "the same plan.",
+)
+def text_autocomplete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.text_index import read_postings
+
+    path = ensure_inverted_built(spark, sf_dir)
+    return (
+        read_postings(spark, path)
+        .filter(F.col("term").startswith("s"))
+        .groupBy("term")
+        .agg(
+            F.sum("tf").cast("bigint").alias("total_tf"),
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+        )
+        .orderBy(F.col("total_tf").desc(), F.col("term").asc())
+        .limit(10)
+    )
