@@ -2999,3 +2999,69 @@ def text_autocomplete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_tf").desc(), F.col("term").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------- fulfillment latency SLA
+
+
+@register(
+    "orders_ship_latency_sla",
+    oracle="""
+WITH lag AS (
+  SELECT o.o_orderpriority AS priority,
+    CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT priority,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(min(lag_days) AS BIGINT) AS min_days,
+  CAST(quantile_disc(lag_days, 0.5) AS BIGINT) AS p50_days,
+  CAST(quantile_disc(lag_days, 0.95) AS BIGINT) AS p95_days,
+  CAST(max(lag_days) AS BIGINT) AS max_days,
+  CAST(sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_sla_breach
+FROM lag GROUP BY priority ORDER BY priority
+""",
+    doc="Fulfillment-latency SLA report: days from order to line "
+    "shipment, per order priority — min / exact discrete p50 and p95 "
+    "/ max plus the count of 90-day SLA breaches, the operations KPI "
+    "behind TPC-H's priority queries. Lags are integer day "
+    "differences and the percentiles are DISCRETE order statistics "
+    "(percentile_approx with accuracy high enough to be exact at "
+    "fixture scale maps to quantile_disc; at 100 TB the approx "
+    "accuracy knob is the documented trade — the sketch is mergeable "
+    "per partition, so the shuffle carries sketch state, not lag "
+    "rows). One fact join keyed on the order key; the dimension-"
+    "bounded output is a 5-row report.",
+)
+def orders_ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    lag = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        "priority", F.datediff("sd", "od").cast("bigint").alias("lag_days")
+    )
+    return (
+        lag.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.min("lag_days").cast("bigint").alias("min_days"),
+            F.percentile_approx("lag_days", 0.5, 1000000)
+            .cast("bigint")
+            .alias("p50_days"),
+            F.percentile_approx("lag_days", 0.95, 1000000)
+            .cast("bigint")
+            .alias("p95_days"),
+            F.max("lag_days").cast("bigint").alias("max_days"),
+            F.sum(F.when(F.col("lag_days") > 90, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sla_breach"),
+        )
+        .orderBy("priority")
+    )
