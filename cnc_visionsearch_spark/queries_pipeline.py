@@ -2756,3 +2756,85 @@ def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -------------------------------------------- exact vector duplicates
+
+
+@register(
+    "emb_exact_duplicate_groups",
+    oracle="""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 50 = 7
+),
+fp AS (
+  SELECT vec_id,
+    md5(array_to_string(
+      list_transform(embedding::DOUBLE[],
+                     x -> CAST(floor(x * 1000000000.0 + 0.5) AS BIGINT)),
+      ',')) AS vfp
+  FROM aug
+),
+grp AS (
+  SELECT vfp, count(*) AS n, min(vec_id) AS keeper
+  FROM fp GROUP BY vfp HAVING count(*) >= 2
+)
+SELECT g.vfp, CAST(g.n AS BIGINT) AS n_copies,
+  CAST(g.keeper AS BIGINT) AS keeper,
+  CAST(max(f.vec_id) AS BIGINT) AS max_dup
+FROM grp g JOIN fp f USING (vfp)
+GROUP BY g.vfp, g.n, g.keeper
+ORDER BY keeper
+""",
+    doc="Exact duplicate VECTORS (the embedding-side twin of the text "
+    "exact-dedup tier): re-ingestion and backfills write the same "
+    "embedding under new ids, silently double-weighting training and "
+    "polluting kNN results with self-matches. Each vector reduces to "
+    "the md5 of its 1e-9-quantized components (quantization makes "
+    "float byte-representation differences across writers a non-"
+    "issue; 32-byte keys shuffle, vectors never do), duplicate "
+    "groups keep the min id. The fixture has no duplicate vectors, "
+    "so a deterministic re-ingestion (every 50th vector under id + "
+    "10000) is planted IN BOTH ENGINES and the detector must find "
+    "exactly those groups. Same plan as exact text dedup: one scan, "
+    "one fingerprint group-by — at 100 TB this is the cheapest "
+    "first-pass before any ANN-based near-dup tier.",
+)
+def emb_exact_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import fixed_point_q
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    aug = e.unionByName(
+        e.filter(F.col("vec_id") % 50 == 7).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    fp = aug.select(
+        "vec_id",
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x: fixed_point_q(x),
+                ),
+                ",",
+            ).cast("binary")
+        ).alias("vfp"),
+    )
+    grp = (
+        fp.groupBy("vfp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("vec_id").alias("keeper"),
+            F.max("vec_id").alias("max_dup"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+    return grp.select(
+        "vfp",
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+        F.col("keeper").cast("bigint").alias("keeper"),
+        F.col("max_dup").cast("bigint").alias("max_dup"),
+    ).orderBy("keeper")
