@@ -3065,3 +3065,91 @@ def orders_ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# -------------------------------------------------- churn-risk cadence
+
+
+@register(
+    "customer_churn_risk_cadence",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders
+),
+horizon AS (SELECT max(od) AS h FROM o),
+gaps AS (
+  SELECT o_custkey,
+    CAST(date_diff('day', lag(od) OVER w, od) AS BIGINT) AS gap_d,
+    od
+  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_custkey)
+),
+cadence AS (
+  SELECT o_custkey,
+    count(*) AS n_orders,
+    CAST(max(od) AS DATE) AS last_order,
+    CAST(quantile_disc(gap_d, 0.5) AS BIGINT) AS median_gap_d
+  FROM gaps GROUP BY o_custkey HAVING count(gap_d) >= 4
+),
+scored AS (
+  SELECT c.o_custkey AS custkey,
+    CAST(c.n_orders AS BIGINT) AS n_orders,
+    c.median_gap_d,
+    CAST(date_diff('day', c.last_order, h.h) AS BIGINT) AS silent_days,
+    date_diff('day', c.last_order, h.h)::DOUBLE / c.median_gap_d::DOUBLE
+      AS risk_ratio
+  FROM cadence c, horizon h WHERE c.median_gap_d > 0
+)
+SELECT custkey, n_orders, median_gap_d, silent_days, risk_ratio
+FROM scored
+ORDER BY risk_ratio DESC, custkey ASC
+LIMIT 15
+""",
+    doc="Churn risk by PERSONAL cadence: a customer silent for 40 days "
+    "is churning if they used to order weekly and perfectly healthy "
+    "if they order quarterly — so the risk score is days-since-last-"
+    "order divided by the customer's own median inter-order gap "
+    "(>= 5 orders so the median means something), against the "
+    "corpus max date as the observation horizon (deterministic; a "
+    "live run passes today's date). Top-15 at-risk customers. The "
+    "gap window shuffles on custkey like the rolling family; the "
+    "median is an exact discrete order statistic per customer "
+    "(percentile_approx at exactness accuracy — the sketch knob is "
+    "the 100 TB trade); the risk division is the only float, a "
+    "single chain of two exact integers.",
+)
+def customer_churn_risk_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    h = o.agg(F.max("od").alias("h"))
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_custkey")
+    gaps = o.withColumn(
+        "gap_d", F.datediff("od", F.lag("od").over(w)).cast("bigint")
+    )
+    cadence = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("od").alias("last_order"),
+            F.count("gap_d").alias("n_gaps"),
+            F.percentile_approx("gap_d", 0.5, 1000000)
+            .cast("bigint")
+            .alias("median_gap_d"),
+        )
+        .filter((F.col("n_gaps") >= 4) & (F.col("median_gap_d") > 0))
+    )
+    return (
+        cadence.crossJoin(F.broadcast(h))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "median_gap_d",
+            F.datediff("h", "last_order").cast("bigint").alias("silent_days"),
+            (
+                F.datediff("h", "last_order").cast("double")
+                / F.col("median_gap_d").cast("double")
+            ).alias("risk_ratio"),
+        )
+        .orderBy(F.col("risk_ratio").desc(), F.col("custkey").asc())
+        .limit(15)
+    )
