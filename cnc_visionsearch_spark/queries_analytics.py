@@ -3153,3 +3153,99 @@ def customer_churn_risk_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("risk_ratio").desc(), F.col("custkey").asc())
         .limit(15)
     )
+
+
+# --------------------------------------------- supply concentration HHI
+
+
+@register(
+    "nation_supply_concentration_hhi",
+    oracle="""
+WITH supply AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+    CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS rev
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+),
+tot AS (
+  SELECT s_nationkey, CAST(sum(rev) AS DECIMAL(38,6)) AS nat_rev,
+    count(*) AS n_suppliers
+  FROM supply GROUP BY s_nationkey
+),
+shares AS (
+  SELECT sp.s_nationkey,
+    CAST(floor((sp.rev::DOUBLE / t.nat_rev::DOUBLE)
+               * (sp.rev::DOUBLE / t.nat_rev::DOUBLE)
+               * 1000000000.0 + 0.5) AS BIGINT) AS share_sq_q
+  FROM supply sp JOIN tot t USING (s_nationkey)
+)
+SELECT n.n_name AS nation,
+  CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+  CAST(t.nat_rev AS DOUBLE) AS nation_revenue,
+  CAST(sum(s.share_sq_q) AS BIGINT) AS hhi_q
+FROM shares s
+JOIN tot t USING (s_nationkey)
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name, t.n_suppliers, t.nat_rev
+ORDER BY hhi_q DESC, nation ASC
+""",
+    doc="Supply-concentration risk per nation: the Herfindahl-"
+    "Hirschman index (sum of squared supplier revenue shares — the "
+    "antitrust-standard concentration measure; 1e9-quantized so the "
+    "per-nation reduction is an exact integer sum) over each "
+    "nation's supplier base, most-concentrated first — the "
+    "procurement-risk complement of the brand-revenue Gini. Revenue "
+    "partials are exact DECIMAL; each share is one double division "
+    "against the nation total before quantization. One fact "
+    "aggregate keyed (nation, supplier), then a dimension-sized "
+    "share computation — the 100 TB cost is the first group-by, "
+    "map-side-combinable like every revenue rollup.",
+)
+def nation_supply_concentration_hhi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("rev"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    supply = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("rev").cast("decimal(38,6)").alias("rev"))
+    )
+    tot = supply.groupBy("s_nationkey").agg(
+        F.sum("rev").cast("decimal(38,6)").alias("nat_rev"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share = F.col("rev").cast("double") / F.col("nat_rev").cast("double")
+    shares = supply.join(F.broadcast(tot), "s_nationkey").select(
+        "s_nationkey",
+        "n_suppliers",
+        "nat_rev",
+        F.floor(share * share * 1000000000.0 + 0.5)
+        .cast("bigint")
+        .alias("share_sq_q"),
+    )
+    return (
+        shares.join(
+            F.broadcast(n), shares.s_nationkey == n.n_nationkey
+        )
+        .groupBy("n_name", "n_suppliers", "nat_rev")
+        .agg(F.sum("share_sq_q").cast("bigint").alias("hhi_q"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.col("nat_rev").cast("double").alias("nation_revenue"),
+            "hhi_q",
+        )
+        .orderBy(F.col("hhi_q").desc(), F.col("nation").asc())
+    )
