@@ -2838,3 +2838,74 @@ def emb_exact_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keeper").cast("bigint").alias("keeper"),
         F.col("max_dup").cast("bigint").alias("max_dup"),
     ).orderBy("keeper")
+
+
+# ------------------------------------------------ Heaps-law vocab growth
+
+
+@register(
+    "doc_vocab_growth_curve",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id // 100 AS bucket, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+per_bucket AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens FROM toks
+  GROUP BY bucket
+),
+first_seen AS (
+  SELECT term, min(bucket) AS first_bucket FROM toks GROUP BY term
+),
+new_terms AS (
+  SELECT first_bucket AS bucket, CAST(count(*) AS BIGINT) AS n_new
+  FROM first_seen GROUP BY first_bucket
+)
+SELECT CAST(p.bucket AS BIGINT) AS checkpoint,
+  CAST(sum(p.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+  CAST(sum(coalesce(nt.n_new, 0)) OVER w AS BIGINT) AS cum_vocab,
+  CAST(coalesce(nt.n_new, 0) AS BIGINT) AS new_terms
+FROM per_bucket p LEFT JOIN new_terms nt USING (bucket)
+WINDOW w AS (ORDER BY p.bucket ROWS UNBOUNDED PRECEDING)
+ORDER BY checkpoint
+""",
+    doc="Heaps-law vocabulary growth: cumulative distinct terms vs "
+    "cumulative tokens at 100-doc checkpoints through the corpus in "
+    "id order. Healthy heterogeneous text keeps minting new terms "
+    "(vocab ~ tokens^beta, beta 0.4-0.6); a flattening curve is the "
+    "corpus-level signature of duplication or template flooding — "
+    "the macro diagnostic that tells you whether the dedup tiers "
+    "have work to do BEFORE running them. Per-term first-appearance "
+    "is one (term -> min bucket) aggregate — the same shuffle the "
+    "df table pays, never a cross-checkpoint rescan; the cumulative "
+    "window runs over checkpoint rows (corpus_size/100 rows — "
+    "driver-scale). New-terms-per-checkpoint is emitted alongside "
+    "for the marginal view.",
+)
+def doc_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") / 100).cast("bigint").alias("bucket"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    first_seen = toks.groupBy("term").agg(F.min("bucket").alias("bucket"))
+    new_terms = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(new_terms, "bucket", "left")
+        .select(
+            F.col("bucket").cast("bigint").alias("checkpoint"),
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_vocab"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("new_terms"),
+        )
+        .orderBy("checkpoint")
+    )
