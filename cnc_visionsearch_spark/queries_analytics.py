@@ -3249,3 +3249,88 @@ def nation_supply_concentration_hhi(
         )
         .orderBy(F.col("hhi_q").desc(), F.col("nation").asc())
     )
+
+
+# ------------------------------------------------- ABC classification
+
+
+@register(
+    "part_abc_classification",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+         AS DECIMAL(38,6)) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(sum(rev) AS DECIMAL(38,6)) AS t FROM rev),
+ranked AS (
+  SELECT l_partkey, rev,
+    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                        ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6))
+      AS cum_rev
+  FROM rev
+),
+classed AS (
+  SELECT r.l_partkey, r.rev,
+    CASE WHEN r.cum_rev * 100 <= t.t * 80 THEN 'A'
+         WHEN r.cum_rev * 100 <= t.t * 95 THEN 'B'
+         ELSE 'C' END AS abc
+  FROM ranked r, tot t
+)
+SELECT abc,
+  CAST(count(*) AS BIGINT) AS n_parts,
+  CAST(sum(rev) AS DOUBLE) AS class_revenue,
+  CAST(min(l_partkey) AS BIGINT) AS min_part,
+  CAST(max(l_partkey) AS BIGINT) AS max_part
+FROM classed GROUP BY abc ORDER BY abc
+""",
+    doc="ABC inventory classification: parts ranked by revenue, class "
+    "A = parts inside the first 80% of cumulative revenue, B to 95%, "
+    "C the tail — the operations-standard Pareto cut that decides "
+    "stocking policy and cycle-count frequency. The class boundary "
+    "comparison is pure DECIMAL integer arithmetic (cum*100 <= "
+    "tot*80 — no float shares, so the cut is exact and "
+    "engine-portable); the cumulative window runs over the ranked "
+    "part aggregate (|parts| rows, dimension-scale). At 100 TB the "
+    "fact-table revenue rollup is the only big stage — the same "
+    "map-side-combinable shuffle every revenue report pays; a "
+    "single-partition window over |parts| rows is the documented "
+    "trade (range-partitioned prefix sums when |parts| outgrows one "
+    "task).",
+)
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("rev"),
+    )
+    rev = l.groupBy("l_partkey").agg(
+        F.sum("rev").cast("decimal(38,6)").alias("rev")
+    )
+    tot = rev.agg(F.sum("rev").cast("decimal(38,6)").alias("t"))
+    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.withColumn(
+        "cum_rev", F.sum("rev").over(w).cast("decimal(38,6)")
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "rev",
+        F.when(F.col("cum_rev") * 100 <= F.col("t") * 80, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("t") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev").cast("double").alias("class_revenue"),
+            F.min("l_partkey").cast("bigint").alias("min_part"),
+            F.max("l_partkey").cast("bigint").alias("max_part"),
+        )
+        .orderBy("abc")
+    )
