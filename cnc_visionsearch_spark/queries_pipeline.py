@@ -2909,3 +2909,88 @@ def doc_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("checkpoint")
     )
+
+
+# ------------------------------------------------------- Zipf-law fit
+
+_ZIPF_TOP = 100
+
+
+@register(
+    "doc_zipf_slope",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+freq AS (SELECT term, count(*) AS f FROM toks GROUP BY term),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY f DESC, term ASC) AS r, f
+  FROM freq
+),
+pts AS (
+  SELECT CAST(floor(ln(r::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xq,
+    CAST(floor(ln(f::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS yq
+  FROM ranked WHERE r <= {_ZIPF_TOP}
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+    CAST(sum(xq * yq) AS BIGINT) AS sxy,
+    CAST(sum(xq * xq) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n AS n_terms,
+  (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE AS zipf_slope
+FROM sums
+""",
+    doc="Zipf-law fit: least-squares slope of ln(frequency) vs "
+    f"ln(rank) over the top-{_ZIPF_TOP} terms — natural text sits "
+    "near -1; a much flatter slope means template/keyword flooding, "
+    "a much steeper one a degenerate vocabulary (the rank-frequency "
+    "companion to the Heaps growth curve, and together the two-"
+    "number corpus health check run before and after cleaning). Log "
+    "coordinates are 1e-6-quantized BEFORE the regression sums (ln "
+    "differs in the last ulp across engines — the registry's ln "
+    "discipline), so all five sufficient statistics are exact "
+    "integers and the slope is one closed-form double chain. Cost: "
+    "the term-frequency aggregate (the df shuffle every text query "
+    "shares) + a 100-row regression.",
+)
+def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), F.col("term").asc())
+    pts = (
+        freq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _ZIPF_TOP)
+        .select(
+            F.floor(F.log(F.col("r").cast("double")) * 1000000.0 + 0.5)
+            .cast("bigint")
+            .alias("xq"),
+            F.floor(F.log(F.col("f").cast("double")) * 1000000.0 + 0.5)
+            .cast("bigint")
+            .alias("yq"),
+        )
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("sxx"),
+    )
+    return sums.select(
+        F.col("n").alias("n_terms"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("zipf_slope"),
+    )
