@@ -1112,3 +1112,68 @@ def ann_ivf_exact_pruned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k bigint, n_cells_total bigint, n_cells_scanned bigint, "
         "kth_distance double",
     )
+
+
+# -------------------------------------------------- nprobe cost curve
+
+
+@register(
+    "ann_ivf_nprobe_cost_curve",
+    oracle=f"""
+WITH {_NORM_CTE}, {_XP_IVF_CTE},
+q AS (SELECT nvec AS qv FROM normed WHERE vec_id = {_XP_QID}),
+census AS (SELECT cell_id, count(*) AS n FROM assigned GROUP BY cell_id),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS corpus FROM census),
+ordered AS (
+  SELECT c.cell_id, cs.n,
+    row_number() OVER (
+      ORDER BY {_L2SQ.format(a="c.centroid", b="qv")} ASC, c.cell_id ASC
+    ) AS probe_rank
+  FROM centroids c JOIN census cs USING (cell_id), q
+)
+SELECT CAST(o.probe_rank AS BIGINT) AS nprobe,
+  CAST(sum(o2.n) AS BIGINT) AS rows_read,
+  CAST(sum(o2.n) * 1000000 / t.corpus AS BIGINT) AS ppm_of_corpus
+FROM ordered o
+JOIN ordered o2 ON o2.probe_rank <= o.probe_rank
+CROSS JOIN tot t
+GROUP BY o.probe_rank, t.corpus
+ORDER BY nprobe
+""",
+    doc="The nprobe cost curve for one query against the PERSISTED "
+    "layout census: cells in probe order (centroid distance), "
+    "cumulative rows read and corpus fraction (exact parts-per-"
+    "million integer) at every nprobe — the latency half of the "
+    "recall-vs-nprobe trade RECALL.json measures, computed from "
+    "metadata alone (the census is one row per cell; no vector is "
+    "read). Read next to ann_ivf_cell_skew: a skewed layout bends "
+    "this curve so nprobe stops being a linear cost knob, which is "
+    "the operational argument for ivf_rebalance. The ppm ratio is "
+    "integer division of exact counts — hash-stable by construction.",
+)
+def ann_ivf_nprobe_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.ann import _metadata_rows, _seq_l2_sq
+    from cnc_visionsearch_spark.queries_ann import ensure_ivf_built
+
+    path = ensure_ivf_built(spark, sf_dir)
+    q = _norm_query_vec(spark, sf_dir, _XP_QID)
+    census = {
+        int(r["cell_id"]): int(r["n"])
+        for r in spark.read.parquet(f"{path}/cells")
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }  # one row per cell — planner state, like the probe-cell list
+    cents = _metadata_rows(f"{path}/codebook")
+    order = sorted(
+        (_seq_l2_sq(c["centroid"], q), int(c["cell_id"])) for c in cents
+    )
+    corpus = sum(census.values())
+    rows = []
+    cum = 0
+    for rank, (_d, cell) in enumerate(order, start=1):
+        cum += census.get(cell, 0)
+        rows.append((rank, cum, cum * 1000000 // corpus))
+    return spark.createDataFrame(
+        rows, "nprobe bigint, rows_read bigint, ppm_of_corpus bigint"
+    )
