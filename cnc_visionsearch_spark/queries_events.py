@@ -1486,3 +1486,76 @@ def events_bot_timing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cv").asc(), F.col("user_id").asc())
         .limit(15)
     )
+
+
+# ---------------------------------------------- gaps-and-islands audit
+
+
+@register(
+    "events_activity_islands",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events WHERE user_id < 40
+),
+marked AS (
+  SELECT user_id, day,
+    CASE WHEN date_diff('day', lag(day) OVER w, day) = 1 THEN 0 ELSE 1
+    END AS new_island
+  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+islands AS (
+  SELECT user_id, day,
+    sum(new_island) OVER (PARTITION BY user_id ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM marked
+),
+spans AS (
+  SELECT user_id, island_id, count(*) AS span_days,
+    min(day) AS island_start
+  FROM islands GROUP BY user_id, island_id
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_islands,
+  CAST(max(span_days) AS BIGINT) AS longest_streak_days,
+  CAST(min(island_start) AS DATE) AS first_active_day
+FROM spans GROUP BY user_id ORDER BY user_id
+""",
+    doc="Gaps-and-islands over activity days: consecutive-day streaks "
+    "per user (an island starts wherever the previous active day is "
+    "not exactly one day back; cumulative-sum of starts assigns "
+    "island ids — the classic SQL idiom, same machinery as shot "
+    "segmentation and SCD2). Per user: islands, longest streak, "
+    "first active day — the engagement-streak surface gamification "
+    "and retention features read. Distinct-day projection first, so "
+    "the window runs over at most (users x days) rows; both windows "
+    "key on user_id — no cross-user shuffle beyond the one "
+    "partitioning.",
+)
+def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    d = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    marked = d.withColumn(
+        "new_island",
+        F.when(F.datediff("day", F.lag("day").over(w)) == 1, 0).otherwise(1),
+    )
+    islands = marked.withColumn(
+        "island_id",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("user_id", "island_id").agg(
+        F.count(F.lit(1)).alias("span_days"),
+        F.min("day").alias("island_start"),
+    )
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.max("span_days").cast("bigint").alias("longest_streak_days"),
+            F.min("island_start").alias("first_active_day"),
+        )
+        .orderBy("user_id")
+    )
