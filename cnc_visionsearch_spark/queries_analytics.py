@@ -3334,3 +3334,82 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc")
     )
+
+
+# ------------------------------------------- supplier price dispersion
+
+
+@register(
+    "part_price_dispersion",
+    oracle="""
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(floor(l_extendedprice / l_quantity * 1000000000.0 + 0.5)
+         AS BIGINT) AS unit_q
+  FROM lineitem WHERE l_quantity > 0
+),
+per_supp AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(min(unit_q) AS BIGINT) AS supp_min_q
+  FROM unit GROUP BY l_partkey, l_suppkey
+),
+spread AS (
+  SELECT l_partkey,
+    CAST(count(*) AS BIGINT) AS n_suppliers,
+    CAST(min(supp_min_q) AS BIGINT) AS best_q,
+    CAST(max(supp_min_q) AS BIGINT) AS worst_q
+  FROM per_supp GROUP BY l_partkey HAVING count(*) >= 3
+)
+SELECT l_partkey, n_suppliers, best_q, worst_q,
+  worst_q::DOUBLE / best_q::DOUBLE AS spread_ratio
+FROM spread
+ORDER BY spread_ratio DESC, l_partkey ASC
+LIMIT 15
+""",
+    doc="Cross-supplier price dispersion: per part sold by >= 3 "
+    "suppliers, each supplier's best observed unit price "
+    "(1e-9-quantized extendedprice/quantity, so per-part reductions "
+    "are exact integer min/max), then the worst-to-best ratio — the "
+    "top-15 arbitrage/renegotiation candidates procurement reviews. "
+    "Two map-side-combinable aggregates keyed (part, supplier) then "
+    "(part); the ratio is the only float, a single chain of two "
+    "exact integers. The HAVING floor keeps single-source parts out "
+    "— dispersion over one supplier is noise, not signal.",
+)
+def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit = l.select(
+        "l_partkey",
+        "l_suppkey",
+        F.floor(
+            F.col("l_extendedprice") / F.col("l_quantity") * 1000000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("unit_q"),
+    )
+    per_supp = unit.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("unit_q").cast("bigint").alias("supp_min_q")
+    )
+    spread = (
+        per_supp.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.min("supp_min_q").cast("bigint").alias("best_q"),
+            F.max("supp_min_q").cast("bigint").alias("worst_q"),
+        )
+        .filter(F.col("n_suppliers") >= 3)
+    )
+    return (
+        spread.select(
+            "l_partkey",
+            "n_suppliers",
+            "best_q",
+            "worst_q",
+            (
+                F.col("worst_q").cast("double") / F.col("best_q").cast("double")
+            ).alias("spread_ratio"),
+        )
+        .orderBy(F.col("spread_ratio").desc(), F.col("l_partkey").asc())
+        .limit(15)
+    )
