@@ -3413,3 +3413,75 @@ def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("spread_ratio").desc(), F.col("l_partkey").asc())
         .limit(15)
     )
+
+
+# --------------------------------------------- basket-size distribution
+
+
+@register(
+    "segment_basket_profile",
+    oracle="""
+WITH basket AS (
+  SELECT o.o_orderkey, o.o_custkey,
+    CAST(count(*) AS BIGINT) AS n_lines,
+    CAST(sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6))
+      AS total_qty
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_custkey
+),
+seg AS (
+  SELECT c.c_mktsegment AS segment, b.n_lines, b.total_qty
+  FROM basket b JOIN customer c ON b.o_custkey = c.c_custkey
+)
+SELECT segment,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(n_lines) AS BIGINT) AS total_lines,
+  CAST(sum(n_lines) AS DOUBLE) / count(*) AS avg_basket_lines,
+  CAST(sum(CASE WHEN n_lines >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_large_baskets,
+  CAST(sum(total_qty) AS DOUBLE) AS total_quantity
+FROM seg GROUP BY segment ORDER BY segment
+""",
+    doc="Basket profile per market segment: lines per order (the "
+    "basket size distribution merchandising watches), large-basket "
+    "counts (>= 6 lines), and quantity totals, per customer segment "
+    "— the category-management report behind assortment decisions. "
+    "Basket rollup first (order-keyed, map-side-combinable), then "
+    "the customer dimension joins the ORDER-level aggregate rather "
+    "than the line level — the join input shrinks by the average "
+    "basket size before any wide row appears, the standard "
+    "aggregate-then-join discipline at fact scale. Averages are "
+    "single-chain doubles over exact integer/DECIMAL partials.",
+)
+def segment_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("decimal(18,6)").alias("qty")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    basket = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("qty").cast("decimal(38,6)").alias("total_qty"),
+        )
+    )
+    seg = basket.join(F.broadcast(c), basket.o_custkey == c.c_custkey)
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("n_lines").cast("bigint").alias("total_lines"),
+            (
+                F.sum("n_lines").cast("double") / F.count(F.lit(1))
+            ).alias("avg_basket_lines"),
+            F.sum(F.when(F.col("n_lines") >= 6, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_large_baskets"),
+            F.sum("total_qty").cast("double").alias("total_quantity"),
+        )
+        .orderBy("segment")
+    )
