@@ -3485,3 +3485,84 @@ def segment_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "events_attribution_first_touch",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value FROM events
+),
+seq AS (
+  SELECT *,
+    first_value(CASE WHEN event_type IN ('click', 'view') THEN ts END
+                IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts,
+    first_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+                IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+  FROM ev
+),
+conv AS (
+  SELECT CASE WHEN touch_ts IS NOT NULL
+              AND ts <= touch_ts + INTERVAL '{_ATTR_WINDOW_MIN * 8} minutes'
+         THEN touch_type ELSE 'none' END AS channel,
+    value
+  FROM seq WHERE event_type = 'purchase'
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+FROM conv GROUP BY channel
+""",
+    doc="FIRST-touch conversion attribution — the discovery-credit "
+    "counterpart of last-touch (which channel ACQUIRED the user vs "
+    "which one closed them; run both and the gap between the two "
+    "reports is the funnel's middle): each purchase credits the "
+    "user's EARLIEST click/view, inside a wider "
+    f"{_ATTR_WINDOW_MIN * 8}-minute window (first touches are "
+    "naturally older). Identical plan shape to last-touch — one "
+    "windowed pass keyed on user_id, first_value IGNORE NULLS "
+    "instead of last_value, exact DECIMAL value sums — completing "
+    "the attribution family alongside the linear model.",
+)
+def events_attribution_first_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    seq = ev.withColumn(
+        "touch_ts",
+        F.first(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w),
+    ).withColumn(
+        "touch_type",
+        F.first(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(
+            w
+        ),
+    )
+    conv = seq.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_ts").isNotNull()
+            & (
+                F.col("ts")
+                <= F.col("touch_ts")
+                + F.expr(f"INTERVAL {_ATTR_WINDOW_MIN * 8} MINUTES")
+            ),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("channel"),
+        "value",
+    )
+    return conv.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )
