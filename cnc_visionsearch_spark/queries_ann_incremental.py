@@ -1177,3 +1177,70 @@ def ann_ivf_nprobe_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "nprobe bigint, rows_read bigint, ppm_of_corpus bigint"
     )
+
+
+# --------------------------------------------------- shard balance audit
+
+
+@register(
+    "ann_shard_balance_report",
+    oracle="""
+WITH sh AS (
+  SELECT vec_id % 8 AS shard FROM embeddings
+),
+census AS (SELECT shard, count(*) AS n FROM sh GROUP BY shard),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS corpus, CAST(count(*) AS BIGINT)
+    AS n_shards, CAST(max(n) AS BIGINT) AS max_n
+  FROM census
+)
+SELECT CAST(c.shard AS BIGINT) AS shard,
+  CAST(c.n AS BIGINT) AS n_vectors,
+  CAST(c.n * 1000000 / t.corpus AS BIGINT) AS ppm_of_corpus,
+  (c.n = t.max_n) AS is_largest,
+  c.n::DOUBLE * t.n_shards / t.corpus AS balance_factor
+FROM census c, tot t
+ORDER BY shard
+""",
+    doc="Shard-balance audit over the PERSISTED sharded layout — the "
+    "shard-tier twin of ann_ivf_cell_skew: per shard, size, exact "
+    "corpus ppm, and the balance factor (1.0 = perfectly even; the "
+    "straggler bound for the scatter-gather probe, whose latency is "
+    "the SLOWEST shard's local search). Id-mod sharding keeps this "
+    "near 1 by construction under dense ids — the audit exists to "
+    "catch the failure mode where deletes or skewed id blocks "
+    "concentrate (then shard_vacuum / re-shard is the fix). Census "
+    "reads partition counts only; the ppm ratio is integer division "
+    "of exact counts.",
+)
+def ann_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.queries_ann import ensure_shards_built
+
+    path = ensure_shards_built(spark, sf_dir, num_shards=8)
+    census = (
+        spark.read.parquet(f"{path}/shards")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = census.agg(
+        F.sum("n").cast("bigint").alias("corpus"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.max("n").cast("bigint").alias("max_n"),
+    )
+    return (
+        census.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("shard").cast("bigint").alias("shard"),
+            F.col("n").cast("bigint").alias("n_vectors"),
+            (F.col("n") * 1000000 / F.col("corpus"))
+            .cast("bigint")
+            .alias("ppm_of_corpus"),
+            (F.col("n") == F.col("max_n")).alias("is_largest"),
+            (
+                F.col("n").cast("double")
+                * F.col("n_shards")
+                / F.col("corpus")
+            ).alias("balance_factor"),
+        )
+        .orderBy("shard")
+    )
