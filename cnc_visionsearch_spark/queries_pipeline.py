@@ -2994,3 +2994,122 @@ def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("zipf_slope"),
     )
+
+
+# ----------------------------------------------- dedup savings estimate
+
+
+@register(
+    "dedup_corpus_savings",
+    oracle=f"""
+WITH {_MINHASH_16}, {_LSH_VERIFY_CTES},
+chars AS (SELECT doc_id, n_chars FROM documents),
+corpus AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars FROM chars),
+exact_grp AS (
+  SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+    min(doc_id) AS keeper, count(*) AS n
+  FROM documents GROUP BY fp
+),
+exact_drop AS (
+  SELECT d.doc_id, c.n_chars
+  FROM documents d
+  JOIN exact_grp g
+    ON md5(lower(regexp_replace(d.text, '\\s+', ' ', 'g'))) = g.fp
+  JOIN chars c ON c.doc_id = d.doc_id
+  WHERE d.doc_id <> g.keeper
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM verified
+  UNION SELECT id_b, id_a FROM verified
+  UNION SELECT id_a, id_a FROM verified
+  UNION SELECT id_b, id_b FROM verified
+),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+  )
+  SELECT a, b FROM r
+),
+cc AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a),
+near_drop AS (
+  SELECT cc.doc_id, c.n_chars
+  FROM cc JOIN chars c USING (doc_id) WHERE cc.doc_id <> cc.comp
+)
+SELECT tier, n_docs_dropped, chars_dropped,
+  CAST(chars_dropped * 1000000 / corpus.total_chars AS BIGINT)
+    AS ppm_chars
+FROM (
+  SELECT 'exact' AS tier,
+    CAST(count(*) AS BIGINT) AS n_docs_dropped,
+    CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_dropped
+  FROM exact_drop
+  UNION ALL
+  SELECT 'neardup',
+    CAST(count(*) AS BIGINT),
+    CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+  FROM near_drop
+) t, corpus
+ORDER BY tier
+""",
+    doc="What the dedup tiers actually buy: documents and characters "
+    "dropped by exact dedup (md5-canonical groups, min-id keeper) "
+    "and by near-dup clustering (LSH-verified pairs -> connected "
+    "components, min-id keeper), each as exact counts and parts-per-"
+    "million of corpus characters — the number that justifies the "
+    "pipeline stage's compute bill, and the one to watch drift "
+    "upward as a crawl source degrades. Composes the persisted "
+    "blocking table and the CC operator; all ratios are integer "
+    "division of exact counts. (Tiers are reported independently — "
+    "a doc can be dropped by both; the funnel query reports the "
+    "sequential composition.)",
+)
+def dedup_corpus_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.text import md5_fingerprint
+    from cnc_visionsearch_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_components,
+    )
+    from cnc_visionsearch_spark.queries_dedup import ensure_minhash_built
+
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select("doc_id", "n_chars")
+    total = chars.agg(F.sum("n_chars").cast("bigint").alias("t")).first()["t"]
+    grp = d.select("doc_id", md5_fingerprint("text").alias("fp"))
+    keeper = grp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    exact_drop = (
+        grp.join(keeper, "fp")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .join(chars, "doc_id")
+    )
+    banded = spark.read.parquet(ensure_minhash_built(spark, sf_dir))
+    pairs = minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.3,
+        banded=banded,
+    )
+    cc = neardup_components(pairs)
+    near_drop = cc.filter(~F.col("is_keeper")).join(chars, "doc_id")
+
+    def tier(df, name):
+        return df.agg(
+            F.lit(name).alias("tier"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_dropped"),
+            F.coalesce(F.sum("n_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("chars_dropped"),
+        )
+
+    return (
+        tier(exact_drop, "exact")
+        .unionByName(tier(near_drop, "neardup"))
+        .select(
+            "tier",
+            "n_docs_dropped",
+            "chars_dropped",
+            (F.col("chars_dropped") * 1000000 / F.lit(int(total)))
+            .cast("bigint")
+            .alias("ppm_chars"),
+        )
+        .orderBy("tier")
+    )
