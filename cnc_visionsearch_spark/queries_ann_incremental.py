@@ -1133,7 +1133,7 @@ ordered AS (
 )
 SELECT CAST(o.probe_rank AS BIGINT) AS nprobe,
   CAST(sum(o2.n) AS BIGINT) AS rows_read,
-  CAST(sum(o2.n) * 1000000 / t.corpus AS BIGINT) AS ppm_of_corpus
+  CAST(floor(sum(o2.n) * 1000000.0 / t.corpus) AS BIGINT) AS ppm_of_corpus
 FROM ordered o
 JOIN ordered o2 ON o2.probe_rank <= o.probe_rank
 CROSS JOIN tot t
@@ -1196,7 +1196,7 @@ tot AS (
 )
 SELECT CAST(c.shard AS BIGINT) AS shard,
   CAST(c.n AS BIGINT) AS n_vectors,
-  CAST(c.n * 1000000 / t.corpus AS BIGINT) AS ppm_of_corpus,
+  CAST(floor(c.n * 1000000.0 / t.corpus) AS BIGINT) AS ppm_of_corpus,
   (c.n = t.max_n) AS is_largest,
   c.n::DOUBLE * t.n_shards / t.corpus AS balance_factor
 FROM census c, tot t
@@ -1232,7 +1232,7 @@ def ann_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("shard").cast("bigint").alias("shard"),
             F.col("n").cast("bigint").alias("n_vectors"),
-            (F.col("n") * 1000000 / F.col("corpus"))
+            F.floor(F.col("n") * 1000000.0 / F.col("corpus"))
             .cast("bigint")
             .alias("ppm_of_corpus"),
             (F.col("n") == F.col("max_n")).alias("is_largest"),

@@ -3038,7 +3038,7 @@ near_drop AS (
   FROM cc JOIN chars c USING (doc_id) WHERE cc.doc_id <> cc.comp
 )
 SELECT tier, n_docs_dropped, chars_dropped,
-  CAST(chars_dropped * 1000000 / corpus.total_chars AS BIGINT)
+  CAST(floor(chars_dropped * 1000000.0 / corpus.total_chars) AS BIGINT)
     AS ppm_chars
 FROM (
   SELECT 'exact' AS tier,
@@ -3107,7 +3107,7 @@ def dedup_corpus_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tier",
             "n_docs_dropped",
             "chars_dropped",
-            (F.col("chars_dropped") * 1000000 / F.lit(int(total)))
+            F.floor(F.col("chars_dropped") * 1000000.0 / F.lit(int(total)))
             .cast("bigint")
             .alias("ppm_chars"),
         )
