@@ -3566,3 +3566,66 @@ def events_attribution_first_touch(
         .cast("double")
         .alias("attributed_value"),
     )
+
+
+# --------------------------------------------------- brand return rate
+
+
+@register(
+    "brand_return_rate",
+    oracle="""
+WITH lines AS (
+  SELECT p.p_brand AS brand,
+    CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS returned,
+    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT brand,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(returned) AS BIGINT) AS n_returned,
+  sum(returned)::DOUBLE / count(*) AS return_rate,
+  CAST(sum(CASE WHEN returned = 1 THEN rev ELSE CAST(0 AS DECIMAL(18,6))
+           END) AS DOUBLE) AS returned_revenue
+FROM lines GROUP BY brand
+ORDER BY return_rate DESC, brand ASC
+LIMIT 15
+""",
+    doc="Goods-quality KPI: return rate per part brand (lines flagged "
+    "'R' over all lines, with the DECIMAL-exact revenue at stake), "
+    "worst offenders first — the merchandising complement of the "
+    "customer-level returned-items report (q10): q10 asks WHO "
+    "returns, this asks WHAT gets returned. Dimension broadcast "
+    "join, map-side-combinable counts, one float division per "
+    "output row.",
+)
+def brand_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("returned"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("rev"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    lines = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return (
+        lines.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("returned").cast("bigint").alias("n_returned"),
+            (
+                F.sum("returned").cast("double") / F.count(F.lit(1))
+            ).alias("return_rate"),
+            F.sum(
+                F.when(F.col("returned") == 1, F.col("rev")).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            )
+            .cast("double")
+            .alias("returned_revenue"),
+        )
+        .orderBy(F.col("return_rate").desc(), F.col("brand").asc())
+        .limit(15)
+    )
