@@ -1559,3 +1559,47 @@ def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# -------------------------------------------------- weekly load heatmap
+
+
+@register(
+    "events_weekly_heatmap",
+    oracle="""
+SELECT CAST(isodow(ts) AS BIGINT) AS weekday,
+  CAST(hour(ts) AS BIGINT) AS hour_of_day,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+HAVING count(*) >= 10
+ORDER BY weekday, hour_of_day
+""",
+    doc="Weekly load heatmap: events and distinct users per (ISO "
+    "weekday, hour-of-day) cell — the capacity-planning and "
+    "anomaly-baseline matrix every ops dashboard renders (traffic at "
+    "Tuesday 3am vs Friday noon), floored at 10 events per cell to "
+    "keep sparse cells out of baselines. Pure calendar projection + "
+    "one aggregate; the distinct-user count is the only "
+    "non-combinable piece (exact here; the KMV/HLL sketch is the "
+    "100 TB swap, same group keys). Spark's dayofweek is "
+    "Sunday-based, so the ISO mapping is spelled out rather than "
+    "trusted across engines.",
+)
+def events_weekly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # ISO weekday (Mon=1..Sun=7) from Spark's Sunday-based dayofweek
+    iso = ((F.dayofweek("ts") + 5) % 7) + 1
+    return (
+        e.groupBy(
+            iso.cast("bigint").alias("weekday"),
+            F.hour("ts").cast("bigint").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .filter(F.col("n_events") >= 10)
+        .orderBy("weekday", "hour_of_day")
+    )
