@@ -3629,3 +3629,54 @@ def brand_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("return_rate").desc(), F.col("brand").asc())
         .limit(15)
     )
+
+
+# ----------------------------------------------- acquisition trend
+
+
+@register(
+    "nation_customer_acquisition",
+    oracle="""
+WITH first_order AS (
+  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first_dt
+  FROM orders GROUP BY o_custkey
+),
+acq AS (
+  SELECT c.c_nationkey, year(f.first_dt) AS yr
+  FROM first_order f JOIN customer c ON f.o_custkey = c.c_custkey
+)
+SELECT n.n_name AS nation, CAST(a.yr AS BIGINT) AS acq_year,
+  CAST(count(*) AS BIGINT) AS new_customers
+FROM acq a JOIN nation n ON n.n_nationkey = a.c_nationkey
+GROUP BY n.n_name, a.yr
+HAVING count(*) >= 3
+ORDER BY nation, acq_year
+""",
+    doc="Customer-acquisition trend: each customer's FIRST order year "
+    "(one min per customer over the fact table) rolled up per "
+    "nation — the market-entry curve growth teams track, and the "
+    "denominator feed for cohort LTV. The first-order aggregate is "
+    "the only fact-scale stage (custkey-keyed, map-side-"
+    "combinable); everything after is dimension-scale broadcast "
+    "joins. Cells under 3 customers are floored out of the trend.",
+)
+def nation_customer_acquisition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    first = o.groupBy("o_custkey").agg(F.min("od").alias("first_dt"))
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        first.join(F.broadcast(c), first.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("first_dt").cast("bigint").alias("acq_year"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_customers"))
+        .filter(F.col("new_customers") >= 3)
+        .orderBy("nation", "acq_year")
+    )
