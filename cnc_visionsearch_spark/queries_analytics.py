@@ -3680,3 +3680,57 @@ def nation_customer_acquisition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("new_customers") >= 3)
         .orderBy("nation", "acq_year")
     )
+
+
+# ------------------------------------------------ order status mix trend
+
+
+@register(
+    "orders_status_mix_trend",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+    o_orderstatus AS status
+  FROM orders
+),
+cell AS (
+  SELECT month, status, CAST(count(*) AS BIGINT) AS n
+  FROM m GROUP BY month, status
+),
+tot AS (SELECT month, CAST(sum(n) AS BIGINT) AS mtot FROM cell GROUP BY month)
+SELECT c.month, c.status, c.n,
+  CAST(floor(c.n * 1000000.0 / t.mtot) AS BIGINT) AS ppm_of_month
+FROM cell c JOIN tot t USING (month)
+WHERE t.mtot >= 20
+ORDER BY c.month, c.status
+""",
+    doc="Order-status mix by month: counts and exact per-month ppm "
+    "share of each order status — the lifecycle-health trend where a "
+    "rising open-order share flags fulfillment backlog building up "
+    "(the order-table analog of a queue-depth graph). Months under "
+    "20 orders are floored out. One calendar aggregate plus a "
+    "month-keyed share join; ppm is floored on both engines (the "
+    "cast-rounding discipline).",
+)
+def orders_status_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    cell = o.groupBy("month", "status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cell.groupBy("month").agg(F.sum("n").cast("bigint").alias("mtot"))
+    return (
+        cell.join(tot, "month")
+        .filter(F.col("mtot") >= 20)
+        .select(
+            "month",
+            "status",
+            "n",
+            F.floor(F.col("n") * 1000000.0 / F.col("mtot"))
+            .cast("bigint")
+            .alias("ppm_of_month"),
+        )
+        .orderBy("month", "status")
+    )
