@@ -3113,3 +3113,85 @@ def dedup_corpus_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# ---------------------------------------- length / diversity correlation
+
+
+@register(
+    "doc_length_diversity_corr",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id,
+    CAST(n_chars AS BIGINT) AS x,
+    CAST(floor(
+      len(list_distinct(string_split(text, ' ')))::DOUBLE
+      / len(string_split(text, ' '))::DOUBLE * 1000000.0 + 0.5
+    ) AS BIGINT) AS yq
+  FROM documents WHERE len(string_split(text, ' ')) > 0
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+    CAST(sum(x * yq) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(sum(yq * yq) AS BIGINT) AS syy
+  FROM feats
+)
+SELECT n AS n_docs,
+  (n * sxy - sx * sy)::DOUBLE
+    / sqrt((n * sxx - sx * sx)::DOUBLE)
+    / sqrt((n * syy - sy * sy)::DOUBLE) AS pearson_r
+FROM sums
+""",
+    doc="Pearson correlation between document length (chars) and "
+    "type-token ratio (distinct/total tokens, 1e-6-quantized so the "
+    "five sufficient statistics reduce as exact integers within "
+    "int64 — the quantization scale is chosen against the overflow "
+    "budget, not habit): the classic NEGATIVE length-diversity "
+    "relationship whose breakdown flags machine-generated text "
+    "(templates stay diverse-looking at any length, spam collapses). "
+    "One scan to per-doc features, one five-sum aggregate, one "
+    "closed-form double chain — the correlation primitive any "
+    "feature-pair QA check reuses.",
+)
+def doc_length_diversity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feats = d.filter(F.size(toks) > 0).select(
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.floor(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+            * 1000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("yq"),
+    )
+    sums = feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("yq")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).cast("bigint").alias("syy"),
+    )
+    return sums.select(
+        F.col("n").alias("n_docs"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+        ).alias("pearson_r"),
+    )
