@@ -1244,3 +1244,85 @@ def ann_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ------------------------------------- the reference's core invariant
+
+
+@register(
+    "knn_l2_cosine_rank_agreement",
+    oracle=f"""
+WITH {_NORM_CTE},
+q AS (SELECT nvec AS qv FROM normed WHERE vec_id = 27),
+scored AS (
+  SELECT vec_id,
+    {_L2SQ.format(a="nvec", b="qv")} AS l2_sq,
+    list_sum(list_transform(range(1, len(nvec) + 1),
+      i -> nvec[i] * qv[i])) AS cosine
+  FROM normed, q WHERE vec_id <> 27
+),
+l2r AS (
+  SELECT vec_id, l2_sq,
+    row_number() OVER (ORDER BY l2_sq ASC, vec_id ASC) AS l2_rank
+  FROM scored
+),
+cosr AS (
+  SELECT vec_id, cosine,
+    row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS cos_rank
+  FROM scored
+)
+SELECT l.l2_rank AS rank, l.vec_id, l.l2_sq, c.cosine,
+  (l.vec_id = (SELECT vec_id FROM cosr WHERE cos_rank = l.l2_rank))
+    AS ranks_agree
+FROM l2r l JOIN cosr c USING (vec_id)
+WHERE l.l2_rank <= 10
+ORDER BY rank
+""",
+    doc="The reference's core semantic invariant, hash-gated: on "
+    "L2-NORMALIZED vectors, squared-L2 ranking and cosine ranking "
+    "are the same ordering (||a-b||^2 = 2 - 2 a.b — why the "
+    "reference can use an L2 HNSW index for cosine semantics, "
+    "main.py:87 normalize before insert/search, score reported as "
+    "raw L2 at main.py:163). Top-10 by each metric side by side "
+    "with per-rank agreement — every row must say ranks_agree = "
+    "true, and the hash gate pins both score columns, so a "
+    "normalization regression anywhere in the vector path breaks "
+    "this query before it breaks a recall gate. (Tie-break caveat: "
+    "the identity makes ORDER equal; equal-distance ties resolve by "
+    "vec_id in both rankings, so agreement is exact, not "
+    "approximate.)",
+)
+def knn_l2_cosine_rank_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import dot, l2_sq
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    q = _norm_query_vec(spark, sf_dir, 27)
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    scored = emb.filter(F.col("vec_id") != 27).select(
+        "vec_id",
+        l2_sq("nvec", qcol).alias("l2_sq"),
+        # dot of already-normalized vectors IS the cosine — same
+        # sequential fold the oracle replays
+        dot("nvec", qcol).alias("cosine"),
+    )
+    wl2 = Window.orderBy(F.col("l2_sq").asc(), F.col("vec_id").asc())
+    wcos = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    l2r = scored.withColumn("rank", F.row_number().over(wl2))
+    cosr = scored.select(
+        F.col("vec_id").alias("cos_vec_id"),
+        F.row_number().over(wcos).alias("rank"),
+    )
+    return (
+        l2r.filter(F.col("rank") <= 10)
+        .join(cosr, "rank")
+        .select(
+            "rank",
+            "vec_id",
+            "l2_sq",
+            "cosine",
+            (F.col("vec_id") == F.col("cos_vec_id")).alias("ranks_agree"),
+        )
+        .orderBy("rank")
+    )
