@@ -3734,3 +3734,73 @@ def orders_status_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "status")
     )
+
+
+# -------------------------------------------- receivables risk ledger
+
+
+@register(
+    "acctbal_risk_ledger",
+    oracle="""
+WITH parties AS (
+  SELECT 'customer' AS party, c_nationkey AS nationkey,
+    CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+  FROM customer
+  UNION ALL
+  SELECT 'supplier', s_nationkey, CAST(s_acctbal AS DECIMAL(18,6))
+  FROM supplier
+)
+SELECT p.party, n.n_name AS nation,
+  CAST(count(*) AS BIGINT) AS n_accounts,
+  CAST(sum(CASE WHEN p.bal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_negative,
+  CAST(sum(CASE WHEN p.bal < 0 THEN p.bal
+           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS exposure,
+  CAST(sum(p.bal) AS DOUBLE) AS net_balance
+FROM parties p JOIN nation n ON n.n_nationkey = p.nationkey
+GROUP BY p.party, n.n_name
+HAVING sum(CASE WHEN p.bal < 0 THEN 1 ELSE 0 END) > 0
+ORDER BY exposure ASC, party, nation
+""",
+    doc="Receivables/payables risk ledger: negative account balances "
+    "across BOTH counterparty tables (customers and suppliers, "
+    "unioned into one party ledger — the finance view that does not "
+    "care which table a debtor lives in), per nation: accounts in "
+    "the red, total exposure (DECIMAL-exact, reported most negative "
+    "first), and the net position. Two dimension-table scans, one "
+    "union, one broadcast nation join — a pure reporting query whose "
+    "value is the CROSS-TABLE union discipline (align schemas, tag "
+    "provenance, aggregate once) every multi-entity ledger needs.",
+)
+def acctbal_risk_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("party"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").cast("decimal(18,6)").alias("bal"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("party"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").cast("decimal(18,6)").alias("bal"),
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    parties = c.unionByName(s)
+    neg = F.when(F.col("bal") < 0, 1).otherwise(0)
+    return (
+        parties.join(F.broadcast(n), parties.nationkey == n.n_nationkey)
+        .groupBy("party", F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_accounts"),
+            F.sum(neg).cast("bigint").alias("n_negative"),
+            F.sum(
+                F.when(F.col("bal") < 0, F.col("bal")).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            )
+            .cast("double")
+            .alias("exposure"),
+            F.sum("bal").cast("double").alias("net_balance"),
+        )
+        .filter(F.col("n_negative") > 0)
+        .orderBy(F.col("exposure").asc(), "party", "nation")
+    )
