@@ -3804,3 +3804,80 @@ def acctbal_risk_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_negative") > 0)
         .orderBy(F.col("exposure").asc(), "party", "nation")
     )
+
+
+# --------------------------------------------- grouped price regression
+
+
+@register(
+    "part_size_price_slope",
+    oracle="""
+WITH pts AS (
+  SELECT p_type,
+    CAST(p_size AS BIGINT) AS x,
+    CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS yq
+  FROM part
+),
+sums AS (
+  SELECT p_type,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+    CAST(sum(x * yq) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY p_type HAVING count(*) >= 8
+)
+SELECT p_type, n AS n_parts,
+  (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE / 100.0
+    AS price_per_size_unit
+FROM sums
+WHERE n * sxx - sx * sx > 0
+ORDER BY price_per_size_unit DESC, p_type ASC
+LIMIT 15
+""",
+    doc="Grouped linear regression: retail-price-per-size-unit slope "
+    "per part type (cents-quantized price so the per-group sufficient "
+    "statistics are exact integer sums — the grouped twin of the "
+    "corpus-level correlation/Zipf fits), steepest size premiums "
+    "first, groups under 8 parts or with degenerate size variance "
+    "floored out. This is the pattern every per-segment elasticity/"
+    "trend fit reuses: ONE aggregate computes all groups' regressions "
+    "simultaneously (no per-group loop, no window), so at 100 TB the "
+    "cost is a single map-side-combinable group-by regardless of "
+    "group count.",
+)
+def part_size_price_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_type",
+        F.col("p_size").cast("bigint").alias("x"),
+        F.floor(F.col("p_retailprice") * 100.0 + 0.5)
+        .cast("bigint")
+        .alias("yq"),
+    )
+    sums = (
+        p.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("yq").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("yq")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
+        .filter(F.col("n") >= 8)
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        sums.filter(det > 0)
+        .select(
+            "p_type",
+            F.col("n").alias("n_parts"),
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / det.cast("double")
+                / 100.0
+            ).alias("price_per_size_unit"),
+        )
+        .orderBy(F.col("price_per_size_unit").desc(), F.col("p_type").asc())
+        .limit(15)
+    )
