@@ -3195,3 +3195,77 @@ def doc_length_diversity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pearson_r"),
     )
+
+
+# ------------------------------------------------ raw-norm ingestion QA
+
+
+@register(
+    "emb_raw_norm_outliers",
+    oracle="""
+WITH norms AS (
+  SELECT vec_id,
+    CAST(floor(sqrt(list_sum(list_transform(
+      embedding::DOUBLE[], x -> x * x))) * 1000000000.0 + 0.5) AS BIGINT)
+      AS norm_q
+  FROM embeddings
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(quantile_disc(norm_q, 0.5) AS BIGINT) AS med_q
+  FROM norms
+)
+SELECT nm.vec_id, nm.norm_q,
+  CAST(floor(nm.norm_q * 1000.0 / st.med_q) AS BIGINT)
+    AS permille_of_median
+FROM norms nm, stats st
+WHERE nm.norm_q * 5 < st.med_q * 4 OR nm.norm_q * 4 > st.med_q * 5
+ORDER BY nm.norm_q ASC, nm.vec_id ASC
+LIMIT 20
+""",
+    doc="Pre-normalization ingestion QA: RAW embedding norms that sit "
+    "outside +-20% of the corpus median (exact integer comparison: "
+    "5*norm < 4*median or 4*norm > 5*median on 1e-9-quantized norms) "
+    "— the upstream bug detector for the normalize step everything "
+    "else depends on: a zero norm means a dead encoder output (the "
+    "F6 zero->NaN quirk waiting to happen), a wild norm means mixed "
+    "model versions or dtype corruption in the same table. Norms "
+    "quantize before any comparison, the median is a discrete order "
+    "statistic, and the permille ratio floors — every value in the "
+    "report is exact. One scan plus a two-value broadcast.",
+)
+def emb_raw_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "vec_id",
+        F.floor(
+            l2_norm(F.col("embedding").cast("array<double>")) * 1000000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("norm_q"),
+    )
+    stats = norms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.percentile_approx("norm_q", 0.5, 1000000)
+        .cast("bigint")
+        .alias("med_q"),
+    )
+    return (
+        norms.crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("norm_q") * 5 < F.col("med_q") * 4)
+            | (F.col("norm_q") * 4 > F.col("med_q") * 5)
+        )
+        .select(
+            "vec_id",
+            "norm_q",
+            F.floor(F.col("norm_q") * 1000.0 / F.col("med_q"))
+            .cast("bigint")
+            .alias("permille_of_median"),
+        )
+        .orderBy(F.col("norm_q").asc(), F.col("vec_id").asc())
+        .limit(20)
+    )
