@@ -3269,3 +3269,74 @@ def emb_raw_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("norm_q").asc(), F.col("vec_id").asc())
         .limit(20)
     )
+
+
+# ----------------------------------------------------- term burstiness
+
+
+@register(
+    "term_burstiness_report",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+per_doc AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM tf GROUP BY term, doc_id
+),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+moments AS (
+  SELECT term,
+    CAST(count(*) AS BIGINT) AS df,
+    CAST(sum(c) AS BIGINT) AS total,
+    CAST(sum(c * c) AS BIGINT) AS total_sq
+  FROM per_doc GROUP BY term HAVING count(*) >= 20
+)
+SELECT m.term, m.df, m.total,
+  -- variance-to-mean over ALL docs (zeros included):
+  -- mean = total/n; E[x^2] = total_sq/n; vmr = (E[x^2]-mean^2)/mean
+  ((m.total_sq::DOUBLE / nd.n) - (m.total::DOUBLE / nd.n)
+    * (m.total::DOUBLE / nd.n)) / (m.total::DOUBLE / nd.n) AS vmr
+FROM moments m, nd
+ORDER BY vmr DESC, m.term ASC
+LIMIT 15
+""",
+    doc="Term burstiness: variance-to-mean ratio of per-document "
+    "counts over the WHOLE corpus (zero-occurrence docs included via "
+    "the moments identity, never materialized) — bursty terms "
+    "(VMR >> 1) concentrate in few docs and carry topical signal, "
+    "Poisson-like terms (VMR ~ 1) are function words; the Church-"
+    "Gale statistic behind stopword induction and keyword weighting "
+    "beyond plain idf. Exact integer moments per term (count, sum, "
+    "sum of squares) from one (term, doc) aggregate; VMR is a single "
+    "double chain. df floor 20 keeps rare-term noise out.",
+)
+def term_burstiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    n_docs = tf.select("doc_id").distinct().count()  # one scalar
+    per_doc = tf.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    moments = (
+        per_doc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("c").cast("bigint").alias("total"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("total_sq"),
+        )
+        .filter(F.col("df") >= 20)
+    )
+    nd = float(n_docs)
+    mean = F.col("total").cast("double") / F.lit(nd)
+    ex2 = F.col("total_sq").cast("double") / F.lit(nd)
+    return (
+        moments.select(
+            "term",
+            "df",
+            "total",
+            ((ex2 - mean * mean) / mean).alias("vmr"),
+        )
+        .orderBy(F.col("vmr").desc(), F.col("term").asc())
+        .limit(15)
+    )
