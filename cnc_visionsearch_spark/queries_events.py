@@ -1603,3 +1603,65 @@ def events_weekly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_events") >= 10)
         .orderBy("weekday", "hour_of_day")
     )
+
+
+# -------------------------------------------- inter-purchase intervals
+
+
+@register(
+    "events_repurchase_intervals",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+gaps AS (
+  SELECT user_id,
+    CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) AS BIGINT)
+      AS gap_s
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+valid AS (SELECT gap_s FROM gaps WHERE gap_s IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_intervals,
+  CAST(min(gap_s) AS BIGINT) AS min_s,
+  CAST(quantile_disc(gap_s, 0.25) AS BIGINT) AS p25_s,
+  CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS p50_s,
+  CAST(quantile_disc(gap_s, 0.75) AS BIGINT) AS p75_s,
+  CAST(max(gap_s) AS BIGINT) AS max_s
+FROM valid
+""",
+    doc="Repurchase-interval distribution: integer-second gaps between "
+    "consecutive purchases per user, summarized as exact discrete "
+    "quartiles — the replenishment-cycle curve that sets reorder-"
+    "reminder timing and the baseline the churn-cadence score "
+    "divides by (this is its event-stream twin; the orders-table "
+    "version works in days). Filter pushes to the scan "
+    "(event_type = 'purchase' prunes ~80% of rows before the "
+    "user-keyed window); quartiles are discrete order statistics "
+    "(percentile_approx at exactness accuracy — the sketch knob is "
+    "the documented 100 TB trade).",
+)
+def events_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.min("gap_s").cast("bigint").alias("min_s"),
+        F.percentile_approx("gap_s", 0.25, 1000000)
+        .cast("bigint")
+        .alias("p25_s"),
+        F.percentile_approx("gap_s", 0.5, 1000000)
+        .cast("bigint")
+        .alias("p50_s"),
+        F.percentile_approx("gap_s", 0.75, 1000000)
+        .cast("bigint")
+        .alias("p75_s"),
+        F.max("gap_s").cast("bigint").alias("max_s"),
+    )
