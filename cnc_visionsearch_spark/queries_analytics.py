@@ -3881,3 +3881,64 @@ def part_size_price_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("price_per_size_unit").desc(), F.col("p_type").asc())
         .limit(15)
     )
+
+
+# --------------------------------------------------- supplier breadth
+
+
+@register(
+    "supplier_catalog_breadth",
+    oracle="""
+WITH sp AS (
+  SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+    count(DISTINCT l_orderkey) AS n_orders
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s.s_name AS supplier, n.n_name AS nation,
+  CAST(sp.n_parts AS BIGINT) AS n_parts,
+  CAST(sp.n_orders AS BIGINT) AS n_orders,
+  CAST(floor(sp.n_orders * 1000.0 / sp.n_parts) AS BIGINT)
+    AS orders_per_part_permille
+FROM sp
+JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY n_parts DESC, supplier ASC
+LIMIT 15
+""",
+    doc="Supplier catalog breadth: distinct parts and orders served "
+    "per supplier with the orders-per-part intensity (floored "
+    "permille), broadest catalogs first — the sourcing-strategy view "
+    "that separates broadline distributors from specialists, and the "
+    "breadth denominator behind the concentration (HHI) and "
+    "dispersion reports. One fact aggregate with two exact distinct "
+    "counts keyed on suppkey (at 100 TB the distinct-part count is "
+    "the KMV-sketch swap, same group key), then dimension broadcast "
+    "joins.",
+)
+def supplier_catalog_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_orderkey"
+    )
+    sp = l.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        sp.join(F.broadcast(s), sp.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            "n_parts",
+            "n_orders",
+            F.floor(F.col("n_orders") * 1000.0 / F.col("n_parts"))
+            .cast("bigint")
+            .alias("orders_per_part_permille"),
+        )
+        .orderBy(F.col("n_parts").desc(), F.col("supplier").asc())
+        .limit(15)
+    )
