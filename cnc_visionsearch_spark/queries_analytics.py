@@ -3942,3 +3942,89 @@ def supplier_catalog_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_parts").desc(), F.col("supplier").asc())
         .limit(15)
     )
+
+
+# ------------------------------------------------- quarter-end pull-in
+
+
+@register(
+    "orders_quarter_end_spike",
+    oracle="""
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS od,
+    CAST(o_totalprice AS DECIMAL(18,6)) AS rev
+  FROM orders
+),
+tagged AS (
+  SELECT
+    CAST(date_diff('day', od,
+      CAST(date_trunc('quarter', od) + INTERVAL '3 months'
+           - INTERVAL '1 day' AS DATE)) AS BIGINT) AS days_to_qend,
+    rev
+  FROM o
+),
+bands AS (
+  SELECT CASE WHEN days_to_qend <= 6 THEN 'last_week'
+              WHEN days_to_qend <= 13 THEN 'second_last_week'
+              ELSE 'rest_of_quarter' END AS band,
+    rev
+  FROM tagged
+),
+agg AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(sum(rev) AS DECIMAL(38,6)) AS band_rev
+  FROM bands GROUP BY band
+),
+tot AS (SELECT CAST(sum(band_rev) AS DECIMAL(38,6)) AS t FROM agg)
+SELECT a.band, a.n_orders, CAST(a.band_rev AS DOUBLE) AS revenue,
+  CAST(floor(a.band_rev::DOUBLE * 1000000.0 / t.t::DOUBLE) AS BIGINT)
+    AS ppm_of_total
+FROM agg a, tot t
+ORDER BY a.band
+""",
+    doc="Quarter-end pull-in detection: revenue banded by distance to "
+    "quarter end (last week, second-last week, rest) with exact ppm "
+    "shares — sales teams dragging deals across the line show up as "
+    "a last-week share far above the ~7.7% a uniform quarter would "
+    "give, the revenue-quality signal auditors and forecasters both "
+    "read. Pure calendar arithmetic per row (quarter end = "
+    "date_trunc + 3 months - 1 day, identical on both engines), one "
+    "three-row aggregate, DECIMAL-exact sums.",
+)
+def orders_quarter_end_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("rev"),
+    )
+    qend = F.date_sub(
+        F.add_months(F.date_trunc("quarter", "od").cast("date"), 3), 1
+    )
+    tagged = o.select(F.datediff(qend, "od").alias("days_to_qend"), "rev")
+    bands = tagged.select(
+        F.when(F.col("days_to_qend") <= 6, "last_week")
+        .when(F.col("days_to_qend") <= 13, "second_last_week")
+        .otherwise("rest_of_quarter")
+        .alias("band"),
+        "rev",
+    )
+    agg = bands.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("rev").cast("decimal(38,6)").alias("band_rev"),
+    )
+    tot = agg.agg(F.sum("band_rev").cast("decimal(38,6)").alias("t"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_orders",
+            F.col("band_rev").cast("double").alias("revenue"),
+            F.floor(
+                F.col("band_rev").cast("double")
+                * 1000000.0
+                / F.col("t").cast("double")
+            )
+            .cast("bigint")
+            .alias("ppm_of_total"),
+        )
+        .orderBy("band")
+    )
