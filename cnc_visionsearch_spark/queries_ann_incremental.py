@@ -1326,3 +1326,66 @@ def knn_l2_cosine_rank_agreement(
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------- storage ledger
+
+
+@register(
+    "ann_storage_ledger",
+    oracle="""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS rows,
+  CAST(max(len(embedding)) AS BIGINT) AS dim FROM embeddings),
+tiers AS (
+  SELECT t.tier,
+    CAST(CASE t.tier
+      WHEN 'fp64_raw' THEN n.dim * 8
+      WHEN 'fp32_raw' THEN n.dim * 4
+      WHEN 'int8_sq' THEN n.dim
+      WHEN 'pq_m16' THEN 16
+      ELSE 8 END AS BIGINT) AS bytes_per_vector,
+    n.rows, n.dim
+  FROM n, (VALUES ('fp64_raw'), ('fp32_raw'), ('int8_sq'),
+           ('pq_m16'), ('binary_sign')) AS t(tier)
+)
+SELECT tier, bytes_per_vector,
+  CAST(rows * bytes_per_vector AS BIGINT) AS total_bytes,
+  CAST(dim * 8 * 1000 // bytes_per_vector AS BIGINT)
+    AS compression_permille
+FROM tiers
+ORDER BY bytes_per_vector DESC
+""",
+    doc="Vector-storage ledger: bytes per vector and corpus total for "
+    "every compression tier the engine serves (fp64 exact, fp32 "
+    "ingest dtype, int8 scalar quantization, m=16 PQ codes, 64-bit "
+    "sign signatures), with the compression ratio vs fp64 in exact "
+    "permille — the capacity-planning table that turns the tier "
+    "choice into a budget line (100 TB of fp32 is 12.5 TB at int8, "
+    "2 TB at PQ-16, 0.2 TB as sign bits — while RECALL.json prices "
+    "the same choice in recall). Row counts and dimension come from "
+    "the corpus; widths are the layouts' storage contract "
+    "(schemas pinned by the build tests).",
+)
+def ann_storage_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    stats = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows"),
+        F.max(F.size("embedding")).cast("bigint").alias("dim"),
+    ).first()
+    rows, dim = int(stats["rows"]), int(stats["dim"])
+    tiers = [
+        ("fp64_raw", dim * 8),
+        ("fp32_raw", dim * 4),
+        ("int8_sq", dim),
+        ("pq_m16", 16),
+        ("binary_sign", 8),
+    ]
+    out = [
+        (t, b, rows * b, dim * 8 * 1000 // b)
+        for t, b in tiers
+    ]
+    return spark.createDataFrame(
+        sorted(out, key=lambda r: -r[1]),
+        "tier string, bytes_per_vector bigint, total_bytes bigint, "
+        "compression_permille bigint",
+    )
