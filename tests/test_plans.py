@@ -588,3 +588,48 @@ def test_bm25_batch_probe_plan_shape(spark, queries):
     assert files and all("inverted" in f for f in files)
     plan = plan_of(df)
     assert "WindowGroupLimit" in plan
+
+
+def test_repurchase_filter_pushed_to_scan(spark, queries):
+    """events_repurchase_intervals: the purchase-only predicate must
+    reach the parquet scan — at 100 TB it prunes ~80% of event rows
+    before the per-user window shuffle."""
+    df = queries["events_repurchase_intervals"](spark, SF)
+    assert any(
+        "event_type" in p and "purchase" in p for p in pushed_filters(df)
+    )
+
+
+def test_boilerplate_shuffles_never_carry_text(spark, queries):
+    """doc_boilerplate_report: every exchange input must be gram
+    fingerprints / counters — raw document text entering a shuffle
+    would be the 100 TB scale-killer the md5 discipline exists to
+    prevent."""
+    df = queries["doc_boilerplate_report"](spark, SF)
+    for schema in exchange_inputs(df):
+        assert "text" not in schema, schema
+
+
+def test_dsir_ratio_table_is_broadcast(spark, queries):
+    """doc_dsir_importance: the 64-row log-ratio LM table must
+    broadcast to the scoring scan, never shuffle the token stream
+    against it."""
+    df = queries["doc_dsir_importance"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert any("rq" in s for s in (broadcast_hinted_inputs(df) or [""])) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_basket_profile_aggregates_before_dimension_join(spark, queries):
+    """segment_basket_profile: the customer dimension must join the
+    ORDER-level aggregate (broadcast), not the raw line level — the
+    aggregate-then-join discipline the query's doc claims."""
+    df = queries["segment_basket_profile"](spark, SF)
+    plan = plan_of(df)
+    # a broadcast join exists, and the lineitem read schema carries no
+    # customer columns (the join happens post-aggregate)
+    assert "BroadcastHashJoin" in plan
+    for schema in read_schemas(df):
+        assert "c_mktsegment" not in schema or "l_quantity" not in schema
