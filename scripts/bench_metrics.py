@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Measured physical-plan evidence for the headline queries.
+
+SCALE.md claims plan SHAPES ("the corpus is never shuffled", "the
+shuffle carries 32-byte fingerprints, not text", "the probe reads
+nprobe/C of the files"). This script turns those claims into recorded
+NUMBERS: for every bench.py headline query it captures the Spark
+stage-metric deltas — input bytes read, shuffle read/write bytes,
+memory/disk spill — from the status REST API, and emits
+``SCALE_METRICS.json`` at the repo root.
+
+Method: fresh session with the UI status store enabled, one warm pass
+per query (so one-time index builds and codegen are excluded), then a
+measured pass bracketed by cumulative stage-metric snapshots. The
+delta is exactly the measured query's physical work. A query whose
+shuffle-write is orders of magnitude below its input is *measured* to
+do its reduction map-side; an ANN probe whose input is a small slice
+of the corpus bytes is *measured* to partition-prune.
+
+Usage:
+    python scripts/bench_metrics.py          # sf0.1, writes SCALE_METRICS.json
+
+tests/test_registry_window.py asserts the artifact exists, covers the
+headline set, and that the flagship scale claims (map-side reduction,
+partition-pruned ANN reads) hold in the recorded numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from cnc_visionsearch_spark.registry import all_queries  # noqa: E402
+from cnc_visionsearch_spark.session import get_session  # noqa: E402
+
+UI_PORT = int(os.environ.get("SPARK_GRAFT_UI_PORT", "4055"))
+
+_FIELDS = {
+    "input_bytes": "inputBytes",
+    "output_bytes": "outputBytes",
+    "shuffle_read_bytes": "shuffleReadBytes",
+    "shuffle_write_bytes": "shuffleWriteBytes",
+    "memory_spill_bytes": "memoryBytesSpilled",
+    "disk_spill_bytes": "diskBytesSpilled",
+}
+
+
+def _api(path: str) -> list | dict:
+    url = f"http://localhost:{UI_PORT}/api/v1/{path}"
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        return json.load(resp)
+
+
+def _snapshot(app_id: str) -> dict[str, int]:
+    """Cumulative stage-metric sums. Retained-stage eviction would break
+    delta arithmetic, so the session raises spark.ui.retainedStages far
+    above the ~stages-per-run this script produces."""
+    totals = dict.fromkeys(_FIELDS, 0)
+    for stage in _api(f"applications/{app_id}/stages"):
+        for ours, theirs in _FIELDS.items():
+            totals[ours] += int(stage.get(theirs, 0) or 0)
+    return totals
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_session(
+        app_name="bench_metrics",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+            "spark.ui.retainedStages": "20000",
+        },
+    )
+    app_id = spark.sparkContext.applicationId
+
+    from bench import HEADLINE  # noqa: E402  (repo-root import)
+
+    queries = all_queries()
+    out: dict[str, dict[str, int | float]] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        # warm pass: one-time index builds, codegen, worker spawn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        before = _snapshot(app_id)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        elapsed = round(time.perf_counter() - t0, 3)
+        after = _snapshot(app_id)
+        out[name] = {k: after[k] - before[k] for k in _FIELDS}
+        out[name]["wall_sec"] = elapsed
+        print(
+            f"  {name}: in={out[name]['input_bytes']:,} "
+            f"sw={out[name]['shuffle_write_bytes']:,} "
+            f"spill={out[name]['disk_spill_bytes']:,} {elapsed:.2f}s",
+            file=sys.stderr,
+        )
+
+    corpus_bytes = {
+        os.path.splitext(f)[0]: os.path.getsize(os.path.join(sf_dir, f))
+        for f in sorted(os.listdir(sf_dir))
+        if f.endswith(".parquet")
+    }
+    # parquet compresses text ~10x; the "shuffle carries sketches, not
+    # documents" comparison is against the UNCOMPRESSED text volume a
+    # naive doc-carrying shuffle would move
+    from pyspark.sql import functions as F
+
+    documents_text_bytes = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.sum(F.octet_length("text")).alias("b"))
+        .collect()[0]["b"]
+    )
+    artifact = {
+        "sf": sf,
+        "note": (
+            "per-query stage-metric deltas (measured pass after one warm "
+            "pass; builds and codegen excluded). Bytes are cumulative "
+            "across all stages of the query job. input_bytes is the "
+            "STEADY-STATE read volume: dataframes the operators cache "
+            "(dim tables, probe artifacts) are block-manager-served on "
+            "the measured pass and count ~0, exactly as they would on a "
+            "warm production cluster; shuffle and spill deltas are always "
+            "the real per-run cost."
+        ),
+        "table_bytes": corpus_bytes,
+        "documents_text_bytes": int(documents_text_bytes),
+        "queries": out,
+    }
+    path = os.path.join(REPO, "SCALE_METRICS.json")
+    with open(path, "w") as fh:
+        json.dump(artifact, fh, indent=2, sort_keys=True)
+    print(json.dumps({"metric": "scale_metrics", "queries": len(out), "sf": sf}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -118,6 +118,50 @@ def test_stream_bench_artifact_present_and_sane():
         assert stats["median_ms"] > 0 and stats["p95_ms"] >= stats["median_ms"]
 
 
+def test_scale_metrics_artifact_present_and_claims_hold():
+    """SCALE_METRICS.json (scripts/bench_metrics.py) records measured
+    per-headline-query stage-metric deltas — input / shuffle / spill
+    bytes. The point is to pin SCALE.md's flagship physical claims with
+    NUMBERS, not plan text:
+
+    - q1's aggregation reduces map-side: its shuffle-write is orders of
+      magnitude below the lineitem bytes it summarizes.
+    - MinHash LSH dedup shuffles SKETCHES, not documents: its
+      shuffle-write is below the corpus's uncompressed text volume
+      (what a doc-carrying shuffle would move).
+    - the IVF probe partition-prunes: its steady-state read volume is a
+      tiny slice of the embeddings table's on-disk size.
+    - nothing in the headline set spills to disk at bench sf (the
+      partitions-fit-in-memory sizing claim).
+    """
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "SCALE_METRICS.json")
+    assert os.path.exists(path), "missing SCALE_METRICS.json — regenerate"
+    with open(path) as fh:
+        data = json.load(fh)
+    qs = data["queries"]
+    # covers the full headline set of the committed bench
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert set(qs) >= set(bench.HEADLINE), sorted(set(bench.HEADLINE) - set(qs))
+    for name, m in qs.items():
+        for k, v in m.items():
+            assert v >= 0, f"{name}.{k} negative: {v}"
+    text_bytes = data["documents_text_bytes"]
+    emb_bytes = data["table_bytes"]["embeddings"]
+    assert qs["q1_pricing_summary"]["shuffle_write_bytes"] < 256 * 1024
+    assert qs["minhash_lsh_neardup_pairs"]["shuffle_write_bytes"] < text_bytes
+    assert qs["ann_ivf_topk"]["input_bytes"] < emb_bytes / 10
+    assert all(m["disk_spill_bytes"] == 0 for m in qs.values())
+
+
 def test_first_50_registrations_match_driver_window():
     names = list(all_queries())
     assert len(names) >= 50
