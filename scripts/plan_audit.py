@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Full-registry physical-plan audit.
+
+tests/test_plans.py pins the plan shapes of ~50 flagship operators by
+hand. This script sweeps ALL registered queries and records, per query,
+the physical-plan facts a 100 TB deployment cares about:
+
+- ``cartesian``: CartesianProduct nodes. A cartesian join over two
+  distributed relations is the canonical scale-killer; the audit gate
+  is ZERO across the whole registry.
+- ``batch_eval_python``: row-at-a-time Python UDF nodes
+  (BatchEvalPython). The engine's UDF policy (SURVEY §2.10) is
+  Arrow-vectorized-or-JVM only; the gate is ZERO everywhere.
+- ``bnlj``: BroadcastNestedLoopJoin nodes — legitimate only when one
+  side is bounded-by-construction (a 1-row aggregate, a k-row probe
+  batch, a codebook). Recorded so a new unbounded BNLJ shows up as a
+  diff in the committed artifact.
+- ``arrow_eval_python`` / ``map_in_pandas`` / ``grouped_map_pandas``:
+  the sanctioned Python-boundary nodes (recorded, not gated).
+- ``exchanges``: shuffle count — the number to watch in review when a
+  query's plan changes.
+
+Emits ``PLAN_AUDIT.json``; tests/test_registry_window.py asserts the
+artifact covers the registry exactly and that the two hard gates
+(zero cartesians, zero row-at-a-time Python) hold.
+
+Usage:
+    python scripts/plan_audit.py            # sf0.001 (plan shapes are
+                                            # sf-invariant; builds are fast)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from cnc_visionsearch_spark.plans import formatted_plan  # noqa: E402
+from cnc_visionsearch_spark.registry import all_queries  # noqa: E402
+from cnc_visionsearch_spark.session import get_session  # noqa: E402
+
+_NODE_COUNTERS = {
+    "cartesian": r"\(\d+\) CartesianProduct",
+    "bnlj": r"\(\d+\) BroadcastNestedLoopJoin",
+    "batch_eval_python": r"\(\d+\) BatchEvalPython",
+    "arrow_eval_python": r"\(\d+\) ArrowEvalPython",
+    "map_in_pandas": r"\(\d+\) MapInPandas",
+    "grouped_map_pandas": r"\(\d+\) FlatMapGroupsInPandas",
+    "exchanges": r"\(\d+\) Exchange",
+}
+
+
+def audit_plan(plan: str) -> dict[str, int]:
+    return {k: len(re.findall(rx, plan)) for k, rx in _NODE_COUNTERS.items()}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_session(app_name="plan_audit")
+    out: dict[str, dict[str, int]] = {}
+    failures: dict[str, str] = {}
+    for name, fn in all_queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            out[name] = audit_plan(formatted_plan(df))
+        except Exception as exc:  # pragma: no cover - surfaced in artifact
+            failures[name] = f"{type(exc).__name__}: {exc}"
+            print(f"  FAIL {name}: {exc}", file=sys.stderr)
+            continue
+        print(f"  {name}: {out[name]}", file=sys.stderr)
+
+    artifact = {
+        "sf_dir": sf_dir,
+        "note": (
+            "physical-plan node counts for every registered query "
+            "(final DataFrame of each; driver-iterative queries audit "
+            "their result-assembly plan). Gates: cartesian == 0 and "
+            "batch_eval_python == 0 everywhere."
+        ),
+        "failures": failures,
+        "queries": out,
+    }
+    with open(os.path.join(REPO, "PLAN_AUDIT.json"), "w") as fh:
+        json.dump(artifact, fh, indent=2, sort_keys=True)
+    n_cart = sum(1 for m in out.values() if m["cartesian"])
+    n_py = sum(1 for m in out.values() if m["batch_eval_python"])
+    print(
+        json.dumps(
+            {
+                "metric": "plan_audit",
+                "queries": len(out),
+                "failures": len(failures),
+                "with_cartesian": n_cart,
+                "with_row_python": n_py,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

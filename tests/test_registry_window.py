@@ -162,6 +162,33 @@ def test_scale_metrics_artifact_present_and_claims_hold():
     assert all(m["disk_spill_bytes"] == 0 for m in qs.values())
 
 
+def test_plan_audit_artifact_covers_registry_and_gates_hold():
+    """PLAN_AUDIT.json (scripts/plan_audit.py) sweeps EVERY registered
+    query's physical plan. tests/test_plans.py hand-pins ~50 flagship
+    shapes; this artifact machine-checks the two registry-wide gates —
+    zero CartesianProduct nodes and zero row-at-a-time Python UDF nodes
+    (BatchEvalPython) across all plans — so a scale-killer in ANY query,
+    benched or not, is a committed-diff away from visible."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLAN_AUDIT.json")
+    assert os.path.exists(path), "missing PLAN_AUDIT.json — regenerate"
+    with open(path) as fh:
+        data = json.load(fh)
+    assert not data["failures"], data["failures"]
+    qs = data["queries"]
+    assert set(qs) == set(all_queries()), (
+        "PLAN_AUDIT.json is stale vs the registry — regenerate: "
+        f"only_in_artifact={sorted(set(qs) - set(all_queries()))[:5]} "
+        f"only_in_registry={sorted(set(all_queries()) - set(qs))[:5]}"
+    )
+    cartesian = {n for n, m in qs.items() if m["cartesian"]}
+    row_python = {n for n, m in qs.items() if m["batch_eval_python"]}
+    assert not cartesian, f"CartesianProduct in: {sorted(cartesian)}"
+    assert not row_python, f"row-at-a-time Python in: {sorted(row_python)}"
+
+
 def test_first_50_registrations_match_driver_window():
     names = list(all_queries())
     assert len(names) >= 50
