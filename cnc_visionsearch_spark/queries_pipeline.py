@@ -3340,3 +3340,111 @@ def term_burstiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("vmr").desc(), F.col("term").asc())
         .limit(15)
     )
+
+
+# ------------------------------------- data-constrained budget planning
+
+_BUDGET_MULT = 4  # token budget = 4x the corpus -> some sources repeat
+_R_STAR = 15.0  # repetition half-saturation (Muennighoff et al. 2023
+# fit R* ~ 15 with an exponential decay; the rational form
+# R*R_star/(R+R_star) keeps the same saturation shape in pure
+# division/multiplication, bit-identical across engines)
+
+
+@register(
+    "doc_data_budget_epochs",
+    oracle=f"""
+WITH {_WEIGHTS_CTE},
+qw AS (
+  SELECT source, n_docs, n_tokens,
+    CAST(floor(token_share * mix_weight * 1000000000.0 + 0.5) AS BIGINT)
+      AS q
+  FROM weights
+),
+tot AS (
+  SELECT CAST(SUM(q) AS BIGINT) AS sum_q,
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM qw
+),
+alloc AS (
+  SELECT source, n_docs, n_tokens,
+    ({_BUDGET_MULT} * total_tokens * q) // sum_q AS budget_tokens
+  FROM qw, tot
+),
+ep AS (
+  SELECT source, n_docs, n_tokens, budget_tokens,
+    CAST(budget_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
+  FROM alloc
+)
+SELECT source, n_docs, n_tokens, budget_tokens, epochs,
+  CASE WHEN epochs <= 1.0 THEN epochs
+       ELSE 1.0 + (epochs - 1.0) * {_R_STAR}
+            / ((epochs - 1.0) + {_R_STAR}) END AS effective_epochs,
+  CAST(floor(CAST(n_tokens AS DOUBLE)
+    * (CASE WHEN epochs <= 1.0 THEN epochs
+            ELSE 1.0 + (epochs - 1.0) * {_R_STAR}
+                 / ((epochs - 1.0) + {_R_STAR}) END)) AS BIGINT)
+    AS effective_tokens
+FROM ep ORDER BY source
+""",
+    doc="Data-constrained training-budget planner (Muennighoff et al. "
+    "2023, 'Scaling Data-Constrained Language Models'): given a token "
+    f"budget of {_BUDGET_MULT}x the corpus and the 3x-capped "
+    "uniform-target mixture weights, allocate per-source budgets, "
+    "convert to EPOCHS over each source's unique-token pool, and "
+    "discount repeated epochs by a saturating value curve "
+    "(rational half-saturation at R*=15 — the paper's exponential fit "
+    "reshaped into pure mul/div so both engines compute it "
+    "bit-identically; exp() is not a cross-engine contract). The "
+    "budget split is EXACT integer arithmetic: mixture shares are "
+    "fixed-point-quantized to 1e-9 and the allocation is "
+    "(budget * q) // sum_q — no float sum ever crosses a row "
+    "boundary. Per source: unique tokens, allocated budget, raw "
+    "epochs, effective epochs, effective tokens — the table that "
+    "decides whether to crawl more data or repeat what you have. "
+    "Scale shape: one corpus scan for the per-source token census; "
+    "everything after runs on the dimension-sized source table.",
+)
+def doc_data_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    qw = _mixture_weights(load_table(spark, sf_dir, "documents")).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        fixed_point_q(F.col("token_share") * F.col("mix_weight")).alias("q"),
+    )
+    alloc = (
+        qw.withColumn("sum_q", F.sum("q").over(w_all))
+        .withColumn("total_tokens", F.sum("n_tokens").over(w_all))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                f"({_BUDGET_MULT} * total_tokens * q) DIV sum_q"
+            ).alias("budget_tokens"),
+        )
+    )
+    epochs = F.col("budget_tokens").cast("double") / F.col(
+        "n_tokens"
+    ).cast("double")
+    ep = alloc.withColumn("epochs", epochs)
+    eff = F.when(F.col("epochs") <= 1.0, F.col("epochs")).otherwise(
+        F.lit(1.0)
+        + (F.col("epochs") - 1.0)
+        * F.lit(_R_STAR)
+        / ((F.col("epochs") - 1.0) + F.lit(_R_STAR))
+    )
+    return ep.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "budget_tokens",
+        "epochs",
+        eff.alias("effective_epochs"),
+        F.floor(F.col("n_tokens").cast("double") * eff)
+        .cast("bigint")
+        .alias("effective_tokens"),
+    ).orderBy("source")
