@@ -181,6 +181,62 @@ def phrase_probe(
     )
 
 
+def proximity_probe(
+    spark,
+    path: str,
+    first: str,
+    second: str,
+    window: int = 5,
+    k: int = 10,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Proximity-ranked two-term search (the sloppy-phrase / NEAR
+    operator of Lucene's SpanNearQuery): read ONLY the two terms'
+    hash-bucket partitions, join the two postings rows per doc, and
+    score each doc by the number of position pairs within ``window``
+    tokens of each other — nested array transforms over the
+    metadata-sized positions lists, pure codegen, no corpus scan.
+    Returns the top ``k`` by (n_close_pairs DESC, min_gap ASC,
+    doc_id ASC): many tight co-occurrences beat one loose one, and the
+    tightest pairing breaks ties. Docs where both terms occur but
+    never within the window do not rank."""
+    buckets = sorted(
+        {term_bucket(first, n_buckets), term_bucket(second, n_buckets)}
+    )
+    posts = read_postings(spark, path).filter(F.col("bucket").isin(buckets))
+    a = posts.filter(F.col("term") == first).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    b = posts.filter(F.col("term") == second).select(
+        "doc_id", F.col("positions").alias("pb")
+    )
+    gaps = F.flatten(
+        F.transform(
+            "pa", lambda p1: F.transform("pb", lambda p2: F.abs(p1 - p2))
+        )
+    )
+    scored = a.join(b, "doc_id").select(
+        "doc_id",
+        F.size(
+            F.filter(gaps, lambda d: (d > 0) & (d <= F.lit(window)))
+        )
+        .cast("bigint")
+        .alias("n_close_pairs"),
+        F.array_min(F.filter(gaps, lambda d: d > 0))
+        .cast("bigint")
+        .alias("min_gap"),
+    )
+    return (
+        scored.filter(F.col("n_close_pairs") > 0)
+        .orderBy(
+            F.col("n_close_pairs").desc(),
+            F.col("min_gap").asc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(k)
+    )
+
+
 def bm25_probe(
     spark,
     path: str,

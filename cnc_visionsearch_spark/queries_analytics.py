@@ -4028,3 +4028,70 @@ def orders_quarter_end_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# proximity-ranked retrieval (NEAR / sloppy phrase) from the positional index
+
+_PROX_TERMS = ("scan", "filter")
+_PROX_WINDOW = 5
+
+
+@register(
+    "text_inverted_proximity_topk",
+    oracle=f"""
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+pos AS (
+  SELECT doc_id,
+    list_filter(range(1, len(s) + 1), j -> s[j] = '{_PROX_TERMS[0]}') AS pa,
+    list_filter(range(1, len(s) + 1), j -> s[j] = '{_PROX_TERMS[1]}') AS pb
+  FROM sp
+),
+g AS (
+  SELECT doc_id,
+    flatten(list_transform(pa,
+      x -> list_transform(pb, y -> abs(x - y)))) AS gaps
+  FROM pos WHERE len(pa) > 0 AND len(pb) > 0
+),
+scored AS (
+  SELECT doc_id,
+    CAST(len(list_filter(gaps, d -> d > 0 AND d <= {_PROX_WINDOW}))
+      AS BIGINT) AS n_close_pairs,
+    CAST(list_min(list_filter(gaps, d -> d > 0)) AS BIGINT) AS min_gap
+  FROM g
+)
+SELECT doc_id, n_close_pairs, min_gap FROM scored
+WHERE n_close_pairs > 0
+ORDER BY n_close_pairs DESC, min_gap ASC, doc_id ASC
+LIMIT 10
+""",
+    doc=f"Proximity search (Lucene SpanNearQuery / NEAR-operator "
+    f"semantics): rank documents where '{_PROX_TERMS[0]}' and "
+    f"'{_PROX_TERMS[1]}' co-occur within {_PROX_WINDOW} tokens, by the "
+    "COUNT of such close pairs (tightest min-gap, then doc id, break "
+    "ties) — the relevance signal between exact-phrase (too strict) "
+    "and bag-of-words AND (too loose). Served ENTIRELY from the "
+    "persisted positional postings: the probe reads the two terms' "
+    "hash-bucket partitions only (plan-pruned), joins the two postings "
+    "rows per doc, and scores with nested array transforms over the "
+    "positions lists — no corpus scan, no shuffle beyond the bounded "
+    "postings join. The oracle rescans raw text, so the hash gate "
+    "proves layout probe == corpus truth. At 100 TB the probe cost is "
+    "2/n_buckets of the postings regardless of corpus size; positions "
+    "lists are tf-sized so the pair expansion is per-row work bounded "
+    "by tf(a)*tf(b), the same bound Lucene pays.",
+)
+def text_inverted_proximity_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cnc_visionsearch_spark.operators.text_index import proximity_probe
+
+    path = ensure_inverted_built(spark, sf_dir)
+    return proximity_probe(
+        spark,
+        path,
+        _PROX_TERMS[0],
+        _PROX_TERMS[1],
+        window=_PROX_WINDOW,
+        n_buckets=_INV_BUCKETS,
+    )
