@@ -1665,3 +1665,91 @@ def events_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p75_s"),
         F.max("gap_s").cast("bigint").alias("max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence pattern matching (MATCH_RECOGNIZE analog)
+
+# view, then any run of views/clicks, then purchase — the char class
+# excludes 'e'rror and 's'ignup, so an interrupted journey never
+# matches. The pattern is unambiguous (the quantified class cannot
+# consume 'p'), so Java regex (Spark) and RE2 (DuckDB) agree on every
+# non-overlapping leftmost match.
+_SEQ_PATTERN = "v[vc]*p"
+
+
+@register(
+    "events_sequence_pattern_match",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT user_id, regexp_extract_all(s, '{_SEQ_PATTERN}') AS ms FROM seq
+),
+per_user AS (
+  SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
+    CAST(coalesce(list_max(list_transform(ms, x -> len(x))), 0) AS BIGINT)
+      AS longest
+  FROM m
+)
+SELECT n_matches, CAST(count(*) AS BIGINT) AS n_users,
+  CAST(max(longest) AS BIGINT) AS max_run_len
+FROM per_user GROUP BY n_matches ORDER BY n_matches
+""",
+    doc="Row-sequence pattern matching — the MATCH_RECOGNIZE analog "
+    "(PATTERN (VIEW (VIEW|CLICK)* PURCHASE)): each user's event "
+    "history becomes a symbol string (one char per event, ordered by "
+    "ts with event_id tie-break) and the uninterrupted "
+    "view-to-purchase journey is counted as non-overlapping regex "
+    f"matches of '{_SEQ_PATTERN}' — an error or signup breaks the "
+    "run, which plain funnel counting cannot express. Reported: users "
+    "and longest-run length per match count (0 bucket included). "
+    "Scale shape: ONE shuffle keyed user_id builds the per-user "
+    "string (sort_array over collect_list of (ts, id, sym) structs — "
+    "per-key state exactly like the streaming evolution of this "
+    "operator via applyInPandasWithState); the regex runs per row in "
+    "codegen; the report aggregates a per-user table. A user's "
+    "history must fit a row — true for clickstreams (the same bound "
+    "MATCH_RECOGNIZE imposes per partition).",
+)
+def events_sequence_pattern_match(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("sym")).alias(
+            "rec"
+        ),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("rec")), lambda r: r["sym"]
+            ),
+            "",
+        ).alias("s")
+    )
+    m = seq.select(
+        "user_id",
+        F.regexp_extract_all("s", F.lit(_SEQ_PATTERN), 0).alias("ms"),
+    )
+    per_user = m.select(
+        "user_id",
+        F.size("ms").cast("bigint").alias("n_matches"),
+        F.coalesce(
+            F.array_max(F.transform("ms", F.length)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("longest"),
+    )
+    return (
+        per_user.groupBy("n_matches")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.max("longest").cast("bigint").alias("max_run_len"),
+        )
+        .orderBy("n_matches")
+    )
