@@ -675,3 +675,214 @@ def ann_pq_trained_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("qid", "vec_id", "distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# residual quantizer (RQ) tier — two-level trained codec
+
+_RQ_K1 = 16  # coarse codewords (= IVF cells: level 1 partitions rq_codes)
+_RQ_K2 = 32  # residual codewords
+_RQ_ITERS = 3  # Lloyd iterations per level
+_RQ_NPROBE = 4  # coarse cells probed
+_RQ_DEPTH = 80  # reconstruction-ranked candidates rescored fp64
+
+
+def _rq_km_chain(pfx: str, src: str, vcol: str, k: int, iters: int) -> str:
+    """One whole-vector k-means as a generated CTE chain ending in
+    ``{pfx}cbt(code, cv)`` — the m=1 specialization of
+    :func:`_trained_cb_chain` with every CTE name prefixed, so TWO
+    chains (coarse + residual) compose in one oracle. Arithmetic is
+    exactly operators/ann.py pq_train_codebook's: id-stride init and
+    training sample, (distance, code) struct-min assignment,
+    fixed-point integer centroid sums."""
+    fx = FIXED_POINT_SQL.format(x="x")
+    parts = [
+        f"""
+{pfx}tstr AS (
+  SELECT greatest((max(vec_id) + 1) // {_TRAIN_CAP}, 1) AS ts FROM {src}
+),
+{pfx}train AS MATERIALIZED (
+  SELECT s.vec_id, s.{vcol} AS v FROM {src} s, {pfx}tstr
+  WHERE s.vec_id % ts = 0
+),
+{pfx}kstr AS (SELECT greatest(max(vec_id) // {k}, 1) AS s FROM {src}),
+{pfx}cb0 AS MATERIALIZED (
+  SELECT CAST(t.vec_id // s AS INT) AS code, t.v AS cv
+  FROM {pfx}train t, {pfx}kstr
+  WHERE t.vec_id % s = 0 AND t.vec_id // s < {k}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+{pfx}asg{i} AS (
+  SELECT t.vec_id,
+    min(struct_pack(d := {_L2SQ.format(a="t.v", b="c.cv")}, c := c.code)).c
+      AS code
+  FROM {pfx}train t, {pfx}cb{p} c
+  GROUP BY t.vec_id
+),
+{pfx}ex{i} AS (
+  SELECT a.code, unnest(range(1, len(t.v) + 1)) - 1 AS dim, unnest(t.v) AS x
+  FROM {pfx}asg{i} a JOIN {pfx}train t USING (vec_id)
+),
+{pfx}agg{i} AS (
+  SELECT code, dim, CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM({fx}) AS BIGINT) AS sum_q
+  FROM {pfx}ex{i} GROUP BY code, dim
+),
+{pfx}upd{i} AS (
+  SELECT code,
+    list(CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0
+         ORDER BY dim) AS cv
+  FROM {pfx}agg{i} GROUP BY code
+),
+{pfx}cb{i} AS MATERIALIZED (
+  SELECT o.code, coalesce(u.cv, o.cv) AS cv
+  FROM {pfx}cb{p} o LEFT JOIN {pfx}upd{i} u USING (code)
+)"""
+        )
+    parts.append(f",\n{pfx}cbt AS MATERIALIZED (SELECT code, cv FROM {pfx}cb{iters})")
+    return "".join(parts)
+
+
+# the shared RQ model + code-assignment CTE block: coarse chain ->
+# full-corpus coarse assignment -> residuals -> residual chain ->
+# full-corpus residual assignment
+_RQ_MODEL_CTES = f"""{_rq_km_chain("r1", "normed", "nvec", _RQ_K1, _RQ_ITERS)},
+r1asgf AS MATERIALIZED (
+  SELECT n.vec_id,
+    min(struct_pack(d := {_L2SQ.format(a="n.nvec", b="c.cv")}, c := c.code)).c
+      AS c1
+  FROM normed n, r1cbt c GROUP BY n.vec_id
+),
+res AS MATERIALIZED (
+  SELECT n.vec_id,
+    list_transform(range(1, len(n.nvec) + 1), i -> n.nvec[i] - c.cv[i])
+      AS rvec
+  FROM normed n JOIN r1asgf a USING (vec_id) JOIN r1cbt c ON c.code = a.c1
+),{_rq_km_chain("r2", "res", "rvec", _RQ_K2, _RQ_ITERS)},
+r2asgf AS MATERIALIZED (
+  SELECT r.vec_id,
+    min(struct_pack(d := {_L2SQ.format(a="r.rvec", b="c.cv")}, c := c.code)).c
+      AS c2
+  FROM res r, r2cbt c GROUP BY r.vec_id
+)"""
+
+
+def ensure_rq(spark: SparkSession, sf_dir: str) -> str:
+    from cnc_visionsearch_spark.operators.rq import ensure_rq_built
+
+    path = ensure_ivf_built(spark, sf_dir, n_cells=8)
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    return ensure_rq_built(
+        spark, path, emb, k1=_RQ_K1, k2=_RQ_K2, iters=_RQ_ITERS
+    )
+
+
+@register(
+    "ann_rq_trained_topk",
+    oracle=f"""
+WITH {_NORM_CTE}, {_RQ_MODEL_CTES},
+q AS (SELECT nvec AS qv FROM normed WHERE vec_id = 11),
+cells AS (
+  SELECT code AS c1 FROM r1cbt, q
+  ORDER BY {_L2SQ.format(a="cv", b="qv")} ASC, code ASC LIMIT {_RQ_NPROBE}
+),
+cand0 AS (
+  SELECT a1.vec_id,
+    list_transform(range(1, len(b1.cv) + 1), i -> b1.cv[i] + b2.cv[i])
+      AS recon
+  FROM r1asgf a1
+  JOIN cells USING (c1)
+  JOIN r2asgf a2 USING (vec_id)
+  JOIN r1cbt b1 ON b1.code = a1.c1
+  JOIN r2cbt b2 ON b2.code = a2.c2
+),
+cand AS (
+  SELECT c.vec_id FROM cand0 c, q
+  ORDER BY {_L2SQ.format(a="c.recon", b="qv")} ASC, c.vec_id ASC
+  LIMIT {_RQ_DEPTH}
+)
+SELECT n.vec_id, {_L2SQ.format(a="n.nvec", b="q.qv")} AS distance
+FROM normed n JOIN cand USING (vec_id), q
+ORDER BY distance ASC, n.vec_id ASC
+LIMIT 10
+""",
+    doc="Top-k served from the persisted RESIDUAL QUANTIZER layout "
+    f"(operators/rq.py; k1={_RQ_K1} coarse + k2={_RQ_K2} residual "
+    f"codewords, {_RQ_ITERS} bit-stable Lloyd iterations each): the "
+    "coarse codebook doubles as the IVF partitioner — rank cells by "
+    f"query-to-centroid distance, read ONLY the top {_RQ_NPROBE} "
+    "cells' code partitions (file pruning on c1), estimate distance "
+    "against the two-level reconstruction cb1[c1]+cb2[c2], rescore "
+    f"the best {_RQ_DEPTH} fp64 from the canonical table. The FAISS "
+    "IVF-Flat -> IVF+RQ step: candidates rank on coded "
+    "reconstructions (2 small ints/vector resident) instead of raw "
+    "vectors, shrinking the scanned bytes by ~dim*4/8x while the "
+    "rescore repairs codec error. The oracle replays BOTH k-means "
+    "levels as generated CTE chains — a trained two-level codec that "
+    "still hash-matches across engines.",
+)
+def ann_rq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.rq import rq_probe_topk
+
+    path = ensure_rq(spark, sf_dir)
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    q = _norm_query_vec(spark, sf_dir, 11)
+    return rq_probe_topk(
+        spark,
+        path,
+        q,
+        emb,
+        k=10,
+        nprobe=_RQ_NPROBE,
+        depth=_RQ_DEPTH,
+    )
+
+
+@register(
+    "ann_rq_distortion",
+    oracle=f"""
+WITH {_NORM_CTE}, {_RQ_MODEL_CTES},
+per0 AS (
+  SELECT n.vec_id, n.nvec, a1.c1, a2.c2, b1.cv AS cv1,
+    list_transform(range(1, len(b1.cv) + 1), i -> b1.cv[i] + b2.cv[i])
+      AS recon
+  FROM normed n
+  JOIN r1asgf a1 USING (vec_id)
+  JOIN r2asgf a2 USING (vec_id)
+  JOIN r1cbt b1 ON b1.code = a1.c1
+  JOIN r2cbt b2 ON b2.code = a2.c2
+),
+per AS (
+  SELECT c1, c2,
+    {FIXED_POINT_SQL.format(x=_L2SQ.format(a="nvec", b="cv1"))} AS e1,
+    {FIXED_POINT_SQL.format(x=_L2SQ.format(a="nvec", b="recon"))} AS e2
+  FROM per0
+)
+SELECT 'coarse' AS stage, CAST(count(DISTINCT c1) AS BIGINT) AS n_codes,
+  CAST(SUM(e1) AS BIGINT) AS err_q
+FROM per
+UNION ALL
+SELECT 'residual' AS stage, CAST(count(DISTINCT c2) AS BIGINT) AS n_codes,
+  CAST(SUM(e2) AS BIGINT) AS err_q
+FROM per
+ORDER BY stage
+""",
+    doc="Codec-stage distortion ledger for the RQ tier: exact "
+    "fixed-point reconstruction error of the coarse stage (v vs "
+    "cb1[c1]) and of the full residual codec (v vs cb1[c1]+cb2[c2]), "
+    "plus codeword utilization per stage. The residual row coming in "
+    "strictly lower is the evidence the second level earns its bytes "
+    "(tests/test_ann_trained.py pins it). One corpus scan, both "
+    "codebooks broadcast, 2 output rows — the audit a build job "
+    "emits next to the layout, twin of ann_pq_trained_distortion.",
+)
+def ann_rq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.rq import rq_distortion
+
+    path = ensure_rq(spark, sf_dir)
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    return rq_distortion(spark, path, emb)

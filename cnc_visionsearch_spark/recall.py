@@ -380,6 +380,65 @@ def measure_recall(spark: SparkSession, sf_dir: str) -> dict:
         **hnsw_sweep[str(_EF)],
     }
 
+    # ---- RESIDUAL QUANTIZER tier (operators/rq.py): persisted
+    # two-level codebooks + c1-partitioned codes; (nprobe, depth)
+    # sweep over the reconstruction ranking the probe uses
+    from cnc_visionsearch_spark.queries_ann_trained import (
+        _RQ_DEPTH,
+        _RQ_ITERS,
+        _RQ_K1,
+        _RQ_K2,
+        _RQ_NPROBE,
+        ensure_rq,
+    )
+
+    rpath = ensure_rq(spark, sf_dir)
+    cb1_rows = spark.read.parquet(f"{rpath}/rq_codebook_l1").collect()
+    r_cid = np.array([r.code for r in cb1_rows])
+    r_cmat = np.stack([np.asarray(r.cv) for r in cb1_rows])
+    cb1_map = {int(r.code): np.asarray(r.cv) for r in cb1_rows}
+    cb2_map = {
+        int(r.code): np.asarray(r.cv)
+        for r in spark.read.parquet(f"{rpath}/rq_codebook_l2").collect()
+    }
+    code_rows = spark.read.parquet(f"{rpath}/rq_codes").collect()
+    recon = np.zeros_like(mat)
+    c1_of = {}
+    for r in code_rows:
+        recon[pos[int(r.vec_id)]] = cb1_map[int(r.c1)] + cb2_map[int(r.c2)]
+        c1_of[int(r.vec_id)] = int(r.c1)
+    c1_arr = np.array([c1_of[int(i)] for i in ids])
+    rq_sweep = {}
+    for nprobe, depth in (
+        (2, 40),
+        (_RQ_NPROBE, _RQ_DEPTH),
+        (8, 160),
+        (12, 250),
+    ):
+        recs = []
+        for q in qids:
+            cd = ((r_cmat - qvec[q]) ** 2).sum(axis=1)
+            probe = set(r_cid[np.lexsort((r_cid, cd))[:nprobe]].tolist())
+            cmask = np.isin(c1_arr, list(probe))
+            est = ((recon - qvec[q]) ** 2).sum(axis=1)
+            est[~cmask] = np.inf
+            sel = np.lexsort((ids, est))[:depth]
+            mask = np.zeros(len(ids), bool)
+            mask[sel] = True
+            mask &= cmask
+            got = topk_within(qvec[q], mask)
+            recs.append(len(got & exact[q]) / K)
+        rq_sweep[f"{nprobe}/{depth}"] = stats(recs)
+    out["rq_nprobe_depth_sweep"] = rq_sweep
+    out["defaults"]["rq"] = {
+        "k1": _RQ_K1,
+        "k2": _RQ_K2,
+        "iters": _RQ_ITERS,
+        "nprobe": _RQ_NPROBE,
+        "rescore_depth": _RQ_DEPTH,
+        **rq_sweep[f"{_RQ_NPROBE}/{_RQ_DEPTH}"],
+    }
+
     out["notes"] = (
         "Isotropic random fixture + untrained stride quantizer: recall "
         "concentrates only under deep probes (DEFAULT_NPROBE="
@@ -392,8 +451,16 @@ def measure_recall(spark: SparkSession, sf_dir: str) -> dict:
         f"m=16/k*=128/5 bit-stable Lloyd iterations) fixes this: mean "
         f"{out['defaults']['pq_trained']['mean']} at its default "
         "rescore depth — the BASELINE.md >= 0.95 gate met by the "
-        "tier a production deployment runs. On clustered production "
-        "embeddings the same plans hit 0.95 at far lower "
+        "tier a production deployment runs. The RESIDUAL QUANTIZER "
+        "tier (operators/rq.py, k1*k2 = "
+        f"{out['defaults']['rq']['k1'] * out['defaults']['rq']['k2']} "
+        "effective reconstructions vs trained-PQ's 128^16) ranks "
+        f"weakly here too (mean {out['defaults']['rq']['mean']} at "
+        "its defaults, sweep recorded above) — on this fixture its "
+        "value is the 8-byte/vector coded layout and the "
+        "ann_rq_distortion storage-accuracy ledger; recall-critical "
+        "serving stays on the trained-PQ tier. On clustered "
+        "production embeddings the same plans hit 0.95 at far lower "
         "nprobe/n_cells and shallower depths."
     )
     return out

@@ -368,3 +368,62 @@ def test_append_merge_updates_persisted_radii(spark, tmp_path, emb):
         r.cell_id: r.radius for r in _compute_cell_radii(spark, path).collect()
     }
     assert persisted == full
+
+
+# ------------------------------------------------- residual quantizer tier
+
+
+def test_rq_residual_stage_strictly_reduces_distortion(spark, emb):
+    """The second (residual) level must strictly beat the coarse stage
+    — the evidence it earns its bytes (ann_rq_distortion ledger)."""
+    from cnc_visionsearch_spark.queries_ann_trained import ann_rq_distortion
+
+    rows = {r.stage: r for r in ann_rq_distortion(spark, SF_01).collect()}
+    assert set(rows) == {"coarse", "residual"}
+    assert rows["residual"].err_q < rows["coarse"].err_q
+    assert rows["coarse"].n_codes > 1
+    assert rows["residual"].n_codes > 1
+
+
+def test_rq_exhaustive_knobs_query_is_exact(spark, emb):
+    """Structural exactness: nprobe = k1 (every cell) and depth >=
+    corpus size make the RQ probe identical to the exact tier — the
+    coded reconstruction only SELECTS candidates, the fp64 rescore
+    carries the distances."""
+    from cnc_visionsearch_spark.operators.rq import rq_probe_topk
+    from cnc_visionsearch_spark.queries_ann_trained import _RQ_K1, ensure_rq
+
+    n = emb.count()
+    path = ensure_rq(spark, SF_01)
+    q = _norm_q(emb, 11)
+    exact = knn_single(emb, q, k=K, normalize_query=False).collect()
+    full = rq_probe_topk(
+        spark, path, q, emb, k=K, nprobe=_RQ_K1, depth=n
+    ).collect()
+    assert [(r.vec_id, r.distance) for r in exact] == [
+        (r.vec_id, r.distance) for r in full
+    ]
+
+
+def test_rq_codes_cover_corpus_once(spark, emb):
+    """Every vector gets exactly one (c1, c2) code pair, and codes are
+    within the codebook ranges — the layout invariant appends must
+    preserve."""
+    from cnc_visionsearch_spark.queries_ann_trained import (
+        _RQ_K1,
+        _RQ_K2,
+        ensure_rq,
+    )
+
+    path = ensure_rq(spark, SF_01)
+    codes = spark.read.parquet(f"{path}/rq_codes")
+    n = emb.count()
+    assert codes.count() == n
+    assert codes.select("vec_id").distinct().count() == n
+    bad = codes.filter(
+        (F.col("c1") < 0)
+        | (F.col("c1") >= _RQ_K1)
+        | (F.col("c2") < 0)
+        | (F.col("c2") >= _RQ_K2)
+    )
+    assert bad.count() == 0
