@@ -633,3 +633,63 @@ def test_basket_profile_aggregates_before_dimension_join(spark, queries):
     assert "BroadcastHashJoin" in plan
     for schema in read_schemas(df):
         assert "c_mktsegment" not in schema or "l_quantity" not in schema
+
+
+def test_proximity_probe_reads_index_only(spark, queries):
+    """text_inverted_proximity_topk is served from the postings layout
+    (never the documents table), partition-pruned to the two query
+    terms' buckets, with the positions-pair scoring in codegen."""
+    df = queries["text_inverted_proximity_topk"](spark, SF)
+    files = df.inputFiles()
+    assert files and all("inverted" in f for f in files)
+    pf = [ln for ln in plan_of(df).splitlines() if "PartitionFilters" in ln]
+    assert pf and any("bucket" in ln and "IN (" in ln for ln in pf)
+
+
+def test_duplicate_spans_shuffles_never_carry_text(spark, queries):
+    """doc_duplicate_spans: exchanges carry gram fingerprints and
+    positions, never raw document text, and the island merge windows
+    per doc_id (no global sort of the corpus)."""
+    df = queries["doc_duplicate_spans"](spark, SF)
+    for schema in exchange_inputs(df):
+        assert "text" not in schema, schema
+    assert "CartesianProduct" not in plan_of(df)
+
+
+def test_rq_probe_prunes_code_partitions_and_broadcasts_model(
+    spark, queries
+):
+    """ann_rq_trained_topk: the code scan is partition-pruned to the
+    probed coarse cells; both codebooks and the candidate set join by
+    broadcast; the corpus never shuffles."""
+    df = queries["ann_rq_trained_topk"](spark, SF)
+    plan = plan_of(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("c1" in ln and "IN (" in ln for ln in pf)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    from cnc_visionsearch_spark.queries_ann_trained import _RQ_K1, _RQ_NPROBE
+
+    # the c1 IN (...) partition filter carries exactly the probed cells
+    # (inputFiles() ignores pruning, so parse the plan's filter list)
+    in_list = next(
+        ln for ln in pf if "c1" in ln and "IN (" in ln
+    ).split("IN (")[1].split(")")[0]
+    assert 0 < len(in_list.split(",")) <= _RQ_NPROBE < _RQ_K1
+
+
+def test_budget_epochs_single_corpus_scan(spark, queries):
+    """doc_data_budget_epochs: one scan of documents; everything after
+    the per-source census runs on the dimension-sized table."""
+    df = queries["doc_data_budget_epochs"](spark, SF)
+    assert sum("documents" in f for f in df.inputFiles()) == len(
+        [f for f in df.inputFiles()]
+    )
+
+
+def test_sequence_pattern_single_user_shuffle(spark, queries):
+    """events_sequence_pattern_match: the per-user string build is ONE
+    shuffle keyed user_id; event text/props never enter an exchange."""
+    df = queries["events_sequence_pattern_match"](spark, SF)
+    for schema in exchange_inputs(df):
+        assert "props" not in schema, schema
