@@ -467,3 +467,137 @@ def inverted_vacuum(spark, path: str) -> None:
     kept_dl.write.mode("overwrite").parquet(f"{path}/doclens.vacuum_tmp")
     _swap_in(f"{path}/doclens")
     shutil.rmtree(tdir)
+
+
+def maxscore_pruned_topk(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    n_buckets: int = 16,
+    k1: float = 1.2,
+    b: float = 0.75,
+    introspect: dict | None = None,
+) -> DataFrame:
+    """MaxScore/WAND-family LOSSLESS pruned top-k (Turtle & Flood '95;
+    Broder et al. CIKM'03; the skipping discipline behind Lucene's
+    WANDScorer): rank exactly like :func:`bm25_probe` while aggregating
+    only documents that can still make the top ``k``.
+
+    Three bounded phases over the SAME pruned postings slice the plain
+    probe reads (every collect is planner state, commented):
+
+    1. per-term impact bounds ``u_t = max_doc sq(term, doc)`` — the
+       1e-9-quantized BM25 impacts, so bounds and scores live in one
+       exact BIGINT domain (<= |terms| rows collected). Production
+       layouts precompute these at build/compaction like Lucene's
+       impacts; deriving them probe-time from live reads keeps the
+       bound sound under tombstones (a stale build-time max is NOT an
+       upper bound once deletes shrink df and lift idf).
+    2. a threshold θ: the k-th best EXACT score among docs containing
+       the highest-impact term (k rows collected). A subset's k-th
+       best lower-bounds the true k-th best, so pruning with it is
+       conservative.
+    3. the MaxScore split: terms whose ascending cumulative bound sum
+       stays below θ are non-essential — a doc matching ONLY those
+       cannot reach θ (sum of its impacts <= the cumulative bound,
+       strictly below the k-th best score). Candidates = docs in the
+       ESSENTIAL terms' postings; they alone enter the doc-keyed
+       aggregation + ranking.
+
+    Losslessness is the registered query's hash gate: the output must
+    equal the plain full-aggregation BM25 oracle. At 100 TB the win is
+    the doc-keyed shuffle: a query mixing a rare term with stopword-
+    class terms aggregates the rare term's postings instead of the
+    stopwords' millions of rows (on the fixture: 25 candidate docs
+    instead of ~480 — tests/test_analytics pins the pruning).
+    """
+    from cnc_visionsearch_spark.functions.vector import fixed_point_q
+
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+    posts = (
+        read_postings(spark, path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("term", "doc_id", F.col("tf").cast("double").alias("tf"))
+    )
+    dfreq = posts.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    dl = read_doclens(spark, path).select(
+        "doc_id", F.col("dl").cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    joined = (
+        posts.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    # the EXACT per-(doc, term) impact chain of bm25_probe — kept in
+    # lockstep so pruned and plain ranking cannot drift
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    scored = joined.select(
+        "term", "doc_id", fixed_point_q(term_score).alias("sq")
+    )
+
+    def _topk(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_terms"),
+                F.sum("sq").alias("score_q"),
+            )
+            .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    # phase 1: impact bounds (collect bounded: <= |terms| rows)
+    u = {
+        r.term: int(r.u_q)
+        for r in scored.groupBy("term").agg(F.max("sq").alias("u_q")).collect()
+    }
+    if not u:
+        return _topk(scored)  # no term matches anywhere -> empty
+    t1 = max(u, key=lambda t: (u[t], t))
+    # phase 2: θ = k-th best exact score among t1's docs (collect
+    # bounded: <= k rows)
+    d1 = scored.filter(F.col("term") == t1).select("doc_id")
+    head = (
+        scored.join(F.broadcast(d1), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum("sq").alias("score_q"))
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .collect()
+    )
+    theta = int(head[-1].score_q) if len(head) == k else 0
+    # phase 3: MaxScore essential/non-essential split (driver-side on
+    # the <= |terms| bounds — planner state, never data)
+    cum = 0
+    non_essential = []
+    for t in sorted(u, key=lambda t: (u[t], t)):
+        if cum + u[t] < theta:
+            cum += u[t]
+            non_essential.append(t)
+        else:
+            break
+    essential = [t for t in u if t not in non_essential]
+    cand = (
+        scored.filter(F.col("term").isin(essential))
+        .select("doc_id")
+        .distinct()
+    )
+    if introspect is not None:  # test hook: expose the pruning decision
+        introspect.update(
+            {"u": u, "theta": theta, "essential": sorted(essential)}
+        )
+    return _topk(scored.join(F.broadcast(cand), "doc_id"))

@@ -4095,3 +4095,79 @@ def text_inverted_proximity_topk(
         window=_PROX_WINDOW,
         n_buckets=_INV_BUCKETS,
     )
+
+
+# ---------------------------------------------------------------------------
+# MaxScore/WAND lossless pruned retrieval
+
+# one rare high-impact term + two stopword-class terms — the query
+# shape where impact-ordered pruning pays (the rare term's postings
+# are the only essential list; the common terms' ~390-doc lists never
+# enter the doc-keyed aggregation)
+_MAXSCORE_TERMS = ("dup", "vector", "fast")
+
+
+@register(
+    "text_maxscore_pruned_topk",
+    oracle=f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+qtok AS (SELECT doc_id, tok FROM tok
+         WHERE tok IN ({", ".join(f"'{t}'" for t in _MAXSCORE_TERMS)})),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+  FROM qtok GROUP BY doc_id, tok
+),
+dfreq AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM qtok GROUP BY tok
+),
+corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+avg AS (SELECT sum(dl) / count(*) AS avgdl FROM dl),
+perterm AS (
+  SELECT tf.doc_id,
+    CAST(floor(
+      (((n_docs - df + 0.5) / (df + 0.5))
+        * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+      * 1000000000.0 + 0.5) AS BIGINT) AS sq
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), corpus, avg
+),
+bm25 AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+    CAST(sum(sq) AS BIGINT) AS score_q
+  FROM perterm GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score_q
+FROM bm25
+ORDER BY score_q DESC, doc_id ASC
+LIMIT 10
+""",
+    doc=f"MaxScore/WAND lossless pruned BM25 top-10 for "
+    f"'{' '.join(_MAXSCORE_TERMS)}' (operators/text_index."
+    "maxscore_pruned_topk): per-term impact upper bounds -> a "
+    "threshold from the highest-impact term's own top-k -> the "
+    "MaxScore essential/non-essential split -> doc-keyed aggregation "
+    "over ESSENTIAL postings only. The oracle is the plain "
+    "full-aggregation BM25 over raw text, so the hash gate IS the "
+    "losslessness proof — identical ranking while the stopword-class "
+    "terms' postings never enter the ranking shuffle (25 candidate "
+    "docs vs ~480 on the fixture; pruning pinned in tests). This is "
+    "how a 100 TB lexical engine survives queries that mix rare and "
+    "common terms: the common lists are only point-probed for "
+    "candidate docs, exactly Lucene's WANDScorer discipline on a "
+    "data-lake layout.",
+)
+def text_maxscore_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.text_index import (
+        maxscore_pruned_topk,
+    )
+
+    path = ensure_inverted_built(spark, sf_dir)
+    return maxscore_pruned_topk(
+        spark, path, list(_MAXSCORE_TERMS), k=10, n_buckets=_INV_BUCKETS
+    )

@@ -426,3 +426,44 @@ def test_bm25_single_and_batch_probes_cannot_drift(spark, tmp_path):
         ).collect()
     }
     assert single == batch and single
+
+
+def test_maxscore_pruning_is_lossless_and_actually_prunes(spark):
+    """MaxScore pruned top-k == plain BM25 top-k (losslessness), AND
+    on the sf0.01 fixture the rare term is the ONLY essential list —
+    the two stopword-class terms' ~390-doc postings never enter the
+    ranking aggregation."""
+    from cnc_visionsearch_spark.operators.text_index import (
+        bm25_probe,
+        maxscore_pruned_topk,
+    )
+    from cnc_visionsearch_spark.queries_analytics import (
+        _INV_BUCKETS,
+        _MAXSCORE_TERMS,
+        ensure_inverted_built,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    path = ensure_inverted_built(spark, sf)
+    info: dict = {}
+    pruned = maxscore_pruned_topk(
+        spark,
+        path,
+        list(_MAXSCORE_TERMS),
+        k=10,
+        n_buckets=_INV_BUCKETS,
+        introspect=info,
+    ).collect()
+    plain = (
+        bm25_probe(spark, path, list(_MAXSCORE_TERMS), n_buckets=_INV_BUCKETS)
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .collect()
+    )
+    assert [(r.doc_id, r.n_terms, r.score_q) for r in pruned] == [
+        (r.doc_id, r.n_terms, r.score_q) for r in plain
+    ]
+    # the pruning decision: 'dup' (df=25, high idf) is essential; the
+    # common terms are provably non-essential under θ
+    assert info["essential"] == ["dup"]
+    assert info["theta"] > info["u"]["vector"] + info["u"]["fast"]
