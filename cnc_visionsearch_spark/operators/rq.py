@@ -267,3 +267,39 @@ def ensure_rq_built(
         rq_build(spark, ivf_path, emb, k1=k1, k2=k2, iters=iters)
         open(marker, "w").close()
     return ivf_path
+
+
+def rq_append(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "nvec",
+) -> None:
+    """Append a batch into an existing RQ layout under the FROZEN
+    codebooks — the same incremental contract as ivf_append /
+    pq_trained_append: new vectors are coded with the persisted
+    level-1 and level-2 models (never retrained), their (c1, c2) rows
+    land in the touched c1 partitions, resident files stay
+    byte-identical. Codebook drift accumulates in reconstruction
+    error, repaired by re-running rq_build as periodic maintenance."""
+    cb1 = spark.read.parquet(f"{path}/rq_codebook_l1")
+    cb2 = spark.read.parquet(f"{path}/rq_codebook_l2")
+    a1 = argmin_code(batch, cb1, vec_col, id_col).withColumnRenamed(
+        "code", "c1"
+    )
+    res = (
+        batch.join(a1, id_col)
+        .join(F.broadcast(cb1.withColumnRenamed("code", "c1")), "c1")
+        .select(
+            id_col,
+            "c1",
+            F.zip_with(vec_col, "cv", lambda a, b: a - b).alias("rvec"),
+        )
+    )
+    a2 = argmin_code(res, cb2, "rvec", id_col).withColumnRenamed(
+        "code", "c2"
+    )
+    res.select(id_col, "c1").join(a2, id_col).select(
+        id_col, "c1", "c2"
+    ).write.mode("append").partitionBy("c1").parquet(f"{path}/rq_codes")

@@ -2490,3 +2490,63 @@ def nation_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("prev_r").cast("double")
         ).alias("yoy_growth"),
     ).orderBy("nation", "o_year")
+
+
+# --------------------------------------------------- k-anonymity audit
+
+
+@register(
+    "customer_k_anonymity",
+    oracle="""
+WITH quasi AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+  FROM customer
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, bal_band,
+    CAST(count(*) AS BIGINT) AS k
+  FROM quasi GROUP BY c_nationkey, c_mktsegment, bal_band
+)
+SELECT k,
+  CAST(count(*) AS BIGINT) AS n_classes,
+  CAST(sum(k) AS BIGINT) AS n_rows,
+  CAST(CASE WHEN k < 5 THEN sum(k) ELSE 0 END AS BIGINT) AS rows_at_risk
+FROM classes GROUP BY k ORDER BY k
+""",
+    doc="k-anonymity audit over the quasi-identifier tuple (nation, "
+    "market segment, $1000 account-balance band) — the re-identification "
+    "risk scan a governed data platform runs BEFORE sharing a table "
+    "(Sweeney 2002): every row in an equivalence class of size k hides "
+    "among k-1 others, so classes with k < 5 are the rows a linkage "
+    "attack can single out and the rows generalization/suppression "
+    "must treat. Output: the full k histogram (classes, rows, at-risk "
+    "rows per k). Scale shape: one scan, one (quasi-tuple) partial "
+    "aggregate, one dimension-sized histogram aggregate — the same "
+    "cost as any group-by census; no joins, nothing driver-side.",
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias(
+                "bal_band"
+            ),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    return (
+        classes.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("k").cast("bigint").alias("n_rows"),
+            F.when(F.col("k") < 5, F.sum("k"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("rows_at_risk"),
+        )
+        .orderBy("k")
+    )

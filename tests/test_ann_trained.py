@@ -427,3 +427,62 @@ def test_rq_codes_cover_corpus_once(spark, emb):
         | (F.col("c2") >= _RQ_K2)
     )
     assert bad.count() == 0
+
+
+def test_rq_append_equals_full_reencode(spark, tmp_path, emb):
+    """Frozen-codebook contract for the RQ tier: build on the first
+    400 vectors, append the rest, and every appended vector's (c1, c2)
+    must equal coding it directly under the same frozen codebooks;
+    resident code files stay byte-identical."""
+    import os
+
+    from cnc_visionsearch_spark.operators.rq import (
+        argmin_code,
+        rq_append,
+        rq_build,
+    )
+
+    path = str(tmp_path / "rq")
+    base = emb.filter(F.col("vec_id") < 400)
+    rest = emb.filter(F.col("vec_id") >= 400)
+    rq_build(spark, path, base, k1=8, k2=16, iters=2)
+
+    def _snap():
+        out = {}
+        for root, _dirs, files in os.walk(f"{path}/rq_codes"):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = _snap()
+    rq_append(spark, path, rest)
+    after = _snap()
+    for p, m in before.items():
+        assert p in after and after[p] == m, f"resident file touched: {p}"
+
+    cb1 = spark.read.parquet(f"{path}/rq_codebook_l1")
+    cb2 = spark.read.parquet(f"{path}/rq_codebook_l2")
+    a1 = argmin_code(rest, cb1, "nvec").withColumnRenamed("code", "e1")
+    res = (
+        rest.join(a1.withColumnRenamed("e1", "c1"), "vec_id")
+        .join(F.broadcast(cb1.withColumnRenamed("code", "c1")), "c1")
+        .select(
+            "vec_id",
+            F.col("c1").alias("e1"),
+            F.zip_with("nvec", "cv", lambda a, b: a - b).alias("rvec"),
+        )
+    )
+    a2 = argmin_code(res, cb2, "rvec").withColumnRenamed("code", "e2")
+    expect = {
+        (r.vec_id): (r.e1, r.e2)
+        for r in res.select("vec_id", "e1").join(a2, "vec_id").collect()
+    }
+    stored = {
+        r.vec_id: (r.c1, r.c2)
+        for r in spark.read.parquet(f"{path}/rq_codes")
+        .filter(F.col("vec_id") >= 400)
+        .collect()
+    }
+    assert stored == expect
