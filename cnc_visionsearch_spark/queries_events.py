@@ -1753,3 +1753,164 @@ def events_sequence_pattern_match(
         )
         .orderBy("n_matches")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic Poisson bootstrap
+
+_BOOT_B = 32  # bootstrap replicas
+
+# Poisson(1) CDF cutoffs scaled to the 32-bit hash domain — weight w
+# for (event, replica) is the quantile of h/2^32 under Poisson(1), the
+# online-bootstrap weighting (Oza & Russell '01; Chamandy et al.,
+# Google '12 "Estimating Uncertainty for Massive Data Streams").
+# Derived once here and embedded as integer literals in BOTH engines.
+_POIS_CUTS = [
+    int(c * 2**32)
+    for c in (
+        0.36787944117144233,  # P(X=0)
+        0.7357588823428847,  # P(X<=1)
+        0.9196986029286058,  # P(X<=2)
+        0.9810118431238462,  # P(X<=3)
+        0.9963401531726563,  # P(X<=4)
+        0.9994058151824183,  # P(X<=5)
+    )
+]
+
+
+def _pois_case_sql(h: str) -> str:
+    branches = "".join(
+        f" WHEN {h} < {c} THEN {i}" for i, c in enumerate(_POIS_CUTS)
+    )
+    return f"CASE{branches} ELSE {len(_POIS_CUTS)} END"
+
+
+@register(
+    "events_bootstrap_ci",
+    oracle=f"""
+WITH purch AS (
+  SELECT event_id, value FROM events WHERE event_type = 'purchase'
+),
+reps AS (
+  SELECT p.event_id, p.value, t.b,
+    ('0x' || substr(md5(p.event_id::VARCHAR || ':' || t.b::VARCHAR), 1, 8))
+      ::BIGINT AS h
+  FROM purch p, unnest(range({_BOOT_B})) AS t(b)
+),
+wtd AS (
+  SELECT b, value, {_pois_case_sql("h")} AS w FROM reps
+),
+per AS (
+  SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+    CAST(SUM(w * CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT))
+      AS BIGINT) AS sum_q
+  FROM wtd GROUP BY b
+),
+means AS (
+  SELECT b,
+    CAST(sum_q AS DOUBLE) / CAST(n_eff AS DOUBLE) / 1000000000.0 AS m
+  FROM per
+),
+ord AS (
+  SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means
+),
+pt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+      AS psum_q
+  FROM purch
+)
+SELECT pt.n_events,
+  CAST(pt.psum_q AS DOUBLE) / CAST(pt.n_events AS DOUBLE) / 1000000000.0
+    AS point_mean,
+  (SELECT m FROM ord WHERE rn = 2) AS ci_lo,
+  (SELECT m FROM ord WHERE rn = {_BOOT_B - 1}) AS ci_hi
+FROM pt
+""",
+    doc="Deterministic Poisson bootstrap for the mean purchase value — "
+    "metric uncertainty WITHOUT rerunning the pipeline (Oza-Russell "
+    "online bootstrap; Chamandy et al.'s Poisson bootstrap for massive "
+    f"streams): each of {_BOOT_B} replicas reweights every event by a "
+    "Poisson(1) draw derived from md5(event_id, replica) — a pure "
+    "function both engines evaluate identically, so resampling is "
+    "reproducible and the whole estimator hash-gates. Per replica the "
+    "weighted mean reduces as exact fixed-point BIGINT sums; the "
+    "~95% interval is the 2nd/31st order statistic of the replica "
+    "means. Scale shape: ONE scan fans out x" f"{_BOOT_B} inside the "
+    "map stage (no extra I/O), the shuffle carries (replica, 2 "
+    "BIGINTs) = 32 rows of sufficient statistics, and the order "
+    "statistics run on the replica table — the uncertainty of any "
+    "pipeline aggregate for one extra scan-multiply, no resample "
+    "storage, no RNG state.",
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.text import hex_to_long
+    from cnc_visionsearch_spark.functions.vector import fixed_point_q
+
+    purch = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "value")
+    )
+    reps = purch.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).withColumn(
+        "h",
+        hex_to_long(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            )
+        ),
+    )
+    w = F.lit(len(_POIS_CUTS))
+    for i in range(len(_POIS_CUTS) - 1, -1, -1):
+        w = F.when(F.col("h") < _POIS_CUTS[i], F.lit(i)).otherwise(w)
+    per = (
+        reps.select("b", "value", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.sum(F.col("w") * fixed_point_q("value"))
+            .cast("bigint")
+            .alias("sum_q"),
+        )
+    )
+    means = per.select(
+        "b",
+        (
+            F.col("sum_q").cast("double")
+            / F.col("n_eff").cast("double")
+            / F.lit(1e9)
+        ).alias("m"),
+    )
+    # 32 replica means -> order statistics in one tiny sorted array
+    stats = means.agg(
+        F.sort_array(F.collect_list(F.struct("m", "b"))).alias("ms")
+    ).select(
+        F.col("ms")[1]["m"].alias("ci_lo"),
+        F.col("ms")[_BOOT_B - 2]["m"].alias("ci_hi"),
+    )
+    pt = purch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(fixed_point_q("value")).cast("bigint").alias("psum_q"),
+    ).select(
+        "n_events",
+        (
+            F.col("psum_q").cast("double")
+            / F.col("n_events").cast("double")
+            / F.lit(1e9)
+        ).alias("point_mean"),
+    )
+    return pt.crossJoin(F.broadcast(stats)).select(
+        "n_events", "point_mean", "ci_lo", "ci_hi"
+    )
