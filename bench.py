@@ -58,6 +58,13 @@ HEADLINE = [
     "text_search_topk",
     # lexical retrieval served from the persisted inverted index
     "text_inverted_bm25_topk",
+    # MaxScore/WAND lossless pruned retrieval (r5): the rare+common
+    # term mix where impact-ordered pruning carries the ranking shuffle
+    "text_maxscore_pruned_topk",
+    # residual-quantizer tier (r5): two-level trained codec probe
+    "ann_rq_trained_topk",
+    # span-level exact-substring dedup (r5)
+    "doc_duplicate_spans",
     # multimodal Arrow plumbing
     "mm_media_metadata",
     # data layout: Morton-key tile profile (the z-order pruning tier)

@@ -508,170 +508,3 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
-
-
-
-
-# ------------------------------ exact-substring duplicate-span extraction
-
-# Two planted passages built from tokens OUTSIDE the fixture vocabulary
-# (TESTDATA.md: the corpus draws from a small Spark-themed word list),
-# so no gram straddling a splice boundary can collide with organic text.
-_SPAN_HEAD = (
-    "omega kappa sigma delta theta lambda epsilon zeta iota rho "
-    "tau upsilon gamma beta alpha phi chi psi omicron nu"
-)
-_SPAN_TAIL = (
-    "quartz basalt gneiss schist marble granite pumice obsidian shale "
-    "slate flint chert jasper agate onyx topaz beryl garnet spinel zircon"
-)
-_SPAN_K = 8  # gram width (tokens) — Lee et al. use 50 BPE tokens; the
-# fixture docs are ~40 words, so 8 keeps multiple gram starts per plant
-
-
-@register(
-    "doc_duplicate_spans",
-    oracle=f"""
-WITH corpus AS (
-  SELECT doc_id, source,
-    CASE WHEN doc_id % 37 = 0 THEN '{_SPAN_HEAD} ' || text ELSE text END
-    || CASE WHEN doc_id % 41 = 0 THEN ' {_SPAN_TAIL}' ELSE '' END AS text
-  FROM documents
-),
-tk AS (
-  SELECT doc_id, source, string_split(text, ' ') AS tk FROM corpus
-  WHERE len(string_split(text, ' ')) >= {_SPAN_K}
-),
-grams AS (
-  SELECT doc_id, source, i,
-    md5(array_to_string(tk[i : i + {_SPAN_K} - 1], ' ')) AS gfp
-  FROM tk, unnest(range(1, len(tk) - {_SPAN_K} + 2)) AS t(i)
-),
-dupg AS (
-  SELECT gfp FROM grams GROUP BY gfp HAVING count(DISTINCT doc_id) >= 2
-),
-covered AS (
-  SELECT DISTINCT g.doc_id, g.source, g.i + o.o AS pos
-  FROM grams g JOIN dupg USING (gfp), unnest(range(0, {_SPAN_K})) AS o(o)
-),
-islands AS (
-  SELECT doc_id, source, pos,
-    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM covered
-),
-spans AS (
-  SELECT doc_id, source, grp,
-    CAST(min(pos) AS BIGINT) AS span_start,
-    CAST(count(*) AS BIGINT) AS span_len
-  FROM islands GROUP BY doc_id, source, grp
-)
-SELECT source,
-  CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_affected,
-  CAST(count(*) AS BIGINT) AS n_spans,
-  CAST(sum(span_len) AS BIGINT) AS dup_tokens,
-  CAST(max(span_len) AS BIGINT) AS max_span_len,
-  CAST(sum(span_len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_span_len
-FROM spans GROUP BY source ORDER BY source
-""",
-    doc="Exact-substring duplicate-SPAN extraction (Lee et al. 2022, "
-    "'Deduplicating Training Data Makes Language Models Better'): "
-    "MinHash flags near-duplicate DOCUMENTS, but verbatim passages "
-    "repeated across otherwise-distinct documents (licenses, quoted "
-    "headers, syndicated paragraphs) need span-level surgery — find "
-    f"every {_SPAN_K}-token gram shared by >= 2 documents, mark the "
-    "token positions it covers, and merge adjacent positions into "
-    "MAXIMAL spans per document (gaps-and-islands: pos - row_number "
-    "within the doc). The fixture corpus is random text, so two known "
-    "passages (vocabulary disjoint from the corpus word list — no "
-    "splice-boundary collisions) are planted deterministically IN "
-    "BOTH ENGINES: a 20-token head on doc_id%37==0 and a 20-token "
-    "tail on doc_id%41==0; doc 0 gets both and must yield two "
-    "separate islands. The detector must recover exactly the planted "
-    "token ranges. Per source: affected docs, span count, duplicated "
-    "tokens, max/avg span length. Scale shape: the shuffle key is the "
-    "16-byte gram md5 (text never shuffles); the duplicated-gram "
-    "table is a HAVING-filtered partial aggregate that at 100 TB is "
-    "orders of magnitude smaller than the gram stream, so the "
-    "flag-back is a semi-join against a small build side; the island "
-    "merge windows PER DOCUMENT — never a global sort. The spans "
-    "table (doc_id, start, len) is the input a surgical span-removal "
-    "rewrite pass consumes.",
-)
-def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    corpus = d.select(
-        "doc_id",
-        "source",
-        F.concat(
-            F.when(
-                F.col("doc_id") % 37 == 0,
-                F.lit(_SPAN_HEAD + " "),
-            ).otherwise(F.lit("")),
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 41 == 0,
-                F.lit(" " + _SPAN_TAIL),
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
-    tk = corpus.select(
-        "doc_id", "source", F.split("text", " ").alias("tk")
-    ).filter(F.size("tk") >= _SPAN_K)
-    grams = tk.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.sequence(F.lit(1), F.size("tk") - (_SPAN_K - 1))
-        ).alias("i"),
-        "tk",
-    ).select(
-        "doc_id",
-        "source",
-        "i",
-        F.md5(
-            F.array_join(F.slice("tk", F.col("i"), _SPAN_K), " ").cast(
-                "binary"
-            )
-        ).alias("gfp"),
-    )
-    # duplicated grams: a HAVING-filtered aggregate — tiny vs the gram
-    # stream at scale, so the flag-back below is a small-build semi-join
-    dupg = (
-        grams.groupBy("gfp")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gfp")
-    )
-    covered = (
-        grams.join(dupg, "gfp")
-        .select(
-            "doc_id",
-            "source",
-            F.explode(F.sequence(F.lit(0), F.lit(_SPAN_K - 1))).alias("o"),
-            "i",
-        )
-        .select("doc_id", "source", (F.col("i") + F.col("o")).alias("pos"))
-        .distinct()
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = covered.withColumn(
-        "grp", F.col("pos") - F.row_number().over(w)
-    )
-    spans = islands.groupBy("doc_id", "source", "grp").agg(
-        F.min("pos").alias("span_start"),
-        F.count(F.lit(1)).alias("span_len"),
-    )
-    return (
-        spans.groupBy("source")
-        .agg(
-            F.countDistinct("doc_id").alias("docs_affected"),
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum("span_len").cast("bigint").alias("dup_tokens"),
-            F.max("span_len").cast("bigint").alias("max_span_len"),
-            (
-                F.sum("span_len").cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("avg_span_len"),
-        )
-        .orderBy("source")
-    )

@@ -77,6 +77,7 @@ _MODULE_ORDER = [
     "cnc_visionsearch_spark.queries_rerank",
     "cnc_visionsearch_spark.queries_ann_graph",
     "cnc_visionsearch_spark.queries_analytics",
+    "cnc_visionsearch_spark.queries_dedup_ext",
 ]
 
 
@@ -149,6 +150,7 @@ def _load_all() -> None:
         queries_rerank,
         queries_ann_graph,
         queries_analytics,
+        queries_dedup_ext,
     )
 
     _LOADED = True
