@@ -1914,3 +1914,105 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pt.crossJoin(F.broadcast(stats)).select(
         "n_events", "point_mean", "ci_lo", "ci_hi"
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+WITH q AS (
+  SELECT event_type, event_id, ts,
+    CAST(floor(value * 1000000000.0 + 0.5) AS BIGINT) AS vq
+  FROM events
+),
+base AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM(vq) AS BIGINT) AS tot
+  FROM q GROUP BY event_type
+),
+walk AS (
+  SELECT q.event_type, q.event_id,
+    row_number() OVER w AS k,
+    SUM(q.vq) OVER w - row_number() OVER w * (b.tot // b.n) AS s
+  FROM q JOIN base b USING (event_type)
+  WINDOW w AS (PARTITION BY q.event_type ORDER BY q.ts, q.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+peak AS (
+  SELECT event_type,
+    max(struct_pack(a := abs(s), nk := -k, s := s, e := event_id)) AS p
+  FROM walk GROUP BY event_type
+)
+SELECT b.event_type, b.n AS n_events,
+  CAST(-(p.p.nk) AS BIGINT) AS peak_pos,
+  CAST(p.p.e AS BIGINT) AS peak_event_id,
+  CAST(p.p.s AS DOUBLE) / 1000000000.0 AS peak_dev,
+  CASE WHEN p.p.s >= 0 THEN 'up' ELSE 'down' END AS direction
+FROM base b JOIN peak p USING (event_type)
+ORDER BY b.event_type
+""",
+    doc="CUSUM changepoint detection (Page 1954) per event type: the "
+    "cumulative sum of deviations from the series mean peaks exactly "
+    "where the level shifts, so the arg-max of |CUSUM| is the maximum-"
+    "likelihood single changepoint — the 'WHEN did this metric move' "
+    "primitive behind deployment-regression and drift monitors. All "
+    "arithmetic is exact integers: values quantize at 1e-9, the "
+    "reference mean is an integer floor (tot DIV n), the walk is a "
+    "running BIGINT sum, and the peak is a lexicographic struct max "
+    "(|s|, earliest position) — bit-stable across engines, no float "
+    "accumulates across rows. Scale shape: one scan, per-key windows "
+    "(never a global sort), a dimension-sized peak table; the "
+    "streaming twin is the same statistic under "
+    "applyInPandasWithState with (cum, k) as the keyed state.",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import fixed_point_q
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts", fixed_point_q("value").alias("vq")
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vq").cast("bigint").alias("tot"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w = wo.rowsBetween(Window.unboundedPreceding, 0)
+    walk = (
+        ev.join(F.broadcast(base), "event_type")
+        .withColumn("k", F.row_number().over(wo))
+        .withColumn(
+            "s",
+            # FLOOR division in exact integers ((tot - pmod) DIV n):
+            # Spark's DIV truncates toward zero, DuckDB's // floors —
+            # they disagree on negative totals, and pmod closes the gap
+            F.sum("vq").over(w)
+            - F.col("k") * F.expr("(tot - pmod(tot, n)) DIV n"),
+        )
+    )
+    peak = walk.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.abs("s").alias("a"),
+                (-F.col("k")).alias("nk"),
+                F.col("s").alias("s"),
+                F.col("event_id").alias("e"),
+            )
+        ).alias("p")
+    )
+    return (
+        base.join(peak, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            (-F.col("p.nk")).cast("bigint").alias("peak_pos"),
+            F.col("p.e").cast("bigint").alias("peak_event_id"),
+            (F.col("p.s").cast("double") / F.lit(1e9)).alias("peak_dev"),
+            F.when(F.col("p.s") >= 0, "up").otherwise("down").alias(
+                "direction"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -2550,3 +2550,113 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ------------------------------------- item-item cosine recommender
+
+
+@register(
+    "part_item_item_recommender",
+    oracle="""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM lp GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+cab AS (SELECT pa, pb, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
+seeds AS (SELECT l_partkey FROM cnt ORDER BY n DESC, l_partkey ASC LIMIT 15),
+sim AS (
+  SELECT c.pa, c.pb, c.c,
+    CAST(c.c AS DOUBLE)
+      / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS cosine
+  FROM cab c
+  JOIN seeds s ON s.l_partkey = c.pa
+  JOIN cnt na ON na.l_partkey = c.pa
+  JOIN cnt nb ON nb.l_partkey = c.pb
+),
+ranked AS (
+  SELECT pa, pb, c, cosine,
+    row_number() OVER (PARTITION BY pa ORDER BY cosine DESC, pb ASC) AS rn
+  FROM sim
+)
+SELECT pa AS part_a, pb AS recommended, c AS n_joint, cosine,
+  CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 3
+ORDER BY part_a, rank
+""",
+    doc="Item-item collaborative filtering ('customers who bought X "
+    "also bought Y', Sarwar et al. WWW'01): cosine similarity over "
+    "basket co-occurrence vectors — sim(a,b) = c_ab / sqrt(n_a n_b) "
+    "from the SAME bounded basket-pair expansion the co-occurrence "
+    "and association-rules queries ride (an order holds <= 7 parts, "
+    "so the in-row expansion is O(21) and no table self-joins). "
+    "Top-3 recommendations for the 15 highest-traffic parts; counts "
+    "are exact integers and the cosine is one sqrt per ROW (no float "
+    "reduction). Scale: the pair count shuffle carries bigint "
+    "triples; seed filtering broadcasts 15 keys into the pair stream "
+    "so the ranked window sees seed rows only.",
+)
+def part_item_item_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.dedup import _bucket_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    cnt = lp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    baskets = (
+        lp.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    half = _bucket_pairs(baskets, "named_struct('pa', x, 'pb', y)").select(
+        F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb")
+    )
+    pairs = half.unionByName(
+        half.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    )
+    cab = pairs.groupBy("pa", "pb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    seeds = (
+        cnt.orderBy(F.col("n").desc(), F.col("l_partkey").asc())
+        .limit(15)
+        .select(F.col("l_partkey").alias("pa"))
+    )
+    sim = (
+        cab.join(F.broadcast(seeds), "pa")
+        .join(
+            F.broadcast(cnt.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb"))),
+            "pb",
+        )
+        .select(
+            "pa",
+            "pb",
+            "c",
+            (
+                F.col("c").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("pa").orderBy(
+        F.col("cosine").desc(), F.col("pb").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("recommended"),
+            F.col("c").alias("n_joint"),
+            "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("part_a", "rank")
+    )
