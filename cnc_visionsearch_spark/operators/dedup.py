@@ -230,6 +230,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.3,
     banded: DataFrame | None = None,
+    with_containment: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact verification.
 
@@ -285,6 +286,7 @@ def minhash_lsh_pairs(
         shingle_n=shingle_n,
         threshold=jaccard_threshold,
         candidates=candidates,
+        with_containment=with_containment,
     )
     return verified
 
@@ -342,6 +344,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.1,
     candidates: DataFrame | None = None,
+    with_containment: bool = False,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard similarity pairs >= threshold.
 
@@ -397,18 +400,26 @@ def ngram_jaccard_pairs(
         )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+    ).alias("jaccard")
+    joined = common.join(sa, "id_a").join(sb, "id_b")
+    if with_containment:
+        # Broder '97's second resemblance measure: |A∩B| / min(|A|,|B|)
+        # — the subset-duplication detector symmetric Jaccard misses
+        return joined.select(
             "id_a",
             "id_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
             (
                 F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+            jac,
+        ).filter(F.col("jaccard") >= threshold)
+    return joined.select("id_a", "id_b", jac).filter(
+        F.col("jaccard") >= threshold
     )
 
 

@@ -4171,3 +4171,125 @@ def text_maxscore_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxscore_pruned_topk(
         spark, path, list(_MAXSCORE_TERMS), k=10, n_buckets=_INV_BUCKETS
     )
+
+
+# ---------------------------------------------------------------------------
+# query-likelihood language-model retrieval (Dirichlet smoothing)
+
+_QL_TERMS = ("dup", "merge", "stream")
+_QL_MU = 300.0
+
+
+@register(
+    "text_query_likelihood_topk",
+    oracle=f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+qtok AS (SELECT doc_id, tok FROM tok
+         WHERE tok IN ({", ".join(f"'{t}'" for t in _QL_TERMS)})),
+tf AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN tok = '{_QL_TERMS[0]}' THEN 1 ELSE 0 END) AS DOUBLE) AS tf1,
+    CAST(SUM(CASE WHEN tok = '{_QL_TERMS[1]}' THEN 1 ELSE 0 END) AS DOUBLE) AS tf2,
+    CAST(SUM(CASE WHEN tok = '{_QL_TERMS[2]}' THEN 1 ELSE 0 END) AS DOUBLE) AS tf3
+  FROM qtok GROUP BY doc_id
+),
+cf AS (
+  SELECT
+    CAST(SUM(CASE WHEN tok = '{_QL_TERMS[0]}' THEN 1 ELSE 0 END) AS DOUBLE) AS cf1,
+    CAST(SUM(CASE WHEN tok = '{_QL_TERMS[1]}' THEN 1 ELSE 0 END) AS DOUBLE) AS cf2,
+    CAST(SUM(CASE WHEN tok = '{_QL_TERMS[2]}' THEN 1 ELSE 0 END) AS DOUBLE) AS cf3
+  FROM qtok
+),
+coll AS (SELECT CAST(SUM(dl) AS DOUBLE) AS c_len FROM dl),
+scored AS (
+  SELECT t.doc_id,
+    CAST((CASE WHEN t.tf1 > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN t.tf2 > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN t.tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+    ((t.tf1 + {_QL_MU} * (cf.cf1 / coll.c_len)) / (d.dl + {_QL_MU}))
+      * ((t.tf2 + {_QL_MU} * (cf.cf2 / coll.c_len)) / (d.dl + {_QL_MU}))
+      * ((t.tf3 + {_QL_MU} * (cf.cf3 / coll.c_len)) / (d.dl + {_QL_MU}))
+      AS score
+  FROM tf t JOIN dl d USING (doc_id), cf, coll
+)
+SELECT doc_id, n_terms, score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""",
+    doc=f"Query-likelihood retrieval for '{' '.join(_QL_TERMS)}' under "
+    f"Dirichlet smoothing, mu={_QL_MU:.0f} (Zhai & Lafferty SIGIR'01 — "
+    "Lucene's LMDirichletSimilarity): score = prod_t (tf + mu*P(t|C)) "
+    "/ (dl + mu), ranked over docs matching >= 1 term (the standard "
+    "index-driven shortcut; unmatched docs score below every match "
+    "under this smoothing). Served ENTIRELY from the inverted layout: "
+    "tf and the collection frequencies from the query terms' pruned "
+    "postings buckets, dl and |C| from the doclens norms table. The "
+    "product is a FIXED-ORDER three-factor row expression (never a "
+    "product aggregate, whose per-engine reduction order would break "
+    "the hash) mirrored textually in the oracle, which recomputes "
+    "everything from raw text. The second ranking model next to BM25 "
+    "— same probe shape, different statistics, zero corpus scan.",
+)
+def text_query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.text_index import (
+        read_doclens,
+        read_postings,
+        term_bucket,
+    )
+
+    path = ensure_inverted_built(spark, sf_dir)
+    buckets = sorted({term_bucket(t, _INV_BUCKETS) for t in _QL_TERMS})
+    posts = (
+        read_postings(spark, path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(list(_QL_TERMS)))
+        .select("term", "doc_id", F.col("tf").cast("double").alias("tf"))
+    )
+    tf = posts.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("term") == t, F.col("tf")).otherwise(0.0)
+            ).alias(f"tf{i + 1}")
+            for i, t in enumerate(_QL_TERMS)
+        ]
+    )
+    cf = posts.agg(
+        *[
+            F.sum(
+                F.when(F.col("term") == t, F.col("tf")).otherwise(0.0)
+            ).alias(f"cf{i + 1}")
+            for i, t in enumerate(_QL_TERMS)
+        ]
+    )
+    dl = read_doclens(spark, path).select(
+        "doc_id", F.col("dl").cast("double").alias("dl")
+    )
+    coll = dl.agg(F.sum("dl").cast("double").alias("c_len"))
+    mu = F.lit(_QL_MU)
+    factors = [
+        (F.col(f"tf{i + 1}") + mu * (F.col(f"cf{i + 1}") / F.col("c_len")))
+        / (F.col("dl") + mu)
+        for i in range(len(_QL_TERMS))
+    ]
+    n_terms = sum(
+        F.when(F.col(f"tf{i + 1}") > 0, 1).otherwise(0)
+        for i in range(len(_QL_TERMS))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(coll))
+        .select(
+            "doc_id",
+            n_terms.cast("bigint").alias("n_terms"),
+            (factors[0] * factors[1] * factors[2]).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )

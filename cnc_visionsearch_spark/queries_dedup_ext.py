@@ -31,6 +31,94 @@ _SPAN_K = 8  # gram width (tokens) — Lee et al. use 50 BPE tokens; the
 # fixture docs are ~40 words, so 8 keeps multiple gram starts per plant
 
 
+def _planted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, tk) with the two fixture passages planted —
+    shared by the span detector and the rewrite pass."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.concat(
+                F.when(
+                    F.col("doc_id") % 37 == 0, F.lit(_SPAN_HEAD + " ")
+                ).otherwise(F.lit("")),
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 41 == 0, F.lit(" " + _SPAN_TAIL)
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        .select("doc_id", "source", F.split("text", " ").alias("tk"))
+        .filter(F.size("tk") >= _SPAN_K)
+    )
+
+
+def _dup_spans(tk: DataFrame) -> DataFrame:
+    """(doc_id, source, span_start, span_len) — maximal cross-document
+    duplicated spans. Gram fingerprints shared by >= 2 docs mark the
+    intervals [i, i+K-1]; merging touching/overlapping intervals per
+    doc (running-max-end window — the interval form of
+    gaps-and-islands, identical spans to a position-set merge without
+    materializing K rows per gram) yields the maximal spans. The gram
+    table feeds BOTH the duplicated-gram aggregate and the flag-back
+    join, so it gets a lazy checkpoint barrier — without it Spark
+    re-tokenizes and re-hashes the whole corpus for the second
+    consumer (the same barrier discipline as the MinHash candidate
+    table in operators/dedup.py)."""
+    grams = tk.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(F.lit(1), F.size("tk") - (_SPAN_K - 1))
+        ).alias("i"),
+        "tk",
+    ).select(
+        "doc_id",
+        "source",
+        "i",
+        F.md5(
+            F.array_join(F.slice("tk", F.col("i"), _SPAN_K), " ").cast(
+                "binary"
+            )
+        ).alias("gfp"),
+    )
+    grams = grams.localCheckpoint(eager=False)
+    dupg = (
+        grams.groupBy("gfp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gfp")
+    )
+    flagged = grams.join(dupg, "gfp").select(
+        "doc_id", "source", "i", (F.col("i") + _SPAN_K - 1).alias("endp")
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = flagged.withColumn("prev_end", F.max("endp").over(wprev))
+    flagged = flagged.withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_end").isNull()
+            | (F.col("i") > F.col("prev_end") + 1),
+            1,
+        ).otherwise(0),
+    ).withColumn("gid", F.sum("new_island").over(wrun))
+    return flagged.groupBy("doc_id", "source", "gid").agg(
+        F.min("i").alias("span_start"),
+        (F.max("endp") - F.min("i") + 1).alias("span_len"),
+    )
+
+
+
 @register(
     "doc_duplicate_spans",
     oracle=f"""
@@ -100,69 +188,7 @@ FROM spans GROUP BY source ORDER BY source
     "rewrite pass consumes.",
 )
 def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    corpus = d.select(
-        "doc_id",
-        "source",
-        F.concat(
-            F.when(
-                F.col("doc_id") % 37 == 0,
-                F.lit(_SPAN_HEAD + " "),
-            ).otherwise(F.lit("")),
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 41 == 0,
-                F.lit(" " + _SPAN_TAIL),
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
-    tk = corpus.select(
-        "doc_id", "source", F.split("text", " ").alias("tk")
-    ).filter(F.size("tk") >= _SPAN_K)
-    grams = tk.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.sequence(F.lit(1), F.size("tk") - (_SPAN_K - 1))
-        ).alias("i"),
-        "tk",
-    ).select(
-        "doc_id",
-        "source",
-        "i",
-        F.md5(
-            F.array_join(F.slice("tk", F.col("i"), _SPAN_K), " ").cast(
-                "binary"
-            )
-        ).alias("gfp"),
-    )
-    # duplicated grams: a HAVING-filtered aggregate — tiny vs the gram
-    # stream at scale, so the flag-back below is a small-build semi-join
-    dupg = (
-        grams.groupBy("gfp")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gfp")
-    )
-    covered = (
-        grams.join(dupg, "gfp")
-        .select(
-            "doc_id",
-            "source",
-            F.explode(F.sequence(F.lit(0), F.lit(_SPAN_K - 1))).alias("o"),
-            "i",
-        )
-        .select("doc_id", "source", (F.col("i") + F.col("o")).alias("pos"))
-        .distinct()
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = covered.withColumn(
-        "grp", F.col("pos") - F.row_number().over(w)
-    )
-    spans = islands.groupBy("doc_id", "source", "grp").agg(
-        F.min("pos").alias("span_start"),
-        F.count(F.lit(1)).alias("span_len"),
-    )
+    spans = _dup_spans(_planted_tokens(spark, sf_dir))
     return (
         spans.groupBy("source")
         .agg(
@@ -263,66 +289,8 @@ ORDER BY c.source
     "shuffles.",
 )
 def doc_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    corpus = d.select(
-        "doc_id",
-        "source",
-        F.concat(
-            F.when(
-                F.col("doc_id") % 37 == 0, F.lit(_SPAN_HEAD + " ")
-            ).otherwise(F.lit("")),
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 41 == 0, F.lit(" " + _SPAN_TAIL)
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
-    tk = corpus.select(
-        "doc_id", "source", F.split("text", " ").alias("tk")
-    ).filter(F.size("tk") >= _SPAN_K)
-    grams = tk.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.sequence(F.lit(1), F.size("tk") - (_SPAN_K - 1))
-        ).alias("i"),
-        "tk",
-    ).select(
-        "doc_id",
-        "source",
-        "i",
-        F.md5(
-            F.array_join(F.slice("tk", F.col("i"), _SPAN_K), " ").cast(
-                "binary"
-            )
-        ).alias("gfp"),
-    )
-    dupg = (
-        grams.groupBy("gfp")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gfp")
-    )
-    covered = (
-        grams.join(dupg, "gfp")
-        .select(
-            "doc_id",
-            "source",
-            F.explode(F.sequence(F.lit(0), F.lit(_SPAN_K - 1))).alias("o"),
-            "i",
-        )
-        .select("doc_id", "source", (F.col("i") + F.col("o")).alias("pos"))
-        .distinct()
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    spans = (
-        covered.withColumn("grp", F.col("pos") - F.row_number().over(w))
-        .groupBy("doc_id", "source", "grp")
-        .agg(
-            F.min("pos").alias("span_start"),
-            F.count(F.lit(1)).alias("span_len"),
-        )
-    )
+    tk = _planted_tokens(spark, sf_dir)
+    spans = _dup_spans(tk)
     fspans = spans.join(tk.select("doc_id", "tk"), "doc_id").select(
         "doc_id",
         "source",
@@ -370,4 +338,90 @@ def doc_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("removal_ppm"),
         )
         .orderBy("source")
+    )
+
+
+# ------------------------------------------------- containment pairs
+
+from cnc_visionsearch_spark.queries_dedup import (  # noqa: E402
+    _MINHASH_16,
+    ensure_minhash_built,
+)
+
+
+@register(
+    "doc_containment_pairs",
+    oracle=f"""
+WITH {_MINHASH_16},
+sigs AS (
+  SELECT doc_id, list(h ORDER BY i) AS sig FROM hashes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, bs.b AS band_id,
+    sig[bs.b*4+1]::VARCHAR || ',' || sig[bs.b*4+2]::VARCHAR || ',' ||
+    sig[bs.b*4+3]::VARCHAR || ',' || sig[bs.b*4+4]::VARCHAR AS band_sig
+  FROM sigs, (SELECT unnest(range(4)) AS b) bs
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y USING (band_id, band_sig)
+  WHERE x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+    CAST(c.n_common AS BIGINT) AS n_common,
+    c.n_common::DOUBLE / least(sa.n_sh, sb.n_sh)::DOUBLE AS containment,
+    c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common)::DOUBLE AS jaccard
+  FROM common c
+  JOIN cand USING (id_a, id_b)
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, n_common, containment, jaccard
+FROM scored WHERE containment >= 0.5
+ORDER BY containment DESC, id_a ASC, id_b ASC
+""",
+    doc="CONTAINMENT near-dup pairs (Broder '97's other resemblance "
+    "measure): |A∩B| / min(|A|,|B|) over the same LSH candidate set "
+    "as the Jaccard pass — the detector for SUBSET duplication "
+    "(a short doc quoted wholesale inside a long one), which "
+    "symmetric Jaccard structurally under-scores (a 30-token quote "
+    "in a 400-token doc has Jaccard ~0.08 but containment ~1.0). "
+    "Candidates ride the SAME persisted banded-MinHash artifact as "
+    "minhash_lsh_neardup_pairs (build-once, probe-cheap); exact "
+    "shingle intersection verifies; both measures emitted so the "
+    "gap between them is the quote-inclusion signal. Scale shape "
+    "identical to the Jaccard pass: banded bucket join for "
+    "candidates, broadcast-candidate verification, shingle shuffles "
+    "keyed by md5.",
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    banded = spark.read.parquet(ensure_minhash_built(spark, sf_dir))
+    pairs = minhash_lsh_pairs(
+        d,
+        num_hashes=16,
+        bands=4,
+        shingle_n=3,
+        jaccard_threshold=0.0,
+        banded=banded,
+        with_containment=True,
+    )
+    return (
+        pairs.filter(F.col("containment") >= 0.5)
+        .select("id_a", "id_b", "n_common", "containment", "jaccard")
+        .orderBy(
+            F.col("containment").desc(),
+            F.col("id_a").asc(),
+            F.col("id_b").asc(),
+        )
     )

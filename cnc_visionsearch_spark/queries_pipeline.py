@@ -24,7 +24,7 @@ from cnc_visionsearch_spark.functions.text import (
     tokens,
 )
 from cnc_visionsearch_spark.functions.vector import FIXED_POINT_SQL, fixed_point_q
-from cnc_visionsearch_spark.queries_ann import _DIM, _IVF_CTE, _NORM_CTE
+from cnc_visionsearch_spark.queries_ann import _DIM, _IVF_CTE, _L2SQ, _NORM_CTE
 from cnc_visionsearch_spark.registry import register
 from cnc_visionsearch_spark.sources.catalog import load_table
 
@@ -3448,3 +3448,104 @@ def doc_data_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("effective_tokens"),
     ).orderBy("source")
+
+
+# ------------------------------------------- kNN label-quality eval
+
+_KNNC_K = 10
+
+
+@register(
+    "emb_knn_label_eval",
+    oracle=f"""
+WITH {_NORM_CTE},
+pairs AS (
+  SELECT q.vec_id AS qid, q.label AS qlabel, c.vec_id AS cid,
+    c.label AS clabel,
+    {_L2SQ.format(a="q.nvec", b="c.nvec")} AS d
+  FROM normed q JOIN normed c ON q.vec_id <> c.vec_id
+),
+topk AS (
+  SELECT qid, qlabel, clabel,
+    row_number() OVER (PARTITION BY qid ORDER BY d ASC, cid ASC) AS rn
+  FROM pairs
+),
+votes AS (
+  SELECT qid, qlabel, clabel, count(*) AS v
+  FROM topk WHERE rn <= {_KNNC_K}
+  GROUP BY qid, qlabel, clabel
+),
+pred AS (
+  SELECT qid, qlabel,
+    max(struct_pack(v := v, nl := -clabel)).nl * -1 AS plabel
+  FROM votes GROUP BY qid, qlabel
+)
+SELECT qlabel AS label,
+  CAST(count(*) AS BIGINT) AS n_vectors,
+  CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct,
+  CAST((SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) * 1000000)
+    // count(*) AS BIGINT) AS acc_ppm
+FROM pred GROUP BY qlabel ORDER BY qlabel
+""",
+    doc=f"Label-quality audit via leave-one-out {_KNNC_K}-NN majority "
+    "vote: every vector is classified by its neighbors' labels "
+    "(ties break toward the smaller label id) and per-class accuracy "
+    "comes out as exact integer ppm — low-accuracy classes mean "
+    "mislabeled or entangled data BEFORE a training run spends on it "
+    "(the embedding-space twin of confident-learning label audits). "
+    "Engine plan: the corpus streams through ONE broadcast "
+    "nested-loop kNN join (queries = the corpus itself) with "
+    "WindowGroupLimit per-query top-k; votes and accuracy are two "
+    "integer aggregates. At 100 TB the eval runs on a STRATIFIED "
+    "SAMPLE via the same operator, or swaps the exact join for "
+    "ann.ivf_knn_join_probe at full nprobe — same downstream "
+    "semantics, partition-pruned scan.",
+)
+def emb_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.knn import knn_join, with_normalized
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        "nvec",
+    )
+    hits = knn_join(
+        queries,
+        emb.select("vec_id", "label", "nvec"),
+        k=_KNNC_K + 1,  # self lands at rank 1 with distance 0
+        query_id="qid",
+        query_vec="nvec",
+    ).filter(F.col("qid") != F.col("vec_id"))
+    hits = hits.filter(F.col("rank") <= _KNNC_K + 1)
+    labels = emb.select("vec_id", F.col("label").alias("clabel"))
+    votes = (
+        hits.join(labels, "vec_id")
+        .groupBy("qid", "clabel")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    pred = votes.groupBy("qid").agg(
+        (
+            F.max(
+                F.struct(F.col("v").alias("v"), (-F.col("clabel")).alias("nl"))
+            )["nl"]
+            * -1
+        ).alias("plabel")
+    )
+    ql = emb.select(F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"))
+    return (
+        pred.join(ql, "qid")
+        .groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.when(F.col("plabel") == F.col("qlabel"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.expr(
+                "CAST((SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) "
+                "* 1000000) DIV COUNT(*) AS BIGINT)"
+            ).alias("acc_ppm"),
+        )
+        .orderBy("label")
+    )
