@@ -405,18 +405,50 @@ def _without_tombstones(spark, path: str, cells: DataFrame, id_col: str) -> Data
 
 
 def _vacuum_layout(
-    spark, path: str, subs: tuple[str, ...], part_col: str, id_col: str
+    spark,
+    path: str,
+    subs: tuple[str, ...],
+    part_col: str,
+    id_col: str,
+    drop_tombstones: bool = True,
 ) -> None:
     """Shared vacuum: rewrite ONLY the partitions of each ``subs``
     table that contain tombstoned rows (touched set resolved from the
     first table — bounded by the tombstone set's partition spread, not
     the corpus), then drop the tombstone dir. Untouched partitions keep
     their files byte-identical; results are unchanged by construction
-    (the probe anti-join already hid the rows)."""
+    (the probe anti-join already hid the rows). Each rewritten
+    partition swaps in crash-safely (live -> .bak, tmp -> live, drop
+    .bak — a rmtree-then-rename order loses the partition forever if
+    the process dies between the calls; same discipline as
+    :func:`_swap_artifact_dir` and text_index's vacuum) with
+    self-heal-on-entry for leftovers of an earlier crash.
+    ``drop_tombstones=False`` lets a caller vacuum SEVERAL tables with
+    different partition columns against one tombstone set before
+    retiring it."""
     import shutil
 
     tdir = f"{path}/tombstones"
     if not os.path.exists(tdir):
+        return
+    for sub in subs:
+        base = f"{path}/{sub}"
+        if not os.path.isdir(base):
+            continue
+        for name in os.listdir(base):
+            full = os.path.join(base, name)
+            if name.endswith(".vacuum_bak"):
+                live = full[: -len(".vacuum_bak")]
+                if not os.path.exists(live):
+                    os.rename(full, live)
+                else:
+                    shutil.rmtree(full)
+            elif name.endswith(".vacuum_tmp"):
+                shutil.rmtree(full)
+    subs = tuple(s2 for s2 in subs if os.path.exists(f"{path}/{s2}"))
+    if not subs:
+        if drop_tombstones:
+            shutil.rmtree(tdir)
         return
     tombs = spark.read.parquet(tdir).select(id_col).distinct()
     first = spark.read.parquet(f"{path}/{subs[0]}")
@@ -428,8 +460,6 @@ def _vacuum_layout(
         .collect()
     ]
     for sub in subs:
-        if not os.path.exists(f"{path}/{sub}"):
-            continue
         for pv in touched:
             part = f"{path}/{sub}/{part_col}={pv}"
             if not os.path.exists(part):
@@ -437,11 +467,12 @@ def _vacuum_layout(
             kept = spark.read.parquet(part).join(
                 F.broadcast(tombs), id_col, "left_anti"
             )
-            tmp = part + ".vacuum_tmp"
-            kept.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(part)
-            os.rename(tmp, part)
-    shutil.rmtree(tdir)
+            kept.write.mode("overwrite").parquet(part + ".vacuum_tmp")
+            os.rename(part, part + ".vacuum_bak")
+            os.rename(part + ".vacuum_tmp", part)
+            shutil.rmtree(part + ".vacuum_bak")
+    if drop_tombstones:
+        shutil.rmtree(tdir)
 
 
 def ivf_vacuum(spark, path: str, id_col: str = "vec_id") -> None:
@@ -451,8 +482,15 @@ def ivf_vacuum(spark, path: str, id_col: str = "vec_id") -> None:
     when the layout carries them (both the stride and the trained code
     tables — a vacuum that skipped one would resurrect deleted ids on
     that probe path the moment the tombstone set is dropped); restores
-    tombstone-free probe plans.
+    tombstone-free probe plans. An ``rq_codes`` table (the residual-
+    quantizer tier, partitioned by its own coarse cell ``c1``) vacuums
+    against the SAME tombstone set first, for the same
+    no-resurrection reason.
     """
+    if os.path.exists(f"{path}/rq_codes"):
+        _vacuum_layout(
+            spark, path, ("rq_codes",), "c1", id_col, drop_tombstones=False
+        )
     _vacuum_layout(
         spark, path, ("cells", "pq_codes", "pq_trained_codes"), "cell_id", id_col
     )

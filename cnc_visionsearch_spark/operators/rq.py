@@ -164,7 +164,11 @@ def rq_probe_topk(
     codegen fold; production would precompute per-cell LUTs, same
     result), keep the best ``depth``, and fp64-rescore those from the
     canonical embeddings table. Probe cells are planner state: a
-    <= nprobe driver-side collect, like every IVF probe here."""
+    <= nprobe driver-side collect, like every IVF probe here. Codes
+    read through the layout's shared tombstone filter, so deletes via
+    ivf_delete disappear from this tier immediately too."""
+    from cnc_visionsearch_spark.operators.ann import _without_tombstones
+
     qcol = F.array(*[F.lit(float(x)) for x in qvec]).cast("array<double>")
     cb1 = spark.read.parquet(f"{path}/rq_codebook_l1")
     cb2 = spark.read.parquet(f"{path}/rq_codebook_l2")
@@ -175,8 +179,13 @@ def rq_probe_topk(
         .limit(nprobe)
         .collect()  # bounded: <= nprobe rows by construction
     ]
-    codes = spark.read.parquet(f"{path}/rq_codes").filter(
-        F.col("c1").isin(probe_cells)
+    codes = _without_tombstones(
+        spark,
+        path,
+        spark.read.parquet(f"{path}/rq_codes").filter(
+            F.col("c1").isin(probe_cells)
+        ),
+        id_col,
     )
     recon = F.zip_with("cv1", "cv2", lambda a, b: a + b)
     cand = (

@@ -486,3 +486,43 @@ def test_rq_append_equals_full_reencode(spark, tmp_path, emb):
         .collect()
     }
     assert stored == expect
+
+
+def test_rq_delete_hides_then_vacuum_retires(spark, tmp_path, emb):
+    """The RQ tier honors the layout's shared tombstone set: deleted
+    ids vanish from the probe immediately, vacuum rewrites only the
+    touched c1 partitions (crash-safe swap) and drops the tombstones,
+    and the probe result is unchanged after physical removal."""
+    from cnc_visionsearch_spark.operators.ann import ivf_delete, ivf_vacuum
+    from cnc_visionsearch_spark.operators.rq import rq_build, rq_probe_topk
+
+    import os
+
+    path = str(tmp_path / "rq_del")
+    rq_build(spark, path, emb, k1=8, k2=16, iters=2)
+    q = _norm_q(emb, 11)
+    before = rq_probe_topk(
+        spark, path, q, emb, k=5, nprobe=8, depth=emb.count()
+    ).collect()
+    victims = [r.vec_id for r in before[1:3]]
+    ivf_delete(spark, path, victims)
+    emb_alive = emb.filter(~F.col("vec_id").isin(victims))
+    after = rq_probe_topk(
+        spark, path, q, emb_alive, k=5, nprobe=8, depth=emb.count()
+    ).collect()
+    got_ids = [r.vec_id for r in after]
+    assert not set(victims) & set(got_ids)
+    ivf_vacuum(spark, path)
+    assert not os.path.exists(f"{path}/tombstones")
+    assert (
+        spark.read.parquet(f"{path}/rq_codes")
+        .filter(F.col("vec_id").isin(victims))
+        .count()
+        == 0
+    )
+    post = rq_probe_topk(
+        spark, path, q, emb_alive, k=5, nprobe=8, depth=emb.count()
+    ).collect()
+    assert [(r.vec_id, r.distance) for r in post] == [
+        (r.vec_id, r.distance) for r in after
+    ]
