@@ -2016,3 +2016,106 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# survival analysis: repurchase hazard table
+
+
+@register(
+    "events_repurchase_hazard",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+mx AS (SELECT max(ts) AS end_ts FROM p),
+seq AS (
+  SELECT user_id, ts,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM p
+),
+gaps AS (
+  SELECT
+    CASE WHEN nxt IS NOT NULL
+      THEN date_diff('second', ts, nxt) // 86400
+      ELSE date_diff('second', ts, (SELECT end_ts FROM mx)) // 86400
+    END AS dur,
+    CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS complete
+  FROM seq
+),
+by_dur AS (
+  SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
+    CAST(sum(complete) AS BIGINT) AS n_events
+  FROM gaps GROUP BY dur
+),
+risk AS (
+  SELECT dur, n_events,
+    SUM(n_all) OVER (ORDER BY dur DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS n_at_risk
+  FROM by_dur
+)
+SELECT CAST(dur AS BIGINT) AS duration_days,
+  CAST(n_at_risk AS BIGINT) AS n_at_risk, n_events,
+  CAST((n_events * 1000000) // n_at_risk AS BIGINT) AS hazard_ppm
+FROM risk WHERE n_events > 0
+ORDER BY duration_days ASC
+LIMIT 30
+""",
+    doc="Discrete-time survival hazard for repurchase (the "
+    "Kaplan-Meier ingredients): each inter-purchase gap is a "
+    "duration, a user's open gap to the observation end is a "
+    "CENSORED duration (it joins every risk set it survives but "
+    "never counts as an event — dropping censored spells is the "
+    "classic churn-analysis bias), and hazard(d) = events-at-d / "
+    "at-risk-at-d in exact integer ppm. The at-risk set is a "
+    "descending cumulative sum over the duration histogram, so no "
+    "per-duration rescan of the gaps. First 30 event-bearing "
+    "durations. Scale shape: per-user lead() windows (per-key, "
+    "never global), one histogram aggregate, one window over the "
+    "dimension-sized duration table.",
+)
+def events_repurchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+    )
+    end_ts = p.agg(F.max("ts").alias("end_ts"))
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = p.withColumn("nxt", F.lead("ts").over(wu)).crossJoin(
+        F.broadcast(end_ts)
+    )
+    dur = F.when(
+        F.col("nxt").isNotNull(),
+        F.expr(
+            "(unix_timestamp(nxt) - unix_timestamp(ts)) DIV 86400"
+        ),
+    ).otherwise(
+        F.expr("(unix_timestamp(end_ts) - unix_timestamp(ts)) DIV 86400")
+    )
+    gaps = seq.select(
+        dur.alias("dur"),
+        F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("complete"),
+    )
+    by_dur = gaps.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("complete").cast("bigint").alias("n_events"),
+    )
+    wr = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = by_dur.withColumn("n_at_risk", F.sum("n_all").over(wr))
+    return (
+        risk.filter(F.col("n_events") > 0)
+        .select(
+            F.col("dur").cast("bigint").alias("duration_days"),
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            "n_events",
+            F.expr(
+                "CAST((n_events * 1000000) DIV n_at_risk AS BIGINT)"
+            ).alias("hazard_ppm"),
+        )
+        .orderBy(F.col("duration_days").asc())
+        .limit(30)
+    )

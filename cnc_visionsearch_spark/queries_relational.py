@@ -2660,3 +2660,86 @@ def part_item_item_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_a", "rank")
     )
+
+
+# ------------------------------------------------ Benford first-digit audit
+
+# log10(1 + 1/d) for d = 1..9, embedded as shared literals in both
+# engines (no runtime log() — libm is not a cross-engine contract)
+_BENFORD_P = {
+    1: 0.301029995664,
+    2: 0.176091259056,
+    3: 0.124938736608,
+    4: 0.09691001300806,
+    5: 0.079181246048,
+    6: 0.066946789631,
+    7: 0.057991946978,
+    8: 0.051152522447,
+    9: 0.045757490561,
+}
+
+
+@register(
+    "lineitem_benford_audit",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+              1, 1) AS BIGINT) AS d
+  FROM lineitem WHERE l_extendedprice >= 1
+),
+obs AS (SELECT d, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY d),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+expect(d, p) AS (VALUES
+  {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_P.items()))})
+SELECT e.d AS leading_digit,
+  CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+  e.p * CAST(t.n AS DOUBLE) AS expected_n,
+  (CAST(coalesce(o.n_obs, 0) AS DOUBLE) - e.p * CAST(t.n AS DOUBLE))
+    * (CAST(coalesce(o.n_obs, 0) AS DOUBLE) - e.p * CAST(t.n AS DOUBLE))
+    / (e.p * CAST(t.n AS DOUBLE)) AS chi2_term
+FROM expect e LEFT JOIN obs o ON o.d = e.d, tot t
+ORDER BY e.d
+""",
+    doc="Benford's-law first-digit audit over line-item extended "
+    "prices — the classic fraud / fabricated-data screen (Nigrini "
+    "'96): naturally occurring multiplicative amounts follow "
+    "P(d) = log10(1 + 1/d), and a digit row whose chi-square term "
+    "explodes marks injected or clipped values. The nine expected "
+    "proportions are EMBEDDED LITERALS (no runtime log(), which is "
+    "not a cross-engine contract); the first digit comes from the "
+    "DECIMAL(18,2) string form so both engines see identical "
+    "rendering; counts are exact and each chi-square term is one "
+    "per-row double chain. One scan, a 9-row aggregate, a broadcast "
+    "constant table.",
+)
+def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    digits = li.filter(F.col("l_extendedprice") >= 1).select(
+        F.substring(
+            F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    expect = spark.createDataFrame(
+        sorted(_BENFORD_P.items()), "d bigint, p double"
+    )
+    en = F.col("p") * F.col("n").cast("double")
+    nobs = F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint")
+    nobs_d = nobs.cast("double")
+    return (
+        F.broadcast(expect)
+        .join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("leading_digit"),
+            nobs.alias("n_obs"),
+            en.alias("expected_n"),
+            ((nobs_d - en) * (nobs_d - en) / en).alias("chi2_term"),
+        )
+        .orderBy("leading_digit")
+    )

@@ -693,3 +693,17 @@ def test_sequence_pattern_single_user_shuffle(spark, queries):
     df = queries["events_sequence_pattern_match"](spark, SF)
     for schema in exchange_inputs(df):
         assert "props" not in schema, schema
+
+
+def test_maxscore_and_ql_probes_read_index_only(spark, queries):
+    """The two additional ranking models (MaxScore-pruned BM25,
+    Dirichlet query likelihood) are served from the inverted layout
+    only — no documents scan — with bucket-pruned postings reads."""
+    for name in ("text_maxscore_pruned_topk", "text_query_likelihood_topk"):
+        df = queries[name](spark, SF)
+        files = df.inputFiles()
+        assert files and all("inverted" in f for f in files), name
+        pf = [
+            ln for ln in plan_of(df).splitlines() if "PartitionFilters" in ln
+        ]
+        assert pf and any("bucket" in ln and "IN (" in ln for ln in pf), name
