@@ -548,6 +548,11 @@ def maxscore_pruned_topk(
     scored = joined.select(
         "term", "doc_id", fixed_point_q(term_score).alias("sq")
     )
+    # the slice feeds three actions (impact bounds, θ, final ranking);
+    # the lazy barrier computes the pruned read + doclens join once
+    # instead of three times (same discipline as the dedup candidate
+    # table)
+    scored = scored.localCheckpoint(eager=False)
 
     def _topk(df: DataFrame) -> DataFrame:
         return (
