@@ -353,3 +353,84 @@ def ewma_trend_stream(hourly: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------------------
+# streaming sequence-pattern matcher (MATCH_RECOGNIZE twin)
+
+_SEQ_STATE = StructType(
+    [
+        StructField("in_run", LongType()),
+        StructField("cur_len", LongType()),
+        StructField("n_matches", LongType()),
+        StructField("longest", LongType()),
+    ]
+)
+
+_SEQ_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_matches", LongType()),
+        StructField("longest", LongType()),
+    ]
+)
+
+
+def _seq_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        in_run, cur_len, n_matches, longest = state.get
+    else:
+        in_run, cur_len, n_matches, longest = 0, 0, 0, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for sym in pdf["event_type"].str[:1]:
+            if sym == "v":
+                if in_run:
+                    cur_len += 1
+                else:
+                    in_run, cur_len = 1, 1
+            elif sym == "c":
+                if in_run:
+                    cur_len += 1
+            elif sym == "p":
+                if in_run:
+                    cur_len += 1
+                    n_matches += 1
+                    longest = max(longest, cur_len)
+                    in_run, cur_len = 0, 0
+            else:  # error / signup break the run
+                in_run, cur_len = 0, 0
+    state.update((in_run, cur_len, n_matches, longest))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "n_matches": n_matches,
+                "longest": longest,
+            }
+        ]
+    )
+
+
+def sequence_match_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of events_sequence_pattern_match: the regex
+    ``v[vc]*p`` compiled into its two-state DFA and run as keyed
+    GroupState — (in_run, current_run_length, matches, longest) per
+    user, four longs, updated across micro-batches. The batch query
+    builds each user's full symbol string and counts non-overlapping
+    regex matches; this operator never materializes the string (the
+    DFA IS the unfinished suffix), so state stays O(1) per key no
+    matter how long the history grows — the reason MATCH_RECOGNIZE
+    engines compile patterns to automata. Contract: per-key
+    event-time order within and across micro-batches (same as the
+    EWMA twin; rows sort by (ts, event_id) inside each batch)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _seq_update,
+        outputStructType=_SEQ_OUT,
+        stateStructType=_SEQ_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

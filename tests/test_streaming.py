@@ -1112,3 +1112,58 @@ def test_hnsw_ingest_stream_inserts_reachable_nodes(spark, tmp_path):
         int(spark.read.parquet(f"{path}/entry").first()["level"])
         >= base_entry_lvl
     )
+
+
+def test_sequence_match_stream_matches_batch_regex(spark, tmp_path):
+    """The streaming DFA (4 longs of keyed state, no string ever
+    materialized) must land on exactly the batch regex's
+    non-overlapping match counts and longest-match lengths,
+    aggregated to the registered query's histogram."""
+    from cnc_visionsearch_spark.queries_events import (
+        events_sequence_pattern_match,
+    )
+    from cnc_visionsearch_spark.streaming.stateful import (
+        sequence_match_stream,
+    )
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cut = ev.agg(F.expr("percentile(cast(ts as long), 0.5)")).first()[0]
+    chunks = [
+        ev.filter(F.col("ts").cast("long") <= cut),
+        ev.filter(F.col("ts").cast("long") > cut),
+    ]
+    stream_dir = _write_chunks(spark, str(tmp_path / "in"), chunks)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    out_rows = []
+    q = (
+        sequence_match_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: out_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    final = {}
+    for r in out_rows:  # last update per user wins
+        final[r.user_id] = r
+    # aggregate to the registered query's histogram
+    from collections import defaultdict
+
+    hist = defaultdict(lambda: [0, 0])  # n_matches -> [n_users, max_run]
+    for r in final.values():
+        h = hist[r.n_matches]
+        h[0] += 1
+        h[1] = max(h[1], r.longest)
+    batch = {
+        r.n_matches: (r.n_users, r.max_run_len)
+        for r in events_sequence_pattern_match(spark, SF).collect()
+    }
+    assert {k: tuple(v) for k, v in hist.items()} == batch and batch
