@@ -61,6 +61,9 @@ HEADLINE = [
     # MaxScore/WAND lossless pruned retrieval (r5): the rare+common
     # term mix where impact-ordered pruning carries the ranking shuffle
     "text_maxscore_pruned_topk",
+    # percolator / stored-query reverse search (r5): broadcast query
+    # table over bucket-pruned postings
+    "text_percolator_matches",
     # residual-quantizer tier (r5): two-level trained codec probe
     "ann_rq_trained_topk",
     # span-level exact-substring dedup (r5)

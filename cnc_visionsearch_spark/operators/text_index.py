@@ -552,6 +552,10 @@ def maxscore_pruned_topk(
     # the lazy barrier computes the pruned read + doclens join once
     # instead of three times (same discipline as the dedup candidate
     # table)
+    if introspect is not None:  # test hook: the barrier severs file
+        # lineage on everything downstream, so expose the pre-barrier
+        # slice for index-only / bucket-pruning plan assertions
+        introspect["scored_slice"] = scored
     scored = scored.localCheckpoint(eager=False)
 
     def _topk(df: DataFrame) -> DataFrame:
@@ -606,3 +610,40 @@ def maxscore_pruned_topk(
             {"u": u, "theta": theta, "essential": sorted(essential)}
         )
     return _topk(scored.join(F.broadcast(cand), "doc_id"))
+
+
+def percolate_docs(
+    docs: DataFrame, queries: list[tuple[str, tuple[str, ...]]]
+) -> DataFrame:
+    """Match a batch of documents against STORED conjunctive queries —
+    the operator core shared by the index-served registered query
+    (queries_analytics.text_percolator_matches aggregates its output
+    shape from postings) and the streaming alerting twin
+    (streaming/pipelines.percolator_stream): explode each doc's
+    distinct whitespace tokens (the corpus tokenization convention),
+    join the broadcast (query_name, term, n_terms) table, and a
+    (query_name, doc_id)-keyed count equal to the query's term count
+    IS the AND match. Returns (query_name, doc_id) alert pairs.
+
+    Stateless by design: percolation is a per-document decision, so
+    the streaming twin needs no keyed state, no watermark — each
+    micro-batch is matched independently, which is why alerting
+    engines scale horizontally on ingest."""
+    s = docs.sparkSession
+    qdf = s.createDataFrame(
+        [(n, t, len(ts)) for n, ts in queries for t in ts],
+        "query_name string, term string, n_terms int",
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias(
+            "term"
+        ),
+    )
+    return (
+        toks.join(F.broadcast(qdf), "term")
+        .groupBy("query_name", "n_terms", "doc_id")
+        .agg(F.count(F.lit(1)).alias("hit"))
+        .filter(F.col("hit") == F.col("n_terms"))
+        .select("query_name", "doc_id")
+    )

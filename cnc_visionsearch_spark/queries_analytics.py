@@ -4293,3 +4293,211 @@ def text_query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# one-way ANOVA: does mean order quantity differ across return flags?
+
+@register(
+    "lineitem_returnflag_anova",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag,
+    CAST(count(*) AS BIGINT) AS n_g,
+    CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS s_g,
+    CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+           * CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q_g
+  FROM lineitem GROUP BY 1
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+    CAST(SUM(n_g) AS BIGINT) AS n,
+    CAST(SUM(s_g) AS BIGINT) AS s,
+    CAST(SUM(q_g) AS BIGINT) AS q,
+    CAST(SUM(CAST(FLOOR(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                          / CAST(n_g AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS sb_q
+  FROM g
+)
+SELECT k AS n_groups, n AS n_rows,
+  (CAST(sb_q AS DOUBLE) / 1000000.0
+     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+    AS ss_between,
+  (CAST(q AS DOUBLE) - CAST(sb_q AS DOUBLE) / 1000000.0) AS ss_within,
+  ((CAST(sb_q AS DOUBLE) / 1000000.0
+      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+     / CAST(k - 1 AS DOUBLE))
+    / ((CAST(q AS DOUBLE) - CAST(sb_q AS DOUBLE) / 1000000.0)
+         / CAST(n - k AS DOUBLE)) AS f_stat
+FROM t
+""",
+    doc="One-way ANOVA F-statistic of order quantity across the three "
+    "return flags — the continuous-response sibling of "
+    "events_type_hour_chi2 (which tests two categoricals). Sufficient "
+    "statistics only: ONE partial-aggregating shuffle produces per-"
+    "group (n, sum, sum-of-squares) as exact BIGINTs (quantity is "
+    "integral by contract, round-cast both sides), the 3-row group "
+    "table reduces to the scalar F via the textbook decomposition "
+    "SS_between = sum S_g^2/n_g - S^2/N, SS_within = Q - sum "
+    "S_g^2/n_g. The one libm-sensitive spot — the per-group "
+    "S_g^2/n_g double division — is 1e6-quantized to BIGINT before "
+    "the cross-group sum, the repo's standard fixed-point discipline, "
+    "so the reduction is an exact integer sum and the final F is one "
+    "deterministic scalar chain. At 100 TB this is the canonical "
+    "sufficient-statistics pattern: no row ever leaves its partition "
+    "unaggregated, the shuffle carries 3 rows x 4 longs.",
+)
+def lineitem_returnflag_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(qty).cast("bigint").alias("s_g"),
+        F.sum(qty * qty).cast("bigint").alias("q_g"),
+    )
+    term_q = F.floor(
+        F.col("s_g").cast("double")
+        * F.col("s_g").cast("double")
+        / F.col("n_g").cast("double")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("q_g").cast("bigint").alias("q"),
+        F.sum(term_q).cast("bigint").alias("sb_q"),
+    )
+    sb = F.col("sb_q").cast("double") / F.lit(1000000.0)
+    grand = (
+        F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    )
+    ss_between = sb - grand
+    ss_within = F.col("q").cast("double") - sb
+    f_stat = (ss_between / (F.col("k") - F.lit(1)).cast("double")) / (
+        ss_within / (F.col("n") - F.col("k")).cast("double")
+    )
+    return t.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        ss_between.alias("ss_between"),
+        ss_within.alias("ss_within"),
+        f_stat.alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# percolator: stored-query reverse search over the inverted layout
+
+# name -> conjunctive term set; one rare-term query, two common-term
+# ANDs, and one impossible term to pin the zero-match row
+_PERC_QUERIES = (
+    ("alert_dup_vector", ("dup", "vector")),
+    ("alert_stream_merge_sort", ("stream", "merge", "sort")),
+    ("alert_spark_window", ("spark", "window")),
+    ("alert_never_fires", ("zzzunseen",)),
+)
+
+
+def _perc_query_sql() -> str:
+    rows = []
+    for name, terms in _PERC_QUERIES:
+        for t in terms:
+            rows.append(
+                f"SELECT '{name}' AS query_name, '{t}' AS term, "
+                f"{len(terms)} AS n_terms"
+            )
+    return " UNION ALL ".join(rows)
+
+
+@register(
+    "text_percolator_matches",
+    oracle=f"""
+WITH q AS ({_perc_query_sql()}),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+m AS (
+  SELECT q.query_name, tok.doc_id
+  FROM q JOIN tok USING (term)
+  GROUP BY q.query_name, q.n_terms, tok.doc_id
+  HAVING count(*) = q.n_terms
+),
+agg AS (
+  SELECT query_name, CAST(count(*) AS BIGINT) AS n_matches,
+    MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+  FROM m GROUP BY 1
+)
+SELECT n.query_name,
+  CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_matches,
+  a.first_doc, a.last_doc
+FROM (SELECT DISTINCT query_name FROM q) n
+LEFT JOIN agg a USING (query_name)
+""",
+    doc="Percolator / reverse search (Elasticsearch's percolate query, "
+    "Lucene's MemoryIndex alerting pattern): a table of STORED "
+    "conjunctive queries is matched against the corpus, answering "
+    "'which standing alerts does each document trigger' — the "
+    "saved-search / alerting primitive every monitoring product "
+    "builds on retrieval. Served from the inverted layout: the stored "
+    "queries explode to (query_name, term) rows (planner-state-sized, "
+    "broadcast), join postings read bucket-pruned to the union of the "
+    "queries' term buckets, and a (query_name, doc_id)-keyed count "
+    "equal to the query's term count IS the AND match — ids-only "
+    "shuffle, never text. At 100 TB (and millions of stored queries) "
+    "the same plan holds with the broadcast replaced by a term-keyed "
+    "shuffle join: the exploded query table IS the query index, "
+    "exactly how percolation engines invert the problem. A "
+    "never-matching stored query stays in the output at zero via the "
+    "query-dim left join — alert inventories must not silently drop "
+    "dead rules.",
+)
+def text_percolator_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.text_index import (
+        read_postings,
+        term_bucket,
+    )
+
+    path = ensure_inverted_built(spark, sf_dir)
+    all_terms = sorted({t for _, ts in _PERC_QUERIES for t in ts})
+    buckets = sorted({term_bucket(t, _INV_BUCKETS) for t in all_terms})
+    qdf = spark.createDataFrame(
+        [
+            (name, t, len(terms))
+            for name, terms in _PERC_QUERIES
+            for t in terms
+        ],
+        "query_name string, term string, n_terms int",
+    )
+    posts = (
+        read_postings(spark, path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(all_terms))
+        .select("term", "doc_id")
+    )
+    matched = (
+        posts.join(F.broadcast(qdf), "term")
+        .groupBy("query_name", "n_terms", "doc_id")
+        .agg(F.count(F.lit(1)).alias("hit"))
+        .filter(F.col("hit") == F.col("n_terms"))
+    )
+    agg = matched.groupBy("query_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+    names = spark.createDataFrame(
+        [(n,) for n, _ in _PERC_QUERIES], "query_name string"
+    )
+    return names.join(agg, "query_name", "left").select(
+        "query_name",
+        F.coalesce(F.col("n_matches"), F.lit(0).cast("bigint")).alias(
+            "n_matches"
+        ),
+        "first_doc",
+        "last_doc",
+    )

@@ -2119,3 +2119,81 @@ def events_repurchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("duration_days").asc())
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# behavioral diversity: inverse-Simpson effective event-type count
+
+@register(
+    "events_user_diversity_profile",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id,
+    CAST(SUM(c) AS BIGINT) AS n_events,
+    CAST(SUM(c * c) AS BIGINT) AS sum_sq
+  FROM c GROUP BY 1
+),
+d AS (
+  SELECT user_id, n_events,
+    CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)
+      / CAST(sum_sq AS DOUBLE) AS inv_simpson
+  FROM u
+)
+SELECT CAST(FLOOR(inv_simpson * 2.0) AS BIGINT) AS diversity_half_bucket,
+  CAST(count(*) AS BIGINT) AS n_users,
+  CAST(SUM(n_events) AS BIGINT) AS n_events,
+  CAST(MIN(n_events) AS BIGINT) AS min_events,
+  CAST(MAX(n_events) AS BIGINT) AS max_events
+FROM d GROUP BY 1
+""",
+    doc="Per-user behavioral diversity as the inverse-Simpson index "
+    "n^2 / sum(c_t^2) over the user's event-type counts — the "
+    "'effective number of event types' (Hill number of order 2, the "
+    "ecology workhorse), histogrammed into half-unit buckets with the "
+    "user/event mass per bucket. A user doing one thing repeatedly "
+    "scores 1.0 however active they are; a uniform 5-type user scores "
+    "5.0 — the single-number bot-vs-human mix signal that complements "
+    "events_bot_timing_report's cadence view. Simpson, not Shannon, "
+    "deliberately: the index is a pure rational of exact BIGINT "
+    "counts (one double division per user), so it is bit-stable "
+    "across engines where Shannon's ln() is libm-dependent and would "
+    "break the hash gate — same reasoning as doc_unigram_surprisal's "
+    "floor(log2) trick. Two partial-aggregating shuffles, both keyed "
+    "user_id (AQE reuses the exchange), then a |buckets|-row reduce; "
+    "no row leaves its partition unaggregated.",
+)
+def events_user_diversity_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    u = c.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+    )
+    inv_simpson = (
+        F.col("n_events").cast("double")
+        * F.col("n_events").cast("double")
+        / F.col("sum_sq").cast("double")
+    )
+    d = u.select(
+        "user_id",
+        "n_events",
+        inv_simpson.alias("inv_simpson"),
+    )
+    return d.groupBy(
+        F.floor(F.col("inv_simpson") * F.lit(2.0))
+        .cast("bigint")
+        .alias("diversity_half_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.min("n_events").cast("bigint").alias("min_events"),
+        F.max("n_events").cast("bigint").alias("max_events"),
+    )

@@ -759,3 +759,60 @@ def hnsw_ingest_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def percolator_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    queries: list[tuple[str, tuple[str, ...]]],
+    max_files_per_trigger: int = 10,
+):
+    """Streaming percolation — standing alert queries matched against
+    a stream of incoming documents, the online direction percolation
+    exists for (a saved search fires the moment a matching doc
+    arrives, not on the next index rebuild). Each micro-batch runs
+    :func:`~cnc_visionsearch_spark.operators.text_index.percolate_docs`
+    — stateless, no keyed state, no watermark, no driver collect: the
+    stored queries broadcast, the batch's tokens join them, alerts
+    append to ``out_path`` as (query_name, doc_id) parquet. Batch and
+    stream share the operator, so the union of streamed alerts equals
+    one-shot batch percolation over the same corpus (test-pinned).
+    At 100 TB-scale query inventories the broadcast becomes a
+    term-keyed shuffle join against the persisted query index; the
+    per-batch plan is otherwise unchanged. Returns the configured
+    DataStreamWriter — call ``.start()``."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from cnc_visionsearch_spark.operators.text_index import percolate_docs
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        percolate_docs(batch_df, queries).write.mode("overwrite").parquet(
+            f"{out_path}/batch={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

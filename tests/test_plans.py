@@ -698,12 +698,54 @@ def test_sequence_pattern_single_user_shuffle(spark, queries):
 def test_maxscore_and_ql_probes_read_index_only(spark, queries):
     """The two additional ranking models (MaxScore-pruned BM25,
     Dirichlet query likelihood) are served from the inverted layout
-    only — no documents scan — with bucket-pruned postings reads."""
-    for name in ("text_maxscore_pruned_topk", "text_query_likelihood_topk"):
-        df = queries[name](spark, SF)
+    only — no documents scan — with bucket-pruned postings reads.
+
+    The QL probe is asserted on the registered query's final plan; the
+    MaxScore probe checkpoints its scored slice (the barrier severs
+    file lineage downstream), so the assertion runs on the pre-barrier
+    slice the operator exposes via ``introspect``."""
+    from cnc_visionsearch_spark.operators.text_index import (
+        maxscore_pruned_topk,
+    )
+    from cnc_visionsearch_spark.queries_analytics import (
+        _INV_BUCKETS,
+        _MAXSCORE_TERMS,
+        ensure_inverted_built,
+    )
+
+    def _assert_index_only(df, name):
         files = df.inputFiles()
         assert files and all("inverted" in f for f in files), name
         pf = [
             ln for ln in plan_of(df).splitlines() if "PartitionFilters" in ln
         ]
         assert pf and any("bucket" in ln and "IN (" in ln for ln in pf), name
+
+    _assert_index_only(
+        queries["text_query_likelihood_topk"](spark, SF),
+        "text_query_likelihood_topk",
+    )
+    info: dict = {}
+    path = ensure_inverted_built(spark, SF)
+    maxscore_pruned_topk(
+        spark,
+        path,
+        list(_MAXSCORE_TERMS),
+        k=10,
+        n_buckets=_INV_BUCKETS,
+        introspect=info,
+    )
+    _assert_index_only(info["scored_slice"], "text_maxscore_pruned_topk")
+
+
+def test_percolator_bucket_pruned_and_broadcast(spark, queries):
+    """text_percolator_matches: postings read bucket-pruned to the
+    stored queries' term buckets; the exploded query table broadcasts;
+    no cartesian anywhere (the zero-match left join is vs a dim)."""
+    df = queries["text_percolator_matches"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("bucket" in ln and "IN (" in ln for ln in pf)
+    # the stored-query table is the broadcast side of the postings join
+    assert "BroadcastExchange" in plan

@@ -1167,3 +1167,47 @@ def test_sequence_match_stream_matches_batch_regex(spark, tmp_path):
         for r in events_sequence_pattern_match(spark, SF).collect()
     }
     assert {k: tuple(v) for k, v in hist.items()} == batch and batch
+
+
+def test_percolator_stream_matches_batch(spark, tmp_path):
+    """Streaming percolation is stateless per micro-batch (a doc's
+    alert decision depends only on the doc), so the union of streamed
+    alerts over chunked document drops must equal one-shot batch
+    percolation over the same corpus — and must agree with the
+    index-served registered query's per-alert match counts."""
+    from cnc_visionsearch_spark.operators.text_index import percolate_docs
+    from cnc_visionsearch_spark.streaming.pipelines import percolator_stream
+
+    queries = [
+        ("alert_hash_join", ("hash", "join")),
+        ("alert_stream_scan", ("stream", "scan")),
+        ("alert_dead_rule", ("zzzunseen",)),
+    ]
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    stream_dir = _write_chunks(
+        spark,
+        str(tmp_path / "in"),
+        [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)],
+    )
+    out = str(tmp_path / "alerts")
+    percolator_stream(
+        spark,
+        stream_dir,
+        out,
+        str(tmp_path / "ckpt"),
+        queries,
+        max_files_per_trigger=1,
+    ).start().awaitTermination(180)
+
+    streamed = {
+        (r.query_name, r.doc_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.query_name, r.doc_id)
+        for r in percolate_docs(docs, queries).collect()
+    }
+    assert streamed == batch and streamed
+    # the dead rule fires nowhere; live rules fire somewhere
+    assert not {q for q, _ in streamed if q == "alert_dead_rule"}
+    assert {q for q, _ in streamed} == {"alert_hash_join", "alert_stream_scan"}
