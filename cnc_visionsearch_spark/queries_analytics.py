@@ -4501,3 +4501,284 @@ def text_percolator_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_doc",
         "last_doc",
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable histogram quantile sketch + error report vs exact
+
+_QSK_BINS = 256
+_QSK_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@register(
+    "order_price_quantile_sketch_report",
+    oracle=f"""
+WITH ext AS (
+  SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+    CAST(max(o_totalprice) AS DOUBLE) AS hi,
+    CAST(count(*) AS BIGINT) AS n
+  FROM orders
+),
+binned AS (
+  SELECT least(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - lo)
+      / ((hi - lo) / {_QSK_BINS}.0)) AS BIGINT), {_QSK_BINS - 1}) AS bin
+  FROM orders, ext
+),
+hist AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY bin
+),
+cum AS (
+  SELECT bin, CAST(SUM(c) OVER (ORDER BY bin ASC) AS BIGINT) AS cum_c
+  FROM hist
+),
+targets AS ({" UNION ALL ".join(f"SELECT CAST({q} AS DOUBLE) AS q" for q in _QSK_QS)}),
+hits AS (
+  SELECT t.q, CAST(MIN(cum.bin) AS BIGINT) AS sketch_bin
+  FROM targets t
+  JOIN ext ON TRUE
+  JOIN cum ON cum.cum_c >= CAST(CEIL(t.q * CAST(ext.n AS DOUBLE)) AS BIGINT)
+  GROUP BY t.q
+),
+ex AS (
+  SELECT
+    {", ".join(f"quantile_cont(CAST(o_totalprice AS DOUBLE), {q}) AS e{i}" for i, q in enumerate(_QSK_QS))}
+  FROM orders
+),
+exact_rows AS (
+  {" UNION ALL ".join(f"SELECT CAST({q} AS DOUBLE) AS q, e{i} AS exact FROM ex" for i, q in enumerate(_QSK_QS))}
+)
+SELECT h.q, ext.n, h.sketch_bin,
+  (ext.lo + (CAST(h.sketch_bin AS DOUBLE) + 1.0)
+     * ((ext.hi - ext.lo) / {_QSK_BINS}.0)) AS est,
+  er.exact,
+  ((ext.lo + (CAST(h.sketch_bin AS DOUBLE) + 1.0)
+      * ((ext.hi - ext.lo) / {_QSK_BINS}.0)) - er.exact) AS err,
+  ((ext.hi - ext.lo) / {_QSK_BINS}.0) AS bin_width
+FROM hits h JOIN exact_rows er ON er.q = h.q, ext
+""",
+    doc=f"Mergeable fixed-bin quantile sketch vs exact — completes the "
+    "sketch family (KMV = distinct counts, CMS = frequencies, "
+    f"equi-width {_QSK_BINS}-bin histogram = quantiles): the sketch "
+    "is a per-partition bin-count vector that merges by ADDITION "
+    "(the property percentile_approx's t-digest also has, but a "
+    "deterministic one that hash-gates cross-engine, which t-digest "
+    "cannot), quantile estimate = upper edge of the first bin whose "
+    "cumulative count reaches ceil(q*N). The report puts the sketch "
+    "estimate NEXT TO the exact interpolated quantile (Spark "
+    "percentile == DuckDB quantile_cont, the order_price_quantiles "
+    "contract) with the signed error and the bin width — the error "
+    "bound a 100 TB deployment signs off on before replacing the "
+    "exact global sort with the one-pass sketch. o_totalprice is "
+    "DECIMAL(12,2): the double cast is exact (value*100 < 2^53), so "
+    "every bin boundary and estimate is one deterministic IEEE "
+    "chain. Scale: two scans (scalar extrema, binning) with "
+    f"partial+final aggregation; everything after is <= {_QSK_BINS} "
+    "rows.",
+)
+def order_price_quantile_sketch_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("double")
+    ext = o.agg(
+        F.min(x).cast("double").alias("lo"),
+        F.max(x).cast("double").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(_QSK_BINS))
+    binned = o.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.floor((x - F.col("lo")) / width).cast("bigint"),
+            F.lit(_QSK_BINS - 1).cast("bigint"),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wcum = Window.orderBy(F.col("bin").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bin", F.sum("c").over(wcum).cast("bigint").alias("cum_c")
+    )
+    targets = spark.createDataFrame(
+        [(q,) for q in _QSK_QS], "q double"
+    )
+    hits = (
+        targets.crossJoin(F.broadcast(ext))
+        .join(
+            F.broadcast(cum),
+            F.col("cum_c")
+            >= F.ceil(F.col("q") * F.col("n").cast("double")).cast(
+                "bigint"
+            ),
+        )
+        .groupBy("q")
+        .agg(F.min("bin").cast("bigint").alias("sketch_bin"))
+    )
+    ex = o.agg(
+        *[
+            F.percentile(x, F.lit(q)).alias(f"e{i}")
+            for i, q in enumerate(_QSK_QS)
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({q} AS DOUBLE), e{i}" for i, q in enumerate(_QSK_QS)
+    )
+    exact_rows = ex.selectExpr(
+        f"stack({len(_QSK_QS)}, {stack_args}) as (q, exact)"
+    )
+    est = F.col("lo") + (
+        F.col("sketch_bin").cast("double") + F.lit(1.0)
+    ) * ((F.col("hi") - F.col("lo")) / F.lit(float(_QSK_BINS)))
+    return (
+        hits.join(F.broadcast(exact_rows), "q")
+        .crossJoin(F.broadcast(ext))
+        .select(
+            "q",
+            "n",
+            "sketch_bin",
+            est.alias("est"),
+            "exact",
+            (est - F.col("exact")).alias("err"),
+            (
+                (F.col("hi") - F.col("lo")) / F.lit(float(_QSK_BINS))
+            ).alias("bin_width"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# percolator with MUST_NOT clauses
+
+# name -> (positive AND terms, negative MUST_NOT terms)
+_PERC_NEG_QUERIES = (
+    ("alert_vector_without_dup", ("vector",), ("dup",)),
+    ("alert_stream_not_batch", ("stream", "merge"), ("batch",)),
+    ("alert_window_pure", ("window",), ("group", "sort")),
+)
+
+
+def _perc_neg_pos_sql() -> str:
+    rows = []
+    for name, pos, _neg in _PERC_NEG_QUERIES:
+        for t in pos:
+            rows.append(
+                f"SELECT '{name}' AS query_name, '{t}' AS term, "
+                f"{len(pos)} AS n_terms"
+            )
+    return " UNION ALL ".join(rows)
+
+
+def _perc_neg_neg_sql() -> str:
+    rows = []
+    for name, _pos, neg in _PERC_NEG_QUERIES:
+        for t in neg:
+            rows.append(f"SELECT '{name}' AS query_name, '{t}' AS term")
+    return " UNION ALL ".join(rows)
+
+
+@register(
+    "text_percolator_negated",
+    oracle=f"""
+WITH q AS ({_perc_neg_pos_sql()}),
+nq AS ({_perc_neg_neg_sql()}),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+pos AS (
+  SELECT q.query_name, tok.doc_id
+  FROM q JOIN tok USING (term)
+  GROUP BY q.query_name, q.n_terms, tok.doc_id
+  HAVING count(*) = q.n_terms
+),
+m AS (
+  SELECT p.query_name, p.doc_id FROM pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM nq JOIN tok t2 USING (term)
+    WHERE nq.query_name = p.query_name AND t2.doc_id = p.doc_id
+  )
+),
+agg AS (
+  SELECT query_name, CAST(count(*) AS BIGINT) AS n_matches,
+    MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+  FROM m GROUP BY 1
+)
+SELECT n.query_name,
+  CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_matches,
+  a.first_doc, a.last_doc
+FROM (SELECT DISTINCT query_name FROM q) n
+LEFT JOIN agg a USING (query_name)
+""",
+    doc="Percolator with MUST_NOT clauses — the boolean-filter shape "
+    "real alerting rules take ('mentions X but not in the context of "
+    "Y'): positives match as in text_percolator_matches (broadcast "
+    "query table over bucket-pruned postings, AND = per-(query, doc) "
+    "term count), negatives become a second bucket-pruned postings "
+    "read joined to the (query_name, term) MUST_NOT table, and the "
+    "kill is ONE left-anti join on (query_name, doc_id) — ids-only, "
+    "exactly how a search engine's filter clause composes with its "
+    "must clause. Both postings reads prune to the union of the rule "
+    "set's term buckets; at millions of stored rules both broadcasts "
+    "become term-keyed shuffle joins with the plan otherwise intact.",
+)
+def text_percolator_negated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.text_index import (
+        read_postings,
+        term_bucket,
+    )
+
+    path = ensure_inverted_built(spark, sf_dir)
+    pos_terms = sorted({t for _, ps, _ in _PERC_NEG_QUERIES for t in ps})
+    neg_terms = sorted({t for _, _, ns in _PERC_NEG_QUERIES for t in ns})
+    buckets = sorted(
+        {term_bucket(t, _INV_BUCKETS) for t in pos_terms + neg_terms}
+    )
+    posts = (
+        read_postings(spark, path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(pos_terms + neg_terms))
+        .select("term", "doc_id")
+    )
+    qdf = spark.createDataFrame(
+        [
+            (name, t, len(ps))
+            for name, ps, _ in _PERC_NEG_QUERIES
+            for t in ps
+        ],
+        "query_name string, term string, n_terms int",
+    )
+    ndf = spark.createDataFrame(
+        [(name, t) for name, _, ns in _PERC_NEG_QUERIES for t in ns],
+        "query_name string, term string",
+    )
+    pos = (
+        posts.join(F.broadcast(qdf), "term")
+        .groupBy("query_name", "n_terms", "doc_id")
+        .agg(F.count(F.lit(1)).alias("hit"))
+        .filter(F.col("hit") == F.col("n_terms"))
+        .select("query_name", "doc_id")
+    )
+    neg_hits = (
+        posts.join(F.broadcast(ndf), "term")
+        .select("query_name", "doc_id")
+        .distinct()
+    )
+    matched = pos.join(neg_hits, ["query_name", "doc_id"], "left_anti")
+    agg = matched.groupBy("query_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+    names = spark.createDataFrame(
+        [(n,) for n, _, _ in _PERC_NEG_QUERIES], "query_name string"
+    )
+    return names.join(agg, "query_name", "left").select(
+        "query_name",
+        F.coalesce(F.col("n_matches"), F.lit(0).cast("bigint")).alias(
+            "n_matches"
+        ),
+        "first_doc",
+        "last_doc",
+    )

@@ -2197,3 +2197,517 @@ def events_user_diversity_profile(
         F.min("n_events").cast("bigint").alias("min_events"),
         F.max("n_events").cast("bigint").alias("max_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (data-driven attribution)
+
+_ATTR_ITERS = 8
+_ATTR_CHANNELS = ("click", "error", "signup", "view")
+_ATTR_SCALE = 1_000_000_000
+
+
+def _attr_journey_sql() -> str:
+    """Shared journey/transition construction: per-user sequences
+    truncated at the FIRST purchase, START/DROP boundary states."""
+    return """
+seq0 AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS prior_purchases
+  FROM events
+),
+j AS (SELECT * FROM seq0 WHERE COALESCE(prior_purchases, 0) = 0),
+s AS (
+  SELECT user_id, event_type,
+    ROW_NUMBER() OVER w AS rn,
+    LEAD(event_type) OVER w AS nxt
+  FROM j
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+trans0 AS (
+  SELECT event_type AS src, nxt AS dst FROM s WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT 'START', event_type FROM s WHERE rn = 1
+  UNION ALL
+  SELECT event_type, 'DROP' FROM s
+  WHERE nxt IS NULL AND event_type <> 'purchase'
+),
+trans AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM trans0 GROUP BY 1, 2
+),
+tot AS (
+  SELECT src, CAST(SUM(n) AS BIGINT) AS row_total FROM trans GROUP BY 1
+)"""
+
+
+def _attr_chain_sql(tag: str, removed: str | None, iters: int) -> str:
+    """One absorption power-iteration chain as generated CTEs — exact
+    integer arithmetic (1e-9 probability units, one floor division per
+    (state, iteration)), the oracle-replay contract of
+    part_pagerank_power_iter."""
+    removed_case = (
+        f"WHEN t.dst = '{removed}' THEN 0 " if removed is not None else ""
+    )
+    parts = [
+        f",\n{tag}_0 AS (SELECT src AS node, CAST(0 AS BIGINT) AS p_q FROM tot)"
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+{tag}_{i} AS (
+  SELECT t.src AS node,
+    CAST(SUM(t.n * (CASE {removed_case}WHEN t.dst = 'purchase' THEN {_ATTR_SCALE}
+                         WHEN t.dst = 'DROP' THEN 0
+                         ELSE COALESCE(p.p_q, 0) END)) AS BIGINT)
+      // tot.row_total AS p_q
+  FROM trans t
+  JOIN tot ON tot.src = t.src
+  LEFT JOIN {tag}_{i - 1} p ON p.node = t.dst
+  GROUP BY t.src, tot.row_total
+)"""
+        )
+    return "".join(parts)
+
+
+def _attr_oracle(iters: int = _ATTR_ITERS) -> str:
+    chains = _attr_chain_sql("pb", None, iters)
+    for ch in _ATTR_CHANNELS:
+        chains += _attr_chain_sql(f"pr_{ch}", ch, iters)
+    res_rows = " UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, "
+        f"(SELECT p_q FROM pb_{iters} WHERE node = 'START') AS p_base_q, "
+        f"(SELECT p_q FROM pr_{ch}_{iters} WHERE node = 'START') AS p_removed_q"
+        for ch in _ATTR_CHANNELS
+    )
+    return f"""
+WITH {_attr_journey_sql()}{chains},
+res AS ({res_rows}),
+w AS (SELECT CAST(SUM(p_base_q - p_removed_q) AS BIGINT) AS wsum FROM res)
+SELECT res.channel, res.p_base_q, res.p_removed_q,
+  CAST(res.p_base_q - res.p_removed_q AS BIGINT) AS removal_q,
+  CAST(CASE WHEN w.wsum > 0
+    THEN ((res.p_base_q - res.p_removed_q) * 1000000) // w.wsum
+    ELSE 0 END AS BIGINT) AS attr_ppm
+FROM res, w
+"""
+
+
+@register(
+    "events_markov_removal_attribution",
+    oracle=_attr_oracle(_ATTR_ITERS),
+    doc=f"Markov removal-effect attribution (Anderl et al. 2016 — the "
+    "'data-driven attribution' model behind Google's DDA, replacing "
+    "the first/last/linear heuristics this repo also implements): "
+    "per-user journeys truncated at the first purchase become a "
+    "first-order chain over START / channel / purchase / DROP "
+    f"states, {_ATTR_ITERS}-step absorption probability to purchase "
+    "is solved by exact integer power iteration (1e-9 probability "
+    "units, one floor division per state-iteration — the PageRank "
+    "oracle-replay contract), and each channel's credit is the "
+    "NORMALIZED DROP in conversion probability when transitions into "
+    "it are removed (denominators kept — the standard removal-effect "
+    "convention). The 100 TB split is the whole point: the DATA-scale "
+    "work (journey windows + transition counts) is one user_id-keyed "
+    "window family and a (src, dst) count — the sessionization "
+    "shuffle the events family already pays — while the solve runs "
+    "on the collected transition matrix, bounded by the EVENT-TYPE "
+    "SCHEMA at (|types|+1)^2 rows (~36 here), genuine planner state "
+    "like the BPE argmax and IVF probe cells (bound commented at the "
+    "collect). Output per channel: base and channel-removed "
+    "conversion probability (1e-9 units), removal effect, and the "
+    "integer-exact ppm attribution share.",
+)
+def events_markov_removal_attribution(
+    spark: SparkSession, sf_dir: str, iters: int = _ATTR_ITERS
+) -> DataFrame:
+    from cnc_visionsearch_spark.iterative import check_rounds
+
+    check_rounds(iters, "events_markov_removal_attribution")
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prior = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    j = ev.withColumn("pp", F.coalesce(prior, F.lit(0))).filter(
+        F.col("pp") == 0
+    )
+    s = j.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    trans0 = (
+        s.filter(F.col("nxt").isNotNull()).select(
+            F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+        )
+        .unionByName(
+            s.filter(F.col("rn") == 1).select(
+                F.lit("START").alias("src"),
+                F.col("event_type").alias("dst"),
+            )
+        )
+        .unionByName(
+            s.filter(
+                F.col("nxt").isNull() & (F.col("event_type") != "purchase")
+            ).select(
+                F.col("event_type").alias("src"), F.lit("DROP").alias("dst")
+            )
+        )
+    )
+    trans = trans0.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # collect bound: states are the EVENT-TYPE SCHEMA plus START/DROP,
+    # so the matrix is <= (|types|+1) x (|types|+2) rows (~36 on this
+    # schema) REGARDLESS of corpus size — planner state, same doctrine
+    # as the BPE 1-row argmax and the IVF probe-cell list
+    rows = trans.collect()
+    c: dict[tuple[str, str], int] = {(r.src, r.dst): int(r.n) for r in rows}
+    tot: dict[str, int] = {}
+    for (src, _), n in c.items():
+        tot[src] = tot.get(src, 0) + n
+
+    def _absorb(removed: str | None) -> int:
+        p = {srcname: 0 for srcname in tot}
+        for _ in range(iters):
+            p = {
+                srcname: sum(
+                    n
+                    * (
+                        0
+                        if dst == removed
+                        else _ATTR_SCALE
+                        if dst == "purchase"
+                        else 0
+                        if dst == "DROP"
+                        else p.get(dst, 0)
+                    )
+                    for (s2, dst), n in c.items()
+                    if s2 == srcname
+                )
+                // tot[srcname]
+                for srcname in tot
+            }
+        return p.get("START", 0)
+
+    base = _absorb(None)
+    removed = {ch: _absorb(ch) for ch in _ATTR_CHANNELS}
+    wsum = sum(base - removed[ch] for ch in _ATTR_CHANNELS)
+    out = [
+        (
+            ch,
+            base,
+            removed[ch],
+            base - removed[ch],
+            ((base - removed[ch]) * 1_000_000) // wsum if wsum > 0 else 0,
+        )
+        for ch in _ATTR_CHANNELS
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, p_base_q bigint, p_removed_q bigint, "
+        "removal_q bigint, attr_ppm bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value attribution (exact, coalition model)
+
+_SHAP_BITS = {ch: 1 << i for i, ch in enumerate(_ATTR_CHANNELS)}
+# s!(k-1-s)! marginal weights for k=4 (denominator k!=24 left
+# unapplied — phi is reported as the exact integer numerator in
+# SCALE/24 units, so no floor-of-negative division ever happens)
+_SHAP_W = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+def _shap_user_mask_sql() -> str:
+    mask_terms = " + ".join(
+        f"MAX(CASE WHEN event_type = '{ch}' THEN 1 ELSE 0 END) * {b}"
+        for ch, b in _SHAP_BITS.items()
+    )
+    return f"""
+seq0 AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS prior_purchases
+  FROM events
+),
+j AS (SELECT * FROM seq0 WHERE COALESCE(prior_purchases, 0) = 0),
+u AS (
+  SELECT user_id,
+    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS conv,
+    CAST({mask_terms} AS BIGINT) AS mask
+  FROM j GROUP BY user_id
+),
+sub AS (
+  SELECT mask, CAST(count(*) AS BIGINT) AS users,
+    CAST(SUM(conv) AS BIGINT) AS convs
+  FROM u GROUP BY 1
+),
+v AS (
+  SELECT mask, (convs * {_ATTR_SCALE}) // users AS v_q FROM sub
+)"""
+
+
+def _shap_pairs_sql() -> str:
+    rows = []
+    for ch, bit in _SHAP_BITS.items():
+        others = [b for c, b in _SHAP_BITS.items() if c != ch]
+        for sub_idx in range(1 << len(others)):
+            s_mask = sum(
+                b for i, b in enumerate(others) if sub_idx & (1 << i)
+            )
+            s_size = bin(sub_idx).count("1")
+            rows.append(
+                f"SELECT '{ch}' AS channel, {s_mask | bit} AS m_with, "
+                f"{s_mask} AS m_without, {_SHAP_W[s_size]} AS wt"
+            )
+    return " UNION ALL ".join(rows)
+
+
+def _shap_bits_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, {b} AS bit"
+        for ch, b in _SHAP_BITS.items()
+    )
+
+
+@register(
+    "events_shapley_attribution",
+    oracle=f"""
+WITH {_shap_user_mask_sql()},
+pairs AS ({_shap_pairs_sql()}),
+phi AS (
+  SELECT channel,
+    CAST(SUM(wt * (COALESCE(vw.v_q, 0) - COALESCE(vo.v_q, 0))) AS BIGINT)
+      AS phi_num_q
+  FROM pairs
+  LEFT JOIN v vw ON vw.mask = pairs.m_with
+  LEFT JOIN v vo ON vo.mask = pairs.m_without
+  GROUP BY channel
+),
+cb AS ({_shap_bits_sql()}),
+wth AS (
+  SELECT cb.channel,
+    CAST(COALESCE(SUM(CASE WHEN (sub.mask & cb.bit) <> 0
+                           THEN sub.users ELSE 0 END), 0) AS BIGINT)
+      AS n_users_with
+  FROM cb, sub GROUP BY cb.channel
+)
+SELECT phi.channel, wth.n_users_with, phi.phi_num_q
+FROM phi JOIN wth ON wth.channel = phi.channel
+""",
+    doc="Exact Shapley-value attribution over observed channel "
+    "coalitions (Shapley 1953 applied to MTA; the other standard "
+    "data-driven model next to events_markov_removal_attribution — "
+    "together with first/last/linear they complete the attribution "
+    "suite): each user's truncated-at-first-purchase journey reduces "
+    "to a channel SET (4-bit mask) + converted flag, the "
+    "characteristic function v(S) is the exact integer conversion "
+    "rate of users with exactly that coalition (1e-9 units, one "
+    "floor division per OBSERVED subset — at most 2^4), and each "
+    "channel's phi is the exact weighted marginal sum reported as "
+    "the integer NUMERATOR in SCALE/24 units — the k!-division is "
+    "never applied, so no floor-of-negative-quotient can diverge "
+    "between engines (marginals can be negative; Python floors, "
+    "DuckDB truncates — sidestepped entirely). Scale split mirrors "
+    "the Markov query: the corpus-scale work is one user_id window "
+    "+ one per-user aggregate + a |2^k|-row subset census; the "
+    "Shapley enumeration runs on that census — bounded by the "
+    "CHANNEL SCHEMA (2^4 rows), planner state (bound commented at "
+    "the collect). Exponential in k by nature, which is why k here "
+    "is the event-type schema, never a data-derived set.",
+)
+def events_shapley_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prior = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    j = ev.withColumn("pp", F.coalesce(prior, F.lit(0))).filter(
+        F.col("pp") == 0
+    )
+    mask = sum(
+        F.max(
+            F.when(F.col("event_type") == ch, F.lit(b)).otherwise(0)
+        )
+        for ch, b in _SHAP_BITS.items()
+    )
+    u = j.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conv"),
+        mask.cast("bigint").alias("mask"),
+    )
+    sub = u.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("users"),
+        F.sum("conv").cast("bigint").alias("convs"),
+    )
+    # collect bound: masks are subsets of the CHANNEL SCHEMA -> <= 2^4
+    # rows regardless of corpus size — planner state, same doctrine as
+    # the Markov transition matrix above
+    stats = {int(r.mask): (int(r.users), int(r.convs)) for r in sub.collect()}
+    v_q = {
+        m: (convs * _ATTR_SCALE) // users
+        for m, (users, convs) in stats.items()
+    }
+    out = []
+    for ch, bit in _SHAP_BITS.items():
+        others = [b for c, b in _SHAP_BITS.items() if c != ch]
+        phi = 0
+        for sub_idx in range(1 << len(others)):
+            s_mask = sum(
+                b for i, b in enumerate(others) if sub_idx & (1 << i)
+            )
+            s_size = bin(sub_idx).count("1")
+            phi += _SHAP_W[s_size] * (
+                v_q.get(s_mask | bit, 0) - v_q.get(s_mask, 0)
+            )
+        n_with = sum(
+            users for m, (users, _) in stats.items() if m & bit
+        )
+        out.append((ch, n_with, phi))
+    return spark.createDataFrame(
+        out, "channel string, n_users_with bigint, phi_num_q bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV curve (monetized sibling of events_cohort_retention)
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+WITH sign AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+cohort AS (
+  SELECT user_id, CAST(date_trunc('month', s_ts) AS DATE) AS cohort_month
+  FROM sign
+),
+csize AS (
+  SELECT cohort_month, CAST(count(*) AS BIGINT) AS n_users
+  FROM cohort GROUP BY 1
+),
+purch AS (
+  SELECT c.cohort_month,
+    (year(e.ts) - year(c.cohort_month)) * 12
+      + (month(e.ts) - month(c.cohort_month)) AS age_months,
+    e.user_id,
+    CAST(FLOOR(e.value * 1000000.0 + 0.5) AS BIGINT) AS vq
+  FROM events e JOIN cohort c USING (user_id)
+  WHERE e.event_type = 'purchase'
+),
+per AS (
+  SELECT cohort_month, CAST(age_months AS BIGINT) AS age_months,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+    CAST(count(*) AS BIGINT) AS n_purchases,
+    CAST(SUM(vq) AS BIGINT) AS rev_q
+  FROM purch WHERE age_months >= 0 GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_month, age_months, n_buyers, n_purchases,
+    CAST(SUM(rev_q) OVER (
+      PARTITION BY cohort_month ORDER BY age_months ASC
+    ) AS BIGINT) AS cum_rev_q
+  FROM per
+)
+SELECT cum.cohort_month, cum.age_months, csize.n_users, cum.n_buyers,
+  cum.n_purchases,
+  CAST(cum.cum_rev_q AS DOUBLE) / 1000000.0 AS cum_rev,
+  (CAST(cum.cum_rev_q AS DOUBLE) / 1000000.0)
+    / CAST(csize.n_users AS DOUBLE) AS ltv_per_user
+FROM cum JOIN csize USING (cohort_month)
+""",
+    doc="Customer-lifetime-value curve by signup cohort — the "
+    "monetized sibling of events_cohort_retention, and the number a "
+    "growth team actually steers by (payback period = the age where "
+    "ltv_per_user crosses acquisition cost): users cohorted by "
+    "first-signup month, their purchase `value` accumulated per "
+    "cohort-age month (pre-signup purchases excluded by the age >= 0 "
+    "convention), cumulative within cohort, divided by the FULL "
+    "cohort size (not just buyers — LTV averages over everyone "
+    "acquired). Determinism: per-row 1e-6 fixed-point quantization "
+    "of the full-precision value double, exact BIGINT sums and an "
+    "exact BIGINT cumulative window (cross-row double addition never "
+    "happens — the registry's standard discipline), one deterministic "
+    "double chain per output row. Rows exist only for ages with "
+    "purchases (sparse grid; the cumulative is still exact at every "
+    "emitted point). Shuffles: one user-keyed cohort join (the "
+    "sessionization key), one (cohort, age) aggregate over "
+    "pre-reduced rows, one cohort-keyed window over a "
+    "months-x-cohorts-sized table.",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sign = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    cohort = sign.select(
+        "user_id",
+        F.date_trunc("month", F.col("s_ts")).cast("date").alias(
+            "cohort_month"
+        ),
+    )
+    csize = cohort.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cohort, "user_id")
+        .withColumn(
+            "age_months",
+            (
+                (F.year("ts") - F.year("cohort_month")) * 12
+                + (F.month("ts") - F.month("cohort_month"))
+            ).cast("bigint"),
+        )
+        .filter(F.col("age_months") >= 0)
+        .withColumn(
+            "vq",
+            F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+    )
+    per = purch.groupBy("cohort_month", "age_months").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_buyers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("vq").cast("bigint").alias("rev_q"),
+    )
+    w = Window.partitionBy("cohort_month").orderBy(F.col("age_months").asc())
+    cum = per.withColumn(
+        "cum_rev_q", F.sum("rev_q").over(w).cast("bigint")
+    )
+    return cum.join(csize, "cohort_month").select(
+        "cohort_month",
+        "age_months",
+        "n_users",
+        "n_buyers",
+        "n_purchases",
+        (F.col("cum_rev_q").cast("double") / F.lit(1000000.0)).alias(
+            "cum_rev"
+        ),
+        (
+            (F.col("cum_rev_q").cast("double") / F.lit(1000000.0))
+            / F.col("n_users").cast("double")
+        ).alias("ltv_per_user"),
+    )

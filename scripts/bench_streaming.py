@@ -41,6 +41,7 @@ from cnc_visionsearch_spark.sources.catalog import load_table  # noqa: E402
 N_BATCHES = 12
 KNN_QPB = 10  # query vectors per micro-batch
 BM25_QPB = 5  # term queries per micro-batch
+PERC_DPB = 50  # incoming documents per percolation micro-batch
 
 
 def _batch_stats(query, queries_per_batch: int) -> dict:
@@ -63,9 +64,11 @@ def main() -> None:
     spark = get_session(app_name="stream-bench")
     from cnc_visionsearch_spark.queries_analytics import ensure_inverted_built
     from cnc_visionsearch_spark.queries_ann import ensure_ivf_built
+    from cnc_visionsearch_spark.queries_analytics import _PERC_QUERIES
     from cnc_visionsearch_spark.streaming.pipelines import (
         bm25_serving_stream,
         knn_serving_stream,
+        percolator_stream,
     )
 
     ivf_path = ensure_ivf_built(spark, sf_dir, n_cells=8)
@@ -123,6 +126,29 @@ def main() -> None:
         ).start()
         q2.awaitTermination(600)
         out["bm25_serving"] = _batch_stats(q2, BM25_QPB)
+
+        # ---- percolator: N_BATCHES files of PERC_DPB incoming docs
+        # matched against the registered stored-query set (here
+        # "queries_per_batch" records DOCS per micro-batch — the
+        # percolation unit of work is the incoming document)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        perc_in = f"{work}/perc_in"
+        for i in range(N_BATCHES):
+            docs.filter(F.col("doc_id") % N_BATCHES == i).limit(
+                PERC_DPB
+            ).coalesce(1).write.mode("append").parquet(perc_in)
+        q3 = percolator_stream(
+            spark,
+            perc_in,
+            f"{work}/perc_out",
+            f"{work}/perc_ckpt",
+            queries=list(_PERC_QUERIES),
+            max_files_per_trigger=1,
+        ).start()
+        q3.awaitTermination(600)
+        out["percolator"] = _batch_stats(q3, PERC_DPB)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

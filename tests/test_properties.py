@@ -218,3 +218,50 @@ def test_cc_incremental_merge_equals_from_scratch(spark, old_edges, new_edges):
         if int(r["component_id"]) in touched_comps
     }
     assert got == want
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    qsets=st.lists(
+        st.sets(
+            st.sampled_from(["a", "b", "c", "d", "f"]),
+            min_size=1,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_percolate_docs_matches_naive(spark, docs, qsets):
+    """percolate_docs == brute-force per-(query, doc) subset test, for
+    arbitrary token multisets and conjunctive term sets — including
+    empty docs, repeated tokens, and never-matching terms ('f')."""
+    from cnc_visionsearch_spark.operators.text_index import percolate_docs
+
+    queries = [
+        (f"q{i}", tuple(sorted(s))) for i, s in enumerate(qsets)
+    ]
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.query_name, r.doc_id)
+        for r in percolate_docs(df, queries).collect()
+    }
+    want = {
+        (name, i)
+        for name, terms in queries
+        for i, toks in enumerate(docs)
+        if set(terms) <= set(toks)
+    }
+    assert got == want

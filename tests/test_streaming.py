@@ -1211,3 +1211,53 @@ def test_percolator_stream_matches_batch(spark, tmp_path):
     # the dead rule fires nowhere; live rules fire somewhere
     assert not {q for q, _ in streamed if q == "alert_dead_rule"}
     assert {q for q, _ in streamed} == {"alert_hash_join", "alert_stream_scan"}
+
+
+def test_percolator_stream_checkpoint_resume_no_duplicates(spark, tmp_path):
+    """Exactly-once across restart: rerunning the stream on the SAME
+    checkpoint after a new document drop processes only the new file —
+    alerts from the first run are not re-emitted (no duplicate
+    (query_name, doc_id) pairs), and the union equals one-shot batch
+    percolation over everything."""
+    import os
+    import time as _time
+
+    from cnc_visionsearch_spark.operators.text_index import percolate_docs
+    from cnc_visionsearch_spark.streaming.pipelines import percolator_stream
+
+    queries = [("alert_hash_join", ("hash", "join"))]
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    chunks = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    in_dir = str(tmp_path / "in")
+    stream_dir = _write_chunks(spark, in_dir, chunks[:2])
+    out = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt")
+
+    percolator_stream(
+        spark, stream_dir, out, ckpt, queries, max_files_per_trigger=1
+    ).start().awaitTermination(120)
+    first = [
+        (r.query_name, r.doc_id) for r in spark.read.parquet(out).collect()
+    ]
+    assert len(first) == len(set(first))
+
+    # drop a third file, resume on the same checkpoint
+    part = str(tmp_path / "part_late")
+    chunks[2].coalesce(1).write.mode("overwrite").parquet(part)
+    src = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+    dst = os.path.join(stream_dir, "drop_late.parquet")
+    os.rename(os.path.join(part, src), dst)
+    os.utime(dst, (_time.time() + 60, _time.time() + 60))
+
+    percolator_stream(
+        spark, stream_dir, out, ckpt, queries, max_files_per_trigger=1
+    ).start().awaitTermination(120)
+    both = [
+        (r.query_name, r.doc_id) for r in spark.read.parquet(out).collect()
+    ]
+    assert len(both) == len(set(both)), "restart re-emitted alerts"
+    batch = {
+        (r.query_name, r.doc_id)
+        for r in percolate_docs(docs, queries).collect()
+    }
+    assert set(both) == batch and len(both) > len(first)
