@@ -3660,3 +3660,166 @@ def source_drift_tv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# calibration of the trained quality classifier
+
+@register(
+    "doc_quality_calibration_bins",
+    oracle=f"""
+WITH {_logreg_feats_cte()},
+{_logreg_gd_ctes()},
+final AS (
+  SELECT y,
+    (0.5 + (({_logreg_z("w0", "w1", "w2", "w3")}
+      / (1.0 + abs({_logreg_z("w0", "w1", "w2", "w3")}))) * 0.5)) AS p
+  FROM feats CROSS JOIN w{_LOGREG_ITERS}s
+),
+binned AS (
+  SELECT least(CAST(FLOOR(p * 10.0) AS BIGINT), 9) AS bin, y,
+    CAST(FLOOR(p * 1000000000.0 + 0.5) AS BIGINT) AS pq
+  FROM final
+)
+SELECT bin,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+  (CAST(SUM(pq) AS BIGINT) * 1000000) // (count(*) * 1000000000)
+    AS mean_pred_ppm,
+  (CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) * 1000000) // count(*)
+    AS obs_pos_ppm
+FROM binned GROUP BY bin
+""",
+    doc="Reliability diagram (calibration bins) for the trained "
+    "quality classifier — the eval every learned filter needs before "
+    "its scores gate a corpus: if the 0.7-0.8 bin's observed positive "
+    "rate is far from its mean predicted score, thresholding at 0.7 "
+    "keeps the wrong mass (the fast-sigmoid is NOT a calibrated "
+    "probability; this query is how you find out by how much). Same "
+    "GD replay as doc_quality_classifier_weights, then one scoring "
+    "scan binned into score deciles; per-bin observed rate and mean "
+    "predicted score are exact integer ppm (1e-9-quantized score "
+    "mass, integer floor division) so the whole diagram hash-gates. "
+    "Scale: train rarely, then ONE corpus scan reducing to 10 rows "
+    "x 3 integers — calibration at 100 TB costs one filter pass.",
+)
+def doc_quality_calibration_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    w, feats = _train_quality_logreg(spark, sf_dir)
+    p = _logreg_p(w)
+    binned = feats.select(
+        F.least(
+            F.floor(p * F.lit(10.0)).cast("bigint"), F.lit(9).cast("bigint")
+        ).alias("bin"),
+        F.col("y").cast("bigint").alias("yb"),
+        fixed_point_q(p).alias("pq"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("yb").cast("bigint").alias("n_pos"),
+        F.expr(
+            "(CAST(SUM(pq) AS BIGINT) * 1000000) "
+            "div (count(*) * 1000000000)"
+        )
+        .cast("bigint")
+        .alias("mean_pred_ppm"),
+        F.expr("(CAST(SUM(yb) AS BIGINT) * 1000000) div count(*)")
+        .cast("bigint")
+        .alias("obs_pos_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# codebook-size inertia curve (quantizer model selection)
+
+_INERTIA_KS = (2, 4, 8, 16)
+
+
+def _inertia_k_sql(k: int) -> str:
+    return f"""
+stride_{k} AS (
+  SELECT greatest(max(vec_id) // {k}, 1) AS s FROM embeddings
+),
+cent_{k} AS (
+  SELECT nvec AS centroid FROM normed, stride_{k}
+  WHERE vec_id % s = 0 AND vec_id // s < {k}
+),
+mind_{k} AS (
+  SELECT n.vec_id,
+    MIN({_L2SQ.format(a="n.nvec", b="c.centroid")}) AS d2
+  FROM normed n, cent_{k} c GROUP BY n.vec_id
+),
+agg_{k} AS (
+  SELECT CAST({k} AS BIGINT) AS k,
+    CAST(count(*) AS BIGINT) AS n_vectors,
+    CAST(SUM({FIXED_POINT_SQL.format(x="d2")}) AS BIGINT) AS inertia_q
+  FROM mind_{k}
+)"""
+
+
+@register(
+    "emb_codebook_inertia_curve",
+    oracle=f"""
+WITH {_NORM_CTE},{",".join(_inertia_k_sql(k) for k in _INERTIA_KS)}
+SELECT k, n_vectors,
+  CAST(inertia_q AS DOUBLE) / 1000000000.0 AS inertia,
+  (CAST(inertia_q AS DOUBLE) / 1000000000.0) / CAST(n_vectors AS DOUBLE)
+    AS mean_sq_dist
+FROM ({" UNION ALL ".join(f"SELECT * FROM agg_{k}" for k in _INERTIA_KS)})
+""",
+    doc=f"Codebook-size inertia curve over k = {_INERTIA_KS} — the "
+    "elbow evidence for choosing the IVF coarse-quantizer size "
+    "(inertia = sum of squared distance to the nearest centroid, the "
+    "k-means objective; where the curve flattens, extra cells stop "
+    "buying recall and only fragment the layout — the knob RECALL"
+    ".json's nprobe sweep takes as given, picked here from data). "
+    "Plan shape is the point: each stride codebook is PLANNER STATE "
+    "(<= 16 rows collected, the probe-cell doctrine), inlined as "
+    "array literals so the per-vector min-distance is a codegen "
+    "least() over k expressions — ONE corpus scan computes ALL "
+    "FOUR curve points with zero shuffles and zero joins; per-row "
+    "minima are 1e-9-quantized and summed as exact BIGINTs. The "
+    "oracle's per-k GROUP BY MIN is value-identical (min is "
+    "order-free, the quantized sum exact). At 100 TB: scan-bound, "
+    "mergeable across partitions by addition — the cheapest honest "
+    "answer to 'how many cells should this index have'.",
+)
+def emb_codebook_inertia_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import l2_sq
+    from cnc_visionsearch_spark.operators.ann import ivf_centroids
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    aggs = []
+    for k in _INERTIA_KS:
+        # planner state: <= k centroid rows (the probe-cell doctrine)
+        cents = [
+            [float(x) for x in r.centroid]
+            for r in ivf_centroids(emb, k).orderBy("cell_id").collect()
+        ]
+        dmin = F.least(
+            *[
+                l2_sq("nvec", F.array(*[F.lit(v) for v in c]))
+                for c in cents
+            ]
+        )
+        aggs.append(F.sum(fixed_point_q(dmin)).alias(f"iq_{k}"))
+    row = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"), *aggs)
+    stack_args = ", ".join(
+        f"CAST({k} AS BIGINT), iq_{k}" for k in _INERTIA_KS
+    )
+    return row.selectExpr(
+        f"stack({len(_INERTIA_KS)}, {stack_args}) as (k, inertia_q)",
+        "n",
+    ).select(
+        "k",
+        F.col("n").alias("n_vectors"),
+        (F.col("inertia_q").cast("double") / F.lit(1e9)).alias("inertia"),
+        (
+            (F.col("inertia_q").cast("double") / F.lit(1e9))
+            / F.col("n").cast("double")
+        ).alias("mean_sq_dist"),
+    )

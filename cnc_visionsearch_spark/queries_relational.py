@@ -2743,3 +2743,75 @@ def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leading_digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-invoice detection (blocked business near-dup)
+
+@register(
+    "orders_duplicate_invoice_pairs",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+    CAST(o_totalprice AS DOUBLE) AS price,
+    CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 100.0) AS BIGINT) AS band
+  FROM orders
+)
+SELECT a.o_custkey,
+  a.o_orderkey AS o1, b.o_orderkey AS o2,
+  a.price AS price1, b.price AS price2,
+  (b.price - a.price) AS price_diff,
+  CAST(abs(date_diff('day', a.o_orderdate, b.o_orderdate)) AS BIGINT)
+    AS gap_days
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.band = b.band
+  AND a.o_orderkey < b.o_orderkey
+""",
+    doc="Duplicate-invoice detection — the finance-ops twin of the "
+    "text near-dup family: two orders from the SAME customer whose "
+    "totals land in the same 100-unit price band are double-billing "
+    "candidates, reported as pairs with the exact price delta and "
+    "day gap so an auditor can triage (tight gap + tiny delta = "
+    "likely resubmission). The self-join is BLOCKED on (custkey, "
+    "price-band) — an equi-join on a composite key, so it plans as a "
+    "hash join whose per-block fan-out is orders-per-customer-per-"
+    "band (single digits), never a customer-wide or global pair "
+    "expansion; the o1 < o2 predicate halves the pairs and "
+    "deduplicates orientation, exactly the dedup family's in-bucket "
+    "pair discipline on relational keys. Band-edge misses are the "
+    "standard blocking trade (run a +50 offset pass for full "
+    "coverage); the price double cast is exact (DECIMAL(12,2) "
+    "< 2^53).",
+)
+def orders_duplicate_invoice_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.floor(F.col("o_totalprice").cast("double") / F.lit(100.0))
+        .cast("bigint")
+        .alias("band"),
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    return a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).select(
+        F.col("a.o_custkey").alias("o_custkey"),
+        F.col("a.o_orderkey").alias("o1"),
+        F.col("b.o_orderkey").alias("o2"),
+        F.col("a.price").alias("price1"),
+        F.col("b.price").alias("price2"),
+        (F.col("b.price") - F.col("a.price")).alias("price_diff"),
+        F.abs(
+            F.datediff(F.col("b.o_orderdate"), F.col("a.o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("gap_days"),
+    )

@@ -752,3 +752,69 @@ def term_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), F.col("term_a").asc(), F.col("term_b").asc())
         .limit(20)
     )
+
+
+# ------------------------------------------------- corpus-hapax audit
+
+@register(
+    "doc_hapax_share_by_source",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY term
+),
+per_src AS (
+  SELECT tok.source,
+    CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(CASE WHEN tf.tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_hapax_tokens
+  FROM tok JOIN tf USING (term)
+  GROUP BY tok.source
+)
+SELECT source, n_tokens, n_hapax_tokens,
+  (n_hapax_tokens * 1000000) // n_tokens AS hapax_ppm
+FROM per_src
+""",
+    doc="Corpus-hapax share per source: what fraction of each "
+    "source's tokens are corpus-wide hapax legomena (terms occurring "
+    "exactly once anywhere) — the classic OCR-garbage / "
+    "mojibake / random-suffix detector (noisy extraction mints "
+    "unique junk tokens, so a source whose hapax share is an outlier "
+    "vs its peers needs a cleaning pass before it poisons the "
+    "vocabulary; complements doc_zipf_slope's head-of-distribution "
+    "view with the tail). Two shuffles: the corpus term-frequency "
+    "table (vocabulary-scale — at 100 TB the tf<=1 slice still "
+    "shuffles only (term, tf) pairs), then a term-keyed join back "
+    "and a |sources|-row aggregate; integer-exact ppm.",
+)
+def doc_hapax_share_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    per_src = (
+        tok.join(tf, "term")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax_tokens"),
+        )
+    )
+    return per_src.select(
+        "source",
+        "n_tokens",
+        "n_hapax_tokens",
+        F.expr("(n_hapax_tokens * 1000000) div n_tokens")
+        .cast("bigint")
+        .alias("hapax_ppm"),
+    )
