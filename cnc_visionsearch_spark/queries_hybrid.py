@@ -566,3 +566,408 @@ def ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fagin's Threshold Algorithm: certified early-termination evidence
+
+_TA_DEPTHS = (5, 10, 20, 40, 80, 160)
+_TA_K = 10
+_TA_QVEC = 7
+_TA_SENTINEL = 1073741824  # rank for "not in this list's prefix" (2^30)
+
+
+@register(
+    "hybrid_ta_stop_depth",
+    oracle=f"""
+WITH {_BM25_CTES},
+normed AS (
+  SELECT vec_id, list_transform(
+    embedding::DOUBLE[],
+    x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))
+  ) AS nvec
+  FROM embeddings
+),
+q AS (SELECT nvec AS qv FROM normed WHERE vec_id = {_TA_QVEC}),
+vec AS (
+  SELECT vec_id AS doc_id,
+    CAST(floor(list_sum(list_transform(range(1, len(nvec)+1),
+      i -> nvec[i]*qv[i])) * 1000000000.0 + 0.5) AS BIGINT) AS cos_q
+  FROM normed, q
+),
+vecr AS (
+  SELECT doc_id, cos_q, CAST(row_number() OVER (
+    ORDER BY cos_q DESC, doc_id ASC) AS INT) AS r_vec
+  FROM vec QUALIFY r_vec <= {max(_TA_DEPTHS)}
+),
+lexr AS (
+  SELECT doc_id, score_q AS lex_q, CAST(row_number() OVER (
+    ORDER BY score_q DESC, doc_id ASC) AS INT) AS r_lex
+  FROM bm25 QUALIFY r_lex <= {max(_TA_DEPTHS)}
+),
+seen AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+    least(COALESCE(r_lex, {_TA_SENTINEL}),
+          COALESCE(r_vec, {_TA_SENTINEL})) AS m
+  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+),
+comb AS (
+  SELECT s.doc_id, s.m, COALESCE(b.score_q, 0) + v.cos_q AS combined_q
+  FROM seen s JOIN vec v ON s.doc_id = v.doc_id
+  LEFT JOIN bm25 b ON s.doc_id = b.doc_id
+),
+depths(d) AS (VALUES {", ".join(f"({d})" for d in _TA_DEPTHS)}),
+slex AS (
+  SELECT d, COALESCE(MIN(lex_q), 0) AS s_lex
+  FROM depths LEFT JOIN lexr ON r_lex <= d GROUP BY d
+),
+svec AS (
+  SELECT d, MIN(cos_q) AS s_vec
+  FROM depths LEFT JOIN vecr ON r_vec <= d GROUP BY d
+),
+kth AS (
+  SELECT d, combined_q AS kth_q FROM (
+    SELECT d, combined_q, doc_id, row_number() OVER (
+      PARTITION BY d ORDER BY combined_q DESC, doc_id ASC) AS rn
+    FROM depths JOIN comb ON m <= d
+  ) WHERE rn = {_TA_K}
+),
+ns AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_seen
+  FROM depths JOIN comb ON m <= d GROUP BY d
+)
+SELECT CAST(depths.d AS INT) AS depth, ns.n_seen,
+  (slex.s_lex + svec.s_vec) AS tau_q, kth.kth_q,
+  (kth.kth_q IS NOT NULL
+   AND kth.kth_q >= slex.s_lex + svec.s_vec) AS certified
+FROM depths
+JOIN slex USING (d) JOIN svec USING (d) JOIN ns USING (d)
+LEFT JOIN kth USING (d)
+""",
+    doc="Fagin's Threshold Algorithm (TA, Fagin/Lotem/Naor PODS'01) "
+    "stop-depth certification over the two retrieval tiers: walk the "
+    "BM25 list and the cosine list (query = embedding "
+    f"{_TA_QVEC}) in parallel sorted access to depth d, random-access "
+    "every seen doc's OTHER score, and certify the top-"
+    f"{_TA_K} final once the k-th best combined score reaches the "
+    "threshold tau(d) = (d-th lex score) + (d-th vec score) — an "
+    "upper bound on every UNSEEN doc under the monotone sum. One row "
+    f"per probe depth {_TA_DEPTHS}: (n_seen, tau_q, kth_q, "
+    "certified) — the operating curve that says how deep hybrid "
+    "serving must actually read (the rank-fusion twin of the minhash "
+    "band recall curve). Exhaustion-correct bounds: tau's per-list "
+    "term is the prefix MIN (a list shorter than d contributes its "
+    "last real score, never a fabricated 0 — with signed cosine "
+    "scores a zero floor would over-certify). Both scores live in "
+    "the exact 1e-9 BIGINT domain (lex already quantized, cosine "
+    "quantized here), so combined ranking and certification "
+    "hash-gate. 100 TB shape: the two prefixes come from the tiers' "
+    "own index-served top-d probes (bounded), the seen set is <= 2d "
+    "rows BROADCAST into the two full score tables for random "
+    "access, and the depth sweep is depths x prefix rows — O(d^2) "
+    "planner-bounded work, never corpus-shaped. Early-certified "
+    "depth == fewer postings/cells read per hybrid query.",
+)
+def hybrid_ta_stop_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import dot
+    from cnc_visionsearch_spark.queries_ann import _norm_query_vec
+
+    maxd = max(_TA_DEPTHS)
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    q = _norm_query_vec(spark, sf_dir, _TA_QVEC)
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    vec = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        fixed_point_q(dot("nvec", qcol)).alias("cos_q"),
+    )
+    lex = _bm25_scored(spark, sf_dir).select(
+        "doc_id", F.col("score_q").alias("lex_q")
+    )
+    # sorted access: bound FIRST (TakeOrderedAndProject), then rank the
+    # bounded rows — the same bound-then-rank discipline as hybrid_rrf
+    vec_top = vec.orderBy(F.col("cos_q").desc(), F.col("doc_id").asc()).limit(
+        maxd
+    )
+    vecr = vec_top.withColumn(
+        "r_vec",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_q").desc(), F.col("doc_id").asc()))
+        .cast("int"),
+    )
+    lex_top = lex.orderBy(F.col("lex_q").desc(), F.col("doc_id").asc()).limit(
+        maxd
+    )
+    lexr = lex_top.withColumn(
+        "r_lex",
+        F.row_number()
+        .over(Window.orderBy(F.col("lex_q").desc(), F.col("doc_id").asc()))
+        .cast("int"),
+    )
+    seen = (
+        lexr.select("doc_id", "r_lex")
+        .join(vecr.select("doc_id", "r_vec"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.least(
+                F.coalesce(F.col("r_lex"), F.lit(_TA_SENTINEL)),
+                F.coalesce(F.col("r_vec"), F.lit(_TA_SENTINEL)),
+            ).alias("m"),
+        )
+    )
+    # random access: the <= 2*maxd seen docs broadcast INTO the full
+    # score tables (never the corpus into the probe set)
+    lex_seen = lex.join(F.broadcast(seen.select("doc_id")), "doc_id")
+    comb = (
+        vec.join(F.broadcast(seen), "doc_id")
+        .join(F.broadcast(lex_seen), "doc_id", "left")
+        .select(
+            "doc_id",
+            "m",
+            (F.coalesce(F.col("lex_q"), F.lit(0)) + F.col("cos_q")).alias(
+                "combined_q"
+            ),
+        )
+    )
+    depths = spark.createDataFrame([(d,) for d in _TA_DEPTHS], "d int")
+    # bounded non-equi joins: |depths| x maxd rows at most (planner
+    # state on both sides) — the commented-crossJoin doctrine
+    slex = (
+        depths.join(F.broadcast(lexr), F.col("r_lex") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.coalesce(F.min("lex_q"), F.lit(0)).alias("s_lex"))
+    )
+    svec = (
+        depths.join(F.broadcast(vecr), F.col("r_vec") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.min("cos_q").alias("s_vec"))
+    )
+    seen_d = depths.join(F.broadcast(comb), F.col("m") <= F.col("d"))
+    kth = (
+        seen_d.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("d").orderBy(
+                    F.col("combined_q").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == _TA_K)
+        .select("d", F.col("combined_q").alias("kth_q"))
+    )
+    ns = seen_d.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seen")
+    )
+    return (
+        depths.join(slex, "d")
+        .join(svec, "d")
+        .join(ns, "d")
+        .join(kth, "d", "left")
+        .select(
+            F.col("d").cast("int").alias("depth"),
+            "n_seen",
+            (F.col("s_lex") + F.col("s_vec")).alias("tau_q"),
+            "kth_q",
+            (
+                F.col("kth_q").isNotNull()
+                & (F.col("kth_q") >= F.col("s_lex") + F.col("s_vec"))
+            ).alias("certified"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# static index pruning: the operating-point evidence
+
+_PRUNE_PCTS = (25, 50, 75)
+
+
+@register(
+    "text_static_prune_overlap",
+    oracle=f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+qtok AS (SELECT doc_id, tok FROM tok
+         WHERE tok IN ({", ".join(repr(t) for t in _TERMS)})),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+  FROM qtok GROUP BY doc_id, tok
+),
+dfreq AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM qtok GROUP BY tok
+),
+corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+avg AS (SELECT sum(dl) / count(*) AS avgdl FROM dl),
+perterm AS (
+  SELECT tf.doc_id, tf.tok,
+    CAST(floor(
+      (((n_docs - df + 0.5) / (df + 0.5))
+        * (tf * {_K1 + 1.0}) / (tf + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl)))
+      * 1000000000.0 + 0.5) AS BIGINT) AS sq
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), corpus, avg
+),
+ranked AS (
+  SELECT doc_id, tok, sq,
+    CAST(row_number() OVER (PARTITION BY tok ORDER BY sq DESC, doc_id ASC)
+      AS BIGINT) AS rn,
+    CAST(count(*) OVER (PARTITION BY tok) AS BIGINT) AS plen
+  FROM perterm
+),
+full10 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+      ORDER BY sum(sq) DESC, doc_id ASC) AS fr
+    FROM ranked GROUP BY doc_id
+  ) WHERE fr <= 10
+),
+ps(keep_pct) AS (VALUES {", ".join(f"({p})" for p in _PRUNE_PCTS)}),
+kept AS (
+  SELECT keep_pct, doc_id, sq
+  FROM ranked CROSS JOIN ps
+  WHERE rn <= (plen * keep_pct + 99) // 100
+),
+pruned10 AS (
+  SELECT keep_pct, doc_id FROM (
+    SELECT keep_pct, doc_id, row_number() OVER (
+      PARTITION BY keep_pct ORDER BY sum(sq) DESC, doc_id ASC) AS pr
+    FROM kept GROUP BY keep_pct, doc_id
+  ) WHERE pr <= 10
+)
+SELECT CAST(ps.keep_pct AS INT) AS keep_pct,
+  (SELECT CAST(count(*) AS BIGINT) FROM ranked) AS n_postings_full,
+  (SELECT CAST(count(*) AS BIGINT) FROM kept k
+     WHERE k.keep_pct = ps.keep_pct) AS n_postings_kept,
+  (SELECT CAST(count(*) AS BIGINT) FROM pruned10 p
+     JOIN full10 USING (doc_id)
+     WHERE p.keep_pct = ps.keep_pct) AS overlap_at_10
+FROM ps
+""",
+    doc="Static index pruning operating curve (Carmel et al. "
+    "SIGIR'01, the build-time space/quality knob behind impact-"
+    "ordered indexes): per term, keep only the top ceil(p%) of "
+    "postings by per-posting BM25 impact (ties doc_id asc), score "
+    "with the FULL index's idf/avgdl/N norms (the standard pruning "
+    "choice — norms are corpus facts, pruning only drops low-impact "
+    "postings), and report top-10 overlap vs the unpruned ranking "
+    f"for p = {_PRUNE_PCTS}. The measured evidence for how much "
+    "postings mass a serving index can shed before ranked quality "
+    "moves — the lexical twin of the minhash band recall curve and "
+    "the IVF nprobe cost curve. Impacts live in the shared 1e-9 "
+    "BIGINT domain (the exact per-(doc,term) chain of text_bm25_"
+    "topk), so kept-set membership and both rankings hash-gate. "
+    "100 TB: ranking postings within a term is the build-side "
+    "per-term window the inverted layout already pays at compaction; "
+    "the sweep multiplies the BOUNDED matched slice by "
+    f"{len(_PRUNE_PCTS)} literal rows, and each ranking reduces "
+    "doc-keyed — scan-bound, corpus never self-joins.",
+)
+def text_static_prune_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dl = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("dl"),
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok").isin(_TERMS))
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tok.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    corpus = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    avg = dl.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
+    joined = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(avg))
+    )
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    denom = F.col("tf") + F.lit(_K1) * (
+        F.lit(1.0) - F.lit(_B) + F.lit(_B) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * (F.col("tf") * F.lit(_K1 + 1.0)) / denom
+    ranked = joined.select(
+        "doc_id", "tok", fixed_point_q(term_score).alias("sq")
+    ).select(
+        "doc_id",
+        "tok",
+        "sq",
+        F.row_number()
+        .over(
+            Window.partitionBy("tok").orderBy(
+                F.col("sq").desc(), F.col("doc_id").asc()
+            )
+        )
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("tok"))
+        .cast("bigint")
+        .alias("plen"),
+    )
+    # the matched slice feeds the full ranking, the sweep, and the
+    # counts — one lazy barrier instead of three recomputes
+    ranked = ranked.localCheckpoint(eager=False)
+    full10 = (
+        ranked.groupBy("doc_id")
+        .agg(F.sum("sq").alias("fs"))
+        .orderBy(F.col("fs").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id")
+    )
+    ps = spark.createDataFrame([(p,) for p in _PRUNE_PCTS], "keep_pct int")
+    # bounded multiplier: |ps| literal rows over the matched slice
+    kept = ranked.crossJoin(F.broadcast(ps)).filter(
+        F.col("rn")
+        <= F.expr("(plen * keep_pct + 99) div 100").cast("bigint")
+    )
+    pruned10 = (
+        kept.groupBy("keep_pct", "doc_id")
+        .agg(F.sum("sq").alias("s"))
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("keep_pct").orderBy(
+                    F.col("s").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("pr") <= 10)
+        .select("keep_pct", "doc_id")
+    )
+    n_full = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_postings_full")
+    )
+    n_kept = kept.groupBy("keep_pct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_postings_kept")
+    )
+    overlap = (
+        pruned10.join(F.broadcast(full10), "doc_id")
+        .groupBy("keep_pct")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap_at_10"))
+    )
+    return (
+        ps.crossJoin(F.broadcast(n_full))
+        .join(n_kept, "keep_pct", "left")
+        .join(overlap, "keep_pct", "left")
+        .select(
+            F.col("keep_pct").cast("int").alias("keep_pct"),
+            "n_postings_full",
+            F.coalesce(F.col("n_postings_kept"), F.lit(0))
+            .cast("bigint")
+            .alias("n_postings_kept"),
+            F.coalesce(F.col("overlap_at_10"), F.lit(0))
+            .cast("bigint")
+            .alias("overlap_at_10"),
+        )
+    )
