@@ -2711,3 +2711,91 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_users").cast("double")
         ).alias("ltv_per_user"),
     )
+
+
+# --------------------------------------------- Holt linear-trend forecast
+
+
+@register(
+    "events_holt_linear_forecast",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(count(*) AS BIGINT) * 1000000000 AS y_q
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y_q,
+    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+      AS BIGINT) AS rid,
+    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+  FROM daily
+),
+rec AS (
+  SELECT event_type, CAST(1 AS BIGINT) AS i, y_q AS l,
+    CAST(0 AS BIGINT) AS t, n_days
+  FROM idx WHERE rid = 1
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+    (d.y_q + r.l + r.t) >> 1 AS l,
+    (((d.y_q + r.l + r.t) >> 1) - r.l + r.t) >> 1 AS t,
+    r.n_days
+  FROM rec r JOIN idx d
+    ON d.event_type = r.event_type AND d.rid = r.i + 1
+)
+SELECT event_type, n_days, l AS level_q, t AS trend_q,
+  (l + 7 * t) AS forecast7_q
+FROM rec WHERE i = n_days
+""",
+    doc="Holt's linear-trend double exponential smoothing over the "
+    "per-type daily event-count series, plus the 7-step-ahead "
+    "forecast l + 7t — the trend-aware upgrade of events_ewma_trend "
+    "(EWMA tracks level only, so it lags any ramp; Holt's trend term "
+    "is how capacity forecasting actually extrapolates). alpha = "
+    "beta = 1/2 as EXACT integer arithmetic: counts live in 1e-9 "
+    "units and every smoothing step is an arithmetic right-shift "
+    "(floor division by 2 — Spark shiftright and DuckDB >> agree on "
+    "negatives, verified, so a decaying trend stays bit-identical). "
+    "The recursion is inherently sequential IN TIME but the series "
+    "axis is tiny: Spark folds each type's day-ordered array with "
+    "ONE codegen aggregate() after a (type, day) count shuffle — "
+    "per-type state is 2 BIGINTs, days-per-type is bounded by the "
+    "calendar, so at 100 TB the heavy part remains the count "
+    "aggregate (scan + partial/final combine) and the fold costs "
+    "|types| x |days| integer ops. The oracle replays the identical "
+    "recurrence as a recursive CTE. Forecast in 1e-9 count units.",
+)
+def events_holt_linear_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        (F.count(F.lit(1)).cast("bigint") * F.lit(1000000000).cast("bigint"))
+        .alias("y_q")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "y_q"))).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    fold = F.expr(
+        """
+aggregate(
+  slice(s, 2, size(s) - 1),
+  named_struct('l', element_at(s, 1).y_q, 't', CAST(0 AS BIGINT)),
+  (acc, x) -> named_struct(
+    'l', shiftright(x.y_q + acc.l + acc.t, 1),
+    't', shiftright(shiftright(x.y_q + acc.l + acc.t, 1) - acc.l + acc.t, 1)
+  ),
+  acc -> acc)
+"""
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        fold.getField("l").alias("level_q"),
+        fold.getField("t").alias("trend_q"),
+        (fold.getField("l") + F.lit(7).cast("bigint") * fold.getField("t"))
+        .alias("forecast7_q"),
+    )

@@ -3823,3 +3823,87 @@ def emb_codebook_inertia_curve(
             / F.col("n").cast("double")
         ).alias("mean_sq_dist"),
     )
+
+
+# --------------------------------------------- source novelty attribution
+
+
+@register(
+    "doc_source_novelty_curve",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT DISTINCT source, unnest({_TRIGRAMS}) AS gram FROM toks
+),
+firsts AS (
+  SELECT gram, min(source) AS first_source FROM grams GROUP BY gram
+),
+per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM grams
+  GROUP BY source
+),
+novel AS (
+  SELECT first_source AS source, CAST(count(*) AS BIGINT) AS n_novel
+  FROM firsts GROUP BY first_source
+)
+SELECT p.source, p.n_grams,
+  CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+  (CAST(COALESCE(n.n_novel, 0) AS BIGINT) * 1000000) // p.n_grams
+    AS novelty_ppm
+FROM per_source p LEFT JOIN novel n ON p.source = n.source
+""",
+    doc="Greedy corpus-growth novelty attribution: walk sources in "
+    "their (deterministic) lexicographic order and credit each "
+    "DISTINCT token trigram to the FIRST source that contributes it "
+    "— per source, the count of grams nobody earlier had, and its "
+    "share of the source's own distinct-gram mass (integer ppm). The "
+    "dataset-curation question behind source selection ('what does "
+    "adding this crawl actually ADD?') — complements "
+    "source_overlap_minhash (pairwise sketch overlap) with exact "
+    "MARGINAL coverage along an acquisition order, and "
+    "doc_hapax_share_by_source's noise tail with content novelty. "
+    "Plan: one shingle explode -> (source, gram) distinct -> the "
+    "per-gram min(source) aggregate IS the whole greedy walk (no "
+    "|sources|-pass loop); shuffles carry (gram, source) pairs, "
+    "grams hash-spread so stopword shingles cannot skew a reducer. "
+    "At 100 TB this is the trigram vocabulary's scale, not the "
+    "corpus's — the same budget the decontamination join already "
+    "pays.",
+)
+def doc_source_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "source", tokens("text").alias("tk")
+    ).select(
+        "source",
+        F.explode(F.array_distinct(shingles_from_tokens("tk", 3))).alias(
+            "gram"
+        ),
+    ).distinct()
+    per_source = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    novel = (
+        grams.groupBy("gram")
+        .agg(F.min("source").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    return (
+        per_source.join(novel, "source", "left")
+        .select(
+            "source",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.expr(
+                "(CAST(COALESCE(n_novel, 0) AS BIGINT) * 1000000)"
+                " div n_grams"
+            )
+            .cast("bigint")
+            .alias("novelty_ppm"),
+        )
+    )

@@ -2815,3 +2815,207 @@ def orders_duplicate_invoice_pairs(
         .cast("bigint")
         .alias("gap_days"),
     )
+
+
+# ------------------------------------------- label-propagation communities
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_sql(rounds: int = _LPA_ROUNDS) -> str:
+    """Synchronous label propagation as chained CTEs: labels start as
+    node ids, each round every node adopts the most frequent label
+    among its neighbors (ties -> smallest label) — all-integer, so
+    both engines iterate bit-identically (the PageRank oracle-replay
+    contract)."""
+    parts = [
+        """
+lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+edges AS (SELECT DISTINCT src, dst FROM e),
+lab0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+cnt{i} AS (
+  SELECT e.dst AS node, p.lab, CAST(count(*) AS BIGINT) AS c
+  FROM edges e JOIN lab{i - 1} p ON e.src = p.node
+  GROUP BY e.dst, p.lab
+),
+lab{i} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab, row_number() OVER (
+      PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+    FROM cnt{i}
+  ) WHERE rn = 1
+)"""
+        )
+    return "".join(parts) + f",\nlabf AS (SELECT node, lab FROM lab{rounds})"
+
+
+@register(
+    "part_lpa_communities",
+    oracle=f"""
+WITH {_lpa_sql(_LPA_ROUNDS)}
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
+  CAST(min(node) AS BIGINT) AS min_part, CAST(max(node) AS BIGINT) AS max_part
+FROM labf GROUP BY lab
+ORDER BY n_members DESC, community ASC
+LIMIT 20
+""",
+    doc="Label-propagation community detection (Raghavan et al. 2007) "
+    f"over the part co-purchase graph, {_LPA_ROUNDS} synchronous "
+    "rounds: labels start as node ids; each round a node adopts the "
+    "MOST FREQUENT label among its neighbors (frequency desc, label "
+    "asc tie-break — the determinism patch over classic LPA's random "
+    "tie coin). Finds frequency-based communities the pure "
+    "connectivity pass (neardup_cluster_keepers' connected "
+    "components) cannot: CC merges everything reachable, LPA splits "
+    "a connected graph along dense cores — the catalog's actual "
+    "co-purchase clusters, PageRank's centrality complement. "
+    "All-integer state -> the oracle replays every round as chained "
+    "CTEs (the PageRank/BPE contract). Plan per round: edges JOIN "
+    "labels on src (exchange-reusable hash partitioning, the "
+    "Pregel-as-join-agg loop), (node, lab) count aggregate, "
+    "per-node argmax via the row_number window; the edge set builds "
+    "ONCE via the bounded basket expansion (never a lineitem "
+    "self-join) and localCheckpoints so rounds do not recompute it. "
+    "Output: top-20 communities by size with member id ranges.",
+)
+def part_lpa_communities(
+    spark: SparkSession, sf_dir: str, rounds: int = _LPA_ROUNDS
+) -> DataFrame:
+    from cnc_visionsearch_spark.iterative import check_rounds
+    from cnc_visionsearch_spark.operators.dedup import _bucket_pairs
+
+    check_rounds(rounds, "part_lpa_communities")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    pairs = _bucket_pairs(baskets, "named_struct('a', x, 'b', y)").select(
+        F.col("p.a").alias("src"), F.col("p.b").alias("dst")
+    )
+    edges = (
+        pairs.union(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lab = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab").asc())
+    for _ in range(rounds):
+        lab = (
+            edges.join(lab, edges.src == lab.node)
+            .groupBy(F.col("dst").alias("nnode"), "lab")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .select(F.col("nnode").alias("node"), "lab", "c")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+        )
+    return (
+        lab.groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("node").cast("bigint").alias("min_part"),
+            F.max("node").cast("bigint").alias("max_part"),
+        )
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+        .limit(20)
+    )
+
+
+# ------------------------------------------------- open-order backlog sweep
+
+
+@register(
+    "orders_open_backlog_peaks",
+    oracle="""
+WITH opens AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(1 AS BIGINT) AS delta
+  FROM orders
+),
+closes AS (
+  SELECT CAST(max(l_shipdate) AS DATE) + INTERVAL 1 DAY AS day,
+    CAST(-1 AS BIGINT) AS delta
+  FROM lineitem GROUP BY l_orderkey
+),
+deltas AS (
+  SELECT day, CAST(SUM(delta) AS BIGINT) AS d
+  FROM (SELECT * FROM opens UNION ALL SELECT CAST(day AS DATE), delta FROM closes)
+  GROUP BY day
+),
+running AS (
+  SELECT day, CAST(SUM(d) OVER (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS open_orders
+  FROM deltas
+)
+SELECT day, open_orders FROM running
+ORDER BY open_orders DESC, day ASC
+LIMIT 15
+""",
+    doc="Open-order backlog peaks via a sweep-line over order "
+    "lifetimes: an order is OPEN from its order date until its last "
+    "line ships (+1 delta at open, -1 the day after max(l_shipdate); "
+    "orders with no shipped lines never close). Interval stabbing "
+    "('how many intervals cover day X') converted to the event-sweep "
+    "prefix sum — the warehouse-ops 'work in progress' curve, the "
+    "same sweep shape as events_max_concurrency but over DERIVED "
+    "per-order intervals joined from two tables. Scale design: the "
+    "per-order close is a (orderkey)-keyed max aggregate, then both "
+    "delta streams collapse to DAILY deltas FIRST — the running-sum "
+    "window runs single-partition, but over a table bounded by the "
+    "CALENDAR (a few thousand rows at any corpus size), never over "
+    "orders; exact BIGINT arithmetic throughout.",
+)
+def orders_open_backlog_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    opens = o.select(
+        F.to_date("o_orderdate").alias("day"),
+        F.lit(1).cast("bigint").alias("delta"),
+    )
+    closes = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.date_add(F.to_date("last_ship"), 1).alias("day"),
+            F.lit(-1).cast("bigint").alias("delta"),
+        )
+    )
+    deltas = (
+        opens.unionByName(closes)
+        .groupBy("day")
+        .agg(F.sum("delta").cast("bigint").alias("d"))
+    )
+    # window over the DAILY table: bounded by the calendar, the sweep's
+    # single-partition sort is a few thousand rows at any corpus size
+    running = deltas.select(
+        "day",
+        F.sum("d")
+        .over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint")
+        .alias("open_orders"),
+    )
+    return running.orderBy(
+        F.col("open_orders").desc(), F.col("day").asc()
+    ).limit(15)
