@@ -886,3 +886,175 @@ def ann_rq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_rq(spark, sf_dir)
     emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
     return rq_distortion(spark, path, emb)
+
+
+# ------------------------------------- OPQ-lite: dim-assignment evidence
+
+_OPQ_M = 8  # subspaces for the grouping comparison
+_OPQ_K = 8  # stride codebook size per grouping
+
+
+@register(
+    "ann_opq_dim_balance_distortion",
+    oracle=f"""
+WITH {_NORM_CTE},
+comp AS (
+  SELECT vec_id, unnest(range(1, len(nvec) + 1)) - 1 AS dim,
+    unnest(nvec) AS x
+  FROM normed
+),
+e AS (
+  SELECT dim, CAST(SUM({FIXED_POINT_SQL.format(x="x * x")}) AS BIGINT) AS e_q
+  FROM comp GROUP BY dim
+),
+dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM e),
+ranked AS (
+  SELECT dim, e_q,
+    CAST(row_number() OVER (ORDER BY e_q DESC, dim ASC) AS BIGINT) - 1 AS r0
+  FROM e
+),
+assign AS (
+  SELECT dim, e_q,
+    least(dim // (d // {_OPQ_M}), {_OPQ_M - 1}) AS sub_c,
+    CASE WHEN ((r0 // {_OPQ_M}) % 2) = 0 THEN r0 % {_OPQ_M}
+         ELSE {_OPQ_M - 1} - (r0 % {_OPQ_M}) END AS sub_b
+  FROM ranked, dd
+),
+stride AS (SELECT greatest(max(vec_id) // {_OPQ_K}, 1) AS s FROM embeddings),
+cb AS (
+  SELECT vec_id // s AS code, unnest(range(1, len(nvec) + 1)) - 1 AS dim,
+    unnest(nvec) AS cx
+  FROM normed, stride
+  WHERE vec_id % s = 0 AND vec_id // s < {_OPQ_K}
+),
+j AS (
+  SELECT comp.vec_id, comp.dim, cb.code,
+    CAST({FIXED_POINT_SQL.format(x="(x - cx) * (x - cx)")} AS BIGINT) AS dq
+  FROM comp JOIN cb USING (dim)
+),
+ja AS (SELECT j.*, a.sub_c, a.sub_b FROM j JOIN assign a USING (dim)),
+pc AS (SELECT vec_id, code, sub_c AS sub_j, CAST(SUM(dq) AS BIGINT) AS d2
+       FROM ja GROUP BY 1, 2, 3),
+mc AS (SELECT vec_id, sub_j, MIN(d2) AS mind FROM pc GROUP BY 1, 2),
+ec AS (SELECT sub_j, CAST(SUM(mind) AS BIGINT) AS err_q_contig
+       FROM mc GROUP BY sub_j),
+gc AS (SELECT sub_c AS sub_j, CAST(SUM(e_q) AS BIGINT) AS energy_q_contig
+       FROM assign GROUP BY 1),
+pb AS (SELECT vec_id, code, sub_b AS sub_j, CAST(SUM(dq) AS BIGINT) AS d2
+       FROM ja GROUP BY 1, 2, 3),
+mb AS (SELECT vec_id, sub_j, MIN(d2) AS mind FROM pb GROUP BY 1, 2),
+eb AS (SELECT sub_j, CAST(SUM(mind) AS BIGINT) AS err_q_balanced
+       FROM mb GROUP BY sub_j),
+gb AS (SELECT sub_b AS sub_j, CAST(SUM(e_q) AS BIGINT) AS energy_q_balanced
+       FROM assign GROUP BY 1)
+SELECT CAST(gc.sub_j AS BIGINT) AS sub_j, energy_q_contig, err_q_contig,
+  energy_q_balanced, err_q_balanced
+FROM gc JOIN ec USING (sub_j) JOIN gb USING (sub_j) JOIN eb USING (sub_j)
+""",
+    doc="OPQ-lite dimension-assignment evidence (the knob behind "
+    "Optimized Product Quantization, Ge et al. CVPR'13, minus the "
+    "learned rotation): compare per-subspace ENERGY and quantization "
+    "DISTORTION when the embedding axes are grouped CONTIGUOUSLY "
+    f"(the stride PQ tier's layout) vs ENERGY-SNAKE-BALANCED across "
+    f"{_OPQ_M} subspaces (rank dims by exact quantized energy, deal "
+    "them boustrophedon so every subspace gets an even mix of hot "
+    "and cold axes — a pure PERMUTATION, so it composes with any "
+    "codebook and costs nothing at encode time). Contiguous grouping "
+    "concentrates variance in few subspaces -> their codebooks "
+    "saturate while cold subspaces waste entries; the balanced "
+    "columns show the spread this removes. Fully exact: per-dim "
+    "energies, per-(vec, code, subspace) distances, and per-subspace "
+    "distortions are all 1e-9-quantized-then-BIGINT-summed (the "
+    "dim-exploded twin of the in-row _L2SQ fold — exploded grouping "
+    "cannot rely on double addition order), assignment is integer "
+    "rank arithmetic, the codebook is the deterministic stride "
+    f"sample (k = {_OPQ_K}). Plan: ONE (vec, dim, x) explode joins "
+    "the broadcast k*d codebook rows and the broadcast d-row "
+    "assignment table, then three keyed reductions per grouping — "
+    "scan-bound, shuffles carry quantized scalars; at 100 TB this is "
+    "the audit a PQ build job runs BEFORE spending cluster-days "
+    "training codebooks on a layout the axis order already crippled.",
+)
+def ann_opq_dim_balance_distortion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    comp = emb.select("vec_id", F.posexplode("nvec").alias("dim", "x"))
+    e = comp.groupBy("dim").agg(
+        F.sum(fixed_point_q(F.col("x") * F.col("x"))).alias("e_q")
+    )
+    # d dims and the stride are planner state (d <= a few hundred, one
+    # MAX row) — same doctrine as the inertia-curve codebooks
+    d = _DIM
+    ranked = e.select(
+        "dim",
+        "e_q",
+        (
+            F.row_number()
+            .over(Window.orderBy(F.col("e_q").desc(), F.col("dim").asc()))
+            .cast("bigint")
+            - 1
+        ).alias("r0"),
+    )
+    m = _OPQ_M
+    assign = ranked.select(
+        "dim",
+        "e_q",
+        F.least(
+            F.expr(f"dim div {d // m}").cast("bigint"), F.lit(m - 1).cast("bigint")
+        ).alias("sub_c"),
+        F.expr(
+            f"CASE WHEN ((r0 div {m}) % 2) = 0 THEN r0 % {m} "
+            f"ELSE {m - 1} - (r0 % {m}) END"
+        )
+        .cast("bigint")
+        .alias("sub_b"),
+    )
+    max_id = int(emb.agg(F.max("vec_id")).first()[0])
+    s = max(max_id // _OPQ_K, 1)
+    cb = (
+        emb.filter(
+            (F.col("vec_id") % s == 0) & (F.col("vec_id") / s < _OPQ_K)
+        )
+        .select(
+            F.expr(f"vec_id div {s}").alias("code"),
+            F.posexplode("nvec").alias("dim", "cx"),
+        )
+    )
+    j = comp.join(F.broadcast(cb), "dim").select(
+        "vec_id",
+        "dim",
+        "code",
+        fixed_point_q(
+            (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+        ).alias("dq"),
+    )
+    ja = j.join(F.broadcast(assign.select("dim", "sub_c", "sub_b")), "dim")
+    # the exploded joined base feeds both groupings — one barrier, not
+    # two recomputes of the n*d*k join
+    ja = ja.localCheckpoint(eager=False)
+
+    def grouping(sub_col: str, err_alias: str, en_alias: str):
+        err = (
+            ja.groupBy("vec_id", "code", F.col(sub_col).alias("sub_j"))
+            .agg(F.sum("dq").alias("d2"))
+            .groupBy("vec_id", "sub_j")
+            .agg(F.min("d2").alias("mind"))
+            .groupBy("sub_j")
+            .agg(F.sum("mind").cast("bigint").alias(err_alias))
+        )
+        en = assign.groupBy(F.col(sub_col).alias("sub_j")).agg(
+            F.sum("e_q").cast("bigint").alias(en_alias)
+        )
+        return en.join(err, "sub_j")
+    c = grouping("sub_c", "err_q_contig", "energy_q_contig")
+    b = grouping("sub_b", "err_q_balanced", "energy_q_balanced")
+    return c.join(b, "sub_j").select(
+        F.col("sub_j").cast("bigint").alias("sub_j"),
+        "energy_q_contig",
+        "err_q_contig",
+        "energy_q_balanced",
+        "err_q_balanced",
+    )
