@@ -3019,3 +3019,208 @@ def orders_open_backlog_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running.orderBy(
         F.col("open_orders").desc(), F.col("day").asc()
     ).limit(15)
+
+
+# --------------------------------------------- seasonal decomposition
+
+
+@register(
+    "orders_seasonal_decomposition",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yy,
+    CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mm,
+    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+      AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1, 2
+),
+seq AS (
+  SELECT yy, mm, rev_c,
+    CAST(SUM(rev_c) OVER (ORDER BY yy, mm
+      ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS BIGINT) AS wsum,
+    CAST(count(*) OVER (ORDER BY yy, mm
+      ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS BIGINT) AS wn
+  FROM monthly
+),
+detr AS (
+  SELECT mm, rev_c - (wsum // 13) AS dt
+  FROM seq WHERE wn = 13
+)
+SELECT CAST(mm AS BIGINT) AS month_of_year,
+  CAST(count(*) AS BIGINT) AS n_obs,
+  CAST(SUM(dt) AS BIGINT) // CAST(count(*) AS BIGINT) AS seasonal_c
+FROM detr GROUP BY mm
+""",
+    doc="Classical additive seasonal decomposition of monthly order "
+    "revenue (the moving-average step of STL/X-11, integer-exact): "
+    "trend = 13-month CENTERED moving average (odd window, rows-"
+    "framed over the present months; edge months without a full "
+    "window are excluded from estimation, the textbook rule), "
+    "detrended = month - trend, seasonal index per calendar month = "
+    "mean detrended across years. Revenue lives in BIGINT cents "
+    "(per-row floor(price*100+0.5) is one double chain; every "
+    "reduction after that is exact integer sum / floor division), so "
+    "all 12 indices hash-gate. Scale: the corpus collapses to the "
+    "CALENDAR-bounded monthly table FIRST (partial+final aggregate), "
+    "then the single-partition MA window runs over dozens of rows — "
+    "the same bounded-sweep discipline as the backlog peaks query. "
+    "The quarter-end spike audit (orders_quarter_end_spike) detects "
+    "one seasonal shape; this measures ALL of them, the input a "
+    "forecaster subtracts before fitting trend models like "
+    "events_holt_linear_forecast.",
+)
+def orders_seasonal_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yy"),
+        F.month("o_orderdate").cast("bigint").alias("mm"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    # calendar-bounded window: dozens of rows at any corpus size
+    w = Window.orderBy("yy", "mm").rowsBetween(-6, 6)
+    seq = monthly.select(
+        "mm",
+        "rev_c",
+        F.sum("rev_c").over(w).cast("bigint").alias("wsum"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("wn"),
+    )
+    detr = seq.filter(F.col("wn") == 13).select(
+        "mm", (F.col("rev_c") - F.expr("wsum div 13")).alias("dt")
+    )
+    return detr.groupBy(F.col("mm").alias("month_of_year")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.expr("CAST(SUM(dt) AS BIGINT) div CAST(count(*) AS BIGINT)")
+        .cast("bigint")
+        .alias("seasonal_c"),
+    )
+
+
+# --------------------------------------------------- k-truss edge peeling
+
+_TRUSS_K = 4  # edge survives while it sits in >= K-2 triangles
+_TRUSS_ROUNDS = 2
+
+
+def _truss_sql(rounds: int = _TRUSS_ROUNDS, k: int = _TRUSS_K) -> str:
+    """k-truss peel rounds as chained CTEs: each round computes every
+    surviving edge's triangle support, then drops edges below k-2 —
+    all-integer, oracle-replayed like the PageRank/LPA chains."""
+    parts = [
+        """
+lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pe AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e0 AS (SELECT DISTINCT src, dst FROM pe),
+ed0 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+sup{i} AS (
+  SELECT e.src, e.dst, CAST(count(*) AS BIGINT) AS sup
+  FROM e{i - 1} e
+  JOIN ed{i - 1} a ON a.src = e.src
+  JOIN ed{i - 1} b ON b.src = e.dst AND b.dst = a.dst
+  GROUP BY e.src, e.dst
+),
+e{i} AS (SELECT src, dst FROM sup{i} WHERE sup >= {k - 2}),
+ed{i} AS (SELECT src, dst FROM e{i} UNION ALL SELECT dst, src FROM e{i})"""
+        )
+    return "".join(parts)
+
+
+@register(
+    "part_ktruss_edges",
+    oracle=f"""
+WITH {_truss_sql(_TRUSS_ROUNDS, _TRUSS_K)}
+SELECT e.src AS part_a, e.dst AS part_b, s.sup AS support
+FROM e{_TRUSS_ROUNDS} e JOIN sup{_TRUSS_ROUNDS} s
+  ON e.src = s.src AND e.dst = s.dst
+ORDER BY support DESC, part_a ASC, part_b ASC
+LIMIT 20
+""",
+    doc=f"{_TRUSS_K}-truss edge decomposition of the part co-purchase "
+    f"graph ({_TRUSS_ROUNDS} peel rounds): an edge survives only "
+    f"while it participates in >= {_TRUSS_K - 2} triangles among "
+    "SURVIVING edges — the edge-centric densification of k-core "
+    "(part_kcore_peel peels weak NODES; truss peels weak TIES, so a "
+    "hub connected by one-off purchases drops out while genuinely "
+    "co-bought cliques stay — the community-CORE extractor, "
+    "complementing part_lpa_communities' partition with a strength "
+    "filter). Support per round is the edge-centric triangle join "
+    "(edge (u,v) matched to wedges u-w, v-w), exact BIGINT counts; "
+    "rounds are chained CTEs in the oracle, the PageRank replay "
+    "contract. Plan shape: the per-round join is vertex-keyed with "
+    "fan-out bounded by the basket-capped degree (an order holds <= "
+    "7 parts); at open-web graph scale production orients wedges by "
+    "(degree, id) to bound the skew — the same salting doctrine as "
+    "lineitem_key_skew_report. Output: top-20 surviving edges by "
+    "final-round support.",
+)
+def part_ktruss_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = _TRUSS_ROUNDS,
+    k: int = _TRUSS_K,
+) -> DataFrame:
+    from cnc_visionsearch_spark.iterative import check_rounds
+    from cnc_visionsearch_spark.operators.dedup import _bucket_pairs
+
+    check_rounds(rounds, "part_ktruss_edges")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    e = (
+        _bucket_pairs(baskets, "named_struct('a', x, 'b', y)")
+        .select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sup = None
+    for _ in range(rounds):
+        ed = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        a = ed.select(F.col("src").alias("ea"), F.col("dst").alias("w"))
+        b = ed.select(F.col("src").alias("eb"), F.col("dst").alias("w"))
+        sup = (
+            e.join(a, e.src == a.ea)
+            .join(b, (e.dst == b.eb) & (a.w == b.w))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        )
+        e = (
+            sup.filter(F.col("sup") >= k - 2)
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.join(sup, ["src", "dst"])
+        .select(
+            F.col("src").alias("part_a"),
+            F.col("dst").alias("part_b"),
+            F.col("sup").alias("support"),
+        )
+        .orderBy(
+            F.col("support").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(20)
+    )
