@@ -32,7 +32,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["running_user_stats", "streaming_funnel_stage", "running_user_totals_tws", "kmv_sketch_stream", "kmv_hash", "ewma_trend_stream"]
+__all__ = ["running_user_stats", "streaming_funnel_stage", "running_user_totals_tws", "kmv_sketch_stream", "kmv_hash", "ewma_trend_stream", "holt_trend_stream"]
 
 STATE_SCHEMA = StructType(
     [
@@ -431,6 +431,82 @@ def sequence_match_stream(events: DataFrame) -> DataFrame:
         _seq_update,
         outputStructType=_SEQ_OUT,
         stateStructType=_SEQ_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------------------------------------ Holt trend state
+
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("l", LongType()),
+        StructField("t", LongType()),
+        StructField("n_days", LongType()),
+    ]
+)
+
+HOLT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_days", LongType()),
+        StructField("level_q", LongType()),
+        StructField("trend_q", LongType()),
+        StructField("forecast7_q", LongType()),
+    ]
+)
+
+
+def _holt_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (etype,) = key
+    if state.exists:
+        lvl, trd, n = state.get
+    else:
+        lvl = trd = None
+        n = 0
+    rows = pd.concat(list(pdfs)).sort_values("day")
+    for y in rows["y_q"]:
+        y = int(y)
+        if lvl is None:
+            lvl, trd = y, 0
+        else:
+            # the IDENTICAL integer recurrence of the batch fold
+            # (events_holt_linear_forecast): Python >> is arithmetic
+            # (floor) on negatives, same as Spark shiftright / DuckDB >>
+            l2 = (y + lvl + trd) >> 1
+            trd = (l2 - lvl + trd) >> 1
+            lvl = l2
+        n += 1
+    state.update((lvl, trd, n))
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": etype,
+                "n_days": n,
+                "level_q": lvl,
+                "trend_q": trd,
+                "forecast7_q": lvl + 7 * trd,
+            }
+        ]
+    )
+
+
+def holt_trend_stream(daily: DataFrame) -> DataFrame:
+    """Streaming twin of the batch events_holt_linear_forecast fold:
+    per event_type, carry Holt's (level, trend) as TWO BIGINTs of
+    keyed state across micro-batches. The recurrence is all-integer
+    (arithmetic shifts), so — rows applied in day order — the final
+    state is EXACTLY the batch fold's, not just within float noise
+    (test-pinned). Input is the daily count stream (event_type, day,
+    y_q) an upstream windowed aggregate emits; state per key never
+    grows: O(|event types|) * 3 BIGINTs at any stream length, the
+    same monitoring shape as ewma_trend_stream but trend-aware."""
+    return daily.groupBy("event_type").applyInPandasWithState(
+        _holt_update,
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

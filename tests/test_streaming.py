@@ -1261,3 +1261,61 @@ def test_percolator_stream_checkpoint_resume_no_duplicates(spark, tmp_path):
         for r in percolate_docs(docs, queries).collect()
     }
     assert set(both) == batch and len(both) > len(first)
+
+
+def test_holt_trend_stream_matches_batch_fold(spark, tmp_path):
+    """The streaming Holt operator carries (level, trend) as integer
+    keyed state; applied over the same daily series in day order it
+    must land EXACTLY on the batch events_holt_linear_forecast fold
+    (the recurrence is all-integer, so equality is ==, not approx)."""
+    from cnc_visionsearch_spark.queries_events import (
+        events_holt_linear_forecast,
+    )
+    from cnc_visionsearch_spark.streaming.stateful import holt_trend_stream
+
+    daily = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            (
+                F.count(F.lit(1)).cast("bigint")
+                * F.lit(1000000000).cast("bigint")
+            ).alias("y_q")
+        )
+    )
+    cut = daily.agg(F.expr("percentile(unix_date(day), 0.5)")).first()[0]
+    chunks = [
+        daily.filter(F.expr("unix_date(day)") <= cut),
+        daily.filter(F.expr("unix_date(day)") > cut),
+    ]
+    stream_dir = _write_chunks(spark, str(tmp_path / "in"), chunks)
+    stream = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    out_rows = []
+    q = (
+        holt_trend_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: out_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    final = {}
+    for r in out_rows:  # last update per type wins
+        final[r.event_type] = r
+    batch = {
+        r.event_type: r
+        for r in events_holt_linear_forecast(spark, SF).collect()
+    }
+    assert set(final) == set(batch) and final
+    for et, b in batch.items():
+        s = final[et]
+        assert s.n_days == b.n_days
+        assert s.level_q == b.level_q
+        assert s.trend_q == b.trend_q
+        assert s.forecast7_q == b.forecast7_q
