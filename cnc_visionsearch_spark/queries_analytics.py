@@ -4782,3 +4782,225 @@ def text_percolator_negated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_doc",
         "last_doc",
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility by language
+
+_BPE_FERTILITY_ORACLE = (
+    _BPE_ORACLE[: _BPE_ORACLE.index("\nUNION ALL\n")]
+    .replace(
+        f"SELECT CAST({1} AS BIGINT) AS merge_rank, lhs, rhs, "
+        f"lhs || rhs AS merged, pc AS pair_count FROM b1",
+        "",
+    )
+    + f"""
+, ltok AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+lw AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
+       FROM ltok GROUP BY 1, 2)
+SELECT lang,
+  CAST(SUM(cnt) AS BIGINT) AS n_words,
+  CAST(SUM(cnt * len(string_split(ltrim(state), ' '))) AS BIGINT)
+    AS n_tokens,
+  (CAST(SUM(cnt * len(string_split(ltrim(state), ' '))) AS BIGINT)
+    * 1000000) // CAST(SUM(cnt) AS BIGINT) AS fertility_ppm
+FROM lw JOIN (SELECT word, state FROM w{_BPE_ROUNDS}) USING (word)
+GROUP BY lang
+"""
+)
+
+
+@register(
+    "doc_bpe_fertility_by_lang",
+    oracle=_BPE_FERTILITY_ORACLE,
+    doc="Tokenizer FERTILITY (tokens emitted per word) by language "
+    "under the trained BPE merges — the fairness metric every "
+    "multilingual tokenizer report leads with: a language whose "
+    "fertility is an outlier pays more sequence length (and so more "
+    "compute and a tighter effective context) for the same text, the "
+    "signal that the merge table under-serves it and the mixture "
+    "needs rebalancing (doc_mixture_weights' tokenizer-side "
+    "complement). Reuses doc_bpe_train_merges' EXACT training chain "
+    "(the oracle shares its unrolled CTEs), then: per-(lang, word) "
+    "counts join the merged vocabulary states — a vocabulary-keyed "
+    "join, the corpus is scanned once for the counts and never "
+    "re-tokenized — and reduce to |langs| rows of exact BIGINTs "
+    "(fertility as integer ppm). 100 TB: training is the existing "
+    "bounded loop; the eval adds one (lang, word) aggregate of "
+    "shuffle width |langs| x |vocab|.",
+)
+def doc_bpe_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lw = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .withColumn("state", F.regexp_replace("word", "(.)", " $1"))
+    )
+    state = F.col("state")
+    for m in doc_bpe_train_merges(spark, sf_dir).collect():
+        state = F.replace(
+            state, F.lit(f" {m.lhs} {m.rhs}"), F.lit(f" {m.lhs}{m.rhs}")
+        )
+    merged = vocab.select(
+        "word",
+        F.size(F.split(F.ltrim(state), " ")).cast("bigint").alias("n_syms"),
+    )
+    return (
+        lw.join(merged, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_syms"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000) div n_words")
+            .cast("bigint")
+            .alias("fertility_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# experiment power analysis (MDE + required sample size)
+
+_Z_ALPHA2 = 1.959963984540054  # two-sided alpha = 0.05
+_Z_BETA = 0.8416212335729143  # power = 0.80
+
+
+@register(
+    "events_ab_power_mde",
+    oracle=f"""
+WITH assign AS (
+  SELECT DISTINCT user_id,
+    CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS BIGINT)
+      AS arm
+  FROM events
+),
+conv AS (
+  SELECT user_id,
+    CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         >= 14 THEN 1 ELSE 0 END AS BIGINT) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+    CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM assign JOIN conv USING (user_id) GROUP BY arm
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
+    MAX(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+    MAX(CASE WHEN arm = 1 THEN n_users END) AS n1,
+    MAX(CASE WHEN arm = 1 THEN n_converted END) AS c1
+  FROM arms
+),
+base AS (
+  SELECT n0, c0, n1, c1,
+    CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS p
+  FROM wide
+)
+SELECT n0, c0, n1, c1, p AS p_pool,
+  ({_Z_ALPHA2!r} + {_Z_BETA!r})
+    * sqrt((p * (1.0 - p))
+      * ((1.0 / CAST(n0 AS DOUBLE)) + (1.0 / CAST(n1 AS DOUBLE))))
+    AS mde_abs,
+  CAST(ceil(
+    (({_Z_ALPHA2!r} + {_Z_BETA!r}) * ({_Z_ALPHA2!r} + {_Z_BETA!r}))
+    * ((p * (1.0 - p)) + ((p * 1.1) * (1.0 - (p * 1.1))))
+    / ((p * 0.1) * (p * 0.1))
+  ) AS BIGINT) AS n_per_arm_rel10
+FROM base
+""",
+    doc="Experiment POWER analysis for the A/B harness "
+    "(events_ab_experiment's design twin, run BEFORE the readout): "
+    "with the observed arm sizes and pooled conversion rate, the "
+    "minimum detectable effect at two-sided alpha=0.05 / power=0.80, "
+    "and the required per-arm N to detect a +10% RELATIVE lift "
+    "(the standard two-proportion sample-size formula). The query "
+    "that stops teams shipping 'no significant difference' on an "
+    "experiment that could never have detected one. z-quantiles are "
+    "INLINED literals (no engine erf/quantile calls — the nDCG "
+    "discount-table decision); everything upstream reduces to exact "
+    "integers, the MDE/N chains are fixed-order double arithmetic "
+    "over them (sqrt/ceil IEEE-exact). Same two-shuffle plan as the "
+    "readout: user grain, then a 2-row arm rollup.",
+)
+def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.text import hex_to_long
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        hex_to_long(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8
+            )
+        )
+        % 2
+    ).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("converted")
+    )
+    arms = (
+        per_user.withColumn("arm", arm)
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    base = wide.withColumn("p", p)
+    zsum = F.lit(_Z_ALPHA2) + F.lit(_Z_BETA)
+    mde = zsum * F.sqrt(
+        (F.col("p") * (F.lit(1.0) - F.col("p")))
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    p1 = F.col("p") * F.lit(1.1)
+    n_req = F.ceil(
+        (zsum * zsum)
+        * ((F.col("p") * (F.lit(1.0) - F.col("p"))) + (p1 * (F.lit(1.0) - p1)))
+        / ((F.col("p") * F.lit(0.1)) * (F.col("p") * F.lit(0.1)))
+    ).cast("bigint")
+    return base.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.col("p").alias("p_pool"),
+        mde.alias("mde_abs"),
+        n_req.alias("n_per_arm_rel10"),
+    )

@@ -971,3 +971,126 @@ def text_static_prune_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ranked-retrieval quality eval: nDCG@10 vs coverage-graded pseudo-qrels
+
+_DCG_DISCOUNTS = (
+    1.0,
+    0.6309297535714575,
+    0.5,
+    0.43067655807339306,
+    0.38685280723454163,
+    0.3562071871080222,
+    0.3333333333333333,
+    0.31546487678572877,
+    0.3010299956639812,
+    0.2890648263178879,
+)  # 1/log2(r+1), r = 1..10 — inlined literals so no engine calls log()
+
+
+@register(
+    "text_bm25_ndcg_eval",
+    oracle=f"""
+WITH {_BM25_CTES},
+disc(r, w) AS (VALUES {", ".join(f"({i + 1}, {w!r})" for i, w in enumerate(_DCG_DISCOUNTS))}),
+graded AS (
+  SELECT doc_id, n_terms, score_q,
+    CAST((1 << n_terms) - 1 AS BIGINT) AS gain
+  FROM bm25
+),
+run AS (
+  SELECT doc_id, gain, CAST(row_number() OVER (
+    ORDER BY score_q DESC, doc_id ASC) AS INT) AS r
+  FROM graded QUALIFY r <= 10
+),
+ideal AS (
+  SELECT gain, CAST(row_number() OVER (
+    ORDER BY gain DESC, doc_id ASC) AS INT) AS r
+  FROM graded QUALIFY r <= 10
+),
+dcg AS (
+  SELECT CAST(SUM(CAST(floor(gain * w * 1000000000.0 + 0.5) AS BIGINT))
+    AS BIGINT) AS dcg_q
+  FROM run JOIN disc USING (r)
+),
+idcg AS (
+  SELECT CAST(SUM(CAST(floor(gain * w * 1000000000.0 + 0.5) AS BIGINT))
+    AS BIGINT) AS idcg_q
+  FROM ideal JOIN disc USING (r)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM graded) AS n_rel,
+  dcg.dcg_q, idcg.idcg_q,
+  CAST(dcg.dcg_q AS DOUBLE) / CAST(idcg.idcg_q AS DOUBLE) AS ndcg_at_10
+FROM dcg, idcg
+""",
+    doc="nDCG@10 of the BM25 ranking against deterministic coverage-"
+    "graded pseudo-qrels: a doc's relevance grade = how many of the "
+    f"{len(_TERMS)} query terms it contains (gain 2^g - 1, the "
+    "standard graded-gain), ideal ranking = gains sorted desc. The "
+    "eval harness every retrieval change needs BEFORE shipping — the "
+    "lexical twin of ann_eval_recall_mrr, and the metric the static-"
+    "pruning sweep (text_static_prune_overlap) trades against. "
+    "Determinism: the 10 rank discounts 1/log2(r+1) are INLINED "
+    "literals (identical doubles on both engines — no libm log at "
+    "query time, the same decision as the ln-free idf), each "
+    "gain x discount is one double chain quantized at 1e-9, and "
+    "DCG/IDCG are exact BIGINT sums; the final nDCG is one "
+    "integer-over-integer double division. Plan: the scored set "
+    "bounds to two top-10s (TakeOrderedAndProject), the 10-row "
+    "discount table broadcasts — eval cost is the retrieval itself.",
+)
+def text_bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    graded = _bm25_scored(spark, sf_dir).select(
+        "doc_id",
+        "score_q",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(n_terms AS INT)) - 1")
+        .cast("bigint")
+        .alias("gain"),
+    )
+    graded = graded.localCheckpoint(eager=False)
+    disc = spark.createDataFrame(
+        [(i + 1, w) for i, w in enumerate(_DCG_DISCOUNTS)], "r int, w double"
+    )
+    run = (
+        graded.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .withColumn(
+            "r",
+            F.row_number()
+            .over(Window.orderBy(F.col("score_q").desc(), F.col("doc_id").asc()))
+            .cast("int"),
+        )
+    )
+    ideal = (
+        graded.orderBy(F.col("gain").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .withColumn(
+            "r",
+            F.row_number()
+            .over(Window.orderBy(F.col("gain").desc(), F.col("doc_id").asc()))
+            .cast("int"),
+        )
+    )
+    quant = fixed_point_q(F.col("gain") * F.col("w"))
+    dcg = run.join(F.broadcast(disc), "r").agg(
+        F.sum(quant).cast("bigint").alias("dcg_q")
+    )
+    idcg = ideal.join(F.broadcast(disc), "r").agg(
+        F.sum(quant).cast("bigint").alias("idcg_q")
+    )
+    n_rel = graded.agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    return (
+        n_rel.crossJoin(F.broadcast(dcg))
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            "n_rel",
+            "dcg_q",
+            "idcg_q",
+            (
+                F.col("dcg_q").cast("double")
+                / F.col("idcg_q").cast("double")
+            ).alias("ndcg_at_10"),
+        )
+    )
