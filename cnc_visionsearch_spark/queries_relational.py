@@ -3224,3 +3224,163 @@ def part_ktruss_edges(
         )
         .limit(20)
     )
+
+
+# ------------------------------------------------------ CDC MERGE INTO
+
+
+@register(
+    "orders_cdc_merge_report",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey,
+    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+),
+target AS (SELECT * FROM base WHERE o_orderkey % 13 <> 0),
+src AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 17 = 0 THEN 'D'
+         WHEN o_orderkey % 13 = 0 THEN 'I'
+         ELSE 'U' END AS op,
+    (price_c * 105) // 100 AS new_price_c
+  FROM base
+  WHERE o_orderkey % 17 = 0 OR o_orderkey % 13 = 0 OR o_orderkey % 10 = 0
+),
+merged AS (
+  SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+    t.price_c AS t_price, s.op, s.new_price_c,
+    (t.o_orderkey IS NOT NULL) AS matched
+  FROM target t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+),
+result AS (
+  -- POSITIVE keep condition (3VL-safe: a target row untouched by the
+  -- batch has op NULL — a negated filter would NULL out and silently
+  -- drop the whole untouched snapshot):
+  --   keep matched rows unless the batch deletes them;
+  --   insert unmatched batch rows marked I (D/U of an absent key: no-op)
+  SELECT o_orderkey,
+    CASE WHEN op = 'U' AND matched THEN new_price_c
+         WHEN op = 'I' AND NOT matched THEN new_price_c
+         ELSE t_price END AS price_c
+  FROM merged
+  WHERE (matched AND (op IS NULL OR op <> 'D'))
+     OR (NOT matched AND op = 'I')
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM target) AS n_before,
+  (SELECT CAST(SUM(price_c) AS BIGINT) FROM target) AS checksum_before,
+  (SELECT CAST(count(*) AS BIGINT) FROM merged
+     WHERE op = 'D' AND matched) AS n_deleted,
+  (SELECT CAST(count(*) AS BIGINT) FROM merged
+     WHERE op = 'U' AND matched) AS n_updated,
+  (SELECT CAST(count(*) AS BIGINT) FROM merged
+     WHERE op = 'I' AND NOT matched) AS n_inserted,
+  (SELECT CAST(count(*) AS BIGINT) FROM result) AS n_after,
+  (SELECT CAST(SUM(price_c) AS BIGINT) FROM result) AS checksum_after
+""",
+    doc="CDC MERGE INTO semantics as one auditable query — the "
+    "relational edition of the streaming upsert tier (St1's "
+    "id_mapping merge, but over a warehouse snapshot): a "
+    "deterministic change batch (op precedence D > I > U, derived "
+    "from key residues so both engines build the identical batch) "
+    "applied with the full MERGE decision table — MATCHED+D deletes, "
+    "MATCHED+U updates, NOT-MATCHED+I inserts, update/delete of an "
+    "absent key is a no-op. Output: action counts + exact BIGINT-"
+    "cents checksums before/after (the reconciliation row a CDC "
+    "pipeline logs per batch; checksum_after - checksum_before "
+    "decomposes exactly into the actions). Plan: ONE key-keyed full "
+    "outer join of snapshot x batch drives every action — no "
+    "per-action passes; at 100 TB the batch side is "
+    "AQE-broadcastable when small and the snapshot is key-clustered "
+    "so only touched files rewrite (the bucket-versioned swap "
+    "discipline of streaming/pipelines.upsert, relational edition — "
+    "with Delta this is literally MERGE INTO).",
+)
+def orders_cdc_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    target = base.filter(F.col("o_orderkey") % 13 != 0)
+    src = base.filter(
+        (F.col("o_orderkey") % 17 == 0)
+        | (F.col("o_orderkey") % 13 == 0)
+        | (F.col("o_orderkey") % 10 == 0)
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit("D"))
+        .when(F.col("o_orderkey") % 13 == 0, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.expr("(price_c * 105) div 100").cast("bigint").alias("new_price_c"),
+    )
+    t = target.alias("t")
+    s = src.alias("s")
+    merged = t.join(
+        s, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full_outer"
+    ).select(
+        F.coalesce(F.col("t.o_orderkey"), F.col("s.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.col("t.price_c").alias("t_price"),
+        F.col("s.op").alias("op"),
+        F.col("s.new_price_c").alias("new_price_c"),
+        F.col("t.o_orderkey").isNotNull().alias("matched"),
+    )
+    merged = merged.localCheckpoint(eager=False)
+    # positive 3VL-safe keep condition — see the oracle's comment
+    result = merged.filter(
+        (
+            F.col("matched")
+            & (F.col("op").isNull() | (F.col("op") != "D"))
+        )
+        | (~F.col("matched") & (F.col("op") == "I"))
+    ).select(
+        "o_orderkey",
+        F.when((F.col("op") == "U") & F.col("matched"), F.col("new_price_c"))
+        .when((F.col("op") == "I") & ~F.col("matched"), F.col("new_price_c"))
+        .otherwise(F.col("t_price"))
+        .alias("price_c"),
+    )
+    before = target.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"),
+        F.sum("price_c").cast("bigint").alias("checksum_before"),
+    )
+    actions = merged.agg(
+        F.sum(
+            F.when((F.col("op") == "D") & F.col("matched"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_deleted"),
+        F.sum(
+            F.when((F.col("op") == "U") & F.col("matched"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_updated"),
+        F.sum(
+            F.when((F.col("op") == "I") & ~F.col("matched"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_inserted"),
+    )
+    after = result.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after"),
+        F.sum("price_c").cast("bigint").alias("checksum_after"),
+    )
+    return (
+        before.crossJoin(F.broadcast(actions))
+        .crossJoin(F.broadcast(after))
+        .select(
+            "n_before",
+            "checksum_before",
+            "n_deleted",
+            "n_updated",
+            "n_inserted",
+            "n_after",
+            "checksum_after",
+        )
+    )
