@@ -72,6 +72,12 @@ HEADLINE = [
     "mm_media_metadata",
     # data layout: Morton-key tile profile (the z-order pruning tier)
     "events_zorder_block_stats",
+    # warehouse CDC: MERGE INTO decision table via one full outer join (r5)
+    "orders_cdc_merge_report",
+    # iterative graph: synchronous label propagation, 3 join-agg rounds (r5)
+    "part_lpa_communities",
+    # ranked-retrieval eval harness: nDCG@10 with exact BIGINT DCG (r5)
+    "text_bm25_ndcg_eval",
 ]
 
 
