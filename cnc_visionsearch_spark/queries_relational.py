@@ -2905,27 +2905,36 @@ def part_lpa_communities(
     )
     pairs = _bucket_pairs(baskets, "named_struct('a', x, 'b', y)").select(
         F.col("p.a").alias("src"), F.col("p.b").alias("dst")
+    ).distinct()
+    # dedupe on the CANONICAL (src < dst) orientation, THEN mirror: the
+    # mirror of a distinct set is distinct and the two orientations are
+    # disjoint — half the distinct's shuffle vs distinct-after-union
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    # round 1 from identity labels is CLOSED-FORM: every neighbor holds
+    # a unique label, so all counts are 1 and the (count DESC, label
+    # ASC) argmax is simply min(neighbor id) — one aggregate, no join
+    # (the oracle replays the generic round; results are identical)
+    lab = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.min("src").alias("lab")
     )
-    edges = (
-        pairs.union(
-            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    lab = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lab")
-    )
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab").asc())
-    for _ in range(rounds):
+    for _ in range(rounds - 1):
+        # per-node argmax (count DESC, label ASC) as a HASH aggregate —
+        # max(struct(c, -lab)) is the oracle's row_number()=1 pick, but
+        # gets map-side partial combine instead of a per-node sort
+        # (the window formulation measured 11s at bench sf; this shape ~5s)
         lab = (
             edges.join(lab, edges.src == lab.node)
             .groupBy(F.col("dst").alias("nnode"), "lab")
             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-            .select(F.col("nnode").alias("node"), "lab", "c")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lab")
+            .groupBy(F.col("nnode").alias("node"))
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("lab")).alias("nl"))
+                ).alias("best")
+            )
+            .select("node", (-F.col("best.nl")).alias("lab"))
         )
     return (
         lab.groupBy(F.col("lab").alias("community"))
