@@ -4838,9 +4838,12 @@ def doc_bpe_fertility_by_lang(
         docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("lang", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
+    # the vocabulary IS lw's word set — derive it instead of paying a
+    # second corpus tokenize (the docstring's one-scan claim, honest)
     vocab = (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        lw.select("word")
         .distinct()
         .withColumn("state", F.regexp_replace("word", "(.)", " $1"))
     )
@@ -4918,11 +4921,16 @@ SELECT n0, c0, n1, c1, p AS p_pool,
     * sqrt((p * (1.0 - p))
       * ((1.0 / CAST(n0 AS DOUBLE)) + (1.0 / CAST(n1 AS DOUBLE))))
     AS mde_abs,
-  CAST(ceil(
+  -- p = 0 means no observable effect to size against: NULL, explicitly
+  -- (Spark NaN-casts vs DuckDB NULL would otherwise split the gate);
+  -- the +10% treatment rate clamps at 1.0 so its variance term cannot
+  -- go negative on a near-saturated metric
+  CASE WHEN p = 0.0 THEN NULL ELSE CAST(ceil(
     (({_Z_ALPHA2!r} + {_Z_BETA!r}) * ({_Z_ALPHA2!r} + {_Z_BETA!r}))
-    * ((p * (1.0 - p)) + ((p * 1.1) * (1.0 - (p * 1.1))))
+    * ((p * (1.0 - p))
+       + (least(p * 1.1, 1.0) * (1.0 - least(p * 1.1, 1.0))))
     / ((p * 0.1) * (p * 0.1))
-  ) AS BIGINT) AS n_per_arm_rel10
+  ) AS BIGINT) END AS n_per_arm_rel10
 FROM base
 """,
     doc="Experiment POWER analysis for the A/B harness "
@@ -4989,12 +4997,20 @@ def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1.0) / F.col("n1").cast("double")
         )
     )
-    p1 = F.col("p") * F.lit(1.1)
-    n_req = F.ceil(
-        (zsum * zsum)
-        * ((F.col("p") * (F.lit(1.0) - F.col("p"))) + (p1 * (F.lit(1.0) - p1)))
-        / ((F.col("p") * F.lit(0.1)) * (F.col("p") * F.lit(0.1)))
-    ).cast("bigint")
+    # clamp + p=0 guard mirror the oracle's CASE/least (see its comment)
+    p1 = F.least(F.col("p") * F.lit(1.1), F.lit(1.0))
+    n_req = F.when(
+        F.col("p") == 0.0, F.lit(None).cast("bigint")
+    ).otherwise(
+        F.ceil(
+            (zsum * zsum)
+            * (
+                (F.col("p") * (F.lit(1.0) - F.col("p")))
+                + (p1 * (F.lit(1.0) - p1))
+            )
+            / ((F.col("p") * F.lit(0.1)) * (F.col("p") * F.lit(0.1)))
+        ).cast("bigint")
+    )
     return base.select(
         "n0",
         "c0",

@@ -1012,16 +1012,14 @@ def ann_opq_dim_balance_distortion(
         .cast("bigint")
         .alias("sub_b"),
     )
-    max_id = int(emb.agg(F.max("vec_id")).first()[0])
-    s = max(max_id // _OPQ_K, 1)
-    cb = (
-        emb.filter(
-            (F.col("vec_id") % s == 0) & (F.col("vec_id") / s < _OPQ_K)
-        )
-        .select(
-            F.expr(f"vec_id div {s}").alias("code"),
-            F.posexplode("nvec").alias("dim", "cx"),
-        )
+    from cnc_visionsearch_spark.operators.ann import ivf_centroids
+
+    # the stride codebook IS ivf_centroids' deterministic sample (same
+    # stride arithmetic as the oracle's stride CTE, plus its
+    # empty-table guard)
+    cb = ivf_centroids(emb, _OPQ_K).select(
+        F.col("cell_id").cast("bigint").alias("code"),
+        F.posexplode("centroid").alias("dim", "cx"),
     )
     j = comp.join(F.broadcast(cb), "dim").select(
         "vec_id",

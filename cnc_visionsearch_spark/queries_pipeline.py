@@ -3684,7 +3684,7 @@ binned AS (
 SELECT bin,
   CAST(count(*) AS BIGINT) AS n_docs,
   CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
-  (CAST(SUM(pq) AS BIGINT) * 1000000) // (count(*) * 1000000000)
+  CAST(SUM(pq) AS BIGINT) // (count(*) * 1000)
     AS mean_pred_ppm,
   (CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) * 1000000) // count(*)
     AS obs_pos_ppm
@@ -3718,10 +3718,10 @@ def doc_quality_calibration_bins(
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("yb").cast("bigint").alias("n_pos"),
-        F.expr(
-            "(CAST(SUM(pq) AS BIGINT) * 1000000) "
-            "div (count(*) * 1000000000)"
-        )
+        # SUM(pq) div (n * 1000) == (SUM(pq) * 1e6) div (n * 1e9) with no
+        # BIGINT overflow once a bin holds >~9k docs (floor(ka/kb) ==
+        # floor(a/b))
+        F.expr("CAST(SUM(pq) AS BIGINT) div (count(*) * 1000)")
         .cast("bigint")
         .alias("mean_pred_ppm"),
         F.expr("(CAST(SUM(yb) AS BIGINT) * 1000000) div count(*)")

@@ -3221,8 +3221,10 @@ def part_ktruss_edges(
             .select("src", "dst")
             .localCheckpoint(eager=False)
         )
+    # the final edge set IS sup filtered — no join back (it would
+    # recompute the last round's triangle aggregate on both sides)
     return (
-        e.join(sup, ["src", "dst"])
+        sup.filter(F.col("sup") >= k - 2)
         .select(
             F.col("src").alias("part_a"),
             F.col("dst").alias("part_b"),
