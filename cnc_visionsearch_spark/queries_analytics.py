@@ -1614,11 +1614,12 @@ def events_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # A/B experiment analysis (deterministic hash assignment)
 
-
-@register(
-    "events_ab_experiment",
-    oracle="""
-WITH assign AS (
+# THE experiment definition — arm split, conversion bar, value metric —
+# shared verbatim by the readout (events_ab_experiment) and the power
+# analysis (events_ab_power_mde), so the two can never size/measure
+# different experiments.
+_AB_ARMS_CTES = """
+assign AS (
   SELECT DISTINCT user_id,
     CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS BIGINT)
       AS arm
@@ -1639,7 +1640,61 @@ arms AS (
     CAST(SUM(CAST(floor(purchase_value * 1000000000.0 + 0.5) AS BIGINT))
       AS BIGINT) AS value_q
   FROM assign JOIN conv USING (user_id) GROUP BY arm
-),
+)"""
+
+
+def _ab_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(arm, n_users, n_converted, value_q) — the Spark twin of
+    ``_AB_ARMS_CTES``; both A/B queries reduce from this."""
+    from cnc_visionsearch_spark.functions.text import hex_to_long
+    from cnc_visionsearch_spark.functions.vector import fixed_point_q
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        hex_to_long(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8
+            )
+        )
+        % 2
+    ).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("converted"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        )
+        .cast("double")
+        .alias("purchase_value"),
+    )
+    return (
+        per_user.withColumn("arm", arm)
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.sum(fixed_point_q("purchase_value"))
+            .cast("bigint")
+            .alias("value_q"),
+        )
+    )
+
+
+@register(
+    "events_ab_experiment",
+    oracle=f"""
+WITH {_AB_ARMS_CTES},
 wide AS (
   SELECT
     MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
@@ -1676,49 +1731,7 @@ FROM wide
     "never a join against an assignment table.",
 )
 def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cnc_visionsearch_spark.functions.text import hex_to_long
-    from cnc_visionsearch_spark.functions.vector import fixed_point_q
-
-    ev = load_table(spark, sf_dir, "events")
-    arm = (
-        hex_to_long(
-            F.substring(
-                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8
-            )
-        )
-        % 2
-    ).cast("bigint")
-    per_user = ev.groupBy("user_id").agg(
-        F.when(
-            F.sum(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            )
-            >= 14,
-            1,
-        )
-        .otherwise(0)
-        .cast("bigint")
-        .alias("converted"),
-        F.sum(
-            F.when(
-                F.col("event_type") == "purchase",
-                F.col("value").cast("decimal(18,6)"),
-            ).otherwise(F.lit(0).cast("decimal(18,6)"))
-        )
-        .cast("double")
-        .alias("purchase_value"),
-    )
-    arms = (
-        per_user.withColumn("arm", arm)
-        .groupBy("arm")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_users"),
-            F.sum("converted").cast("bigint").alias("n_converted"),
-            F.sum(fixed_point_q("purchase_value"))
-            .cast("bigint")
-            .alias("value_q"),
-        )
-    )
+    arms = _ab_arms(spark, sf_dir)
     wide = arms.agg(
         F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
         F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
@@ -4886,23 +4899,7 @@ _Z_BETA = 0.8416212335729143  # power = 0.80
 @register(
     "events_ab_power_mde",
     oracle=f"""
-WITH assign AS (
-  SELECT DISTINCT user_id,
-    CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS BIGINT)
-      AS arm
-  FROM events
-),
-conv AS (
-  SELECT user_id,
-    CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-         >= 14 THEN 1 ELSE 0 END AS BIGINT) AS converted
-  FROM events GROUP BY user_id
-),
-arms AS (
-  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
-    CAST(SUM(converted) AS BIGINT) AS n_converted
-  FROM assign JOIN conv USING (user_id) GROUP BY arm
-),
+WITH {_AB_ARMS_CTES},
 wide AS (
   SELECT
     MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
@@ -4948,37 +4945,7 @@ FROM base
     "readout: user grain, then a 2-row arm rollup.",
 )
 def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cnc_visionsearch_spark.functions.text import hex_to_long
-
-    ev = load_table(spark, sf_dir, "events")
-    arm = (
-        hex_to_long(
-            F.substring(
-                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8
-            )
-        )
-        % 2
-    ).cast("bigint")
-    per_user = ev.groupBy("user_id").agg(
-        F.when(
-            F.sum(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            )
-            >= 14,
-            1,
-        )
-        .otherwise(0)
-        .cast("bigint")
-        .alias("converted")
-    )
-    arms = (
-        per_user.withColumn("arm", arm)
-        .groupBy("arm")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_users"),
-            F.sum("converted").cast("bigint").alias("n_converted"),
-        )
-    )
+    arms = _ab_arms(spark, sf_dir)
     wide = arms.agg(
         F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
         F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),

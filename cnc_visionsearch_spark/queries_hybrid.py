@@ -36,11 +36,14 @@ _B = 0.75
 _RRF_K = 60.0
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_terms, score_q) for every document matching >= 1 query
-    term. One explode -> early term filter -> tf per (doc, term) ->
-    broadcast join of the 3-row df table and the 1-row (N, avgdl)
-    aggregate -> quantized per-term score -> BIGINT sum."""
+def _bm25_perterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, sq): the quantized per-(doc, term) BM25 impact for
+    every document matching >= 1 query term — THE formula instance
+    (idf form, k1/b, the 1e-9 quantization point) every lexical query
+    in this module derives from; keep it in exactly one place. One
+    explode -> early term filter -> tf per (doc, term) -> broadcast
+    join of the 3-row df table and the 1-row (N, avgdl) aggregate ->
+    quantized per-term score."""
     d = load_table(spark, sf_dir, "documents")
     dl = d.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("double").alias("dl")
@@ -69,8 +72,16 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0) - F.lit(_B) + F.lit(_B) * F.col("dl") / F.col("avgdl")
     )
     term_score = idf * (F.col("tf") * F.lit(_K1 + 1.0)) / denom
+    return scored.select(
+        "doc_id", "tok", fixed_point_q(term_score).alias("sq")
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_terms, score_q): the per-doc ranking reduction over
+    :func:`_bm25_perterm` — an order-free BIGINT sum."""
     return (
-        scored.select("doc_id", fixed_point_q(term_score).alias("sq"))
+        _bm25_perterm(spark, sf_dir)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
@@ -867,38 +878,9 @@ FROM ps
     "doc-keyed — scan-bound, corpus never self-joins.",
 )
 def text_static_prune_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    dl = d.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("double").alias("dl"),
-    )
-    tok = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).filter(F.col("tok").isin(_TERMS))
-    tf = tok.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    )
-    dfreq = tok.groupBy("tok").agg(
-        F.count_distinct("doc_id").cast("double").alias("df")
-    )
-    corpus = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    avg = dl.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
-    joined = (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .crossJoin(F.broadcast(avg))
-    )
-    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
-        F.col("df") + F.lit(0.5)
-    )
-    denom = F.col("tf") + F.lit(_K1) * (
-        F.lit(1.0) - F.lit(_B) + F.lit(_B) * F.col("dl") / F.col("avgdl")
-    )
-    term_score = idf * (F.col("tf") * F.lit(_K1 + 1.0)) / denom
-    ranked = joined.select(
-        "doc_id", "tok", fixed_point_q(term_score).alias("sq")
-    ).select(
+    # the per-(doc, term) impacts are the SHARED _bm25_perterm chain —
+    # the "full index's norms" claim holds by construction
+    ranked = _bm25_perterm(spark, sf_dir).select(
         "doc_id",
         "tok",
         "sq",

@@ -1382,6 +1382,47 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- co-purchase graph kernel
+# Shared by every graph query over "parts bought together" (market
+# basket, PageRank, association rules, item-item, LPA, k-truss —
+# _bucket_pairs' docstring is right that copies WILL drift, so the
+# basket expansion lives HERE once).
+
+
+def _copurchase_baskets(li: DataFrame) -> DataFrame:
+    """One row per multi-part order with its sorted distinct part set.
+    Basket-capped: an order holds <= 7 parts, so downstream in-row pair
+    expansion is O(21) per order — never a lineitem self-join."""
+    return (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+
+
+def _copurchase_pair_stream(li: DataFrame) -> DataFrame:
+    """One canonical (src < dst) pair PER ORDER — duplicates across
+    orders kept, because support counting needs them."""
+    from cnc_visionsearch_spark.operators.dedup import _bucket_pairs
+
+    return _bucket_pairs(
+        _copurchase_baskets(li), "named_struct('a', x, 'b', y)"
+    ).select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """DISTINCT undirected edge set, both orientations: dedupe on the
+    canonical orientation THEN mirror (the mirror of a distinct set is
+    distinct and the orientations are disjoint — half the distinct's
+    shuffle vs distinct-after-union)."""
+    pairs = _copurchase_pair_stream(li).distinct()
+    return pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
 @register(
     "orders_part_cooccurrence",
     oracle="""
@@ -1409,19 +1450,10 @@ LIMIT 20
     "the Spark plan.",
 )
 def orders_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cnc_visionsearch_spark.operators.dedup import _bucket_pairs
-
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("members"))
-        .filter(F.size("members") >= 2)
-    )
-    pairs = _bucket_pairs(baskets, "named_struct('part_a', x, 'part_b', y)")
+    pairs = _copurchase_pair_stream(li)
     return (
-        pairs.groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        pairs.groupBy(F.col("src").alias("part_a"), F.col("dst").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
         .limit(20)
@@ -1557,26 +1589,11 @@ def part_pagerank_power_iter(
     spark: SparkSession, sf_dir: str, iters: int = _PR_ITERS
 ) -> DataFrame:
     from cnc_visionsearch_spark.iterative import check_rounds
-    from cnc_visionsearch_spark.operators.dedup import _bucket_pairs
 
     check_rounds(iters, "part_pagerank_power_iter")
 
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("members"))
-        .filter(F.size("members") >= 2)
-    )
-    pairs = _bucket_pairs(baskets, "named_struct('a', x, 'b', y)").select(
-        F.col("p.a").alias("src"), F.col("p.b").alias("dst")
-    )
-    edges = (
-        pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    edges = _copurchase_edges(li).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     pr = deg.crossJoin(F.broadcast(n_nodes)).select(
@@ -2166,8 +2183,6 @@ LIMIT 20
     "100 TB — pairs below it never leave the first aggregate.",
 )
 def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cnc_visionsearch_spark.operators.dedup import _bucket_pairs
-
     li = load_table(spark, sf_dir, "lineitem")
     lp = li.select("l_orderkey", "l_partkey").distinct()
     n_orders = lp.agg(
@@ -2176,16 +2191,11 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = lp.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_item")
     )
-    baskets = (
-        lp.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("members"))
-        .filter(F.size("members") >= 2)
-    )
     pairs = (
-        _bucket_pairs(baskets, "named_struct('part_a', x, 'part_b', y)")
+        _copurchase_pair_stream(li)
         .groupBy(
-            F.col("p.part_a").alias("part_a"),
-            F.col("p.part_b").alias("part_b"),
+            F.col("src").alias("part_a"),
+            F.col("dst").alias("part_b"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
         .filter(F.col("n_ab") >= _RULE_MIN_PAIR)
@@ -2599,20 +2609,13 @@ ORDER BY part_a, rank
     "so the ranked window sees seed rows only.",
 )
 def part_item_item_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cnc_visionsearch_spark.operators.dedup import _bucket_pairs
-
     li = load_table(spark, sf_dir, "lineitem")
     lp = li.select("l_orderkey", "l_partkey").distinct()
     cnt = lp.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    baskets = (
-        lp.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("members"))
-        .filter(F.size("members") >= 2)
-    )
-    half = _bucket_pairs(baskets, "named_struct('pa', x, 'pb', y)").select(
-        F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb")
+    half = _copurchase_pair_stream(li).select(
+        F.col("src").alias("pa"), F.col("dst").alias("pb")
     )
     pairs = half.unionByName(
         half.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
@@ -2858,6 +2861,41 @@ lab{i} AS (
     return "".join(parts) + f",\nlabf AS (SELECT node, lab FROM lab{rounds})"
 
 
+def _lpa_labels(
+    spark: SparkSession, sf_dir: str, rounds: int = _LPA_ROUNDS
+) -> DataFrame:
+    """(node, lab) after ``rounds`` synchronous LPA rounds — the full
+    assignment (one row per co-purchase node); the registered query
+    aggregates it, tests assert the partition property on it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li).localCheckpoint(eager=False)
+    # round 1 from identity labels is CLOSED-FORM: every neighbor holds
+    # a unique label, so all counts are 1 and the (count DESC, label
+    # ASC) argmax is simply min(neighbor id) — one aggregate, no join
+    # (the oracle replays the generic round; results are identical)
+    lab = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.min("src").alias("lab")
+    )
+    for _ in range(rounds - 1):
+        # per-node argmax (count DESC, label ASC) as a HASH aggregate —
+        # max(struct(c, -lab)) is the oracle's row_number()=1 pick, but
+        # gets map-side partial combine instead of a per-node sort
+        # (the window formulation measured 11s at bench sf; this shape ~5s)
+        lab = (
+            edges.join(lab, edges.src == lab.node)
+            .groupBy(F.col("dst").alias("nnode"), "lab")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .groupBy(F.col("nnode").alias("node"))
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("lab")).alias("nl"))
+                ).alias("best")
+            )
+            .select("node", (-F.col("best.nl")).alias("lab"))
+        )
+    return lab
+
+
 @register(
     "part_lpa_communities",
     oracle=f"""
@@ -2891,51 +2929,10 @@ def part_lpa_communities(
     spark: SparkSession, sf_dir: str, rounds: int = _LPA_ROUNDS
 ) -> DataFrame:
     from cnc_visionsearch_spark.iterative import check_rounds
-    from cnc_visionsearch_spark.operators.dedup import _bucket_pairs
 
     check_rounds(rounds, "part_lpa_communities")
 
-    li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("members"))
-        .filter(F.size("members") >= 2)
-    )
-    pairs = _bucket_pairs(baskets, "named_struct('a', x, 'b', y)").select(
-        F.col("p.a").alias("src"), F.col("p.b").alias("dst")
-    ).distinct()
-    # dedupe on the CANONICAL (src < dst) orientation, THEN mirror: the
-    # mirror of a distinct set is distinct and the two orientations are
-    # disjoint — half the distinct's shuffle vs distinct-after-union
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
-    # round 1 from identity labels is CLOSED-FORM: every neighbor holds
-    # a unique label, so all counts are 1 and the (count DESC, label
-    # ASC) argmax is simply min(neighbor id) — one aggregate, no join
-    # (the oracle replays the generic round; results are identical)
-    lab = edges.groupBy(F.col("dst").alias("node")).agg(
-        F.min("src").alias("lab")
-    )
-    for _ in range(rounds - 1):
-        # per-node argmax (count DESC, label ASC) as a HASH aggregate —
-        # max(struct(c, -lab)) is the oracle's row_number()=1 pick, but
-        # gets map-side partial combine instead of a per-node sort
-        # (the window formulation measured 11s at bench sf; this shape ~5s)
-        lab = (
-            edges.join(lab, edges.src == lab.node)
-            .groupBy(F.col("dst").alias("nnode"), "lab")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-            .groupBy(F.col("nnode").alias("node"))
-            .agg(
-                F.max(
-                    F.struct(F.col("c"), (-F.col("lab")).alias("nl"))
-                ).alias("best")
-            )
-            .select("node", (-F.col("best.nl")).alias("lab"))
-        )
+    lab = _lpa_labels(spark, sf_dir, rounds)
     return (
         lab.groupBy(F.col("lab").alias("community"))
         .agg(
@@ -3185,24 +3182,11 @@ def part_ktruss_edges(
     k: int = _TRUSS_K,
 ) -> DataFrame:
     from cnc_visionsearch_spark.iterative import check_rounds
-    from cnc_visionsearch_spark.operators.dedup import _bucket_pairs
 
     check_rounds(rounds, "part_ktruss_edges")
 
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("members"))
-        .filter(F.size("members") >= 2)
-    )
-    e = (
-        _bucket_pairs(baskets, "named_struct('a', x, 'b', y)")
-        .select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    e = _copurchase_pair_stream(li).distinct().localCheckpoint(eager=False)
     sup = None
     for _ in range(rounds):
         ed = e.unionByName(

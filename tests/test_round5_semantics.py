@@ -80,11 +80,23 @@ def test_opq_balanced_assignment_narrows_energy_spread(spark):
 
 
 def test_lpa_is_a_partition_of_the_node_set(spark):
-    """Every co-purchase node lands in exactly one community; community
-    sizes sum to the node count (top-20 view may truncate, so compare
-    against the untruncated aggregate via the member-range sanity)."""
+    """Every co-purchase node lands in exactly one community and none
+    are dropped: the FULL label assignment has one row per node of the
+    edge set, and community sizes sum to the node count."""
+    from cnc_visionsearch_spark.queries_relational import (
+        _copurchase_edges,
+        _lpa_labels,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    n_nodes = _copurchase_edges(li).select("src").distinct().count()
+    labels = _lpa_labels(spark, SF)
+    assert labels.count() == n_nodes
+    assert labels.select("node").distinct().count() == n_nodes
+    sizes = labels.groupBy("lab").count().agg(F.sum("count")).first()[0]
+    assert sizes == n_nodes
     rows = part_lpa_communities(spark, SF).collect()
-    assert rows
+    assert rows and sum(r.n_members for r in rows) <= n_nodes
     for r in rows:
         assert r.n_members >= 1
         assert r.min_part <= r.max_part
