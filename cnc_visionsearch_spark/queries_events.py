@@ -2799,3 +2799,121 @@ aggregate(
         (fold.getField("l") + F.lit(7).cast("bigint") * fold.getField("t"))
         .alias("forecast7_q"),
     )
+
+
+# --------------------------------------------- Holt forecast backtest
+
+_HOLT_HOLDOUT = 7
+
+
+@register(
+    "events_holt_backtest",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(count(*) AS BIGINT) * 1000000000 AS y_q
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y_q,
+    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+      AS BIGINT) AS rid,
+    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+  FROM daily
+),
+eligible AS (SELECT * FROM idx WHERE n_days >= {_HOLT_HOLDOUT + 2}),
+rec AS (
+  SELECT event_type, CAST(1 AS BIGINT) AS i, y_q AS l,
+    CAST(0 AS BIGINT) AS t, n_days
+  FROM eligible WHERE rid = 1
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+    (d.y_q + r.l + r.t) >> 1 AS l,
+    (((d.y_q + r.l + r.t) >> 1) - r.l + r.t) >> 1 AS t,
+    r.n_days
+  FROM rec r JOIN eligible d
+    ON d.event_type = r.event_type AND d.rid = r.i + 1
+  WHERE r.i + 1 <= r.n_days - {_HOLT_HOLDOUT}
+),
+fitted AS (
+  SELECT event_type, l, t, n_days FROM rec
+  WHERE i = n_days - {_HOLT_HOLDOUT}
+),
+preds AS (
+  SELECT f.event_type, e.rid - (f.n_days - {_HOLT_HOLDOUT}) AS h,
+    f.l + (e.rid - (f.n_days - {_HOLT_HOLDOUT})) * f.t AS yhat_q,
+    e.y_q
+  FROM fitted f JOIN eligible e
+    ON e.event_type = f.event_type
+    AND e.rid > f.n_days - {_HOLT_HOLDOUT}
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_holdout,
+  CAST(SUM(abs(y_q - yhat_q)) AS BIGINT) AS abs_err_q,
+  CAST(SUM(abs(y_q - yhat_q)) AS BIGINT) // CAST(count(*) AS BIGINT)
+    AS mae_q
+FROM preds GROUP BY event_type
+""",
+    doc="Rolling-origin BACKTEST of the Holt linear-trend model "
+    "(events_holt_linear_forecast's eval harness — the evidence that "
+    f"the forecast is worth shipping): per event type, fit on all but "
+    f"the last {_HOLT_HOLDOUT} days (same exact integer recurrence), "
+    f"forecast h = 1..{_HOLT_HOLDOUT} as l + h*t, and report the "
+    "holdout MAE in exact 1e-9 count units (types shorter than "
+    f"{_HOLT_HOLDOUT + 2} days are excluded — no trend is fittable). "
+    "The forecasting-eval discipline every capacity model needs "
+    "(train/test split in TIME, never random — the same leakage "
+    "doctrine as doc_train_val_test_split). Plan: the corpus "
+    "collapses to the calendar-bounded daily table once; the "
+    "truncated fold and the 7-row-per-type holdout join are "
+    "|types| x |days| integer work. Errors are exact BIGINTs, so "
+    "the whole backtest hash-gates.",
+)
+def events_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        (F.count(F.lit(1)).cast("bigint") * F.lit(1000000000).cast("bigint"))
+        .alias("y_q")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "y_q"))).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    ).filter(F.col("n_days") >= _HOLT_HOLDOUT + 2)
+    h = _HOLT_HOLDOUT
+    fold = F.expr(
+        f"""
+aggregate(
+  slice(s, 2, size(s) - 1 - {h}),
+  named_struct('l', element_at(s, 1).y_q, 't', CAST(0 AS BIGINT)),
+  (acc, x) -> named_struct(
+    'l', shiftright(x.y_q + acc.l + acc.t, 1),
+    't', shiftright(shiftright(x.y_q + acc.l + acc.t, 1) - acc.l + acc.t, 1)
+  ),
+  acc -> acc)
+"""
+    )
+    fitted = series.select(
+        "event_type",
+        "n_days",
+        "s",
+        fold.getField("l").alias("l"),
+        fold.getField("t").alias("t"),
+    )
+    # per-type holdout errors as an in-row fold over the last h points
+    # (bounded by the holdout length — no explode, no extra shuffle)
+    err = F.expr(
+        f"""
+aggregate(
+  transform(sequence(1, {h}),
+    hh -> abs(element_at(s, CAST(size(s) - {h} + hh AS INT)).y_q
+              - (l + hh * t))),
+  CAST(0 AS BIGINT), (acc, x) -> acc + x, acc -> acc)
+"""
+    )
+    return fitted.select(
+        "event_type",
+        F.lit(h).cast("bigint").alias("n_holdout"),
+        err.alias("abs_err_q"),
+    ).withColumn("mae_q", F.expr(f"abs_err_q div {h}").cast("bigint"))
