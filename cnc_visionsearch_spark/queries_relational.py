@@ -3379,3 +3379,208 @@ def orders_cdc_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum_after",
         )
     )
+
+
+# ------------------------------------------- degree power-law diagnostic
+
+
+@register(
+    "part_degree_powerlaw",
+    oracle="""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+edges AS (SELECT DISTINCT src, dst FROM e),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+hist AS (SELECT d, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY d),
+pts AS (
+  SELECT CAST(floor(ln(d::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xq,
+    CAST(floor(ln(n_nodes::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS yq
+  FROM hist WHERE d >= 2
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+    CAST(sum(xq * yq) AS BIGINT) AS sxy,
+    CAST(sum(xq * xq) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+  (SELECT CAST(count(*) AS BIGINT) // 2 FROM edges) AS n_edges,
+  (SELECT CAST(max(d) AS BIGINT) FROM deg) AS max_degree,
+  n AS n_histogram_pts,
+  (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+    AS powerlaw_slope
+FROM sums
+""",
+    doc="Degree-distribution power-law fit for the co-purchase graph: "
+    "least-squares slope of ln(#nodes with degree d) vs ln(d) over "
+    "the degree histogram (d >= 2; degree-1 leaves sit off any "
+    "power-law line). Scale-free graphs (the open-web default) show "
+    "slope ~ -2..-3; a basket-capped retail graph is much flatter-"
+    "bounded — THE diagnostic that says whether the skew doctrines "
+    "(degree-orientation for k-truss, salting for joins) are needed "
+    "on this data or not, read BEFORE running the iterative tier. "
+    "Same determinism contract as doc_zipf_slope: ln coordinates are "
+    "1e-6-quantized BEFORE the regression sums, the regression is "
+    "exact integer arithmetic, one final double division. Plan: "
+    "edges -> degree aggregate -> histogram aggregate (rows bounded "
+    "by max degree) -> 1-row sums.",
+)
+def part_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    deg = deg.localCheckpoint(eager=False)
+    hist = deg.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    pts = hist.filter(F.col("d") >= 2).select(
+        F.floor(F.log(F.col("d").cast("double")) * 1000000.0 + 0.5)
+        .cast("bigint")
+        .alias("xq"),
+        F.floor(F.log(F.col("n_nodes").cast("double")) * 1000000.0 + 0.5)
+        .cast("bigint")
+        .alias("yq"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("sxx"),
+    )
+    meta = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.max("d").cast("bigint").alias("max_degree"),
+    )
+    ne = edges.agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges")
+    )
+    return (
+        meta.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(sums))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "max_degree",
+            F.col("n").alias("n_histogram_pts"),
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / (
+                    F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double")
+            ).alias("powerlaw_slope"),
+        )
+    )
+
+
+# --------------------------------------- seasonally-adjusted anomalies
+
+
+@register(
+    "orders_seasonal_residual_anomalies",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yy,
+    CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mm,
+    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+      AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1, 2
+),
+seq AS (
+  SELECT yy, mm, rev_c,
+    CAST(SUM(rev_c) OVER (ORDER BY yy, mm
+      ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS BIGINT) AS wsum,
+    CAST(count(*) OVER (ORDER BY yy, mm
+      ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS BIGINT) AS wn
+  FROM monthly
+),
+detr AS (
+  SELECT yy, mm, rev_c, rev_c - (wsum // 13) AS dt, (wsum // 13) AS trend_c
+  FROM seq WHERE wn = 13
+),
+seasonal AS (
+  SELECT mm, CAST(SUM(dt) AS BIGINT) // CAST(count(*) AS BIGINT)
+    AS seasonal_c
+  FROM detr GROUP BY mm
+)
+SELECT d.yy, d.mm, d.rev_c, d.trend_c, s.seasonal_c,
+  (d.dt - s.seasonal_c) AS resid_c
+FROM detr d JOIN seasonal s ON d.mm = s.mm
+ORDER BY abs(d.dt - s.seasonal_c) DESC, d.yy ASC, d.mm ASC
+LIMIT 10
+""",
+    doc="Seasonally-ADJUSTED revenue anomalies — the composition the "
+    "decomposition exists for: residual = month - trend - seasonal "
+    "index (orders_seasonal_decomposition's exact integer chain, "
+    "reused verbatim), top-10 months by |residual|. A December spike "
+    "is NOT an anomaly if every December spikes; this query only "
+    "flags months that deviate from their OWN calendar expectation — "
+    "what events_seasonal_anomalies does for hourly event load, here "
+    "for the revenue ledger with exact BIGINT-cents arithmetic end "
+    "to end. Plan: the calendar-bounded monthly table drives "
+    "everything (the decomposition's sweep discipline); the seasonal "
+    "join is 12 broadcast rows.",
+)
+def orders_seasonal_residual_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yy"),
+        F.month("o_orderdate").cast("bigint").alias("mm"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    w = Window.orderBy("yy", "mm").rowsBetween(-6, 6)
+    detr = (
+        monthly.select(
+            "yy",
+            "mm",
+            "rev_c",
+            F.sum("rev_c").over(w).cast("bigint").alias("wsum"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("wn"),
+        )
+        .filter(F.col("wn") == 13)
+        .select(
+            "yy",
+            "mm",
+            "rev_c",
+            (F.col("rev_c") - F.expr("wsum div 13")).alias("dt"),
+            F.expr("wsum div 13").cast("bigint").alias("trend_c"),
+        )
+    )
+    detr = detr.localCheckpoint(eager=False)
+    seasonal = detr.groupBy("mm").agg(
+        F.expr("CAST(SUM(dt) AS BIGINT) div CAST(count(*) AS BIGINT)")
+        .cast("bigint")
+        .alias("seasonal_c")
+    )
+    return (
+        detr.join(F.broadcast(seasonal), "mm")
+        .select(
+            "yy",
+            "mm",
+            "rev_c",
+            "trend_c",
+            "seasonal_c",
+            (F.col("dt") - F.col("seasonal_c")).alias("resid_c"),
+        )
+        .orderBy(
+            F.abs(F.col("resid_c")).desc(), F.col("yy").asc(), F.col("mm").asc()
+        )
+        .limit(10)
+    )

@@ -7,7 +7,7 @@ expressions + a hash aggregate: the shape that scales linearly to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cnc_visionsearch_spark.functions.text import (
@@ -817,4 +817,94 @@ def doc_hapax_share_by_source(
         F.expr("(n_hapax_tokens * 1000000) div n_tokens")
         .cast("bigint")
         .alias("hapax_ppm"),
+    )
+
+
+# ------------------------------------------- data-driven stopword list
+
+
+@register(
+    "doc_stopword_discovery",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+n_docs AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+n_toks AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM toks),
+stats AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+    CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY term
+),
+ranked AS (
+  SELECT term, df, tf,
+    (df * 1000000) // nd AS df_ppm,
+    (tf * 1000000) // nt AS token_share_ppm,
+    CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS BIGINT) AS r,
+    (CAST(SUM(tf) OVER (ORDER BY df DESC, term ASC
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       * 1000000) // nt AS cum_token_share_ppm
+  FROM stats, n_docs, n_toks
+)
+SELECT term, df, tf, df_ppm, token_share_ppm, cum_token_share_ppm
+FROM ranked WHERE r <= 20
+ORDER BY df DESC, term ASC
+""",
+    doc="Data-driven stopword discovery: the 20 highest-document-"
+    "frequency terms with their df share, token share, and the "
+    "CUMULATIVE token share down the ranking (exact integer ppm) — "
+    "the evidence for how much of the postings mass a stopword list "
+    "of size k removes. This is the list the MaxScore non-essential "
+    "split effectively re-derives per query and the static-pruning "
+    "sweep cuts per term; discovering it from the corpus (not a "
+    "hardcoded English list) is the language-agnostic choice "
+    "(doc_lang_id_confusion shows this corpus is multilingual). "
+    "Plan: one explode -> (term) aggregate carrying (df, tf); the "
+    "ranking window runs over the VOCABULARY-sized stats table, "
+    "bounded before any window by the aggregate — the doc_zipf_slope "
+    "scan discipline with the cumulative-coverage add-on.",
+)
+def doc_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    stats = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df"),
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+    )
+    n_toks = stats.agg(F.sum("tf").cast("bigint").alias("nt"))
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    cum = Window.orderBy(F.col("df").desc(), F.col("term").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = (
+        stats.crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(n_toks))
+        .select(
+            "term",
+            "df",
+            "tf",
+            F.expr("(df * 1000000) div nd").cast("bigint").alias("df_ppm"),
+            F.expr("(tf * 1000000) div nt")
+            .cast("bigint")
+            .alias("token_share_ppm"),
+            F.row_number().over(w).cast("bigint").alias("r"),
+            F.expr(
+                "(CAST(SUM(tf) OVER (ORDER BY df DESC, term ASC "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                "AS BIGINT) * 1000000) div nt"
+            )
+            .cast("bigint")
+            .alias("cum_token_share_ppm"),
+        )
+    )
+    return (
+        ranked.filter(F.col("r") <= 20)
+        .select(
+            "term", "df", "tf", "df_ppm", "token_share_ppm",
+            "cum_token_share_ppm",
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
     )
