@@ -3029,11 +3029,12 @@ def orders_open_backlog_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- seasonal decomposition
 
-
-@register(
-    "orders_seasonal_decomposition",
-    oracle="""
-WITH monthly AS (
+# THE detrending kernel — monthly BIGINT-cents revenue, 13-month
+# centered MA trend, detrended delta — shared verbatim by the
+# decomposition and the residual-anomaly query so the published
+# seasonal indices and the anomaly residuals can never desync.
+_SEASONAL_DETR_CTES = """
+monthly AS (
   SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yy,
     CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mm,
     CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
@@ -3049,9 +3050,53 @@ seq AS (
   FROM monthly
 ),
 detr AS (
-  SELECT mm, rev_c - (wsum // 13) AS dt
+  SELECT yy, mm, rev_c, rev_c - (wsum // 13) AS dt,
+    (wsum // 13) AS trend_c
   FROM seq WHERE wn = 13
-)
+)"""
+
+
+def _seasonal_detrended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(yy, mm, rev_c, dt, trend_c) — the Spark twin of
+    ``_SEASONAL_DETR_CTES``; both seasonal queries reduce from this."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yy"),
+        F.month("o_orderdate").cast("bigint").alias("mm"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    # calendar-bounded window: dozens of rows at any corpus size
+    w = Window.orderBy("yy", "mm").rowsBetween(-6, 6)
+    return (
+        monthly.select(
+            "yy",
+            "mm",
+            "rev_c",
+            F.sum("rev_c").over(w).cast("bigint").alias("wsum"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("wn"),
+        )
+        .filter(F.col("wn") == 13)
+        .select(
+            "yy",
+            "mm",
+            "rev_c",
+            (F.col("rev_c") - F.expr("wsum div 13")).alias("dt"),
+            F.expr("wsum div 13").cast("bigint").alias("trend_c"),
+        )
+    )
+
+
+@register(
+    "orders_seasonal_decomposition",
+    oracle=f"""
+WITH {_SEASONAL_DETR_CTES}
 SELECT CAST(mm AS BIGINT) AS month_of_year,
   CAST(count(*) AS BIGINT) AS n_obs,
   CAST(SUM(dt) AS BIGINT) // CAST(count(*) AS BIGINT) AS seasonal_c
@@ -3078,30 +3123,7 @@ FROM detr GROUP BY mm
 def orders_seasonal_decomposition(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    monthly = o.groupBy(
-        F.year("o_orderdate").cast("bigint").alias("yy"),
-        F.month("o_orderdate").cast("bigint").alias("mm"),
-    ).agg(
-        F.sum(
-            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
-                "bigint"
-            )
-        )
-        .cast("bigint")
-        .alias("rev_c")
-    )
-    # calendar-bounded window: dozens of rows at any corpus size
-    w = Window.orderBy("yy", "mm").rowsBetween(-6, 6)
-    seq = monthly.select(
-        "mm",
-        "rev_c",
-        F.sum("rev_c").over(w).cast("bigint").alias("wsum"),
-        F.count(F.lit(1)).over(w).cast("bigint").alias("wn"),
-    )
-    detr = seq.filter(F.col("wn") == 13).select(
-        "mm", (F.col("rev_c") - F.expr("wsum div 13")).alias("dt")
-    )
+    detr = _seasonal_detrended(spark, sf_dir)
     return detr.groupBy(F.col("mm").alias("month_of_year")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_obs"),
         F.expr("CAST(SUM(dt) AS BIGINT) div CAST(count(*) AS BIGINT)")
@@ -3396,10 +3418,14 @@ e AS (
 edges AS (SELECT DISTINCT src, dst FROM e),
 deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
 hist AS (SELECT d, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY d),
+head AS (
+  SELECT d, n_nodes, row_number() OVER (ORDER BY d ASC) AS hr
+  FROM hist WHERE d >= 2
+),
 pts AS (
   SELECT CAST(floor(ln(d::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xq,
     CAST(floor(ln(n_nodes::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS yq
-  FROM hist WHERE d >= 2
+  FROM head WHERE hr <= 100
 ),
 sums AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
@@ -3419,8 +3445,10 @@ FROM sums
 """,
     doc="Degree-distribution power-law fit for the co-purchase graph: "
     "least-squares slope of ln(#nodes with degree d) vs ln(d) over "
-    "the degree histogram (d >= 2; degree-1 leaves sit off any "
-    "power-law line). Scale-free graphs (the open-web default) show "
+    "the HEAD of the degree histogram (the 100 smallest degrees >= 2 "
+    "— degree-1 leaves sit off any power-law line, and the cap "
+    "bounds the BIGINT regression sums exactly like doc_zipf_slope's "
+    "top-100 ranks). Scale-free graphs (the open-web default) show "
     "slope ~ -2..-3; a basket-capped retail graph is much flatter-"
     "bounded — THE diagnostic that says whether the skew doctrines "
     "(degree-orientation for k-truss, salting for joins) are needed "
@@ -3439,7 +3467,18 @@ def part_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = deg.groupBy("d").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
-    pts = hist.filter(F.col("d") >= 2).select(
+    # fit over the 100 SMALLEST degrees >= 2 (the head of the power
+    # law) — the same sum-bounding cap as doc_zipf_slope's top-100
+    # ranks: an unbounded histogram would overflow the BIGINT
+    # regression products (sx*sx) on open-web-scale graphs
+    head = (
+        hist.filter(F.col("d") >= 2)
+        .withColumn(
+            "hr", F.row_number().over(Window.orderBy(F.col("d").asc()))
+        )
+        .filter(F.col("hr") <= 100)
+    )
+    pts = head.select(
         F.floor(F.log(F.col("d").cast("double")) * 1000000.0 + 0.5)
         .cast("bigint")
         .alias("xq"),
@@ -3486,26 +3525,8 @@ def part_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_seasonal_residual_anomalies",
-    oracle="""
-WITH monthly AS (
-  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yy,
-    CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mm,
-    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
-      AS BIGINT) AS rev_c
-  FROM orders GROUP BY 1, 2
-),
-seq AS (
-  SELECT yy, mm, rev_c,
-    CAST(SUM(rev_c) OVER (ORDER BY yy, mm
-      ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS BIGINT) AS wsum,
-    CAST(count(*) OVER (ORDER BY yy, mm
-      ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS BIGINT) AS wn
-  FROM monthly
-),
-detr AS (
-  SELECT yy, mm, rev_c, rev_c - (wsum // 13) AS dt, (wsum // 13) AS trend_c
-  FROM seq WHERE wn = 13
-),
+    oracle=f"""
+WITH {_SEASONAL_DETR_CTES},
 seasonal AS (
   SELECT mm, CAST(SUM(dt) AS BIGINT) // CAST(count(*) AS BIGINT)
     AS seasonal_c
@@ -3532,38 +3553,7 @@ LIMIT 10
 def orders_seasonal_residual_anomalies(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    monthly = o.groupBy(
-        F.year("o_orderdate").cast("bigint").alias("yy"),
-        F.month("o_orderdate").cast("bigint").alias("mm"),
-    ).agg(
-        F.sum(
-            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
-                "bigint"
-            )
-        )
-        .cast("bigint")
-        .alias("rev_c")
-    )
-    w = Window.orderBy("yy", "mm").rowsBetween(-6, 6)
-    detr = (
-        monthly.select(
-            "yy",
-            "mm",
-            "rev_c",
-            F.sum("rev_c").over(w).cast("bigint").alias("wsum"),
-            F.count(F.lit(1)).over(w).cast("bigint").alias("wn"),
-        )
-        .filter(F.col("wn") == 13)
-        .select(
-            "yy",
-            "mm",
-            "rev_c",
-            (F.col("rev_c") - F.expr("wsum div 13")).alias("dt"),
-            F.expr("wsum div 13").cast("bigint").alias("trend_c"),
-        )
-    )
-    detr = detr.localCheckpoint(eager=False)
+    detr = _seasonal_detrended(spark, sf_dir).localCheckpoint(eager=False)
     seasonal = detr.groupBy("mm").agg(
         F.expr("CAST(SUM(dt) AS BIGINT) div CAST(count(*) AS BIGINT)")
         .cast("bigint")

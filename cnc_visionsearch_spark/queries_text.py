@@ -876,12 +876,11 @@ def doc_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_toks = stats.agg(F.sum("tf").cast("bigint").alias("nt"))
     w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
-    cum = Window.orderBy(F.col("df").desc(), F.col("term").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = (
         stats.crossJoin(F.broadcast(n_docs))
         .crossJoin(F.broadcast(n_toks))
+        .withColumn("cumtf", F.sum("tf").over(cum).cast("bigint"))
         .select(
             "term",
             "df",
@@ -891,11 +890,7 @@ def doc_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("token_share_ppm"),
             F.row_number().over(w).cast("bigint").alias("r"),
-            F.expr(
-                "(CAST(SUM(tf) OVER (ORDER BY df DESC, term ASC "
-                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
-                "AS BIGINT) * 1000000) div nt"
-            )
+            F.expr("(cumtf * 1000000) div nt")
             .cast("bigint")
             .alias("cum_token_share_ppm"),
         )

@@ -90,7 +90,8 @@ def test_lpa_is_a_partition_of_the_node_set(spark):
 
     li = load_table(spark, SF, "lineitem")
     n_nodes = _copurchase_edges(li).select("src").distinct().count()
-    labels = _lpa_labels(spark, SF)
+    # materialize the label fixed point ONCE — three actions follow
+    labels = _lpa_labels(spark, SF).localCheckpoint(eager=True)
     assert labels.count() == n_nodes
     assert labels.select("node").distinct().count() == n_nodes
     sizes = labels.groupBy("lab").count().agg(F.sum("count")).first()[0]
