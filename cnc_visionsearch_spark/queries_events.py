@@ -2917,3 +2917,119 @@ aggregate(
         F.lit(h).cast("bigint").alias("n_holdout"),
         err.alias("abs_err_q"),
     ).withColumn("mae_q", F.expr(f"abs_err_q div {h}").cast("bigint"))
+
+
+# ------------------------------------------- burst segmentation (Viterbi)
+
+
+@register(
+    "events_burst_segmentation",
+    oracle="""
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+    CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y,
+    CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+      AS BIGINT) AS rid,
+    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_hours
+  FROM hourly
+),
+rates AS (
+  SELECT event_type, CAST(SUM(y) // count(*) AS BIGINT) AS r0
+  FROM idx GROUP BY event_type
+),
+rec AS (
+  SELECT i.event_type, CAST(1 AS BIGINT) AS i,
+    abs(i.y - r.r0) AS c0,
+    r.r0 + abs(i.y - 2 * r.r0) AS c1,
+    CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS h0,
+    CAST(1 AS BIGINT) AS b1, CAST(1 AS BIGINT) AS h1,
+    i.n_hours, r.r0
+  FROM idx i JOIN rates r USING (event_type) WHERE i.rid = 1
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+    least(r.c0, r.c1) + abs(d.y - r.r0) AS c0,
+    least(r.c1, r.c0 + r.r0) + abs(d.y - 2 * r.r0) AS c1,
+    CASE WHEN r.c0 <= r.c1 THEN r.b0 ELSE r.b1 END AS b0,
+    CASE WHEN r.c0 <= r.c1 THEN r.h0 ELSE r.h1 END AS h0,
+    CASE WHEN r.c1 <= r.c0 + r.r0 THEN r.b1 ELSE r.b0 + 1 END AS b1,
+    CASE WHEN r.c1 <= r.c0 + r.r0 THEN r.h1 + 1 ELSE r.h0 + 1 END AS h1,
+    r.n_hours, r.r0
+  FROM rec r JOIN idx d
+    ON d.event_type = r.event_type AND d.rid = r.i + 1
+)
+SELECT event_type, n_hours, r0 AS base_rate,
+  least(c0, c1) AS path_cost_q,
+  CASE WHEN c0 <= c1 THEN b0 ELSE b1 END AS n_bursts,
+  CASE WHEN c0 <= c1 THEN h0 ELSE h1 END AS burst_hours
+FROM rec WHERE i = n_hours
+""",
+    doc="Burst segmentation of the per-type hourly series: a 2-state "
+    "min-cost Viterbi DP (the integer-exact analog of Kleinberg's "
+    "burst automaton, KDD'02) — state 0 emits near the baseline rate "
+    "r0 = mean hourly count, state 1 near the burst rate 2*r0, L1 "
+    "emission costs, an r0 switch penalty for ENTERING a burst (no "
+    "charge to leave), ties prefer the quiet state. Reports the "
+    "optimal path's burst count and burst hours — segmentation-level "
+    "output that point detectors (events_cusum_changepoint flags one "
+    "shift; events_seasonal_anomalies flags single hours) cannot "
+    "give: how MANY distinct elevated episodes and their total "
+    "dwell. All-integer DP (costs, penalties, argmin tie-breaks) so "
+    "the oracle replays it as a recursive CTE bit-identically — the "
+    "Holt contract extended to path-tracking state (per-state best "
+    "(cost, n_bursts, hours) triples ride the fold). Plan: the "
+    "corpus collapses to the calendar-bounded hourly table, then ONE "
+    "codegen aggregate() fold per type — |types| x |hours| integer "
+    "ops, O(1) state per type.",
+)
+def events_burst_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    series = hourly.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("h", "y"))).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.expr("CAST(SUM(y) div count(*) AS BIGINT)").alias("r0"),
+    )
+    fold = F.expr(
+        """
+aggregate(
+  slice(s, 2, size(s) - 1),
+  named_struct(
+    'c0', abs(element_at(s, 1).y - r0),
+    'c1', r0 + abs(element_at(s, 1).y - 2 * r0),
+    'b0', CAST(0 AS BIGINT), 'h0', CAST(0 AS BIGINT),
+    'b1', CAST(1 AS BIGINT), 'h1', CAST(1 AS BIGINT)),
+  (acc, x) -> named_struct(
+    'c0', least(acc.c0, acc.c1) + abs(x.y - r0),
+    'c1', least(acc.c1, acc.c0 + r0) + abs(x.y - 2 * r0),
+    'b0', CASE WHEN acc.c0 <= acc.c1 THEN acc.b0 ELSE acc.b1 END,
+    'h0', CASE WHEN acc.c0 <= acc.c1 THEN acc.h0 ELSE acc.h1 END,
+    'b1', CASE WHEN acc.c1 <= acc.c0 + r0 THEN acc.b1 ELSE acc.b0 + 1 END,
+    'h1', CASE WHEN acc.c1 <= acc.c0 + r0 THEN acc.h1 + 1
+               ELSE acc.h0 + 1 END),
+  acc -> acc)
+"""
+    )
+    return series.select(
+        "event_type",
+        "n_hours",
+        F.col("r0").alias("base_rate"),
+        F.least(fold.getField("c0"), fold.getField("c1")).alias(
+            "path_cost_q"
+        ),
+        F.when(
+            fold.getField("c0") <= fold.getField("c1"), fold.getField("b0")
+        )
+        .otherwise(fold.getField("b1"))
+        .alias("n_bursts"),
+        F.when(
+            fold.getField("c0") <= fold.getField("c1"), fold.getField("h0")
+        )
+        .otherwise(fold.getField("h1"))
+        .alias("burst_hours"),
+    )
