@@ -32,7 +32,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["running_user_stats", "streaming_funnel_stage", "running_user_totals_tws", "kmv_sketch_stream", "kmv_hash", "ewma_trend_stream", "holt_trend_stream"]
+__all__ = ["running_user_stats", "streaming_funnel_stage", "running_user_totals_tws", "kmv_sketch_stream", "kmv_hash", "ewma_trend_stream", "holt_trend_stream", "burst_segmentation_stream"]
 
 STATE_SCHEMA = StructType(
     [
@@ -507,6 +507,96 @@ def holt_trend_stream(daily: DataFrame) -> DataFrame:
         _holt_update,
         outputStructType=HOLT_OUTPUT_SCHEMA,
         stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------------------------------- burst-DP trend state
+
+BURST_STATE_SCHEMA = StructType(
+    [
+        StructField("c0", LongType()),
+        StructField("c1", LongType()),
+        StructField("b0", LongType()),
+        StructField("h0", LongType()),
+        StructField("b1", LongType()),
+        StructField("h1", LongType()),
+        StructField("n_hours", LongType()),
+    ]
+)
+
+BURST_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_hours", LongType()),
+        StructField("path_cost_q", LongType()),
+        StructField("n_bursts", LongType()),
+        StructField("burst_hours", LongType()),
+    ]
+)
+
+
+def _burst_update_factory(r0_by_type: dict):
+    """The burst DP needs each key's baseline rate r0 — a corpus fact
+    computed ONCE upstream (batch aggregate) and closed over here,
+    exactly how production stream jobs ship model parameters."""
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (etype,) = key
+        r0 = int(r0_by_type[etype])
+        if state.exists:
+            c0, c1, b0, h0, b1, h1, n = state.get
+        else:
+            c0 = c1 = b0 = h0 = b1 = h1 = None
+            n = 0
+        rows = pd.concat(list(pdfs)).sort_values("h")
+        for y in rows["y"]:
+            y = int(y)
+            if c0 is None:
+                # the IDENTICAL init of the batch fold
+                c0, c1 = abs(y - r0), r0 + abs(y - 2 * r0)
+                b0, h0, b1, h1 = 0, 0, 1, 1
+            else:
+                nc0 = min(c0, c1) + abs(y - r0)
+                nc1 = min(c1, c0 + r0) + abs(y - 2 * r0)
+                nb0, nh0 = (b0, h0) if c0 <= c1 else (b1, h1)
+                nb1, nh1 = (
+                    (b1, h1 + 1) if c1 <= c0 + r0 else (b0 + 1, h0 + 1)
+                )
+                c0, c1, b0, h0, b1, h1 = nc0, nc1, nb0, nh0, nb1, nh1
+            n += 1
+        state.update((c0, c1, b0, h0, b1, h1, n))
+        best0 = c0 <= c1
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": etype,
+                    "n_hours": n,
+                    "path_cost_q": c0 if best0 else c1,
+                    "n_bursts": b0 if best0 else b1,
+                    "burst_hours": h0 if best0 else h1,
+                }
+            ]
+        )
+
+    return _update
+
+
+def burst_segmentation_stream(
+    hourly: DataFrame, r0_by_type: dict
+) -> DataFrame:
+    """Streaming twin of the batch events_burst_segmentation Viterbi
+    fold: per event_type, the 2-state DP's (cost, n_bursts, dwell)
+    triples ride as SEVEN BIGINTs of keyed state — all-integer, so
+    rows applied in hour order land EXACTLY on the batch fold
+    (test-pinned). ``r0_by_type`` is the per-key baseline rate, a
+    corpus fact broadcast like any model parameter. O(|event types|)
+    state at any stream length — burst MONITORING, not reprocessing."""
+    return hourly.groupBy("event_type").applyInPandasWithState(
+        _burst_update_factory(r0_by_type),
+        outputStructType=BURST_OUTPUT_SCHEMA,
+        stateStructType=BURST_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

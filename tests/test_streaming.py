@@ -1319,3 +1319,67 @@ def test_holt_trend_stream_matches_batch_fold(spark, tmp_path):
         assert s.level_q == b.level_q
         assert s.trend_q == b.trend_q
         assert s.forecast7_q == b.forecast7_q
+
+
+def test_burst_segmentation_stream_matches_batch_fold(spark, tmp_path):
+    """The streaming burst DP carries the Viterbi (cost, bursts, dwell)
+    triples as integer keyed state; applied over the same hourly series
+    in hour order it must land EXACTLY on the batch
+    events_burst_segmentation fold (all-integer — equality, not
+    approx)."""
+    from cnc_visionsearch_spark.queries_events import (
+        events_burst_segmentation,
+    )
+    from cnc_visionsearch_spark.streaming.stateful import (
+        burst_segmentation_stream,
+    )
+
+    hourly = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    # the baseline rate is a corpus fact shipped to the stream as a
+    # parameter — computed exactly like the batch query's aggregate
+    r0 = {
+        r.event_type: int(r.r0)
+        for r in hourly.groupBy("event_type")
+        .agg(F.expr("CAST(SUM(y) div count(*) AS BIGINT)").alias("r0"))
+        .collect()
+    }
+    cut = hourly.agg(F.expr("percentile(cast(h as long), 0.5)")).first()[0]
+    chunks = [
+        hourly.filter(F.col("h").cast("long") <= cut),
+        hourly.filter(F.col("h").cast("long") > cut),
+    ]
+    stream_dir = _write_chunks(spark, str(tmp_path / "in"), chunks)
+    stream = (
+        spark.readStream.schema(hourly.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    out_rows = []
+    q = (
+        burst_segmentation_stream(stream, r0)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: out_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    final = {}
+    for r in out_rows:  # last update per type wins
+        final[r.event_type] = r
+    batch = {
+        r.event_type: r
+        for r in events_burst_segmentation(spark, SF).collect()
+    }
+    assert set(final) == set(batch) and final
+    for et, b in batch.items():
+        s = final[et]
+        assert s.n_hours == b.n_hours
+        assert s.path_cost_q == b.path_cost_q
+        assert s.n_bursts == b.n_bursts
+        assert s.burst_hours == b.burst_hours
