@@ -1076,3 +1076,135 @@ def text_bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# score-normalized (min-max) weighted fusion — the third fusion family
+
+
+@register(
+    "hybrid_minmax_fusion_topk",
+    oracle=f"""
+WITH {_BM25_CTES},
+normed AS (
+  SELECT vec_id, list_transform(
+    embedding::DOUBLE[],
+    x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))
+  ) AS nvec
+  FROM embeddings
+),
+q AS (SELECT nvec AS qv FROM normed WHERE vec_id = {_TA_QVEC}),
+vec AS (
+  SELECT vec_id AS doc_id,
+    CAST(floor(list_sum(list_transform(range(1, len(nvec)+1),
+      i -> nvec[i]*qv[i])) * 1000000000.0 + 0.5) AS BIGINT) AS cos_q
+  FROM normed, q
+),
+vtop AS (
+  SELECT doc_id, cos_q FROM vec
+  ORDER BY cos_q DESC, doc_id ASC LIMIT 20
+),
+ttop AS (
+  SELECT doc_id, score_q FROM bm25
+  ORDER BY score_q DESC, doc_id ASC LIMIT 20
+),
+vb AS (SELECT min(cos_q) AS vmin, max(cos_q) AS vmax FROM vtop),
+tb AS (SELECT min(score_q) AS tmin, max(score_q) AS tmax FROM ttop),
+fused AS (
+  SELECT COALESCE(v.doc_id, t.doc_id) AS doc_id,
+    CASE WHEN v.doc_id IS NULL OR vmax = vmin THEN 0.0
+      ELSE CAST(v.cos_q - vmin AS DOUBLE) / CAST(vmax - vmin AS DOUBLE)
+    END AS v_norm,
+    CASE WHEN t.doc_id IS NULL OR tmax = tmin THEN 0.0
+      ELSE CAST(t.score_q - tmin AS DOUBLE) / CAST(tmax - tmin AS DOUBLE)
+    END AS t_norm
+  FROM vtop v FULL OUTER JOIN ttop t ON v.doc_id = t.doc_id, vb, tb
+)
+SELECT doc_id, v_norm, t_norm,
+  (0.5 * v_norm) + (0.5 * t_norm) AS fused_score
+FROM fused
+ORDER BY fused_score DESC, doc_id ASC
+LIMIT 10
+""",
+    doc="Score-normalized hybrid fusion (CombSUM over min-max "
+    "calibrated scores, Fox & Shaw TREC-2; the third fusion family "
+    "beside rank-based RRF and the certified-sum TA): each tier's "
+    "top-20 scores are min-max normalized WITHIN the candidate set "
+    "(the standard per-query calibration — raw BM25 mass and cosine "
+    "live on incomparable scales), then averaged 50/50. Keeps score "
+    "GAPS that rank fusion throws away (a runaway best hit stays "
+    "runaway) at the cost of outlier sensitivity — which is the "
+    "operating trade this query lets a user measure against "
+    "hybrid_rrf_topk on the same candidates. Determinism: inputs are "
+    "the two tiers' exact integer scores; each normalization is one "
+    "double chain over integers; a degenerate band (max = min) or a "
+    "single-list doc contributes 0.0 exactly — both engines agree "
+    "without quantization because the fused score is a fixed-order "
+    "two-term chain. Both candidate sets are bounded top-20s "
+    "(TakeOrderedAndProject), the 1-row min/max bands broadcast.",
+)
+def hybrid_minmax_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import dot
+    from cnc_visionsearch_spark.queries_ann import _norm_query_vec
+
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    qv = _norm_query_vec(spark, sf_dir, _TA_QVEC)
+    qcol = F.array(*[F.lit(float(x)) for x in qv]).cast("array<double>")
+    vtop = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            fixed_point_q(dot("nvec", qcol)).alias("cos_q"),
+        )
+        .orderBy(F.col("cos_q").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    ttop = (
+        _bm25_scored(spark, sf_dir)
+        .select("doc_id", "score_q")
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    vb = vtop.agg(
+        F.min("cos_q").alias("vmin"), F.max("cos_q").alias("vmax")
+    )
+    tb = ttop.agg(
+        F.min("score_q").alias("tmin"), F.max("score_q").alias("tmax")
+    )
+    fused = (
+        vtop.join(ttop, "doc_id", "full_outer")
+        .crossJoin(F.broadcast(vb))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("cos_q").isNull() | (F.col("vmax") == F.col("vmin")),
+                F.lit(0.0),
+            )
+            .otherwise(
+                (F.col("cos_q") - F.col("vmin")).cast("double")
+                / (F.col("vmax") - F.col("vmin")).cast("double")
+            )
+            .alias("v_norm"),
+            F.when(
+                F.col("score_q").isNull()
+                | (F.col("tmax") == F.col("tmin")),
+                F.lit(0.0),
+            )
+            .otherwise(
+                (F.col("score_q") - F.col("tmin")).cast("double")
+                / (F.col("tmax") - F.col("tmin")).cast("double")
+            )
+            .alias("t_norm"),
+        )
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "v_norm",
+            "t_norm",
+            (F.lit(0.5) * F.col("v_norm") + F.lit(0.5) * F.col("t_norm"))
+            .alias("fused_score"),
+        )
+        .orderBy(F.col("fused_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
