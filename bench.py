@@ -78,6 +78,15 @@ HEADLINE = [
     "part_lpa_communities",
     # ranked-retrieval eval harness: nDCG@10 with exact BIGINT DCG (r5)
     "text_bm25_ndcg_eval",
+    # r6: distributed exact NTILE over the ORDERS FACT — the shared
+    # rank primitive (operators/rank.py) at its largest benched input
+    "order_price_equidepth_histogram",
+    # r6: distributed cumulative revenue coverage (customer Pareto)
+    "customer_pareto_coverage",
+    # r6: the data-quality expectation rollup (3 fact scans + key join)
+    "dq_expectation_summary",
+    # r6: HyperLogLog registers + estimate (mergeable-sketch family)
+    "events_hll_cardinality",
 ]
 
 
@@ -136,20 +145,30 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover
         print(f"  RECALL.json emission failed: {exc}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # raw per-pass timings so variance (shared-VM CPU steal)
-                # is visible next to the min-of-3 headline numbers
-                "passes": passes,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # raw per-pass timings so variance (shared-VM CPU steal) is
+        # visible next to the min-of-3 headline numbers
+        "passes": passes,
+        "sf": sf,
+    }
+    # The driver's tail capture is bounded; with 34+ queries the full
+    # JSON (timings + passes) can overflow it and the committed BENCH
+    # artifact loses its machine-readable headline ("parsed": null in
+    # BENCH_r05.json — r5 verdict task #3). So: (a) persist the FULL
+    # result to BENCH_RESULT.json at the repo root (committed), and
+    # (b) print the compact line (no passes) LAST so the tail always
+    # ends with parseable JSON.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULT.json"),
+        "w",
+    ) as fh:
+        json.dump(result, fh, indent=2, sort_keys=True)
+    compact = {k: v for k, v in result.items() if k != "passes"}
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -2069,11 +2069,13 @@ LIMIT 30
     "never counts as an event — dropping censored spells is the "
     "classic churn-analysis bias), and hazard(d) = events-at-d / "
     "at-risk-at-d in exact integer ppm. The at-risk set is a "
-    "descending cumulative sum over the duration histogram, so no "
-    "per-duration rescan of the gaps. First 30 event-bearing "
-    "durations. Scale shape: per-user lead() windows (per-key, "
-    "never global), one histogram aggregate, one window over the "
-    "dimension-sized duration table.",
+    "descending cumulative sum over the duration histogram "
+    "(operators/rank.distributed_cumsum — range-repartitioned, no "
+    "single-partition sort even if durations are measured at finer "
+    "grain), so no per-duration rescan of the gaps. First 30 "
+    "event-bearing durations. Scale shape: per-user lead() windows "
+    "(per-key, never global), one histogram aggregate, one "
+    "distributed prefix sum.",
 )
 def events_repurchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
@@ -2102,10 +2104,11 @@ def events_repurchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_all"),
         F.sum("complete").cast("bigint").alias("n_events"),
     )
-    wr = Window.orderBy(F.col("dur").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    from cnc_visionsearch_spark.operators.rank import distributed_cumsum
+
+    risk = distributed_cumsum(
+        by_dur, [F.col("dur").desc()], sums=[(F.col("n_all"), "n_at_risk")]
     )
-    risk = by_dur.withColumn("n_at_risk", F.sum("n_all").over(wr))
     return (
         risk.filter(F.col("n_events") > 0)
         .select(

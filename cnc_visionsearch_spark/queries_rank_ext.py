@@ -1,0 +1,228 @@
+"""Fact-scale showcases of the shared rank primitives ([EXT], r6).
+
+operators/rank.py (global_topn / distributed_cumsum / exact_ntile)
+exists because the reference's core operator is a global top-k that
+never materializes a global ordering (main.py:155); these queries run
+the primitives over FACT-scale and aggregate-scale inputs so the
+plan-audit gate (window_no_partition == 0) is exercised where it
+matters most — Pareto coverage over the customer base, engagement
+banding over users, length banding over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.operators.rank import distributed_cumsum, exact_ntile
+from cnc_visionsearch_spark.registry import register
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+
+@register(
+    "customer_pareto_coverage",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+      AS BIGINT) AS rev_c
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev_c,
+    CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c
+  FROM rev
+),
+tot AS (
+  SELECT CAST(SUM(rev_c) AS BIGINT) AS t,
+    CAST(count(*) AS BIGINT) AS n_customers
+  FROM rev
+),
+th(threshold_pct) AS (VALUES (50), (80), (95))
+SELECT CAST(th.threshold_pct AS BIGINT) AS threshold_pct,
+  CAST(sum(CASE WHEN (r.cum_c - r.rev_c) * 100 < tot.t * th.threshold_pct
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_customers_needed,
+  CAST(sum(CASE WHEN (r.cum_c - r.rev_c) * 100 < tot.t * th.threshold_pct
+                THEN 1 ELSE 0 END) * 1000000 // tot.n_customers AS BIGINT)
+    AS customer_share_ppm
+FROM ranked r, tot, th
+GROUP BY th.threshold_pct, tot.n_customers ORDER BY threshold_pct
+""",
+    doc="Revenue-concentration coverage: the minimum number of "
+    "customers whose lifetime revenue covers 50/80/95% of the book "
+    "(the customer-side Pareto complement to part_abc_classification) "
+    "— a customer is NEEDED at threshold t iff the cumulative revenue "
+    "STRICTLY BEFORE it has not yet reached t% (exact integer-cents "
+    "comparison, cum*100 < total*t). The running total is operators/"
+    "rank.distributed_cumsum over the customer aggregate — range-"
+    "repartitioned prefix sums, no single-partition sort (the r6 "
+    "primitive exercised at customer scale); thresholds are a 3-row "
+    "literal table, so the coverage table is one broadcast-joined "
+    "conditional aggregate.",
+)
+def customer_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    ranked = distributed_cumsum(
+        rev,
+        [F.col("rev_c").desc(), F.col("o_custkey").asc()],
+        sums=[(F.col("rev_c"), "cum_c")],
+    )
+    tot = rev.agg(
+        F.sum("rev_c").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+    )
+    th = spark.createDataFrame(
+        [(50,), (80,), (95,)], "threshold_pct int"
+    )
+    needed = (F.col("cum_c") - F.col("rev_c")) * 100 < F.col("t") * F.col(
+        "threshold_pct"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(th))
+        .groupBy(
+            F.col("threshold_pct").cast("bigint").alias("threshold_pct"),
+            "n_customers",
+        )
+        .agg(
+            F.sum(needed.cast("int"))
+            .cast("bigint")
+            .alias("n_customers_needed")
+        )
+        .select(
+            "threshold_pct",
+            "n_customers_needed",
+            F.expr(
+                "CAST(n_customers_needed * 1000000 DIV n_customers AS BIGINT)"
+            ).alias("customer_share_ppm"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+@register(
+    "events_user_engagement_deciles",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM events GROUP BY user_id
+),
+tiled AS (
+  SELECT *,
+    CAST(ntile(10) OVER (ORDER BY n_events ASC, user_id ASC) AS INT)
+      AS decile
+  FROM per_user
+)
+SELECT decile,
+  CAST(count(*) AS BIGINT) AS n_users,
+  CAST(min(n_events) AS BIGINT) AS min_events,
+  CAST(max(n_events) AS BIGINT) AS max_events,
+  CAST(sum(n_events) AS BIGINT) AS total_events,
+  CAST(sum(n_types) AS BIGINT) AS sum_types
+FROM tiled GROUP BY decile ORDER BY decile
+""",
+    doc="User-engagement decile banding: per-user event volume -> "
+    "exact NTILE(10) -> per-band population and activity mass — the "
+    "standard engagement-tiering report (which decile produces the "
+    "events, where the inactive tail starts). Banding is operators/"
+    "rank.exact_ntile over the USER aggregate (user-scale, grows with "
+    "the product): distributed row numbers + the closed-form bucket "
+    "formula, bit-identical to the oracle's global-window NTILE with "
+    "no single-partition sort.",
+)
+def events_user_engagement_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+    )
+    tiled = exact_ntile(
+        per_user,
+        [F.col("n_events").asc(), F.col("user_id").asc()],
+        10,
+        "decile",
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("n_events").cast("bigint").alias("min_events"),
+            F.max("n_events").cast("bigint").alias("max_events"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+            F.sum("n_types").cast("bigint").alias("sum_types"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "doc_length_deciles",
+    oracle="""
+WITH per_doc AS (
+  SELECT doc_id, lang,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    n_chars
+  FROM documents
+),
+tiled AS (
+  SELECT *,
+    CAST(ntile(10) OVER (ORDER BY n_tokens ASC, doc_id ASC) AS INT)
+      AS decile
+  FROM per_doc
+)
+SELECT decile,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM tiled GROUP BY decile ORDER BY decile
+""",
+    doc="Corpus length-decile profile: documents banded into exact "
+    "equal-population token-count deciles with per-band char mass "
+    "and language spread — the curation view that decides truncation "
+    "and packing policy (which deciles hold the short-doc noise, "
+    "whether long docs skew to one language). exact NTILE over the "
+    "CORPUS itself (one row per document — this is the fact-scale "
+    "banding case where the unpartitioned-window form would be worst) "
+    "via operators/rank.exact_ntile; token counts are exact "
+    "whitespace-split lengths, the corpus tokenization convention.",
+)
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        "n_chars",
+    )
+    tiled = exact_ntile(
+        per_doc,
+        [F.col("n_tokens").asc(), F.col("doc_id").asc()],
+        10,
+        "decile",
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("decile")
+    )

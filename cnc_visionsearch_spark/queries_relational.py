@@ -1649,30 +1649,28 @@ FROM tiled GROUP BY decile
     "banding every marketing/finance report runs. Determinism: the "
     "NTILE ordering tie-breaks on custkey, band populations are "
     "fixed by row count, band sums are exact decimals. Plan note: "
-    "NTILE over an un-partitioned window is a single-partition sort "
-    "of the CUSTOMER AGGREGATE (one row per customer, not per "
-    "order) — at 100 TB the per-customer table is ~1/10 of orders "
-    "and the production variant replaces the global window with "
-    "percentile boundaries from a sample + a broadcast band join; "
-    "the aggregate before it is the standard partial+final shape.",
+    "banding runs DISTRIBUTED via operators/rank.exact_ntile (range-"
+    "repartitioned row numbers + the closed-form NTILE bucket "
+    "formula) — bit-identical to the oracle's global-window NTILE "
+    "but with no single-partition sort, so the plan survives a "
+    "customer table that grows with the corpus; the aggregate before "
+    "it is the standard partial+final shape.",
 )
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.rank import exact_ntile
+
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
         .cast("double")
         .alias("total_spend")
     )
-    tiled = spend.select(
-        "o_custkey",
-        "total_spend",
-        F.ntile(10)
-        .over(
-            Window.orderBy(F.col("total_spend").asc(), F.col("o_custkey").asc())
-        )
-        .cast("int")
-        .alias("decile"),
-    )
+    tiled = exact_ntile(
+        spend,
+        [F.col("total_spend").asc(), F.col("o_custkey").asc()],
+        10,
+        "decile",
+    ).select("o_custkey", "total_spend", "decile")
     return tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.min("total_spend").alias("min_spend"),
@@ -1963,12 +1961,15 @@ FROM rev, tot
     doc="Pareto / ratio-to-report analysis: revenue per customer "
     "nation, each nation's share of total, and the cumulative share "
     "in rank order — the 80/20 concentration report. The fact joins "
-    "reduce to a 25-row nation aggregate BEFORE any window runs; the "
-    "rank/cumsum window is single-partition over dimension-sized "
-    "data only (same doctrine as the mixture-weights window). "
-    "Decimal sums for the aggregate AND the running total keep both "
-    "order-independent; shares divide two exact-decimal-derived "
-    "doubles per row.",
+    "reduce to a 25-row nation aggregate BEFORE any ranking; the "
+    "rank and running total come from operators/rank."
+    "distributed_cumsum (range-repartitioned partitioned windows + "
+    "band-offset broadcast join — no single-partition node even "
+    "though the nation table is tiny, so the same code is safe for "
+    "any grouping dimension). rank() == row_number() here because "
+    "the (revenue, nation) order is total. Decimal sums for the "
+    "aggregate AND the running total keep both order-independent; "
+    "shares divide two exact-decimal-derived doubles per row.",
 )
 def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -1993,19 +1994,22 @@ def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = rev.agg(
         F.sum(F.col("revenue").cast("decimal(18,6)")).cast("double").alias("total")
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("nation").asc())
-    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return rev.crossJoin(F.broadcast(tot)).select(
+    from cnc_visionsearch_spark.operators.rank import distributed_cumsum
+
+    ranked = distributed_cumsum(
+        rev,
+        [F.col("revenue").desc(), F.col("nation").asc()],
+        sums=[(F.col("revenue").cast("decimal(18,6)"), "_cum_rev")],
+        rn_col="_rn",
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
         "nation",
         "revenue",
-        F.rank().over(w).cast("int").alias("rnk"),
+        F.col("_rn").cast("int").alias("rnk"),
         (F.col("revenue") / F.col("total")).alias("share"),
-        (
-            F.sum(F.col("revenue").cast("decimal(18,6)"))
-            .over(wcum)
-            .cast("double")
-            / F.col("total")
-        ).alias("cum_share"),
+        (F.col("_cum_rev").cast("double") / F.col("total")).alias(
+            "cum_share"
+        ),
     )
 
 
@@ -2057,15 +2061,14 @@ FROM seg GROUP BY segment ORDER BY segment
 """,
     doc="RFM (recency / frequency / monetary) segmentation — the "
     "classic CRM warehouse rollup: per-customer stats from one orders "
-    "scan, quintile scores via NTILE over the CUSTOMER AGGREGATE "
-    "(customer-scale, the customer_spend_deciles doctrine — the "
-    "global window sorts one row per customer, never the fact table; "
-    "ties broken by custkey so ntile boundaries are deterministic), "
-    "r-score inverted so 5 = most recent, then a rule-based segment "
-    "label and a per-segment rollup. Monetary keeps exact DECIMAL "
-    "until the final DOUBLE cast. At extreme scale the quintile "
-    "boundaries come from sampled percentiles + a broadcast band "
-    "join, same swap as the deciles query documents.",
+    "scan, quintile scores via three DISTRIBUTED exact-NTILE passes "
+    "over the CUSTOMER AGGREGATE (operators/rank.exact_ntile: range-"
+    "repartitioned row numbers + the closed-form bucket formula — "
+    "bit-identical to the oracle's global-window NTILEs with no "
+    "single-partition sort; ties broken by custkey so boundaries are "
+    "deterministic), r-score inverted so 5 = most recent, then a "
+    "rule-based segment label and a per-segment rollup. Monetary "
+    "keeps exact DECIMAL until the final DOUBLE cast.",
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -2086,23 +2089,38 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    r = F.lit(6) - F.ntile(5).over(
-        Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    # three DISTRIBUTED quintile passes (operators/rank.exact_ntile) —
+    # bit-identical to the oracle's global-window NTILEs but each one
+    # is a range-repartitioned rank, never a single-partition sort of
+    # the customer aggregate
+    from cnc_visionsearch_spark.operators.rank import exact_ntile
+
+    scored = exact_ntile(
+        rfm,
+        [F.col("recency_days").asc(), F.col("o_custkey").asc()],
+        5,
+        "_r_tile",
     )
-    f = F.ntile(5).over(
-        Window.orderBy(F.col("frequency").asc(), F.col("o_custkey").asc())
+    scored = exact_ntile(
+        scored,
+        [F.col("frequency").asc(), F.col("o_custkey").asc()],
+        5,
+        "_f_tile",
     )
-    m = F.ntile(5).over(
-        Window.orderBy(F.col("monetary").asc(), F.col("o_custkey").asc())
+    scored = exact_ntile(
+        scored,
+        [F.col("monetary").asc(), F.col("o_custkey").asc()],
+        5,
+        "_m_tile",
     )
-    scored = rfm.select(
+    scored = scored.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        r.cast("bigint").alias("r_score"),
-        f.cast("bigint").alias("f_score"),
-        m.cast("bigint").alias("m_score"),
+        (F.lit(6) - F.col("_r_tile")).cast("bigint").alias("r_score"),
+        F.col("_f_tile").cast("bigint").alias("f_score"),
+        F.col("_m_tile").cast("bigint").alias("m_score"),
     )
     seg = scored.withColumn(
         "segment",
@@ -2268,28 +2286,26 @@ FROM b GROUP BY bucket ORDER BY bucket
     doc="Equi-DEPTH (quantile-bucket) histogram of order prices — the "
     "companion to the equi-width events_value_histogram and the shape "
     "optimizer statistics actually store (bucket boundaries adapt to "
-    "the distribution, so every bucket carries equal weight). NTILE "
-    "over the fact with a deterministic orderkey tie-break; at scale "
-    "the boundaries come from percentile_approx sketches + one "
-    "broadcast band join instead of the global window (the "
-    "customer_spend_deciles swap), which this fixture-scale exact "
-    "form hash-pins the semantics of.",
+    "the distribution, so every bucket carries equal weight). "
+    "Distributed exact NTILE over the FACT with a deterministic "
+    "orderkey tie-break (operators/rank.exact_ntile: range-"
+    "repartitioned row numbers + the closed-form bucket formula — "
+    "this is the one ntile in the repo that runs over fact-scale "
+    "rows, so the no-single-partition plan is mandatory, not a "
+    "nicety); bit-identical to the oracle's global-window NTILE.",
 )
 def order_price_equidepth_histogram(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from cnc_visionsearch_spark.operators.rank import exact_ntile
+
     orders = load_table(spark, sf_dir, "orders")
-    b = orders.select(
-        "o_totalprice",
-        F.ntile(10)
-        .over(
-            Window.orderBy(
-                F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
-            )
-        )
-        .cast("bigint")
-        .alias("bucket"),
-    )
+    b = exact_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        10,
+        "_b",
+    ).select("o_totalprice", F.col("_b").cast("bigint").alias("bucket"))
     return (
         b.groupBy("bucket")
         .agg(
@@ -2394,10 +2410,14 @@ FROM ranked
     "(deterministic brand tie-break), then the closed-form "
     "G = 2*sum(i*r_i)/(n*sum(r)) - (n+1)/n as one double chain over "
     "DECIMAL-exact sums (i*r stays DECIMAL until the final cast). "
-    "The rank window sorts the BRAND AGGREGATE — bounded dimension "
-    "cardinality, never the fact table.",
+    "The rank comes from operators/rank.distributed_cumsum over the "
+    "BRAND AGGREGATE — bounded dimension cardinality here, and the "
+    "distributed-rank plan stays safe if the grouping dimension "
+    "grows (no single-partition sort anywhere).",
 )
 def part_brand_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.rank import distributed_cumsum
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     rev = (
@@ -2407,11 +2427,8 @@ def part_brand_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("r")
         )
     )
-    ranked = rev.withColumn(
-        "i",
-        F.row_number()
-        .over(Window.orderBy(F.col("r").asc(), F.col("p_brand").asc()))
-        .cast("bigint"),
+    ranked = distributed_cumsum(
+        rev, [F.col("r").asc(), F.col("p_brand").asc()], rn_col="i"
     )
     n = F.count(F.lit(1)).cast("double")
     sr = F.sum("r").cast("double")
@@ -2868,6 +2885,16 @@ def _lpa_labels(
     assignment (one row per co-purchase node); the registered query
     aggregates it, tests assert the partition property on it."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Exchange audit (r5 verdict task #4): the per-round edges⋈labels
+    # join plans as BroadcastHashJoin on the LABEL side at every bench
+    # scale — the checkpointed edge set is never re-shuffled between
+    # rounds, so pinning its partitioning before the checkpoint
+    # (.repartition(n, "src")) only ADDS an exchange: measured
+    # min-of-3 at sf0.1 was 6.49s pinned vs 5.71s unpinned. When the
+    # label table outgrows the broadcast threshold (node-scale at
+    # 100 TB), the one-line pin IS the swap — LogicalRDD preserves
+    # outputPartitioning through localCheckpoint (verified), so every
+    # round's sort-merge join would then reuse this single exchange.
     edges = _copurchase_edges(li).localCheckpoint(eager=False)
     # round 1 from identity labels is CLOSED-FORM: every neighbor holds
     # a unique label, so all counts are 1 and the (count DESC, label
@@ -2984,10 +3011,13 @@ LIMIT 15
     "same sweep shape as events_max_concurrency but over DERIVED "
     "per-order intervals joined from two tables. Scale design: the "
     "per-order close is a (orderkey)-keyed max aggregate, then both "
-    "delta streams collapse to DAILY deltas FIRST — the running-sum "
-    "window runs single-partition, but over a table bounded by the "
-    "CALENDAR (a few thousand rows at any corpus size), never over "
-    "orders; exact BIGINT arithmetic throughout.",
+    "delta streams collapse to DAILY deltas FIRST — calendar-"
+    "bounded — and the running sum is operators/rank."
+    "distributed_cumsum (range-repartitioned, band-offset broadcast "
+    "join): no single-partition node at all, so the same sweep code "
+    "is safe at finer granularities (hourly/minutely) where the "
+    "timeline DOES grow with the corpus; exact BIGINT arithmetic "
+    "throughout.",
 )
 def orders_open_backlog_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -3009,19 +3039,11 @@ def orders_open_backlog_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("delta").cast("bigint").alias("d"))
     )
-    # window over the DAILY table: bounded by the calendar, the sweep's
-    # single-partition sort is a few thousand rows at any corpus size
-    running = deltas.select(
-        "day",
-        F.sum("d")
-        .over(
-            Window.orderBy("day").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        )
-        .cast("bigint")
-        .alias("open_orders"),
-    )
+    from cnc_visionsearch_spark.operators.rank import distributed_cumsum
+
+    running = distributed_cumsum(
+        deltas, [F.col("day").asc()], sums=[(F.col("d"), "_cum")]
+    ).select("day", F.col("_cum").cast("bigint").alias("open_orders"))
     return running.orderBy(
         F.col("open_orders").desc(), F.col("day").asc()
     ).limit(15)

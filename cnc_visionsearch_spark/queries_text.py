@@ -859,10 +859,11 @@ ORDER BY df DESC, term ASC
     "sweep cuts per term; discovering it from the corpus (not a "
     "hardcoded English list) is the language-agnostic choice "
     "(doc_lang_id_confusion shows this corpus is multilingual). "
-    "Plan: one explode -> (term) aggregate carrying (df, tf); the "
-    "ranking window runs over the VOCABULARY-sized stats table, "
-    "bounded before any window by the aggregate — the doc_zipf_slope "
-    "scan discipline with the cumulative-coverage add-on.",
+    "Plan: one explode -> (term) aggregate carrying (df, tf); top-20 "
+    "selection is a TakeOrderedAndProject (operators/rank."
+    "global_topn — per-partition heaps, never a global sort of the "
+    "vocabulary), and the cumulative-coverage window runs over the "
+    "20 survivors only.",
 )
 def doc_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -875,10 +876,20 @@ def doc_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("tf"),
     )
     n_toks = stats.agg(F.sum("tf").cast("bigint").alias("nt"))
-    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
-    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = (
-        stats.crossJoin(F.broadcast(n_docs))
+    # top-20 by df via TakeOrderedAndProject (operators/rank.global_topn)
+    # FIRST, so the ranking window and the cumulative-coverage window
+    # both run over <= 20 survivor rows (bounded by construction), never
+    # the vocabulary-sized stats table — cum token share down rank r
+    # only needs tf of ranks 1..r, all inside the top-20
+    from cnc_visionsearch_spark.operators.rank import global_topn
+
+    order = [F.col("df").desc(), F.col("term").asc()]
+    top = global_topn(stats, order, 20)
+    cum = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(n_docs))
         .crossJoin(F.broadcast(n_toks))
         .withColumn("cumtf", F.sum("tf").over(cum).cast("bigint"))
         .select(
@@ -889,17 +900,9 @@ def doc_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(tf * 1000000) div nt")
             .cast("bigint")
             .alias("token_share_ppm"),
-            F.row_number().over(w).cast("bigint").alias("r"),
             F.expr("(cumtf * 1000000) div nt")
             .cast("bigint")
             .alias("cum_token_share_ppm"),
-        )
-    )
-    return (
-        ranked.filter(F.col("r") <= 20)
-        .select(
-            "term", "df", "tf", "df_ppm", "token_share_ppm",
-            "cum_token_share_ppm",
         )
         .orderBy(F.col("df").desc(), F.col("term").asc())
     )

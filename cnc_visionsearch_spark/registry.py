@@ -78,6 +78,10 @@ _MODULE_ORDER = [
     "cnc_visionsearch_spark.queries_ann_graph",
     "cnc_visionsearch_spark.queries_analytics",
     "cnc_visionsearch_spark.queries_dedup_ext",
+    "cnc_visionsearch_spark.queries_quality",
+    "cnc_visionsearch_spark.queries_sketches_ext",
+    "cnc_visionsearch_spark.queries_rank_ext",
+    "cnc_visionsearch_spark.queries_feature_ext",
 ]
 
 
@@ -151,6 +155,10 @@ def _load_all() -> None:
         queries_ann_graph,
         queries_analytics,
         queries_dedup_ext,
+        queries_quality,
+        queries_sketches_ext,
+        queries_rank_ext,
+        queries_feature_ext,
     )
 
     _LOADED = True

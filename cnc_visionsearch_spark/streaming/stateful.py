@@ -32,7 +32,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["running_user_stats", "streaming_funnel_stage", "running_user_totals_tws", "kmv_sketch_stream", "kmv_hash", "ewma_trend_stream", "holt_trend_stream", "burst_segmentation_stream"]
+__all__ = ["running_user_stats", "streaming_funnel_stage", "running_user_totals_tws", "kmv_sketch_stream", "kmv_hash", "ewma_trend_stream", "holt_trend_stream", "burst_segmentation_stream", "hll_sketch_stream"]
 
 STATE_SCHEMA = StructType(
     [
@@ -275,6 +275,80 @@ def kmv_sketch_stream(events: DataFrame, n_shards: int = 8) -> DataFrame:
         _kmv_update,
         outputStructType=KMV_OUTPUT_SCHEMA,
         stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------- HLL register state
+
+HLL_M = 32  # registers, matching queries_sketches_ext
+
+HLL_STATE_SCHEMA = StructType([StructField("regs", ArrayType(LongType()))])
+
+HLL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_present", LongType()),
+        StructField("harmonic_q", LongType()),
+        StructField("regs", ArrayType(LongType())),
+    ]
+)
+
+
+def _hll_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (etype,) = key
+    regs = list(state.get[0]) if state.exists else [0] * HLL_M
+    for pdf in pdfs:
+        for b, r in zip(pdf["bucket"], pdf["rho"]):
+            b, r = int(b), int(r)
+            if r > regs[b]:
+                regs[b] = r
+    state.update((regs,))
+    harmonic = sum(1 << (28 - r) if r > 0 else 1 << 28 for r in regs)
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": etype,
+                "n_present": sum(1 for r in regs if r > 0),
+                "harmonic_q": harmonic,
+                "regs": regs,
+            }
+        ]
+    )
+
+
+def hll_sketch_stream(events: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog — the incremental twin of the batch
+    events_hll_cardinality query: per event type, maintain the 32
+    leading-zero-rank registers across micro-batches (state = 32
+    BIGINTs per key, EVER — the textbook bounded-state sketch) and
+    emit the register vector + the exact-integer harmonic denominator
+    each batch.
+
+    The register-update projection (md5 hash → bucket, rho) is the
+    SAME JVM expression the batch query uses
+    (queries_sketches_ext.hll_bucket_rho — one definition), so the
+    final streaming registers are byte-identical to the batch
+    registers over the same input; register max is associative and
+    idempotent, which is why replays and checkpoint recoveries cannot
+    corrupt the sketch (tested to merge exactly to the batch state).
+
+    At scale: pre-shuffle projection is (type, bucket, rho) — ~20
+    bytes/event with map-side combining available to the planner;
+    state size is independent of stream volume.
+    """
+    from cnc_visionsearch_spark.queries_sketches_ext import hll_bucket_rho
+
+    hashed = hll_bucket_rho(
+        events.select("event_type", "user_id")
+    ).select("event_type", "bucket", "rho")
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        _hll_update,
+        outputStructType=HLL_OUTPUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1,0 +1,143 @@
+"""operators/rank.py — the scale-safe global ranking primitives that
+replace unpartitioned WindowExec (the "No Partition Defined ... Moving
+all data to a single partition" trap the r5 verdict flagged). Each test
+pins BOTH exactness (bit-identical to the single-partition window
+semantics the DuckDB oracles replay) AND the plan contract (zero
+unbounded global windows, detected by plans.unbounded_global_windows —
+the same detector scripts/plan_audit.py gates the whole registry with).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.operators.rank import (
+    distributed_cumsum,
+    exact_ntile,
+    global_topn,
+)
+from cnc_visionsearch_spark.plans import (
+    unbounded_global_windows,
+    unpartitioned_windows,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    # 10007 rows (prime — uneven band splits), pseudo-random values with
+    # deliberate TIES in v so total-order tie-breaking is exercised
+    return spark.range(10007).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 997).alias("v"),
+        ((F.col("id") * 97) % 13).alias("g"),
+    )
+
+
+def _sorted_rows(d, cols):
+    return [tuple(r) for r in d.select(*cols).orderBy(*cols).collect()]
+
+
+def test_distributed_cumsum_matches_global_window(df):
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = distributed_cumsum(
+        df, order, sums=[(F.col("v"), "cs")], rn_col="rn"
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("id").asc())
+    ref = df.select(
+        "id",
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cs"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+    assert _sorted_rows(got, ["id", "cs", "rn"]) == _sorted_rows(
+        ref, ["id", "cs", "rn"]
+    )
+
+
+def test_distributed_cumsum_plan_has_no_global_window(df):
+    got = distributed_cumsum(
+        df, [F.col("v").desc(), F.col("id")], sums=[(F.col("v"), "cs")],
+        rn_col="rn",
+    )
+    assert unbounded_global_windows(got) == []
+
+
+def test_distributed_cumsum_exact_decimal(df):
+    dd = df.select("id", "v", F.col("v").cast("decimal(18,6)").alias("dv"))
+    got = distributed_cumsum(
+        dd, [F.col("v").desc(), F.col("id")], sums=[(F.col("dv"), "cs")]
+    ).select("id", F.col("cs").cast("decimal(38,6)").alias("cs"))
+    ref = dd.select(
+        "id",
+        F.sum("dv")
+        .over(
+            Window.orderBy(F.col("v").desc(), F.col("id")).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("decimal(38,6)")
+        .alias("cs"),
+    )
+    assert _sorted_rows(got, ["id", "cs"]) == _sorted_rows(ref, ["id", "cs"])
+
+
+@pytest.mark.parametrize("n", [10, 5, 7, 20000])
+def test_exact_ntile_matches_sql_ntile(df, n):
+    # 20000 > row count exercises the T < n edge (base = 0)
+    got = exact_ntile(
+        df, [F.col("v").asc(), F.col("id").asc()], n, "b"
+    ).select("id", "b")
+    ref = df.select(
+        "id",
+        F.ntile(n)
+        .over(Window.orderBy(F.col("v").asc(), F.col("id").asc()))
+        .cast("int")
+        .alias("b"),
+    )
+    assert _sorted_rows(got, ["id", "b"]) == _sorted_rows(ref, ["id", "b"])
+
+
+def test_exact_ntile_plan_has_no_global_window(df):
+    got = exact_ntile(df, [F.col("v"), F.col("id")], 10, "b")
+    assert unbounded_global_windows(got) == []
+
+
+def test_global_topn_takeordered_and_bounded_rank(df):
+    got = global_topn(
+        df, [F.col("v").desc(), F.col("id").asc()], 17, rank_col="r"
+    )
+    from cnc_visionsearch_spark.plans import formatted_plan
+
+    plan = formatted_plan(got)
+    assert "TakeOrderedAndProject" in plan
+    # the rank window IS unpartitioned but sits above the limit —
+    # bounded by construction, so the gate detector exempts it
+    assert unpartitioned_windows(plan) != []
+    assert unbounded_global_windows(plan) == []
+    rows = got.orderBy("r").collect()
+    ref = df.orderBy(F.col("v").desc(), F.col("id").asc()).limit(17).collect()
+    assert [r.id for r in rows] == [r.id for r in ref]
+    assert [r.r for r in rows] == list(range(1, 18))
+
+
+def test_detector_classifies_window_shapes(spark):
+    d = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    unpart = d.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    part = d.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    part_unordered = d.withColumn(
+        "mx", F.max("id").over(Window.partitionBy("g"))
+    )
+    unpart_unordered = d.withColumn(
+        "mx", F.max("id").over(Window.partitionBy())
+    )
+    assert unbounded_global_windows(unpart) != []
+    assert unbounded_global_windows(part) == []
+    assert unbounded_global_windows(part_unordered) == []
+    assert unbounded_global_windows(unpart_unordered) != []

@@ -165,10 +165,14 @@ def test_scale_metrics_artifact_present_and_claims_hold():
 def test_plan_audit_artifact_covers_registry_and_gates_hold():
     """PLAN_AUDIT.json (scripts/plan_audit.py) sweeps EVERY registered
     query's physical plan. tests/test_plans.py hand-pins ~50 flagship
-    shapes; this artifact machine-checks the two registry-wide gates —
-    zero CartesianProduct nodes and zero row-at-a-time Python UDF nodes
-    (BatchEvalPython) across all plans — so a scale-killer in ANY query,
-    benched or not, is a committed-diff away from visible."""
+    shapes; this artifact machine-checks the three registry-wide gates —
+    zero CartesianProduct nodes, zero row-at-a-time Python UDF nodes
+    (BatchEvalPython), and zero unpartitioned WindowExec over
+    data-proportional input (window_no_partition; windows above a
+    limit/LocalTableScan are bounded by construction and exempt, and
+    the few justified dimension-bounded sites live in
+    scripts/plan_audit.WINDOW_ALLOWLIST) — so a scale-killer in ANY
+    query, benched or not, is a committed-diff away from visible."""
     import json
     import os
 
@@ -187,6 +191,29 @@ def test_plan_audit_artifact_covers_registry_and_gates_hold():
     row_python = {n for n, m in qs.items() if m["batch_eval_python"]}
     assert not cartesian, f"CartesianProduct in: {sorted(cartesian)}"
     assert not row_python, f"row-at-a-time Python in: {sorted(row_python)}"
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "plan_audit.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    allow = set(mod.WINDOW_ALLOWLIST)
+    global_windows = {
+        n for n, m in qs.items() if m.get("window_no_partition")
+    }
+    assert global_windows <= allow, (
+        "unpartitioned WindowExec over data-proportional input in: "
+        f"{sorted(global_windows - allow)} — use operators/rank "
+        "primitives (global_topn / distributed_cumsum / exact_ntile) "
+        "or justify in scripts/plan_audit.WINDOW_ALLOWLIST"
+    )
+    stale_allow = allow - global_windows
+    assert not stale_allow, (
+        f"WINDOW_ALLOWLIST entries no longer needed: {sorted(stale_allow)}"
+    )
 
 
 def test_first_50_registrations_match_driver_window():

@@ -1383,3 +1383,56 @@ def test_burst_segmentation_stream_matches_batch_fold(spark, tmp_path):
         assert s.path_cost_q == b.path_cost_q
         assert s.n_bursts == b.n_bursts
         assert s.burst_hours == b.burst_hours
+
+
+def test_hll_sketch_stream_registers_match_batch(spark, tmp_path):
+    """Streaming HLL: per-type registers maintained across micro-batches
+    must equal the batch register table over the same input EXACTLY
+    (register max is associative + idempotent — the merge contract),
+    and the emitted harmonic denominator must equal the batch fold.
+    State is 32 BIGINTs per type no matter the stream volume."""
+    from cnc_visionsearch_spark.queries_sketches_ext import _hll_registers
+    from cnc_visionsearch_spark.streaming.stateful import (
+        HLL_M,
+        hll_sketch_stream,
+    )
+
+    events = load_table(spark, SF, "events").filter(F.col("event_id") < 1500)
+    chunks = [events.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    stream_dir = _write_chunks(spark, str(tmp_path), chunks)
+
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        hll_sketch_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hll_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = spark.sql("select * from hll_test").collect()
+    # update-mode emissions: keep the sketch with the largest register
+    # mass per key (register values only grow, so element-wise max over
+    # all emissions IS the final state — order-free)
+    final: dict[str, list[int]] = {}
+    for r in emitted:
+        assert len(r.regs) == HLL_M
+        cur = final.setdefault(r.event_type, [0] * HLL_M)
+        final[r.event_type] = [max(a, b) for a, b in zip(cur, r.regs)]
+
+    batch = _hll_registers(events, F.col("event_type")).collect()
+    batch_regs: dict[str, list[int]] = {}
+    for r in batch:
+        batch_regs.setdefault(r.scope, [0] * HLL_M)[r.bucket] = r.m_j
+    assert final == batch_regs
+
+    # harmonic denominator check against the final streamed emissions
+    for et, regs in final.items():
+        expect = sum(1 << (28 - r) if r > 0 else 1 << 28 for r in regs)
+        best = max(
+            (r for r in emitted if r.event_type == et),
+            key=lambda r: sum(r.regs),
+        )
+        assert best.harmonic_q == expect
