@@ -1,8 +1,11 @@
 """Round-6 capability extensions ([EXT]): field-weighted lexical
-ranking (BM25F), vector-arithmetic retrieval, point-in-time-correct
-feature assembly, and ingest volume anomaly detection — four operators
-a production search + ML-data platform serves that the existing 300+
-registry entries did not yet cover.
+ranking (BM25F) with its MAP@10 and Kendall-tau eval harnesses,
+vector-arithmetic retrieval, point-in-time-correct feature assembly,
+ingest volume/burstiness diagnostics (anomaly days, inter-arrival
+CV^2, error->purchase cross-correlation), cross-source n-gram novelty,
+time-discounted CLV, and discount elasticity — operators a production
+search + ML-data platform serves that the existing 300+ registry
+entries did not yet cover.
 """
 
 from __future__ import annotations
@@ -11,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cnc_visionsearch_spark.functions.vector import fixed_point_q
-from cnc_visionsearch_spark.queries_hybrid import _B, _K1, _TERMS
+from cnc_visionsearch_spark.queries_hybrid import _B, _BM25_CTES, _K1, _TERMS
 from cnc_visionsearch_spark.registry import register
 from cnc_visionsearch_spark.sources.catalog import load_table
 
@@ -69,6 +72,13 @@ bm25f AS (
   FROM fperterm GROUP BY doc_id
 )
 """
+
+
+# stripped fragments for composing multi-chain oracles (MAP / tau):
+# the canonical BM25 chain (queries_hybrid._BM25_CTES) and the BM25F
+# chain above use disjoint CTE names, so they concatenate cleanly.
+_BM25_EVAL_CTES = _BM25_CTES.strip()
+_BM25F_TAIL = _BM25F_CTES.strip()
 
 
 def _bm25f_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,3 +492,613 @@ def events_volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ------------------------------------------------------------- MAP eval
+
+
+@register(
+    "text_bm25_map_eval",
+    oracle=f"""
+WITH {_BM25_EVAL_CTES},
+run AS (
+  SELECT doc_id, n_terms, CAST(row_number() OVER (
+    ORDER BY score_q DESC, doc_id ASC) AS BIGINT) AS r
+  FROM bm25 QUALIFY r <= 10
+),
+marked AS (
+  SELECT r, CASE WHEN n_terms = 3 THEN 1 ELSE 0 END AS rel,
+    CAST(SUM(CASE WHEN n_terms = 3 THEN 1 ELSE 0 END) OVER (
+      ORDER BY r ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rel
+  FROM run
+),
+ap AS (
+  SELECT CAST(SUM(CASE WHEN rel = 1 THEN
+      CAST(floor(CAST(cum_rel AS DOUBLE) / CAST(r AS DOUBLE)
+        * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS ap_q,
+    CAST(SUM(rel) AS BIGINT) AS n_retrieved_relevant
+  FROM marked
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN n_terms = 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_relevant
+  FROM bm25
+)
+SELECT tot.n_relevant, ap.n_retrieved_relevant, ap.ap_q,
+  CAST(ap.ap_q AS DOUBLE) / 1000000000.0
+    / CAST(least(tot.n_relevant, 10) AS DOUBLE) AS map_at_10
+FROM ap, tot
+""",
+    doc="MAP@10 of the BM25 ranking against binary full-coverage "
+    "pseudo-qrels (relevant = contains ALL query terms — the strict "
+    "complement of the nDCG harness's graded gains): average "
+    "precision as the exact sum of 1e-9-quantized precision@r at "
+    "each relevant rank, normalized by min(R, 10). nDCG rewards "
+    "graded ordering; MAP punishes EVERY relevant doc left below "
+    "the cut — together they are the standard eval pair (TREC "
+    "convention) and this pins the second one. Plan: the scored set "
+    "bounds to a TakeOrdered top-10; the precision cumsum runs over "
+    "the 10 survivors (bounded window, gate-exempt); the relevant "
+    "total folds from the same scored aggregate.",
+)
+def text_bm25_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.rank import global_topn
+    from cnc_visionsearch_spark.queries_hybrid import _bm25_scored
+
+    scored = _bm25_scored(spark, sf_dir)
+    run = global_topn(
+        scored,
+        [F.col("score_q").desc(), F.col("doc_id").asc()],
+        10,
+        rank_col="r",
+    )
+    rel = F.when(F.col("n_terms") == 3, 1).otherwise(0)
+    wcum = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    marked = run.select(
+        "r", rel.alias("rel"), F.sum(rel).over(wcum).cast("bigint").alias("cum_rel")
+    )
+    ap = marked.agg(
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.floor(
+                    F.col("cum_rel").cast("double")
+                    / F.col("r").cast("double")
+                    * F.lit(1000000000.0)
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("ap_q"),
+        F.sum("rel").cast("bigint").alias("n_retrieved_relevant"),
+    )
+    tot = scored.agg(
+        F.sum(F.when(F.col("n_terms") == 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_relevant")
+    )
+    return ap.crossJoin(F.broadcast(tot)).select(
+        "n_relevant",
+        "n_retrieved_relevant",
+        "ap_q",
+        (
+            F.col("ap_q").cast("double")
+            / F.lit(1000000000.0)
+            / F.least(F.col("n_relevant"), F.lit(10)).cast("double")
+        ).alias("map_at_10"),
+    )
+
+
+# ------------------------------------------------ rank correlation (tau)
+
+
+@register(
+    "text_rank_tau_title_boost",
+    oracle=f"""
+WITH {_BM25_EVAL_CTES},
+{_BM25F_TAIL},
+runa AS (
+  SELECT doc_id, CAST(row_number() OVER (
+    ORDER BY score_q DESC, doc_id ASC) AS BIGINT) AS ra
+  FROM bm25 QUALIFY ra <= 10
+),
+runb AS (
+  SELECT doc_id, CAST(row_number() OVER (
+    ORDER BY score_q DESC, doc_id ASC) AS BIGINT) AS rb
+  FROM bm25f QUALIFY rb <= 10
+),
+common AS (SELECT doc_id, ra, rb FROM runa JOIN runb USING (doc_id)),
+pairs AS (
+  SELECT CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0 THEN 1 ELSE 0 END AS c
+  FROM common x JOIN common y ON x.doc_id < y.doc_id
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(c) AS BIGINT) AS concordant
+  FROM pairs
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM common)
+SELECT n.n_common, agg.n_pairs, agg.concordant,
+  CAST(agg.n_pairs - agg.concordant AS BIGINT) AS discordant,
+  CAST(2 * agg.concordant - agg.n_pairs AS DOUBLE)
+    / CAST(agg.n_pairs AS DOUBLE) AS kendall_tau
+FROM n, agg
+""",
+    doc="Kendall rank correlation between the plain-BM25 and the "
+    "BM25F-title-boosted top-10s, over their common documents: "
+    "tau = (C - D) / pairs with concordance decided by exact integer "
+    "rank products — the quantitative answer to 'how much does field "
+    "weighting actually reorder results' that a relevance engineer "
+    "reads before shipping the boost (tau near 1 = cosmetic, near 0 "
+    "= a different ranking; the same harness slots any two tiers, "
+    "e.g. pruned-vs-exact). Both runs are TakeOrdered top-10s; the "
+    "pair expansion is a <=10x10 broadcast non-equi join (bounded by "
+    "the cut constant, never data) and ranks are tie-free by "
+    "construction (total order), so tau needs no tie correction.",
+)
+def text_rank_tau_title_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.rank import global_topn
+    from cnc_visionsearch_spark.queries_hybrid import _bm25_scored
+
+    runa = global_topn(
+        _bm25_scored(spark, sf_dir),
+        [F.col("score_q").desc(), F.col("doc_id").asc()],
+        10,
+        rank_col="ra",
+    ).select("doc_id", F.col("ra").cast("bigint").alias("ra"))
+    runb = global_topn(
+        _bm25f_scored(spark, sf_dir),
+        [F.col("score_q").desc(), F.col("doc_id").asc()],
+        10,
+        rank_col="rb",
+    ).select("doc_id", F.col("rb").cast("bigint").alias("rb"))
+    both = runa.join(runb, "doc_id")
+    x = both.alias("x")
+    y = both.alias("y")
+    pairs = x.join(
+        F.broadcast(y), F.col("x.doc_id") < F.col("y.doc_id")
+    ).select(
+        (
+            (
+                (F.col("x.ra") - F.col("y.ra"))
+                * (F.col("x.rb") - F.col("y.rb"))
+                > 0
+            ).cast("int")
+        ).alias("c")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("c").cast("bigint").alias("concordant"),
+    )
+    n = both.agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    return n.crossJoin(agg).select(
+        "n_common",
+        "n_pairs",
+        "concordant",
+        (F.col("n_pairs") - F.col("concordant"))
+        .cast("bigint")
+        .alias("discordant"),
+        (
+            (F.lit(2) * F.col("concordant") - F.col("n_pairs")).cast("double")
+            / F.col("n_pairs").cast("double")
+        ).alias("kendall_tau"),
+    )
+
+
+# ---------------------------------------------------- interarrival CV
+
+
+@register(
+    "events_interarrival_cv",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+    date_diff('second', ts,
+      lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id))
+      AS gap_s
+  FROM events
+),
+gaps AS (SELECT event_type, CAST(gap_s AS BIGINT) AS g FROM seq
+         WHERE gap_s IS NOT NULL),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(g) AS BIGINT) AS s, CAST(sum(g * g) AS BIGINT) AS ss
+  FROM gaps GROUP BY event_type
+)
+SELECT event_type, n AS n_gaps,
+  CAST(s // n AS BIGINT) AS mean_gap_s,
+  CAST((n * ss - s * s) * 1000000 // (s * s) AS BIGINT) AS cv2_ppm,
+  (n * ss - s * s) * 1000000 // (s * s) > 1000000 AS is_bursty
+FROM m ORDER BY event_type
+""",
+    doc="Inter-arrival burstiness per event type: the squared "
+    "coefficient of variation of consecutive-event gaps, computed as "
+    "the exact integer rational (n*ss - s^2)/s^2 in ppm — CV^2 = 1 "
+    "is the Poisson baseline, above it the stream is bursty (arrival "
+    "clumping that sizes streaming state and autoscaling; the "
+    "arrival-process companion to term_burstiness_report's content "
+    "view and the burst-DP segmenter's input assumption). Gaps come "
+    "from a per-type lead() window (keyed, never global); the "
+    "moments are one partial+final fold; zero floats anywhere.",
+)
+def events_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        (
+            F.lead("ts").over(w).cast("long") - F.col("ts").cast("long")
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    m = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("s"),
+        F.sum(F.col("g") * F.col("g")).cast("bigint").alias("ss"),
+    )
+    cv2 = F.expr("(n * ss - s * s) * 1000000 div (s * s)").cast("bigint")
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.expr("s div n").cast("bigint").alias("mean_gap_s"),
+        cv2.alias("cv2_ppm"),
+        (cv2 > 1000000).alias("is_bursty"),
+    ).orderBy("event_type")
+
+
+# ------------------------------------------- cross-source n-gram novelty
+
+
+@register(
+    "doc_crosssource_ngram_novelty",
+    oracle="""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+              FROM documents),
+grams AS (
+  SELECT doc_id, source, unnest(list_distinct(list_transform(
+    range(1, greatest(len(tk) - 2, 0) + 1),
+    j -> tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2]))) AS gram
+  FROM toks
+),
+ref AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+probe AS (
+  SELECT g.source, g.doc_id, g.gram, r.gram IS NULL AS novel
+  FROM grams g LEFT JOIN ref r ON g.gram = r.gram
+  WHERE g.source <> 'src0'
+),
+per_doc AS (
+  SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+    CAST(sum(CASE WHEN novel THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM probe GROUP BY source, doc_id
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+  CAST(sum(n_novel) AS BIGINT) AS n_novel,
+  CAST(sum(n_novel) * 1000000 // sum(n_grams) AS BIGINT) AS novelty_ppm,
+  CAST(sum(CASE WHEN 2 * n_novel >= n_grams THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_docs_majority_novel
+FROM per_doc GROUP BY source ORDER BY source
+""",
+    doc="Cross-source n-gram novelty: for every non-reference source, "
+    "the share of its documents' distinct token trigrams that never "
+    "appear in the src0 reference slice — the memorization/overlap "
+    "lens BETWEEN corpus sources (doc_decontamination_overlap guards "
+    "against the BENCHMARK; this measures whether a new crawl "
+    "actually adds content or re-serves what the reference slice "
+    "already has, the acquisition-value question). Trigram idiom is "
+    "the dedup family's exact shingle convention (one definition "
+    "both sides). Plan: grams shuffle once keyed on the gram for the "
+    "reference anti-probe (the same join every containment query "
+    "pays — text never shuffles, grams are the keys), then two "
+    "bounded rollups (per doc, per source).",
+)
+def doc_crosssource_ngram_novelty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cnc_visionsearch_spark.functions.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(shingles_from_tokens(tokens("text"), 3))
+        ).alias("gram"),
+    )
+    ref = (
+        grams.filter(F.col("source") == "src0")
+        .select(F.col("gram").alias("ref_gram"))
+        .distinct()
+    )
+    probe = (
+        grams.filter(F.col("source") != "src0")
+        .join(ref, grams.gram == ref.ref_gram, "left")
+        .select(
+            "source", "doc_id", F.col("ref_gram").isNull().alias("novel")
+        )
+    )
+    per_doc = probe.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(F.col("novel").cast("int")).cast("bigint").alias("n_novel"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            F.sum(
+                F.when(2 * F.col("n_novel") >= F.col("n_grams"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_docs_majority_novel"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_grams",
+            "n_novel",
+            F.expr("CAST(n_novel * 1000000 div n_grams AS BIGINT)").alias(
+                "novelty_ppm"
+            ),
+            "n_docs_majority_novel",
+        )
+        .orderBy("source")
+    )
+
+
+# ----------------------------------------------------- discounted CLV
+
+_CLV_DECAY_NUM, _CLV_DECAY_DEN = 9, 10  # 10%/year discount rate
+_CLV_MAX_Y = 9
+_YEAR_S = 365 * 86400
+
+
+def _clv_case(dialect: str) -> str:
+    """value_c * (9/10)^y as exact integer CASE arms (y bounded by the
+    data's date range; >= _CLV_MAX_Y collapses into the last arm) —
+    identical arithmetic in both engines, no pow()/exp()."""
+    div = "//" if dialect == "duckdb" else "div"
+    arms = []
+    for y in range(_CLV_MAX_Y):
+        num, den = _CLV_DECAY_NUM**y, _CLV_DECAY_DEN**y
+        arms.append(f"WHEN y = {y} THEN value_c * {num} {div} {den}")
+    num, den = _CLV_DECAY_NUM**_CLV_MAX_Y, _CLV_DECAY_DEN**_CLV_MAX_Y
+    return (
+        "CASE " + " ".join(arms) + f" ELSE value_c * {num} {div} {den} END"
+    )
+
+
+@register(
+    "customer_discounted_clv",
+    oracle=f"""
+WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+aged AS (
+  SELECT o_custkey,
+    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS value_c,
+    CAST(date_diff('second', o_orderdate, anchor.mx) // {_YEAR_S}
+      AS BIGINT) AS y
+  FROM orders, anchor
+),
+clv AS (
+  SELECT o_custkey,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(sum(value_c) AS BIGINT) AS raw_c,
+    CAST(sum({_clv_case("duckdb")}) AS BIGINT) AS clv_c
+  FROM aged GROUP BY o_custkey
+)
+SELECT CAST(row_number() OVER (ORDER BY clv_c DESC, o_custkey ASC) AS INT)
+    AS rank,
+  o_custkey, n_orders, raw_c, clv_c
+FROM clv ORDER BY clv_c DESC, o_custkey ASC LIMIT 20
+""",
+    doc="Time-discounted customer lifetime value: each order's cents "
+    f"decayed by ({_CLV_DECAY_NUM}/{_CLV_DECAY_DEN})^years-before-"
+    "anchor — recency-weighted CLV, so a customer whose spend is all "
+    "ancient ranks below one still buying (raw lifetime spend sits "
+    "alongside for the contrast). The decay is EXACT integer "
+    "arithmetic: bounded-year CASE arms of value_c * 9^y div 10^y "
+    "(no pow(), no double accumulation — the same no-libm discipline "
+    "as every rational score here). One customer-keyed rollup; "
+    "top-20 via TakeOrderedAndProject with the rank over the 20 "
+    "survivors (operators/rank.global_topn).",
+)
+def customer_discounted_clv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.rank import global_topn
+
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    aged = o.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("value_c"),
+        F.expr(
+            f"(unix_timestamp(mx) - unix_timestamp(o_orderdate))"
+            f" DIV {_YEAR_S}"
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    clv = aged.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("value_c").cast("bigint").alias("raw_c"),
+        F.sum(F.expr(_clv_case("spark"))).cast("bigint").alias("clv_c"),
+    )
+    return global_topn(
+        clv,
+        [F.col("clv_c").desc(), F.col("o_custkey").asc()],
+        20,
+        rank_col="rank",
+    ).select("rank", "o_custkey", "n_orders", "raw_c", "clv_c")
+
+
+# ------------------------------------------- discount-quantity elasticity
+
+
+@register(
+    "lineitem_discount_qty_elasticity",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS x,
+    CAST(floor(l_quantity * 1000.0 + 0.5) AS BIGINT) AS yq
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+    CAST(sum(x * yq) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n, sx, sy, sxy, sxx,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / CAST(n * sxx - sx * sx AS DOUBLE) AS qty_per_discount_point
+FROM s
+""",
+    doc="Discount-quantity elasticity: least-squares slope of order "
+    "quantity (1e-3-quantized) against the discount percentage point "
+    "(exact integer bands 0..10) over EVERY lineitem row — the "
+    "pricing team's first-order answer to 'do discounts move "
+    "volume', fit on raw rows rather than band means so heavy bands "
+    "weigh properly. All five sufficient statistics are exact BIGINT "
+    "sums (one partial+final fold over the fact, nothing shuffles "
+    "but 5 counters); the slope is the only double. Companion to "
+    "q6/q19's discounted-revenue views, which price the discount — "
+    "this measures whether it works.",
+)
+def lineitem_discount_qty_elasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.col("l_quantity") * F.lit(1000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("yq"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("yq")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return s.select(
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("qty_per_discount_point"),
+    )
+
+
+# --------------------------------------- error -> purchase cross-correlation
+
+_XCORR_LAGS = (0, 1, 2)
+
+
+@register(
+    "events_error_purchase_xcorr",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts)::TIMESTAMP AS h,
+    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+      AS x,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+lagged AS (
+  {" UNION ALL ".join(
+      f'''SELECT {k} AS lag, a.x, b.y
+      FROM hourly a JOIN hourly b
+        ON b.h = a.h + INTERVAL {k} HOUR'''
+      for k in _XCORR_LAGS
+  )}
+),
+s AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(sum(y * y) AS BIGINT) AS syy,
+    CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM lagged GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n, sx, sy, sxy,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+           * CAST(n * syy - sy * sy AS DOUBLE)) AS xcorr
+FROM s ORDER BY lag
+""",
+    doc="Cross-correlation of the hourly ERROR series against the "
+    "PURCHASE series at lags 0/1/2 hours — the incident-impact "
+    "question ('do error spikes depress purchases, and with what "
+    "delay?') that events_hourly_autocorr's self-correlation cannot "
+    "answer. Hourly conditional counts come from ONE scan; each lag "
+    "is an equi-join on the shifted hour key (no window at all — the "
+    "series join replaces the lag() idiom, so the plan is keyed "
+    "joins over the calendar-bounded hourly table); every moment is "
+    "an exact BIGINT sum, the correlation one double chain.",
+)
+def events_error_purchase_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("bigint")
+        .alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    parts = []
+    for k in _XCORR_LAGS:
+        a = hourly.select(F.col("h").alias("ha"), "x")
+        b = hourly.select(F.col("h").alias("hb"), "y")
+        j = a.join(
+            b,
+            F.col("hb")
+            == F.col("ha") + F.expr(f"INTERVAL {k} HOURS"),
+        ).select(F.lit(k).cast("bigint").alias("lag"), "x", "y")
+        parts.append(j)
+    lagged = parts[0]
+    for p in parts[1:]:
+        lagged = lagged.unionByName(p)
+    s = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        "lag", "n", "sx", "sy", "sxy", (num / den).alias("xcorr")
+    ).orderBy("lag")

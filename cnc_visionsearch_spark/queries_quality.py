@@ -924,3 +924,167 @@ def orders_seasonality_strength(
             )
         ).alias("seasonal_strength"),
     )
+
+
+# ------------------------------------------------------ numeric profile
+
+_NUM_PROFILE_SPECS = {
+    "orders": ["o_totalprice"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+}
+
+
+def _num_profile_oracle() -> str:
+    branches = []
+    for table, cols in _NUM_PROFILE_SPECS.items():
+        for c in cols:
+            branches.append(
+                f"SELECT '{table}' AS table_name, '{c}' AS column_name, "
+                f"CAST(count(*) AS BIGINT) AS n_rows, "
+                f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS n_null, "
+                f"CAST(floor(min({c}) * 1000000.0 + 0.5) AS BIGINT) AS min_q, "
+                f"CAST(floor(max({c}) * 1000000.0 + 0.5) AS BIGINT) AS max_q, "
+                f"CAST(SUM(CAST(floor({c} * 1000000.0 + 0.5) AS BIGINT)) "
+                f"AS BIGINT) AS sum_q, "
+                f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct "
+                f"FROM {table}"
+            )
+    return " UNION ALL ".join(branches) + " ORDER BY table_name, column_name"
+
+
+@register(
+    "dq_numeric_profile_snapshot",
+    oracle=_num_profile_oracle(),
+    doc="Numeric-column profile snapshot: per measure column, row/null "
+    "counts, 1e-6-quantized min/max/sum (exact BIGINTs — the "
+    "drift-baseline fingerprint two snapshots DIFF to detect schema-"
+    "preserving distribution drift, upstream scale changes, or a "
+    "silent unit switch), and distinct-value cardinality (the "
+    "optimizer-statistics NDV). This is the table a drift monitor "
+    "stores per ingest batch — source_drift_tv_matrix compares "
+    "DISTRIBUTIONS between sources; this pins the per-column "
+    "sufficient statistics over time. One aggregate per column, "
+    "min/max/sum map-side combinable; NDV is the only shuffled "
+    "state (swap for approx_count_distinct at 100 TB, the "
+    "documented audit trade).",
+)
+def dq_numeric_profile_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for table, cols in _NUM_PROFILE_SPECS.items():
+        df = load_table(spark, sf_dir, table)
+        for c in cols:
+            q = lambda e: F.floor(e * F.lit(1000000.0) + F.lit(0.5)).cast(
+                "bigint"
+            )
+            outs.append(
+                df.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    F.sum(F.col(c).isNull().cast("int"))
+                    .cast("bigint")
+                    .alias("n_null"),
+                    q(F.min(c)).alias("min_q"),
+                    q(F.max(c)).alias("max_q"),
+                    F.sum(q(F.col(c))).cast("bigint").alias("sum_q"),
+                    F.countDistinct(c).cast("bigint").alias("n_distinct"),
+                ).select(
+                    F.lit(table).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    "n_rows",
+                    "n_null",
+                    "min_q",
+                    "max_q",
+                    "sum_q",
+                    "n_distinct",
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name", "column_name")
+
+
+# ---------------------------------------------------- full-row duplicates
+
+_FULLROW_SPECS = {
+    "orders": [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ],
+    "lineitem": [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+}
+
+
+def _fullrow_oracle() -> str:
+    branches = []
+    for table, cols in _FULLROW_SPECS.items():
+        tup = "(" + ", ".join(cols) + ")"
+        branches.append(
+            f"SELECT '{table}' AS table_name, "
+            f"CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(DISTINCT {tup}) AS BIGINT) AS n_distinct_rows, "
+            f"CAST(count(*) - count(DISTINCT {tup}) AS BIGINT) "
+            f"AS n_duplicate_rows FROM {table}"
+        )
+    return " UNION ALL ".join(branches) + " ORDER BY table_name"
+
+
+@register(
+    "dq_duplicate_full_rows",
+    oracle=_fullrow_oracle(),
+    doc="Whole-row duplicate audit: rows identical in EVERY column — "
+    "the signature of a replayed ingest batch or an at-least-once "
+    "sink without idempotent writes, and a different defect than a "
+    "duplicated KEY (dq_primary_key_uniqueness catches key "
+    "collisions with differing payloads; this catches exact replays "
+    "— together they separate 'replay' from 'conflicting update', "
+    "which have different fixes). Counted via count(DISTINCT "
+    "struct(all columns)) so no cross-engine string formatting of "
+    "doubles/timestamps ever happens (a md5-of-concat fingerprint "
+    "would hash the FORMATTING, not the values); the shuffle carries "
+    "full rows once — at 100 TB this audit rides the same exchange "
+    "as the exact-dedup operator, or reuses its persisted md5 "
+    "fingerprints for text-like tables.",
+)
+def dq_duplicate_full_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for table, cols in _FULLROW_SPECS.items():
+        df = load_table(spark, sf_dir, table)
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct(*cols)
+                .cast("bigint")
+                .alias("n_distinct_rows"),
+            ).select(
+                F.lit(table).alias("table_name"),
+                "n_rows",
+                "n_distinct_rows",
+                (F.col("n_rows") - F.col("n_distinct_rows"))
+                .cast("bigint")
+                .alias("n_duplicate_rows"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name")

@@ -226,3 +226,96 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "customer_segment_migration",
+    oracle="""
+WITH bounds AS (
+  SELECT min(o_orderdate) AS mn, max(o_orderdate) AS mx FROM orders
+),
+halved AS (
+  SELECT o_custkey,
+    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+    2 * date_diff('second', bounds.mn, o_orderdate)
+      < date_diff('second', bounds.mn, bounds.mx) AS in_h1
+  FROM orders, bounds
+),
+h1 AS (
+  SELECT o_custkey, CAST(sum(price_c) AS BIGINT) AS spend_c
+  FROM halved WHERE in_h1 GROUP BY o_custkey
+),
+h2 AS (
+  SELECT o_custkey, CAST(sum(price_c) AS BIGINT) AS spend_c
+  FROM halved WHERE NOT in_h1 GROUP BY o_custkey
+),
+q1 AS (
+  SELECT o_custkey,
+    CAST(ntile(5) OVER (ORDER BY spend_c ASC, o_custkey ASC) AS BIGINT) AS q
+  FROM h1
+),
+q2 AS (
+  SELECT o_custkey,
+    CAST(ntile(5) OVER (ORDER BY spend_c ASC, o_custkey ASC) AS BIGINT) AS q
+  FROM h2
+)
+SELECT coalesce(q1.q, 0) AS h1_quintile,
+  coalesce(q2.q, 0) AS h2_quintile,
+  CAST(count(*) AS BIGINT) AS n_customers
+FROM q1 FULL OUTER JOIN q2 USING (o_custkey)
+GROUP BY 1, 2 ORDER BY h1_quintile, h2_quintile
+""",
+    doc="Customer-value segment MIGRATION: spend quintile in the "
+    "first half of the order history vs the second (split at the "
+    "integer-seconds midpoint of the date range — no timestamp "
+    "construction, just one exact comparison), cross-tabulated into "
+    "the 6x6 migration matrix (quintile 0 = absent from that half: "
+    "churned or newly acquired) — the report a CRM team reads to see "
+    "whether champions persist or decay, one level deeper than the "
+    "static RFM snapshot. BOTH quintile passes are operators/rank."
+    "exact_ntile (distributed, bit-identical to the oracle's window "
+    "NTILE); the halves come from one scan with the bounds folded "
+    "out of the same table, and the matrix is a full-outer join of "
+    "two customer-keyed aggregates.",
+)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx")
+    )
+    halved = o.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_c"),
+        (
+            F.lit(2)
+            * (F.col("o_orderdate").cast("long") - F.col("mn").cast("long"))
+            < (F.col("mx").cast("long") - F.col("mn").cast("long"))
+        ).alias("in_h1"),
+    )
+    h1 = (
+        halved.filter(F.col("in_h1"))
+        .groupBy("o_custkey")
+        .agg(F.sum("price_c").cast("bigint").alias("spend_c"))
+    )
+    h2 = (
+        halved.filter(~F.col("in_h1"))
+        .groupBy("o_custkey")
+        .agg(F.sum("price_c").cast("bigint").alias("spend_c"))
+    )
+    q1 = exact_ntile(
+        h1, [F.col("spend_c").asc(), F.col("o_custkey").asc()], 5, "q"
+    ).select("o_custkey", F.col("q").cast("bigint").alias("q1"))
+    q2 = exact_ntile(
+        h2, [F.col("spend_c").asc(), F.col("o_custkey").asc()], 5, "q"
+    ).select("o_custkey", F.col("q").cast("bigint").alias("q2"))
+    return (
+        q1.join(q2, "o_custkey", "full_outer")
+        .groupBy(
+            F.coalesce("q1", F.lit(0)).alias("h1_quintile"),
+            F.coalesce("q2", F.lit(0)).alias("h2_quintile"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("h1_quintile", "h2_quintile")
+    )

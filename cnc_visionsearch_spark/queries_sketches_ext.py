@@ -5,13 +5,13 @@ actually deploy for distinct counts).
 
 Deterministic, engine-portable HLL: the repo's canonical md5 32-bit
 hash (functions/text.hex_to_long, the KMV convention) splits into a
-5-bit bucket (m = 32 registers) and a 27-bit payload; the register
+6-bit bucket (m = 64 registers) and a 26-bit payload; the register
 value is the payload's leading-zero rank computed EXACTLY via
 length(bin(w)) — no floating point, no engine-specific popcount. The
-harmonic denominator is kept as an exact BIGINT (sum of 2^(28-M_j) —
+harmonic denominator is kept as an exact BIGINT (sum of 2^(27-M_j) —
 dyadic rationals rescaled to integers), so the committed artifact
 hash-gates the REGISTER STATE itself, and the only float in the
-estimate is one final division by the standard alpha_32 bias constant
+estimate is one final division by the standard alpha_64 bias constant
 (Flajolet et al. 2007, AofA). No small-range linear-counting branch:
 ln() is not a cross-engine contract (the registry's no-libm
 discipline), so the raw estimator is reported next to the exact count
@@ -33,12 +33,12 @@ from cnc_visionsearch_spark.functions.text import hex_to_long
 from cnc_visionsearch_spark.registry import register
 from cnc_visionsearch_spark.sources.catalog import load_table
 
-_HLL_M = 32  # registers (5 bucket bits)
-_HLL_PAYLOAD_BITS = 27  # 32-bit hash minus 5 bucket bits
-# alpha_32 * m^2 * 2^PAYLOAD+1 scale, precomputed in Python and inlined
+_HLL_M = 64  # registers (6 bucket bits)
+_HLL_PAYLOAD_BITS = 26  # 32-bit hash minus 6 bucket bits
+# alpha_64 * m^2 * 2^(PAYLOAD+1) scale, precomputed in Python and inlined
 # as the SAME repr literal in both engines (no cross-engine float
-# expression folding): alpha_32 = 0.697 (Flajolet et al. 2007, m = 32)
-_HLL_NUM = repr(0.697 * 32 * 32 * float(1 << 28))
+# expression folding): alpha_64 = 0.709 (Flajolet et al. 2007, m = 64)
+_HLL_NUM = repr(0.709 * 64 * 64 * float(1 << 27))
 
 # the 32-bit md5 slice convention shared with KMV / split assignment
 _HASH_SQL = "('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT"
@@ -94,10 +94,10 @@ def _hll_registers(ev: DataFrame, scope_col) -> DataFrame:
 
 def _hll_estimate_cols(prefix: str = ""):
     """(harmonic_q BIGINT, estimate DOUBLE) from (n_present, sum_pow)
-    columns — absent registers contribute 2^28 each (M_j = 0)."""
+    columns — absent registers contribute 2^27 each (M_j = 0)."""
     harmonic = F.col(f"{prefix}sum_pow") + (
         F.lit(_HLL_M) - F.col(f"{prefix}n_present")
-    ) * F.lit(1 << 28)
+    ) * F.lit(1 << 27)
     est = F.lit(float(_HLL_NUM)) / harmonic.cast("double")
     return harmonic.cast("bigint"), est
 
@@ -109,13 +109,13 @@ WITH {_HLL_REG_CTES},
 folded AS (
   SELECT event_type,
     CAST(count(*) AS BIGINT) AS n_present,
-    CAST(sum(CAST(1 AS BIGINT) << (28 - m_j)) AS BIGINT) AS sum_pow
+    CAST(sum(CAST(1 AS BIGINT) << (27 - m_j)) AS BIGINT) AS sum_pow
   FROM regs GROUP BY event_type
 ),
 est AS (
   SELECT event_type, n_present,
     CAST(sum_pow + ({_HLL_M} - n_present)
-         * (CAST(1 AS BIGINT) << 28) AS BIGINT) AS harmonic_q
+         * (CAST(1 AS BIGINT) << 27) AS BIGINT) AS harmonic_q
   FROM folded
 ),
 exact AS (
@@ -130,16 +130,16 @@ SELECT e.event_type, e.n_present, e.harmonic_q,
 FROM est e JOIN exact x USING (event_type)
 ORDER BY event_type
 """,
-    doc="HyperLogLog distinct-user estimate per event type (m = 32 "
-    "registers, alpha_32 = 0.697 — Flajolet/Fusy/Gandouet/Meunier "
-    "2007): register = max leading-zero rank of the 27-bit md5 "
-    "payload per 5-bit bucket, computed exactly via length(bin(w)); "
+    doc="HyperLogLog distinct-user estimate per event type (m = 64 "
+    "registers, alpha_64 = 0.709 — Flajolet/Fusy/Gandouet/Meunier "
+    "2007): register = max leading-zero rank of the 26-bit md5 "
+    "payload per 6-bit bucket, computed exactly via length(bin(w)); "
     "the harmonic denominator is carried as the exact BIGINT "
-    "sum(2^(28-M_j)) with absent registers contributing 2^28, so the "
+    "sum(2^(27-M_j)) with absent registers contributing 2^27, so the "
     "sketch STATE hash-gates and the estimate is one double division "
     "against the inlined alpha*m^2 literal. Exact count + signed "
     "error sit alongside (the measured-accuracy contract, same as "
-    "KMV/CMS). 100 TB: per-type registers are 32 BIGINTs of "
+    "KMV/CMS). 100 TB: per-type registers are 64 BIGINTs of "
     "mergeable state built by one partial-combining max aggregate — "
     "the shuffle carries registers, never user ids.",
 )
@@ -148,7 +148,7 @@ def events_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = _hll_registers(ev, F.col("event_type"))
     folded = regs.groupBy(F.col("scope").alias("event_type")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_present"),
-        F.sum(F.expr("CAST(1 AS BIGINT) << (28 - m_j)"))
+        F.sum(F.expr("CAST(1 AS BIGINT) << (27 - m_j)"))
         .cast("bigint")
         .alias("sum_pow"),
     )
@@ -200,7 +200,7 @@ cmp AS (
 ),
 fold AS (
   SELECT CAST(count(*) AS BIGINT) AS n_present,
-    CAST(sum(CAST(1 AS BIGINT) << (28 - m_j)) AS BIGINT) AS sum_pow
+    CAST(sum(CAST(1 AS BIGINT) << (27 - m_j)) AS BIGINT) AS sum_pow
   FROM merged
 ),
 types AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_sketches
@@ -210,9 +210,9 @@ exact AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
 SELECT types.n_sketches, cmp.n_buckets, cmp.n_mismatches,
   cmp.n_mismatches = 0 AS merge_is_lossless,
   CAST(fold.sum_pow + ({_HLL_M} - fold.n_present)
-       * (CAST(1 AS BIGINT) << 28) AS BIGINT) AS merged_harmonic_q,
+       * (CAST(1 AS BIGINT) << 27) AS BIGINT) AS merged_harmonic_q,
   {_HLL_NUM} / CAST(fold.sum_pow + ({_HLL_M} - fold.n_present)
-       * (CAST(1 AS BIGINT) << 28) AS DOUBLE) AS merged_estimate,
+       * (CAST(1 AS BIGINT) << 27) AS DOUBLE) AS merged_estimate,
   exact.n_exact
 FROM types, cmp, fold, exact
 """,
@@ -224,7 +224,7 @@ FROM types, cmp, fold, exact
     "semilattice join) is WHY HLL state unions across shards, days, "
     "and streaming checkpoints for free; the streaming KMV twin "
     "(streaming/stateful.py) pins the same contract for order "
-    "statistics. Cost: the same one max aggregate, twice, over 32-row "
+    "statistics. Cost: the same one max aggregate, twice, over 64-row "
     "register tables.",
 )
 def events_hll_merge_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +251,7 @@ def events_hll_merge_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fold = merged.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_present"),
-        F.sum(F.expr("CAST(1 AS BIGINT) << (28 - m_j)"))
+        F.sum(F.expr("CAST(1 AS BIGINT) << (27 - m_j)"))
         .cast("bigint")
         .alias("sum_pow"),
     )

@@ -282,7 +282,7 @@ def kmv_sketch_stream(events: DataFrame, n_shards: int = 8) -> DataFrame:
 
 # --------------------------------------------------- HLL register state
 
-HLL_M = 32  # registers, matching queries_sketches_ext
+HLL_M = 64  # registers, matching queries_sketches_ext
 
 HLL_STATE_SCHEMA = StructType([StructField("regs", ArrayType(LongType()))])
 
@@ -307,7 +307,7 @@ def _hll_update(
             if r > regs[b]:
                 regs[b] = r
     state.update((regs,))
-    harmonic = sum(1 << (28 - r) if r > 0 else 1 << 28 for r in regs)
+    harmonic = sum(1 << (27 - r) if r > 0 else 1 << 27 for r in regs)
     yield pd.DataFrame(
         [
             {
@@ -323,7 +323,7 @@ def _hll_update(
 def hll_sketch_stream(events: DataFrame) -> DataFrame:
     """Streaming HyperLogLog — the incremental twin of the batch
     events_hll_cardinality query: per event type, maintain the 32
-    leading-zero-rank registers across micro-batches (state = 32
+    leading-zero-rank registers across micro-batches (state = 64
     BIGINTs per key, EVER — the textbook bounded-state sketch) and
     emit the register vector + the exact-integer harmonic denominator
     each batch.

@@ -149,6 +149,36 @@ def main() -> None:
         ).start()
         q3.awaitTermination(600)
         out["percolator"] = _batch_stats(q3, PERC_DPB)
+
+        # ---- HLL cardinality sketch: N_BATCHES event files through the
+        # register-max keyed state (r6 — the mergeable-sketch serving
+        # path; rows per batch = events, the sketch's unit of work)
+        from cnc_visionsearch_spark.streaming.pipelines import (
+            read_event_stream,
+        )
+        from cnc_visionsearch_spark.streaming.stateful import (
+            hll_sketch_stream,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        hll_in = f"{work}/hll_in"
+        hll_epb = 2000
+        for i in range(N_BATCHES):
+            ev.filter(F.col("event_id") % N_BATCHES == i).limit(
+                hll_epb
+            ).coalesce(1).write.mode("append").parquet(hll_in)
+        q4 = (
+            hll_sketch_stream(
+                read_event_stream(spark, hll_in, max_files_per_trigger=1)
+            )
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{work}/hll_ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q4.awaitTermination(600)
+        out["hll_sketch"] = _batch_stats(q4, hll_epb)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -112,7 +112,7 @@ def test_stream_bench_artifact_present_and_sane():
     assert os.path.exists(path), "missing STREAM_BENCH.json — regenerate"
     with open(path) as fh:
         data = json.load(fh)
-    for key in ("knn_serving", "bm25_serving", "percolator"):
+    for key in ("knn_serving", "bm25_serving", "percolator", "hll_sketch"):
         stats = data[key]
         assert stats["n_batches"] > 0
         assert stats["median_ms"] > 0 and stats["p95_ms"] >= stats["median_ms"]

@@ -1390,7 +1390,7 @@ def test_hll_sketch_stream_registers_match_batch(spark, tmp_path):
     must equal the batch register table over the same input EXACTLY
     (register max is associative + idempotent — the merge contract),
     and the emitted harmonic denominator must equal the batch fold.
-    State is 32 BIGINTs per type no matter the stream volume."""
+    State is 64 BIGINTs per type no matter the stream volume."""
     from cnc_visionsearch_spark.queries_sketches_ext import _hll_registers
     from cnc_visionsearch_spark.streaming.stateful import (
         HLL_M,
@@ -1430,7 +1430,7 @@ def test_hll_sketch_stream_registers_match_batch(spark, tmp_path):
 
     # harmonic denominator check against the final streamed emissions
     for et, regs in final.items():
-        expect = sum(1 << (28 - r) if r > 0 else 1 << 28 for r in regs)
+        expect = sum(1 << (27 - r) if r > 0 else 1 << 27 for r in regs)
         best = max(
             (r for r in emitted if r.event_type == et),
             key=lambda r: sum(r.regs),
