@@ -1102,3 +1102,238 @@ def events_error_purchase_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "lag", "n", "sx", "sy", "sxy", (num / den).alias("xcorr")
     ).orderBy("lag")
+
+
+# ------------------------------------------- recommender holdout eval
+
+_RECO_K = 3
+
+
+@register(
+    "reco_holdout_hitrate",
+    oracle=f"""
+WITH ranked_orders AS (
+  SELECT o_orderkey, o_custkey,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+    CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+  FROM orders
+),
+holdout AS (
+  SELECT o_orderkey, o_custkey FROM ranked_orders
+  WHERE rn = 1 AND n_orders >= 2
+),
+test AS (
+  SELECT DISTINCT h.o_custkey, l.l_partkey
+  FROM holdout h JOIN lineitem l ON l.l_orderkey = h.o_orderkey
+),
+train_lp AS (
+  SELECT DISTINCT l.l_orderkey, l.l_partkey
+  FROM lineitem l
+  WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM holdout)
+),
+cnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+        FROM train_lp GROUP BY 1),
+cab AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+    CAST(count(*) AS BIGINT) AS c
+  FROM train_lp a JOIN train_lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT cab.pa, cab.pb,
+    CAST(floor(CAST(cab.c AS DOUBLE)
+      / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))
+      * 1000000000.0 + 0.5) AS BIGINT) AS sq
+  FROM cab JOIN cnt na ON na.l_partkey = cab.pa
+           JOIN cnt nb ON nb.l_partkey = cab.pb
+),
+user_parts AS (
+  SELECT DISTINCT o.o_custkey, l.l_partkey
+  FROM orders o
+  JOIN holdout h ON h.o_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey <> h.o_orderkey
+),
+scored AS (
+  SELECT up.o_custkey, s.pb, CAST(sum(s.sq) AS BIGINT) AS score_q
+  FROM user_parts up JOIN sim s ON s.pa = up.l_partkey
+  GROUP BY up.o_custkey, s.pb
+),
+novel AS (
+  SELECT sc.o_custkey, sc.pb, sc.score_q
+  FROM scored sc LEFT JOIN user_parts up
+    ON up.o_custkey = sc.o_custkey AND up.l_partkey = sc.pb
+  WHERE up.l_partkey IS NULL
+),
+recs AS (
+  SELECT o_custkey, pb, score_q,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY score_q DESC, pb ASC) AS rn
+  FROM novel QUALIFY rn <= {_RECO_K}
+),
+per_user AS (
+  SELECT r.o_custkey,
+    max(CASE WHEN t.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS hit3,
+    max(CASE WHEN t.l_partkey IS NOT NULL AND r.rn = 1
+             THEN 1 ELSE 0 END) AS hit1
+  FROM recs r LEFT JOIN test t
+    ON t.o_custkey = r.o_custkey AND t.l_partkey = r.pb
+  GROUP BY r.o_custkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+  CAST(sum(hit1) AS BIGINT) AS n_hit_at_1,
+  CAST(sum(hit3) AS BIGINT) AS n_hit_at_{_RECO_K},
+  CAST(sum(hit1) * 1000000 // count(*) AS BIGINT) AS hitrate1_ppm,
+  CAST(sum(hit3) * 1000000 // count(*) AS BIGINT)
+    AS hitrate{_RECO_K}_ppm
+FROM per_user
+""",
+    doc="Offline recommender evaluation, leave-last-order-out: hold "
+    "out every multi-order customer's most recent order, train the "
+    "item-item cosine co-occurrence model (the "
+    "part_item_item_recommender formula) on everything else, "
+    f"recommend each customer's top-{_RECO_K} NOVEL parts (already-"
+    "bought parts excluded — the standard novel-recommendation "
+    "protocol), and score hit@1 / hit@3 against the held-out basket "
+    "in exact integer ppm. This is the recommender's shipping "
+    "evidence, exactly as nDCG/MAP are retrieval's and RECALL.json "
+    "is ANN's: no model change lands without this number moving. "
+    "Determinism: per-pair cosines are 1e-9-quantized then "
+    "BIGINT-summed per candidate; all rankings tie-break on part "
+    "id. Plan: holdout selection is a per-customer window (keyed); "
+    "the model is the bounded basket-pair expansion; candidate "
+    "scoring is user_parts x sim keyed on the part (the only big "
+    "join — the same shape serving pays); per-user top-k is "
+    "WindowGroupLimit, never global.",
+)
+def reco_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    w_u = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    ranked_orders = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w_u).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_custkey"))
+        .cast("bigint")
+        .alias("n_orders"),
+    )
+    holdout = ranked_orders.filter(
+        (F.col("rn") == 1) & (F.col("n_orders") >= 2)
+    ).select("o_orderkey", "o_custkey")
+    test = (
+        holdout.join(li, holdout.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    train_lp = (
+        li.join(
+            holdout.select("o_orderkey"),
+            li.l_orderkey == holdout.o_orderkey,
+            "left_anti",
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    cnt = train_lp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = train_lp.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = train_lp.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    cab = (
+        a.join(b, "ok")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    na = cnt.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na"))
+    nb = cnt.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb"))
+    sim = (
+        cab.join(na, "pa")
+        .join(nb, "pb")
+        .select(
+            "pa",
+            "pb",
+            F.floor(
+                F.col("c").cast("double")
+                / F.sqrt(
+                    F.col("na").cast("double") * F.col("nb").cast("double")
+                )
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("sq"),
+        )
+    )
+    user_parts = (
+        o.join(
+            holdout.select(
+                F.col("o_custkey").alias("hc"),
+                F.col("o_orderkey").alias("hok"),
+            ),
+            o.o_custkey == F.col("hc"),
+        )
+        .filter(F.col("o_orderkey") != F.col("hok"))
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    scored = (
+        user_parts.join(sim, user_parts.l_partkey == sim.pa)
+        .groupBy("o_custkey", "pb")
+        .agg(F.sum("sq").cast("bigint").alias("score_q"))
+    )
+    owned = user_parts.select(
+        F.col("o_custkey").alias("uc"), F.col("l_partkey").alias("up")
+    )
+    novel = scored.join(
+        owned,
+        (scored.o_custkey == owned.uc) & (scored.pb == owned.up),
+        "left_anti",
+    )
+    w_r = Window.partitionBy("o_custkey").orderBy(
+        F.col("score_q").desc(), F.col("pb").asc()
+    )
+    recs = novel.withColumn("rn", F.row_number().over(w_r)).filter(
+        F.col("rn") <= _RECO_K
+    )
+    t = test.select(
+        F.col("o_custkey").alias("tc"), F.col("l_partkey").alias("tp")
+    )
+    per_user = (
+        recs.join(
+            t, (recs.o_custkey == t.tc) & (recs.pb == t.tp), "left"
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("tp").isNotNull(), 1).otherwise(0)).alias(
+                "hit3"
+            ),
+            F.max(
+                F.when(
+                    F.col("tp").isNotNull() & (F.col("rn") == 1), 1
+                ).otherwise(0)
+            ).alias("hit1"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("hit1").cast("bigint").alias("n_hit_at_1"),
+        F.sum("hit3").cast("bigint").alias(f"n_hit_at_{_RECO_K}"),
+        F.expr("CAST(sum(hit1) * 1000000 DIV count(*) AS BIGINT)").alias(
+            "hitrate1_ppm"
+        ),
+        F.expr("CAST(sum(hit3) * 1000000 DIV count(*) AS BIGINT)").alias(
+            f"hitrate{_RECO_K}_ppm"
+        ),
+    )

@@ -1088,3 +1088,200 @@ def dq_duplicate_full_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("table_name")
+
+
+# --------------------------------------------------------- l-diversity
+
+
+@register(
+    "customer_l_diversity",
+    oracle="""
+WITH quasi AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+  FROM customer
+),
+classes AS (
+  SELECT c_nationkey, bal_band,
+    CAST(count(*) AS BIGINT) AS k,
+    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+  FROM quasi GROUP BY c_nationkey, bal_band
+)
+SELECT l,
+  CAST(count(*) AS BIGINT) AS n_classes,
+  CAST(sum(k) AS BIGINT) AS n_rows,
+  CAST(CASE WHEN l < 2 THEN sum(k) ELSE 0 END AS BIGINT)
+    AS rows_homogeneous
+FROM classes GROUP BY l ORDER BY l
+""",
+    doc="l-diversity audit (Machanavajjhala et al. ICDE'06) — the "
+    "attack k-anonymity misses: a class can be large (k high) yet "
+    "HOMOGENEOUS in the sensitive attribute, so membership alone "
+    "leaks it. Quasi-identifiers here are (nation, $1000 balance "
+    "band); the sensitive attribute is the market segment; l = "
+    "distinct sensitive values per class, and classes with l < 2 "
+    "are the homogeneity-attack rows generalization must widen — "
+    "the companion scan to customer_k_anonymity (same QI census, "
+    "different failure mode; a governed platform runs both). One "
+    "scan, one (QI) aggregate carrying count + distinct-count, one "
+    "dimension-sized histogram.",
+)
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0)
+            .cast("bigint")
+            .alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.countDistinct("c_mktsegment").cast("bigint").alias("l"),
+        )
+    )
+    return (
+        classes.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("k").cast("bigint").alias("n_rows"),
+            F.when(F.col("l") < 2, F.sum("k"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("rows_homogeneous"),
+        )
+        .orderBy("l")
+    )
+
+
+# --------------------------------------------- substitution candidates
+
+
+@register(
+    "part_substitution_candidates",
+    oracle="""
+WITH priced AS (
+  SELECT p_partkey, p_brand, p_type, p_size,
+    CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_c
+  FROM part
+),
+expensive AS (
+  SELECT p_type, p_size,
+    max(struct_pack(price_c := price_c, nk := -p_partkey,
+                    brand := p_brand)) AS hi
+  FROM priced GROUP BY p_type, p_size
+),
+alt AS (
+  SELECT p.p_type, p.p_size,
+    min(struct_pack(price_c := p.price_c, pk := p.p_partkey,
+                    brand := p.p_brand)) AS lo
+  FROM priced p JOIN expensive e
+    ON p.p_type = e.p_type AND p.p_size = e.p_size
+  WHERE p.p_brand <> e.hi.brand
+  GROUP BY p.p_type, p.p_size
+),
+paired AS (
+  SELECT e.p_type, e.p_size,
+    -e.hi.nk AS expensive_part, e.hi.brand AS expensive_brand,
+    e.hi.price_c AS expensive_price_c,
+    a.lo.pk AS substitute_part, a.lo.brand AS substitute_brand,
+    a.lo.price_c AS substitute_price_c,
+    e.hi.price_c - a.lo.price_c AS savings_c
+  FROM expensive e JOIN alt a
+    ON e.p_type = a.p_type AND e.p_size = a.p_size
+)
+SELECT CAST(row_number() OVER (
+    ORDER BY savings_c DESC, expensive_part ASC) AS INT) AS rank,
+  p_type, CAST(p_size AS BIGINT) AS p_size,
+  CAST(expensive_part AS BIGINT) AS expensive_part, expensive_brand,
+  expensive_price_c,
+  CAST(substitute_part AS BIGINT) AS substitute_part, substitute_brand,
+  substitute_price_c, savings_c
+FROM paired
+ORDER BY savings_c DESC, expensive_part ASC LIMIT 15
+""",
+    doc="Procurement substitution candidates: within each (type, size) "
+    "equivalence group — the functional-interchangeability key — pair "
+    "the most expensive part with the cheapest alternative from a "
+    "DIFFERENT brand and rank by the exact-cents saving: the "
+    "spend-optimization list sourcing reviews next to "
+    "part_price_dispersion's supplier-side arbitrage view (same "
+    "question, catalog side). Both ends of each pair are struct-"
+    "extrema aggregates (argmax/argmin as lexicographic struct "
+    "min/max with partkey tie-breaks — no window at all), joined "
+    "back on the bounded group key; top-15 is a TakeOrdered with "
+    "the bounded post-limit rank.",
+)
+def part_substitution_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cnc_visionsearch_spark.operators.rank import global_topn
+
+    p = load_table(spark, sf_dir, "part")
+    priced = p.select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    expensive = priced.groupBy("p_type", "p_size").agg(
+        F.max(
+            F.struct(
+                F.col("price_c"),
+                (-F.col("p_partkey")).alias("nk"),
+                F.col("p_brand").alias("brand"),
+            )
+        ).alias("hi")
+    )
+    alt = (
+        priced.alias("p")
+        .join(
+            expensive.alias("e"),
+            (F.col("p.p_type") == F.col("e.p_type"))
+            & (F.col("p.p_size") == F.col("e.p_size")),
+        )
+        .filter(F.col("p.p_brand") != F.col("e.hi.brand"))
+        .groupBy(F.col("p.p_type").alias("p_type"), F.col("p.p_size").alias("p_size"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("p.price_c").alias("price_c"),
+                    F.col("p.p_partkey").alias("pk"),
+                    F.col("p.p_brand").alias("brand"),
+                )
+            ).alias("lo")
+        )
+    )
+    paired = expensive.join(alt, ["p_type", "p_size"]).select(
+        "p_type",
+        F.col("p_size").cast("bigint").alias("p_size"),
+        (-F.col("hi.nk")).cast("bigint").alias("expensive_part"),
+        F.col("hi.brand").alias("expensive_brand"),
+        F.col("hi.price_c").alias("expensive_price_c"),
+        F.col("lo.pk").cast("bigint").alias("substitute_part"),
+        F.col("lo.brand").alias("substitute_brand"),
+        F.col("lo.price_c").alias("substitute_price_c"),
+        (F.col("hi.price_c") - F.col("lo.price_c")).alias("savings_c"),
+    )
+    return global_topn(
+        paired,
+        [F.col("savings_c").desc(), F.col("expensive_part").asc()],
+        15,
+        rank_col="rank",
+    ).select(
+        "rank",
+        "p_type",
+        "p_size",
+        "expensive_part",
+        "expensive_brand",
+        "expensive_price_c",
+        "substitute_part",
+        "substitute_brand",
+        "substitute_price_c",
+        "savings_c",
+    )
