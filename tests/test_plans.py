@@ -800,3 +800,30 @@ def test_lpa_rounds_are_join_agg_not_window(spark, queries):
     assert "HashAggregate" in plan
     assert "WindowGroupLimit" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_equidepth_histogram_ntile_is_distributed(spark, queries):
+    """The one NTILE over FACT-scale rows (r6): the plan must show the
+    range-repartition band shuffle of operators/rank.exact_ntile and
+    ZERO unpartitioned windows over data-proportional input — the
+    exact shape the r5 verdict's window_no_partition gate exists
+    for."""
+    from cnc_visionsearch_spark.plans import unbounded_global_windows
+
+    df = queries["order_price_equidepth_histogram"](spark, SF)
+    plan = plan_of(df)
+    assert "rangepartitioning" in plan
+    assert unbounded_global_windows(plan) == []
+
+
+def test_dsir_selection_is_boundary_topk_not_global_rank(spark, queries):
+    """doc_dsir_importance (the r5 verdict's worst offender): the top-K
+    selection must plan as TakeOrderedAndProject + a broadcast 1-row
+    boundary — never a global row_number over the corpus-sized weight
+    table."""
+    from cnc_visionsearch_spark.plans import unbounded_global_windows
+
+    df = queries["doc_dsir_importance"](spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert unbounded_global_windows(plan) == []
