@@ -89,8 +89,20 @@ def distributed_cumsum(
     the exact global row number (BIGINT, 1-based)."""
     sums = list(sums)
     oc = _cols(order_cols)
-    t = df.repartitionByRange(bands, *oc).withColumn(
-        _BAND, F.spark_partition_id()
+    # The banded table feeds TWO consumers (within-band prefixes and
+    # band totals). Without a barrier each branch re-executes the
+    # range exchange, and RangePartitioner's boundary SAMPLING is not
+    # guaranteed identical across the two executions (input row order
+    # inside aggregate output partitions can differ) — at sf0.1 this
+    # was observed to put boundary rows in band b for one branch and
+    # b+1 for the other, silently corrupting the offsets. The
+    # localCheckpoint pins ONE materialization (one partitioner, one
+    # band assignment) that both branches read — the same barrier
+    # discipline the CDC merge and the iterative graph loops use.
+    t = (
+        df.repartitionByRange(bands, *oc)
+        .withColumn(_BAND, F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     wp = Window.partitionBy(_BAND).orderBy(*oc)
     wf = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
