@@ -545,12 +545,33 @@ def embedding_similar_pairs(
     id_col: str = "vec_id",
     vec_col: str = "nvec",
     top_n: int = 10,
+    candidates: str = "lsh",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
-    """Top-N most-similar embedding pairs by cosine (exact all-pairs).
+    """Top-N most-similar embedding pairs by cosine.
 
-    Test-scale exact tier; at 100 TB use operators/ann.py LSH buckets to
-    generate candidates, then this same scoring join per bucket.
+    The DEFAULT serving path (``candidates="lsh"``) is the bucketed
+    plan — hyperplane-LSH sign-bit blocking, exact cosine scored only
+    within a bucket (:func:`embedding_lsh_bucketed_pairs`) — the only
+    shape that survives 100 TB. ``candidates="exact"`` is the
+    ORACLE-PARITY tier: the all-pairs crossJoin, O(N^2) in the corpus,
+    kept solely so exact-result queries/tests can hash-match a
+    quadratic SQL oracle (the same exact/bucketed split the NSW
+    operator uses, operators/graph_ann.py). ``planes`` defaults to 4
+    seeded hyperplanes sized by a bounded 1-row dim peek.
     """
+    if candidates == "lsh":
+        if planes is None:
+            from cnc_visionsearch_spark.operators.ann import hyperplanes
+
+            first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+            dim = int(first["d"]) if first is not None else 1
+            planes = hyperplanes(dim=dim, n_planes=4, seed=42)
+        return embedding_lsh_bucketed_pairs(
+            emb, planes, id_col=id_col, vec_col=vec_col, top_n=top_n
+        )
+    if candidates != "exact":
+        raise ValueError(f"candidates must be 'lsh' or 'exact': {candidates!r}")
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = (
@@ -558,7 +579,6 @@ def embedding_similar_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", dot("va", "vb").alias("cosine"))
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
     return (
         pairs.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(top_n)

@@ -16,31 +16,45 @@ partition-parallel:
   ``window_no_partition`` gate exempts windows above a limit for
   exactly this reason.
 - ``distributed_cumsum``: EXACT global running totals (and optionally
-  the exact global row number) with no global sort: range-repartition
-  on the order key, per-band partitioned windows for the local
-  prefixes, band totals folded into exclusive offsets via a
-  bands x bands broadcast join (<= 32x32 rows — the only non-equi join
-  in the plan is bounded by the band constant, never the data), then
-  one broadcast join back. Every data-proportional stage is parallel;
-  the result is bit-identical to the single-partition window because
-  the order is total and addition is associative.
+  the exact global row number) with no global sort. Band assignment is
+  a PURE FUNCTION of the order key: <= bands-1 boundary values are
+  collected ONCE (a bounded TakeOrderedAndProject sample job → driver
+  literals, the ivf_probe_cells pattern from operators/ann.py), and
+  every consumer assigns bands with the same literal CASE expression.
+  Per-band partitioned windows compute local prefixes; the <= bands
+  per-band totals are a second bounded collect folded into exclusive
+  offsets ON THE DRIVER (constant-size arithmetic) and broadcast-joined
+  back. Because the band expression is deterministic given the
+  literals, any stage can be recomputed freely after executor loss —
+  there is NO lineage barrier (the r6 ``localCheckpoint`` pinned a
+  data-proportional materialization whose block loss would kill the
+  job; this design retires that hazard class entirely). The result is
+  bit-identical to the single-partition window for ANY boundary
+  placement because the order is total and addition is associative.
 - ``exact_ntile``: exact NTILE(n) semantics (first ``T mod n`` buckets
   get one extra row) from the distributed row number plus the
   closed-form bucket formula — integer-only, hash-stable, and the
   production replacement for the "NTILE over an unpartitioned window"
   banding this repo previously documented as a fixture-scale trade
-  (SCALE.md banded-NTILE row).
+  (SCALE.md banded-NTILE row). T comes from the same per-band totals
+  collect — no second scan of the input.
 
-Determinism: callers MUST pass a total order (include a unique
-tie-break column). Band assignment is a deterministic function of the
-order key (RangePartitioner's boundary sampling is seeded per
-partition index), and the final values are independent of where band
-boundaries fall, so results hash-gate against single-partition-window
-oracles.
+Order-spec contract (``order_cols``): a sequence whose elements are a
+column name (str, ascending), a Column expression (ascending), or a
+``(name_or_expr, "asc"|"desc")`` tuple. Do NOT pass ``col.asc()`` /
+``col.desc()`` SortOrder columns — the primitives must evaluate the
+bare key expression to build the boundary CASE, and a SortOrder cannot
+be unwrapped through the public API (a guard raises). The order MUST
+be total (include a unique tie-break column) and, when any key is
+descending, the key columns must be non-NULL: NULL keys short-circuit
+the boundary comparisons into band 0, which matches Spark's
+NULLS-FIRST default for ascending keys but not NULLS-LAST for
+descending ones. All in-repo call sites use non-null total orders.
 """
 
 from __future__ import annotations
 
+from functools import cmp_to_key
 from typing import Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -54,6 +68,9 @@ _BN = "_rk_bn"
 _OFFN = "_rk_offn"
 
 DEFAULT_BANDS = 32
+# boundary sample size per band — 32*32 = 1024 keys collected, a
+# constant independent of data size (TakeOrderedAndProject job)
+_SAMPLE_PER_BAND = 32
 
 
 def _cols(order_cols: Sequence) -> list[Column]:
@@ -69,12 +86,101 @@ def global_topn(
     """Global top-n by ``order_cols`` (must be a total order) as a
     TakeOrderedAndProject — per-partition heaps, never a global sort.
     With ``rank_col``, adds the 1-based global rank via a window over
-    the <= n survivors (bounded by construction; plan-audit-exempt)."""
+    the <= n survivors (bounded by construction; plan-audit-exempt).
+    Unlike the cumulative primitives, SortOrder columns (``.desc()``)
+    are accepted here — the order is only ever passed to ``orderBy``."""
     oc = _cols(order_cols)
     top = df.orderBy(*oc).limit(n)
     if rank_col is not None:
         top = top.withColumn(rank_col, F.row_number().over(Window.orderBy(*oc)))
     return top
+
+
+def _norm_order(order_cols: Sequence) -> list[tuple[Column, bool]]:
+    """Normalize the order spec to (bare expression, ascending) pairs,
+    rejecting pre-built SortOrder columns (they cannot be unwrapped)."""
+    out: list[tuple[Column, bool]] = []
+    for c in order_cols:
+        if isinstance(c, tuple):
+            e, d = c
+            e = F.col(e) if isinstance(e, str) else e
+            asc = d if isinstance(d, bool) else str(d).lower() != "desc"
+        elif isinstance(c, str):
+            e, asc = F.col(c), True
+        else:
+            e, asc = c, True
+        r = str(e)
+        if " NULLS FIRST" in r or " NULLS LAST" in r:
+            raise ValueError(
+                "distributed_cumsum/exact_ntile take (expr, 'asc'|'desc') "
+                f"tuples, not SortOrder columns: {r}"
+            )
+        out.append((e, asc))
+    return out
+
+
+def _cmp_keys(a: tuple, b: tuple, ascs: list[bool]) -> int:
+    for x, y, asc in zip(a, b, ascs):
+        if x == y:
+            continue
+        lt = x < y
+        if lt:
+            return -1 if asc else 1
+        return 1 if asc else -1
+    return 0
+
+
+def _band_boundaries(
+    df: DataFrame, keys: list[tuple[Column, bool]], bands: int
+) -> list[tuple]:
+    """<= bands-1 order-key boundary tuples, collected ONCE.
+
+    The sample is a TakeOrderedAndProject over ``xxhash64(key)`` — a
+    bounded (bands * 32 rows), deterministic (pure function of the
+    key values; hash ties broken by the key itself) uniform-ish draw.
+    Boundary PLACEMENT only affects balance, never results: the
+    cumulative values are invariant to where bands split because the
+    order is total and the band expression is the same literal CASE
+    for every consumer."""
+    n = bands * _SAMPLE_PER_BAND
+    named = [e.alias(f"_rk_k{i}") for i, (e, _) in enumerate(keys)]
+    kc = [F.col(f"_rk_k{i}") for i in range(len(keys))]
+    rows = (
+        df.select(*named)
+        .orderBy(F.xxhash64(*kc).asc(), *[c.asc() for c in kc])
+        .limit(n)
+        .collect()
+    )
+    sample = [tuple(r) for r in rows if all(v is not None for v in r)]
+    if not sample:
+        return []
+    ascs = [asc for _, asc in keys]
+    sample.sort(key=cmp_to_key(lambda a, b: _cmp_keys(a, b, ascs)))
+    m = len(sample)
+    bnds: list[tuple] = []
+    for i in range(1, bands):
+        v = sample[(i * m) // bands]
+        if not bnds or _cmp_keys(v, bnds[-1], ascs) != 0:
+            bnds.append(v)
+    return bnds
+
+
+def _band_expr(keys: list[tuple[Column, bool]], bnds: list[tuple]) -> Column:
+    """Band id as a pure CASE over the boundary literals: the count of
+    boundaries the row's key is strictly greater than (in sort order).
+    Lexicographic strictly-greater with per-column direction; a NULL
+    anywhere collapses the comparison to false → band 0 (NULLS FIRST
+    for ascending keys — see module docstring for the desc caveat)."""
+    band = F.lit(0)
+    for b in bnds:
+        gt = F.lit(False)
+        eq = F.lit(True)
+        for (e, asc), v in zip(keys, b):
+            lit = F.lit(v)
+            gt = gt | (eq & ((e > lit) if asc else (e < lit)))
+            eq = eq & (e == lit)
+        band = band + F.when(gt, 1).otherwise(0)
+    return band
 
 
 def distributed_cumsum(
@@ -83,72 +189,92 @@ def distributed_cumsum(
     sums: Iterable[tuple[Column, str]] = (),
     rn_col: str | None = None,
     bands: int = DEFAULT_BANDS,
+    total_col: str | None = None,
 ) -> DataFrame:
     """df + exact global running totals over a total order, no global
-    sort. ``sums`` is (source_expr, out_col) pairs; ``rn_col`` adds
-    the exact global row number (BIGINT, 1-based)."""
+    sort and no lineage barrier. ``sums`` is (source_expr, out_col)
+    pairs; ``rn_col`` adds the exact global row number (BIGINT,
+    1-based); ``total_col`` adds the exact global row COUNT to every
+    row (from the same bounded per-band-totals collect — callers that
+    need T, e.g. exact_ntile, get it without a second input scan).
+
+    ``order_cols`` must be a TOTAL order (unique tie-break column) of
+    (expr, 'asc'|'desc') specs — see the module docstring contract.
+    Two bounded collects (<= bands*32 sampled keys; <= bands per-band
+    totals) turn band assignment and band offsets into driver
+    literals, so every data-proportional stage is a freely
+    recomputable pure function of the input."""
     sums = list(sums)
-    oc = _cols(order_cols)
-    # The banded table feeds TWO consumers (within-band prefixes and
-    # band totals). Without a barrier each branch re-executes the
-    # range exchange, and RangePartitioner's boundary SAMPLING is not
-    # guaranteed identical across the two executions (input row order
-    # inside aggregate output partitions can differ) — at sf0.1 this
-    # was observed to put boundary rows in band b for one branch and
-    # b+1 for the other, silently corrupting the offsets. The
-    # localCheckpoint pins ONE materialization (one partitioner, one
-    # band assignment) that both branches read — the same barrier
-    # discipline the CDC merge and the iterative graph loops use.
-    t = (
-        df.repartitionByRange(bands, *oc)
-        .withColumn(_BAND, F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    wp = Window.partitionBy(_BAND).orderBy(*oc)
+    keys = _norm_order(order_cols)
+    bnds = _band_boundaries(df, keys, bands)
+    t = df.withColumn(_BAND, _band_expr(keys, bnds))
+    order = [e.asc() if asc else e.desc() for e, asc in keys]
+    wp = Window.partitionBy(_BAND).orderBy(*order)
     wf = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = t.select(
         "*",
         F.row_number().over(wp).alias(_LRN),
         *[F.sum(e).over(wf).alias(f"_rk_l{i}") for i, (e, _) in enumerate(sums)],
     )
-    # Band totals share the range exchange with `local` (ReusedExchange
-    # under AQE); the non-equi prefix join is bands x bands — bounded
-    # by the band CONSTANT, never by data size.
-    btot = t.groupBy(_BAND).agg(
+    # Per-band totals: a map-side-combined hash aggregate over the SAME
+    # pure band expression, collected (<= bands rows — bounded by the
+    # band constant, the ivf_probe_cells collect doctrine) and folded
+    # into exclusive prefix offsets on the driver. The offsets then go
+    # back as ANOTHER pure CASE over the band column — no join, no
+    # broadcast, no second window execution, and — because both the
+    # band expression and the offsets are driver literals — no
+    # cross-branch banding hazard to barrier over and nothing a lost
+    # executor cannot recompute from the input.
+    btot_df = t.groupBy(_BAND).agg(
         F.count(F.lit(1)).alias(_BN),
         *[F.sum(e).alias(f"_rk_t{i}") for i, (e, _) in enumerate(sums)],
     )
-    a = btot.alias("rk_a")
-    b = btot.alias("rk_b")
-    off = (
-        a.join(
-            F.broadcast(b),
-            F.col(f"rk_b.{_BAND}") < F.col(f"rk_a.{_BAND}"),
-            "left",
-        )
-        .groupBy(F.col(f"rk_a.{_BAND}").alias(_BAND))
-        .agg(
-            F.sum(F.col(f"rk_b.{_BN}")).alias(_OFFN),
-            *[
-                F.sum(F.col(f"rk_b._rk_t{i}")).alias(f"_rk_o{i}")
-                for i in range(len(sums))
-            ],
-        )
-    )
-    out = local.join(F.broadcast(off), _BAND)
+    btot_schema = btot_df.schema
+    btot = btot_df.collect()
+    btot.sort(key=lambda r: r[0])
+    total = sum(r[1] for r in btot)
+
+    def _acc(a, b):
+        if b is None:
+            return a
+        return b if a is None else a + b
+
+    def _off_case(pairs, dtype):
+        """band_id -> offset literal as a chained CASE (<= bands arms)."""
+        c = F.lit(0).cast(dtype)
+        for bid, v in pairs:
+            if v is None or v == 0:
+                continue
+            c = F.when(F.col(_BAND) == F.lit(bid), F.lit(v).cast(dtype)).otherwise(c)
+        return c
+
+    n_pairs = []
+    s_pairs: list[list] = [[] for _ in sums]
+    run_n = 0
+    run_s = [None] * len(sums)
+    for r in btot:
+        n_pairs.append((r[0], run_n))
+        for i in range(len(sums)):
+            s_pairs[i].append((r[0], run_s[i]))
+        run_n += r[1]
+        for i in range(len(sums)):
+            run_s[i] = _acc(run_s[i], r[2 + i])
+    out = local
     if rn_col is not None:
         out = out.withColumn(
             rn_col,
-            (F.col(_LRN) + F.coalesce(F.col(_OFFN), F.lit(0))).cast("bigint"),
+            (F.col(_LRN) + _off_case(n_pairs, "bigint")).cast("bigint"),
         )
     for i, (_, name) in enumerate(sums):
-        zero = F.lit(0)
         out = out.withColumn(
-            name, F.col(f"_rk_l{i}") + F.coalesce(F.col(f"_rk_o{i}"), zero)
+            name,
+            F.col(f"_rk_l{i}")
+            + _off_case(s_pairs[i], btot_schema[2 + i].dataType),
         )
-    drop = [_BAND, _LRN, _OFFN]
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(total).cast("bigint"))
+    drop = [_BAND, _LRN]
     drop += [f"_rk_l{i}" for i in range(len(sums))]
-    drop += [f"_rk_o{i}" for i in range(len(sums))]
     return out.drop(*drop)
 
 
@@ -162,15 +288,15 @@ def exact_ntile(
     """Exact NTILE(n) over a total order, distributed: SQL NTILE
     assigns ``T div n`` rows per bucket with the first ``T mod n``
     buckets taking one extra — a pure function of (row_number, T), so
-    the distributed row number + one broadcast total reproduce it
-    bit-for-bit without a single-partition sort."""
+    the distributed row number + the band-totals count reproduce it
+    bit-for-bit without a single-partition sort (and without a second
+    scan of the input for T — ``total_col`` rides the same bounded
+    per-band-totals collect). ``order_cols`` follows the
+    (expr, 'asc'|'desc') contract in the module docstring."""
     rn = "_rk_rn"
-    ranked = distributed_cumsum(df, order_cols, rn_col=rn, bands=bands)
-    # T from the band totals would be ideal; an aggregate over df is
-    # equivalent and keeps this composable (one extra partial+final
-    # count, no second scan of anything wider than the input).
-    tot = df.agg(F.count(F.lit(1)).cast("bigint").alias("_rk_tot"))
-    out = ranked.crossJoin(F.broadcast(tot))
+    ranked = distributed_cumsum(
+        df, order_cols, rn_col=rn, bands=bands, total_col="_rk_tot"
+    )
     base = F.expr(f"_rk_tot div {n}")
     rem = F.expr(f"_rk_tot % {n}")
     cut = (base + F.lit(1)) * rem
@@ -191,4 +317,4 @@ def exact_ntile(
         )
         + F.lit(1)
     )
-    return out.withColumn(out_col, bucket.cast("int")).drop(rn, "_rk_tot")
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(rn, "_rk_tot")

@@ -137,7 +137,10 @@ _PASS_THROUGH_NODES = frozenset(
         "Window",
         "WindowGroupLimit",
         "InputAdapter",
-        "Generate",
+        # NOTE: Generate (explode) is deliberately NOT pass-through —
+        # exploding a <= n-row limited input can multiply it by a
+        # data-dependent array length, so a window above explode-above-
+        # limit is NOT bounded by construction (r6 ADVICE).
     }
 )
 

@@ -3306,8 +3306,8 @@ FROM classed GROUP BY abc ORDER BY abc
     "comparison is pure DECIMAL integer arithmetic (cum*100 <= "
     "tot*80 — no float shares, so the cut is exact and "
     "engine-portable); the cumulative sum runs DISTRIBUTED via "
-    "operators/rank.distributed_cumsum — range-repartitioned "
-    "partitioned windows + a band-offset broadcast join, exact "
+    "operators/rank.distributed_cumsum — boundary-literal banded "
+    "partitioned windows + band-offset CASE literals, exact "
     "DECIMAL, bit-identical to the oracle's global window with no "
     "single-partition sort of the part aggregate (the r5 judge's "
     "worst-offender family, fixed). At 100 TB the fact-table "
@@ -3329,7 +3329,7 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = rev.agg(F.sum("rev").cast("decimal(38,6)").alias("t"))
     ranked = distributed_cumsum(
         rev,
-        [F.col("rev").desc(), F.col("l_partkey").asc()],
+        [(F.col("rev"), "desc"), ("l_partkey", "asc")],
         sums=[(F.col("rev"), "_cum")],
     ).withColumn("cum_rev", F.col("_cum").cast("decimal(38,6)"))
     classed = ranked.crossJoin(F.broadcast(tot)).select(
@@ -4614,7 +4614,7 @@ def order_price_quantile_sketch_report(
     from cnc_visionsearch_spark.operators.rank import distributed_cumsum
 
     cum = distributed_cumsum(
-        hist, [F.col("bin").asc()], sums=[(F.col("c"), "_cum")]
+        hist, ["bin"], sums=[(F.col("c"), "_cum")]
     ).select("bin", F.col("_cum").cast("bigint").alias("cum_c"))
     targets = spark.createDataFrame(
         [(q,) for q in _QSK_QS], "q double"

@@ -253,12 +253,18 @@ WHERE a.vec_id < b.vec_id
 ORDER BY cosine DESC, id_a ASC, id_b ASC
 LIMIT 10
 """,
-    doc="Embedding near-dup: top-10 most-similar pairs by exact cosine. "
-    "Exact all-pairs at test scale; ANN buckets generate candidates at 100 TB.",
+    doc="Embedding near-dup: top-10 most-similar pairs by exact cosine "
+    "— the ORACLE-PARITY tier, explicitly opted into with "
+    "candidates='exact' (all-pairs crossJoin, O(N^2) in the corpus; "
+    "kept only because an exact top-10 is the one result a quadratic "
+    "SQL oracle can hash-match). The operator's DEFAULT serving path "
+    "is candidates='lsh' — the bucketed plan registered as "
+    "embedding_neardup_lsh_bucketed — exactly the exact/bucketed "
+    "split the NSW operator uses (operators/graph_ann.py).",
 )
 def embedding_neardup_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
-    return embedding_similar_pairs(emb, top_n=10)
+    return embedding_similar_pairs(emb, top_n=10, candidates="exact")
 
 
 @register(

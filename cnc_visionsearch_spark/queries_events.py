@@ -2070,7 +2070,7 @@ LIMIT 30
     "classic churn-analysis bias), and hazard(d) = events-at-d / "
     "at-risk-at-d in exact integer ppm. The at-risk set is a "
     "descending cumulative sum over the duration histogram "
-    "(operators/rank.distributed_cumsum — range-repartitioned, no "
+    "(operators/rank.distributed_cumsum — boundary-literal banded, no "
     "single-partition sort even if durations are measured at finer "
     "grain), so no per-duration rescan of the gaps. First 30 "
     "event-bearing durations. Scale shape: per-user lead() windows "
@@ -2107,7 +2107,7 @@ def events_repurchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnc_visionsearch_spark.operators.rank import distributed_cumsum
 
     risk = distributed_cumsum(
-        by_dur, [F.col("dur").desc()], sums=[(F.col("n_all"), "n_at_risk")]
+        by_dur, [(F.col("dur"), "desc")], sums=[(F.col("n_all"), "n_at_risk")]
     )
     return (
         risk.filter(F.col("n_events") > 0)

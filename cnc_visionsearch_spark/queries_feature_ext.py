@@ -1243,17 +1243,34 @@ def reco_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = train_lp.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    a = train_lp.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    # Train-pair build via the SHARED bounded basket kernel
+    # (queries_relational._copurchase_pair_stream: one group-by into
+    # <=7-part baskets, O(21) in-row pair expansion per order) — never
+    # the a.join(b, "ok") quadratic formulation. The kernel emits one
+    # canonical src<dst pair per order; the directed cab table is the
+    # canonical counts mirrored to both orientations (disjoint, so the
+    # union needs no re-dedup).
+    from cnc_visionsearch_spark.queries_relational import (
+        _copurchase_pair_stream,
     )
-    b = train_lp.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
-    )
-    cab = (
-        a.join(b, "ok")
-        .filter(F.col("pa") != F.col("pb"))
-        .groupBy("pa", "pb")
+
+    cpair = (
+        _copurchase_pair_stream(
+            li.join(
+                holdout.select("o_orderkey"),
+                li.l_orderkey == holdout.o_orderkey,
+                "left_anti",
+            )
+        )
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cab = cpair.select(
+        F.col("src").alias("pa"), F.col("dst").alias("pb"), "c"
+    ).union(
+        cpair.select(
+            F.col("dst").alias("pa"), F.col("src").alias("pb"), "c"
+        )
     )
     na = cnt.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na"))
     nb = cnt.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb"))

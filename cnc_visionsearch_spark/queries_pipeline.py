@@ -2931,7 +2931,7 @@ def doc_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         distributed_cumsum(
             joined,
-            [F.col("bucket").asc()],
+            ["bucket"],
             sums=[
                 (F.col("n_tokens"), "_ct"),
                 (F.coalesce("n_new", F.lit(0)), "_cv"),

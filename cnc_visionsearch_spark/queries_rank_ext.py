@@ -74,7 +74,7 @@ def customer_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = distributed_cumsum(
         rev,
-        [F.col("rev_c").desc(), F.col("o_custkey").asc()],
+        [(F.col("rev_c"), "desc"), ("o_custkey", "asc")],
         sums=[(F.col("rev_c"), "cum_c")],
     )
     tot = rev.agg(
@@ -151,7 +151,7 @@ def events_user_engagement_deciles(
     )
     tiled = exact_ntile(
         per_user,
-        [F.col("n_events").asc(), F.col("user_id").asc()],
+        ["n_events", "user_id"],
         10,
         "decile",
     )
@@ -211,7 +211,7 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiled = exact_ntile(
         per_doc,
-        [F.col("n_tokens").asc(), F.col("doc_id").asc()],
+        ["n_tokens", "doc_id"],
         10,
         "decile",
     )
@@ -305,10 +305,10 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("price_c").cast("bigint").alias("spend_c"))
     )
     q1 = exact_ntile(
-        h1, [F.col("spend_c").asc(), F.col("o_custkey").asc()], 5, "q"
+        h1, ["spend_c", "o_custkey"], 5, "q"
     ).select("o_custkey", F.col("q").cast("bigint").alias("q1"))
     q2 = exact_ntile(
-        h2, [F.col("spend_c").asc(), F.col("o_custkey").asc()], 5, "q"
+        h2, ["spend_c", "o_custkey"], 5, "q"
     ).select("o_custkey", F.col("q").cast("bigint").alias("q2"))
     return (
         q1.join(q2, "o_custkey", "full_outer")

@@ -1423,34 +1423,84 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
     )
 
 
+# Derivation version of the persisted edge artifact: bump whenever
+# _copurchase_edges (or the layout below) changes, so a code change can
+# never serve a stale persisted edge set built by an older derivation
+# (the corpus content tag alone only tracks the DATA).
+_EDGES_VERSION = "v2"
+_EDGES_BUCKETS = 32
+
+
 def ensure_copurchase_edges_built(spark: SparkSession, sf_dir: str) -> str:
-    """Idempotent build of the co-purchase edge list — the GRAPH
-    MATERIALIZATION every iterative graph query (PageRank, LPA, degree
-    fit) probes. The reference builds its graph structure once and
-    probes it per query (the HNSW file, main.py:57/171); the graph
-    tier follows the same build-once doctrine: the basket expansion +
-    distinct shuffle is paid once per corpus version (content-
-    fingerprinted like the ANN layouts), and each query's per-round
-    joins read the persisted parquet instead of re-deriving the edge
-    set from lineitem inside every run (was ~2s of every graph query
-    at bench scale, x3 bench passes)."""
+    """Idempotent, ATOMIC build of the co-purchase edge list — the
+    GRAPH MATERIALIZATION every iterative graph query (PageRank, LPA,
+    degree fit, k-core/k-truss) probes. The reference builds its graph
+    structure once and probes it per query (the HNSW file,
+    main.py:57/171); the graph tier follows the same build-once
+    doctrine: the basket expansion + distinct shuffle is paid once per
+    corpus version (content-fingerprinted like the ANN layouts), and
+    each query's per-round joins read the persisted layout instead of
+    re-deriving the edge set from lineitem inside every run.
+
+    r7 hardening: (a) the layout is BUCKETED on ``src``
+    (write_bucketed_table discipline, sources/catalog.py) so per-round
+    label joins at node-scale — past the broadcast threshold, the
+    100-TB LPA/PageRank shape — run with ZERO exchange on the edge
+    side, every round, forever; (b) the path carries the derivation
+    version ``_EDGES_VERSION`` besides the corpus tag; (c) the build
+    writes to a tmp dir and ``os.rename``s into place — atomic on one
+    filesystem, so concurrent sessions (bench + pytest) race safely:
+    one wins, losers discard their tmp, readers never see a
+    half-written artifact."""
     import os
+    import shutil
 
     from cnc_visionsearch_spark.queries_ann import _ARTIFACT_ROOT, _corpus_tag
 
-    path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir, 'lineitem')}/copurchase_edges"
+    tag = _corpus_tag(sf_dir, "lineitem")
+    path = f"{_ARTIFACT_ROOT}/{tag}/copurchase_edges_{_EDGES_VERSION}"
     if not os.path.exists(os.path.join(path, "_BUILT")):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        build_tbl = f"copurchase_edges_build_{os.getpid()}"
         li = load_table(spark, sf_dir, "lineitem")
-        _copurchase_edges(li).write.mode("overwrite").parquet(path)
-        open(os.path.join(path, "_BUILT"), "w").close()
+        (
+            _copurchase_edges(li)
+            .write.bucketBy(_EDGES_BUCKETS, "src")
+            .sortBy("src")
+            .option("path", tmp)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(build_tbl)
+        )
+        # external table: DROP removes only the catalog entry (the tmp
+        # path keeps its files for the rename)
+        spark.sql(f"DROP TABLE IF EXISTS {build_tbl}")
+        open(os.path.join(tmp, "_BUILT"), "w").close()
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # another session won the build race — its artifact is
+            # complete (rename happens only after a full write)
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 
 def _edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The persisted co-purchase edge set (build-once, probe-cheap)."""
-    return spark.read.parquet(
-        ensure_copurchase_edges_built(spark, sf_dir)
-    )
+    """The persisted co-purchase edge set (build-once, probe-cheap),
+    read THROUGH the session catalog so Spark sees the bucketed-on-src
+    layout (a raw parquet read would drop the bucket metadata and
+    re-shuffle the edges in every per-round join)."""
+    path = ensure_copurchase_edges_built(spark, sf_dir)
+    name = "copurchase_edges_" + "".join(
+        ch if ch.isalnum() else "_" for ch in path.rsplit("/", 2)[-2]
+    ) + f"_{_EDGES_VERSION}"
+    if not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE {name} (src BIGINT, dst BIGINT) USING parquet "
+            f"CLUSTERED BY (src) SORTED BY (src) "
+            f"INTO {_EDGES_BUCKETS} BUCKETS LOCATION '{path}'"
+        )
+    return spark.table(name)
 
 
 @register(
@@ -1696,7 +1746,7 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiled = exact_ntile(
         spend,
-        [F.col("total_spend").asc(), F.col("o_custkey").asc()],
+        ["total_spend", "o_custkey"],
         10,
         "decile",
     ).select("o_custkey", "total_spend", "decile")
@@ -1992,8 +2042,8 @@ FROM rev, tot
     "in rank order — the 80/20 concentration report. The fact joins "
     "reduce to a 25-row nation aggregate BEFORE any ranking; the "
     "rank and running total come from operators/rank."
-    "distributed_cumsum (range-repartitioned partitioned windows + "
-    "band-offset broadcast join — no single-partition node even "
+    "distributed_cumsum (boundary-literal banded windows + "
+    "band-offset CASE literals — no single-partition node even "
     "though the nation table is tiny, so the same code is safe for "
     "any grouping dimension). rank() == row_number() here because "
     "the (revenue, nation) order is total. Decimal sums for the "
@@ -2027,7 +2077,7 @@ def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranked = distributed_cumsum(
         rev,
-        [F.col("revenue").desc(), F.col("nation").asc()],
+        [(F.col("revenue"), "desc"), ("nation", "asc")],
         sums=[(F.col("revenue").cast("decimal(18,6)"), "_cum_rev")],
         rn_col="_rn",
     )
@@ -2120,25 +2170,25 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # three DISTRIBUTED quintile passes (operators/rank.exact_ntile) —
     # bit-identical to the oracle's global-window NTILEs but each one
-    # is a range-repartitioned rank, never a single-partition sort of
+    # is a banded (boundary-literal CASE) rank, never a single-partition sort of
     # the customer aggregate
     from cnc_visionsearch_spark.operators.rank import exact_ntile
 
     scored = exact_ntile(
         rfm,
-        [F.col("recency_days").asc(), F.col("o_custkey").asc()],
+        ["recency_days", "o_custkey"],
         5,
         "_r_tile",
     )
     scored = exact_ntile(
         scored,
-        [F.col("frequency").asc(), F.col("o_custkey").asc()],
+        ["frequency", "o_custkey"],
         5,
         "_f_tile",
     )
     scored = exact_ntile(
         scored,
-        [F.col("monetary").asc(), F.col("o_custkey").asc()],
+        ["monetary", "o_custkey"],
         5,
         "_m_tile",
     )
@@ -2331,7 +2381,7 @@ def order_price_equidepth_histogram(
     orders = load_table(spark, sf_dir, "orders")
     b = exact_ntile(
         orders.select("o_totalprice", "o_orderkey"),
-        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        ["o_totalprice", "o_orderkey"],
         10,
         "_b",
     ).select("o_totalprice", F.col("_b").cast("bigint").alias("bucket"))
@@ -2457,7 +2507,7 @@ def part_brand_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranked = distributed_cumsum(
-        rev, [F.col("r").asc(), F.col("p_brand").asc()], rn_col="i"
+        rev, ["r", "p_brand"], rn_col="i"
     )
     n = F.count(F.lit(1)).cast("double")
     sr = F.sum("r").cast("double")
@@ -2918,12 +2968,13 @@ def _lpa_labels(
     # scale — the edge set is never re-shuffled between rounds, so
     # pinning its partitioning up front (.repartition(n, "src")) only
     # ADDS an exchange: measured min-of-3 at sf0.1 was 6.49s pinned vs
-    # 5.71s unpinned. When the label table outgrows the broadcast
-    # threshold (node-scale at 100 TB), the swap is a bucketed write
-    # of the edge artifact on src, and every round's sort-merge join
-    # reuses that one layout. r6: the edge set itself is now the
-    # build-once persisted artifact (ensure_copurchase_edges_built) —
-    # each round reads parquet instead of re-deriving from lineitem.
+    # 5.71s unpinned. r6: the edge set is the build-once persisted
+    # artifact (ensure_copurchase_edges_built). r7: that artifact is
+    # BUCKETED on src and read through the catalog, so when labels
+    # outgrow the broadcast threshold (node-scale at 100 TB) every
+    # round's sort-merge join runs exchange-free on the edge side —
+    # plan-pinned by tests/test_plans.py
+    # test_copurchase_edges_bucketed_join_exchange_free_on_edge_side.
     edges = _edges_table(spark, sf_dir)
     # round 1 from identity labels is CLOSED-FORM: every neighbor holds
     # a unique label, so all counts are 1 and the (count DESC, label
@@ -3042,7 +3093,7 @@ LIMIT 15
     "per-order close is a (orderkey)-keyed max aggregate, then both "
     "delta streams collapse to DAILY deltas FIRST — calendar-"
     "bounded — and the running sum is operators/rank."
-    "distributed_cumsum (range-repartitioned, band-offset broadcast "
+    "distributed_cumsum (boundary-literal banded, band-offset CASE "
     "join): no single-partition node at all, so the same sweep code "
     "is safe at finer granularities (hourly/minutely) where the "
     "timeline DOES grow with the corpus; exact BIGINT arithmetic "
@@ -3071,7 +3122,7 @@ def orders_open_backlog_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnc_visionsearch_spark.operators.rank import distributed_cumsum
 
     running = distributed_cumsum(
-        deltas, [F.col("day").asc()], sums=[(F.col("d"), "_cum")]
+        deltas, ["day"], sums=[(F.col("d"), "_cum")]
     ).select("day", F.col("_cum").cast("bigint").alias("open_orders"))
     return running.orderBy(
         F.col("open_orders").desc(), F.col("day").asc()

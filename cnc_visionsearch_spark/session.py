@@ -57,4 +57,19 @@ def get_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # WindowExec's "No Partition Defined" WARN fires for every
+    # unpartitioned window — including the plan-audit-EXEMPT bounded
+    # shapes (rank over <= n TakeOrderedAndProject survivors), which
+    # flood bench/driver tails and bury real signals. The real gate for
+    # the unbounded trap is structural (plans.unbounded_global_windows,
+    # enforced over all queries by scripts/plan_audit.py), so the log
+    # channel carries no unique information; raise it to ERROR.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments: the warning is cosmetic
     return spark

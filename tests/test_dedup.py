@@ -96,9 +96,22 @@ def test_embedding_similar_pairs(spark):
     emb = with_normalized(
         spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
     )
-    top = embedding_similar_pairs(emb, top_n=1).first()
+    # oracle-parity tier: exact all-pairs, opt-in only
+    top = embedding_similar_pairs(emb, top_n=1, candidates="exact").first()
     assert (top.id_a, top.id_b) == (1, 2)
     assert top.cosine > 0.999
+    # DEFAULT serving path: LSH-bucketed — near-identical vectors share
+    # every sign bit, so the near-dup pair survives the blocking; the
+    # plan must carry no cartesian / nested-loop pair expansion
+    default = embedding_similar_pairs(emb, top_n=1)
+    from cnc_visionsearch_spark.plans import formatted_plan
+
+    plan = formatted_plan(default)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    top_lsh = default.first()
+    assert (top_lsh.id_a, top_lsh.id_b) == (1, 2)
+    assert top_lsh.cosine > 0.999
 
 
 def test_neardup_components_chain_triangle(spark):

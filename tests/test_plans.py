@@ -803,16 +803,20 @@ def test_lpa_rounds_are_join_agg_not_window(spark, queries):
 
 
 def test_equidepth_histogram_ntile_is_distributed(spark, queries):
-    """The one NTILE over FACT-scale rows (r6): the plan must show the
-    range-repartition band shuffle of operators/rank.exact_ntile and
-    ZERO unpartitioned windows over data-proportional input — the
-    exact shape the r5 verdict's window_no_partition gate exists
-    for."""
+    """The one NTILE over FACT-scale rows (r6, rewritten r7): the plan
+    must show the pure-CASE band hash shuffle of operators/rank
+    .exact_ntile (boundary literals — no range exchange, no
+    localCheckpoint ExistingRDD) and ZERO unpartitioned windows over
+    data-proportional input — the exact shape the r5 verdict's
+    window_no_partition gate exists for."""
     from cnc_visionsearch_spark.plans import unbounded_global_windows
 
     df = queries["order_price_equidepth_histogram"](spark, SF)
     plan = plan_of(df)
-    assert "rangepartitioning" in plan
+    assert "hashpartitioning(_rk_band" in plan
+    # (a rangepartitioning may remain: the final 10-row presentation
+    # orderBy — the BAND shuffle itself is the hash exchange above)
+    assert "ExistingRDD" not in plan
     assert unbounded_global_windows(plan) == []
 
 
@@ -827,3 +831,52 @@ def test_dsir_selection_is_boundary_topk_not_global_rank(spark, queries):
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
     assert unbounded_global_windows(plan) == []
+
+
+def test_copurchase_edges_bucketed_join_exchange_free_on_edge_side(spark):
+    """The 100-TB LPA/PageRank layout (r7): the persisted co-purchase
+    edge artifact is bucketed on src and read through the catalog, so
+    when the label table outgrows the broadcast threshold the
+    per-round edges x labels sort-merge join needs NO exchange on the
+    edge side. Pinned comparatively: the identical join over the same
+    files read as RAW parquet (bucket metadata dropped) plans exactly
+    one more Exchange — the edge-side shuffle the layout pre-paid."""
+    from cnc_visionsearch_spark.plans import formatted_plan
+    from cnc_visionsearch_spark.queries_relational import (
+        _edges_table,
+        ensure_copurchase_edges_built,
+    )
+    from pyspark.sql import functions as F
+
+    edges = _edges_table(spark, SF)
+    raw = spark.read.parquet(ensure_copurchase_edges_built(spark, SF))
+    lab = (
+        raw.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node") % 100)
+    )
+
+    def round_join(e):
+        # the LPA round shape: edges join labels on src, re-aggregate
+        return (
+            e.hint("merge")
+            .join(lab, e.src == lab.node)
+            .groupBy("dst", "lab")
+            .count()
+        )
+
+    pb = formatted_plan(round_join(edges))
+    pr = formatted_plan(round_join(raw))
+    assert "SortMergeJoin" in pb
+    assert "Bucketed: true" in pb and "Bucketed: true" not in pr
+    # structural pin: NO Exchange anywhere on the edge-side spine —
+    # the tree lines between the SortMergeJoin and the bucketed scan
+    lines = pb.splitlines()
+    smj = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+    scan = next(
+        i
+        for i, l in enumerate(lines)
+        if "Scan parquet" in l and "copurchase_edges" in l
+    )
+    assert smj < scan
+    assert all("Exchange" not in l for l in lines[smj:scan])
