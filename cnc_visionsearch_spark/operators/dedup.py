@@ -291,6 +291,86 @@ def minhash_lsh_pairs(
     return verified
 
 
+def minhash_store_probe(
+    batch: DataFrame,
+    store_banded: DataFrame,
+    store_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.3,
+) -> DataFrame:
+    """Cross-run incremental near-dedup: probe a PERSISTED banded
+    MinHash store with a new batch — the banded-LSH twin of the exact
+    fingerprint-store probe (queries_dedup.dedup_incremental_batch),
+    following the inverted_append doctrine (operators/text_index.py:
+    new postings join the persisted index; the resident corpus is
+    never re-scanned).
+
+    Only the BATCH is shingled/hashed (O(batch)); candidates come from
+    one equi-join of the batch's band keys against ``store_banded``
+    (the ensure_minhash_store_built artifact — same band geometry
+    required); exact Jaccard verification reads back the TEXT of
+    candidate store docs only (a semi-join-pruned scan of
+    ``store_docs``). Two-sided id columns (batch_id, store_id) because
+    a re-delivered doc legitimately carries the same id on both sides.
+    Returns (batch_id, store_id, jaccard) with jaccard >= threshold.
+    """
+    bb = minhash_banded(
+        batch, text_col, id_col, num_hashes, bands, shingle_n
+    ).select(F.col(id_col).alias("_bid"), "band_id", "band_sig")
+    sb = store_banded.select(
+        F.col(id_col).alias("_sid"), "band_id", "band_sig"
+    )
+    cand = (
+        bb.join(sb, ["band_id", "band_sig"])
+        .select("_bid", "_sid")
+        .distinct()
+    )
+    # candidate table feeds three consumers (two shingle prunes + the
+    # pair constraint) — same bounded-candidate barrier as
+    # minhash_lsh_pairs
+    cand = cand.localCheckpoint(eager=False)
+    shb = (
+        _exploded_shingles(batch, id_col, text_col, shingle_n)
+        .select(F.col(id_col).alias("_bid"), "shingle")
+        .join(F.broadcast(cand.select("_bid").distinct()), "_bid", "left_semi")
+    )
+    cand_store = store_docs.join(
+        F.broadcast(cand.select(F.col("_sid").alias(id_col)).distinct()),
+        id_col,
+        "left_semi",
+    )
+    shs = _exploded_shingles(cand_store, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("_sid"), "shingle"
+    )
+    sza = shb.groupBy("_bid").agg(F.count(F.lit(1)).alias("_na"))
+    szb = shs.groupBy("_sid").agg(F.count(F.lit(1)).alias("_nb"))
+    common = (
+        F.broadcast(cand)
+        .join(shb, "_bid")
+        .join(shs, ["_sid", "shingle"])
+        .groupBy("_bid", "_sid")
+        .agg(F.count(F.lit(1)).alias("_nc"))
+    )
+    jac = (
+        F.col("_nc").cast("double")
+        / (F.col("_na") + F.col("_nb") - F.col("_nc")).cast("double")
+    ).alias("jaccard")
+    return (
+        common.join(sza, "_bid")
+        .join(szb, "_sid")
+        .select(
+            F.col("_bid").alias("batch_id"),
+            F.col("_sid").alias("store_id"),
+            jac,
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

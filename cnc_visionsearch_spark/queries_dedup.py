@@ -119,6 +119,61 @@ def ensure_minhash_built(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def ensure_minhash_store_built(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted banded-MinHash STORE with an APPEND lifecycle — the
+    cross-run incremental near-dedup state (r6 verdict task #8). Two
+    steps, mirroring a daily-ingest pipeline:
+
+    - base build (docs < 200): written to a tmp dir and ``os.rename``d
+      into place (atomic on one filesystem — losers of a build race
+      discard their tmp, readers never see a partial base);
+    - append (docs 200-249): the NEW day's banded rows land as
+      additional parquet files in the same directory — the
+      inverted_append pattern (operators/text_index.py:95): O(batch)
+      work, resident rows untouched, no corpus re-scan.
+
+    After the append the store covers doc_id < 250 — byte-equivalent
+    to a from-scratch build over that slice (pinned by
+    tests/test_dedup.py). A racing double-append is harmless by
+    construction: probe candidates are DISTINCT (band-key, id) pairs,
+    so duplicate band rows change no result; and every ensure() call
+    returns only after its OWN append completes, so a reader never
+    depends on another session's in-flight files for completeness."""
+    import os
+    import shutil
+
+    from cnc_visionsearch_spark.operators.dedup import minhash_banded
+    from cnc_visionsearch_spark.queries_ann import _ARTIFACT_ROOT, _corpus_tag
+
+    tag = _corpus_tag(sf_dir, table="documents")
+    path = f"{_ARTIFACT_ROOT}/{tag}/minhash_store_b4h16s3_lt250"
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        d = load_table(spark, sf_dir, "documents")
+        minhash_banded(
+            d.filter(F.col("doc_id") < 200).select("doc_id", "text"),
+            num_hashes=16,
+            bands=4,
+            shingle_n=3,
+        ).write.mode("overwrite").parquet(tmp)
+        open(os.path.join(tmp, "_BUILT"), "w").close()
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.exists(os.path.join(path, "_APPENDED")):
+        d = load_table(spark, sf_dir, "documents")
+        minhash_banded(
+            d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 250))
+            .select("doc_id", "text"),
+            num_hashes=16,
+            bands=4,
+            shingle_n=3,
+        ).write.mode("append").parquet(path)
+        open(os.path.join(path, "_APPENDED"), "w").close()
+    return path
+
+
 
 # banded-LSH candidate generation + exact-Jaccard verification as a
 # reusable CTE block ending in verified(id_a, id_b, jaccard) — shared

@@ -425,3 +425,176 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id_b").asc(),
         )
     )
+
+
+# ------------------------- cross-run incremental banded-MinHash dedup
+
+@register(
+    "dedup_incremental_minhash",
+    oracle="""
+WITH store AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 200 AND doc_id < 300
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents
+  WHERE doc_id >= 250 AND doc_id < 270
+),
+bt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM batch),
+bsh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(tk) - 2, 0) + 1),
+    j -> tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2]))) AS shingle
+  FROM bt
+),
+st AS (SELECT doc_id, string_split(text, ' ') AS tk FROM store),
+ssh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(tk) - 2, 0) + 1),
+    j -> tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2]))) AS shingle
+  FROM st
+),
+bhash AS (
+  SELECT doc_id, seeds.i AS i,
+    min((((1000003*seeds.i + 12345) % 2147483647)
+         * (('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647)
+         + ((7919*seeds.i + 104729) % 2147483647)) % 2147483647) AS h
+  FROM bsh, (SELECT unnest(range(16)) AS i) seeds
+  GROUP BY doc_id, seeds.i
+),
+shash AS (
+  SELECT doc_id, seeds.i AS i,
+    min((((1000003*seeds.i + 12345) % 2147483647)
+         * (('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647)
+         + ((7919*seeds.i + 104729) % 2147483647)) % 2147483647) AS h
+  FROM ssh, (SELECT unnest(range(16)) AS i) seeds
+  GROUP BY doc_id, seeds.i
+),
+bsig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM bhash GROUP BY doc_id),
+ssig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM shash GROUP BY doc_id),
+bband AS (
+  SELECT doc_id, bs.b AS band_id,
+    sig[bs.b*4+1]::VARCHAR || ',' || sig[bs.b*4+2]::VARCHAR || ',' ||
+    sig[bs.b*4+3]::VARCHAR || ',' || sig[bs.b*4+4]::VARCHAR AS band_sig
+  FROM bsig, (SELECT unnest(range(4)) AS b) bs
+),
+sband AS (
+  SELECT doc_id, bs.b AS band_id,
+    sig[bs.b*4+1]::VARCHAR || ',' || sig[bs.b*4+2]::VARCHAR || ',' ||
+    sig[bs.b*4+3]::VARCHAR || ',' || sig[bs.b*4+4]::VARCHAR AS band_sig
+  FROM ssig, (SELECT unnest(range(4)) AS b) bs
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS bid, s.doc_id AS sid
+  FROM bband b JOIN sband s USING (band_id, band_sig)
+),
+bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
+ssz AS (SELECT doc_id, count(*) AS n FROM ssh GROUP BY doc_id),
+comm AS (
+  SELECT c.bid, c.sid, count(*) AS nc
+  FROM cand c
+  JOIN bsh b ON b.doc_id = c.bid
+  JOIN ssh s ON s.doc_id = c.sid AND s.shingle = b.shingle
+  GROUP BY c.bid, c.sid
+),
+vstore AS (
+  SELECT DISTINCT m.bid FROM comm m
+  JOIN bsz ON bsz.doc_id = m.bid JOIN ssz ON ssz.doc_id = m.sid
+  WHERE m.nc::DOUBLE / (bsz.n + ssz.n - m.nc)::DOUBLE >= 0.3
+),
+bcand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bband x JOIN bband y USING (band_id, band_sig)
+  WHERE x.doc_id < y.doc_id
+),
+bcomm AS (
+  SELECT c.id_a, c.id_b, count(*) AS nc
+  FROM bcand c
+  JOIN bsh a ON a.doc_id = c.id_a
+  JOIN bsh b2 ON b2.doc_id = c.id_b AND b2.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+vbatch AS (
+  SELECT DISTINCT m.id_b FROM bcomm m
+  JOIN bsz sa ON sa.doc_id = m.id_a JOIN bsz sb ON sb.doc_id = m.id_b
+  WHERE m.nc::DOUBLE / (sa.n + sb.n - m.nc)::DOUBLE >= 0.3
+),
+tagged AS (
+  SELECT b.doc_id,
+    CASE WHEN b.doc_id IN (SELECT bid FROM vstore) THEN 'neardup_of_store'
+         WHEN b.doc_id IN (SELECT id_b FROM vbatch) THEN 'neardup_in_batch'
+         ELSE 'new' END AS verdict
+  FROM batch b
+)
+SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(doc_id) AS BIGINT) AS min_doc,
+  CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM tagged GROUP BY verdict
+""",
+    doc="Cross-run incremental NEAR-dedup — the banded-LSH tier of "
+    "dedup_incremental_batch's exact-fingerprint probe (r6 verdict "
+    "task #8): a new batch's MinHash band keys probe the PERSISTED "
+    "signature/bucket store (ensure_minhash_store_built: base build "
+    "+ an appended day, the inverted_append pattern) — the resident "
+    "corpus is never re-shingled; only candidate store docs' text is "
+    "read back for exact-Jaccard verification, and in-batch near-dups "
+    "fall to the min-id keeper. Verdicts per batch doc: "
+    "neardup_of_store / neardup_in_batch / new. At 100 TB the store "
+    "is a few bytes per doc per band, the probe is O(batch), and the "
+    "append is O(day) — nothing rescans resident documents. The "
+    "oracle replays the full two-sided LSH + verify pipeline; the "
+    "Spark side must match it while computing signatures for the "
+    "BATCH ONLY.",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_store_probe,
+    )
+    from cnc_visionsearch_spark.queries_dedup import (
+        ensure_minhash_store_built,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    store_docs = d.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    batch = (
+        d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+        .select("doc_id", "text")
+        .unionAll(
+            d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 270))
+            .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        )
+    )
+    store_banded = spark.read.parquet(
+        ensure_minhash_store_built(spark, sf_dir)
+    )
+    pairs = minhash_store_probe(
+        batch, store_banded, store_docs, jaccard_threshold=0.3
+    )
+    inb = minhash_lsh_pairs(batch, jaccard_threshold=0.3)
+    of_store = (
+        pairs.select(F.col("batch_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_os", F.lit(True))
+    )
+    in_batch = (
+        inb.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_ib", F.lit(True))
+    )
+    tagged = (
+        batch.select("doc_id")
+        .join(of_store, "doc_id", "left")
+        .join(in_batch, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_os"), "neardup_of_store")
+            .when(F.col("_ib"), "neardup_in_batch")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+    )
+    return tagged.groupBy("verdict").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )

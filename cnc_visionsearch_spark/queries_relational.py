@@ -1496,8 +1496,8 @@ def _edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + f"_{_EDGES_VERSION}"
     if not spark.catalog.tableExists(name):
         spark.sql(
-            f"CREATE TABLE {name} (src BIGINT, dst BIGINT) USING parquet "
-            f"CLUSTERED BY (src) SORTED BY (src) "
+            f"CREATE TABLE IF NOT EXISTS {name} (src BIGINT, dst BIGINT) "
+            f"USING parquet CLUSTERED BY (src) SORTED BY (src) "
             f"INTO {_EDGES_BUCKETS} BUCKETS LOCATION '{path}'"
         )
     return spark.table(name)
@@ -3029,7 +3029,8 @@ LIMIT 20
     "Pregel-as-join-agg loop), (node, lab) count aggregate, "
     "per-node argmax via the row_number window; the edge set builds "
     "ONCE via the bounded basket expansion (never a lineitem "
-    "self-join) and localCheckpoints so rounds do not recompute it. "
+    "self-join) into the persisted src-bucketed artifact, so rounds "
+    "probe a catalog table instead of recomputing it. "
     "Output: top-20 communities by size with member id ranges.",
 )
 def part_lpa_communities(

@@ -322,8 +322,8 @@ def _hll_update(
 
 def hll_sketch_stream(events: DataFrame) -> DataFrame:
     """Streaming HyperLogLog — the incremental twin of the batch
-    events_hll_cardinality query: per event type, maintain the 32
-    leading-zero-rank registers across micro-batches (state = 64
+    events_hll_cardinality query: per event type, maintain the 64
+    leading-zero-rank registers (HLL_M = 64, alpha_64) across micro-batches (state = 64
     BIGINTs per key, EVER — the textbook bounded-state sketch) and
     emit the register vector + the exact-integer harmonic denominator
     each batch.

@@ -192,3 +192,47 @@ def test_simhash_banded_blocking_is_lossless(spark):
     assert blocked == brute and brute
     with pytest.raises(ValueError):
         simhash_neardup_pairs(d, bits=60, bands=4, max_hamming=4)
+
+
+def test_minhash_store_probe_appended_equals_full_rebuild(spark):
+    """Cross-run incremental identity (r6 verdict task #8): probing the
+    PERSISTED store (base build + appended day, via
+    ensure_minhash_store_built) must return byte-identical verified
+    pairs to probing a banded table rebuilt from scratch over the same
+    doc range — the incremental append loses and invents nothing."""
+    from cnc_visionsearch_spark.operators.dedup import (
+        minhash_banded,
+        minhash_store_probe,
+    )
+    from cnc_visionsearch_spark.queries_dedup import (
+        ensure_minhash_store_built,
+    )
+    from cnc_visionsearch_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    d = load_table(spark, sf, "documents")
+    store_docs = d.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    batch = (
+        d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+        .select("doc_id", "text")
+        .unionAll(
+            d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 270))
+            .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        )
+    )
+    persisted = spark.read.parquet(ensure_minhash_store_built(spark, sf))
+    fresh = minhash_banded(store_docs, num_hashes=16, bands=4, shingle_n=3)
+
+    def rows(banded):
+        return sorted(
+            (r.batch_id, r.store_id, round(r.jaccard, 12))
+            for r in minhash_store_probe(
+                batch, banded, store_docs
+            ).collect()
+        )
+
+    got, want = rows(persisted), rows(fresh)
+    assert got == want
+    assert len(got) > 0
+    # the re-delivered store slice must self-match at jaccard 1.0
+    assert any(b == s and j == 1.0 for b, s, j in got)

@@ -265,3 +265,57 @@ def test_percolate_docs_matches_naive(spark, docs, qsets):
         if set(terms) <= set(toks)
     }
     assert got == want
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+    ),
+    bands=st.sampled_from([2, 5, 32]),
+    n_tiles=st.sampled_from([1, 3, 7]),
+    desc=st.booleans(),
+)
+def test_rank_primitives_match_global_window_property(
+    spark, vals, bands, n_tiles, desc
+):
+    """Property (r7): for ARBITRARY integer values (ties, negatives,
+    tiny inputs) and any band count, distributed_cumsum's running sum /
+    row number and exact_ntile's buckets are bit-identical to the
+    single-partition global window — the boundary-literal banding is
+    invariant to where boundaries land."""
+    from pyspark.sql import Window
+
+    from cnc_visionsearch_spark.operators.rank import (
+        distributed_cumsum,
+        exact_ntile,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id: long, v: long"
+    )
+    order = [(F.col("v"), "desc" if desc else "asc"), ("id", "asc")]
+    got = distributed_cumsum(
+        df, order, sums=[(F.col("v"), "cs")], rn_col="rn", bands=bands,
+        total_col="tot",
+    )
+    w = Window.orderBy(
+        F.col("v").desc() if desc else F.col("v").asc(), F.col("id").asc()
+    )
+    ref = df.select(
+        "id",
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cs"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+    g = {(r.id): (r.cs, r.rn, r.tot) for r in got.collect()}
+    e = {(r.id): (r.cs, r.rn, len(vals)) for r in ref.collect()}
+    assert g == e
+    nt = exact_ntile(df, order, n_tiles, "b", bands=bands)
+    ref_nt = df.select(
+        "id", F.ntile(n_tiles).over(w).cast("int").alias("b")
+    )
+    assert {r.id: r.b for r in nt.collect()} == {
+        r.id: r.b for r in ref_nt.collect()
+    }

@@ -188,3 +188,47 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_orders")
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+
+
+def test_salted_join_hot_key_cell_balance(spark):
+    """Task-2 skew evidence (r6 verdict): under a Zipfian fact key
+    (90% of rows on one key) the salt must spread the hot key's rows
+    near-uniformly over the n_salts join cells — max cell <= 2x the
+    mean cell — so no single reducer serializes the hot key at scale."""
+    from cnc_visionsearch_spark.operators.skew import salted_join
+
+    n, hot = 50000, 7
+    fact = spark.range(0, n).select(
+        F.when(F.col("id") % 10 < 9, hot).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    n_salts = 16
+    salt = F.pmod(F.xxhash64("k", "payload"), F.lit(n_salts))
+    cells = [
+        r.c
+        for r in fact.filter(F.col("k") == hot)
+        .withColumn("_s", salt)
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert len(cells) == n_salts
+    mean = sum(cells) / n_salts
+    assert max(cells) <= 2 * mean, (max(cells), mean)
+    # and the salted join still returns the exact multiset
+    dim = spark.range(0, 60).select(
+        F.col("id").alias("dk"), (F.col("id") * 10).alias("dval")
+    )
+    got = sorted(
+        tuple(r)
+        for r in salted_join(fact, dim, "k", "dk", n_salts=n_salts)
+        .select("k", "payload", "dval")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in fact.join(dim, fact.k == dim.dk)
+        .select("k", "payload", "dval")
+        .collect()
+    )
+    assert got == want
