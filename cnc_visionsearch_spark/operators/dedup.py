@@ -338,11 +338,15 @@ def minhash_store_probe(
         .select(F.col(id_col).alias("_bid"), "shingle")
         .join(F.broadcast(cand.select("_bid").distinct()), "_bid", "left_semi")
     )
+    # dropDuplicates on the doc id: an at-least-once appender (the
+    # streaming twin's foreachBatch replay) may leave duplicate doc
+    # rows in the store — duplicated shingles would skew the Jaccard
+    # ratio, so verification always reads one row per store doc
     cand_store = store_docs.join(
         F.broadcast(cand.select(F.col("_sid").alias(id_col)).distinct()),
         id_col,
         "left_semi",
-    )
+    ).dropDuplicates([id_col])
     shs = _exploded_shingles(cand_store, id_col, text_col, shingle_n).select(
         F.col(id_col).alias("_sid"), "shingle"
     )

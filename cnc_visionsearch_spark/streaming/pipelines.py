@@ -816,3 +816,99 @@ def percolator_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def minhash_dedup_stream(
+    spark: SparkSession,
+    in_path: str,
+    store_banded_path: str,
+    store_docs_path: str,
+    out_path: str,
+    checkpoint: str,
+    jaccard_threshold: float = 0.3,
+    absorb: bool = True,
+    max_files_per_trigger: int = 10,
+):
+    """Streaming incremental near-dedup — the continuous form of
+    ``dedup_incremental_minhash`` (queries_dedup_ext): each micro-batch
+    of documents is MinHash-banded (O(batch) shingle hashing), probed
+    against the PERSISTED signature/bucket store
+    (operators/dedup.minhash_store_probe — stream-static, the resident
+    corpus is never re-shingled), near-dups WITHIN the batch fall to
+    the min-id keeper, and per-doc verdicts
+    (doc_id, verdict in {neardup_of_store, neardup_in_batch, new})
+    append to ``out_path`` as parquet.
+
+    With ``absorb=True`` (the production lifecycle) every batch's
+    banded rows and doc text are APPENDED to the store after tagging —
+    the inverted_append pattern — so batch k+1 sees batch k as
+    resident: stream verdicts equal a batch probe whose store already
+    contains the earlier batches (test-pinned). foreachBatch gives
+    at-least-once appends on failure replay; duplicate band rows are
+    harmless (candidates are DISTINCT pairs) and duplicate doc rows
+    are neutralized by the probe's per-id dropDuplicates, so a replay
+    cannot change any verdict. Returns the configured
+    DataStreamWriter — call ``.start()``."""
+    from cnc_visionsearch_spark.operators.dedup import (
+        minhash_banded,
+        minhash_lsh_pairs,
+        minhash_store_probe,
+    )
+    from cnc_visionsearch_spark.schemas import DOCUMENTS
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text")
+        store_banded = s.read.parquet(store_banded_path)
+        store_docs = s.read.parquet(store_docs_path)
+        pairs = minhash_store_probe(
+            batch,
+            store_banded,
+            store_docs,
+            jaccard_threshold=jaccard_threshold,
+        )
+        inb = minhash_lsh_pairs(
+            batch, jaccard_threshold=jaccard_threshold
+        )
+        of_store = (
+            pairs.select(F.col("batch_id").alias("doc_id"))
+            .distinct()
+            .withColumn("_os", F.lit(True))
+        )
+        in_batch = (
+            inb.select(F.col("id_b").alias("doc_id"))
+            .distinct()
+            .withColumn("_ib", F.lit(True))
+        )
+        tagged = (
+            batch.select("doc_id")
+            .join(of_store, "doc_id", "left")
+            .join(in_batch, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("_os"), "neardup_of_store")
+                .when(F.col("_ib"), "neardup_in_batch")
+                .otherwise("new")
+                .alias("verdict"),
+            )
+        )
+        tagged.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+        if absorb:
+            minhash_banded(
+                batch, num_hashes=16, bands=4, shingle_n=3
+            ).write.mode("append").parquet(store_banded_path)
+            batch.write.mode("append").parquet(store_docs_path)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -1436,3 +1436,92 @@ def test_hll_sketch_stream_registers_match_batch(spark, tmp_path):
             key=lambda r: sum(r.regs),
         )
         assert best.harmonic_q == expect
+
+
+def test_minhash_dedup_stream_absorbs_batches(spark, tmp_path):
+    """Streaming incremental near-dedup (the continuous form of
+    dedup_incremental_minhash): batch 1 is tagged against the base
+    store then ABSORBED, so batch 2's re-sent copy of a batch-1 doc
+    comes back neardup_of_store; and batch 2's verdicts equal a
+    one-shot probe whose store is base UNION batch1 (stream == batch,
+    the St8 contract)."""
+    from cnc_visionsearch_spark.operators.dedup import (
+        minhash_banded,
+        minhash_lsh_pairs,
+        minhash_store_probe,
+    )
+    from cnc_visionsearch_spark.streaming.pipelines import (
+        minhash_dedup_stream,
+    )
+
+    d = load_table(spark, SF, "documents")
+    base = d.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    store_b = str(tmp_path / "store_banded")
+    store_d = str(tmp_path / "store_docs")
+    minhash_banded(base, num_hashes=16, bands=4, shingle_n=3).write.parquet(
+        store_b
+    )
+    base.write.parquet(store_d)
+
+    b1 = (
+        d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+        .select("doc_id", "text")
+        .union(
+            d.filter(F.col("doc_id") < 10).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+    )
+    b2 = (
+        d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 200))
+        .select("doc_id", "text")
+        .union(
+            d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+            .select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+        )
+    )
+    stream_dir = _write_chunks(spark, str(tmp_path), [b1, b2])
+    out = str(tmp_path / "verdicts")
+    q = minhash_dedup_stream(
+        spark,
+        stream_dir,
+        store_b,
+        store_d,
+        out,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    ).start()
+    q.awaitTermination(300)
+
+    streamed = {
+        r.doc_id: r.verdict for r in spark.read.parquet(out).collect()
+    }
+    # batch-1 re-sends of BASE docs: dup of store
+    assert all(streamed[10000 + i] == "neardup_of_store" for i in range(10))
+    # batch-2 re-sends of BATCH-1 docs: the store absorbed batch 1
+    assert all(
+        streamed[20000 + i] == "neardup_of_store" for i in range(100, 110)
+    )
+
+    # stream == batch: batch-2 verdicts must equal a one-shot probe
+    # against base UNION batch1
+    grown_docs = base.union(b1)
+    grown_banded = minhash_banded(
+        grown_docs, num_hashes=16, bands=4, shingle_n=3
+    )
+    pairs = minhash_store_probe(b2, grown_banded, grown_docs)
+    inb = minhash_lsh_pairs(b2, jaccard_threshold=0.3)
+    os_ids = {r.batch_id for r in pairs.select("batch_id").distinct().collect()}
+    ib_ids = {r.id_b for r in inb.select("id_b").distinct().collect()}
+    want = {
+        r.doc_id: (
+            "neardup_of_store"
+            if r.doc_id in os_ids
+            else "neardup_in_batch"
+            if r.doc_id in ib_ids
+            else "new"
+        )
+        for r in b2.select("doc_id").collect()
+    }
+    got_b2 = {k: v for k, v in streamed.items() if k in want}
+    assert got_b2 == want
