@@ -179,6 +179,41 @@ def main() -> None:
         )
         q4.awaitTermination(600)
         out["hll_sketch"] = _batch_stats(q4, hll_epb)
+
+        # ---- incremental MinHash dedup (r7): N_BATCHES document drops
+        # tagged against the persisted banded store, each batch ABSORBED
+        # after tagging (queries_per_batch records DOCS per micro-batch;
+        # the unit of work is tag + band + append)
+        from cnc_visionsearch_spark.operators.dedup import minhash_banded
+        from cnc_visionsearch_spark.streaming.pipelines import (
+            minhash_dedup_stream,
+        )
+
+        dd = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        base = dd.filter(F.col("doc_id") % (N_BATCHES + 1) == N_BATCHES)
+        store_b = f"{work}/mh_store_banded"
+        store_d = f"{work}/mh_store_docs"
+        minhash_banded(base, num_hashes=16, bands=4, shingle_n=3).write.parquet(
+            store_b
+        )
+        base.write.parquet(store_d)
+        mh_in = f"{work}/mh_in"
+        mh_dpb = 50
+        for i in range(N_BATCHES):
+            dd.filter(F.col("doc_id") % (N_BATCHES + 1) == i).limit(
+                mh_dpb
+            ).coalesce(1).write.mode("append").parquet(mh_in)
+        q5 = minhash_dedup_stream(
+            spark,
+            mh_in,
+            store_b,
+            store_d,
+            f"{work}/mh_out",
+            f"{work}/mh_ckpt",
+            max_files_per_trigger=1,
+        ).start()
+        q5.awaitTermination(600)
+        out["minhash_dedup"] = _batch_stats(q5, mh_dpb)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
