@@ -232,3 +232,47 @@ def test_salted_join_hot_key_cell_balance(spark):
         .collect()
     )
     assert got == want
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The session's AQE skew-join machinery (session.py config) must
+    actually SPLIT a hot-key sort-merge partition at runtime — the
+    1000-executor safety net SCALE.md's skew rows lean on. Pinned by
+    the `AQEShuffleRead skewed` marker in the final adaptive plan
+    (thresholds lowered to trigger at test scale, restored after)."""
+    keys = [
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(keys[0], "2")
+        spark.conf.set(keys[1], "256KB")
+        spark.conf.set(keys[2], "256KB")
+        spark.conf.set(keys[3], "false")
+        spark.conf.set(keys[4], "-1")
+        n = 1_000_000
+        left = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, 7)
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.col("id").alias("pl"),
+        )
+        right = spark.range(0, 200).select(
+            (F.col("id") % 100).alias("k"), (F.col("id") * 2).alias("pr")
+        )
+        j = left.join(right.hint("merge"), "k").select(
+            F.sum(F.col("pl") + F.col("pr")).alias("s")
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
