@@ -318,6 +318,11 @@ def minhash_store_probe(
     a re-delivered doc legitimately carries the same id on both sides.
     Returns (batch_id, store_id, jaccard) with jaccard >= threshold.
     """
+    # per-id dedup on BOTH sides: an at-least-once producer can land
+    # the same doc twice within one micro-batch; duplicated shingles
+    # would inflate |A| and |A∩B| asymmetrically and push a
+    # below-threshold pair over the Jaccard gate
+    batch = batch.dropDuplicates([id_col])
     bb = minhash_banded(
         batch, text_col, id_col, num_hashes, bands, shingle_n
     ).select(F.col(id_col).alias("_bid"), "band_id", "band_sig")
@@ -648,9 +653,18 @@ def embedding_similar_pairs(
         if planes is None:
             from cnc_visionsearch_spark.operators.ann import hyperplanes
 
-            first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-            dim = int(first["d"]) if first is not None else 1
-            planes = hyperplanes(dim=dim, n_planes=4, seed=42)
+            first = (
+                emb.filter(F.col(vec_col).isNotNull())
+                .select(F.size(F.col(vec_col)).alias("d"))
+                .first()
+            )
+            if first is None or first["d"] is None or first["d"] <= 0:
+                raise ValueError(
+                    "embedding_similar_pairs: cannot infer the embedding "
+                    f"dim from an empty/all-null {vec_col!r} column — "
+                    "pass planes= explicitly"
+                )
+            planes = hyperplanes(dim=int(first["d"]), n_planes=4, seed=42)
         return embedding_lsh_bucketed_pairs(
             emb, planes, id_col=id_col, vec_col=vec_col, top_n=top_n
         )

@@ -190,6 +190,7 @@ def distributed_cumsum(
     rn_col: str | None = None,
     bands: int = DEFAULT_BANDS,
     total_col: str | None = None,
+    cache_input: bool = False,
 ) -> DataFrame:
     """df + exact global running totals over a total order, no global
     sort and no lineage barrier. ``sums`` is (source_expr, out_col)
@@ -206,6 +207,21 @@ def distributed_cumsum(
     recomputable pure function of the input."""
     sums = list(sums)
     keys = _norm_order(order_cols)
+    # cache_input: OPT-IN advisory persist for CHAINED callers (RFM's
+    # stacked exact_ntile passes), where the input lineage contains a
+    # prior pass's window and the three consumers here (boundary
+    # sample, band-totals collect, final window job) would compound
+    # its re-execution multiplicatively. persist is NOT a barrier:
+    # lineage is kept, lost blocks recompute (the fault-tolerance
+    # property the r6 localCheckpoint lacked), spill/eviction degrade
+    # gracefully, and the ContextCleaner reclaims the blocks when the
+    # plan is GC'd. Default OFF: for single-pass callers over cheap
+    # scans the cache write costs more than the rescans it saves
+    # (measured at sf0.1: equidepth 2.0s -> 2.9s with a forced cache).
+    if cache_input:
+        from pyspark.storagelevel import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     bnds = _band_boundaries(df, keys, bands)
     t = df.withColumn(_BAND, _band_expr(keys, bnds))
     order = [e.asc() if asc else e.desc() for e, asc in keys]
@@ -266,10 +282,27 @@ def distributed_cumsum(
             (F.col(_LRN) + _off_case(n_pairs, "bigint")).cast("bigint"),
         )
     for i, (_, name) in enumerate(sums):
+        dtype = btot_schema[2 + i].dataType
+        off = _off_case(s_pairs[i], dtype)
+        # NULL semantics must match the global window exactly: the
+        # running sum is NULL iff EVERY value so far is NULL. A band
+        # whose local prefix is all-NULL must still surface the prior
+        # bands' total when one exists; it stays NULL only when no
+        # prior band carried a non-NULL total. `has_prior` is a
+        # per-band boolean literal CASE (prior run_s non-None).
+        has_prior = F.lit(False)
+        for bid, v in s_pairs[i]:
+            if v is not None:
+                has_prior = F.when(
+                    F.col(_BAND) == F.lit(bid), F.lit(True)
+                ).otherwise(has_prior)
         out = out.withColumn(
             name,
-            F.col(f"_rk_l{i}")
-            + _off_case(s_pairs[i], btot_schema[2 + i].dataType),
+            F.when(
+                F.col(f"_rk_l{i}").isNotNull(), F.col(f"_rk_l{i}") + off
+            ).otherwise(
+                F.when(has_prior, off).otherwise(F.lit(None).cast(dtype))
+            ),
         )
     if total_col is not None:
         out = out.withColumn(total_col, F.lit(total).cast("bigint"))
@@ -284,6 +317,7 @@ def exact_ntile(
     n: int,
     out_col: str,
     bands: int = DEFAULT_BANDS,
+    cache_input: bool = False,
 ) -> DataFrame:
     """Exact NTILE(n) over a total order, distributed: SQL NTILE
     assigns ``T div n`` rows per bucket with the first ``T mod n``
@@ -295,7 +329,12 @@ def exact_ntile(
     (expr, 'asc'|'desc') contract in the module docstring."""
     rn = "_rk_rn"
     ranked = distributed_cumsum(
-        df, order_cols, rn_col=rn, bands=bands, total_col="_rk_tot"
+        df,
+        order_cols,
+        rn_col=rn,
+        bands=bands,
+        total_col="_rk_tot",
+        cache_input=cache_input,
     )
     base = F.expr(f"_rk_tot div {n}")
     rem = F.expr(f"_rk_tot % {n}")

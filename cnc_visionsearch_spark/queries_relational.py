@@ -2174,23 +2174,29 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the customer aggregate
     from cnc_visionsearch_spark.operators.rank import exact_ntile
 
+    # cache_input: each pass's input embeds the PRIOR pass's window —
+    # without the advisory cache the three stacked primitives would
+    # re-execute it multiplicatively (measured ~8s vs ~5s at sf0.1)
     scored = exact_ntile(
         rfm,
         ["recency_days", "o_custkey"],
         5,
         "_r_tile",
+        cache_input=True,
     )
     scored = exact_ntile(
         scored,
         ["frequency", "o_custkey"],
         5,
         "_f_tile",
+        cache_input=True,
     )
     scored = exact_ntile(
         scored,
         ["monetary", "o_custkey"],
         5,
         "_m_tile",
+        cache_input=True,
     )
     scored = scored.select(
         "o_custkey",

@@ -843,18 +843,36 @@ def minhash_dedup_stream(
     banded rows and doc text are APPENDED to the store after tagging —
     the inverted_append pattern — so batch k+1 sees batch k as
     resident: stream verdicts equal a batch probe whose store already
-    contains the earlier batches (test-pinned). foreachBatch gives
-    at-least-once appends on failure replay; duplicate band rows are
-    harmless (candidates are DISTINCT pairs) and duplicate doc rows
-    are neutralized by the probe's per-id dropDuplicates, so a replay
-    cannot change any verdict. Returns the configured
-    DataStreamWriter — call ``.start()``."""
+    contains the earlier batches (test-pinned).
+
+    Replay safety (foreachBatch is at-least-once): absorbed band rows
+    carry a ``_src_batch`` provenance key (run id derived from the
+    checkpoint identity + batch id), and the probe for a batch
+    EXCLUDES store rows carrying its own key — so a crash between the
+    absorb and the checkpoint commit replays the batch WITHOUT
+    self-matching its already-absorbed rows, and the
+    ``mode("overwrite")`` verdict write lands the same verdicts again.
+    Double-absorbed band rows are harmless for later batches
+    (candidates are DISTINCT pairs) and duplicate doc-text rows are
+    neutralized by the probe's per-id dropDuplicates. The base store
+    may omit ``_src_batch`` (read with mergeSchema; missing values are
+    never excluded), and the run-scoped key means a NEW stream over
+    the same store never mistakes an older run's resident rows for
+    its own. Returns the configured DataStreamWriter — call
+    ``.start()``."""
+    import hashlib
+
     from cnc_visionsearch_spark.operators.dedup import (
         minhash_banded,
         minhash_lsh_pairs,
         minhash_store_probe,
     )
     from cnc_visionsearch_spark.schemas import DOCUMENTS
+
+    # provenance keys are RUN-scoped (checkpoint identity + batch id):
+    # a fresh stream on the same store starts again at batch 0, and a
+    # bare batch id would wrongly exclude the old run's absorbed rows
+    run_id = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
     stream = (
         spark.readStream.schema(DOCUMENTS)
@@ -867,7 +885,14 @@ def minhash_dedup_stream(
             return
         s = batch_df.sparkSession
         batch = batch_df.select("doc_id", "text")
-        store_banded = s.read.parquet(store_banded_path)
+        prov = f"{run_id}:{batch_id}"
+        store_banded = s.read.option("mergeSchema", "true").parquet(
+            store_banded_path
+        )
+        if "_src_batch" in store_banded.columns:
+            store_banded = store_banded.filter(
+                F.coalesce(F.col("_src_batch"), F.lit("")) != F.lit(prov)
+            )
         store_docs = s.read.parquet(store_docs_path)
         pairs = minhash_store_probe(
             batch,
@@ -904,7 +929,9 @@ def minhash_dedup_stream(
         if absorb:
             minhash_banded(
                 batch, num_hashes=16, bands=4, shingle_n=3
-            ).write.mode("append").parquet(store_banded_path)
+            ).withColumn("_src_batch", F.lit(prov)).write.mode(
+                "append"
+            ).parquet(store_banded_path)
             batch.write.mode("append").parquet(store_docs_path)
 
     return (

@@ -52,7 +52,10 @@ def band_histogram(df, order_cols):
         .collect()
     )
     total = sum(sizes)
-    mean = total / len(sizes)
+    # mean over the CONFIGURED band constant, not over non-empty bands:
+    # a degenerate banding (near-constant key collapsing boundaries)
+    # must FAIL the balance gate, not vacuously pass with 1 hot band
+    mean = total / DEFAULT_BANDS
     return {
         "rows": total,
         "bands": len(sizes),

@@ -262,5 +262,39 @@ def test_distributed_cumsum_zipf_band_balance(spark):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     ]
-    mean = n / len(sizes)
+    # mean over the configured band constant — a degenerate banding
+    # (few non-empty bands) must fail, not vacuously pass
+    mean = n / DEFAULT_BANDS
     assert max(sizes) <= 2 * mean, (max(sizes), mean, sorted(sizes))
+
+
+def test_distributed_cumsum_null_sums_match_window(spark):
+    """NULL semantics must match the global window exactly: the running
+    sum is NULL iff every value so far is NULL. Two null strips — one
+    at the very start (stays NULL until the first non-null) and a wide
+    one mid-stream (bands starting inside it must surface the PRIOR
+    bands' total, not NULL) — compared bit-for-bit to the
+    single-partition window."""
+    n = 10007
+    d = spark.range(n).select(
+        F.col("id"),
+        F.when(
+            (F.col("id") < 500)
+            | ((F.col("id") >= 2000) & (F.col("id") < 6000)),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise((F.col("id") * 2654435761) % 997)
+        .alias("x"),
+    )
+    got = distributed_cumsum(d, ["id"], sums=[(F.col("x"), "cs")])
+    ref = d.select(
+        "id",
+        F.sum("x")
+        .over(
+            Window.orderBy("id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cs"),
+    )
+    assert _sorted_rows(got, ["id", "cs"]) == _sorted_rows(ref, ["id", "cs"])

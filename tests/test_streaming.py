@@ -1525,3 +1525,48 @@ def test_minhash_dedup_stream_absorbs_batches(spark, tmp_path):
     }
     got_b2 = {k: v for k, v in streamed.items() if k in want}
     assert got_b2 == want
+
+
+def test_minhash_dedup_stream_replay_exclusion_mechanism(spark, tmp_path):
+    """Replay safety: after a batch's bands are absorbed with its
+    provenance key, probing with that key EXCLUDED must yield the same
+    pairs as probing the pre-absorb store — i.e. a foreachBatch replay
+    that re-runs after its own absorb cannot self-match and flip
+    verdicts to neardup_of_store."""
+    from cnc_visionsearch_spark.operators.dedup import (
+        minhash_banded,
+        minhash_store_probe,
+    )
+
+    d = load_table(spark, SF, "documents")
+    base = d.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    batch = (
+        d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 140))
+        .select("doc_id", "text")
+    )
+    store_b = str(tmp_path / "sb")
+    minhash_banded(base, num_hashes=16, bands=4, shingle_n=3).withColumn(
+        "_src_batch", F.lit(None).cast("string")
+    ).write.parquet(store_b)
+    pre = spark.read.parquet(store_b)
+    want = sorted(
+        (r.batch_id, r.store_id)
+        for r in minhash_store_probe(batch, pre, base).collect()
+    )
+    # simulate the crash-after-absorb state: batch's own bands landed
+    minhash_banded(batch, num_hashes=16, bands=4, shingle_n=3).withColumn(
+        "_src_batch", F.lit("run:1")
+    ).write.mode("append").parquet(store_b)
+    grown = spark.read.parquet(store_b)
+    # WITHOUT exclusion the batch self-matches (every doc pairs itself)
+    unsafe = minhash_store_probe(batch, grown, base.union(batch))
+    assert unsafe.filter(F.col("batch_id") == F.col("store_id")).count() > 0
+    # WITH the provenance exclusion the replay sees the pre-absorb view
+    replay = grown.filter(
+        F.coalesce(F.col("_src_batch"), F.lit("")) != F.lit("run:1")
+    )
+    got = sorted(
+        (r.batch_id, r.store_id)
+        for r in minhash_store_probe(batch, replay, base).collect()
+    )
+    assert got == want
