@@ -1208,3 +1208,245 @@ def hybrid_minmax_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("fused_score").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+# ------------------- late-interaction (ColBERT-style maxsim) retrieval
+
+_LI_QUERY = ("vector", "hash", "scan")
+_LI_DIM = 8
+
+
+def _li_token_vec_py(tok: str) -> list[float]:
+    """Deterministic pseudo token embedding, PYTHON twin of the SQL/JVM
+    formula below (md5-derived, L2-normalized) — used only for the
+    bounded query-side literals. Sequential fold order matches the
+    engines' list_sum/aggregate, so the doubles are bit-identical."""
+    import hashlib
+    import math
+
+    raw = [
+        (int(hashlib.md5(f"{tok}#{j}".encode()).hexdigest()[:8], 16) % 2001)
+        - 1000
+        for j in range(_LI_DIM)
+    ]
+    v = [x / 1000.0 for x in raw]
+    n2 = 0.0
+    for x in v:
+        n2 = n2 + x * x
+    n = math.sqrt(n2)
+    return [x / n for x in v]
+
+
+@register(
+    "text_maxsim_late_interaction_topk",
+    oracle=f"""
+WITH qt AS (SELECT unnest(['vector','hash','scan']) AS qtok),
+qv AS (
+  SELECT qtok, list_transform(range(0, {_LI_DIM}), j ->
+    (((('0x' || substr(md5(qtok || '#' || j), 1, 8))::BIGINT % 2001)
+      - 1000)) / 1000.0) AS v
+  FROM qt
+),
+qn AS (
+  SELECT qtok, list_transform(
+    v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS nv
+  FROM qv
+),
+dt AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+dv AS (
+  SELECT doc_id, tok, list_transform(range(0, {_LI_DIM}), j ->
+    (((('0x' || substr(md5(tok || '#' || j), 1, 8))::BIGINT % 2001)
+      - 1000)) / 1000.0) AS v
+  FROM dt
+),
+dn AS (
+  SELECT doc_id, list_transform(
+    v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS nv
+  FROM dv
+),
+sims AS (
+  SELECT d.doc_id, q.qtok,
+    max(list_sum(list_transform(range(1, {_LI_DIM}+1),
+        k -> d.nv[k] * q.nv[k]))) AS best
+  FROM dn d, qn q GROUP BY d.doc_id, q.qtok
+)
+SELECT doc_id,
+  CAST(floor(sum(best) * 1000000000 + 0.5) AS BIGINT) AS score_q
+FROM sims GROUP BY doc_id
+ORDER BY score_q DESC, doc_id ASC
+LIMIT 10
+""",
+    doc="Late-interaction retrieval (ColBERT-style maxsim, Khattab & "
+    "Zaharia 2020): every token carries its own embedding (here a "
+    "deterministic md5-derived 8-dim pseudo vector — the model slot, "
+    "same discipline as the multimodal fakes) and a document scores "
+    "sum_q max_d cos(q, d) — per query token, the best-matching doc "
+    "token. Plan: one explode of distinct doc tokens, the three "
+    "query-token vectors fold to PYTHON LITERALS (bounded, driver-"
+    "side), so each doc-token row computes three codegen dot products "
+    "with zero joins; ONE hash aggregate takes the per-query-token "
+    "maxes and sums them; TakeOrderedAndProject serves the top-10. "
+    "At 100 TB: candidates come from token-vector ANN (the IVF tier) "
+    "or the inverted index before exact maxsim — the same "
+    "candidates-then-exact split every retrieval tier here uses. "
+    "Scores are 1e-9-quantized BIGINTs (the double-sum hash-gate "
+    "discipline).",
+)
+def text_maxsim_late_interaction_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    return _li_maxsim_topk(toks)
+
+
+def _li_maxsim_topk(toks: DataFrame, k: int = 10) -> DataFrame:
+    """Shared maxsim scorer: (doc_id, tok) rows -> top-k
+    (doc_id, score_q) by sum_q max_d cos(q, d) with the md5 pseudo
+    embeddings; query vectors are Python literals, all scoring is
+    codegen arithmetic, one hash aggregate, TakeOrderedAndProject."""
+    from cnc_visionsearch_spark.functions.text import hex_to_long
+
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(_LI_DIM - 1)),
+        lambda j: (
+            (
+                hex_to_long(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("tok"), F.lit("#"), j.cast("string")
+                            ).cast("binary")
+                        ),
+                        1,
+                        8,
+                    )
+                )
+                % F.lit(2001)
+                - F.lit(1000)
+            ).cast("double")
+            / F.lit(1000.0)
+        ),
+    )
+    with_vec = toks.withColumn("_v", vec)
+    n2 = F.aggregate(
+        F.col("_v"), F.lit(0.0), lambda a, x: a + x * x
+    )
+    nvec = F.transform(F.col("_v"), lambda x: x / F.sqrt(n2))
+    scored = with_vec.withColumn("_nv", nvec)
+    aggs = []
+    for i, qtok in enumerate(_LI_QUERY):
+        qv = _li_token_vec_py(qtok)
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("_nv"),
+                F.array(*[F.lit(x) for x in qv]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        aggs.append(F.max(dot).alias(f"_m{i}"))
+    per_doc = scored.groupBy("doc_id").agg(*aggs)
+    score = F.floor(
+        (sum(F.col(f"_m{i}") for i in range(len(_LI_QUERY))))
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        per_doc.select("doc_id", score.alias("score_q"))
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+@register(
+    "text_maxsim_pruned_topk",
+    oracle=f"""
+WITH qt AS (SELECT unnest(['vector','hash','scan']) AS qtok),
+qv AS (
+  SELECT qtok, list_transform(range(0, {_LI_DIM}), j ->
+    (((('0x' || substr(md5(qtok || '#' || j), 1, 8))::BIGINT % 2001)
+      - 1000)) / 1000.0) AS v
+  FROM qt
+),
+qn AS (
+  SELECT qtok, list_transform(
+    v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS nv
+  FROM qv
+),
+dt AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+cand AS (
+  SELECT DISTINCT doc_id FROM dt
+  WHERE tok IN ('vector', 'hash', 'scan')
+),
+dv AS (
+  SELECT doc_id, tok, list_transform(range(0, {_LI_DIM}), j ->
+    (((('0x' || substr(md5(tok || '#' || j), 1, 8))::BIGINT % 2001)
+      - 1000)) / 1000.0) AS v
+  FROM dt WHERE doc_id IN (SELECT doc_id FROM cand)
+),
+dn AS (
+  SELECT doc_id, list_transform(
+    v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS nv
+  FROM dv
+),
+sims AS (
+  SELECT d.doc_id, q.qtok,
+    max(list_sum(list_transform(range(1, {_LI_DIM}+1),
+        k -> d.nv[k] * q.nv[k]))) AS best
+  FROM dn d, qn q GROUP BY d.doc_id, q.qtok
+)
+SELECT doc_id,
+  CAST(floor(sum(best) * 1000000000 + 0.5) AS BIGINT) AS score_q
+FROM sims GROUP BY doc_id
+ORDER BY score_q DESC, doc_id ASC
+LIMIT 10
+""",
+    doc="Late-interaction maxsim, the SCALE PATH registered: candidates "
+    "come from the PERSISTED inverted index first (partition-pruned "
+    "read of the query terms' buckets — a doc must lexically contain "
+    "at least one query token), and exact maxsim scoring runs on "
+    "candidates only — the candidates-then-exact split ColBERT "
+    "deployments run (PLAID's centroid pruning plays the same role). "
+    "Same shared scorer and quantized-score contract as the full-scan "
+    "twin text_maxsim_late_interaction_topk; the oracle replays the "
+    "candidate rule. At 100 TB the full-scan twin is the oracle-"
+    "parity tier; THIS query's plan shape is the serving one.",
+)
+def text_maxsim_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.text_index import (
+        read_postings,
+        term_bucket,
+    )
+    from cnc_visionsearch_spark.queries_analytics import (
+        _INV_BUCKETS,
+        ensure_inverted_built,
+    )
+
+    path = ensure_inverted_built(spark, sf_dir)
+    buckets = sorted({term_bucket(t, _INV_BUCKETS) for t in _LI_QUERY})
+    cand = (
+        read_postings(spark, path)
+        .filter(
+            F.col("bucket").isin(buckets)
+            & F.col("term").isin(list(_LI_QUERY))
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    d = load_table(spark, sf_dir, "documents").join(cand, "doc_id", "left_semi")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    return _li_maxsim_topk(toks)
