@@ -64,6 +64,10 @@ HEADLINE = [
     # percolator / stored-query reverse search (r5): broadcast query
     # table over bucket-pruned postings
     "text_percolator_matches",
+    # late-interaction maxsim serving shape (r7): inverted-index
+    # candidate pruning, then exact per-token maxsim — zero joins in
+    # the scorer
+    "text_maxsim_pruned_topk",
     # residual-quantizer tier (r5): two-level trained codec probe
     "ann_rq_trained_topk",
     # span-level exact-substring dedup (r5)
