@@ -818,3 +818,45 @@ def cc_incremental_merge(
     )
     sub = new_pairs.select(id_a, id_b).union(old_edges)
     return neardup_components(sub, id_a=id_a, id_b=id_b)
+
+
+def tag_minhash_verdicts(
+    batch: DataFrame,
+    store_pairs: DataFrame,
+    in_batch_pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shared verdict tagging for the incremental near-dedup tier —
+    ONE definition consumed by both the batch query
+    (queries_dedup_ext.dedup_incremental_minhash) and the streaming
+    twin (streaming/pipelines.minhash_dedup_stream), so the
+    stream==batch contract cannot drift. Precedence: a verified store
+    match wins (``neardup_of_store``), else a verified in-batch pair
+    with a lower-id keeper (``neardup_in_batch``), else ``new``.
+    Expects ``store_pairs`` with a ``batch_id`` column
+    (minhash_store_probe output) and ``in_batch_pairs`` with ``id_b``
+    (minhash_lsh_pairs output). Returns one (id, verdict) row per
+    DISTINCT batch id."""
+    of_store = (
+        store_pairs.select(F.col("batch_id").alias(id_col))
+        .distinct()
+        .withColumn("_os", F.lit(True))
+    )
+    in_batch = (
+        in_batch_pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_ib", F.lit(True))
+    )
+    return (
+        batch.select(id_col)
+        .dropDuplicates([id_col])
+        .join(of_store, id_col, "left")
+        .join(in_batch, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_os"), "neardup_of_store")
+            .when(F.col("_ib"), "neardup_in_batch")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+    )

@@ -213,11 +213,17 @@ def distributed_cumsum(
     # sample, band-totals collect, final window job) would compound
     # its re-execution multiplicatively. persist is NOT a barrier:
     # lineage is kept, lost blocks recompute (the fault-tolerance
-    # property the r6 localCheckpoint lacked), spill/eviction degrade
-    # gracefully, and the ContextCleaner reclaims the blocks when the
-    # plan is GC'd. Default OFF: for single-pass callers over cheap
-    # scans the cache write costs more than the rescans it saves
-    # (measured at sf0.1: equidepth 2.0s -> 2.9s with a forced cache).
+    # property the r6 localCheckpoint lacked) and blocks are
+    # LRU-evictable under memory pressure, so the worst case degrades
+    # to recompute, never OOM. HONEST LIFETIME NOTE: Dataset.persist
+    # registers the relation in the session CacheManager until an
+    # explicit unpersist or session end (the ContextCleaner reclaims
+    # only RDD-level persists) — callers opting in accept
+    # session-lifetime residency, which in-repo is bounded to
+    # customer-scale aggregates (a few MB per call at bench sf).
+    # Default OFF: for single-pass callers over cheap scans the cache
+    # write costs more than the rescans it saves (measured at sf0.1:
+    # equidepth 2.0s -> 2.9s with a forced cache).
     if cache_input:
         from pyspark.storagelevel import StorageLevel
 

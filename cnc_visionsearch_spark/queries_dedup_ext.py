@@ -571,28 +571,13 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, store_banded, store_docs, jaccard_threshold=0.3
     )
     inb = minhash_lsh_pairs(batch, jaccard_threshold=0.3)
-    of_store = (
-        pairs.select(F.col("batch_id").alias("doc_id"))
-        .distinct()
-        .withColumn("_os", F.lit(True))
+    # shared tagging kernel — ONE definition with the streaming twin
+    # (minhash_dedup_stream), so the stream==batch contract cannot drift
+    from cnc_visionsearch_spark.operators.dedup import (
+        tag_minhash_verdicts,
     )
-    in_batch = (
-        inb.select(F.col("id_b").alias("doc_id"))
-        .distinct()
-        .withColumn("_ib", F.lit(True))
-    )
-    tagged = (
-        batch.select("doc_id")
-        .join(of_store, "doc_id", "left")
-        .join(in_batch, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("_os"), "neardup_of_store")
-            .when(F.col("_ib"), "neardup_in_batch")
-            .otherwise("new")
-            .alias("verdict"),
-        )
-    )
+
+    tagged = tag_minhash_verdicts(batch, pairs, inb)
     return tagged.groupBy("verdict").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.min("doc_id").cast("bigint").alias("min_doc"),

@@ -866,13 +866,35 @@ def minhash_dedup_stream(
         minhash_banded,
         minhash_lsh_pairs,
         minhash_store_probe,
+        tag_minhash_verdicts,
     )
     from cnc_visionsearch_spark.schemas import DOCUMENTS
 
-    # provenance keys are RUN-scoped (checkpoint identity + batch id):
-    # a fresh stream on the same store starts again at batch 0, and a
-    # bare batch id would wrongly exclude the old run's absorbed rows
-    run_id = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    # run id: the streaming query's OWN persisted UUID (written by
+    # Structured Streaming into {checkpoint}/metadata) — stable across
+    # restarts of the same checkpoint, FRESH when the checkpoint is
+    # wiped, so a new run over the same grown store can never mistake
+    # an older run's resident rows for its own (a path-derived id
+    # would collide after a checkpoint wipe). Fallback for exotic
+    # checkpoint filesystems: the path hash (collision hazard limited
+    # to wipe-and-reuse of the same path, documented).
+    _rid: dict = {}
+
+    def _run_id() -> str:
+        if "v" not in _rid:
+            try:
+                with open(os.path.join(checkpoint, "metadata")) as fh:
+                    _rid["v"] = json.load(fh)["id"][:12]
+            except Exception:
+                _rid["v"] = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+        return _rid["v"]
+
+    # explicit store schema (NO per-batch mergeSchema: footer-merge
+    # cost would grow with every absorbed file); a base store written
+    # without _src_batch reads the column as NULL — never excluded
+    store_schema = (
+        "doc_id bigint, band_id int, band_sig string, _src_batch string"
+    )
 
     stream = (
         spark.readStream.schema(DOCUMENTS)
@@ -884,15 +906,16 @@ def minhash_dedup_stream(
         if batch_df.isEmpty():
             return
         s = batch_df.sparkSession
-        batch = batch_df.select("doc_id", "text")
-        prov = f"{run_id}:{batch_id}"
-        store_banded = s.read.option("mergeSchema", "true").parquet(
+        # per-id dedup FIRST: the within-batch LSH tier and the verdict
+        # join must see one row per doc under at-least-once delivery
+        # (the probe dedups internally, but shingle counts in the
+        # in-batch Jaccard would inflate and the output would carry
+        # duplicate verdict rows)
+        batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
+        prov = f"{_run_id()}:{batch_id}"
+        store_banded = s.read.schema(store_schema).parquet(
             store_banded_path
-        )
-        if "_src_batch" in store_banded.columns:
-            store_banded = store_banded.filter(
-                F.coalesce(F.col("_src_batch"), F.lit("")) != F.lit(prov)
-            )
+        ).filter(F.coalesce(F.col("_src_batch"), F.lit("")) != F.lit(prov))
         store_docs = s.read.parquet(store_docs_path)
         pairs = minhash_store_probe(
             batch,
@@ -903,28 +926,7 @@ def minhash_dedup_stream(
         inb = minhash_lsh_pairs(
             batch, jaccard_threshold=jaccard_threshold
         )
-        of_store = (
-            pairs.select(F.col("batch_id").alias("doc_id"))
-            .distinct()
-            .withColumn("_os", F.lit(True))
-        )
-        in_batch = (
-            inb.select(F.col("id_b").alias("doc_id"))
-            .distinct()
-            .withColumn("_ib", F.lit(True))
-        )
-        tagged = (
-            batch.select("doc_id")
-            .join(of_store, "doc_id", "left")
-            .join(in_batch, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.when(F.col("_os"), "neardup_of_store")
-                .when(F.col("_ib"), "neardup_in_batch")
-                .otherwise("new")
-                .alias("verdict"),
-            )
-        )
+        tagged = tag_minhash_verdicts(batch, pairs, inb)
         tagged.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
         if absorb:
             minhash_banded(
