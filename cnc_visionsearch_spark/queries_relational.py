@@ -2168,35 +2168,23 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # three DISTRIBUTED quintile passes (operators/rank.exact_ntile) —
-    # bit-identical to the oracle's global-window NTILEs but each one
-    # is a banded (boundary-literal CASE) rank, never a single-partition sort of
-    # the customer aggregate
-    from cnc_visionsearch_spark.operators.rank import exact_ntile
+    # three DISTRIBUTED quintiles in ONE shared-scan pass (operators/
+    # rank.exact_ntile_multi) — bit-identical to the oracle's global-
+    # window NTILEs; one boundary-sample job + one grouping-sets
+    # band-totals job cover all three specs, and the three banded
+    # windows run back-to-back in the consumer's single job. This
+    # retired the r7-flagged cache_input lifetime (three chained
+    # passes previously persisted the input per pass to stop window
+    # recompute compounding; the multi form has no recompute to stop).
+    from cnc_visionsearch_spark.operators.rank import exact_ntile_multi
 
-    # cache_input: each pass's input embeds the PRIOR pass's window —
-    # without the advisory cache the three stacked primitives would
-    # re-execute it multiplicatively (measured ~8s vs ~5s at sf0.1)
-    scored = exact_ntile(
+    scored = exact_ntile_multi(
         rfm,
-        ["recency_days", "o_custkey"],
-        5,
-        "_r_tile",
-        cache_input=True,
-    )
-    scored = exact_ntile(
-        scored,
-        ["frequency", "o_custkey"],
-        5,
-        "_f_tile",
-        cache_input=True,
-    )
-    scored = exact_ntile(
-        scored,
-        ["monetary", "o_custkey"],
-        5,
-        "_m_tile",
-        cache_input=True,
+        [
+            (["recency_days", "o_custkey"], 5, "_r_tile"),
+            (["frequency", "o_custkey"], 5, "_f_tile"),
+            (["monetary", "o_custkey"], 5, "_m_tile"),
+        ],
     )
     scored = scored.select(
         "o_custkey",

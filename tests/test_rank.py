@@ -298,3 +298,96 @@ def test_distributed_cumsum_null_sums_match_window(spark):
         .alias("cs"),
     )
     assert _sorted_rows(got, ["id", "cs"]) == _sorted_rows(ref, ["id", "cs"])
+
+
+def test_desc_null_key_raises(spark):
+    """r7 verdict #4 / ADVICE: a NULL value under a DESCENDING key must
+    raise, never silently band to 0 (the top of a desc order). The
+    guard rides the band-totals aggregate — no extra scan."""
+    d = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") == 37, F.lit(None).cast("bigint"))
+        .otherwise(F.col("id") % 7)
+        .alias("v"),
+    )
+    with pytest.raises(ValueError, match="DESCENDING"):
+        distributed_cumsum(
+            d, [(F.col("v"), "desc"), "id"], rn_col="rn"
+        ).collect()
+    # pure-ascending orders keep accepting NULLs (NULLS FIRST default)
+    got = distributed_cumsum(d, [(F.col("v"), "asc"), "id"], rn_col="rn")
+    assert got.count() == 100
+
+
+def test_norm_order_accepts_nulls_like_string_literal(spark):
+    """ADVICE r7: SortOrder detection must inspect the expression node,
+    not the repr — a legitimate key whose repr contains ' NULLS FIRST'
+    (a string-literal comparison) is NOT a SortOrder and must pass."""
+    d = spark.range(50).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit(" NULLS FIRST"))
+        .otherwise(F.lit("z"))
+        .alias("s"),
+    )
+    key = (F.col("s") == F.lit(" NULLS FIRST")).cast("int")
+    got = distributed_cumsum(d, [key.alias("k"), "id"], rn_col="rn")
+    assert got.count() == 50
+    # and a genuine SortOrder still raises
+    with pytest.raises(ValueError):
+        distributed_cumsum(d, [F.col("id").desc()], rn_col="rn")
+
+
+def test_exact_ntile_multi_matches_chained(df):
+    """exact_ntile_multi must be value-identical to chaining single
+    exact_ntile calls (NTILE is a pure function of each total order) —
+    the RFM pattern: three specs over one input, one shared sample,
+    one grouping-sets totals job, no caching."""
+    from cnc_visionsearch_spark.operators.rank import exact_ntile_multi
+
+    specs = [
+        (["v", "id"], 5, "t_v"),
+        ([(F.col("g"), "asc"), "id"], 7, "t_g"),
+        ([(F.col("id"), "asc")], 10, "t_id"),
+    ]
+    multi = exact_ntile_multi(df, specs)
+    chained = df
+    for oc, n, out in specs:
+        chained = exact_ntile(chained, oc, n, out)
+    cols = ["id", "t_v", "t_g", "t_id"]
+    assert _sorted_rows(multi, cols) == _sorted_rows(chained, cols)
+    # and against the real SQL NTILE
+    ref = df.select(
+        "id",
+        F.ntile(5).over(Window.orderBy("v", "id")).alias("t_v"),
+        F.ntile(7).over(Window.orderBy("g", "id")).alias("t_g"),
+        F.ntile(10).over(Window.orderBy("id")).alias("t_id"),
+    )
+    assert _sorted_rows(multi, cols) == _sorted_rows(ref, cols)
+
+
+def test_exact_ntile_multi_plan_no_global_window(df):
+    from cnc_visionsearch_spark.operators.rank import exact_ntile_multi
+
+    got = exact_ntile_multi(
+        df, [(["v", "id"], 5, "a"), (["g", "id"], 5, "b")]
+    )
+    assert unbounded_global_windows(got) == []
+
+
+def test_exact_ntile_multi_desc_null_raises(spark):
+    from cnc_visionsearch_spark.operators.rank import exact_ntile_multi
+
+    d = spark.range(60).select(
+        F.col("id"),
+        F.when(F.col("id") == 3, F.lit(None).cast("bigint"))
+        .otherwise(F.col("id") % 5)
+        .alias("v"),
+    )
+    with pytest.raises(ValueError, match="DESCENDING"):
+        exact_ntile_multi(
+            d,
+            [
+                (["id"], 4, "a"),
+                ([(F.col("v"), "desc"), "id"], 4, "b"),
+            ],
+        ).collect()
