@@ -51,7 +51,87 @@ __all__ = [
     "embedding_lsh_bucketed_pairs",
     "neardup_components",
     "cc_incremental_merge",
+    "write_minhash_meta",
+    "read_minhash_meta",
+    "validate_minhash_meta",
 ]
+
+# Version tag of the signature scheme itself (md5-based shingle hash
+# composed with the _affine_params LCG family over the Mersenne-31
+# modulus). Bumped only if the hash formula changes — a store built
+# under a different family can never be probed, whatever its geometry.
+MINHASH_SEED_FAMILY = "md5-lcg-m31-v1"
+_MINHASH_META = "_META.json"
+
+
+def write_minhash_meta(
+    path: str, num_hashes: int, bands: int, shingle_n: int
+) -> None:
+    """Stamp a banded-MinHash store with its band geometry (r7 verdict
+    #3: geometry lived only in the directory NAME, so a probe banding
+    its batch with different constants silently joined zero candidates
+    and tagged every duplicate `new`). Atomic tmp+rename, same sidecar
+    doctrine as operators/ann._write_geometry."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, _MINHASH_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_n": shingle_n,
+                "seed_family": MINHASH_SEED_FAMILY,
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(path, _MINHASH_META))
+
+
+def read_minhash_meta(path: str) -> dict | None:
+    """The store's stamped geometry, or None when no sidecar exists."""
+    import json
+    import os
+
+    p = os.path.join(path, _MINHASH_META)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def validate_minhash_meta(
+    path: str, num_hashes: int, bands: int, shingle_n: int
+) -> None:
+    """Raise unless the store at ``path`` is stamped with EXACTLY this
+    band geometry and seed family. A missing sidecar also raises: an
+    unstamped store cannot prove it matches, and the failure mode of a
+    mismatch is the silent zero-candidate probe this check exists to
+    prevent — stamp stores at build time (ensure_minhash_store_built /
+    minhash_dedup_stream do)."""
+    meta = read_minhash_meta(path)
+    want = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "seed_family": MINHASH_SEED_FAMILY,
+    }
+    if meta is None:
+        raise ValueError(
+            f"MinHash store {path} has no {_MINHASH_META} geometry "
+            "sidecar — probing an unstamped store risks a silent "
+            "zero-candidate join; write one with write_minhash_meta "
+            "at build/append time"
+        )
+    if meta != want:
+        raise ValueError(
+            f"MinHash store geometry mismatch at {path}: store is "
+            f"{meta}, probe wants {want} — a mismatched probe would "
+            "silently generate zero candidates and tag every "
+            "duplicate 'new'"
+        )
 
 
 def exact_dedup(
@@ -301,6 +381,7 @@ def minhash_store_probe(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.3,
+    store_path: str | None = None,
 ) -> DataFrame:
     """Cross-run incremental near-dedup: probe a PERSISTED banded
     MinHash store with a new batch — the banded-LSH twin of the exact
@@ -311,13 +392,24 @@ def minhash_store_probe(
 
     Only the BATCH is shingled/hashed (O(batch)); candidates come from
     one equi-join of the batch's band keys against ``store_banded``
-    (the ensure_minhash_store_built artifact — same band geometry
-    required); exact Jaccard verification reads back the TEXT of
-    candidate store docs only (a semi-join-pruned scan of
-    ``store_docs``). Two-sided id columns (batch_id, store_id) because
-    a re-delivered doc legitimately carries the same id on both sides.
-    Returns (batch_id, store_id, jaccard) with jaccard >= threshold.
+    (the ensure_minhash_store_built artifact — SAME band geometry
+    required: pass ``store_path`` and the probe validates the store's
+    ``_META.json`` sidecar against (num_hashes, bands, shingle_n),
+    raising on mismatch instead of silently joining zero candidates);
+    exact Jaccard verification reads back the TEXT of candidate store
+    docs only (a semi-join-pruned scan of ``store_docs``). Two-sided
+    id columns (batch_id, store_id) because a re-delivered doc
+    legitimately carries the same id on both sides. Returns
+    (batch_id, store_id, jaccard) with jaccard >= threshold.
+
+    Store-doc contract: ``store_docs`` is append-only with IMMUTABLE
+    content per id for identical-text replays; if divergent texts ever
+    land under one id (a doc re-delivered with CHANGED text), exact
+    verification reads the deterministic max(text) per id — never an
+    arbitrary file-order row.
     """
+    if store_path is not None:
+        validate_minhash_meta(store_path, num_hashes, bands, shingle_n)
     # per-id dedup on BOTH sides: an at-least-once producer can land
     # the same doc twice within one micro-batch; duplicated shingles
     # would inflate |A| and |A∩B| asymmetrically and push a
@@ -343,15 +435,24 @@ def minhash_store_probe(
         .select(F.col(id_col).alias("_bid"), "shingle")
         .join(F.broadcast(cand.select("_bid").distinct()), "_bid", "left_semi")
     )
-    # dropDuplicates on the doc id: an at-least-once appender (the
+    # one row per candidate store doc: an at-least-once appender (the
     # streaming twin's foreachBatch replay) may leave duplicate doc
     # rows in the store — duplicated shingles would skew the Jaccard
-    # ratio, so verification always reads one row per store doc
-    cand_store = store_docs.join(
-        F.broadcast(cand.select(F.col("_sid").alias(id_col)).distinct()),
-        id_col,
-        "left_semi",
-    ).dropDuplicates([id_col])
+    # ratio. max(text) per id instead of dropDuplicates: identical-text
+    # replays are unchanged, and a doc re-delivered with DIVERGENT text
+    # verifies against a deterministic row, never file-scan order
+    # (r7 advice — nondeterministic pick under divergent absorbs)
+    cand_store = (
+        store_docs.join(
+            F.broadcast(
+                cand.select(F.col("_sid").alias(id_col)).distinct()
+            ),
+            id_col,
+            "left_semi",
+        )
+        .groupBy(id_col)
+        .agg(F.max(text_col).alias(text_col))
+    )
     shs = _exploded_shingles(cand_store, id_col, text_col, shingle_n).select(
         F.col(id_col).alias("_sid"), "shingle"
     )

@@ -111,10 +111,13 @@ def ensure_minhash_built(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     if not os.path.exists(os.path.join(path, "_BUILT")):
+        from cnc_visionsearch_spark.operators.dedup import write_minhash_meta
+
         d = load_table(spark, sf_dir, "documents")
         minhash_banded(d, num_hashes=16, bands=4, shingle_n=3).write.mode(
             "overwrite"
         ).parquet(path)
+        write_minhash_meta(path, num_hashes=16, bands=4, shingle_n=3)
         open(os.path.join(path, "_BUILT"), "w").close()
     return path
 
@@ -142,7 +145,11 @@ def ensure_minhash_store_built(spark: SparkSession, sf_dir: str) -> str:
     import os
     import shutil
 
-    from cnc_visionsearch_spark.operators.dedup import minhash_banded
+    from cnc_visionsearch_spark.operators.dedup import (
+        minhash_banded,
+        validate_minhash_meta,
+        write_minhash_meta,
+    )
     from cnc_visionsearch_spark.queries_ann import _ARTIFACT_ROOT, _corpus_tag
 
     tag = _corpus_tag(sf_dir, table="documents")
@@ -156,12 +163,25 @@ def ensure_minhash_store_built(spark: SparkSession, sf_dir: str) -> str:
             bands=4,
             shingle_n=3,
         ).write.mode("overwrite").parquet(tmp)
+        # geometry sidecar rides the atomic rename: a reader can never
+        # see a store without its _META.json (r7 verdict #3)
+        write_minhash_meta(tmp, num_hashes=16, bands=4, shingle_n=3)
         open(os.path.join(tmp, "_BUILT"), "w").close()
         try:
             os.rename(tmp, path)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+    from cnc_visionsearch_spark.operators.dedup import read_minhash_meta
+
+    if read_minhash_meta(path) is None:
+        # legacy store predating the sidecar: THIS function built it
+        # with these constants (they are also in the dir name), so the
+        # owner may stamp it; foreign stores never get here
+        write_minhash_meta(path, num_hashes=16, bands=4, shingle_n=3)
     if not os.path.exists(os.path.join(path, "_APPENDED")):
+        # an append with MISMATCHED geometry would corrupt the store —
+        # validate against the stamped sidecar before writing
+        validate_minhash_meta(path, num_hashes=16, bands=4, shingle_n=3)
         d = load_table(spark, sf_dir, "documents")
         minhash_banded(
             d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 250))

@@ -564,11 +564,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
         )
     )
-    store_banded = spark.read.parquet(
-        ensure_minhash_store_built(spark, sf_dir)
-    )
+    store_path = ensure_minhash_store_built(spark, sf_dir)
+    store_banded = spark.read.parquet(store_path)
     pairs = minhash_store_probe(
-        batch, store_banded, store_docs, jaccard_threshold=0.3
+        batch,
+        store_banded,
+        store_docs,
+        jaccard_threshold=0.3,
+        store_path=store_path,
     )
     inb = minhash_lsh_pairs(batch, jaccard_threshold=0.3)
     # shared tagging kernel — ONE definition with the streaming twin

@@ -866,9 +866,21 @@ def minhash_dedup_stream(
         minhash_banded,
         minhash_lsh_pairs,
         minhash_store_probe,
+        read_minhash_meta,
         tag_minhash_verdicts,
+        write_minhash_meta,
     )
     from cnc_visionsearch_spark.schemas import DOCUMENTS
+
+    # the stream OWNS this store's lifecycle (absorb appends with the
+    # fixed h16/b4/s3 geometry below), so it stamps the _META.json
+    # geometry sidecar if the store predates it; every probe then
+    # validates against the sidecar and raises on mismatch instead of
+    # silently joining zero candidates (r7 verdict #3)
+    if read_minhash_meta(store_banded_path) is None:
+        write_minhash_meta(
+            store_banded_path, num_hashes=16, bands=4, shingle_n=3
+        )
 
     # run id: the streaming query's OWN persisted UUID (written by
     # Structured Streaming into {checkpoint}/metadata) — stable across
@@ -922,6 +934,7 @@ def minhash_dedup_stream(
             store_banded,
             store_docs,
             jaccard_threshold=jaccard_threshold,
+            store_path=store_banded_path,
         )
         inb = minhash_lsh_pairs(
             batch, jaccard_threshold=jaccard_threshold

@@ -236,3 +236,86 @@ def test_minhash_store_probe_appended_equals_full_rebuild(spark):
     assert len(got) > 0
     # the re-delivered store slice must self-match at jaccard 1.0
     assert any(b == s and j == 1.0 for b, s, j in got)
+
+
+def test_minhash_store_meta_written_and_validated(spark, tmp_path):
+    """r7 verdict #3: the persisted store is SELF-DESCRIBING — the
+    builder stamps _META.json (geometry + seed family), and a probe
+    that bands its batch with DIFFERENT constants raises instead of
+    silently joining zero candidates. An unstamped store also raises."""
+    import pytest as _pytest
+
+    from cnc_visionsearch_spark.operators.dedup import (
+        minhash_banded,
+        minhash_store_probe,
+        read_minhash_meta,
+        write_minhash_meta,
+    )
+    from cnc_visionsearch_spark.queries_dedup import (
+        ensure_minhash_store_built,
+    )
+    from cnc_visionsearch_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    path = ensure_minhash_store_built(spark, sf)
+    meta = read_minhash_meta(path)
+    assert meta == {
+        "num_hashes": 16,
+        "bands": 4,
+        "shingle_n": 3,
+        "seed_family": "md5-lcg-m31-v1",
+    }
+    d = load_table(spark, sf, "documents")
+    docs = d.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    store = spark.read.parquet(path)
+    # geometry mismatch: probe bands the batch with b=2 -> must raise
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        minhash_store_probe(
+            docs, store, docs, bands=2, num_hashes=16, store_path=path
+        )
+    # unstamped store -> must raise too
+    bare = str(tmp_path / "bare_store")
+    minhash_banded(docs).write.mode("overwrite").parquet(bare)
+    with _pytest.raises(ValueError, match="no _META"):
+        minhash_store_probe(
+            docs, spark.read.parquet(bare), docs, store_path=bare
+        )
+    # stamped with matching geometry -> probes fine
+    write_minhash_meta(bare, num_hashes=16, bands=4, shingle_n=3)
+    pairs = minhash_store_probe(
+        docs, spark.read.parquet(bare), docs, store_path=bare
+    )
+    assert pairs.filter(
+        (F.col("batch_id") == F.col("store_id")) & (F.col("jaccard") == 1.0)
+    ).count() > 0
+
+
+def test_minhash_store_probe_divergent_text_deterministic(spark):
+    """A doc re-delivered with CHANGED text under one store id must
+    verify against a DETERMINISTIC row (max(text) per id), not
+    file-scan order — two probes over stores holding the divergent
+    rows in opposite file orders must agree."""
+    from cnc_visionsearch_spark.operators.dedup import (
+        minhash_banded,
+        minhash_store_probe,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    changed = "alpha beta gamma delta epsilon zeta eta CHANGED"
+    batch = spark.createDataFrame(
+        [(1, base)], "doc_id bigint, text string"
+    )
+
+    def probe(order):
+        docs = spark.createDataFrame(
+            [(7, t) for t in order], "doc_id bigint, text string"
+        )
+        banded = minhash_banded(docs)
+        return sorted(
+            (r.batch_id, r.store_id, round(r.jaccard, 12))
+            for r in minhash_store_probe(batch, banded, docs).collect()
+        )
+
+    a = probe([base, changed])
+    b = probe([changed, base])
+    assert a == b and len(a) == 1
