@@ -179,7 +179,12 @@ LIMIT 10
 """,
     doc="LSH probe: query scans only its own bucket (~1/2^6 of the "
     "corpus) then exact-ranks. Approximate by recall, deterministic by "
-    "computation — hash-matchable. tests/test_ann.py gates recall.",
+    "computation — hash-matchable. tests/test_ann.py gates recall. "
+    "ROLE: CANDIDATES-ONLY / teaching tier (RECALL.json role field): "
+    "single-bucket recall at the default 6 planes is ~0.16 mean on "
+    "the isotropic fixture — use it as a candidate generator under an "
+    "exact re-score (ann_lsh_multiprobe_topk widens coverage), and "
+    "serve from the trained-PQ or NSW/HNSW tiers (mean >= 0.95).",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
@@ -557,7 +562,12 @@ LIMIT 10
     "candidates are re-scored fp64 for the exact final 10 — same "
     "candidates-then-rescore composition as the int8 and IVF tiers. "
     "ADC terms are decimal-summed so the estimate is "
-    "order-independent.",
+    "order-independent. ROLE: CANDIDATES-ONLY / teaching tier "
+    "(RECALL.json role field): the UNTRAINED stride codebook ranks "
+    "at ~0.27 mean recall@10 on the isotropic fixture even with the "
+    "40-deep exact re-score — this query demonstrates the ADC scan "
+    "shape; production serving runs the TRAINED codebook twin "
+    "ann_pq_trained_topk (mean 1.0 at its default depth).",
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnc_visionsearch_spark.functions.vector import l2_sq

@@ -823,7 +823,12 @@ LIMIT 10
     "vectors, shrinking the scanned bytes by ~dim*4/8x while the "
     "rescore repairs codec error. The oracle replays BOTH k-means "
     "levels as generated CTE chains — a trained two-level codec that "
-    "still hash-matches across engines.",
+    "still hash-matches across engines. ROLE: CANDIDATES-ONLY / "
+    "storage-teaching tier (RECALL.json role field): k1*k2 = 512 "
+    "effective reconstructions rank at ~0.33 mean recall@10 on the "
+    "isotropic fixture at the default nprobe/depth — its value is "
+    "the 8-byte/vector coded layout (ann_rq_distortion ledger); "
+    "recall-critical serving stays on the trained-PQ tier.",
 )
 def ann_rq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnc_visionsearch_spark.operators.rq import rq_probe_topk

@@ -439,7 +439,34 @@ def measure_recall(spark: SparkSession, sf_dir: str) -> dict:
         **rq_sweep[f"{_RQ_NPROBE}/{_RQ_DEPTH}"],
     }
 
+    # r7 verdict #5: every tier carries an explicit ROLE so a user
+    # selecting a query by name knows whether its default operating
+    # point is a serving tier (>= 0.95 mean recall@10 on this panel)
+    # or a candidates-only / teaching tier (untrained codec whose
+    # recall on the isotropic fixture is structurally weak; its job is
+    # candidate generation under an exact re-score or storage-layout
+    # pedagogy, never un-rescored serving). The same labels live in
+    # the query docstrings (queries_ann.py / queries_ann_trained.py).
+    _ROLES = {
+        "ivf": "serving",
+        "pq": "candidates-only",
+        "pq_wide": "candidates-only",
+        "pq_trained": "serving",
+        "ivf_pq_trained_composed": "serving",
+        "lsh": "candidates-only",
+        "nsw": "serving",
+        "hnsw": "serving",
+        "rq": "candidates-only",
+    }
+    for name, d in out["defaults"].items():
+        d["role"] = _ROLES.get(name, "serving")
+
     out["notes"] = (
+        "Tier roles: 'serving' defaults meet the >= 0.95 mean "
+        "recall@10 gate on this panel; 'candidates-only' tiers "
+        "(untrained pq/pq_wide/lsh/rq) are candidate generators and "
+        "storage-layout teaching steps — select them by name only "
+        "under an exact re-score, never as bare serving tiers. "
         "Isotropic random fixture + untrained stride quantizer: recall "
         "concentrates only under deep probes (DEFAULT_NPROBE="
         f"{DEFAULT_NPROBE}/8 -> mean {out['defaults']['ivf']['mean']}), "
