@@ -68,6 +68,9 @@ HEADLINE = [
     # candidate pruning, then exact per-token maxsim — zero joins in
     # the scorer
     "text_maxsim_pruned_topk",
+    # r8: maxsim batch kNN-join — N queries from ONE pruned postings
+    # read, per-token-quantized order-independent reduction
+    "text_maxsim_batch_topk",
     # residual-quantizer tier (r5): two-level trained codec probe
     "ann_rq_trained_topk",
     # span-level exact-substring dedup (r5)

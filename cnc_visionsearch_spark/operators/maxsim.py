@@ -1,0 +1,341 @@
+"""Late-interaction (ColBERT-style maxsim) retrieval machinery.
+
+The reference serves ANN candidates from a single HNSW beam
+(main.py:155) and rescoring is implicit (the beam IS the ranking);
+late interaction splits that into candidates-then-exact-maxsim, and
+this module holds the pieces every maxsim tier shares:
+
+- the deterministic md5-derived token pseudo-embedding (the model
+  slot — same discipline as the multimodal fakes: a real deployment
+  swaps in ColBERT token vectors, the Spark plumbing is identical);
+- the TOKEN-VECTOR IVF layout (PLAID's centroid pruning, Santhanam et
+  al. 2022): every vocabulary token is assigned to its nearest
+  centroid cell ONCE at build time, docs are mapped to the cells their
+  tokens occupy, and a query probes only the nprobe cells nearest
+  each query-token vector — so a doc sharing NO literal token with
+  the query is still reachable through a semantically-near (same
+  cell) token, the case lexical pruning cannot serve;
+- the multi-query (kNN-join-shaped) maxsim probe the batch query and
+  the streaming serving twin both call, so online and batch rankings
+  cannot drift.
+
+Determinism contract (the oracle replays every step): centroids are
+the first n_cells vocabulary tokens ordered by (md5(tok), tok) — the
+stride-centroid doctrine of operators/ann.ivf_centroids adapted to a
+string-keyed vocabulary; assignment and probing break distance ties
+by cell_id; per-query-token maxes are 1e-9-quantized BEFORE the
+cross-token sum so the reduction is integer and order-independent.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.functions.text import hex_to_long
+from cnc_visionsearch_spark.functions.vector import l2_sq
+
+__all__ = [
+    "LI_DIM",
+    "TOKEN_IVF_CELLS",
+    "TOKEN_IVF_NPROBE",
+    "li_token_nvec",
+    "li_token_vec_py",
+    "doc_distinct_tokens",
+    "token_ivf_build",
+    "token_ivf_probe_cells",
+    "token_ivf_candidates",
+    "maxsim_multi_probe",
+]
+
+LI_DIM = 8
+# the fixture vocabulary is small (31 tokens, TESTDATA.md word-salad
+# docs), so the default geometry is 8 cells / 2 probes per query
+# token; a production vocabulary (100k+ tokens) raises n_cells into
+# the thousands with the same plan shapes
+TOKEN_IVF_CELLS = 8
+TOKEN_IVF_NPROBE = 2
+
+
+def li_token_vec(tok: Column | str) -> Column:
+    """Deterministic md5-derived LI_DIM-dim pseudo token embedding
+    (raw, un-normalized) — the JVM/codegen twin of the DuckDB formula
+    the maxsim oracles replay."""
+    c = F.col(tok) if isinstance(tok, str) else tok
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(LI_DIM - 1)),
+        lambda j: (
+            (
+                hex_to_long(
+                    F.substring(
+                        F.md5(
+                            F.concat(c, F.lit("#"), j.cast("string")).cast(
+                                "binary"
+                            )
+                        ),
+                        1,
+                        8,
+                    )
+                )
+                % F.lit(2001)
+                - F.lit(1000)
+            ).cast("double")
+            / F.lit(1000.0)
+        ),
+    )
+
+
+def li_token_nvec(tok: Column | str) -> Column:
+    """L2-normalized pseudo token embedding (tokens are non-empty
+    strings so the norm is never zero for the md5 family)."""
+    v = li_token_vec(tok)
+    n2 = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    return F.transform(v, lambda x: x / F.sqrt(n2))
+
+
+def li_token_vec_py(tok: str) -> list[float]:
+    """PYTHON twin of li_token_nvec for bounded driver-side literals
+    (query vectors, probe-cell ranking). Sequential fold order matches
+    the engines' aggregate/list_sum, so the doubles are
+    bit-identical."""
+    import hashlib
+
+    raw = [
+        (int(hashlib.md5(f"{tok}#{j}".encode()).hexdigest()[:8], 16) % 2001)
+        - 1000
+        for j in range(LI_DIM)
+    ]
+    v = [x / 1000.0 for x in raw]
+    n2 = 0.0
+    for x in v:
+        n2 = n2 + x * x
+    n = math.sqrt(n2)
+    return [x / n for x in v]
+
+
+def _l2_sq_py(a: list[float], b: list[float]) -> float:
+    """Sequential-fold squared L2 — bit-identical to l2_sq / the
+    oracle's list_sum(list_transform(...)) chain."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = x - y
+        acc = acc + d * d
+    return acc
+
+
+def doc_distinct_tokens(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, tok) — one row per DISTINCT token per document, the
+    unit late interaction scores over."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias(
+            "tok"
+        ),
+    )
+
+
+def token_ivf_build(
+    docs: DataFrame, path: str, n_cells: int = TOKEN_IVF_CELLS
+) -> None:
+    """Build the token-vector IVF layout under ``path``:
+
+    - ``centroids/``: n_cells rows (cell_id, ctok, cv) — the first
+      n_cells vocabulary tokens by (md5(tok), tok), their normalized
+      vectors as centroids (deterministic stand-in for a trained
+      codebook, the ivf_centroids doctrine — querying is identical,
+      only centroid quality differs);
+    - ``token_cells/``: every vocabulary token's nearest cell
+      (tie-break cell_id) — O(vocab) rows;
+    - ``doc_cells/``: DISTINCT (cell_id, doc_id), PARTITIONED BY
+      cell_id — probe-time cell pruning is parquet partition pruning,
+      and at 100 TB this table is <= n_cells rows per doc while the
+      corpus text is never touched by a probe.
+
+    Vocabulary extraction is one distinct over exploded tokens
+    (vocab << corpus); assignment is a broadcast of the n_cells
+    centroids — no corpus-proportional shuffle anywhere.
+    """
+    spark = docs.sparkSession
+    toks = doc_distinct_tokens(docs)
+    vocab = toks.select("tok").distinct().withColumn(
+        "_nv", li_token_nvec("tok")
+    )
+    cent_rows = (
+        vocab.orderBy(
+            F.md5(F.col("tok").cast("binary")).asc(), F.col("tok").asc()
+        )
+        .limit(n_cells)
+        .collect()
+    )  # bounded: n_cells rows (the ivf_probe_cells collect doctrine)
+    cents = spark.createDataFrame(
+        [(i, r["tok"], list(r["_nv"])) for i, r in enumerate(cent_rows)],
+        "cell_id int, ctok string, cv array<double>",
+    )
+    asg = (
+        vocab.crossJoin(F.broadcast(cents))
+        .select(
+            "tok",
+            "cell_id",
+            l2_sq(F.col("_nv"), F.col("cv")).alias("_cd"),
+        )
+        .groupBy("tok")
+        .agg(
+            F.min_by(
+                F.struct("cell_id", "_cd"), F.struct("_cd", "cell_id")
+            ).alias("best")
+        )
+        .select("tok", F.col("best.cell_id").alias("cell_id"))
+    )
+    os.makedirs(path, exist_ok=True)
+    cents.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    asg.write.mode("overwrite").parquet(os.path.join(path, "token_cells"))
+    doc_cells = (
+        toks.join(
+            F.broadcast(
+                spark.read.parquet(os.path.join(path, "token_cells"))
+            ),
+            "tok",
+        )
+        .select("cell_id", "doc_id")
+        .distinct()
+    )
+    doc_cells.write.mode("overwrite").partitionBy("cell_id").parquet(
+        os.path.join(path, "doc_cells")
+    )
+    with open(os.path.join(path, "_GEOMETRY.json"), "w") as f:
+        json.dump({"kind": "token_ivf", "n_cells": n_cells, "dim": LI_DIM}, f)
+
+
+def token_ivf_probe_cells(
+    spark: SparkSession,
+    path: str,
+    query_tokens: list[str],
+    nprobe: int = TOKEN_IVF_NPROBE,
+) -> list[int]:
+    """Union of the nprobe cells nearest each query-token vector —
+    ranked driver-side against the collected centroid table (bounded:
+    n_cells rows, the ivf_probe_cells pattern)."""
+    cents = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    cells: set[int] = set()
+    for qt in query_tokens:
+        qv = li_token_vec_py(qt)
+        ranked = sorted(
+            (( _l2_sq_py(qv, list(r["cv"])), r["cell_id"]) for r in cents),
+        )
+        cells.update(cid for _, cid in ranked[:nprobe])
+    return sorted(cells)
+
+
+def token_ivf_candidates(
+    spark: SparkSession,
+    path: str,
+    query_tokens: list[str],
+    nprobe: int = TOKEN_IVF_NPROBE,
+) -> DataFrame:
+    """Candidate doc ids for a maxsim query: docs holding >= 1 token
+    assigned to a probed cell. Partition-pruned read of doc_cells —
+    no postings, no corpus text, no literal-token requirement (the
+    lexical-containment gap PLAID-style pruning closes)."""
+    cells = token_ivf_probe_cells(spark, path, query_tokens, nprobe)
+    return (
+        spark.read.parquet(os.path.join(path, "doc_cells"))
+        .filter(F.col("cell_id").isin(cells))
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def maxsim_multi_probe(
+    spark: SparkSession,
+    index_path: str,
+    queries: list[tuple[int, list[str]]],
+    docs: DataFrame,
+    n_buckets: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Batch maxsim — the late-interaction twin of bm25_multi_probe
+    (kNN-join shape): N (qid, tokens) queries answered together.
+
+    Candidates per query come from ONE pruned read of the union of
+    the query terms' postings buckets (a doc must lexically contain
+    >= 1 term of THAT query); scoring reads back only candidate docs'
+    text (semi-join-pruned), computes per-(qid, doc, qtok) max dot
+    against broadcast query-token vectors, quantizes EACH max to a
+    1e-9 BIGINT, and integer-sums across the query's tokens — so the
+    cross-token reduction is order-independent (the ADC decimal-sum
+    discipline) and batch == per-query semantics hash-exactly.
+    Returns (qid, doc_id, score_q), top-k per qid via the
+    WindowGroupLimit shape."""
+    from cnc_visionsearch_spark.operators.text_index import (
+        read_postings,
+        term_bucket,
+    )
+
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
+    posts = (
+        read_postings(spark, index_path)
+        .filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+        )
+        .select("term", "doc_id")
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts],
+        "qid bigint, term string",
+    )
+    cand = (
+        posts.join(F.broadcast(qterms), "term")
+        .select("qid", "doc_id")
+        .distinct()
+    )
+    dtoks = doc_distinct_tokens(
+        docs.join(
+            cand.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+    ).withColumn("_nv", li_token_nvec("tok"))
+    qvecs = spark.createDataFrame(
+        [
+            (qid, t, li_token_vec_py(t))
+            for qid, ts in queries
+            for t in ts
+        ],
+        "qid bigint, qtok string, qnv array<double>",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_nv"), F.col("qnv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_tok = (
+        cand.join(dtoks, "doc_id")
+        .join(F.broadcast(qvecs), "qid")
+        .groupBy("qid", "doc_id", "qtok")
+        .agg(F.max(dot).alias("_best"))
+        .select(
+            "qid",
+            "doc_id",
+            F.floor(F.col("_best") * F.lit(1000000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("_bq"),
+        )
+    )
+    per_pair = per_tok.groupBy("qid", "doc_id").agg(
+        F.sum("_bq").cast("bigint").alias("score_q")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_pair.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("qid", "doc_id", "score_q")
+    )

@@ -1220,21 +1220,12 @@ def _li_token_vec_py(tok: str) -> list[float]:
     """Deterministic pseudo token embedding, PYTHON twin of the SQL/JVM
     formula below (md5-derived, L2-normalized) — used only for the
     bounded query-side literals. Sequential fold order matches the
-    engines' list_sum/aggregate, so the doubles are bit-identical."""
-    import hashlib
-    import math
+    engines' list_sum/aggregate, so the doubles are bit-identical.
+    Shared definition: operators/maxsim.li_token_vec_py (the token-IVF
+    build and the batch/stream probes use the same family)."""
+    from cnc_visionsearch_spark.operators.maxsim import li_token_vec_py
 
-    raw = [
-        (int(hashlib.md5(f"{tok}#{j}".encode()).hexdigest()[:8], 16) % 2001)
-        - 1000
-        for j in range(_LI_DIM)
-    ]
-    v = [x / 1000.0 for x in raw]
-    n2 = 0.0
-    for x in v:
-        n2 = n2 + x * x
-    n = math.sqrt(n2)
-    return [x / n for x in v]
+    return li_token_vec_py(tok)
 
 
 @register(
@@ -1311,30 +1302,9 @@ def _li_maxsim_topk(toks: DataFrame, k: int = 10) -> DataFrame:
     (doc_id, score_q) by sum_q max_d cos(q, d) with the md5 pseudo
     embeddings; query vectors are Python literals, all scoring is
     codegen arithmetic, one hash aggregate, TakeOrderedAndProject."""
-    from cnc_visionsearch_spark.functions.text import hex_to_long
+    from cnc_visionsearch_spark.operators.maxsim import li_token_vec
 
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(_LI_DIM - 1)),
-        lambda j: (
-            (
-                hex_to_long(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.col("tok"), F.lit("#"), j.cast("string")
-                            ).cast("binary")
-                        ),
-                        1,
-                        8,
-                    )
-                )
-                % F.lit(2001)
-                - F.lit(1000)
-            ).cast("double")
-            / F.lit(1000.0)
-        ),
-    )
-    with_vec = toks.withColumn("_v", vec)
+    with_vec = toks.withColumn("_v", li_token_vec("tok"))
     n2 = F.aggregate(
         F.col("_v"), F.lit(0.0), lambda a, x: a + x * x
     )
@@ -1450,3 +1420,227 @@ def text_maxsim_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
     )
     return _li_maxsim_topk(toks)
+
+
+# --------------- maxsim tier parity: vector candidates, batch, stream
+
+# DuckDB fragment: the md5 pseudo token vector for a token column
+def _li_vec_sql(tok: str) -> str:
+    return (
+        f"list_transform(range(0, {_LI_DIM}), j -> "
+        f"(((('0x' || substr(md5({tok} || '#' || j), 1, 8))::BIGINT "
+        "% 2001) - 1000)) / 1000.0)"
+    )
+
+
+_LI_NORM_SQL = "list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y))))"
+_LI_L2 = (
+    "list_sum(list_transform(range(1, {d}+1), "
+    "k -> ({a}[k]-{b}[k])*({a}[k]-{b}[k])))"
+)
+
+
+def ensure_token_ivf_built(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent token-vector IVF build (operators/maxsim.
+    token_ivf_build) over the documents vocabulary, once per corpus
+    content — the PLAID-candidate layout every vector-pruned maxsim
+    probe reads (same artifact discipline as ensure_inverted_built)."""
+    import os
+
+    from cnc_visionsearch_spark.operators.maxsim import (
+        TOKEN_IVF_CELLS,
+        token_ivf_build,
+    )
+    from cnc_visionsearch_spark.queries_ann import _ARTIFACT_ROOT, _corpus_tag
+
+    path = (
+        f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir, 'documents')}"
+        f"/token_ivf_c{TOKEN_IVF_CELLS}d{_LI_DIM}"
+    )
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        docs = load_table(spark, sf_dir, "documents")
+        token_ivf_build(docs, path, n_cells=TOKEN_IVF_CELLS)
+        open(os.path.join(path, "_BUILT"), "w").close()
+    return path
+
+
+@register(
+    "text_maxsim_ivf_pruned_topk",
+    oracle=f"""
+WITH dt AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+vocab AS (SELECT DISTINCT tok FROM dt),
+vv AS (SELECT tok, {_li_vec_sql("tok")} AS v FROM vocab),
+vn AS (SELECT tok, {_LI_NORM_SQL} AS nv FROM vv),
+cents AS (
+  SELECT rn - 1 AS cell_id, nv AS cv FROM (
+    SELECT tok, nv,
+      row_number() OVER (ORDER BY md5(tok) ASC, tok ASC) AS rn
+    FROM vn
+  ) WHERE rn <= 8
+),
+asg AS (
+  SELECT tok, cell_id FROM (
+    SELECT vn.tok, c.cell_id,
+      row_number() OVER (PARTITION BY vn.tok ORDER BY
+        {_LI_L2.format(d=_LI_DIM, a="vn.nv", b="c.cv")} ASC,
+        c.cell_id ASC) AS rn
+    FROM vn, cents c
+  ) WHERE rn = 1
+),
+qt AS (SELECT unnest(['vector','hash','scan']) AS qtok),
+qv AS (SELECT qtok, {_li_vec_sql("qtok")} AS v FROM qt),
+qn AS (SELECT qtok, {_LI_NORM_SQL} AS nv FROM qv),
+qcells AS (
+  SELECT DISTINCT cell_id FROM (
+    SELECT q.qtok, c.cell_id,
+      row_number() OVER (PARTITION BY q.qtok ORDER BY
+        {_LI_L2.format(d=_LI_DIM, a="q.nv", b="c.cv")} ASC,
+        c.cell_id ASC) AS rn
+    FROM qn q, cents c
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT DISTINCT dt.doc_id
+  FROM dt JOIN asg USING (tok)
+  WHERE asg.cell_id IN (SELECT cell_id FROM qcells)
+),
+dv AS (
+  SELECT doc_id, tok, {_li_vec_sql("tok")} AS v
+  FROM dt WHERE doc_id IN (SELECT doc_id FROM cand)
+),
+dn AS (SELECT doc_id, {_LI_NORM_SQL} AS nv FROM dv),
+sims AS (
+  SELECT d.doc_id, q.qtok,
+    max(list_sum(list_transform(range(1, {_LI_DIM}+1),
+        k -> d.nv[k] * q.nv[k]))) AS best
+  FROM dn d, qn q GROUP BY d.doc_id, q.qtok
+)
+SELECT doc_id,
+  CAST(floor(sum(best) * 1000000000 + 0.5) AS BIGINT) AS score_q
+FROM sims GROUP BY doc_id
+ORDER BY score_q DESC, doc_id ASC
+LIMIT 10
+""",
+    doc="Late-interaction maxsim with VECTOR candidate generation — "
+    "the PLAID-shaped tier (Santhanam et al. 2022; the reference's "
+    "HNSW-candidates analog, main.py:155): query-token vectors probe "
+    "the persisted TOKEN-VECTOR IVF layout (operators/maxsim."
+    "token_ivf_build: vocabulary tokens assigned once to nearest-"
+    "centroid cells, docs mapped to the cells their tokens occupy, "
+    "doc_cells PARTITIONED BY cell_id so the probe is parquet "
+    "partition pruning), and exact maxsim scores candidates only. "
+    "Unlike the lexical twin text_maxsim_pruned_topk, a doc sharing "
+    "NO literal query token is still reachable through a same-cell "
+    "token — the semantic-match case late interaction exists for. "
+    "Centroids are the first n_cells vocabulary tokens by (md5, tok) "
+    "— the deterministic stand-in for a trained codebook "
+    "(ivf_centroids doctrine), so the oracle replays the ENTIRE "
+    "candidate rule: centroid selection, vocabulary assignment "
+    "(tie-break cell_id), per-query-token cell ranking (nprobe=2), "
+    "candidate docs, exact maxsim. Same shared scorer and quantized-"
+    "score contract as the other maxsim tiers.",
+)
+def text_maxsim_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.maxsim import token_ivf_candidates
+
+    path = ensure_token_ivf_built(spark, sf_dir)
+    cand = token_ivf_candidates(spark, path, list(_LI_QUERY), nprobe=2)
+    d = load_table(spark, sf_dir, "documents").join(
+        cand, "doc_id", "left_semi"
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    return _li_maxsim_topk(toks)
+
+
+_MAXSIM_BATCH = (
+    (0, ("vector", "window")),
+    (1, ("stream", "scan")),
+    (2, ("hash", "join", "table")),
+)
+
+
+def _maxsim_batch_qterms_values() -> str:
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in _MAXSIM_BATCH for t in ts
+    )
+    return f"qterms(qid, tok) AS (VALUES {rows})"
+
+
+@register(
+    "text_maxsim_batch_topk",
+    oracle=f"""
+WITH {_maxsim_batch_qterms_values()},
+dt AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+cand AS (SELECT DISTINCT q.qid, dt.doc_id FROM dt JOIN qterms q USING (tok)),
+dv AS (
+  SELECT doc_id, tok, {_li_vec_sql("tok")} AS v
+  FROM dt WHERE doc_id IN (SELECT DISTINCT doc_id FROM cand)
+),
+dn AS (SELECT doc_id, {_LI_NORM_SQL} AS nv FROM dv),
+qv AS (SELECT DISTINCT tok AS qtok, {_li_vec_sql("tok")} AS v FROM qterms),
+qn AS (SELECT qtok, {_LI_NORM_SQL} AS nv FROM qv),
+per_tok AS (
+  SELECT c.qid, c.doc_id, q.qtok,
+    CAST(floor(
+      max(list_sum(list_transform(range(1, {_LI_DIM}+1),
+          k -> d.nv[k] * q.nv[k]))) * 1000000000.0 + 0.5) AS BIGINT) AS bq
+  FROM cand c
+  JOIN dn d ON d.doc_id = c.doc_id
+  JOIN qterms qq ON qq.qid = c.qid
+  JOIN qn q ON q.qtok = qq.tok
+  GROUP BY c.qid, c.doc_id, q.qtok
+),
+per_pair AS (
+  SELECT qid, doc_id, CAST(sum(bq) AS BIGINT) AS score_q
+  FROM per_tok GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_q,
+    row_number() OVER (PARTITION BY qid
+                       ORDER BY score_q DESC, doc_id ASC) AS rn
+  FROM per_pair
+)
+SELECT qid, doc_id, score_q FROM ranked WHERE rn <= 5
+ORDER BY qid, score_q DESC, doc_id
+""",
+    doc="Batch maxsim kNN-join — the late-interaction twin of "
+    f"text_bm25_batch_topk: {len(_MAXSIM_BATCH)} queries answered "
+    "from ONE pruned read of the union of their terms' postings "
+    "buckets (operators/maxsim.maxsim_multi_probe), candidate docs' "
+    "text read back semi-join-pruned, per-(query, doc, query-token) "
+    "max dots against broadcast query-token vector literals, each max "
+    "1e-9-quantized BEFORE the cross-token BIGINT sum (the ADC "
+    "decimal-sum discipline — the reduction is order-independent, so "
+    "batch == per-query semantics hash-exactly), top-5 per qid via "
+    "the WindowGroupLimit shape. The same operator serves the "
+    "streaming twin (maxsim_serving_stream), so online and batch "
+    "rankings cannot drift. The oracle rescans raw text and replays "
+    "the candidate rule.",
+)
+def text_maxsim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.maxsim import maxsim_multi_probe
+    from cnc_visionsearch_spark.queries_analytics import (
+        _INV_BUCKETS,
+        ensure_inverted_built,
+    )
+
+    path = ensure_inverted_built(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    res = maxsim_multi_probe(
+        spark,
+        path,
+        [(qid, list(ts)) for qid, ts in _MAXSIM_BATCH],
+        docs,
+        n_buckets=_INV_BUCKETS,
+        k=5,
+    )
+    return res.orderBy("qid", F.col("score_q").desc(), F.col("doc_id").asc())

@@ -439,6 +439,12 @@ def measure_recall(spark: SparkSession, sf_dir: str) -> dict:
         **rq_sweep[f"{_RQ_NPROBE}/{_RQ_DEPTH}"],
     }
 
+    # ---- maxsim candidate coverage: lexical (inverted index) vs
+    # vector (token IVF) candidate generation ahead of exact maxsim —
+    # since the rescore is exact, recall@10 of a candidate rule is
+    # |true top-10 ∩ candidates| / 10 (r7 verdict task #5)
+    out["maxsim_candidates"] = measure_maxsim_candidates(spark, sf_dir)
+
     # r7 verdict #5: every tier carries an explicit ROLE so a user
     # selecting a query by name knows whether its default operating
     # point is a serving tier (>= 0.95 mean recall@10 on this panel)
@@ -491,6 +497,115 @@ def measure_recall(spark: SparkSession, sf_dir: str) -> dict:
         "nprobe/n_cells and shallower depths."
     )
     return out
+
+
+# fixed panel over the fixture vocabulary (TESTDATA.md word-salad
+# corpus) — deterministic literals, one entry per query shape
+_MAXSIM_PANEL = [
+    ("vector", "hash", "scan"),
+    ("stream", "window"),
+    ("join", "table", "merge"),
+    ("query", "sort"),
+    ("filter", "group", "column"),
+    ("key", "value"),
+]
+
+
+def measure_maxsim_candidates(spark: SparkSession, sf_dir: str) -> dict:
+    """Candidate-coverage ledger for the maxsim tiers: for each panel
+    query, the true top-10 (full-scan exact maxsim, per-token
+    quantized sum — the batch-tier scorer) is compared against the
+    LEXICAL candidate rule (doc contains >= 1 literal query token —
+    text_maxsim_pruned_topk / maxsim_multi_probe) and the VECTOR rule
+    (doc holds >= 1 token in a probed token-IVF cell, nprobe=2 —
+    text_maxsim_ivf_pruned_topk). Exact rescore means candidate
+    recall IS final recall. Candidate-set sizes are recorded because
+    on this fixture's 31-token vocabulary every rule keeps most docs
+    — the coverage numbers are the honest signal, the pruning ratio
+    is a fixture artifact (a production vocabulary prunes harder at
+    identical plan shapes)."""
+    from pyspark.sql import functions as F
+
+    from cnc_visionsearch_spark.operators.maxsim import (
+        doc_distinct_tokens,
+        li_token_nvec,
+        li_token_vec_py,
+        token_ivf_candidates,
+    )
+    from cnc_visionsearch_spark.queries_hybrid import ensure_token_ivf_built
+    from cnc_visionsearch_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = doc_distinct_tokens(docs)
+    toks_nv = toks.withColumn("_nv", li_token_nvec("tok"))
+    ivf_path = ensure_token_ivf_built(spark, sf_dir)
+
+    def truth_top10(qtokens) -> list[int]:
+        aggs = []
+        for i, qt in enumerate(qtokens):
+            qv = li_token_vec_py(qt)
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("_nv"),
+                    F.array(*[F.lit(x) for x in qv]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            aggs.append(
+                F.floor(F.max(dot) * F.lit(1e9) + F.lit(0.5))
+                .cast("bigint")
+                .alias(f"_m{i}")
+            )
+        per = toks_nv.groupBy("doc_id").agg(*aggs)
+        score = sum(F.col(f"_m{i}") for i in range(len(qtokens)))
+        return [
+            r.doc_id
+            for r in per.select("doc_id", score.alias("s"))
+            .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+            .limit(10)
+            .collect()
+        ]
+
+    lex_rec, ivf_rec, lex_sz, ivf_sz = [], [], [], []
+    for qtokens in _MAXSIM_PANEL:
+        truth = set(truth_top10(qtokens))
+        lex = {
+            r.doc_id
+            for r in toks.filter(F.col("tok").isin(list(qtokens)))
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        ivf = {
+            r.doc_id
+            for r in token_ivf_candidates(
+                spark, ivf_path, list(qtokens), nprobe=2
+            ).collect()
+        }
+        lex_rec.append(len(truth & lex) / 10)
+        ivf_rec.append(len(truth & ivf) / 10)
+        lex_sz.append(len(lex))
+        ivf_sz.append(len(ivf))
+
+    def side(recs, szs) -> dict:
+        return {
+            "mean_recall_at_10": round(sum(recs) / len(recs), 4),
+            "min_recall_at_10": round(min(recs), 4),
+            "mean_candidates": round(sum(szs) / len(szs), 1),
+            "mean_candidate_frac": round(
+                sum(szs) / len(szs) / max(n_docs, 1), 4
+            ),
+        }
+
+    return {
+        "n_queries": len(_MAXSIM_PANEL),
+        "n_docs": n_docs,
+        "lexical": side(lex_rec, lex_sz),
+        "token_ivf_nprobe2": side(ivf_rec, ivf_sz),
+    }
 
 
 def emit_recall(spark: SparkSession, sf_dir: str, out_path: str) -> dict:

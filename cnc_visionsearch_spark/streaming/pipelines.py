@@ -712,6 +712,72 @@ def bm25_serving_stream(
     )
 
 
+def maxsim_serving_stream(
+    spark: SparkSession,
+    in_path: str,
+    index_path: str,
+    docs_sf_dir: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 5,
+    n_buckets: int = 16,
+    max_files_per_trigger: int = 10,
+):
+    """Streaming late-interaction serving — the maxsim twin of
+    :func:`bm25_serving_stream`, completing the retrieval-tier
+    structure (every tier has batch + streaming forms): a stream of
+    (qid, terms) queries, each micro-batch answered with exact maxsim
+    top-k over candidates from the PERSISTED inverted layout via the
+    SAME ``maxsim_multi_probe`` operator the batch query
+    (text_maxsim_batch_topk) uses — stream-static, one pruned postings
+    read + one semi-join-pruned candidate-text read per trigger, so
+    online and batch rankings cannot drift (test-pinned). Results
+    append to ``out_path`` as (qid, doc_id, score_q) parquet; the
+    checkpoint gives exactly-once batches over the file source. The
+    per-batch query collect is bounded by the batch's query count.
+    Returns the configured DataStreamWriter — call ``.start()``."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from cnc_visionsearch_spark.operators.maxsim import maxsim_multi_probe
+    from cnc_visionsearch_spark.sources.catalog import load_table
+
+    schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("terms", ArrayType(StringType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        queries = [
+            (r.qid, list(r.terms)) for r in batch_df.collect()
+        ]  # bounded: one row per query in the micro-batch
+        docs = load_table(s, docs_sf_dir, "documents")
+        maxsim_multi_probe(
+            s, index_path, queries, docs, n_buckets=n_buckets, k=k
+        ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def hnsw_ingest_stream(
     spark: SparkSession,
     in_path: str,

@@ -1570,3 +1570,58 @@ def test_minhash_dedup_stream_replay_exclusion_mechanism(spark, tmp_path):
         for r in minhash_store_probe(batch, replay, base).collect()
     )
     assert got == want
+
+
+def test_maxsim_serving_stream_matches_batch_probe(spark, tmp_path):
+    """Streaming late-interaction serving answers each micro-batch via
+    the SAME maxsim_multi_probe operator as text_maxsim_batch_topk —
+    the union of streamed answers must equal the one-shot batch answer
+    for the same query set (stream == batch, no ranking drift)."""
+    from cnc_visionsearch_spark.operators.maxsim import maxsim_multi_probe
+    from cnc_visionsearch_spark.operators.text_index import inverted_build
+    from cnc_visionsearch_spark.streaming.pipelines import (
+        maxsim_serving_stream,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "inv")
+    inverted_build(docs, path, n_buckets=8)
+
+    qs = [
+        (0, ["vector", "window"]),
+        (1, ["stream", "scan"]),
+        (2, ["hash", "join", "table"]),
+        (3, ["query"]),
+    ]
+    qdf = spark.createDataFrame(
+        [(q, ts) for q, ts in qs], "qid bigint, terms array<string>"
+    )
+    stream_dir = _write_chunks(
+        spark,
+        str(tmp_path / "in"),
+        [qdf.filter(F.col("qid") % 2 == i) for i in range(2)],
+    )
+    out = str(tmp_path / "answers")
+    maxsim_serving_stream(
+        spark,
+        stream_dir,
+        path,
+        SF,
+        out,
+        str(tmp_path / "ckpt"),
+        k=5,
+        n_buckets=8,
+        max_files_per_trigger=1,
+    ).start().awaitTermination(180)
+
+    streamed = {
+        (r.qid, r.doc_id, r.score_q)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.qid, r.doc_id, r.score_q)
+        for r in maxsim_multi_probe(
+            spark, path, qs, docs, n_buckets=8, k=5
+        ).collect()
+    }
+    assert streamed == batch and streamed
