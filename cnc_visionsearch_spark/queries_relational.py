@@ -1427,7 +1427,7 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
 # _copurchase_edges (or the layout below) changes, so a code change can
 # never serve a stale persisted edge set built by an older derivation
 # (the corpus content tag alone only tracks the DATA).
-_EDGES_VERSION = "v2"
+_EDGES_VERSION = "v3"
 _EDGES_BUCKETS = 32
 
 
@@ -1451,7 +1451,18 @@ def ensure_copurchase_edges_built(spark: SparkSession, sf_dir: str) -> str:
     writes to a tmp dir and ``os.rename``s into place — atomic on one
     filesystem, so concurrent sessions (bench + pytest) race safely:
     one wins, losers discard their tmp, readers never see a
-    half-written artifact."""
+    half-written artifact.
+
+    r8 (v3): the edge stream is REPARTITIONED ON THE BUCKET KEY before
+    the bucketed write — repartition(n, src) and bucketBy(n, src)
+    share Spark's hash family, so every writer task holds exactly one
+    bucket and the layout lands as ONE FILE PER BUCKET instead of
+    (writer tasks x buckets) fragments (the v2 artifact carried 640
+    files at sf0.1; v3 carries 32). Measured min-of-3 LPA at sf0.1:
+    2.66s compacted vs 2.98s fragmented-bucketed vs 2.95s raw-parquet
+    — the r7 'bucketed-read regression' (SCALE.md row) was mostly
+    bench-run contention, and the compaction retires the remainder
+    while keeping the exchange-free at-scale join."""
     import os
     import shutil
 
@@ -1465,6 +1476,9 @@ def ensure_copurchase_edges_built(spark: SparkSession, sf_dir: str) -> str:
         li = load_table(spark, sf_dir, "lineitem")
         (
             _copurchase_edges(li)
+            # one writer task per bucket (same hash family) -> one
+            # file per bucket; see docstring (r8 v3)
+            .repartition(_EDGES_BUCKETS, "src")
             .write.bucketBy(_EDGES_BUCKETS, "src")
             .sortBy("src")
             .option("path", tmp)
