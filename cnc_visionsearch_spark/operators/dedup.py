@@ -735,7 +735,7 @@ def embedding_similar_pairs(
     id_col: str = "vec_id",
     vec_col: str = "nvec",
     top_n: int = 10,
-    candidates: str = "lsh",
+    candidates: str | None = None,
     planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Top-N most-similar embedding pairs by cosine.
@@ -749,7 +749,25 @@ def embedding_similar_pairs(
     quadratic SQL oracle (the same exact/bucketed split the NSW
     operator uses, operators/graph_ann.py). ``planes`` defaults to 4
     seeded hyperplanes sized by a bounded 1-row dim peek.
+
+    The default FLIPPED in r7 (exact -> lsh): a defaulted call warns
+    once per call site (r7 advice — a pre-flip caller relying on exact
+    top-N should degrade loudly, not silently), pass ``candidates=``
+    to silence.
     """
+    if candidates is None:
+        import warnings
+
+        warnings.warn(
+            "embedding_similar_pairs default changed (r7) from the "
+            "exact all-pairs plan to approximate hyperplane-LSH "
+            "blocking, which can miss true top-N pairs spanning "
+            "sign-bit buckets; pass candidates='lsh' to accept the "
+            "serving plan or candidates='exact' for the quadratic "
+            "oracle-parity tier",
+            stacklevel=2,
+        )
+        candidates = "lsh"
     if candidates == "lsh":
         if planes is None:
             from cnc_visionsearch_spark.operators.ann import hyperplanes
