@@ -89,12 +89,23 @@ def li_token_vec(tok: Column | str) -> Column:
     )
 
 
-def li_token_nvec(tok: Column | str) -> Column:
-    """L2-normalized pseudo token embedding (tokens are non-empty
-    strings so the norm is never zero for the md5 family)."""
-    v = li_token_vec(tok)
+def li_normalize(v: Column) -> Column:
+    """L2-normalize an embedding array column (raw md5 vectors are
+    never zero-norm). Callers should project the RAW vector into its
+    own column first and normalize from that: higher-order functions
+    are interpreted (not whole-stage-codegen'd), so an inlined vector
+    subtree gets evaluated once per reference — 16 md5 calls per token
+    instead of 8 (measured 2x on the batch scorer)."""
     n2 = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
     return F.transform(v, lambda x: x / F.sqrt(n2))
+
+
+def li_token_nvec(tok: Column | str) -> Column:
+    """L2-normalized pseudo token embedding — ONE expression, for
+    bounded inputs (the vocabulary table); per-corpus-token consumers
+    use the two-projection li_token_vec + li_normalize split (see
+    li_normalize on why)."""
+    return li_normalize(li_token_vec(tok))
 
 
 def li_token_vec_py(tok: str) -> list[float]:
@@ -131,8 +142,15 @@ def doc_distinct_tokens(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, tok) — one row per DISTINCT token per document, the
-    unit late interaction scores over."""
-    return docs.select(
+    unit late interaction scores over. The input is SPREAD across all
+    cores first (the dedup._spread doctrine: a few small parquet files
+    scan as one partition while the downstream explode + md5-vector
+    work is CPU-bound — measured 9.8s single-task vs <1s spread on the
+    batch scorer at sf0.1); hash-partitioning on the doc id is the
+    same clustering the downstream per-doc aggregates shuffle to, so
+    the exchange is moved, not added."""
+    p = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(p, F.col(id_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias(
             "tok"
@@ -297,11 +315,16 @@ def maxsim_multi_probe(
         .select("qid", "doc_id")
         .distinct()
     )
-    dtoks = doc_distinct_tokens(
-        docs.join(
-            cand.select("doc_id").distinct(), "doc_id", "left_semi"
+    dtoks = (
+        doc_distinct_tokens(
+            docs.join(
+                cand.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
         )
-    ).withColumn("_nv", li_token_nvec("tok"))
+        .withColumn("_v", li_token_vec("tok"))
+        .withColumn("_nv", li_normalize(F.col("_v")))
+        .drop("_v")
+    )
     qvecs = spark.createDataFrame(
         [
             (qid, t, li_token_vec_py(t))

@@ -1304,6 +1304,13 @@ def _li_maxsim_topk(toks: DataFrame, k: int = 10) -> DataFrame:
     codegen arithmetic, one hash aggregate, TakeOrderedAndProject."""
     from cnc_visionsearch_spark.operators.maxsim import li_token_vec
 
+    # spread before the CPU-bound md5-vector work: the documents scan
+    # is one small file -> one partition, and higher-order-function
+    # scoring is interpreted per-row (operators/maxsim.
+    # doc_distinct_tokens documents the measurement); the groupBy
+    # below shuffles to doc_id anyway, so the exchange moves, not adds
+    p = toks.sparkSession.sparkContext.defaultParallelism
+    toks = toks.repartition(p, F.col("doc_id"))
     with_vec = toks.withColumn("_v", li_token_vec("tok"))
     n2 = F.aggregate(
         F.col("_v"), F.lit(0.0), lambda a, x: a + x * x

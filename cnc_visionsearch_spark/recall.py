@@ -528,7 +528,8 @@ def measure_maxsim_candidates(spark: SparkSession, sf_dir: str) -> dict:
 
     from cnc_visionsearch_spark.operators.maxsim import (
         doc_distinct_tokens,
-        li_token_nvec,
+        li_normalize,
+        li_token_vec,
         li_token_vec_py,
         token_ivf_candidates,
     )
@@ -538,7 +539,11 @@ def measure_maxsim_candidates(spark: SparkSession, sf_dir: str) -> dict:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
     toks = doc_distinct_tokens(docs)
-    toks_nv = toks.withColumn("_nv", li_token_nvec("tok"))
+    toks_nv = (
+        toks.withColumn("_v", li_token_vec("tok"))
+        .withColumn("_nv", li_normalize(F.col("_v")))
+        .drop("_v")
+    )
     ivf_path = ensure_token_ivf_built(spark, sf_dir)
 
     def truth_top10(qtokens) -> list[int]:
