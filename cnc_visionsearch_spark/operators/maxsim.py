@@ -338,8 +338,11 @@ def maxsim_multi_probe(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # candidate pairs are bounded by (queries x their candidate docs)
+    # — broadcast them so the doc-token side joins map-side and the
+    # only shuffle left is the per-(qid, doc, qtok) max aggregate
     per_tok = (
-        cand.join(dtoks, "doc_id")
+        dtoks.join(F.broadcast(cand), "doc_id")
         .join(F.broadcast(qvecs), "qid")
         .groupBy("qid", "doc_id", "qtok")
         .agg(F.max(dot).alias("_best"))

@@ -127,6 +127,37 @@ def main() -> None:
         q2.awaitTermination(600)
         out["bm25_serving"] = _batch_stats(q2, BM25_QPB)
 
+        # ---- maxsim serving (r8): same query stream shape as BM25,
+        # answered with exact late-interaction maxsim over candidates
+        # from the persisted inverted layout (maxsim_multi_probe — the
+        # operator the batch query text_maxsim_batch_topk shares)
+        from cnc_visionsearch_spark.streaming.pipelines import (
+            maxsim_serving_stream,
+        )
+
+        mx_in = f"{work}/maxsim_in"
+        for i in range(N_BATCHES):
+            rows = [
+                (i * BM25_QPB + j, terms_pool[j % len(terms_pool)])
+                for j in range(BM25_QPB)
+            ]
+            spark.createDataFrame(
+                rows, "qid bigint, terms array<string>"
+            ).coalesce(1).write.mode("append").parquet(mx_in)
+        q2b = maxsim_serving_stream(
+            spark,
+            mx_in,
+            inv_path,
+            sf_dir,
+            f"{work}/maxsim_out",
+            f"{work}/maxsim_ckpt",
+            k=5,
+            n_buckets=16,
+            max_files_per_trigger=1,
+        ).start()
+        q2b.awaitTermination(600)
+        out["maxsim_serving"] = _batch_stats(q2b, BM25_QPB)
+
         # ---- percolator: N_BATCHES files of PERC_DPB incoming docs
         # matched against the registered stored-query set (here
         # "queries_per_batch" records DOCS per micro-batch — the
