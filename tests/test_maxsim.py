@@ -1,0 +1,152 @@
+"""operators/maxsim.py — the late-interaction machinery (r8): token
+IVF layout determinism, partition-pruned candidate probes, and the
+semantic-reachability property the vector-candidate tier exists for
+(a doc sharing NO literal query token is still a candidate through a
+same-cell token — the case lexical pruning cannot serve)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.operators.maxsim import (
+    TOKEN_IVF_CELLS,
+    doc_distinct_tokens,
+    li_token_vec_py,
+    maxsim_multi_probe,
+    token_ivf_build,
+    token_ivf_candidates,
+    token_ivf_probe_cells,
+)
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tivf") / "layout")
+    docs = load_table(spark, SF, "documents")
+    token_ivf_build(docs, path, n_cells=TOKEN_IVF_CELLS)
+    return path
+
+
+def test_token_ivf_build_deterministic(spark, built, tmp_path):
+    """Two independent builds over the same corpus must assign every
+    vocabulary token to the same cell (deterministic centroids +
+    tie-broken argmin) — the property the oracle replay rests on."""
+    other = str(tmp_path / "layout2")
+    docs = load_table(spark, SF, "documents")
+    token_ivf_build(docs, other, n_cells=TOKEN_IVF_CELLS)
+    a = sorted(
+        (r.tok, r.cell_id)
+        for r in spark.read.parquet(f"{built}/token_cells").collect()
+    )
+    b = sorted(
+        (r.tok, r.cell_id)
+        for r in spark.read.parquet(f"{other}/token_cells").collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_doc_cells_probe_is_partition_pruned(spark, built):
+    """The candidate read must prune doc_cells partitions: the scan's
+    partition filters carry the probed cell ids, so at 100 TB the
+    probe reads nprobe/n_cells of the files, never the table."""
+    cand = token_ivf_candidates(spark, built, ["vector", "hash"], nprobe=2)
+    plan = cand._sc is None or cand._jdf.queryExecution().executedPlan().toString()
+    cells = token_ivf_probe_cells(spark, built, ["vector", "hash"], nprobe=2)
+    assert 0 < len(cells) < TOKEN_IVF_CELLS
+    assert "PartitionFilters: [cell_id" in plan or "cell_id#" in plan
+    # ground truth: candidates == docs holding >= 1 token of a probed cell
+    tc = spark.read.parquet(f"{built}/token_cells").filter(
+        F.col("cell_id").isin(cells)
+    )
+    docs = load_table(spark, SF, "documents")
+    want = {
+        r.doc_id
+        for r in doc_distinct_tokens(docs)
+        .join(tc, "tok", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    got = {r.doc_id for r in cand.collect()}
+    assert got == want
+
+
+def test_vector_candidates_reach_docs_lexical_pruning_cannot(
+    spark, tmp_path
+):
+    """The PLAID property: a doc that shares NO literal token with the
+    query must still become a candidate when one of its tokens falls
+    in a probed cell. Built synthetically: find a vocabulary token in
+    the query token's OWN cell, make a doc of only that token, and
+    assert vector-candidates include it while the lexical rule (doc
+    contains a literal query token) excludes it."""
+    qtok = "vector"
+    # pick a partner token assigned to qtok's nearest cell (nprobe=1)
+    vocab = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+        "golf", "hotel", "india", "juliet", "kilo", "lima", "mike",
+        "november", "oscar", "papa", "quebec", "romeo", "sierra",
+        "tango", "uniform", "victor", "whiskey", "xray", "yankee",
+        "zulu", qtok,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(vocab)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "tivf_syn")
+    token_ivf_build(docs, path, n_cells=4)
+    qcells = token_ivf_probe_cells(spark, path, [qtok], nprobe=1)
+    partners = [
+        r.tok
+        for r in spark.read.parquet(f"{path}/token_cells")
+        .filter(F.col("cell_id").isin(qcells) & (F.col("tok") != qtok))
+        .collect()
+    ]
+    assert partners, "fixture vocabulary left the query token's cell empty"
+    partner_doc = vocab.index(partners[0])
+    cand = {
+        r.doc_id
+        for r in token_ivf_candidates(spark, path, [qtok], nprobe=1).collect()
+    }
+    assert partner_doc in cand  # reachable with zero lexical overlap
+    lexical = {i for i, t in enumerate(vocab) if t == qtok}
+    assert partner_doc not in lexical
+
+
+def test_maxsim_multi_probe_batch_equals_per_query(spark, tmp_path):
+    """Batch == per-query semantics: answering N queries together must
+    return exactly the union of answering each alone (the quantized
+    per-token reduction makes this hash-exact, not approximate)."""
+    from cnc_visionsearch_spark.operators.text_index import inverted_build
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "inv")
+    inverted_build(docs, path, n_buckets=8)
+    qs = [(0, ["vector", "window"]), (1, ["hash", "scan", "join"])]
+    batch = {
+        (r.qid, r.doc_id, r.score_q)
+        for r in maxsim_multi_probe(
+            spark, path, qs, docs, n_buckets=8, k=5
+        ).collect()
+    }
+    single = set()
+    for qid, ts in qs:
+        single |= {
+            (r.qid, r.doc_id, r.score_q)
+            for r in maxsim_multi_probe(
+                spark, path, [(qid, ts)], docs, n_buckets=8, k=5
+            ).collect()
+        }
+    assert batch == single and batch
+
+
+def test_li_token_vec_py_is_unit_norm():
+    import math
+
+    for tok in ("vector", "hash", "a", "zz"):
+        v = li_token_vec_py(tok)
+        assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-12)
