@@ -278,43 +278,82 @@ def maxsim_multi_probe(
     docs: DataFrame,
     n_buckets: int = 16,
     k: int = 5,
+    candidates: str = "lexical",
+    nprobe: int = TOKEN_IVF_NPROBE,
 ) -> DataFrame:
     """Batch maxsim — the late-interaction twin of bm25_multi_probe
     (kNN-join shape): N (qid, tokens) queries answered together.
 
-    Candidates per query come from ONE pruned read of the union of
-    the query terms' postings buckets (a doc must lexically contain
-    >= 1 term of THAT query); scoring reads back only candidate docs'
-    text (semi-join-pruned), computes per-(qid, doc, qtok) max dot
-    against broadcast query-token vectors, quantizes EACH max to a
-    1e-9 BIGINT, and integer-sums across the query's tokens — so the
-    cross-token reduction is order-independent (the ADC decimal-sum
-    discipline) and batch == per-query semantics hash-exactly.
-    Returns (qid, doc_id, score_q), top-k per qid via the
-    WindowGroupLimit shape."""
-    from cnc_visionsearch_spark.operators.text_index import (
-        read_postings,
-        term_bucket,
-    )
+    Candidate generation per query, both partition-pruned single
+    reads shared by the whole batch:
 
-    all_terms = sorted({t for _, ts in queries for t in ts})
-    buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
-    posts = (
-        read_postings(spark, index_path)
-        .filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+    - ``candidates="lexical"``: ``index_path`` is the inverted index;
+      one pruned read of the union of the queries' terms' postings
+      buckets, a doc must lexically contain >= 1 term of THAT query;
+    - ``candidates="token_ivf"``: ``index_path`` is the token-IVF
+      layout (token_ivf_build); each query's token vectors rank cells
+      driver-side (bounded centroid collect), and one pruned read of
+      the union of probed doc_cells partitions joins a broadcast
+      (qid, cell_id) table — a doc sharing NO literal token with its
+      query is still a candidate through a same-cell token (the
+      PLAID-shaped rule of token_ivf_candidates, batched).
+
+    Scoring reads back only candidate docs' text (semi-join-pruned),
+    computes per-(qid, doc, qtok) max dot against broadcast
+    query-token vectors, quantizes EACH max to a 1e-9 BIGINT, and
+    integer-sums across the query's tokens — so the cross-token
+    reduction is order-independent (the ADC decimal-sum discipline)
+    and batch == per-query semantics hash-exactly. Returns
+    (qid, doc_id, score_q), top-k per qid via the WindowGroupLimit
+    shape."""
+    if candidates == "lexical":
+        from cnc_visionsearch_spark.operators.text_index import (
+            read_postings,
+            term_bucket,
         )
-        .select("term", "doc_id")
-    )
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, ts in queries for t in ts],
-        "qid bigint, term string",
-    )
-    cand = (
-        posts.join(F.broadcast(qterms), "term")
-        .select("qid", "doc_id")
-        .distinct()
-    )
+
+        all_terms = sorted({t for _, ts in queries for t in ts})
+        buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
+        posts = (
+            read_postings(spark, index_path)
+            .filter(
+                F.col("bucket").isin(buckets)
+                & F.col("term").isin(all_terms)
+            )
+            .select("term", "doc_id")
+        )
+        qterms = spark.createDataFrame(
+            [(qid, t) for qid, ts in queries for t in ts],
+            "qid bigint, term string",
+        )
+        cand = (
+            posts.join(F.broadcast(qterms), "term")
+            .select("qid", "doc_id")
+            .distinct()
+        )
+    elif candidates == "token_ivf":
+        qcell_rows = [
+            (qid, cell)
+            for qid, ts in queries
+            for cell in token_ivf_probe_cells(
+                spark, index_path, list(ts), nprobe
+            )
+        ]
+        qcells = spark.createDataFrame(
+            qcell_rows, "qid bigint, cell_id int"
+        )
+        union_cells = sorted({c for _, c in qcell_rows})
+        cand = (
+            spark.read.parquet(os.path.join(index_path, "doc_cells"))
+            .filter(F.col("cell_id").isin(union_cells))
+            .join(F.broadcast(qcells), "cell_id")
+            .select("qid", "doc_id")
+            .distinct()
+        )
+    else:
+        raise ValueError(
+            f"candidates must be 'lexical' or 'token_ivf': {candidates!r}"
+        )
     dtoks = (
         doc_distinct_tokens(
             docs.join(

@@ -1651,3 +1651,107 @@ def text_maxsim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
     )
     return res.orderBy("qid", F.col("score_q").desc(), F.col("doc_id").asc())
+
+
+@register(
+    "text_maxsim_ivf_batch_topk",
+    oracle=f"""
+WITH {_maxsim_batch_qterms_values()},
+dt AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+vocab AS (SELECT DISTINCT tok FROM dt),
+vv AS (SELECT tok, {_li_vec_sql("tok")} AS v FROM vocab),
+vn AS (SELECT tok, {_LI_NORM_SQL} AS nv FROM vv),
+cents AS (
+  SELECT rn - 1 AS cell_id, nv AS cv FROM (
+    SELECT tok, nv,
+      row_number() OVER (ORDER BY md5(tok) ASC, tok ASC) AS rn
+    FROM vn
+  ) WHERE rn <= 8
+),
+asg AS (
+  SELECT tok, cell_id FROM (
+    SELECT vn.tok, c.cell_id,
+      row_number() OVER (PARTITION BY vn.tok ORDER BY
+        {_LI_L2.format(d=_LI_DIM, a="vn.nv", b="c.cv")} ASC,
+        c.cell_id ASC) AS rn
+    FROM vn, cents c
+  ) WHERE rn = 1
+),
+qv AS (SELECT DISTINCT tok AS qtok, {_li_vec_sql("tok")} AS v FROM qterms),
+qn AS (SELECT qtok, {_LI_NORM_SQL} AS nv FROM qv),
+ranked_cells AS (
+  SELECT q.qtok, c.cell_id,
+    row_number() OVER (PARTITION BY q.qtok ORDER BY
+      {_LI_L2.format(d=_LI_DIM, a="q.nv", b="c.cv")} ASC,
+      c.cell_id ASC) AS rn
+  FROM qn q, cents c
+),
+qcells AS (
+  SELECT DISTINCT qt.qid, r.cell_id
+  FROM qterms qt JOIN ranked_cells r ON r.qtok = qt.tok
+  WHERE r.rn <= 2
+),
+cand AS (
+  SELECT DISTINCT qc.qid, dt.doc_id
+  FROM dt JOIN asg USING (tok)
+  JOIN qcells qc ON qc.cell_id = asg.cell_id
+),
+dv AS (
+  SELECT doc_id, tok, {_li_vec_sql("tok")} AS v
+  FROM dt WHERE doc_id IN (SELECT DISTINCT doc_id FROM cand)
+),
+dn AS (SELECT doc_id, {_LI_NORM_SQL} AS nv FROM dv),
+per_tok AS (
+  SELECT c.qid, c.doc_id, q.qtok,
+    CAST(floor(
+      max(list_sum(list_transform(range(1, {_LI_DIM}+1),
+          k -> d.nv[k] * q.nv[k]))) * 1000000000.0 + 0.5) AS BIGINT) AS bq
+  FROM cand c
+  JOIN dn d ON d.doc_id = c.doc_id
+  JOIN qterms qq ON qq.qid = c.qid
+  JOIN qn q ON q.qtok = qq.tok
+  GROUP BY c.qid, c.doc_id, q.qtok
+),
+per_pair AS (
+  SELECT qid, doc_id, CAST(sum(bq) AS BIGINT) AS score_q
+  FROM per_tok GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_q,
+    row_number() OVER (PARTITION BY qid
+                       ORDER BY score_q DESC, doc_id ASC) AS rn
+  FROM per_pair
+)
+SELECT qid, doc_id, score_q FROM ranked WHERE rn <= 5
+ORDER BY qid, score_q DESC, doc_id
+""",
+    doc="Batch maxsim with VECTOR candidate generation — the full "
+    "matrix closes: (single, batch, stream) x (lexical, token-IVF) "
+    "all share the maxsim_multi_probe scorer and the token-IVF "
+    "layout. Each query's token vectors rank cells driver-side "
+    "(bounded centroid collect), ONE pruned read of the union of "
+    "probed doc_cells partitions joins a broadcast (qid, cell_id) "
+    "table, and exact maxsim scores each query's candidates — docs "
+    "with zero lexical overlap included (the PLAID rule, batched). "
+    "The oracle replays centroid selection, vocabulary assignment, "
+    "per-(query, token) cell ranking (nprobe=2), per-query candidate "
+    "union, and the per-token-quantized order-independent reduction.",
+)
+def text_maxsim_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.maxsim import maxsim_multi_probe
+
+    path = ensure_token_ivf_built(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    res = maxsim_multi_probe(
+        spark,
+        path,
+        [(qid, list(ts)) for qid, ts in _MAXSIM_BATCH],
+        docs,
+        k=5,
+        candidates="token_ivf",
+        nprobe=2,
+    )
+    return res.orderBy("qid", F.col("score_q").desc(), F.col("doc_id").asc())

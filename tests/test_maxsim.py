@@ -150,3 +150,26 @@ def test_li_token_vec_py_is_unit_norm():
     for tok in ("vector", "hash", "a", "zz"):
         v = li_token_vec_py(tok)
         assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-12)
+
+
+def test_maxsim_multi_probe_token_ivf_candidates(spark, built):
+    """candidates='token_ivf' must equal scoring over the per-query
+    token_ivf_candidates sets — the batched rule loses and invents no
+    candidate pairs."""
+    docs = load_table(spark, SF, "documents")
+    qs = [(0, ["vector", "window"]), (1, ["hash", "scan"])]
+    batched = {
+        (r.qid, r.doc_id)
+        for r in maxsim_multi_probe(
+            spark, built, qs, docs, k=1000, candidates="token_ivf", nprobe=2
+        ).collect()
+    }
+    want = set()
+    for qid, ts in qs:
+        want |= {
+            (qid, r.doc_id)
+            for r in token_ivf_candidates(
+                spark, built, list(ts), nprobe=2
+            ).collect()
+        }
+    assert batched == want and batched
