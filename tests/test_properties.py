@@ -319,3 +319,103 @@ def test_rank_primitives_match_global_window_property(
     assert {r.id: r.b for r in nt.collect()} == {
         r.id: r.b for r in ref_nt.collect()
     }
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=200
+    ),
+    n1=st.integers(min_value=1, max_value=9),
+    n2=st.integers(min_value=2, max_value=12),
+)
+def test_exact_ntile_multi_matches_sql_ntile_property(spark, vals, n1, n2):
+    """For ANY value multiset (ties, negatives, skew) and any pair of
+    bucket counts, exact_ntile_multi must reproduce SQL NTILE exactly
+    for every spec — the r8 shared-sample kernel is semantics-free of
+    its boundary placement."""
+    from pyspark.sql import Window
+
+    from cnc_visionsearch_spark.operators.rank import exact_ntile_multi
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = exact_ntile_multi(
+        df,
+        [
+            (["v", "id"], n1, "a"),
+            ([(F.col("v"), "desc"), ("id", "asc")], n2, "b"),
+        ],
+        bands=4,
+    )
+    ref = df.select(
+        "id",
+        F.ntile(n1).over(Window.orderBy("v", "id")).alias("a"),
+        F.ntile(n2)
+        .over(Window.orderBy(F.col("v").desc(), F.col("id").asc()))
+        .alias("b"),
+    )
+    g = sorted((r.id, r.a, r.b) for r in got.select("id", "a", "b").collect())
+    w = sorted((r.id, r.a, r.b) for r in ref.collect())
+    assert g == w
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab "), min_size=3, max_size=30
+        ).filter(
+            # >= shingle_n (2) tokens, else a doc has ZERO shingles and
+            # legitimately cannot self-match
+            lambda s: len([t for t in s.split(" ") if t]) >= 2
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_minhash_meta_roundtrip_and_store_probe_guard(
+    spark, tmp_path_factory, texts
+):
+    """Any store stamped with write_minhash_meta round-trips exactly,
+    and a probe with ANY different geometry raises — the silent
+    zero-candidate failure mode is structurally unreachable through
+    the guarded path."""
+    import pytest as _pytest
+
+    from cnc_visionsearch_spark.operators.dedup import (
+        minhash_banded,
+        minhash_store_probe,
+        read_minhash_meta,
+        write_minhash_meta,
+    )
+
+    base = str(tmp_path_factory.mktemp("mh") / "store")
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    minhash_banded(docs, num_hashes=8, bands=2, shingle_n=2).write.mode(
+        "overwrite"
+    ).parquet(base)
+    write_minhash_meta(base, num_hashes=8, bands=2, shingle_n=2)
+    assert read_minhash_meta(base) == {
+        "num_hashes": 8,
+        "bands": 2,
+        "shingle_n": 2,
+        "seed_family": "md5-lcg-m31-v1",
+    }
+    store = spark.read.parquet(base)
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        minhash_store_probe(
+            docs, store, docs, num_hashes=16, bands=4, shingle_n=3,
+            store_path=base,
+        )
+    # matching geometry probes fine and self-matches at jaccard 1.0
+    ok = minhash_store_probe(
+        docs, store, docs, num_hashes=8, bands=2, shingle_n=2,
+        store_path=base,
+    )
+    assert ok.filter(
+        (F.col("batch_id") == F.col("store_id")) & (F.col("jaccard") == 1.0)
+    ).count() > 0
