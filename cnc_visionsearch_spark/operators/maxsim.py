@@ -43,10 +43,13 @@ __all__ = [
     "LI_DIM",
     "TOKEN_IVF_CELLS",
     "TOKEN_IVF_NPROBE",
+    "li_token_vec",
     "li_token_nvec",
+    "li_normalize",
     "li_token_vec_py",
     "doc_distinct_tokens",
     "token_ivf_build",
+    "token_ivf_append",
     "token_ivf_probe_cells",
     "token_ivf_candidates",
     "maxsim_multi_probe",
@@ -158,6 +161,29 @@ def doc_distinct_tokens(
     )
 
 
+def _assign_tokens(vocab: DataFrame, cents: DataFrame) -> DataFrame:
+    """(tok, cell_id): every vocabulary token's nearest centroid cell
+    (tie-break cell_id) — a PURE FUNCTION of (token, centroid set), so
+    build-time and append-time assignments against the same frozen
+    centroids can never diverge. Broadcast codebook, min_by argmin —
+    no vocab-proportional shuffle."""
+    return (
+        vocab.crossJoin(F.broadcast(cents))
+        .select(
+            "tok",
+            "cell_id",
+            l2_sq(F.col("_nv"), F.col("cv")).alias("_cd"),
+        )
+        .groupBy("tok")
+        .agg(
+            F.min_by(
+                F.struct("cell_id", "_cd"), F.struct("_cd", "cell_id")
+            ).alias("best")
+        )
+        .select("tok", F.col("best.cell_id").alias("cell_id"))
+    )
+
+
 def token_ivf_build(
     docs: DataFrame, path: str, n_cells: int = TOKEN_IVF_CELLS
 ) -> None:
@@ -195,21 +221,7 @@ def token_ivf_build(
         [(i, r["tok"], list(r["_nv"])) for i, r in enumerate(cent_rows)],
         "cell_id int, ctok string, cv array<double>",
     )
-    asg = (
-        vocab.crossJoin(F.broadcast(cents))
-        .select(
-            "tok",
-            "cell_id",
-            l2_sq(F.col("_nv"), F.col("cv")).alias("_cd"),
-        )
-        .groupBy("tok")
-        .agg(
-            F.min_by(
-                F.struct("cell_id", "_cd"), F.struct("_cd", "cell_id")
-            ).alias("best")
-        )
-        .select("tok", F.col("best.cell_id").alias("cell_id"))
-    )
+    asg = _assign_tokens(vocab, cents)
     os.makedirs(path, exist_ok=True)
     cents.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
@@ -230,6 +242,50 @@ def token_ivf_build(
     )
     with open(os.path.join(path, "_GEOMETRY.json"), "w") as f:
         json.dump({"kind": "token_ivf", "n_cells": n_cells, "dim": LI_DIM}, f)
+
+
+def token_ivf_append(docs_new: DataFrame, path: str) -> None:
+    """Append NEW documents into a token-IVF layout against the FROZEN
+    build-time centroids — the St4 incremental-maintenance doctrine
+    every other index tier follows (ivf/pq/shard/nsw/rq append;
+    the reference's own online path is add_with_ids, main.py:134):
+
+    - the new docs' distinct tokens are assigned via the SAME
+      ``_assign_tokens`` pure function the build used, against the
+      centroids read back from the layout (bounded) — a token already
+      in the vocabulary lands on its existing cell by construction;
+    - unseen tokens append to ``token_cells`` (left_anti against the
+      resident vocabulary — O(new vocab) work);
+    - the new docs' (cell_id, doc_id) rows append as new files into
+      their ``doc_cells`` partitions — existing files byte-untouched,
+      probes see the union at unchanged plan shape.
+
+    O(batch) end to end: the resident corpus is never re-tokenized.
+    A rebuild over the grown corpus MAY pick different centroids
+    (they derive from the vocabulary's md5 order); the append
+    contract is frozen-codebook semantics, same as the ANN tiers —
+    the registered probe's oracle replays exactly that."""
+    spark = docs_new.sparkSession
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    toks = doc_distinct_tokens(docs_new)
+    vocab_new = toks.select("tok").distinct().withColumn(
+        "_nv", li_token_nvec("tok")
+    )
+    asg_new = _assign_tokens(vocab_new, cents)
+    resident = spark.read.parquet(
+        os.path.join(path, "token_cells")
+    ).select("tok")
+    asg_new.join(resident, "tok", "left_anti").write.mode("append").parquet(
+        os.path.join(path, "token_cells")
+    )
+    (
+        toks.join(F.broadcast(asg_new), "tok")
+        .select("cell_id", "doc_id")
+        .distinct()
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(os.path.join(path, "doc_cells"))
+    )
 
 
 def token_ivf_probe_cells(

@@ -1755,3 +1755,136 @@ def text_maxsim_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2,
     )
     return res.orderBy("qid", F.col("score_q").desc(), F.col("doc_id").asc())
+
+
+_TIVF_SPLIT = 400  # documents fixture: 500 docs at both sf0.001/sf0.01
+
+
+def ensure_token_ivf_appended(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent build-then-append lifecycle for the token-IVF layout
+    (the St4 frozen-codebook doctrine, mirroring
+    queries_ann_incremental.ensure_appended_layout): build over the
+    base document slice, then append the rest against the frozen
+    centroids. Keyed by corpus content, so fixture regeneration
+    rebuilds."""
+    import os
+
+    from cnc_visionsearch_spark.operators.maxsim import (
+        TOKEN_IVF_CELLS,
+        token_ivf_append,
+        token_ivf_build,
+    )
+    from cnc_visionsearch_spark.queries_ann import _ARTIFACT_ROOT, _corpus_tag
+
+    path = (
+        f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir, 'documents')}"
+        f"/token_ivf_append_c{TOKEN_IVF_CELLS}d{_LI_DIM}"
+    )
+    marker = os.path.join(path, "_APPENDED")
+    if not os.path.exists(marker):
+        docs = load_table(spark, sf_dir, "documents")
+        token_ivf_build(
+            docs.filter(F.col("doc_id") < _TIVF_SPLIT),
+            path,
+            n_cells=TOKEN_IVF_CELLS,
+        )
+        token_ivf_append(
+            docs.filter(F.col("doc_id") >= _TIVF_SPLIT), path
+        )
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "text_maxsim_ivf_append_topk",
+    oracle=f"""
+WITH dt AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+bvocab AS (
+  SELECT DISTINCT tok FROM dt WHERE doc_id < {_TIVF_SPLIT}
+),
+bvv AS (SELECT tok, {_li_vec_sql("tok")} AS v FROM bvocab),
+bvn AS (SELECT tok, {_LI_NORM_SQL} AS nv FROM bvv),
+cents AS (
+  SELECT rn - 1 AS cell_id, nv AS cv FROM (
+    SELECT tok, nv,
+      row_number() OVER (ORDER BY md5(tok) ASC, tok ASC) AS rn
+    FROM bvn
+  ) WHERE rn <= 8
+),
+uvocab AS (SELECT DISTINCT tok FROM dt),
+uvv AS (SELECT tok, {_li_vec_sql("tok")} AS v FROM uvocab),
+uvn AS (SELECT tok, {_LI_NORM_SQL} AS nv FROM uvv),
+asg AS (
+  SELECT tok, cell_id FROM (
+    SELECT u.tok, c.cell_id,
+      row_number() OVER (PARTITION BY u.tok ORDER BY
+        {_LI_L2.format(d=_LI_DIM, a="u.nv", b="c.cv")} ASC,
+        c.cell_id ASC) AS rn
+    FROM uvn u, cents c
+  ) WHERE rn = 1
+),
+qt AS (SELECT unnest(['vector','hash','scan']) AS qtok),
+qv AS (SELECT qtok, {_li_vec_sql("qtok")} AS v FROM qt),
+qn AS (SELECT qtok, {_LI_NORM_SQL} AS nv FROM qv),
+qcells AS (
+  SELECT DISTINCT cell_id FROM (
+    SELECT q.qtok, c.cell_id,
+      row_number() OVER (PARTITION BY q.qtok ORDER BY
+        {_LI_L2.format(d=_LI_DIM, a="q.nv", b="c.cv")} ASC,
+        c.cell_id ASC) AS rn
+    FROM qn q, cents c
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT DISTINCT dt.doc_id
+  FROM dt JOIN asg USING (tok)
+  WHERE asg.cell_id IN (SELECT cell_id FROM qcells)
+),
+dv AS (
+  SELECT doc_id, tok, {_li_vec_sql("tok")} AS v
+  FROM dt WHERE doc_id IN (SELECT doc_id FROM cand)
+),
+dn AS (SELECT doc_id, {_LI_NORM_SQL} AS nv FROM dv),
+sims AS (
+  SELECT d.doc_id, q.qtok,
+    max(list_sum(list_transform(range(1, {_LI_DIM}+1),
+        k -> d.nv[k] * q.nv[k]))) AS best
+  FROM dn d, qn q GROUP BY d.doc_id, q.qtok
+)
+SELECT doc_id,
+  CAST(floor(sum(best) * 1000000000 + 0.5) AS BIGINT) AS score_q
+FROM sims GROUP BY doc_id
+ORDER BY score_q DESC, doc_id ASC
+LIMIT 10
+""",
+    doc="Maxsim probe over a token-IVF layout built from the base "
+    f"document slice (doc_id < {_TIVF_SPLIT}) then EXTENDED with "
+    "token_ivf_append — the newest retrieval tier gets the same "
+    "incremental-maintenance lifecycle every ANN tier has (St4, the "
+    "reference's add_with_ids as a batch job): appended docs' tokens "
+    "are assigned against the FROZEN build-time centroids (a pure "
+    "function of token and codebook, so resident assignments can "
+    "never shift), unseen tokens extend the vocabulary table, and "
+    "new (cell, doc) rows land as new files in their cell partitions "
+    "— resident files byte-untouched, probes see the union at "
+    "unchanged plan shape and O(batch) append cost. The oracle "
+    "recomputes the frozen-codebook semantics from scratch (base "
+    "vocabulary centroids, union-vocabulary assignment), so a hash "
+    "match proves append == rebuild for probe purposes.",
+)
+def text_maxsim_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.maxsim import token_ivf_candidates
+
+    path = ensure_token_ivf_appended(spark, sf_dir)
+    cand = token_ivf_candidates(spark, path, list(_LI_QUERY), nprobe=2)
+    d = load_table(spark, sf_dir, "documents").join(
+        cand, "doc_id", "left_semi"
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    return _li_maxsim_topk(toks)

@@ -778,6 +778,52 @@ def maxsim_serving_stream(
     )
 
 
+def token_ivf_ingest_stream(
+    spark: SparkSession,
+    in_path: str,
+    index_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 10,
+):
+    """Streaming ingest into a PERSISTED token-IVF layout
+    (operators/maxsim.token_ivf_build) — the maxsim tier's living-
+    corpus story, same shape as inverted_ingest_stream /
+    hnsw_ingest_stream: each micro-batch of documents runs
+    ``token_ivf_append`` (new docs' tokens assigned against the
+    FROZEN build-time centroids, unseen tokens extend the vocabulary
+    table, new (cell, doc) rows land as new files in their cell
+    partitions — resident files byte-untouched). Probes launched
+    after any commit reach the new docs through the appended
+    partitions at unchanged scan shape; per-batch work is O(batch).
+    Returns the configured DataStreamWriter — call ``.start()``."""
+    from cnc_visionsearch_spark.operators.maxsim import token_ivf_append
+    from cnc_visionsearch_spark.schemas import DOCUMENTS
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # per-id dedup: an at-least-once source may re-deliver a doc
+        # within one micro-batch; doc_cells rows are distinct per
+        # (cell, doc) anyway, so replays across batches are harmless
+        # (duplicate rows change no candidate set)
+        token_ivf_append(
+            batch_df.select("doc_id", "text").dropDuplicates(["doc_id"]),
+            index_path,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def hnsw_ingest_stream(
     spark: SparkSession,
     in_path: str,

@@ -173,3 +173,104 @@ def test_maxsim_multi_probe_token_ivf_candidates(spark, built):
             ).collect()
         }
     assert batched == want and batched
+
+
+def test_token_ivf_append_frozen_codebook(spark, tmp_path):
+    """Append contract (St4): appended docs' tokens assign against the
+    FROZEN build-time centroids; resident doc_cells files stay
+    byte-untouched; probes over the appended layout see exactly the
+    union candidate set of the frozen-codebook rule."""
+    import os
+
+    from cnc_visionsearch_spark.operators.maxsim import token_ivf_append
+
+    docs = load_table(spark, SF, "documents")
+    base = docs.filter(F.col("doc_id") < 300)
+    rest = docs.filter(F.col("doc_id") >= 300)
+    path = str(tmp_path / "tivf_app")
+    token_ivf_build(base, path, n_cells=TOKEN_IVF_CELLS)
+
+    def files(sub):
+        out = {}
+        for root, _d, fs in os.walk(os.path.join(path, sub)):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    before = files("doc_cells")
+    token_ivf_append(rest, path)
+    after = files("doc_cells")
+    assert set(before) <= set(after) and len(after) > len(before)
+    for p, sig in before.items():
+        assert after[p] == sig  # resident files byte-untouched
+    # union candidate set == frozen-codebook ground truth
+    cells = token_ivf_probe_cells(spark, path, ["vector"], nprobe=2)
+    tc = spark.read.parquet(f"{path}/token_cells").filter(
+        F.col("cell_id").isin(cells)
+    )
+    want = {
+        r.doc_id
+        for r in doc_distinct_tokens(docs)
+        .join(tc, "tok", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    got = {
+        r.doc_id
+        for r in token_ivf_candidates(
+            spark, path, ["vector"], nprobe=2
+        ).collect()
+    }
+    assert got == want
+    assert any(d >= 300 for d in got)  # appended docs are reachable
+
+
+def test_token_ivf_ingest_stream_equals_batch_append(spark, tmp_path):
+    """Streamed ingest == batch append: building over the base slice
+    then streaming the remainder in micro-batches must leave a layout
+    whose candidate sets equal the one-shot token_ivf_append form."""
+    from cnc_visionsearch_spark.operators.maxsim import token_ivf_append
+    from cnc_visionsearch_spark.streaming.pipelines import (
+        token_ivf_ingest_stream,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    base = docs.filter(F.col("doc_id") < 300)
+    rest = docs.filter(F.col("doc_id") >= 300)
+
+    streamed = str(tmp_path / "streamed")
+    oneshot = str(tmp_path / "oneshot")
+    token_ivf_build(base, streamed, n_cells=TOKEN_IVF_CELLS)
+    token_ivf_build(base, oneshot, n_cells=TOKEN_IVF_CELLS)
+    token_ivf_append(rest, oneshot)
+
+    stream_in = str(tmp_path / "in")
+    for i in range(2):
+        rest.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_in)
+    token_ivf_ingest_stream(
+        spark,
+        stream_in,
+        streamed,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    ).start().awaitTermination(180)
+
+    for qts in (["vector"], ["hash", "scan"]):
+        a = {
+            r.doc_id
+            for r in token_ivf_candidates(
+                spark, streamed, qts, nprobe=2
+            ).collect()
+        }
+        b = {
+            r.doc_id
+            for r in token_ivf_candidates(
+                spark, oneshot, qts, nprobe=2
+            ).collect()
+        }
+        assert a == b and a
