@@ -48,6 +48,7 @@ __all__ = [
     "li_normalize",
     "li_token_vec_py",
     "doc_distinct_tokens",
+    "validate_token_ivf_geometry",
     "token_ivf_build",
     "token_ivf_append",
     "token_ivf_probe_cells",
@@ -62,6 +63,30 @@ LI_DIM = 8
 # the thousands with the same plan shapes
 TOKEN_IVF_CELLS = 8
 TOKEN_IVF_NPROBE = 2
+_GEOM = "_GEOMETRY.json"
+
+
+def validate_token_ivf_geometry(path: str) -> dict:
+    """Raise unless the layout at ``path`` carries a readable geometry
+    sidecar stamped for THIS module's vector space (kind + dim) — a
+    layout built under a different dim would rank cells against
+    incommensurate centroids and silently return wrong candidates
+    (the validate_minhash_meta doctrine). Returns the geometry."""
+    p = os.path.join(path, _GEOM)
+    if not os.path.exists(p):
+        raise ValueError(
+            f"token-IVF layout {path} has no {_GEOM} sidecar — "
+            "probing an unstamped layout risks ranking cells in the "
+            "wrong vector space; build with token_ivf_build"
+        )
+    with open(p) as f:
+        geom = json.load(f)
+    if geom.get("kind") != "token_ivf" or geom.get("dim") != LI_DIM:
+        raise ValueError(
+            f"token-IVF geometry mismatch at {path}: layout is "
+            f"{geom}, this module probes kind=token_ivf dim={LI_DIM}"
+        )
+    return geom
 
 
 def li_token_vec(tok: Column | str) -> Column:
@@ -240,8 +265,16 @@ def token_ivf_build(
     doc_cells.write.mode("overwrite").partitionBy("cell_id").parquet(
         os.path.join(path, "doc_cells")
     )
-    with open(os.path.join(path, "_GEOMETRY.json"), "w") as f:
+    # atomic sidecar (tmp + os.replace — the operators/ann._write_
+    # geometry doctrine): a crash mid-write can never leave a corrupt
+    # sidecar inside an otherwise-valid layout. Probes VALIDATE it
+    # (validate_token_ivf_geometry) so a layout built under a
+    # different vector dim or hash family raises instead of silently
+    # probing the wrong space (the minhash _META.json doctrine).
+    tmp = os.path.join(path, _GEOM + ".tmp")
+    with open(tmp, "w") as f:
         json.dump({"kind": "token_ivf", "n_cells": n_cells, "dim": LI_DIM}, f)
+    os.replace(tmp, os.path.join(path, _GEOM))
 
 
 def token_ivf_append(docs_new: DataFrame, path: str) -> None:
@@ -265,6 +298,7 @@ def token_ivf_append(docs_new: DataFrame, path: str) -> None:
     (they derive from the vocabulary's md5 order); the append
     contract is frozen-codebook semantics, same as the ANN tiers —
     the registered probe's oracle replays exactly that."""
+    validate_token_ivf_geometry(path)
     spark = docs_new.sparkSession
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     toks = doc_distinct_tokens(docs_new)
@@ -288,6 +322,31 @@ def token_ivf_append(docs_new: DataFrame, path: str) -> None:
     )
 
 
+def _collect_centroids(spark: SparkSession, path: str) -> list[tuple]:
+    """Validated, bounded (n_cells rows) centroid collect — ONE job,
+    shared by every probe in a batch (callers rank cells driver-side
+    from the returned list, never re-reading the parquet per query)."""
+    validate_token_ivf_geometry(path)
+    return [
+        (r["cell_id"], list(r["cv"]))
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    ]
+
+
+def _probe_cells_from_rows(
+    cents: list[tuple], query_tokens: list[str], nprobe: int
+) -> list[int]:
+    """Union of the nprobe cells nearest each query-token vector,
+    ranked against an already-collected centroid list (pure driver
+    arithmetic — distance ties break by cell_id)."""
+    cells: set[int] = set()
+    for qt in query_tokens:
+        qv = li_token_vec_py(qt)
+        ranked = sorted((_l2_sq_py(qv, cv), cid) for cid, cv in cents)
+        cells.update(cid for _, cid in ranked[:nprobe])
+    return sorted(cells)
+
+
 def token_ivf_probe_cells(
     spark: SparkSession,
     path: str,
@@ -296,16 +355,12 @@ def token_ivf_probe_cells(
 ) -> list[int]:
     """Union of the nprobe cells nearest each query-token vector —
     ranked driver-side against the collected centroid table (bounded:
-    n_cells rows, the ivf_probe_cells pattern)."""
-    cents = spark.read.parquet(os.path.join(path, "centroids")).collect()
-    cells: set[int] = set()
-    for qt in query_tokens:
-        qv = li_token_vec_py(qt)
-        ranked = sorted(
-            (( _l2_sq_py(qv, list(r["cv"])), r["cell_id"]) for r in cents),
-        )
-        cells.update(cid for _, cid in ranked[:nprobe])
-    return sorted(cells)
+    n_cells rows, the ivf_probe_cells pattern). Batch callers with
+    many queries should collect once via ``_collect_centroids`` and
+    rank with ``_probe_cells_from_rows`` (maxsim_multi_probe does)."""
+    return _probe_cells_from_rows(
+        _collect_centroids(spark, path), query_tokens, nprobe
+    )
 
 
 def token_ivf_candidates(
@@ -388,12 +443,11 @@ def maxsim_multi_probe(
             .distinct()
         )
     elif candidates == "token_ivf":
+        cents = _collect_centroids(spark, index_path)  # ONE bounded job
         qcell_rows = [
             (qid, cell)
             for qid, ts in queries
-            for cell in token_ivf_probe_cells(
-                spark, index_path, list(ts), nprobe
-            )
+            for cell in _probe_cells_from_rows(cents, list(ts), nprobe)
         ]
         qcells = spark.createDataFrame(
             qcell_rows, "qid bigint, cell_id int"

@@ -1302,7 +1302,10 @@ def _li_maxsim_topk(toks: DataFrame, k: int = 10) -> DataFrame:
     (doc_id, score_q) by sum_q max_d cos(q, d) with the md5 pseudo
     embeddings; query vectors are Python literals, all scoring is
     codegen arithmetic, one hash aggregate, TakeOrderedAndProject."""
-    from cnc_visionsearch_spark.operators.maxsim import li_token_vec
+    from cnc_visionsearch_spark.operators.maxsim import (
+        li_normalize,
+        li_token_vec,
+    )
 
     # spread before the CPU-bound md5-vector work: the documents scan
     # is one small file -> one partition, and higher-order-function
@@ -1312,11 +1315,7 @@ def _li_maxsim_topk(toks: DataFrame, k: int = 10) -> DataFrame:
     p = toks.sparkSession.sparkContext.defaultParallelism
     toks = toks.repartition(p, F.col("doc_id"))
     with_vec = toks.withColumn("_v", li_token_vec("tok"))
-    n2 = F.aggregate(
-        F.col("_v"), F.lit(0.0), lambda a, x: a + x * x
-    )
-    nvec = F.transform(F.col("_v"), lambda x: x / F.sqrt(n2))
-    scored = with_vec.withColumn("_nv", nvec)
+    scored = with_vec.withColumn("_nv", li_normalize(F.col("_v")))
     aggs = []
     for i, qtok in enumerate(_LI_QUERY):
         qv = _li_token_vec_py(qtok)

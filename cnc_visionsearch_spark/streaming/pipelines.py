@@ -47,6 +47,11 @@ __all__ = [
     "ivf_delete_stream",
     "bm25_serving_stream",
     "read_id_mapping",
+    "knn_serving_stream",
+    "maxsim_serving_stream",
+    "minhash_dedup_stream",
+    "percolator_stream",
+    "token_ivf_ingest_stream",
 ]
 
 
@@ -811,9 +816,14 @@ def token_ivf_ingest_stream(
         # per-id dedup: an at-least-once source may re-deliver a doc
         # within one micro-batch; doc_cells rows are distinct per
         # (cell, doc) anyway, so replays across batches are harmless
-        # (duplicate rows change no candidate set)
+        # (duplicate rows change no candidate set). max(text) per id,
+        # NOT dropDuplicates: a re-delivery with DIVERGENT text bakes
+        # whichever row scanned first into the PERSISTED layout —
+        # max(text) keeps the streamed layout deterministic and equal
+        # to the one-shot append twin (the minhash_store_probe
+        # verdict-kernel rule, operators/dedup.py)
         token_ivf_append(
-            batch_df.select("doc_id", "text").dropDuplicates(["doc_id"]),
+            batch_df.groupBy("doc_id").agg(F.max("text").alias("text")),
             index_path,
         )
 
@@ -966,7 +976,10 @@ def minhash_dedup_stream(
     ``mode("overwrite")`` verdict write lands the same verdicts again.
     Double-absorbed band rows are harmless for later batches
     (candidates are DISTINCT pairs) and duplicate doc-text rows are
-    neutralized by the probe's per-id dropDuplicates. The base store
+    neutralized by the probe's deterministic per-id max(text)
+    aggregation (operators/dedup.minhash_store_probe — identical-text
+    replays verify unchanged; a divergent-text redelivery verifies
+    against one deterministic row, never file-scan order). The base store
     may omit ``_src_batch`` (read with mergeSchema; missing values are
     never excluded), and the run-scoped key means a NEW stream over
     the same store never mistakes an older run's resident rows for
@@ -984,12 +997,29 @@ def minhash_dedup_stream(
     )
     from cnc_visionsearch_spark.schemas import DOCUMENTS
 
-    # the stream OWNS this store's lifecycle (absorb appends with the
-    # fixed h16/b4/s3 geometry below), so it stamps the _META.json
-    # geometry sidecar if the store predates it; every probe then
-    # validates against the sidecar and raises on mismatch instead of
-    # silently joining zero candidates (r7 verdict #3)
+    # the stream probes and absorbs with the fixed h16/b4/s3 geometry
+    # below, so a store IT CREATES is stamped with that _META.json
+    # sidecar up front; every probe then validates against the sidecar
+    # and raises on mismatch instead of silently joining zero
+    # candidates (r7 verdict #3). Stamping is restricted to stores
+    # with no resident data: blind-stamping a PRE-EXISTING unstamped
+    # store would assert a geometry nobody verified — laundering the
+    # exact silent zero-candidate mismatch the sidecar exists to
+    # prevent — so that case raises (stamp it with write_minhash_meta
+    # after checking how it was built).
     if read_minhash_meta(store_banded_path) is None:
+        has_data = os.path.isdir(store_banded_path) and any(
+            not f.startswith((".", "_"))
+            for f in os.listdir(store_banded_path)
+        )
+        if has_data:
+            raise ValueError(
+                f"MinHash store {store_banded_path} holds data but no "
+                "_META.json geometry sidecar — refusing to assume "
+                "h16/b4/s3 for a store this stream did not build; "
+                "stamp it with write_minhash_meta(num_hashes, bands, "
+                "shingle_n) matching how it was banded"
+            )
         write_minhash_meta(
             store_banded_path, num_hashes=16, bands=4, shingle_n=3
         )
@@ -1066,3 +1096,4 @@ def minhash_dedup_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+

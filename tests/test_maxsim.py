@@ -228,6 +228,90 @@ def test_token_ivf_append_frozen_codebook(spark, tmp_path):
     assert any(d >= 300 for d in got)  # appended docs are reachable
 
 
+def test_token_ivf_geometry_sidecar_validated(spark, built, tmp_path):
+    """Probes and appends validate the _GEOMETRY.json sidecar: a
+    missing or wrong-dim sidecar raises instead of silently ranking
+    cells in the wrong vector space (the validate_minhash_meta
+    doctrine, applied to the token-IVF layout)."""
+    import json
+    import os
+    import shutil
+
+    from cnc_visionsearch_spark.operators.maxsim import (
+        token_ivf_append,
+        validate_token_ivf_geometry,
+    )
+
+    assert validate_token_ivf_geometry(built)["kind"] == "token_ivf"
+
+    broken = str(tmp_path / "broken")
+    shutil.copytree(built, broken)
+    os.remove(os.path.join(broken, "_GEOMETRY.json"))
+    with pytest.raises(ValueError, match="no _GEOMETRY.json"):
+        token_ivf_probe_cells(spark, broken, ["vector"])
+    with open(os.path.join(broken, "_GEOMETRY.json"), "w") as f:
+        json.dump({"kind": "token_ivf", "n_cells": 8, "dim": 16}, f)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        token_ivf_candidates(spark, broken, ["vector"])
+    docs = load_table(spark, SF, "documents")
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        token_ivf_append(docs.limit(1), broken)
+
+
+def test_token_ivf_ingest_divergent_redelivery_deterministic(
+    spark, tmp_path
+):
+    """An at-least-once source re-delivering one doc_id with DIVERGENT
+    text within a micro-batch must bake a DETERMINISTIC row into the
+    persisted layout (max(text) per id — the minhash_store_probe
+    verdict-kernel rule), equal to the one-shot append of that
+    max-text row, regardless of row order in the batch."""
+    from cnc_visionsearch_spark.operators.maxsim import token_ivf_append
+    from cnc_visionsearch_spark.streaming.pipelines import (
+        token_ivf_ingest_stream,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    base = docs.filter(F.col("doc_id") < 300)
+    streamed = str(tmp_path / "streamed")
+    oneshot = str(tmp_path / "oneshot")
+    token_ivf_build(base, streamed, n_cells=TOKEN_IVF_CELLS)
+    token_ivf_build(base, oneshot, n_cells=TOKEN_IVF_CELLS)
+
+    dup = spark.createDataFrame(
+        [
+            (9001, "alpha beta gamma", "xx", "s1", 16),
+            (9001, "zeta omega theta", "xx", "s1", 16),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    stream_in = str(tmp_path / "in")
+    dup.coalesce(1).write.parquet(stream_in)
+    token_ivf_ingest_stream(
+        spark, stream_in, streamed, str(tmp_path / "ckpt")
+    ).start().awaitTermination(180)
+    # max(text) wins: 'zeta omega theta' > 'alpha beta gamma'
+    token_ivf_append(
+        spark.createDataFrame(
+            [(9001, "zeta omega theta")], "doc_id bigint, text string"
+        ),
+        oneshot,
+    )
+    a = sorted(
+        (r.cell_id, r.doc_id)
+        for r in spark.read.parquet(f"{streamed}/doc_cells")
+        .filter(F.col("doc_id") == 9001)
+        .collect()
+    )
+    b = sorted(
+        (r.cell_id, r.doc_id)
+        for r in spark.read.parquet(f"{oneshot}/doc_cells")
+        .filter(F.col("doc_id") == 9001)
+        .collect()
+    )
+    assert a == b and a
+
+
 def test_token_ivf_ingest_stream_equals_batch_append(spark, tmp_path):
     """Streamed ingest == batch append: building over the base slice
     then streaming the remainder in micro-batches must leave a layout

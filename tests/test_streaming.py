@@ -1449,6 +1449,7 @@ def test_minhash_dedup_stream_absorbs_batches(spark, tmp_path):
         minhash_banded,
         minhash_lsh_pairs,
         minhash_store_probe,
+        write_minhash_meta,
     )
     from cnc_visionsearch_spark.streaming.pipelines import (
         minhash_dedup_stream,
@@ -1461,6 +1462,9 @@ def test_minhash_dedup_stream_absorbs_batches(spark, tmp_path):
     minhash_banded(base, num_hashes=16, bands=4, shingle_n=3).write.parquet(
         store_b
     )
+    # a pre-existing store must arrive STAMPED: the stream refuses to
+    # assume a geometry for resident data it did not band itself
+    write_minhash_meta(store_b, num_hashes=16, bands=4, shingle_n=3)
     base.write.parquet(store_d)
 
     b1 = (
@@ -1525,6 +1529,55 @@ def test_minhash_dedup_stream_absorbs_batches(spark, tmp_path):
     }
     got_b2 = {k: v for k, v in streamed.items() if k in want}
     assert got_b2 == want
+
+
+def test_minhash_dedup_stream_rejects_unstamped_resident_store(
+    spark, tmp_path
+):
+    """A PRE-EXISTING store holding data but no _META.json sidecar is
+    rejected up front: blind-stamping it with the stream's own
+    geometry would assert h16/b4/s3 for bands nobody verified — the
+    silent zero-candidate mismatch the sidecar exists to prevent. A
+    fresh (empty) path is still stamped and accepted."""
+    import pytest
+
+    from cnc_visionsearch_spark.operators.dedup import (
+        minhash_banded,
+        read_minhash_meta,
+    )
+    from cnc_visionsearch_spark.streaming.pipelines import (
+        minhash_dedup_stream,
+    )
+
+    d = load_table(spark, SF, "documents")
+    base = d.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    store_b = str(tmp_path / "sb")
+    (tmp_path / "in").mkdir()  # readStream validates the source path
+    # resident data banded under a DIFFERENT geometry, no sidecar
+    minhash_banded(base, num_hashes=32, bands=8, shingle_n=3).write.parquet(
+        store_b
+    )
+    with pytest.raises(ValueError, match="no _META.json"):
+        minhash_dedup_stream(
+            spark,
+            str(tmp_path / "in"),
+            store_b,
+            str(tmp_path / "sd"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+    # a store path with NO resident data gets stamped with the
+    # stream's own geometry (the stream owns that store's lifecycle)
+    fresh = str(tmp_path / "fresh")
+    minhash_dedup_stream(
+        spark,
+        str(tmp_path / "in"),
+        fresh,
+        str(tmp_path / "sd"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt2"),
+    )
+    assert read_minhash_meta(fresh)["num_hashes"] == 16
 
 
 def test_minhash_dedup_stream_replay_exclusion_mechanism(spark, tmp_path):
