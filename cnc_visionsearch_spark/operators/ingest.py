@@ -23,7 +23,96 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["next_dense_id", "upsert_id_mapping"]
+__all__ = [
+    "next_dense_id",
+    "upsert_id_mapping",
+    "ID_MAPPING_SCHEMA",
+    "tlog_init_id_mapping",
+    "tlog_merge_upsert",
+]
+
+ID_MAPPING_SCHEMA = "str_id string, faiss_id bigint, text_content string"
+
+
+def _bucket_expr(n_buckets: int):
+    """Merge-key bucket id — a PURE function of str_id (derived, never
+    stored), so the log's per-add bucket tags, the merge's touched-set,
+    and the conflict domains all agree by construction."""
+    return F.pmod(F.xxhash64("str_id"), F.lit(n_buckets)).cast("int")
+
+
+def tlog_init_id_mapping(tlog, mapping: DataFrame, n_buckets: int = 16) -> int:
+    """Version 1 of a transactional id_mapping table: the initial state
+    lands bucketed on str_id with the running MAX(faiss_id) recorded in
+    commit meta (the known_max manifest seam — later merges assign
+    globally dense ids without scanning resident state)."""
+    mx = mapping.agg(
+        F.coalesce(F.max("faiss_id"), F.lit(0)).alias("mx")
+    ).collect()[0]["mx"]
+    adds = tlog.write_data(
+        mapping.select("str_id", "faiss_id", "text_content"),
+        bucket_expr=_bucket_expr(n_buckets),
+    )
+    return tlog.commit(
+        adds=adds,
+        op="append",
+        meta={"max_faiss_id": int(mx), "n_buckets": n_buckets},
+    )
+
+
+def tlog_merge_upsert(
+    tlog, batch: DataFrame, txn: tuple[str, int] | None = None
+) -> int:
+    """``MERGE INTO id_mapping`` with exact reference semantics
+    (text-only update / dense MAX+1 insert — :func:`upsert_id_mapping`)
+    as ONE optimistic transaction against a :class:`~cnc_visionsearch_
+    spark.sources.tlog.TLog` table; returns the committed version.
+
+    The SQLite row this replaces is main.py:119-134; the scale story:
+
+    - the batch's touched BUCKETS (<= n_buckets, a bounded collect of
+      a pure function of str_id) bound everything: only those buckets'
+      resident files are read (log-tag pruned), rewritten, removed,
+      and declared as conflict domains — concurrent merges over
+      disjoint key ranges commit with no recompute and no shared I/O;
+    - the dense-id high-water mark rides commit meta, so no merge ever
+      scans the full table for MAX(faiss_id);
+    - ``txn`` (app id, batch seq) makes at-least-once replays commit
+      nothing (the streaming twin's exactly-once story);
+    - a :class:`TLogConflictError` means a racing commit touched the
+      same buckets — re-run under ``run_transaction`` to recompute
+      against the new snapshot (serializable outcome)."""
+    spark = batch.sparkSession
+    snap = tlog.snapshot()
+    n_buckets = int(snap.meta["n_buckets"])
+    bexpr = _bucket_expr(n_buckets)
+    touched = sorted(
+        r["_tb"]
+        for r in batch.select(bexpr.alias("_tb")).distinct().collect()
+    )  # bounded: <= n_buckets rows
+    resident = tlog.read(
+        spark, snap, buckets=touched, schema=ID_MAPPING_SCHEMA
+    )
+    known_max = int(snap.meta["max_faiss_id"])
+    merged = upsert_id_mapping(resident, batch, known_max=known_max)
+    n_new = batch.join(
+        resident.select("str_id"), "str_id", "left_anti"
+    ).count()
+    adds = tlog.write_data(merged, bucket_expr=bexpr)
+    # the dense-id counter is read-modify-write shared state: only
+    # INSERTING merges carry the meta key, so they serialize against
+    # each other (the tlog's same-meta-key conflict rule) while
+    # update-only merges on disjoint buckets commit concurrently —
+    # exactly the id-range-collision hazard the rule exists for
+    return tlog.commit(
+        adds=adds,
+        removes=snap.files_in(touched),
+        read_version=snap.version,
+        op="rewrite",
+        domains=touched,
+        meta={"max_faiss_id": known_max + int(n_new)} if n_new else {},
+        txn=txn,
+    )
 
 
 def next_dense_id(id_mapping: DataFrame, id_col: str = "faiss_id") -> DataFrame:

@@ -104,3 +104,4 @@ def health_status(spark: SparkSession, sf_dir: str) -> DataFrame:
           (SELECT count(*) FROM embeddings) > 0 AS index_ready
         """
     )
+

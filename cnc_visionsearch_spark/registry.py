@@ -82,6 +82,7 @@ _MODULE_ORDER = [
     "cnc_visionsearch_spark.queries_sketches_ext",
     "cnc_visionsearch_spark.queries_rank_ext",
     "cnc_visionsearch_spark.queries_feature_ext",
+    "cnc_visionsearch_spark.queries_tlog",
 ]
 
 
@@ -159,6 +160,7 @@ def _load_all() -> None:
         queries_sketches_ext,
         queries_rank_ext,
         queries_feature_ext,
+        queries_tlog,
     )
 
     _LOADED = True

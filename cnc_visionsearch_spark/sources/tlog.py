@@ -1,0 +1,407 @@
+"""Minimal optimistic-concurrency transaction log over parquet.
+
+The reference's id_mapping lives in SQLite (main.py:104-135), whose
+single-writer file lock IS its concurrency story; SURVEY §1.2 maps
+those upserts to a table format's ``MERGE INTO``. This container has
+no importable Delta/Iceberg (re-verified every round), and the repo's
+tmp+rename artifact protocol (SCALE.md "Table-format stance") buys
+only single-writer-per-artifact semantics — its documented gap is
+"no conflict detection between DIFFERENT mutations of one artifact".
+This module closes that gap with the PUBLIC protocol those formats
+use (Armbrust et al., "Delta Lake: High-Performance ACID Table
+Storage over Cloud Object Stores", VLDB 2020):
+
+- a table is a directory of immutable parquet data files plus a
+  ``_tlog/`` directory of monotonically numbered JSON commit records;
+- a commit atomically claims version N by creating ``_tlog/N.json``
+  with a create-exclusive primitive (here ``os.link`` from a fully
+  written tmp file — the record appears complete or not at all; on
+  HDFS/ABFS the same role is played by rename-without-overwrite);
+- losers of the race re-read the log and either REBASE (blind appends
+  and disjoint-domain rewrites retry at the next version untouched)
+  or raise :class:`TLogConflictError` (overlapping-domain rewrites:
+  the transaction's inputs changed, the caller must recompute — the
+  optimistic loop :func:`run_transaction` packages);
+- readers reconstruct the file set of ANY version (snapshot isolation
+  + time travel) by replaying add/remove actions; a full-state
+  checkpoint record every ``CHECKPOINT_EVERY`` commits bounds replay
+  length (the Delta checkpoint doctrine);
+- ``txn`` records (app id, sequence) make replayed writers idempotent
+  (Structured Streaming's foreachBatch is at-least-once; a replayed
+  batch finds its own txn in the log and commits nothing) — Delta's
+  ``SetTransaction`` action;
+- ``meta`` key-values ride commits latest-wins: the id_mapping table
+  stores its running MAX(faiss_id) there, so an upsert touching a
+  SUBSET of buckets still assigns globally dense ids without scanning
+  resident state (the ``known_max`` seam in operators/ingest).
+
+Scale shape: commit records are O(files touched) JSON on the driver —
+data-proportional work stays in Spark jobs; the log arbitrates, never
+carries rows. Conflict DOMAINS are hash buckets of the merge key, so
+concurrent merges over disjoint key ranges commit without recompute,
+and the per-merge rewrite reads only the touched buckets' files (the
+log's per-add bucket tag prunes; the bucket is a pure function of the
+key, never stored in the data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+CHECKPOINT_EVERY = 10
+_LOG_DIR = "_tlog"
+_W = 20  # zero-padded version width -> lexicographic == numeric order
+
+__all__ = [
+    "TLog",
+    "TLogConflictError",
+    "Snapshot",
+    "run_transaction",
+    "CHECKPOINT_EVERY",
+]
+
+
+class TLogConflictError(Exception):
+    """A concurrent commit invalidated this transaction's inputs
+    (overlapping conflict domains or removes). Re-read the snapshot
+    and recompute — :func:`run_transaction` does."""
+
+
+class Snapshot:
+    """An immutable view of one table version.
+
+    ``files``: [(relative_path, bucket_or_None)] currently live;
+    ``meta``: latest-wins key-values across commits <= version;
+    ``txns``: {app_id: highest committed sequence} (idempotence);
+    ``removed_at``: {relative_path: version} for files no longer live
+    (vacuum's input).
+    """
+
+    __slots__ = ("version", "files", "meta", "txns", "removed_at")
+
+    def __init__(self, version, files, meta, txns, removed_at):
+        self.version = version
+        self.files = files
+        self.meta = meta
+        self.txns = txns
+        self.removed_at = removed_at
+
+    def files_in(self, buckets) -> list[str]:
+        """Live paths whose bucket tag is in ``buckets`` — plus any
+        untagged (bucket=None) files, which may hold any key."""
+        bs = set(buckets)
+        return [p for p, b in self.files if b is None or b in bs]
+
+
+class TLog:
+    """Handle on one transactional parquet table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.root = path
+        self.log_dir = os.path.join(path, _LOG_DIR)
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # ---- log primitives -------------------------------------------------
+
+    def _commit_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:0{_W}d}.json")
+
+    def _versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(self.log_dir):
+            if f.endswith(".json") and not f.endswith(".checkpoint.json"):
+                stem = f[: -len(".json")]
+                if stem.isdigit():
+                    out.append(int(stem))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        """Highest committed version; 0 = empty table (version numbers
+        start at 1)."""
+        vs = self._versions()
+        return vs[-1] if vs else 0
+
+    def _read_commit(self, version: int) -> dict:
+        with open(self._commit_path(version)) as f:
+            return json.load(f)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        """Reconstruct the file set / meta / txns of ``version``
+        (default: latest). Replays from the newest checkpoint at or
+        below the target, so work is O(CHECKPOINT_EVERY) commits."""
+        vs = self._versions()
+        if version is None:
+            version = vs[-1] if vs else 0
+        elif version and version not in set(vs):
+            raise ValueError(f"tlog {self.root}: no version {version}")
+        live: dict[str, int | None] = {}
+        meta: dict = {}
+        txns: dict[str, int] = {}
+        removed_at: dict[str, int] = {}
+        start = 0
+        ckpt = None
+        for v in vs:
+            if v <= version and v % CHECKPOINT_EVERY == 0:
+                p = self._commit_path(v) + ".checkpoint.json"
+                if os.path.exists(p):
+                    ckpt = (v, p)
+        if ckpt is not None:
+            start, p = ckpt
+            with open(p) as f:
+                st = json.load(f)
+            live = {a["path"]: a.get("bucket") for a in st["files"]}
+            meta = st.get("meta", {})
+            txns = {k: int(s) for k, s in st.get("txns", {}).items()}
+            removed_at = {
+                k: int(s) for k, s in st.get("removed_at", {}).items()
+            }
+        for v in vs:
+            if v <= start or v > version:
+                continue
+            c = self._read_commit(v)
+            for p in c.get("remove", []):
+                live.pop(p, None)
+                removed_at[p] = v
+            for a in c.get("add", []):
+                live[a["path"]] = a.get("bucket")
+                removed_at.pop(a["path"], None)
+            meta.update(c.get("meta", {}))
+            t = c.get("txn")
+            if t:
+                prev = txns.get(t["app"], -1)
+                txns[t["app"]] = max(prev, int(t["seq"]))
+        return Snapshot(version, sorted(live.items()), meta, txns, removed_at)
+
+    # ---- writing --------------------------------------------------------
+
+    def write_data(self, df: DataFrame, bucket_expr=None) -> list[dict]:
+        """Write ``df`` as immutable parquet under a fresh
+        ``data/<opid>/`` dir and return add-actions for :meth:`commit`.
+        With ``bucket_expr`` (a Column producing an INT bucket id, a
+        pure function of the merge key — never stored), rows are
+        partitioned so each bucket's rows land in their own subdir and
+        each add-action carries its bucket tag for read pruning."""
+        opid = uuid.uuid4().hex[:16]
+        rel = os.path.join("data", opid)
+        target = os.path.join(self.root, rel)
+        if bucket_expr is None:
+            df.write.parquet(target)
+            return [{"path": rel, "bucket": None}]
+        (
+            df.withColumn("_tb", bucket_expr)
+            .repartition("_tb")
+            .write.partitionBy("_tb")
+            .parquet(target)
+        )
+        adds = []
+        for d in sorted(os.listdir(target)):
+            if d.startswith("_tb="):
+                adds.append(
+                    {"path": os.path.join(rel, d), "bucket": int(d[4:])}
+                )
+        return adds
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: "int | Snapshot | None" = None,
+        buckets=None,
+        schema: str | None = None,
+    ) -> DataFrame:
+        """DataFrame over the snapshot's live files (optionally only
+        the given buckets' files — log-tag pruning, no footer reads).
+        ``schema`` keeps an empty snapshot readable."""
+        snap = (
+            self.snapshot(version)
+            if not isinstance(version, Snapshot)
+            else version
+        )
+        paths = (
+            snap.files_in(buckets)
+            if buckets is not None
+            else [p for p, _ in snap.files]
+        )
+        if not paths:
+            if schema is None:
+                raise ValueError(
+                    f"tlog {self.root} v{snap.version} is empty and no "
+                    "schema was given"
+                )
+            return spark.createDataFrame([], schema)
+        full = [os.path.join(self.root, p) for p in paths]
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(*full)
+
+    def commit(
+        self,
+        adds: list[dict] | None = None,
+        removes: list[str] | None = None,
+        read_version: int | None = None,
+        op: str = "append",
+        domains: list[int] | None = None,
+        meta: dict | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Atomically commit one transaction; returns its version.
+
+        ``op="append"`` (no removes): never conflicts — on losing the
+        version race it silently rebases to the next number.
+        ``op="rewrite"``: declares the conflict ``domains`` (bucket
+        ids; None = whole table) it read and replaces; if any commit
+        landed after ``read_version`` whose domains/removes intersect,
+        raises :class:`TLogConflictError` — inputs changed, recompute.
+        ``txn=(app, seq)``: if the log already holds a commit with this
+        app and seq' >= seq, returns THAT state's version committing
+        nothing (at-least-once replay becomes exactly-once)."""
+        adds = adds or []
+        removes = removes or []
+        if op == "rewrite" and read_version is None:
+            raise ValueError("rewrite commits must declare read_version")
+        if op == "append" and removes:
+            raise ValueError("append commits cannot remove files")
+        while True:
+            current = self.latest_version()
+            if txn is not None:
+                snap = self.snapshot(current) if current else None
+                if snap and snap.txns.get(txn[0], -1) >= txn[1]:
+                    return current  # already applied (replay)
+            if op == "rewrite":
+                self._check_conflicts(
+                    read_version, current, removes, domains, meta
+                )
+            version = current + 1
+            record = {
+                "version": version,
+                "op": op,
+                "read_version": read_version,
+                "add": adds,
+                "remove": removes,
+                "domains": domains,
+                "meta": meta or {},
+            }
+            if txn is not None:
+                record["txn"] = {"app": txn[0], "seq": txn[1]}
+            tmp = os.path.join(
+                self.log_dir, f".tmp-{uuid.uuid4().hex}.json"
+            )
+            with open(tmp, "w") as f:
+                json.dump(record, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, self._commit_path(version))
+            except FileExistsError:
+                os.unlink(tmp)
+                continue  # lost the race: re-check conflicts, rebase
+            os.unlink(tmp)
+            if version % CHECKPOINT_EVERY == 0:
+                self._write_checkpoint(version)
+            return version
+
+    def _check_conflicts(self, read_version, current, removes, domains, meta):
+        my_removes = set(removes)
+        my_domains = None if domains is None else set(domains)
+        my_meta = set((meta or {}).keys())
+        for v in range(read_version + 1, current + 1):
+            c = self._read_commit(v)
+            their_removes = set(c.get("remove", []))
+            if my_removes & their_removes:
+                raise TLogConflictError(
+                    f"tlog {self.root}: commit {v} already removed "
+                    f"{sorted(my_removes & their_removes)[:3]} this "
+                    "transaction also removes"
+                )
+            # meta keys are read-modify-write shared state (e.g. the
+            # dense-id high-water mark): two transactions that both
+            # derived a new value for one key from their snapshots
+            # would silently collide (overlapping id ranges on
+            # DISJOINT buckets) — so same-key writers serialize.
+            # Writers that leave a counter unchanged omit the key.
+            if my_meta & set(c.get("meta", {}).keys()):
+                raise TLogConflictError(
+                    f"tlog {self.root}: commit {v} updated shared meta "
+                    f"key(s) {sorted(my_meta & set(c['meta']))} this "
+                    "transaction also derives; recompute"
+                )
+            theirs = c.get("domains")
+            if theirs is None and c.get("op") == "append":
+                # blind append's effective domains = its adds' buckets
+                theirs = [a.get("bucket") for a in c.get("add", [])]
+                if any(b is None for b in theirs):
+                    theirs = None  # untagged add may hold any key
+            if my_domains is None or theirs is None:
+                raise TLogConflictError(
+                    f"tlog {self.root}: whole-table transaction raced "
+                    f"commit {v}; recompute from version {current}"
+                )
+            if my_domains & set(theirs):
+                raise TLogConflictError(
+                    f"tlog {self.root}: commit {v} touched bucket(s) "
+                    f"{sorted(my_domains & set(theirs))[:5]} this "
+                    "transaction read; recompute"
+                )
+
+    def _write_checkpoint(self, version: int) -> None:
+        snap = self.snapshot(version)
+        state = {
+            "version": version,
+            "files": [{"path": p, "bucket": b} for p, b in snap.files],
+            "meta": snap.meta,
+            "txns": snap.txns,
+            "removed_at": snap.removed_at,
+        }
+        p = self._commit_path(version) + ".checkpoint.json"
+        tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, p)  # checkpoints are derived state: last wins
+
+    # ---- maintenance ----------------------------------------------------
+
+    def vacuum(self, keep_versions: int = CHECKPOINT_EVERY) -> list[str]:
+        """Physically delete data files removed at or before
+        ``latest - keep_versions`` (no retained snapshot references
+        them: a removed file is absent from every later version).
+        Also sweeps orphaned tmp commit files (crashed writers).
+        Returns the deleted relative paths. Time travel further back
+        than ``keep_versions`` becomes unreadable — the documented
+        Delta VACUUM trade."""
+        import shutil
+
+        current = self.latest_version()
+        cutoff = current - keep_versions
+        snap = self.snapshot(current) if current else None
+        deleted = []
+        if snap:
+            for path, v in sorted(snap.removed_at.items()):
+                if v <= cutoff:
+                    full = os.path.join(self.root, path)
+                    if os.path.isdir(full):
+                        shutil.rmtree(full, ignore_errors=True)
+                        deleted.append(path)
+                    elif os.path.exists(full):
+                        os.unlink(full)
+                        deleted.append(path)
+        for f in os.listdir(self.log_dir):
+            if f.startswith(".tmp-"):
+                os.unlink(os.path.join(self.log_dir, f))
+        return deleted
+
+
+def run_transaction(fn, max_retries: int = 5):
+    """Optimistic-concurrency loop: ``fn()`` reads a fresh snapshot,
+    computes, and commits; on :class:`TLogConflictError` it is called
+    again (inputs changed under it) up to ``max_retries`` times."""
+    last: TLogConflictError | None = None
+    for _ in range(max_retries):
+        try:
+            return fn()
+        except TLogConflictError as e:
+            last = e
+    raise last

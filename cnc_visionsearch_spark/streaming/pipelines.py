@@ -52,6 +52,7 @@ __all__ = [
     "minhash_dedup_stream",
     "percolator_stream",
     "token_ivf_ingest_stream",
+    "tlog_upsert_stream",
 ]
 
 
@@ -1097,3 +1098,79 @@ def minhash_dedup_stream(
         .trigger(availableNow=True)
     )
 
+
+
+def tlog_upsert_stream(
+    spark: SparkSession,
+    in_path: str,
+    tlog_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 10,
+):
+    """Streaming upserts into a TRANSACTIONAL id_mapping table
+    (sources/tlog.py) — the exactly-once form of ``upsert_stream``:
+    each micro-batch of (str_id, text_content) rows commits ONE
+    :func:`operators.ingest.tlog_merge_upsert` MERGE whose ``txn``
+    key is (this stream's run id, batch id), so an at-least-once
+    foreachBatch replay finds its own txn already in the log and
+    commits NOTHING — idempotence lives in the TABLE's commit
+    protocol (Delta's SetTransaction doctrine), not in output-path
+    overwrite conventions. Concurrent writers (another stream, a
+    batch backfill) are arbitrated by the same log: bucket-disjoint
+    update merges interleave freely, conflicting merges lose the
+    commit race and recompute against the fresh snapshot
+    (run_transaction). Returns the configured DataStreamWriter —
+    call ``.start()``."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from cnc_visionsearch_spark.operators.ingest import tlog_merge_upsert
+    from cnc_visionsearch_spark.sources.tlog import TLog, run_transaction
+
+    schema = StructType(
+        [
+            StructField("str_id", StringType()),
+            StructField("text_content", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+    _rid: dict = {}
+
+    def _run_id() -> str:
+        # the streaming query's persisted UUID (the minhash_dedup_
+        # stream doctrine): stable across restarts of one checkpoint,
+        # fresh after a wipe — so a new run's txn keys never collide
+        # with an older run's committed ones
+        if "v" not in _rid:
+            try:
+                with open(os.path.join(checkpoint, "metadata")) as fh:
+                    _rid["v"] = json.load(fh)["id"][:12]
+            except Exception:
+                import hashlib
+
+                _rid["v"] = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+        return _rid["v"]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = TLog(tlog_path)
+        # max(text_content) per id: deterministic under at-least-once
+        # redelivery with divergent text (the verdict-kernel rule)
+        batch = batch_df.groupBy("str_id").agg(
+            F.max("text_content").alias("text_content")
+        )
+        run_transaction(
+            lambda: tlog_merge_upsert(
+                t, batch, txn=(f"stream-{_run_id()}", int(batch_id))
+            )
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
