@@ -364,15 +364,24 @@ class TLog:
 
     # ---- maintenance ----------------------------------------------------
 
-    def vacuum(self, keep_versions: int = CHECKPOINT_EVERY) -> list[str]:
+    def vacuum(
+        self,
+        keep_versions: int = CHECKPOINT_EVERY,
+        orphan_grace_s: float = 3600.0,
+    ) -> list[str]:
         """Physically delete data files removed at or before
         ``latest - keep_versions`` (no retained snapshot references
         them: a removed file is absent from every later version).
-        Also sweeps orphaned tmp commit files (crashed writers).
-        Returns the deleted relative paths. Time travel further back
-        than ``keep_versions`` becomes unreadable — the documented
-        Delta VACUUM trade."""
+        Also sweeps orphaned tmp commit files (crashed writers) and
+        data dirs no commit EVER referenced (transactions that wrote
+        data then lost their conflict check and never retried) — the
+        latter only past ``orphan_grace_s`` of age, because an
+        in-flight writer's data legitimately exists before its commit
+        lands (the Delta VACUUM retention rationale). Returns the
+        deleted relative paths. Time travel further back than
+        ``keep_versions`` becomes unreadable — the documented trade."""
         import shutil
+        import time
 
         current = self.latest_version()
         cutoff = current - keep_versions
@@ -388,6 +397,26 @@ class TLog:
                     elif os.path.exists(full):
                         os.unlink(full)
                         deleted.append(path)
+        # orphan sweep: every path any commit ever ADDED is accounted
+        # for (live, or removed_at-tracked above); a data dir outside
+        # that set belongs to a writer whose commit never landed
+        referenced: set[str] = set()
+        for v in self._versions():
+            for a in self._read_commit(v).get("add", []):
+                parts = a["path"].split(os.sep)
+                if len(parts) >= 2 and parts[0] == "data":
+                    referenced.add(parts[1])  # data/<opid>[/...]
+        ddir = os.path.join(self.root, "data")
+        now = time.time()
+        if os.path.isdir(ddir):
+            for d in sorted(os.listdir(ddir)):
+                full = os.path.join(ddir, d)
+                if (
+                    d not in referenced
+                    and now - os.path.getmtime(full) > orphan_grace_s
+                ):
+                    shutil.rmtree(full, ignore_errors=True)
+                    deleted.append(os.path.join("data", d))
         for f in os.listdir(self.log_dir):
             if f.startswith(".tmp-"):
                 os.unlink(os.path.join(self.log_dir, f))

@@ -215,7 +215,10 @@ def main() -> None:
         # tagged against the persisted banded store, each batch ABSORBED
         # after tagging (queries_per_batch records DOCS per micro-batch;
         # the unit of work is tag + band + append)
-        from cnc_visionsearch_spark.operators.dedup import minhash_banded
+        from cnc_visionsearch_spark.operators.dedup import (
+            minhash_banded,
+            write_minhash_meta,
+        )
         from cnc_visionsearch_spark.streaming.pipelines import (
             minhash_dedup_stream,
         )
@@ -227,6 +230,9 @@ def main() -> None:
         minhash_banded(base, num_hashes=16, bands=4, shingle_n=3).write.parquet(
             store_b
         )
+        # a pre-existing store must arrive stamped (the stream refuses
+        # to assume geometry for resident data it did not band)
+        write_minhash_meta(store_b, num_hashes=16, bands=4, shingle_n=3)
         base.write.parquet(store_d)
         mh_in = f"{work}/mh_in"
         mh_dpb = 50
@@ -245,6 +251,61 @@ def main() -> None:
         ).start()
         q5.awaitTermination(600)
         out["minhash_dedup"] = _batch_stats(q5, mh_dpb)
+
+        # ---- transactional upsert ingest: N_BATCHES files of upsert
+        # rows MERGEd into a tlog id_mapping table (exactly-once via
+        # table txns; the unit of work is touched-bucket read + merge
+        # + bucketed rewrite + commit)
+        from cnc_visionsearch_spark.operators.ingest import (
+            tlog_init_id_mapping,
+        )
+        from cnc_visionsearch_spark.sources.catalog import derive_id_mapping
+        from cnc_visionsearch_spark.sources.tlog import TLog
+        from cnc_visionsearch_spark.streaming.pipelines import (
+            tlog_upsert_stream,
+        )
+
+        mapping = derive_id_mapping(
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "documents"),
+        )
+        tl_path = f"{work}/tlog_idmap"
+        tlog_init_id_mapping(TLog(tl_path), mapping, n_buckets=16)
+        tl_in = f"{work}/tl_in"
+        tl_rpb = 50  # upsert rows per micro-batch (half update/half new)
+        for i in range(N_BATCHES):
+            (
+                dd.filter(F.col("doc_id") % N_BATCHES == i)
+                .limit(tl_rpb)
+                .select(
+                    F.when(
+                        F.col("doc_id") % 2 == 0,
+                        F.concat(F.lit("img_"), F.col("doc_id").cast("string")),
+                    )
+                    .otherwise(
+                        F.concat(
+                            F.lit("new_"),
+                            F.lit(i),
+                            F.lit("_"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    )
+                    .alias("str_id"),
+                    F.substring("text", 1, 40).alias("text_content"),
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(tl_in)
+            )
+        q6 = tlog_upsert_stream(
+            spark,
+            tl_in,
+            tl_path,
+            f"{work}/tl_ckpt",
+            max_files_per_trigger=1,
+        ).start()
+        q6.awaitTermination(600)
+        out["tlog_upsert"] = _batch_stats(q6, tl_rpb)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -419,3 +419,74 @@ def test_minhash_meta_roundtrip_and_store_probe_guard(
     assert ok.filter(
         (F.col("batch_id") == F.col("store_id")) & (F.col("jaccard") == 1.0)
     ).count() > 0
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),  # key space of 10
+                st.text(
+                    alphabet="abcdef", min_size=1, max_size=4
+                ),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_tlog_merge_history_equals_serial_upserts_property(
+    spark, tmp_path_factory, batches
+):
+    """Serializability of the transactional MERGE: ANY sequence of
+    hypothesis-generated upsert batches (overlapping keys, divergent
+    texts, repeated keys within a batch resolved max-text) applied
+    through tlog_merge_upsert — with the optimistic retry loop — ends
+    in EXACTLY the state of applying upsert_id_mapping serially over a
+    plain DataFrame. Dense ids, text-only updates, and the meta
+    high-water mark all survive any history the generator produces."""
+    from cnc_visionsearch_spark.operators.ingest import (
+        ID_MAPPING_SCHEMA,
+        tlog_init_id_mapping,
+        tlog_merge_upsert,
+        upsert_id_mapping,
+    )
+    from cnc_visionsearch_spark.sources.tlog import TLog, run_transaction
+
+    base = spark.createDataFrame(
+        [(f"k{i}", i + 1, "base") for i in range(0, 10, 2)],
+        ID_MAPPING_SCHEMA,
+    )
+    t = TLog(str(tmp_path_factory.mktemp("tlogprop") / "t"))
+    tlog_init_id_mapping(t, base, n_buckets=4)
+    state = base
+    for rows in batches:
+        # max-text per key within a batch (the deterministic
+        # redelivery rule both paths share)
+        dedup = {}
+        for k, txt in rows:
+            key = f"k{k}"
+            dedup[key] = max(dedup.get(key, ""), txt)
+        batch = spark.createDataFrame(
+            sorted(dedup.items()), "str_id string, text_content string"
+        )
+        run_transaction(lambda b=batch: tlog_merge_upsert(t, b))
+        state = upsert_id_mapping(state, batch)
+    got = sorted(
+        (r.str_id, r.faiss_id, r.text_content)
+        for r in t.read(spark, schema=ID_MAPPING_SCHEMA).collect()
+    )
+    want = sorted(
+        (r.str_id, r.faiss_id, r.text_content) for r in state.collect()
+    )
+    assert got == want
+    assert int(t.snapshot().meta["max_faiss_id"]) == max(
+        (fid for _, fid, _ in want), default=0
+    )

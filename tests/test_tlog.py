@@ -418,3 +418,31 @@ def test_tlog_upsert_stream_exactly_once_and_equals_batch(
         streamed_t, _mk_batch(spark, c2), txn=(app, 1)
     )
     assert v2 == v and state(streamed_t) == state(batch_t)
+
+
+def test_vacuum_sweeps_orphaned_writer_data_after_grace(
+    spark, tmp_path, mapping
+):
+    """A transaction that wrote data but lost its conflict check (and
+    never retried) leaves an unreferenced data dir: vacuum sweeps it
+    once it outlives the grace window, never touches referenced dirs,
+    and a YOUNG orphan survives (an in-flight writer's data exists
+    legitimately before its commit lands)."""
+    t = TLog(str(tmp_path / "t"))
+    tlog_init_id_mapping(t, mapping, n_buckets=2)
+    # simulate the conflicted writer: data written, commit never landed
+    orphan_adds = t.write_data(_mk_batch(spark, [("x", "y")]).withColumn(
+        "faiss_id", F.lit(99).cast("bigint")
+    ))
+    orphan = orphan_adds[0]["path"].split("/")[1]
+    assert os.path.isdir(os.path.join(t.root, "data", orphan))
+
+    t.vacuum(orphan_grace_s=3600)  # young orphan: survives
+    assert os.path.isdir(os.path.join(t.root, "data", orphan))
+    swept = t.vacuum(orphan_grace_s=0.0)  # past grace: swept
+    assert os.path.join("data", orphan) in swept
+    assert not os.path.isdir(os.path.join(t.root, "data", orphan))
+    # referenced data untouched, table reads intact
+    assert (
+        t.read(spark, schema=ID_MAPPING_SCHEMA).count() == mapping.count()
+    )
