@@ -207,3 +207,44 @@ def tlog_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+@register(
+    "tlog_change_feed",
+    oracle=f"""
+WITH {_ID_MAPPING_CTE},
+{_TLOG_STATE2_CTES},
+plus AS (SELECT * FROM state2 EXCEPT ALL SELECT * FROM state1),
+minus AS (SELECT * FROM state1 EXCEPT ALL SELECT * FROM state2)
+SELECT p.str_id, CAST(p.faiss_id AS BIGINT) AS faiss_id, p.text_content,
+       CASE WHEN p.str_id IN (SELECT str_id FROM minus)
+            THEN 'update_post' ELSE 'insert' END AS _change_type
+FROM plus p
+UNION ALL
+SELECT m.str_id, CAST(m.faiss_id AS BIGINT) AS faiss_id, m.text_content,
+       CASE WHEN m.str_id IN (SELECT str_id FROM plus)
+            THEN 'update_pre' ELSE 'delete' END AS _change_type
+FROM minus m
+""",
+    doc="Change data feed between two committed versions (the Delta CDF "
+    "shape), derived from the LOG alone: reads only the files the "
+    "commits in (v_from, v_to] added or removed — one old + one new "
+    "bucket file for a single-bucket merge at ANY table size, never a "
+    "full snapshot; rewritten-but-identical rows cancel in the "
+    "EXCEPT ALL diff. Keyed classification: insert / update_pre / "
+    "update_post / delete. The oracle replays the same diff over the "
+    "deterministic two-merge history's states.",
+)
+def tlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.ingest import ID_MAPPING_SCHEMA
+
+    t = ensure_tlog_id_mapping(spark, sf_dir)
+    feed = t.change_feed(
+        spark, v_from=2, key="str_id", schema=ID_MAPPING_SCHEMA
+    )
+    return feed.select(
+        "str_id",
+        F.col("faiss_id").cast("bigint").alias("faiss_id"),
+        "text_content",
+        "_change_type",
+    )

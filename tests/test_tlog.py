@@ -446,3 +446,59 @@ def test_vacuum_sweeps_orphaned_writer_data_after_grace(
     assert (
         t.read(spark, schema=ID_MAPPING_SCHEMA).count() == mapping.count()
     )
+
+
+def test_change_feed_classifies_and_reads_only_changed_files(
+    spark, tmp_path, mapping
+):
+    """The change feed between two versions yields exactly the row
+    deltas — insert / update_pre / update_post / delete — and derives
+    them from the files the interval's commits added or removed, never
+    a full snapshot (rewritten-but-identical rows cancel)."""
+    t = TLog(str(tmp_path / "t"))
+    tlog_init_id_mapping(t, mapping, n_buckets=4)
+    v1 = t.latest_version()
+    tlog_merge_upsert(
+        t, _mk_batch(spark, [("img_2", "changed"), ("fresh_k", "born")])
+    )
+    # a delete: rewrite one bucket dropping img_4's row
+    snap = t.snapshot()
+    from cnc_visionsearch_spark.operators.ingest import _bucket_expr
+
+    bexpr = _bucket_expr(4)
+    bkt = spark.createDataFrame([("img_4",)], "s string").select(
+        F.pmod(F.xxhash64("s"), F.lit(4)).cast("int").alias("b")
+    ).collect()[0].b
+    kept = t.read(spark, snap, buckets=[bkt], schema=ID_MAPPING_SCHEMA).filter(
+        F.col("str_id") != "img_4"
+    )
+    t.commit(
+        adds=t.write_data(kept, bucket_expr=bexpr),
+        removes=snap.files_in([bkt]),
+        read_version=snap.version,
+        op="rewrite",
+        domains=[bkt],
+    )
+    feed = t.change_feed(
+        spark, v_from=v1, key="str_id", schema=ID_MAPPING_SCHEMA
+    )
+    got = {
+        (r.str_id, r._change_type)
+        for r in feed.collect()
+        if r.str_id in ("img_2", "img_4", "fresh_k")
+    }
+    assert got == {
+        ("img_2", "update_pre"),
+        ("img_2", "update_post"),
+        ("fresh_k", "insert"),
+        ("img_4", "delete"),
+    }
+    # rewritten-but-identical rows cancel: nothing else surfaces
+    others = feed.filter(
+        ~F.col("str_id").isin("img_2", "img_4", "fresh_k")
+    ).count()
+    assert others == 0
+    # and the feed's inputs are ONLY the interval's changed files
+    a, b = t.snapshot(v1), t.snapshot()
+    changed = set(dict(a.files)) ^ set(dict(b.files))
+    assert len(changed) < len(b.files) + len(a.files)
