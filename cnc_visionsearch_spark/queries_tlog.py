@@ -248,3 +248,72 @@ def tlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text_content",
         "_change_type",
     )
+
+
+@register(
+    "tlog_cdf_incremental_view",
+    oracle=f"""
+WITH {_ID_MAPPING_CTE},
+{_TLOG_STATE2_CTES}
+SELECT substr(str_id, 1, 4) AS id_prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(length(COALESCE(text_content, ''))) AS BIGINT) AS total_chars
+FROM state2
+GROUP BY substr(str_id, 1, 4)
+""",
+    doc="Incremental view maintenance FROM the change feed — the reason "
+    "a CDF exists: a per-prefix (n_rows, total_chars) materialized view "
+    "captured at version 2 is advanced to the latest version by folding "
+    "ONLY the feed's deltas (update_pre/delete subtract, "
+    "update_post/insert add) — never rescanning resident data; at 100 TB "
+    "the maintenance cost is O(changed rows). The oracle computes the "
+    "same view DIRECTLY over the final state, so a hash match PROVES "
+    "base+deltas == recompute.",
+)
+def tlog_cdf_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.ingest import ID_MAPPING_SCHEMA
+
+    t = ensure_tlog_id_mapping(spark, sf_dir)
+    prefix = F.substring("str_id", 1, 4).alias("id_prefix")
+    chars = F.length(F.coalesce(F.col("text_content"), F.lit("")))
+    # the materialized view as of version 2 (one historical snapshot
+    # read — in production this is the view's last refresh output)
+    base = (
+        t.read(spark, 2, schema=ID_MAPPING_SCHEMA)
+        .groupBy(prefix)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(chars).alias("total_chars"),
+        )
+    )
+    # signed deltas from the feed alone: +1 row for insert/update_post,
+    # -1 for delete/update_pre (count and chars fold the same way)
+    feed = t.change_feed(
+        spark, v_from=2, key="str_id", schema=ID_MAPPING_SCHEMA
+    )
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_post"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    deltas = feed.groupBy(prefix).agg(
+        F.sum(sign).alias("d_rows"),
+        F.sum(sign * chars).alias("d_chars"),
+    )
+    return (
+        base.join(deltas, "id_prefix", "full_outer")
+        .select(
+            "id_prefix",
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("d_rows"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_rows"),
+            (
+                F.coalesce(F.col("total_chars"), F.lit(0))
+                + F.coalesce(F.col("d_chars"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("total_chars"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
