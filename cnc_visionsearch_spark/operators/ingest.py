@@ -45,7 +45,20 @@ def tlog_init_id_mapping(tlog, mapping: DataFrame, n_buckets: int = 16) -> int:
     """Version 1 of a transactional id_mapping table: the initial state
     lands bucketed on str_id with the running MAX(faiss_id) recorded in
     commit meta (the known_max manifest seam — later merges assign
-    globally dense ids without scanning resident state)."""
+    globally dense ids without scanning resident state).
+
+    Refuses a NON-EMPTY log: unlike a build-over (ivf_build's overwrite
+    semantics), re-running init against a surviving log would APPEND a
+    second full copy of the mapping (duplicate rows) and reset the
+    dense-id high-water mark (colliding ids) — a crashed partial setup
+    must be wiped and rebuilt, never resumed by a second init."""
+    if tlog.latest_version() != 0:
+        raise ValueError(
+            f"tlog {tlog.root} already holds "
+            f"{tlog.latest_version()} commit(s) — init would append a "
+            "duplicate full mapping and reset max_faiss_id; wipe the "
+            "table directory to rebuild"
+        )
     mx = mapping.agg(
         F.coalesce(F.max("faiss_id"), F.lit(0)).alias("mx")
     ).collect()[0]["mx"]
@@ -82,23 +95,49 @@ def tlog_merge_upsert(
     - a :class:`TLogConflictError` means a racing commit touched the
       same buckets — re-run under ``run_transaction`` to recompute
       against the new snapshot (serializable outcome)."""
+    from pyspark.storagelevel import StorageLevel
+
     spark = batch.sparkSession
     snap = tlog.snapshot()
     n_buckets = int(snap.meta["n_buckets"])
     bexpr = _bucket_expr(n_buckets)
-    touched = sorted(
-        r["_tb"]
-        for r in batch.select(bexpr.alias("_tb")).distinct().collect()
-    )  # bounded: <= n_buckets rows
-    resident = tlog.read(
-        spark, snap, buckets=touched, schema=ID_MAPPING_SCHEMA
-    )
-    known_max = int(snap.meta["max_faiss_id"])
-    merged = upsert_id_mapping(resident, batch, known_max=known_max)
-    n_new = batch.join(
-        resident.select("str_id"), "str_id", "left_anti"
-    ).count()
-    adds = tlog.write_data(merged, bucket_expr=bexpr)
+    # persist: the batch (bounded — one ingest micro-batch) feeds three
+    # actions (touched-bucket collect, n_new count, merged write);
+    # without it each action re-reads the batch source. Not a barrier:
+    # lost blocks recompute.
+    batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # NULL sentinel folded into the SAME bounded collect (Spark's
+        # xxhash64 hashes a NULL input to the seed value, NOT NULL, so
+        # the bucket alone cannot reveal a NULL key): a NULL merge key
+        # has no reference analog (main.py:119 keys on str_id) and
+        # would silently insert a fresh NULL row every batch (NULL
+        # never equi-joins) — reject at the boundary, loudly
+        guarded = F.when(
+            F.col("str_id").isNull(), F.lit(None).cast("int")
+        ).otherwise(bexpr)
+        touched_raw = [
+            r["_tb"]
+            for r in batch.select(guarded.alias("_tb")).distinct().collect()
+        ]  # bounded: <= n_buckets rows (+1 NULL sentinel at most)
+        if any(b is None for b in touched_raw):
+            raise ValueError(
+                "tlog_merge_upsert: batch contains NULL str_id rows — "
+                "the merge key must be non-null; filter or repair the "
+                "source"
+            )
+        touched = sorted(touched_raw)
+        resident = tlog.read(
+            spark, snap, buckets=touched, schema=ID_MAPPING_SCHEMA
+        )
+        known_max = int(snap.meta["max_faiss_id"])
+        merged = upsert_id_mapping(resident, batch, known_max=known_max)
+        n_new = batch.join(
+            resident.select("str_id"), "str_id", "left_anti"
+        ).count()
+        adds = tlog.write_data(merged, bucket_expr=bexpr)
+    finally:
+        batch.unpersist()
     # the dense-id counter is read-modify-write shared state: only
     # INSERTING merges carry the meta key, so they serialize against
     # each other (the tlog's same-meta-key conflict rule) while

@@ -104,4 +104,3 @@ def health_status(spark: SparkSession, sf_dir: str) -> DataFrame:
           (SELECT count(*) FROM embeddings) > 0 AS index_ready
         """
     )
-

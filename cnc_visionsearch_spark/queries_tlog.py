@@ -119,8 +119,17 @@ def ensure_tlog_id_mapping(spark: SparkSession, sf_dir: str):
     )
     path = f"{_ARTIFACT_ROOT}/{tag}/tlog_idmap_b16"
     marker = os.path.join(path, "_HISTORY")
-    t = TLog(path)
     if not os.path.exists(marker):
+        # crash-safe rebuild: a marker-less dir is a PARTIAL build
+        # (crash between init and the marker), and a tlog rerun
+        # APPENDS rather than overwrites — init refuses a non-empty
+        # log — so the partial tree is wiped and rebuilt from scratch
+        # (the merges' txn keys additionally make a concurrent
+        # double-apply a no-op)
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        t = TLog(path)
         mapping = derive_id_mapping(
             load_table(spark, sf_dir, "embeddings"),
             load_table(spark, sf_dir, "documents"),
@@ -130,7 +139,7 @@ def ensure_tlog_id_mapping(spark: SparkSession, sf_dir: str):
         tlog_merge_upsert(t, b1, txn=("history", 1))
         tlog_merge_upsert(t, b2, txn=("history", 2))
         open(marker, "w").close()
-    return t
+    return TLog(path)
 
 
 @register(

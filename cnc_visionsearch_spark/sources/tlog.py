@@ -265,8 +265,11 @@ class TLog:
             raise ValueError("rewrite commits must declare read_version")
         if op == "append" and removes:
             raise ValueError("append commits cannot remove files")
+        base_version: int | None = None
         while True:
             current = self.latest_version()
+            if base_version is None:
+                base_version = current
             if txn is not None:
                 snap = self.snapshot(current) if current else None
                 if snap and snap.txns.get(txn[0], -1) >= txn[1]:
@@ -275,6 +278,12 @@ class TLog:
                 self._check_conflicts(
                     read_version, current, removes, domains, meta
                 )
+            elif meta and current > base_version:
+                # an APPEND carrying meta keys (e.g. an init stamping a
+                # counter) must not rebase past a commit that derived
+                # the same key — latest-wins meta would clobber the
+                # racing writer's high-water mark and re-mint its ids
+                self._check_conflicts(base_version, current, [], [], meta)
             version = current + 1
             record = {
                 "version": version,
@@ -496,9 +505,19 @@ class TLog:
                 ):
                     shutil.rmtree(full, ignore_errors=True)
                     deleted.append(os.path.join("data", d))
+        # tmp commit files honor the SAME grace as data orphans: an
+        # in-flight committer's tmp legitimately exists between its
+        # fsync and its os.link — sweeping it ungated would crash the
+        # commit (FileNotFoundError from link) or report failure for a
+        # transaction whose link already landed
         for f in os.listdir(self.log_dir):
-            if f.startswith(".tmp-"):
-                os.unlink(os.path.join(self.log_dir, f))
+            p = os.path.join(self.log_dir, f)
+            if (
+                f.startswith(".tmp-")
+                and os.path.exists(p)
+                and now - os.path.getmtime(p) > orphan_grace_s
+            ):
+                os.unlink(p)
         return deleted
 
 
@@ -506,6 +525,8 @@ def run_transaction(fn, max_retries: int = 5):
     """Optimistic-concurrency loop: ``fn()`` reads a fresh snapshot,
     computes, and commits; on :class:`TLogConflictError` it is called
     again (inputs changed under it) up to ``max_retries`` times."""
+    if max_retries < 1:
+        raise ValueError(f"max_retries must be >= 1: {max_retries}")
     last: TLogConflictError | None = None
     for _ in range(max_retries):
         try:

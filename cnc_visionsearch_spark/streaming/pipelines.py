@@ -56,6 +56,36 @@ __all__ = [
 ]
 
 
+def _stream_run_id(checkpoint: str, path_hash_fallback: bool) -> str:
+    """The streaming query's OWN persisted UUID (written by Structured
+    Streaming into ``{checkpoint}/metadata``) — stable across restarts
+    of one checkpoint, FRESH after a wipe, so run-scoped keys derived
+    from it can never collide with an older run's committed state.
+
+    ``path_hash_fallback`` governs exotic checkpoint filesystems where
+    the metadata file is unreadable: True falls back to a hash of the
+    checkpoint PATH — acceptable ONLY where a post-wipe collision is a
+    bounded nuisance (minhash_dedup_stream: replay exclusion hides a
+    few resident rows from one probe). Where a collision LOSES WRITES
+    (tlog_upsert_stream: the old run's txn keys make the new run's
+    early batches commit nothing), pass False — raising beats silent
+    data loss."""
+    try:
+        with open(os.path.join(checkpoint, "metadata")) as fh:
+            return json.load(fh)["id"][:12]
+    except Exception:
+        if path_hash_fallback:
+            import hashlib
+
+            return hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+        raise ValueError(
+            f"streaming checkpoint {checkpoint} has no readable "
+            "metadata id — refusing a path-derived run id: after a "
+            "checkpoint wipe it would reuse the previous run's txn "
+            "keys and silently drop that run's batch numbers"
+        )
+
+
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 10
 ) -> DataFrame:
@@ -986,8 +1016,6 @@ def minhash_dedup_stream(
     the same store never mistakes an older run's resident rows for
     its own. Returns the configured DataStreamWriter — call
     ``.start()``."""
-    import hashlib
-
     from cnc_visionsearch_spark.operators.dedup import (
         minhash_banded,
         minhash_lsh_pairs,
@@ -1025,23 +1053,15 @@ def minhash_dedup_stream(
             store_banded_path, num_hashes=16, bands=4, shingle_n=3
         )
 
-    # run id: the streaming query's OWN persisted UUID (written by
-    # Structured Streaming into {checkpoint}/metadata) — stable across
-    # restarts of the same checkpoint, FRESH when the checkpoint is
-    # wiped, so a new run over the same grown store can never mistake
-    # an older run's resident rows for its own (a path-derived id
-    # would collide after a checkpoint wipe). Fallback for exotic
-    # checkpoint filesystems: the path hash (collision hazard limited
-    # to wipe-and-reuse of the same path, documented).
+    # run id via _stream_run_id; the path-hash fallback is acceptable
+    # HERE because a post-wipe collision only over-excludes a few
+    # resident rows from one replayed probe (bounded nuisance), never
+    # loses writes
     _rid: dict = {}
 
     def _run_id() -> str:
         if "v" not in _rid:
-            try:
-                with open(os.path.join(checkpoint, "metadata")) as fh:
-                    _rid["v"] = json.load(fh)["id"][:12]
-            except Exception:
-                _rid["v"] = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+            _rid["v"] = _stream_run_id(checkpoint, path_hash_fallback=True)
         return _rid["v"]
 
     # explicit store schema (NO per-batch mergeSchema: footer-merge
@@ -1140,18 +1160,12 @@ def tlog_upsert_stream(
     _rid: dict = {}
 
     def _run_id() -> str:
-        # the streaming query's persisted UUID (the minhash_dedup_
-        # stream doctrine): stable across restarts of one checkpoint,
-        # fresh after a wipe — so a new run's txn keys never collide
-        # with an older run's committed ones
+        # the streaming query's persisted UUID — NO path-hash fallback
+        # here: a post-wipe collision would reuse the old run's txn
+        # keys, making the new run's early batches commit NOTHING
+        # (silent write loss); _stream_run_id raises instead
         if "v" not in _rid:
-            try:
-                with open(os.path.join(checkpoint, "metadata")) as fh:
-                    _rid["v"] = json.load(fh)["id"][:12]
-            except Exception:
-                import hashlib
-
-                _rid["v"] = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+            _rid["v"] = _stream_run_id(checkpoint, path_hash_fallback=False)
         return _rid["v"]
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -314,7 +314,7 @@ def test_vacuum_drops_old_rewrites_keeps_current(spark, tmp_path, mapping):
         tlog_merge_upsert(t, _mk_batch(spark, [("img_1", f"v{i}")]))
     open(os.path.join(t.log_dir, ".tmp-dead.json"), "w").close()
     before = t.read(spark, schema=ID_MAPPING_SCHEMA).count()
-    deleted = t.vacuum(keep_versions=2)
+    deleted = t.vacuum(keep_versions=2, orphan_grace_s=0.0)
     assert deleted, "old rewritten bucket files should be vacuumed"
     assert not os.path.exists(os.path.join(t.log_dir, ".tmp-dead.json"))
     assert t.read(spark, schema=ID_MAPPING_SCHEMA).count() == before
@@ -502,3 +502,60 @@ def test_change_feed_classifies_and_reads_only_changed_files(
     a, b = t.snapshot(v1), t.snapshot()
     changed = set(dict(a.files)) ^ set(dict(b.files))
     assert len(changed) < len(b.files) + len(a.files)
+
+
+def test_init_refuses_nonempty_log(spark, tmp_path, mapping):
+    """Re-running init against a surviving log must RAISE: a tlog
+    rerun appends (never overwrites), so a second init would land a
+    duplicate full mapping and reset the dense-id high-water mark."""
+    t = TLog(str(tmp_path / "t"))
+    tlog_init_id_mapping(t, mapping, n_buckets=4)
+    with pytest.raises(ValueError, match="already holds"):
+        tlog_init_id_mapping(t, mapping, n_buckets=4)
+
+
+def test_merge_rejects_null_key(spark, tmp_path, mapping):
+    """A batch row with NULL str_id has no bucket and no reference
+    analog — the merge rejects it loudly instead of crashing on a
+    None-vs-int sort or writing a Hive default partition."""
+    t = TLog(str(tmp_path / "t"))
+    tlog_init_id_mapping(t, mapping, n_buckets=4)
+    bad = spark.createDataFrame(
+        [(None, "x"), ("ok", "y")], "str_id string, text_content string"
+    )
+    with pytest.raises(ValueError, match="NULL str_id"):
+        tlog_merge_upsert(t, bad)
+
+
+def test_meta_carrying_append_does_not_rebase_past_counter_commit(
+    spark, tmp_path, mapping
+):
+    """An APPEND carrying a meta key (an init stamping max_faiss_id)
+    that loses the version race to a commit deriving the SAME key must
+    conflict instead of silently rebasing — latest-wins meta would
+    clobber the racing writer's high-water mark and re-mint its ids."""
+    t = TLog(str(tmp_path / "t"))
+    tlog_init_id_mapping(t, mapping, n_buckets=4)
+    tlog_merge_upsert(t, _mk_batch(spark, [("fresh_x", "a")]))  # bumps meta
+    adds = t.write_data(
+        _mk_batch(spark, [("z", "b")]).withColumn(
+            "faiss_id", F.lit(1).cast("bigint")
+        )
+    )
+    # simulate the loser: its first attempt (base_version) was BEFORE
+    # the merge landed; commit() tracks that via the version race —
+    # reproduce by claiming the merge's version out from under it
+    import unittest.mock as mock
+
+    real_latest = t.latest_version
+    seen = {"n": 0}
+
+    def racing_latest():
+        # first call returns a stale version (pre-merge), later calls
+        # see the truth — exactly the lost-race interleave
+        seen["n"] += 1
+        return real_latest() - 1 if seen["n"] == 1 else real_latest()
+
+    with mock.patch.object(t, "latest_version", racing_latest):
+        with pytest.raises(TLogConflictError, match="meta"):
+            t.commit(adds=adds, op="append", meta={"max_faiss_id": 1})
