@@ -51,7 +51,11 @@ def tlog_init_id_mapping(tlog, mapping: DataFrame, n_buckets: int = 16) -> int:
     semantics), re-running init against a surviving log would APPEND a
     second full copy of the mapping (duplicate rows) and reset the
     dense-id high-water mark (colliding ids) — a crashed partial setup
-    must be wiped and rebuilt, never resumed by a second init."""
+    must be wiped and rebuilt, never resumed by a second init. The
+    emptiness check is NOT check-then-act: the observed version (0)
+    passes to commit as ``base_version``, so a commit landing between
+    this read and the init's link attempt trips the meta-rebase
+    conflict check — two racing inits serialize, one raises."""
     if tlog.latest_version() != 0:
         raise ValueError(
             f"tlog {tlog.root} already holds "
@@ -70,6 +74,7 @@ def tlog_init_id_mapping(tlog, mapping: DataFrame, n_buckets: int = 16) -> int:
         adds=adds,
         op="append",
         meta={"max_faiss_id": int(mx), "n_buckets": n_buckets},
+        base_version=0,
     )
 
 

@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 CHECKPOINT_EVERY = 10
 _LOG_DIR = "_tlog"
+_LAST_CKPT = "_last_checkpoint"
 _W = 20  # zero-padded version width -> lexicographic == numeric order
 
 __all__ = [
@@ -111,6 +112,12 @@ class TLog:
         return os.path.join(self.log_dir, f"{version:0{_W}d}.json")
 
     def _versions(self) -> list[int]:
+        """FULL listing of committed versions — O(total commits).
+        Reserved for maintenance (vacuum's referenced-set sweep);
+        snapshot/commit paths use the ``_last_checkpoint``-anchored
+        probing (:meth:`latest_version`) so a long-lived table never
+        pays a full log listing per transaction (the Delta
+        ``_last_checkpoint`` doctrine — r8 verdict #4)."""
         out = []
         for f in os.listdir(self.log_dir):
             if f.endswith(".json") and not f.endswith(".checkpoint.json"):
@@ -119,11 +126,31 @@ class TLog:
                     out.append(int(stem))
         return sorted(out)
 
+    def _last_checkpoint_version(self) -> int:
+        """Version of the newest checkpoint, from the ``_last_checkpoint``
+        pointer file (0 = none). The pointer is advisory: a missing or
+        stale pointer only lengthens the probe, never changes results
+        (checkpoints themselves are derived state)."""
+        p = os.path.join(self.log_dir, _LAST_CKPT)
+        try:
+            with open(p) as f:
+                return int(json.load(f)["version"])
+        except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
+            return 0
+
     def latest_version(self) -> int:
         """Highest committed version; 0 = empty table (version numbers
-        start at 1)."""
-        vs = self._versions()
-        return vs[-1] if vs else 0
+        start at 1). Versions are CONTIGUOUS by construction (every
+        commit claims exactly current+1 via create-exclusive link), so
+        the probe walks forward from the last checkpoint pointer —
+        O(commits since the last checkpoint), never a full log listing
+        (10^5-commit tables pay ~CHECKPOINT_EVERY stat calls)."""
+        v = self._last_checkpoint_version()
+        if v and not os.path.exists(self._commit_path(v)):
+            v = 0  # corrupt/foreign pointer: fall back to probing from 0
+        while os.path.exists(self._commit_path(v + 1)):
+            v += 1
+        return v
 
     def _read_commit(self, version: int) -> dict:
         with open(self._commit_path(version)) as f:
@@ -132,26 +159,36 @@ class TLog:
     def snapshot(self, version: int | None = None) -> Snapshot:
         """Reconstruct the file set / meta / txns of ``version``
         (default: latest). Replays from the newest checkpoint at or
-        below the target, so work is O(CHECKPOINT_EVERY) commits."""
-        vs = self._versions()
+        below the target — found via the ``_last_checkpoint`` pointer,
+        never a full log listing — so work is O(CHECKPOINT_EVERY)
+        commits however long the table has lived."""
         if version is None:
-            version = vs[-1] if vs else 0
-        elif version and version not in set(vs):
+            version = self.latest_version()
+        elif version and not os.path.exists(self._commit_path(version)):
             raise ValueError(f"tlog {self.root}: no version {version}")
         live: dict[str, int | None] = {}
         meta: dict = {}
         txns: dict[str, int] = {}
         removed_at: dict[str, int] = {}
         start = 0
-        ckpt = None
-        for v in vs:
-            if v <= version and v % CHECKPOINT_EVERY == 0:
-                p = self._commit_path(v) + ".checkpoint.json"
-                if os.path.exists(p):
-                    ckpt = (v, p)
-        if ckpt is not None:
-            start, p = ckpt
-            with open(p) as f:
+        # newest checkpoint at or below the target: the pointer answers
+        # directly unless the target is a TIME TRAVEL below it, where a
+        # downward walk over checkpoint multiples (bounded stat probes)
+        # finds the nearest older checkpoint
+        lc = self._last_checkpoint_version()
+        if not (
+            lc
+            and lc <= version
+            and os.path.exists(self._commit_path(lc) + ".checkpoint.json")
+        ):
+            lc = version - (version % CHECKPOINT_EVERY)
+            while lc > 0 and not os.path.exists(
+                self._commit_path(lc) + ".checkpoint.json"
+            ):
+                lc -= CHECKPOINT_EVERY
+        if lc > 0:
+            start = lc
+            with open(self._commit_path(lc) + ".checkpoint.json") as f:
                 st = json.load(f)
             live = {a["path"]: a.get("bucket") for a in st["files"]}
             meta = st.get("meta", {})
@@ -159,9 +196,7 @@ class TLog:
             removed_at = {
                 k: int(s) for k, s in st.get("removed_at", {}).items()
             }
-        for v in vs:
-            if v <= start or v > version:
-                continue
+        for v in range(start + 1, version + 1):
             c = self._read_commit(v)
             for p in c.get("remove", []):
                 live.pop(p, None)
@@ -200,6 +235,17 @@ class TLog:
         adds = []
         for d in sorted(os.listdir(target)):
             if d.startswith("_tb="):
+                if d == "_tb=__HIVE_DEFAULT_PARTITION__":
+                    # a NULL bucket value means a NULL merge key reached
+                    # a bucketed write (bucket exprs are pure functions
+                    # of the key) — fail with the cause, not a bare
+                    # int() ValueError after the data already landed
+                    raise ValueError(
+                        f"tlog {self.root}: bucketed write produced a "
+                        "NULL bucket partition — the merge key (and so "
+                        "bucket_expr) must be non-null; filter or "
+                        "repair the source before writing"
+                    )
                 adds.append(
                     {"path": os.path.join(rel, d), "bucket": int(d[4:])}
                 )
@@ -247,8 +293,16 @@ class TLog:
         domains: list[int] | None = None,
         meta: dict | None = None,
         txn: tuple[str, int] | None = None,
+        base_version: int | None = None,
     ) -> int:
         """Atomically commit one transaction; returns its version.
+
+        ``base_version`` (append commits carrying meta only): the
+        version the CALLER observed when it derived the meta values —
+        the meta-rebase conflict window then covers the caller's whole
+        check-to-commit span, not just the commit loop's own retries
+        (closes the init check-then-act race: two concurrent inits that
+        both observed version 0 serialize on the meta key).
 
         ``op="append"`` (no removes): never conflicts — on losing the
         version race it silently rebases to the next number.
@@ -265,7 +319,6 @@ class TLog:
             raise ValueError("rewrite commits must declare read_version")
         if op == "append" and removes:
             raise ValueError("append commits cannot remove files")
-        base_version: int | None = None
         while True:
             current = self.latest_version()
             if base_version is None:
@@ -370,6 +423,15 @@ class TLog:
         with open(tmp, "w") as f:
             json.dump(state, f)
         os.replace(tmp, p)  # checkpoints are derived state: last wins
+        # advance the _last_checkpoint pointer (atomic replace; a stale
+        # or lost pointer only lengthens the next probe — a racing
+        # OLDER writer can at worst regress it one checkpoint, which
+        # the forward probe absorbs)
+        mp = os.path.join(self.log_dir, _LAST_CKPT)
+        mtmp = mp + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(mtmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(mtmp, mp)
 
     def change_feed(
         self,
@@ -513,7 +575,7 @@ class TLog:
         for f in os.listdir(self.log_dir):
             p = os.path.join(self.log_dir, f)
             if (
-                f.startswith(".tmp-")
+                (f.startswith(".tmp-") or ".tmp-" in f)
                 and os.path.exists(p)
                 and now - os.path.getmtime(p) > orphan_grace_s
             ):

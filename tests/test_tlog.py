@@ -559,3 +559,87 @@ def test_meta_carrying_append_does_not_rebase_past_counter_commit(
     with mock.patch.object(t, "latest_version", racing_latest):
         with pytest.raises(TLogConflictError, match="meta"):
             t.commit(adds=adds, op="append", meta={"max_faiss_id": 1})
+
+
+def test_thousand_commit_snapshot_never_lists_the_log(tmp_path):
+    """r8 verdict #4: snapshot/commit cost must not be O(total
+    commits). A 1,000-commit log's latest_version/snapshot run with
+    ZERO directory listings (the ``_last_checkpoint`` pointer + the
+    contiguous-version forward probe replace them) and the replay
+    window stays O(CHECKPOINT_EVERY)."""
+    import cnc_visionsearch_spark.sources.tlog as tlog_mod
+
+    t = TLog(str(tmp_path / "t"))
+    for i in range(1000):
+        t.commit(adds=[{"path": f"data/f{i}", "bucket": None}], op="append")
+    calls = {"listdir": 0}
+    real_listdir = os.listdir
+
+    def counting_listdir(p):
+        calls["listdir"] += 1
+        return real_listdir(p)
+
+    reads = {"n": 0}
+    real_read = t._read_commit
+
+    def counting_read(v):
+        reads["n"] += 1
+        return real_read(v)
+
+    t._read_commit = counting_read
+    try:
+        tlog_mod.os.listdir = counting_listdir
+        assert t.latest_version() == 1000
+        snap = t.snapshot()
+    finally:
+        tlog_mod.os.listdir = real_listdir
+        t._read_commit = real_read
+    assert calls["listdir"] == 0
+    assert reads["n"] <= CHECKPOINT_EVERY
+    assert snap.version == 1000 and len(snap.files) == 1000
+    # time travel BELOW the pointer still resolves (downward walk to
+    # the nearest older checkpoint)
+    old = t.snapshot(15)
+    assert old.version == 15 and len(old.files) == 15
+
+
+def test_racing_inits_serialize_via_base_version(spark, tmp_path, mapping):
+    """The init emptiness check is not check-then-act (r8 advice):
+    writer A observes an EMPTY log, then writer B's full init lands;
+    A's commit (carrying base_version=0, the version it observed) must
+    raise instead of appending a duplicate mapping and resetting the
+    id counter."""
+    t = TLog(str(tmp_path / "t"))
+    assert t.latest_version() == 0  # A's observation
+    tlog_init_id_mapping(t, mapping, n_buckets=4)  # B lands in the gap
+    adds = t.write_data(
+        mapping.select("str_id", "faiss_id", "text_content")
+    )
+    with pytest.raises(TLogConflictError, match="meta"):
+        t.commit(
+            adds=adds,
+            op="append",
+            meta={"max_faiss_id": 7, "n_buckets": 4},
+            base_version=0,
+        )
+
+
+def test_write_data_null_bucket_raises_targeted_error(spark, tmp_path):
+    """A NULL merge key reaching a bucketed write must fail with the
+    cause (non-null key contract), not a bare int() ValueError on the
+    Hive default partition dir (r8 advice)."""
+    t = TLog(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(None, 1, "x"), ("k", 2, "y")], ID_MAPPING_SCHEMA
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        t.write_data(
+            df,
+            # NULL-propagating bucket fn (xxhash64 itself hashes NULL
+            # to the seed, so force the NULL through like a modulo of
+            # a NULL-keyed cast would)
+            bucket_expr=F.when(
+                F.col("str_id").isNotNull(),
+                F.pmod(F.xxhash64("str_id"), F.lit(4)).cast("int"),
+            ),
+        )
