@@ -69,6 +69,7 @@ __all__ = [
     "distributed_cumsum",
     "exact_ntile",
     "exact_ntile_multi",
+    "clear_kernel_memo",
 ]
 
 _BAND = "_rk_band"
@@ -80,6 +81,55 @@ DEFAULT_BANDS = 32
 # boundary sample size per band — 32*32 = 1024 keys collected, a
 # constant independent of data size (TakeOrderedAndProject job)
 _SAMPLE_PER_BAND = 32
+
+# ---- construction-time memo (r8 verdict #1) -----------------------------
+# The kernel's two bounded collects (boundary sample + band totals)
+# execute at query CONSTRUCTION. Serving paths construct the same
+# query repeatedly over immutable inputs (bench passes, chained
+# registry calls), re-paying both jobs each time; this memo keys the
+# collected literals on (canonicalized-plan semantic hash, order spec,
+# sums spec, bands) so identical constructions reuse them. SAFETY:
+# boundary placement never affects VALUES (only balance), but band
+# totals do — the memo therefore assumes the input RELATION is
+# immutable for the session (true for every in-repo consumer: fixture
+# parquet + pure derivations). A caller that overwrites files under an
+# unchanged plan must pass memo=False or call clear_kernel_memo().
+# Bounded: LRU, <= _MEMO_CAP entries of <= bands rows each.
+_MEMO_CAP = 64
+_KERNEL_MEMO: "dict[tuple, tuple]" = {}
+
+
+def clear_kernel_memo() -> None:
+    """Drop every memoized (boundaries, band-totals) entry — call after
+    mutating data under a plan that was already ranked this session."""
+    _KERNEL_MEMO.clear()
+
+
+def _plan_hash(df: DataFrame):
+    """Semantic hash of the analyzed plan (Spark's own cache-lookup
+    key), or None when the JVM handle is unavailable (Connect) — the
+    caller then skips memoization."""
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return None
+
+
+def _memo_get(key):
+    if key is None:
+        return None
+    v = _KERNEL_MEMO.pop(key, None)
+    if v is not None:
+        _KERNEL_MEMO[key] = v  # re-insert: insertion order == LRU order
+    return v
+
+
+def _memo_put(key, value) -> None:
+    if key is None:
+        return
+    _KERNEL_MEMO[key] = value
+    while len(_KERNEL_MEMO) > _MEMO_CAP:
+        _KERNEL_MEMO.pop(next(iter(_KERNEL_MEMO)))
 
 
 def _cols(order_cols: Sequence) -> list[Column]:
@@ -249,6 +299,8 @@ def distributed_cumsum(
     bands: int = DEFAULT_BANDS,
     total_col: str | None = None,
     cache_input: bool = False,
+    memo: bool = True,
+    sum_total_cols: Sequence[str | None] = (),
 ) -> DataFrame:
     """df + exact global running totals over a total order, no global
     sort and no lineage barrier. ``sums`` is (source_expr, out_col)
@@ -262,31 +314,86 @@ def distributed_cumsum(
     Two bounded collects (<= bands*32 sampled keys; <= bands per-band
     totals) turn band assignment and band offsets into driver
     literals, so every data-proportional stage is a freely
-    recomputable pure function of the input."""
+    recomputable pure function of the input.
+
+    ``sum_total_cols`` (aligned with ``sums``, None to skip one) adds
+    each sum's GRAND total as a literal column — it falls out of the
+    same band-totals collect, so a Pareto-style caller gets SUM(x)
+    without a second scan of the input in its final job. ``memo``
+    (default on) replays both collects' literals when the identical
+    (input plan, spec) was already constructed this session — see the
+    module-level memo notes for the immutable-input assumption."""
     sums = list(sums)
     keys = _norm_order(order_cols)
-    # cache_input: OPT-IN advisory persist for CHAINED callers (RFM's
-    # stacked exact_ntile passes), where the input lineage contains a
-    # prior pass's window and the three consumers here (boundary
-    # sample, band-totals collect, final window job) would compound
-    # its re-execution multiplicatively. persist is NOT a barrier:
-    # lineage is kept, lost blocks recompute (the fault-tolerance
-    # property the r6 localCheckpoint lacked) and blocks are
-    # LRU-evictable under memory pressure, so the worst case degrades
-    # to recompute, never OOM. HONEST LIFETIME NOTE: Dataset.persist
-    # registers the relation in the session CacheManager until an
-    # explicit unpersist or session end (the ContextCleaner reclaims
-    # only RDD-level persists) — callers opting in accept
-    # session-lifetime residency, which in-repo is bounded to
-    # customer-scale aggregates (a few MB per call at bench sf).
-    # Default OFF: for single-pass callers over cheap scans the cache
-    # write costs more than the rescans it saves (measured at sf0.1:
-    # equidepth 2.0s -> 2.9s with a forced cache).
-    if cache_input:
-        from pyspark.storagelevel import StorageLevel
+    # memo lookup: identical (input plan, specs) constructions reuse
+    # the collected literals — zero jobs at re-construction (see the
+    # module-level memo notes on the immutable-input assumption)
+    memo_key = None
+    if memo:
+        ph = _plan_hash(df)
+        if ph is not None:
+            memo_key = (
+                "cumsum",
+                ph,
+                df.schema.simpleString(),
+                tuple((str(e), asc) for e, asc in keys),
+                tuple(str(e) for e, _ in sums),
+                bands,
+            )
+    hit = _memo_get(memo_key)
+    if hit is not None:
+        # replay the collected literals — ZERO jobs at construction.
+        # (A memo entry is stored only after the desc-NULL guard
+        # passed, so replaying it cannot admit NULL keys.)
+        bnds, btot, btot_schema, total = hit
+    else:
+        # cache_input: OPT-IN advisory persist for CHAINED callers,
+        # where the input lineage is expensive and the construction's
+        # two bounded jobs (boundary sample + band totals) would
+        # re-execute it. persist is NOT a barrier: lineage is kept,
+        # lost blocks recompute (the fault-tolerance property the r6
+        # localCheckpoint lacked). LIFETIME (r7/r8 advice closed): the
+        # persist is scoped to CONSTRUCTION — unpersisted right after
+        # the band-totals collect, so the CacheManager never
+        # accumulates session-lifetime entries; the caller's final
+        # action recomputes the input once, exactly as with no cache.
+        if cache_input:
+            from pyspark.storagelevel import StorageLevel
 
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    bnds = _band_boundaries(df, keys, bands)
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        bnds = _band_boundaries(df, keys, bands)
+        # Per-band totals: a map-side-combined hash aggregate over the
+        # SAME pure band expression, collected (<= bands rows — bounded
+        # by the band constant, the ivf_probe_cells collect doctrine)
+        # and folded into exclusive prefix offsets on the driver. The
+        # offsets then go back as ANOTHER pure CASE over the band
+        # column — no join, no broadcast, no second window execution,
+        # and — because both the band expression and the offsets are
+        # driver literals — no cross-branch banding hazard to barrier
+        # over and nothing a lost executor cannot recompute.
+        # desc-NULL guard rides the SAME aggregate (appended LAST so
+        # the positional sum indices r[2+i] stay stable) — see module
+        # docstring
+        guard = _null_guard_expr(keys)
+        tb = df.withColumn(_BAND, _band_expr(keys, bnds))
+        btot_df = tb.groupBy(_BAND).agg(
+            F.count(F.lit(1)).alias(_BN),
+            *[F.sum(e).alias(f"_rk_t{i}") for i, (e, _) in enumerate(sums)],
+            *([guard.alias("_rk_nullk")] if guard is not None else []),
+        )
+        btot_schema = btot_df.schema
+        btot = btot_df.collect()
+        btot.sort(key=lambda r: r[0])
+        if cache_input:
+            # construction jobs done — release the blocks now (the
+            # CacheManager entry would otherwise outlive the call)
+            df.unpersist(False)
+        if guard is not None:
+            _raise_if_null_desc_keys(
+                sum(r[2 + len(sums)] or 0 for r in btot), keys
+            )
+        total = sum(r[1] for r in btot)
+        _memo_put(memo_key, (bnds, btot, btot_schema, total))
     t = df.withColumn(_BAND, _band_expr(keys, bnds))
     order = [e.asc() if asc else e.desc() for e, asc in keys]
     wp = Window.partitionBy(_BAND).orderBy(*order)
@@ -296,31 +403,6 @@ def distributed_cumsum(
         F.row_number().over(wp).alias(_LRN),
         *[F.sum(e).over(wf).alias(f"_rk_l{i}") for i, (e, _) in enumerate(sums)],
     )
-    # Per-band totals: a map-side-combined hash aggregate over the SAME
-    # pure band expression, collected (<= bands rows — bounded by the
-    # band constant, the ivf_probe_cells collect doctrine) and folded
-    # into exclusive prefix offsets on the driver. The offsets then go
-    # back as ANOTHER pure CASE over the band column — no join, no
-    # broadcast, no second window execution, and — because both the
-    # band expression and the offsets are driver literals — no
-    # cross-branch banding hazard to barrier over and nothing a lost
-    # executor cannot recompute from the input.
-    # desc-NULL guard rides the SAME aggregate (appended LAST so the
-    # positional sum indices r[2+i] stay stable) — see module docstring
-    guard = _null_guard_expr(keys)
-    btot_df = t.groupBy(_BAND).agg(
-        F.count(F.lit(1)).alias(_BN),
-        *[F.sum(e).alias(f"_rk_t{i}") for i, (e, _) in enumerate(sums)],
-        *([guard.alias("_rk_nullk")] if guard is not None else []),
-    )
-    btot_schema = btot_df.schema
-    btot = btot_df.collect()
-    btot.sort(key=lambda r: r[0])
-    if guard is not None:
-        _raise_if_null_desc_keys(
-            sum(r[2 + len(sums)] or 0 for r in btot), keys
-        )
-    total = sum(r[1] for r in btot)
 
     def _acc(a, b):
         if b is None:
@@ -378,6 +460,14 @@ def distributed_cumsum(
         )
     if total_col is not None:
         out = out.withColumn(total_col, F.lit(total).cast("bigint"))
+    # grand totals of the sums as literal columns: after the offsets
+    # loop, run_s[i] holds the fold across EVERY band — the same
+    # bounded collect the offsets came from, no extra scan
+    for i, tname in enumerate(sum_total_cols):
+        if tname is not None:
+            out = out.withColumn(
+                tname, F.lit(run_s[i]).cast(btot_schema[2 + i].dataType)
+            )
     drop = [_BAND, _LRN]
     drop += [f"_rk_l{i}" for i in range(len(sums))]
     return out.drop(*drop)
@@ -465,65 +555,89 @@ def exact_ntile_multi(
     Total: 2 bounded collects + the consumer job, regardless of how
     many specs — no caching, no recompute compounding."""
     norm = [(_norm_order(oc), int(n), out) for oc, n, out in specs]
-    # ---- one shared boundary-sample job over every spec's keys
-    sel: list[Column] = []
-    flat: list[str] = []
-    for si, (keys, _, _) in enumerate(norm):
-        for ki, (e, _) in enumerate(keys):
-            a = f"_rk_s{si}k{ki}"
-            sel.append(e.alias(a))
-            flat.append(a)
-    kc = [F.col(a) for a in flat]
-    rows = (
-        df.select(*sel)
-        .orderBy(F.xxhash64(*kc).asc(), *[c.asc() for c in kc])
-        .limit(bands * _SAMPLE_PER_BAND)
-        .collect()
-    )
     band_cols = [f"_rk_band{si}" for si in range(len(norm))]
-    t = df
-    for si, (keys, _, _) in enumerate(norm):
-        sample = [
-            tuple(r[f"_rk_s{si}k{ki}"] for ki in range(len(keys)))
-            for r in rows
-        ]
-        bnds = _boundaries_from_sample(
-            sample, [asc for _, asc in keys], bands
+    # memo (same contract as distributed_cumsum's): identical
+    # (input plan, specs) constructions replay the sample boundaries
+    # and per-band totals with zero jobs
+    memo_key = None
+    ph = _plan_hash(df)
+    if ph is not None:
+        memo_key = (
+            "ntile_multi",
+            ph,
+            df.schema.simpleString(),
+            tuple(
+                (tuple((str(e), asc) for e, asc in keys), n, out)
+                for keys, n, out in norm
+            ),
+            bands,
         )
-        t = t.withColumn(band_cols[si], _band_expr(keys, bnds))
-    # ---- one grouping-sets aggregate: per-spec per-band counts plus
-    # the desc-NULL guards in a single job. Band values are never NULL
-    # in the data (the CASE always yields an int), so the one non-NULL
-    # band column identifies each output row's spec.
-    guard_cols: dict[int, str] = {}
-    aggs = [F.count(F.lit(1)).alias(_BN)]
-    for si, (keys, _, _) in enumerate(norm):
-        g = _null_guard_expr(keys)
-        if g is not None:
-            name = f"_rk_nullk{si}"
-            aggs.append(g.alias(name))
-            guard_cols[si] = name
-    btot_rows = (
-        t.groupingSets(
-            [[F.col(b)] for b in band_cols],
-            *[F.col(b) for b in band_cols],
+    hit = _memo_get(memo_key)
+    if hit is not None:
+        bnds_list, per_spec = hit
+        t = df
+        for si, (keys, _, _) in enumerate(norm):
+            t = t.withColumn(band_cols[si], _band_expr(keys, bnds_list[si]))
+    else:
+        # ---- one shared boundary-sample job over every spec's keys
+        sel: list[Column] = []
+        flat: list[str] = []
+        for si, (keys, _, _) in enumerate(norm):
+            for ki, (e, _) in enumerate(keys):
+                a = f"_rk_s{si}k{ki}"
+                sel.append(e.alias(a))
+                flat.append(a)
+        kc = [F.col(a) for a in flat]
+        rows = (
+            df.select(*sel)
+            .orderBy(F.xxhash64(*kc).asc(), *[c.asc() for c in kc])
+            .limit(bands * _SAMPLE_PER_BAND)
+            .collect()
         )
-        .agg(*aggs)
-        .collect()
-    )
-    per_spec: dict[int, list[tuple[int, int]]] = {
-        si: [] for si in range(len(norm))
-    }
-    null_counts: dict[int, int] = {si: 0 for si in guard_cols}
-    for r in btot_rows:
-        for si, b in enumerate(band_cols):
-            if r[b] is not None:
-                per_spec[si].append((r[b], r[_BN]))
-                if si in guard_cols:
-                    null_counts[si] += r[guard_cols[si]] or 0
-                break
-    for si, nn in null_counts.items():
-        _raise_if_null_desc_keys(nn, norm[si][0])
+        bnds_list = []
+        t = df
+        for si, (keys, _, _) in enumerate(norm):
+            sample = [
+                tuple(r[f"_rk_s{si}k{ki}"] for ki in range(len(keys)))
+                for r in rows
+            ]
+            bnds = _boundaries_from_sample(
+                sample, [asc for _, asc in keys], bands
+            )
+            bnds_list.append(bnds)
+            t = t.withColumn(band_cols[si], _band_expr(keys, bnds))
+        # ---- one grouping-sets aggregate: per-spec per-band counts
+        # plus the desc-NULL guards in a single job. Band values are
+        # never NULL in the data (the CASE always yields an int), so
+        # the one non-NULL band column identifies each row's spec.
+        guard_cols: dict[int, str] = {}
+        aggs = [F.count(F.lit(1)).alias(_BN)]
+        for si, (keys, _, _) in enumerate(norm):
+            g = _null_guard_expr(keys)
+            if g is not None:
+                name = f"_rk_nullk{si}"
+                aggs.append(g.alias(name))
+                guard_cols[si] = name
+        btot_rows = (
+            t.groupingSets(
+                [[F.col(b)] for b in band_cols],
+                *[F.col(b) for b in band_cols],
+            )
+            .agg(*aggs)
+            .collect()
+        )
+        per_spec = {si: [] for si in range(len(norm))}
+        null_counts: dict[int, int] = {si: 0 for si in guard_cols}
+        for r in btot_rows:
+            for si, b in enumerate(band_cols):
+                if r[b] is not None:
+                    per_spec[si].append((r[b], r[_BN]))
+                    if si in guard_cols:
+                        null_counts[si] += r[guard_cols[si]] or 0
+                    break
+        for si, nn in null_counts.items():
+            _raise_if_null_desc_keys(nn, norm[si][0])
+        _memo_put(memo_key, (bnds_list, per_spec))
     # ---- every spec's local row number in one select (one WindowExec
     # per spec in the consumer's single job)
     lrn_cols = [f"_rk_lrn{si}" for si in range(len(norm))]

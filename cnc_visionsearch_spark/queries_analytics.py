@@ -3326,13 +3326,20 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = l.groupBy("l_partkey").agg(
         F.sum("rev").cast("decimal(38,6)").alias("rev")
     )
-    tot = rev.agg(F.sum("rev").cast("decimal(38,6)").alias("t"))
-    ranked = distributed_cumsum(
-        rev,
-        [(F.col("rev"), "desc"), ("l_partkey", "asc")],
-        sums=[(F.col("rev"), "_cum")],
-    ).withColumn("cum_rev", F.col("_cum").cast("decimal(38,6)"))
-    classed = ranked.crossJoin(F.broadcast(tot)).select(
+    # grand total rides the kernel's band-totals collect as a literal
+    # column — one scan of the part rollup in the final job instead of
+    # the previous separate `tot` aggregate + crossJoin
+    ranked = (
+        distributed_cumsum(
+            rev,
+            [(F.col("rev"), "desc"), ("l_partkey", "asc")],
+            sums=[(F.col("rev"), "_cum")],
+            sum_total_cols=["_t"],
+        )
+        .withColumn("cum_rev", F.col("_cum").cast("decimal(38,6)"))
+        .withColumn("t", F.col("_t").cast("decimal(38,6)"))
+    )
+    classed = ranked.select(
         "l_partkey",
         "rev",
         F.when(F.col("cum_rev") * 100 <= F.col("t") * 80, "A")

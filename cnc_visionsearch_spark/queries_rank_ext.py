@@ -72,15 +72,16 @@ def customer_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_c")
     )
+    # the grand totals (t, n_customers) ride the kernel's band-totals
+    # collect as literal columns — the final job scans the orders
+    # rollup ONCE (the r8 `tot` branch re-aggregated it a second time)
     ranked = distributed_cumsum(
         rev,
         [(F.col("rev_c"), "desc"), ("o_custkey", "asc")],
         sums=[(F.col("rev_c"), "cum_c")],
-    )
-    tot = rev.agg(
-        F.sum("rev_c").cast("bigint").alias("t"),
-        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-    )
+        total_col="n_customers",
+        sum_total_cols=["t"],
+    ).withColumn("t", F.col("t").cast("bigint"))
     th = spark.createDataFrame(
         [(50,), (80,), (95,)], "threshold_pct int"
     )
@@ -88,8 +89,7 @@ def customer_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold_pct"
     )
     return (
-        ranked.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(th))
+        ranked.crossJoin(F.broadcast(th))
         .groupBy(
             F.col("threshold_pct").cast("bigint").alias("threshold_pct"),
             "n_customers",

@@ -391,3 +391,81 @@ def test_exact_ntile_multi_desc_null_raises(spark):
                 ([(F.col("v"), "desc"), "id"], 4, "b"),
             ],
         ).collect()
+
+
+def test_kernel_memo_skips_construction_jobs_and_keeps_values(spark):
+    """r8 verdict #1: re-CONSTRUCTING the same ranked query (bench
+    passes, chained registry calls) must not re-pay the boundary
+    sample + band-totals collects. Second construction runs ZERO
+    sample jobs and the values are identical; a DIFFERENT input plan
+    misses the memo."""
+    import cnc_visionsearch_spark.operators.rank as rank_mod
+    from cnc_visionsearch_spark.operators.rank import (
+        clear_kernel_memo,
+        distributed_cumsum,
+    )
+
+    clear_kernel_memo()
+    d = spark.range(500).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    calls = {"n": 0}
+    real = rank_mod._band_boundaries
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    rank_mod._band_boundaries = counting
+    try:
+        r1 = distributed_cumsum(
+            d, ["id"], sums=[(F.col("v"), "cum_v")], rn_col="rn"
+        ).collect()
+        assert calls["n"] == 1
+        r2 = distributed_cumsum(
+            d, ["id"], sums=[(F.col("v"), "cum_v")], rn_col="rn"
+        ).collect()
+        assert calls["n"] == 1  # memo hit: no second sample job
+        assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+        # different plan -> different key -> fresh collects
+        distributed_cumsum(
+            d.filter(F.col("id") < 100),
+            ["id"],
+            sums=[(F.col("v"), "cum_v")],
+        )
+        assert calls["n"] == 2
+        # memo=False bypasses
+        distributed_cumsum(d, ["id"], rn_col="rn", memo=False)
+        assert calls["n"] == 3
+        clear_kernel_memo()
+        distributed_cumsum(d, ["id"], rn_col="rn")
+        assert calls["n"] == 4
+    finally:
+        rank_mod._band_boundaries = real
+
+
+def test_exact_ntile_multi_memo_replays_identically(spark):
+    """The multi-spec kernel's shared-sample + grouping-sets collects
+    memoize the same way: a second identical construction is job-free
+    and value-identical."""
+    from cnc_visionsearch_spark.operators.rank import (
+        clear_kernel_memo,
+        exact_ntile_multi,
+    )
+
+    clear_kernel_memo()
+    d = spark.range(300).select(
+        F.col("id"), (F.col("id") * 13 % 97).alias("v")
+    )
+    specs = [(["v", "id"], 5, "q_v"), ([("id", "desc")], 4, "q_i")]
+    r1 = exact_ntile_multi(d, specs).collect()
+    r2 = exact_ntile_multi(d, specs).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    # oracle: SQL NTILE over the unpartitioned window
+    exp = d.select(
+        "id",
+        "v",
+        F.ntile(5).over(Window.orderBy("v", "id")).alias("q_v"),
+        F.ntile(4).over(Window.orderBy(F.col("id").desc())).alias("q_i"),
+    ).collect()
+    assert sorted(map(tuple, r2)) == sorted(map(tuple, exp))
