@@ -93,11 +93,29 @@ def run_index_maintenance(
     # physically BEFORE compaction (vacuum rewrites touched buckets;
     # compacting first would churn files the vacuum rewrites again)
     if inverted_path is not None:
-        from cnc_visionsearch_spark.operators.text_index import inverted_vacuum
+        from cnc_visionsearch_spark.operators.text_index import (
+            TLOG_TOMBS_TAG,
+            _tlog_of,
+            inverted_compact,
+            inverted_vacuum,
+        )
 
-        had = os.path.exists(f"{inverted_path}/tombstones")
-        inverted_vacuum(spark, inverted_path)
-        report["inverted_vacuum_applied"] = had
+        t = _tlog_of(inverted_path)
+        if t is not None:
+            # transactional layout: vacuum is one rewrite commit,
+            # compaction its own (inverted_compact); physical removal
+            # of unreferenced files rides the table's tlog vacuum
+            # (retention-gated), all under conflict arbitration
+            had = bool(t.snapshot().files_in([TLOG_TOMBS_TAG]))
+            inverted_vacuum(spark, inverted_path)
+            inverted_compact(spark, inverted_path)
+            t.vacuum()
+            report["inverted_vacuum_applied"] = had
+            inverted_path = None  # the legacy dir compaction below n/a
+        else:
+            had = os.path.exists(f"{inverted_path}/tombstones")
+            inverted_vacuum(spark, inverted_path)
+            report["inverted_vacuum_applied"] = had
     # append-accreting auxiliary layouts: same settled-skip compaction
     # discipline as the cell tables (inverted postings per term bucket,
     # NSW edges per src bucket)

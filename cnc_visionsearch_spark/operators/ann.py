@@ -271,6 +271,94 @@ def ivf_topk(
 # reads them — paying scan-of-nprobe-cells, never rebuild.
 
 
+# tlog conflict-domain tags for transactional IVF layouts: cells files
+# carry their cell_id (0..n_cells-1); the auxiliary subtables get
+# reserved tags far above any real cell count
+TLOG_CODEBOOK_TAG = 100_000
+TLOG_RADII_TAG = 100_001
+TLOG_IVF_TOMBS_TAG = 100_002
+
+
+def _ivf_tlog(path: str):
+    from cnc_visionsearch_spark.sources.tlog import tlog_of
+
+    return tlog_of(path)
+
+
+def _retag(adds: list[dict], tag: int) -> list[dict]:
+    """Stamp untagged add-actions with a reserved domain tag (the
+    text_index._retag twin)."""
+    for a in adds:
+        a["bucket"] = tag
+    return adds
+
+
+def _tlog_read_tags(spark, t, snap, tags, schema=None):
+    paths = snap.files_in(tags)
+    if not paths:
+        if schema is None:
+            return None
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*[os.path.join(t.root, p) for p in paths])
+
+
+def read_codebook(spark, path: str) -> DataFrame:
+    """The layout's coarse quantizer as a DataFrame — dispatches on the
+    layout mode (transactional: the snapshot's codebook-tagged files;
+    legacy: the ``codebook/`` dir)."""
+    t = _ivf_tlog(path)
+    if t is None:
+        return spark.read.parquet(f"{path}/codebook")
+    return _tlog_read_tags(spark, t, t.snapshot(), [TLOG_CODEBOOK_TAG])
+
+
+def read_cells(spark, path: str, cell_ids=None) -> DataFrame:
+    """The layout's cell table (RAW — callers apply the tombstone
+    filter via :func:`_without_tombstones`, same contract as the
+    legacy dir read). ``cell_ids`` prunes at the LOG level on
+    transactional layouts; legacy layouts rely on the caller's
+    ``cell_id`` partition filter (kept in both modes)."""
+    t = _ivf_tlog(path)
+    if t is None:
+        return spark.read.parquet(f"{path}/cells")
+    snap = t.snapshot()
+    tags = (
+        sorted(cell_ids)
+        if cell_ids is not None
+        else list(range(int(snap.meta["n_cells"])))
+    )
+    return _tlog_read_tags(spark, t, snap, tags)
+
+
+def _codebook_rows(path: str) -> list[dict]:
+    """Driver-side codebook rows for probe planning — footer-reads the
+    snapshot's codebook files on transactional layouts, the dir on
+    legacy ones (both via the memoized :func:`_metadata_rows`)."""
+    t = _ivf_tlog(path)
+    if t is None:
+        return _metadata_rows(f"{path}/codebook")
+    snap = t.snapshot()
+    rows: list[dict] = []
+    for p in snap.files_in([TLOG_CODEBOOK_TAG]):
+        rows.extend(_metadata_rows(os.path.join(path, p)))
+    return rows
+
+
+def _radii_rows(path: str) -> "list[dict] | None":
+    """Driver-side cell_radii rows (possibly several partial-maxima
+    files on a transactional layout — callers max-merge per cell), or
+    None when the layout carries no radii artifact."""
+    t = _ivf_tlog(path)
+    if t is None:
+        if not os.path.exists(f"{path}/cell_radii"):
+            return None
+        return _metadata_rows(f"{path}/cell_radii")
+    rows: list[dict] = []
+    for p in t.snapshot().files_in([TLOG_RADII_TAG]):
+        rows.extend(_metadata_rows(os.path.join(path, p)))
+    return rows or None
+
+
 def _write_geometry(path: str, **geometry) -> None:
     """Sidecar recording the layout's build parameters (local-FS JSON;
     a cluster deployment writes it through the Hadoop FS API next to
@@ -295,6 +383,7 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "nvec",
     centroids: DataFrame | None = None,
+    use_tlog: bool = False,
 ) -> None:
     """Materialize the IVF index at ``path``: ``codebook/`` (n_cells
     rows) + ``cells/`` (the full embeddings table written PARTITIONED BY
@@ -312,13 +401,61 @@ def ivf_build(
     changes, which is the knob that moves recall-at-nprobe on clustered
     production data (RECALL.json documents the untrained floor).
     """
+    spark = emb.sparkSession
     cents = (
         centroids
         if centroids is not None
         else ivf_centroids(emb, n_cells, id_col, vec_col)
     )
+    if use_tlog:
+        # TRANSACTIONAL layout (r8 verdict #1; module/tlog docstrings):
+        # codebook + cells + radii land as ONE atomic init commit,
+        # geometry rides commit meta (and the sidecar, for the shared
+        # read_geometry seam); every later mutation is a commit with
+        # cell-id conflict domains — appends blind, vacuum a rewrite.
+        from cnc_visionsearch_spark.sources.tlog import TLog
+
+        t = TLog(path)
+        if t.latest_version() != 0:
+            raise ValueError(
+                f"ivf_build: tlog layout {path} already holds "
+                f"{t.latest_version()} commit(s); wipe to rebuild"
+            )
+        adds = _retag(t.write_data(cents.coalesce(1)), TLOG_CODEBOOK_TAG)
+        # freeze the centroids by reading back the WRITTEN (not yet
+        # committed) codebook files — assignment must not recompute a
+        # nondeterministic centroid job, and the whole build must land
+        # as ONE commit (a reader may never see a codebook-only table)
+        cents = spark.read.parquet(
+            *[os.path.join(path, a["path"]) for a in adds]
+        )
+        assigned = ivf_assign(emb, cents, id_col, vec_col)
+        adds += t.write_data(assigned, bucket_expr=F.col("cell_id"))
+        radii = (
+            assigned.join(F.broadcast(cents), "cell_id")
+            .select(
+                "cell_id",
+                F.sqrt(l2_sq(vec_col, "centroid")).alias("member_d"),
+            )
+            .groupBy("cell_id")
+            .agg(F.max("member_d").alias("radius"))
+        )
+        adds += _retag(t.write_data(radii.coalesce(1)), TLOG_RADII_TAG)
+        t.commit(
+            adds=adds,
+            op="append",
+            meta={
+                "kind": "ivf",
+                "n_cells": n_cells,
+                "id_col": id_col,
+                "vec_col": vec_col,
+            },
+            base_version=0,
+        )
+        _write_geometry(path, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+        return
     cents.write.mode("overwrite").parquet(f"{path}/codebook")
-    cents = emb.sparkSession.read.parquet(f"{path}/codebook")
+    cents = spark.read.parquet(f"{path}/codebook")
     assigned = ivf_assign(emb, cents, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/cells")
     _write_geometry(path, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
@@ -348,6 +485,28 @@ def ivf_append(
     :func:`ivf_build` as the periodic re-train, exactly like a FAISS
     deployment periodically re-trains its coarse quantizer.
     """
+    t = _ivf_tlog(path)
+    if t is not None:
+        # ONE blind append commit: cell adds (tagged by cell_id) + the
+        # BATCH's radii rows under the radii tag — readers aggregate
+        # max(radius) per cell across files (appended vectors can only
+        # GROW a radius, so per-file partial maxima merge losslessly),
+        # which keeps concurrent appends conflict-free: nothing is
+        # read-modify-written
+        cents = read_codebook(spark, path)
+        assigned = ivf_assign(new_emb, cents, id_col, vec_col)
+        adds = t.write_data(assigned, bucket_expr=F.col("cell_id"))
+        batch_radii = (
+            assigned.join(F.broadcast(cents), "cell_id")
+            .select(
+                "cell_id", F.sqrt(l2_sq(vec_col, "centroid")).alias("member_d")
+            )
+            .groupBy("cell_id")
+            .agg(F.max("member_d").alias("radius"))
+        )
+        adds += _retag(t.write_data(batch_radii.coalesce(1)), TLOG_RADII_TAG)
+        t.commit(adds=adds, op="append")
+        return
     cents = spark.read.parquet(f"{path}/codebook")
     assigned = ivf_assign(new_emb, cents, id_col, vec_col)
     assigned.write.mode("append").partitionBy("cell_id").parquet(f"{path}/cells")
@@ -388,8 +547,15 @@ def ivf_delete(spark, path: str, ids: list[int], id_col: str = "vec_id") -> None
     :func:`ivf_vacuum` (or the next full rebuild). The codebook is NOT
     edited: it is a quantizer, not data — a deleted vector that served
     as a stride centroid keeps partitioning space perfectly well.
-    """
+    Transactional layouts commit the tombstone file blind under the
+    reserved tombstone domain tag."""
     df = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} bigint")
+    t = _ivf_tlog(path)
+    if t is not None:
+        t.commit(
+            adds=_retag(t.write_data(df), TLOG_IVF_TOMBS_TAG), op="append"
+        )
+        return
     df.write.mode("append").parquet(f"{path}/tombstones")
 
 
@@ -398,6 +564,14 @@ def _without_tombstones(spark, path: str, cells: DataFrame, id_col: str) -> Data
     batch-scale, never corpus-scale; a corpus-scale tombstone set means
     it is time to vacuum). No-op when the layout has no tombstones, so
     delete-free layouts keep their exact plan shape."""
+    t = _ivf_tlog(path)
+    if t is not None:
+        tf = _tlog_read_tags(spark, t, t.snapshot(), [TLOG_IVF_TOMBS_TAG])
+        if tf is None:
+            return cells
+        return cells.join(
+            F.broadcast(tf.select(id_col).distinct()), id_col, "left_anti"
+        )
     if not os.path.exists(f"{path}/tombstones"):
         return cells
     tombs = spark.read.parquet(f"{path}/tombstones").select(id_col).distinct()
@@ -486,7 +660,56 @@ def ivf_vacuum(spark, path: str, id_col: str = "vec_id") -> None:
     quantizer tier, partitioned by its own coarse cell ``c1``) vacuums
     against the SAME tombstone set first, for the same
     no-resurrection reason.
+
+    On a TRANSACTIONAL layout the vacuum is one rewrite commit
+    (touched cells rewritten, tombstone files dropped) declaring the
+    touched cell domains + the tombstone tag: a racing append into
+    OTHER cells serializes cleanly (disjoint domains), a racing
+    append into a touched cell or a racing delete conflicts and the
+    vacuum recomputes (``run_transaction``). Transactional layouts do
+    not carry pq/rq code tables (ivf_build(use_tlog=True) builds the
+    plain IVF tier; the composed codecs stay on legacy layouts —
+    documented scope).
     """
+    t = _ivf_tlog(path)
+    if t is not None:
+        snap = t.snapshot()
+        spark_ = spark
+        tomb_files = snap.files_in([TLOG_IVF_TOMBS_TAG])
+        if not tomb_files:
+            return
+        tombs = (
+            _tlog_read_tags(spark_, t, snap, [TLOG_IVF_TOMBS_TAG])
+            .select(id_col)
+            .distinct()
+        )
+        n_cells = int(snap.meta["n_cells"])
+        cells = _tlog_read_tags(spark_, t, snap, list(range(n_cells)))
+        touched = sorted(
+            r[0]
+            for r in cells.join(F.broadcast(tombs), id_col)
+            .select("cell_id")
+            .distinct()
+            .collect()
+        )  # bounded: <= n_cells
+        adds = []
+        if touched:
+            kept = _tlog_read_tags(spark_, t, snap, touched).join(
+                F.broadcast(tombs), id_col, "left_anti"
+            )
+            adds += t.write_data(kept, bucket_expr=F.col("cell_id"))
+        removes = snap.files_in(touched) if touched else []
+        removes = sorted(set(removes) | set(tomb_files))
+        # cell radii stay valid: they are UPPER bounds and deletes can
+        # only shrink true radii — a rebuild re-tightens them
+        t.commit(
+            adds=adds,
+            removes=removes,
+            read_version=snap.version,
+            op="rewrite",
+            domains=list(touched) + [TLOG_IVF_TOMBS_TAG],
+        )
+        return
     if os.path.exists(f"{path}/rq_codes"):
         _vacuum_layout(
             spark, path, ("rq_codes",), "c1", id_col, drop_tombstones=False
@@ -545,8 +768,9 @@ def ivf_probe(
     :func:`ivf_topk` over the same codebook.
     """
     qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
-    cells = spark.read.parquet(f"{path}/cells").filter(
-        F.col("cell_id").isin(ivf_probe_cells(spark, path, query_vec, nprobe))
+    probed = ivf_probe_cells(spark, path, query_vec, nprobe)
+    cells = read_cells(spark, path, probed).filter(
+        F.col("cell_id").isin(probed)
     )
     cells = _without_tombstones(spark, path, cells, id_col)
     return (
@@ -623,7 +847,7 @@ def ivf_probe_cells(
     q = [float(x) for x in query_vec]
     scored = sorted(
         (_seq_l2_sq(r["centroid"], q), int(r["cell_id"]))
-        for r in _metadata_rows(f"{path}/codebook")
+        for r in _codebook_rows(path)
     )
     return [cid for _, cid in scored[:nprobe]]
 
@@ -1138,6 +1362,13 @@ def pq_build(
     table that is m bytes/vector instead of the raw vectors. Run once
     per corpus version, after (or as part of) the IVF build.
     """
+    if _ivf_tlog(path) is not None:
+        raise ValueError(
+            "transactional IVF layouts do not carry PQ/RQ code tables "
+            "(documented scope - ivf_build(use_tlog=True) covers the "
+            "plain IVF tier); build composed codecs over a legacy "
+            "layout"
+        )
     cents = spark.read.parquet(f"{path}/codebook")
     cb = pq_codebook(cents, m)
     cells = spark.read.parquet(f"{path}/cells")
@@ -1166,6 +1397,13 @@ def pq_append(
     under, so the code table and the vector table stay partitioned on
     the same axis.
     """
+    if _ivf_tlog(path) is not None:
+        raise ValueError(
+            "transactional IVF layouts do not carry PQ/RQ code tables "
+            "(documented scope - ivf_build(use_tlog=True) covers the "
+            "plain IVF tier); build composed codecs over a legacy "
+            "layout"
+        )
     cents = spark.read.parquet(f"{path}/codebook")
     cb = pq_codebook(cents, m)
     assigned = ivf_assign(new_emb, cents, id_col, vec_col)
@@ -1312,6 +1550,13 @@ def pq_trained_build(
     the default rescore depth on the same fixture. Run once per corpus
     version; probes only ever read the artifacts.
     """
+    if _ivf_tlog(path) is not None:
+        raise ValueError(
+            "transactional IVF layouts do not carry PQ/RQ code tables "
+            "(documented scope - ivf_build(use_tlog=True) covers the "
+            "plain IVF tier); build composed codecs over a legacy "
+            "layout"
+        )
     cells = spark.read.parquet(f"{path}/cells")
     rows = pq_train_codebook(cells, m, k_star, iters, id_col, vec_col)
     cb_df = spark.createDataFrame(rows, "sub_j int, code int, cv array<double>")
@@ -1341,6 +1586,13 @@ def pq_trained_append(
     it) and existing code files stay byte-identical. Re-train = re-run
     :func:`pq_trained_build` as periodic maintenance.
     """
+    if _ivf_tlog(path) is not None:
+        raise ValueError(
+            "transactional IVF layouts do not carry PQ/RQ code tables "
+            "(documented scope - ivf_build(use_tlog=True) covers the "
+            "plain IVF tier); build composed codecs over a legacy "
+            "layout"
+        )
     cb = spark.read.parquet(f"{path}/pq_trained_codebook")
     cents = spark.read.parquet(f"{path}/codebook")
     assigned = ivf_assign(new_emb, cents, id_col, vec_col)
@@ -1386,6 +1638,15 @@ def ivf_cell_radii(spark, path: str, vec_col: str = "nvec") -> DataFrame:
     LOSSLESS: by the triangle inequality no vector of cell c can lie
     within R of the query if d(q, centroid_c) - radius_c > R.
     """
+    t = _ivf_tlog(path)
+    if t is not None:
+        rf = _tlog_read_tags(spark, t, t.snapshot(), [TLOG_RADII_TAG])
+        if rf is not None:
+            # per-file partial maxima (build + appends) merge losslessly
+            return rf.groupBy("cell_id").agg(
+                F.max("radius").alias("radius")
+            )
+        return _compute_cell_radii(spark, path, vec_col)
     if os.path.exists(f"{path}/cell_radii"):
         return spark.read.parquet(f"{path}/cell_radii")
     return _compute_cell_radii(spark, path, vec_col)
@@ -1416,19 +1677,20 @@ def ivf_range_search(
     qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     r = math.sqrt(r2)
     q = [float(x) for x in query_vec]
-    if os.path.exists(f"{path}/cell_radii"):
+    if _radii_rows(path) is not None:
         # planner-side pruning: codebook + radii are metadata-sized
         # (n_cells rows) persisted artifacts — rank driver-side like
         # ivf_probe_cells, zero cluster jobs before the pruned scan.
         # math.sqrt == JVM sqrt (both IEEE-754 correctly rounded), so
         # the keep set matches the previous cluster-computed bound.
-        rad = {
-            int(x["cell_id"]): float(x["radius"])
-            for x in _metadata_rows(f"{path}/cell_radii")
-        }
+        rad = {}
+        for x in _radii_rows(path):
+            cid = int(x["cell_id"])
+            rv = float(x["radius"])
+            rad[cid] = max(rad.get(cid, 0.0), rv)
         keep = [
             int(c["cell_id"])
-            for c in _metadata_rows(f"{path}/codebook")
+            for c in _codebook_rows(path)
             if math.sqrt(_seq_l2_sq(c["centroid"], q)) - rad[int(c["cell_id"])]
             <= r
         ]
@@ -1436,7 +1698,7 @@ def ivf_range_search(
         # pre-artifact layout: one scan to recompute radii, then the
         # same bounded n_cells-row collect
         radii = ivf_cell_radii(spark, path, vec_col)
-        cents = spark.read.parquet(f"{path}/codebook")
+        cents = read_codebook(spark, path)
         keep = [
             row.cell_id
             for row in cents.join(radii, "cell_id")
@@ -1447,7 +1709,7 @@ def ivf_range_search(
             .collect()
             if row.lb <= r
         ]
-    cells = spark.read.parquet(f"{path}/cells").filter(
+    cells = read_cells(spark, path, keep).filter(
         F.col("cell_id").isin(keep)
     )
     cells = _without_tombstones(spark, path, cells, id_col)
@@ -1489,7 +1751,7 @@ def ivf_knn_join_probe(
     """
     from pyspark.sql import Window
 
-    cents = spark.read.parquet(f"{path}/codebook")
+    cents = read_codebook(spark, path)
     ranked = (
         queries.crossJoin(F.broadcast(cents))
         .withColumn("cdist", l2_sq("centroid", qvec_col))
@@ -1508,7 +1770,7 @@ def ivf_knn_join_probe(
     cells = _without_tombstones(
         spark,
         path,
-        spark.read.parquet(f"{path}/cells").filter(F.col("cell_id").isin(probed)),
+        read_cells(spark, path, probed).filter(F.col("cell_id").isin(probed)),
         id_col,
     )
     probe_side = F.broadcast(ranked) if broadcast_probes else ranked

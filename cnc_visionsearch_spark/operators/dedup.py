@@ -29,6 +29,8 @@ Scale design notes (the point of each implementation):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -54,6 +56,10 @@ __all__ = [
     "write_minhash_meta",
     "read_minhash_meta",
     "validate_minhash_meta",
+    "read_minhash_store",
+    "minhash_store_init",
+    "minhash_store_append",
+    "minhash_store_compact",
 ]
 
 # Version tag of the signature scheme itself (md5-based shingle hash
@@ -132,6 +138,118 @@ def validate_minhash_meta(
             "silently generate zero candidates and tag every "
             "duplicate 'new'"
         )
+
+
+# ---- transactional MinHash store (r8 verdict #1) -------------------------
+# The cross-run banded store previously relied on the tmp+rename
+# convention (single-writer per artifact, no arbitration between
+# DIFFERENT mutations). Under the sources/tlog protocol every mutation
+# is one atomic commit; conflict domains are the band ids, so appends
+# (new day's signatures) are blind and never blocked, while compaction
+# (dedupe of at-least-once replay rows + file settling) is a rewrite
+# that conflicts against racing appends and recomputes.
+
+
+def read_minhash_store(spark, path: str) -> DataFrame:
+    """The sanctioned reader for a persisted banded-MinHash store —
+    dispatches on the layout mode (transactional: the snapshot's
+    band-tagged files; legacy: the directory)."""
+    from cnc_visionsearch_spark.sources.tlog import tlog_of
+
+    t = tlog_of(path)
+    if t is None:
+        return spark.read.parquet(path)
+    snap = t.snapshot()
+    bands = int(snap.meta["bands"])
+    paths = snap.files_in(list(range(bands)))
+    return spark.read.parquet(*[os.path.join(path, p) for p in paths])
+
+
+def minhash_store_init(
+    banded: DataFrame,
+    path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> int:
+    """Version 1 of a TRANSACTIONAL banded store: the base corpus's
+    (doc_id, band_id, band_sig) rows land tagged by band with the band
+    GEOMETRY in commit meta (+ the ``_META.json`` sidecar, so
+    validate_minhash_meta covers both modes). Refuses a non-empty log
+    (the tlog init doctrine)."""
+    from cnc_visionsearch_spark.sources.tlog import TLog
+
+    t = TLog(path)
+    if t.latest_version() != 0:
+        raise ValueError(
+            f"minhash_store_init: tlog store {path} already holds "
+            f"{t.latest_version()} commit(s); wipe to rebuild"
+        )
+    adds = t.write_data(banded, bucket_expr=F.col("band_id"))
+    v = t.commit(
+        adds=adds,
+        op="append",
+        meta={
+            "kind": "minhash_store",
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_n": shingle_n,
+            "seed_family": MINHASH_SEED_FAMILY,
+        },
+        base_version=0,
+    )
+    write_minhash_meta(path, num_hashes, bands, shingle_n)
+    return v
+
+
+def minhash_store_append(
+    banded: DataFrame, path: str, txn: tuple[str, int] | None = None
+) -> int:
+    """Blind append of a batch's banded rows — never blocked by a
+    racing compaction (which conflicts and recomputes instead).
+    Geometry is validated against the stamped sidecar first (a
+    mismatched append would corrupt the store). ``txn`` (app, seq)
+    makes at-least-once replays commit nothing — the exactly-once
+    streaming-ingest story the id_mapping table already has."""
+    from cnc_visionsearch_spark.sources.tlog import TLog
+
+    t = TLog(path)
+    meta = t.snapshot().meta
+    validate_minhash_meta(
+        path,
+        int(meta["num_hashes"]),
+        int(meta["bands"]),
+        int(meta["shingle_n"]),
+    )
+    adds = t.write_data(banded, bucket_expr=F.col("band_id"))
+    return t.commit(adds=adds, op="append", txn=txn)
+
+
+def minhash_store_compact(spark, path: str) -> None:
+    """Settle the store: one file per band, exact-duplicate rows (an
+    at-least-once appender's replays) dropped — probe results are
+    invariant (candidates are DISTINCT pairs) but the probe's band
+    join reads fewer, deduplicated rows. A rewrite commit declaring
+    every band domain: racing appends win, the compaction retries
+    (wrap in run_transaction)."""
+    from cnc_visionsearch_spark.sources.tlog import TLog
+
+    t = TLog(path)
+    snap = t.snapshot()
+    bands = int(snap.meta["bands"])
+    files = snap.files_in(list(range(bands)))
+    kept = (
+        spark.read.parquet(*[os.path.join(path, p) for p in files])
+        .dropDuplicates(["doc_id", "band_id", "band_sig"])
+    )
+    adds = t.write_data(kept, bucket_expr=F.col("band_id"))
+    t.commit(
+        adds=adds,
+        removes=files,
+        read_version=snap.version,
+        op="rewrite",
+        domains=list(range(bands)),
+    )
 
 
 def exact_dedup(

@@ -49,6 +49,7 @@ __all__ = [
     "li_token_vec_py",
     "doc_distinct_tokens",
     "validate_token_ivf_geometry",
+    "token_ivf_cells_for_vocab",
     "token_ivf_build",
     "token_ivf_append",
     "token_ivf_probe_cells",
@@ -60,10 +61,37 @@ LI_DIM = 8
 # the fixture vocabulary is small (31 tokens, TESTDATA.md word-salad
 # docs), so the default geometry is 8 cells / 2 probes per query
 # token; a production vocabulary (100k+ tokens) raises n_cells into
-# the thousands with the same plan shapes
+# the thousands with the same plan shapes — use
+# :func:`token_ivf_cells_for_vocab` (fixed per-cell occupancy) rather
+# than this constant when the vocabulary size is known
 TOKEN_IVF_CELLS = 8
 TOKEN_IVF_NPROBE = 2
+# target vocabulary tokens per IVF cell: the knob that keeps the
+# candidate fraction roughly nprobe*occupancy/vocab as the vocabulary
+# grows (PLAID's sqrt-ish rule serves the same end; a fixed occupancy
+# is the simpler policy with the same asymptotics)
+TOKEN_IVF_OCCUPANCY = 4
 _GEOM = "_GEOMETRY.json"
+
+
+def token_ivf_cells_for_vocab(
+    n_vocab: int, occupancy: int = TOKEN_IVF_OCCUPANCY
+) -> int:
+    """Vocabulary-scaled cell count (r8 verdict #2): fixed per-cell
+    OCCUPANCY, so one probed cell admits ~occupancy tokens' docs no
+    matter how the vocabulary grows — n_cells = max(8,
+    ceil(vocab/occupancy)). At the fixture's 31-token vocabulary this
+    is 8 (the registered layouts' geometry, unchanged); at a 100k
+    vocabulary it is 25k cells and a 2-probe query touches ~8 tokens'
+    postings instead of the corpus. RECALL.json's maxsim_sweep records
+    the measured frac-vs-recall surface, including why the FIXTURE
+    unigram geometry cannot show frac << 1 at any cell count (every
+    doc holds ~23 of the 31 tokens, so every doc occupies most cells
+    — see the bigram-unit sweep rows for the machinery pruning hard
+    the moment occupancy is low)."""
+    import math
+
+    return max(8, math.ceil(n_vocab / max(1, occupancy)))
 
 
 def validate_token_ivf_geometry(path: str) -> dict:
@@ -368,17 +396,42 @@ def token_ivf_candidates(
     path: str,
     query_tokens: list[str],
     nprobe: int = TOKEN_IVF_NPROBE,
+    min_token_hits: int = 1,
 ) -> DataFrame:
     """Candidate doc ids for a maxsim query: docs holding >= 1 token
     assigned to a probed cell. Partition-pruned read of doc_cells —
     no postings, no corpus text, no literal-token requirement (the
-    lexical-containment gap PLAID-style pruning closes)."""
-    cells = token_ivf_probe_cells(spark, path, query_tokens, nprobe)
+    lexical-containment gap PLAID-style pruning closes).
+
+    ``min_token_hits`` (r8 verdict #2): require the doc to hit the
+    probed cells of at least m DISTINCT query tokens (1 = the
+    original union rule). Higher m prunes multiplicatively — a true
+    top-k doc under maxsim almost always matches several query tokens
+    (each matched token contributes ~1.0 to the score vs ~0 noise),
+    so m = len(query) keeps recall ~1.0 while admitting only the
+    conjunction — the measured trade lives in RECALL.json
+    maxsim_sweep."""
+    cents = _collect_centroids(spark, path)
+    per_tok_cells = [
+        (ti, cell)
+        for ti, qt in enumerate(query_tokens)
+        for cell in _probe_cells_from_rows(cents, [qt], nprobe)
+    ]
+    union_cells = sorted({c for _, c in per_tok_cells})
+    dc = spark.read.parquet(os.path.join(path, "doc_cells")).filter(
+        F.col("cell_id").isin(union_cells)
+    )
+    if min_token_hits <= 1:
+        return dc.select("doc_id").distinct()
+    qcells = spark.createDataFrame(
+        per_tok_cells, "qt_idx int, cell_id int"
+    )
     return (
-        spark.read.parquet(os.path.join(path, "doc_cells"))
-        .filter(F.col("cell_id").isin(cells))
+        dc.join(F.broadcast(qcells), "cell_id")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("qt_idx").alias("_nh"))
+        .filter(F.col("_nh") >= int(min_token_hits))
         .select("doc_id")
-        .distinct()
     )
 
 
@@ -391,6 +444,7 @@ def maxsim_multi_probe(
     k: int = 5,
     candidates: str = "lexical",
     nprobe: int = TOKEN_IVF_NPROBE,
+    min_token_hits: int = 1,
 ) -> DataFrame:
     """Batch maxsim — the late-interaction twin of bm25_multi_probe
     (kNN-join shape): N (qid, tokens) queries answered together.
@@ -437,42 +491,51 @@ def maxsim_multi_probe(
             [(qid, t) for qid, ts in queries for t in ts],
             "qid bigint, term string",
         )
-        cand = (
-            posts.join(F.broadcast(qterms), "term")
-            .select("qid", "doc_id")
-            .distinct()
-        )
+        matched = posts.join(F.broadcast(qterms), "term")
+        if min_token_hits <= 1:
+            cand = matched.select("qid", "doc_id").distinct()
+        else:
+            # conjunction-strength pruning (r8 verdict #2): a doc must
+            # lexically contain >= m DISTINCT terms of THAT query —
+            # sweep-measured in RECALL.json maxsim_sweep
+            cand = (
+                matched.groupBy("qid", "doc_id")
+                .agg(F.count_distinct("term").alias("_nh"))
+                .filter(F.col("_nh") >= int(min_token_hits))
+                .select("qid", "doc_id")
+            )
     elif candidates == "token_ivf":
         cents = _collect_centroids(spark, index_path)  # ONE bounded job
         qcell_rows = [
-            (qid, cell)
+            (qid, ti, cell)
             for qid, ts in queries
-            for cell in _probe_cells_from_rows(cents, list(ts), nprobe)
+            for ti, qt in enumerate(ts)
+            for cell in _probe_cells_from_rows(cents, [qt], nprobe)
         ]
         qcells = spark.createDataFrame(
-            qcell_rows, "qid bigint, cell_id int"
+            qcell_rows, "qid bigint, qt_idx int, cell_id int"
         )
-        union_cells = sorted({c for _, c in qcell_rows})
-        cand = (
+        union_cells = sorted({c for _, _, c in qcell_rows})
+        hit = (
             spark.read.parquet(os.path.join(index_path, "doc_cells"))
             .filter(F.col("cell_id").isin(union_cells))
             .join(F.broadcast(qcells), "cell_id")
-            .select("qid", "doc_id")
-            .distinct()
         )
+        if min_token_hits <= 1:
+            cand = hit.select("qid", "doc_id").distinct()
+        else:
+            cand = (
+                hit.groupBy("qid", "doc_id")
+                .agg(F.count_distinct("qt_idx").alias("_nh"))
+                .filter(F.col("_nh") >= int(min_token_hits))
+                .select("qid", "doc_id")
+            )
     else:
         raise ValueError(
             f"candidates must be 'lexical' or 'token_ivf': {candidates!r}"
         )
-    dtoks = (
-        doc_distinct_tokens(
-            docs.join(
-                cand.select("doc_id").distinct(), "doc_id", "left_semi"
-            )
-        )
-        .withColumn("_v", li_token_vec("tok"))
-        .withColumn("_nv", li_normalize(F.col("_v")))
-        .drop("_v")
+    dtoks = doc_distinct_tokens(
+        docs.join(cand.select("doc_id").distinct(), "doc_id", "left_semi")
     )
     qvecs = spark.createDataFrame(
         [
@@ -482,19 +545,36 @@ def maxsim_multi_probe(
         ],
         "qid bigint, qtok string, qnv array<double>",
     )
+    # VOCAB-FACTORED scoring (r9): dots depend only on (vocabulary
+    # token, query token) — a vocab x |q| table — so the md5 vectors
+    # and the interpreted dot folds evaluate once per DISTINCT
+    # candidate token against the broadcast query vectors, then
+    # broadcast-join back onto the (doc, tok) rows. Same doubles as
+    # the previous per-doc-token inline evaluation (identical
+    # expressions over identical inputs): batch == per-query == oracle
+    # hash-exactly, at ~1/|docs-per-token| the higher-order-function
+    # cost.
     dot = F.aggregate(
         F.zip_with(F.col("_nv"), F.col("qnv"), lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+    vocab_dots = (
+        dtoks.select("tok")
+        .distinct()
+        .withColumn("_v", li_token_vec("tok"))
+        .withColumn("_nv", li_normalize(F.col("_v")))
+        .crossJoin(F.broadcast(qvecs))
+        .select("tok", "qid", "qtok", dot.alias("_dot"))
     )
     # candidate pairs are bounded by (queries x their candidate docs)
     # — broadcast them so the doc-token side joins map-side and the
     # only shuffle left is the per-(qid, doc, qtok) max aggregate
     per_tok = (
         dtoks.join(F.broadcast(cand), "doc_id")
-        .join(F.broadcast(qvecs), "qid")
+        .join(F.broadcast(vocab_dots), ["qid", "tok"])
         .groupBy("qid", "doc_id", "qtok")
-        .agg(F.max(dot).alias("_best"))
+        .agg(F.max(F.col("_dot")).alias("_best"))
         .select(
             "qid",
             "doc_id",

@@ -20,6 +20,29 @@ table, and avgdl/N from its 1-row aggregate. Every production
 inverted index (Lucene norms, Tantivy fieldnorms) keeps exactly this
 side table; it is ~1/avg_dl the size of the postings and appends are
 per-document facts, so :func:`inverted_append` extends it O(batch).
+
+TRANSACTIONAL MODE (r8 verdict #1): ``inverted_build(..,
+use_tlog=True)`` puts the layout under the sources/tlog commit
+protocol — the tmp+rename convention's documented gap ("no conflict
+detection between DIFFERENT mutations of one artifact",
+SCALE.md table-format stance) closes for this artifact. Every
+mutation is one atomic commit; conflict DOMAINS are the postings'
+term-hash buckets plus two reserved tags (doclens, tombstones), so:
+
+- appends (new docs) and deletes (tombstones) are BLIND commits —
+  never blocked, never lost;
+- vacuum/compact are REWRITES declaring the buckets they read: a
+  racing append/delete makes them raise ``TLogConflictError`` and
+  recompute (``run_transaction``), exactly Delta's
+  append-wins/compaction-retries arbitration;
+- readers get snapshot isolation: a probe planned at version N never
+  sees a torn mix of pre- and post-vacuum files.
+
+Every probe reads through :func:`read_postings`/:func:`read_doclens`
+(the ONLY sanctioned readers), which dispatch on the layout's
+``_tlog/`` dir — legacy directories keep byte-identical behavior, and
+probe results are mode-invariant by construction (same rows either
+way).
 """
 
 from __future__ import annotations
@@ -37,6 +60,7 @@ __all__ = [
     "inverted_append",
     "inverted_delete",
     "inverted_vacuum",
+    "inverted_compact",
     "term_bucket",
     "read_postings",
     "read_doclens",
@@ -54,8 +78,34 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return h % n_buckets
 
 
+# tlog conflict-domain tags: postings files carry their term-hash
+# bucket (0..n_buckets-1); the two auxiliary subtables get reserved
+# tags far above any real bucket count so postings domains can never
+# collide with them
+TLOG_DOCLENS_TAG = 10_000
+TLOG_TOMBS_TAG = 10_001
+
+
+def _tlog_of(path: str):
+    """The layout's TLog handle when it is a transactional layout
+    (``{path}/_tlog`` exists), else None — the mode dispatch every
+    lifecycle function and reader shares."""
+    from cnc_visionsearch_spark.sources.tlog import tlog_of
+
+    return tlog_of(path)
+
+
+def _retag(adds: list[dict], tag: int) -> list[dict]:
+    """Stamp untagged add-actions with a reserved domain tag (the
+    bucket field is the log's conflict/pruning tag — for single-domain
+    subtables it is a constant, not a data column)."""
+    for a in adds:
+        a["bucket"] = tag
+    return adds
+
+
 def inverted_build(
-    docs: DataFrame, path: str, n_buckets: int = 16
+    docs: DataFrame, path: str, n_buckets: int = 16, use_tlog: bool = False
 ) -> None:
     """Materialize the postings layout: posexplode the whitespace
     tokens (the corpus tokenization convention shared with every text
@@ -64,11 +114,44 @@ def inverted_build(
     (term, doc_id) — the shuffle carries positions, never text.
 
     Also writes the ``doclens`` norms table (doc_id, dl) — shuffle-free
-    (a per-row projection of the same scan)."""
-    _postings(docs, n_buckets).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(f"{path}/postings")
-    _doclens(docs).write.mode("overwrite").parquet(f"{path}/doclens")
+    (a per-row projection of the same scan).
+
+    ``use_tlog=True`` builds the TRANSACTIONAL layout (module
+    docstring): same rows, one atomic init commit carrying both
+    subtables + the layout geometry in commit meta; every later
+    mutation goes through the commit protocol. Refuses a non-empty
+    log (the tlog_init_id_mapping doctrine: a second init would append
+    a duplicate full index)."""
+    if not use_tlog:
+        _postings(docs, n_buckets).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{path}/postings")
+        _doclens(docs).write.mode("overwrite").parquet(f"{path}/doclens")
+        return
+    from cnc_visionsearch_spark.sources.tlog import TLog
+
+    t = TLog(path)
+    if t.latest_version() != 0:
+        raise ValueError(
+            f"inverted_build: tlog layout {path} already holds "
+            f"{t.latest_version()} commit(s); wipe to rebuild"
+        )
+    adds = t.write_data(
+        # bucket stays a DATA column (int, matching the legacy
+        # partition-inferred type) — probes filter it identically in
+        # both modes; the log's per-file tag replays it for pruning
+        _postings(docs, n_buckets).withColumn(
+            "bucket", F.col("bucket").cast("int")
+        ),
+        bucket_expr=F.col("bucket"),
+    )
+    adds += _retag(t.write_data(_doclens(docs)), TLOG_DOCLENS_TAG)
+    t.commit(
+        adds=adds,
+        op="append",
+        meta={"kind": "inverted", "n_buckets": n_buckets},
+        base_version=0,
+    )
 
 
 def _postings(docs: DataFrame, n_buckets: int) -> DataFrame:
@@ -100,31 +183,80 @@ def inverted_append(
     ivf_append for the vector tiers): postings are per-document facts,
     so a batch append equals a full rebuild over the union, existing
     files stay byte-identical, and probes see the new documents at the
-    same pruned cost. O(batch), never a corpus rescan."""
-    _postings(docs, n_buckets).write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(f"{path}/postings")
-    _doclens(docs).write.mode("append").parquet(f"{path}/doclens")
+    same pruned cost. O(batch), never a corpus rescan.
+
+    On a transactional layout the batch lands as ONE blind append
+    commit (postings adds tagged by bucket + the doclens add) — never
+    blocked by a racing vacuum/compact, which instead detects the new
+    files and recomputes."""
+    t = _tlog_of(path)
+    if t is None:
+        _postings(docs, n_buckets).write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(f"{path}/postings")
+        _doclens(docs).write.mode("append").parquet(f"{path}/doclens")
+        return
+    n_buckets = int(t.snapshot().meta["n_buckets"])
+    adds = t.write_data(
+        _postings(docs, n_buckets).withColumn(
+            "bucket", F.col("bucket").cast("int")
+        ),
+        bucket_expr=F.col("bucket"),
+    )
+    adds += _retag(t.write_data(_doclens(docs)), TLOG_DOCLENS_TAG)
+    t.commit(adds=adds, op="append")
 
 
 def inverted_delete(spark, path: str, doc_ids: list[int]) -> None:
     """Tombstone delete from the inverted layout — the document
     analog of operators/ann.ivf_delete (and another operation the
     reference structurally lacks, main.py:119-126): append the doc ids
-    to ``{path}/tombstones``; EVERY probe reads postings and doclens
-    through :func:`read_postings` / :func:`read_doclens`, which
-    anti-join the broadcast-small tombstone set — deleted documents
-    disappear from hits, tf/df, and the N/avgdl norms immediately,
-    resident postings files stay byte-identical. O(batch); physical
-    removal rides the layout's next compaction/rebuild."""
+    to the layout's tombstone set; EVERY probe reads postings and
+    doclens through :func:`read_postings` / :func:`read_doclens`,
+    which anti-join the broadcast-small tombstone set — deleted
+    documents disappear from hits, tf/df, and the N/avgdl norms
+    immediately, resident postings files stay byte-identical.
+    O(batch); physical removal rides :func:`inverted_vacuum`.
+    Transactional layouts commit the tombstone file as a blind append
+    under the reserved tombstone domain tag."""
     df = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id bigint")
-    df.write.mode("append").parquet(f"{path}/tombstones")
+    t = _tlog_of(path)
+    if t is None:
+        df.write.mode("append").parquet(f"{path}/tombstones")
+        return
+    adds = _retag(t.write_data(df), TLOG_TOMBS_TAG)
+    t.commit(adds=adds, op="append")
 
 
-def _without_deleted(spark, path: str, df: DataFrame) -> DataFrame:
+def _tlog_read(spark, t, snap, tags, schema=None) -> DataFrame | None:
+    """DataFrame over the snapshot files whose domain tag is in
+    ``tags`` (None when the snapshot holds none and no schema given)."""
+    paths = snap.files_in(tags)
+    if not paths:
+        if schema is None:
+            return None
+        return spark.createDataFrame([], schema)
+    full = [os.path.join(t.root, p) for p in paths]
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(*full)
+
+
+def _without_deleted(spark, path: str, df: DataFrame, snap=None) -> DataFrame:
     """Anti-join the layout's tombstones (broadcast — deletes are
     batch-scale). No-op when the layout has none, so delete-free
-    layouts keep their exact plan shape."""
+    layouts keep their exact plan shape. ``snap``: a transactional
+    layout's snapshot (tombstones come from its reserved tag, so the
+    filter sees exactly the version the caller planned against)."""
+    if snap is not None:
+        t = _tlog_of(path)
+        tf = _tlog_read(spark, t, snap, [TLOG_TOMBS_TAG])
+        if tf is None:
+            return df
+        return df.join(
+            F.broadcast(tf.select("doc_id").distinct()), "doc_id", "left_anti"
+        )
     if not os.path.exists(f"{path}/tombstones"):
         return df
     tombs = (
@@ -133,17 +265,46 @@ def _without_deleted(spark, path: str, df: DataFrame) -> DataFrame:
     return df.join(F.broadcast(tombs), "doc_id", "left_anti")
 
 
-def read_postings(spark, path: str) -> DataFrame:
-    """The ONLY sanctioned way to read ``{path}/postings`` — applies
-    the tombstone filter so no probe path can resurrect deleted
-    documents (the ANN tiers' read-through-the-filter doctrine)."""
-    return _without_deleted(spark, path, spark.read.parquet(f"{path}/postings"))
+def read_postings(spark, path: str, buckets=None) -> DataFrame:
+    """The ONLY sanctioned way to read the postings — applies the
+    tombstone filter so no probe path can resurrect deleted documents
+    (the ANN tiers' read-through-the-filter doctrine). Dispatches on
+    the layout mode: transactional layouts read one SNAPSHOT (postings
+    files = tags < the reserved range), legacy layouts read the
+    directory.
+
+    ``buckets`` (optional, a probe's term-bucket list): on a
+    transactional layout it prunes at the LOG level — only those
+    buckets' files enter the scan, no directory listing, no footer
+    reads for pruned buckets (legacy layouts get the same effect from
+    the caller's partition-pruning ``bucket`` filter, which callers
+    apply in both modes)."""
+    t = _tlog_of(path)
+    if t is None:
+        return _without_deleted(
+            spark, path, spark.read.parquet(f"{path}/postings")
+        )
+    snap = t.snapshot()
+    tags = (
+        sorted(buckets)
+        if buckets is not None
+        else list(range(int(snap.meta["n_buckets"])))
+    )
+    posts = _tlog_read(spark, t, snap, tags)
+    return _without_deleted(spark, path, posts, snap=snap)
 
 
 def read_doclens(spark, path: str) -> DataFrame:
     """Tombstone-aware reader for the doclens norms table: deleted
     documents leave N and avgdl as if they were never indexed."""
-    return _without_deleted(spark, path, spark.read.parquet(f"{path}/doclens"))
+    t = _tlog_of(path)
+    if t is None:
+        return _without_deleted(
+            spark, path, spark.read.parquet(f"{path}/doclens")
+        )
+    snap = t.snapshot()
+    dl = _tlog_read(spark, t, snap, [TLOG_DOCLENS_TAG])
+    return _without_deleted(spark, path, dl, snap=snap)
 
 
 def phrase_probe(
@@ -156,7 +317,7 @@ def phrase_probe(
     array arithmetic on metadata-sized rows. Returns
     (doc_id, n_occurrences > 0)."""
     buckets = sorted({term_bucket(first, n_buckets), term_bucket(second, n_buckets)})
-    posts = read_postings(spark, path).filter(
+    posts = read_postings(spark, path, buckets=buckets).filter(
         F.col("bucket").isin(buckets)
     )
     a = posts.filter(F.col("term") == first).select(
@@ -203,7 +364,9 @@ def proximity_probe(
     buckets = sorted(
         {term_bucket(first, n_buckets), term_bucket(second, n_buckets)}
     )
-    posts = read_postings(spark, path).filter(F.col("bucket").isin(buckets))
+    posts = read_postings(spark, path, buckets=buckets).filter(
+        F.col("bucket").isin(buckets)
+    )
     a = posts.filter(F.col("term") == first).select(
         "doc_id", F.col("positions").alias("pa")
     )
@@ -268,7 +431,7 @@ def bm25_probe(
 
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     posts = (
-        read_postings(spark, path)
+        read_postings(spark, path, buckets=buckets)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
         .select("term", "doc_id", F.col("tf").cast("double").alias("tf"))
@@ -336,7 +499,7 @@ def bm25_multi_probe(
     all_terms = sorted({t for _, ts in queries for t in ts})
     buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
     posts = (
-        read_postings(spark, path)
+        read_postings(spark, path, buckets=buckets)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(all_terms))
         .select("term", "doc_id", F.col("tf").cast("double").alias("tf"))
@@ -435,9 +598,21 @@ def inverted_vacuum(spark, path: str) -> None:
     restored. Untouched bucket partitions keep their files
     byte-identical. Each rewritten dir is swapped in crash-safely
     (``_swap_in``) and entry self-heals any earlier crash
-    (``_heal_swaps``)."""
+    (``_heal_swaps``).
+
+    On a TRANSACTIONAL layout the whole vacuum is one rewrite commit
+    declaring the touched buckets + the doclens and tombstone domains:
+    a racing append/delete raises :class:`TLogConflictError` (wrap in
+    ``run_transaction`` to retry against the new snapshot), appends
+    are never blocked, and readers see either the whole vacuum or none
+    of it — the crash-safe swap machinery is unnecessary there because
+    data files are immutable and the commit is the atom."""
     import shutil
 
+    t = _tlog_of(path)
+    if t is not None:
+        _inverted_vacuum_tlog(spark, t)
+        return
     _heal_swaps(f"{path}/postings")
     _heal_swaps(path)
     tdir = f"{path}/tombstones"
@@ -467,6 +642,97 @@ def inverted_vacuum(spark, path: str) -> None:
     kept_dl.write.mode("overwrite").parquet(f"{path}/doclens.vacuum_tmp")
     _swap_in(f"{path}/doclens")
     shutil.rmtree(tdir)
+
+
+def _inverted_vacuum_tlog(spark, t) -> None:
+    """Transactional vacuum: ONE rewrite commit that (a) rewrites only
+    the postings buckets holding tombstoned docs, (b) rewrites the
+    doclens norms table, (c) drops every tombstone file. Conflict
+    domains = the touched buckets + the two reserved tags, so a racing
+    append into an UNtouched bucket... also conflicts via the doclens
+    tag — the honest arbitration: every append extends doclens, whose
+    rewrite this vacuum owns; the loser is always the vacuum
+    (run_transaction recomputes), never the append."""
+    snap = t.snapshot()
+    tomb_files = snap.files_in([TLOG_TOMBS_TAG])
+    if not tomb_files:
+        return
+    n_buckets = int(snap.meta["n_buckets"])
+    tombs = _tlog_read(spark, t, snap, [TLOG_TOMBS_TAG]).select(
+        "doc_id"
+    ).distinct()
+    posts = _tlog_read(spark, t, snap, list(range(n_buckets)))
+    touched = sorted(
+        r[0]
+        for r in posts.join(F.broadcast(tombs), "doc_id")
+        .select("bucket")
+        .distinct()
+        .collect()
+    )  # bounded: <= n_buckets
+    adds = []
+    if touched:
+        kept = _tlog_read(spark, t, snap, touched).join(
+            F.broadcast(tombs), "doc_id", "left_anti"
+        )
+        adds += t.write_data(kept, bucket_expr=F.col("bucket"))
+    dl = _tlog_read(spark, t, snap, [TLOG_DOCLENS_TAG])
+    kept_dl = dl.join(F.broadcast(tombs), "doc_id", "left_anti")
+    adds += _retag(t.write_data(kept_dl), TLOG_DOCLENS_TAG)
+    removes = (
+        snap.files_in(touched if touched else [])
+        + snap.files_in([TLOG_DOCLENS_TAG])
+        + tomb_files
+    )
+    # files_in() includes untagged files in every answer; this layout
+    # never writes untagged files, so the union above is exact
+    t.commit(
+        adds=adds,
+        removes=sorted(set(removes)),
+        read_version=snap.version,
+        op="rewrite",
+        domains=list(touched) + [TLOG_DOCLENS_TAG, TLOG_TOMBS_TAG],
+    )
+
+
+def inverted_compact(spark, path: str) -> None:
+    """Settle a transactional layout's accreted files: rewrite every
+    bucket that holds more than one file into one file, plus the
+    doclens table — the maintenance.compact_layout twin expressed as a
+    tlog rewrite (a racing append conflicts the compaction, never the
+    reverse). No-op on a single-file-per-bucket layout and on legacy
+    layouts (maintenance.py's compact_layout already covers those)."""
+    t = _tlog_of(path)
+    if t is None:
+        return
+    snap = t.snapshot()
+    n_buckets = int(snap.meta["n_buckets"])
+    by_tag: dict[int, list[str]] = {}
+    for p, b in snap.files:
+        by_tag.setdefault(b, []).append(p)
+    multi = sorted(
+        b for b, ps in by_tag.items() if b < n_buckets and len(ps) > 1
+    )
+    dl_multi = len(by_tag.get(TLOG_DOCLENS_TAG, [])) > 1
+    if not multi and not dl_multi:
+        return
+    adds, removes = [], []
+    if multi:
+        # write_data's repartition("_tb") already lands each bucket's
+        # rows in one task -> one file per bucket
+        kept = _tlog_read(spark, t, snap, multi)
+        adds += t.write_data(kept, bucket_expr=F.col("bucket"))
+        removes += snap.files_in(multi)
+    if dl_multi:
+        dl = _tlog_read(spark, t, snap, [TLOG_DOCLENS_TAG]).coalesce(1)
+        adds += _retag(t.write_data(dl), TLOG_DOCLENS_TAG)
+        removes += snap.files_in([TLOG_DOCLENS_TAG])
+    t.commit(
+        adds=adds,
+        removes=sorted(set(removes)),
+        read_version=snap.version,
+        op="rewrite",
+        domains=list(multi) + ([TLOG_DOCLENS_TAG] if dl_multi else []),
+    )
 
 
 def maxscore_pruned_topk(
@@ -516,7 +782,7 @@ def maxscore_pruned_topk(
 
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     posts = (
-        read_postings(spark, path)
+        read_postings(spark, path, buckets=buckets)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
         .select("term", "doc_id", F.col("tf").cast("double").alias("tf"))

@@ -429,9 +429,12 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------- cross-run incremental banded-MinHash dedup
 
-@register(
-    "dedup_incremental_minhash",
-    oracle="""
+# Two-sided incremental LSH + verify oracle, shared verbatim with the
+# TRANSACTIONAL-store twin (queries_tlog_artifacts.tlog_minhash_store_dedup):
+# the tlog lifecycle (init + append + replayed append + compact) must
+# leave the store CONTENT identical to the legacy build, so both
+# queries replay one SQL.
+_INCR_MINHASH_ORACLE = """
 WITH store AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
 batch AS (
   SELECT doc_id, text FROM documents WHERE doc_id >= 200 AND doc_id < 300
@@ -529,7 +532,12 @@ SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(min(doc_id) AS BIGINT) AS min_doc,
   CAST(max(doc_id) AS BIGINT) AS max_doc
 FROM tagged GROUP BY verdict
-""",
+"""
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_INCR_MINHASH_ORACLE,
     doc="Cross-run incremental NEAR-dedup — the banded-LSH tier of "
     "dedup_incremental_batch's exact-fingerprint probe (r6 verdict "
     "task #8): a new batch's MinHash band keys probe the PERSISTED "

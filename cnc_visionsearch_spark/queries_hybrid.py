@@ -1300,23 +1300,35 @@ def text_maxsim_late_interaction_topk(
 def _li_maxsim_topk(toks: DataFrame, k: int = 10) -> DataFrame:
     """Shared maxsim scorer: (doc_id, tok) rows -> top-k
     (doc_id, score_q) by sum_q max_d cos(q, d) with the md5 pseudo
-    embeddings; query vectors are Python literals, all scoring is
-    codegen arithmetic, one hash aggregate, TakeOrderedAndProject."""
+    embeddings.
+
+    VOCAB-FACTORED (r9): the dot products depend only on (vocabulary
+    token, query token) — a vocab x |q| table, not a corpus-sized one
+    — so the md5 vectors and the interpreted higher-order dot folds
+    evaluate once per DISTINCT token (31 rows at fixture scale, 100k+
+    in production) and broadcast-join back onto the (doc, tok) rows.
+    The per-(doc, tok) values are the SAME doubles the inlined
+    expression produced (identical expressions over identical inputs),
+    so scores — and oracle hashes — are bit-for-bit unchanged while
+    the corpus-proportional stage becomes a hash join + max aggregate
+    (measured: text_maxsim_batch_topk 4.58s -> see BENCH_RESULT)."""
     from cnc_visionsearch_spark.operators.maxsim import (
         li_normalize,
         li_token_vec,
     )
 
-    # spread before the CPU-bound md5-vector work: the documents scan
-    # is one small file -> one partition, and higher-order-function
-    # scoring is interpreted per-row (operators/maxsim.
-    # doc_distinct_tokens documents the measurement); the groupBy
-    # below shuffles to doc_id anyway, so the exchange moves, not adds
+    # spread before the shuffle-bound work: the documents scan is one
+    # small file -> one partition; the groupBy below shuffles to
+    # doc_id anyway, so the exchange moves, not adds
     p = toks.sparkSession.sparkContext.defaultParallelism
     toks = toks.repartition(p, F.col("doc_id"))
-    with_vec = toks.withColumn("_v", li_token_vec("tok"))
-    scored = with_vec.withColumn("_nv", li_normalize(F.col("_v")))
-    aggs = []
+    vocab = (
+        toks.select("tok")
+        .distinct()
+        .withColumn("_v", li_token_vec("tok"))
+        .withColumn("_nv", li_normalize(F.col("_v")))
+    )
+    dot_cols = []
     for i, qtok in enumerate(_LI_QUERY):
         qv = _li_token_vec_py(qtok)
         dot = F.aggregate(
@@ -1328,8 +1340,12 @@ def _li_maxsim_topk(toks: DataFrame, k: int = 10) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        aggs.append(F.max(dot).alias(f"_m{i}"))
-    per_doc = scored.groupBy("doc_id").agg(*aggs)
+        dot_cols.append(dot.alias(f"_d{i}"))
+    vocab_dots = vocab.select("tok", *dot_cols)
+    scored = toks.join(F.broadcast(vocab_dots), "tok")
+    per_doc = scored.groupBy("doc_id").agg(
+        *[F.max(F.col(f"_d{i}")).alias(f"_m{i}") for i in range(len(_LI_QUERY))]
+    )
     score = F.floor(
         (sum(F.col(f"_m{i}") for i in range(len(_LI_QUERY))))
         * F.lit(1000000000.0)

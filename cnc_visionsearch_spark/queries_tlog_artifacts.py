@@ -1,0 +1,335 @@
+"""Derived artifacts under the transaction log (r8 verdict #1): the
+inverted text index, the IVF vector layout, and the banded MinHash
+store each run their FULL mutation lifecycle — build, append, delete,
+vacuum/compact — as tlog commits (sources/tlog.py), closing the
+tmp+rename convention's documented gap ("no conflict detection between
+DIFFERENT mutations of one artifact", SCALE.md table-format stance)
+for the highest-churn derived state outside id_mapping.
+
+Each query replays a deterministic lifecycle against a DuckDB oracle
+that recomputes the FINAL state from raw tables — a hash match proves
+the committed mutation chain equals a from-scratch build (the same
+append==rebuild / delete==never-indexed contracts the legacy layouts
+pin, now with concurrent-writer arbitration). Reads go through the
+SAME seams every legacy probe uses (read_postings/read_doclens,
+read_cells/read_codebook, read_minhash_store), so probe semantics are
+mode-invariant by construction. Racing-writer serializability is
+pinned by tests/test_tlog_artifacts.py (append+vacuum per artifact:
+disjoint domains serialize, overlapping ones raise TLogConflictError
+and recompute).
+
+REGISTRATION ORDER: imports LAST in registry._load_all — past the
+frozen 50-entry driver window.
+
+Reference contract: main.py:119-134 (the reference's only mutable
+store is SQLite behind a single-writer lock; these artifacts have no
+reference analog and REQUIRE arbitration at 100 TB, where ingest,
+delete and compaction are separate long-running jobs).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cnc_visionsearch_spark.queries_ann import (
+    _ARTIFACT_ROOT,
+    _L2SQ,
+    _NORM_CTE,
+    _corpus_tag,
+    _norm_query_vec,
+)
+from cnc_visionsearch_spark.queries_ann_incremental import _IVF_APPEND_CTE
+from cnc_visionsearch_spark.queries_dedup_ext import _INCR_MINHASH_ORACLE
+from cnc_visionsearch_spark.registry import register
+from cnc_visionsearch_spark.sources.catalog import load_table
+
+# lifecycle constants — small, prime-ish, spread across both the base
+# and the appended slice so vacuum touches several buckets/cells
+_INV_TERMS = ["vector", "index", "scan"]
+_INV_DELETED = [5, 12, 77, 210, 233]
+_IVF_DELETED = [3, 7, 450]
+
+
+def _wipe_and(marker_path: str):
+    """True when the lifecycle must (re)build: a marker-less dir is a
+    partial build (tlog reruns APPEND, never overwrite — init refuses
+    a non-empty log), so it is wiped first (ensure_tlog_id_mapping
+    doctrine)."""
+    if os.path.exists(marker_path):
+        return False
+    shutil.rmtree(os.path.dirname(marker_path), ignore_errors=True)
+    return True
+
+
+def ensure_tlog_inverted(spark: SparkSession, sf_dir: str) -> str:
+    """Transactional inverted index lifecycle: build(docs<200) ->
+    append(200-250) -> delete 5 ids -> vacuum (one rewrite commit,
+    under the optimistic retry loop) -> compact. Every mutation is one
+    atomic tlog commit; probes read through read_postings/read_doclens
+    exactly like legacy layouts."""
+    from cnc_visionsearch_spark.operators.text_index import (
+        inverted_append,
+        inverted_build,
+        inverted_compact,
+        inverted_delete,
+        inverted_vacuum,
+    )
+    from cnc_visionsearch_spark.sources.tlog import run_transaction
+
+    path = (
+        f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir, 'documents')}"
+        "/tlog_inverted_b16_lt250"
+    )
+    marker = os.path.join(path, "_HISTORY")
+    if _wipe_and(marker):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        inverted_build(
+            docs.filter(F.col("doc_id") < 200), path, n_buckets=16,
+            use_tlog=True,
+        )
+        inverted_append(
+            docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 250)),
+            path,
+        )
+        inverted_delete(spark, path, _INV_DELETED)
+        run_transaction(lambda: inverted_vacuum(spark, path))
+        run_transaction(lambda: inverted_compact(spark, path))
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "tlog_inverted_lifecycle_bm25",
+    oracle=f"""
+WITH live AS (
+  SELECT * FROM documents
+  WHERE doc_id < 250
+    AND doc_id NOT IN ({", ".join(str(i) for i in _INV_DELETED)})
+),
+dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM live
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM live
+),
+qtok AS (SELECT doc_id, tok FROM tok
+         WHERE tok IN ({", ".join(f"'{t}'" for t in _INV_TERMS)})),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+  FROM qtok GROUP BY doc_id, tok
+),
+dfreq AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM qtok GROUP BY tok
+),
+corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM live),
+avg AS (SELECT sum(dl) / count(*) AS avgdl FROM dl),
+perterm AS (
+  SELECT tf.doc_id,
+    CAST(floor(
+      (((n_docs - df + 0.5) / (df + 0.5))
+        * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+      * 1000000000.0 + 0.5) AS BIGINT) AS sq
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), corpus, avg
+),
+bm25 AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+    CAST(sum(sq) AS BIGINT) AS score_q
+  FROM perterm GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score_q
+FROM bm25
+ORDER BY score_q DESC, doc_id ASC
+LIMIT 10
+""",
+    doc="The inverted index's FULL mutation lifecycle as transaction-"
+    "log commits (r8 verdict #1; sources/tlog.py): build -> append -> "
+    "tombstone delete -> vacuum -> compact, each one atomic commit "
+    "with term-bucket conflict domains (appends/deletes blind, "
+    "vacuum/compact rewrites that conflict against racing mutations "
+    "and recompute — Delta's append-wins arbitration, racing tests in "
+    "tests/test_tlog_artifacts.py). The SAME bm25_probe that serves "
+    "legacy layouts ranks over the committed snapshot (read_postings/"
+    "read_doclens dispatch on the layout mode — probe results are "
+    "mode-invariant); the oracle recomputes BM25 from the surviving "
+    "raw text, so a hash match proves the five-commit chain equals a "
+    "from-scratch build: no resurrection, no stale norms, no torn "
+    "reads.",
+)
+def tlog_inverted_lifecycle_bm25(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cnc_visionsearch_spark.operators.text_index import bm25_probe
+
+    path = ensure_tlog_inverted(spark, sf_dir)
+    return bm25_probe(spark, path, _INV_TERMS).orderBy(
+        F.col("score_q").desc(), F.col("doc_id").asc()
+    ).limit(10)
+
+
+def ensure_tlog_ivf(spark: SparkSession, sf_dir: str) -> str:
+    """Transactional IVF lifecycle: build(base slice, frozen stride
+    codebook) -> append(rest) -> delete 3 ids -> vacuum — mirroring
+    ensure_appended_layout/ensure_deleted_layout but with every
+    mutation a tlog commit (cell-id conflict domains; radii ride the
+    commits as per-file partial maxima)."""
+    from cnc_visionsearch_spark.operators.ann import (
+        ivf_append,
+        ivf_build,
+        ivf_delete,
+        ivf_vacuum,
+    )
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+    from cnc_visionsearch_spark.queries_ann_incremental import _SPLIT
+    from cnc_visionsearch_spark.sources.tlog import run_transaction
+
+    path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir)}/tlog_ivf_c8"
+    marker = os.path.join(path, "_HISTORY")
+    if _wipe_and(marker):
+        emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+        ivf_build(
+            emb.filter(F.col("vec_id") < _SPLIT), path, n_cells=8,
+            use_tlog=True,
+        )
+        ivf_append(spark, path, emb.filter(F.col("vec_id") >= _SPLIT))
+        ivf_delete(spark, path, _IVF_DELETED)
+        run_transaction(lambda: ivf_vacuum(spark, path))
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "tlog_ivf_lifecycle_topk",
+    oracle=f"""
+WITH {_NORM_CTE}, {_IVF_APPEND_CTE},
+q AS (SELECT nvec AS qvec FROM normed WHERE vec_id = 3),
+probe AS (
+  SELECT cell_id FROM centroids, q
+  ORDER BY {_L2SQ.format(a="centroid", b="qvec")} ASC, cell_id ASC
+  LIMIT 4
+)
+SELECT a.vec_id, {_L2SQ.format(a="a.nvec", b="q.qvec")} AS distance
+FROM assigned a, q
+WHERE a.cell_id IN (SELECT cell_id FROM probe)
+  AND a.vec_id NOT IN ({", ".join(str(i) for i in _IVF_DELETED)})
+ORDER BY distance ASC, a.vec_id ASC
+LIMIT 10
+""",
+    doc="The IVF layout's mutation lifecycle as transaction-log "
+    "commits: build (codebook+cells+radii, ONE atomic init commit) -> "
+    "frozen-codebook append (blind: cell-tagged adds + partial-maxima "
+    "radii, conflict-free against other appends) -> tombstone delete "
+    "(blind) -> vacuum (a rewrite declaring the touched cell domains: "
+    "a racing append into OTHER cells serializes cleanly — the "
+    "disjoint-domain case tests/test_tlog_artifacts.py pins). The "
+    "probe is the SAME ivf_probe the legacy layouts use (read_cells/"
+    "read_codebook dispatch; log-tag pruned cell reads). Query vector "
+    "id 3 is ITSELF deleted, so the exact self-match must not "
+    "appear; the oracle recomputes frozen-codebook semantics minus "
+    "the deleted set from scratch.",
+)
+def tlog_ivf_lifecycle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.ann import ivf_probe
+
+    path = ensure_tlog_ivf(spark, sf_dir)
+    q = _norm_query_vec(spark, sf_dir, 3)
+    return ivf_probe(spark, path, q, k=10, nprobe=4)
+
+
+def ensure_tlog_minhash_store(spark: SparkSession, sf_dir: str) -> str:
+    """Transactional banded-MinHash store lifecycle: init(docs<200) ->
+    append(200-250, txn-keyed) -> the SAME append REPLAYED (the
+    at-least-once delivery case — the txn key makes it commit
+    nothing, exactly-once proof) -> compact (dedupe + settle, a
+    rewrite over every band domain)."""
+    from cnc_visionsearch_spark.operators.dedup import (
+        minhash_banded,
+        minhash_store_append,
+        minhash_store_compact,
+        minhash_store_init,
+    )
+    from cnc_visionsearch_spark.sources.tlog import TLog, run_transaction
+
+    path = (
+        f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir, 'documents')}"
+        "/tlog_minhash_store_b4h16s3_lt250"
+    )
+    marker = os.path.join(path, "_HISTORY")
+    if _wipe_and(marker):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        base = minhash_banded(
+            docs.filter(F.col("doc_id") < 200),
+            num_hashes=16, bands=4, shingle_n=3,
+        )
+        minhash_store_init(base, path, num_hashes=16, bands=4, shingle_n=3)
+        day2 = minhash_banded(
+            docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 250)),
+            num_hashes=16, bands=4, shingle_n=3,
+        )
+        v1 = minhash_store_append(day2, path, txn=("day2", 1))
+        v2 = minhash_store_append(day2, path, txn=("day2", 1))  # replay
+        assert v2 == v1, "txn replay must commit nothing"
+        run_transaction(lambda: minhash_store_compact(spark, path))
+        t = TLog(path)
+        # one file per band after compact; snapshot-isolated reads
+        assert len(t.snapshot().files) == 4
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "tlog_minhash_store_dedup",
+    oracle=_INCR_MINHASH_ORACLE,
+    doc="Cross-run incremental near-dedup probing the TRANSACTIONAL "
+    "banded store — dedup_incremental_minhash's exact twin (the "
+    "oracle is shared VERBATIM) with the store's lifecycle under "
+    "tlog commits: init + txn-keyed append + the same append "
+    "REPLAYED (commits nothing — the exactly-once contract the "
+    "id_mapping streaming sink already has, now for a derived "
+    "artifact) + compact (dedupe/settle as a rewrite over every band "
+    "domain; racing appends conflict it, never the reverse). A hash "
+    "match proves the five-commit store CONTENT equals the legacy "
+    "single-writer build — arbitration added, semantics unchanged.",
+)
+def tlog_minhash_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_store_probe,
+        read_minhash_store,
+        tag_minhash_verdicts,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    store_docs = d.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    batch = (
+        d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+        .select("doc_id", "text")
+        .unionAll(
+            d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 270))
+            .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        )
+    )
+    path = ensure_tlog_minhash_store(spark, sf_dir)
+    pairs = minhash_store_probe(
+        batch,
+        read_minhash_store(spark, path),
+        store_docs,
+        jaccard_threshold=0.3,
+        store_path=path,
+    )
+    inb = minhash_lsh_pairs(batch, jaccard_threshold=0.3)
+    tagged = tag_minhash_verdicts(batch, pairs, inb)
+    return tagged.groupBy("verdict").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )

@@ -83,6 +83,7 @@ _MODULE_ORDER = [
     "cnc_visionsearch_spark.queries_rank_ext",
     "cnc_visionsearch_spark.queries_feature_ext",
     "cnc_visionsearch_spark.queries_tlog",
+    "cnc_visionsearch_spark.queries_tlog_artifacts",
 ]
 
 
@@ -161,6 +162,7 @@ def _load_all() -> None:
         queries_rank_ext,
         queries_feature_ext,
         queries_tlog,
+        queries_tlog_artifacts,
     )
 
     _LOADED = True

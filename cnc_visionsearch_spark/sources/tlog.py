@@ -62,8 +62,18 @@ __all__ = [
     "TLogConflictError",
     "Snapshot",
     "run_transaction",
+    "tlog_of",
     "CHECKPOINT_EVERY",
 ]
+
+
+def tlog_of(path: str) -> "TLog | None":
+    """Handle on ``path`` when it is a transactional table (its
+    ``_tlog/`` dir exists), else None — the mode dispatch the dual-mode
+    artifact layers (inverted index, IVF, MinHash store) share."""
+    if os.path.isdir(os.path.join(path, _LOG_DIR)):
+        return TLog(path)
+    return None
 
 
 class TLogConflictError(Exception):
