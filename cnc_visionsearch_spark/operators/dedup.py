@@ -556,21 +556,32 @@ def minhash_store_probe(
     # one row per candidate store doc: an at-least-once appender (the
     # streaming twin's foreachBatch replay) may leave duplicate doc
     # rows in the store — duplicated shingles would skew the Jaccard
-    # ratio. max(text) per id instead of dropDuplicates: identical-text
-    # replays are unchanged, and a doc re-delivered with DIVERGENT text
-    # verifies against a deterministic row, never file-scan order
-    # (r7 advice — nondeterministic pick under divergent absorbs)
-    cand_store = (
-        store_docs.join(
-            F.broadcast(
-                cand.select(F.col("_sid").alias(id_col)).distinct()
-            ),
-            id_col,
-            "left_semi",
-        )
-        .groupBy(id_col)
-        .agg(F.max(text_col).alias(text_col))
+    # ratio. Deterministic winner instead of dropDuplicates (whose
+    # survivor is file-scan order): when the store carries the
+    # streaming twin's `_src_batch` provenance column, the LATEST
+    # delivery wins (max _src_batch, text as tie-break — r8 advice:
+    # a doc re-delivered with CHANGED text verifies against the
+    # newest content, matching upsert semantics); otherwise max(text)
+    # per id (identical-text replays unchanged either way).
+    pruned_store = store_docs.join(
+        F.broadcast(cand.select(F.col("_sid").alias(id_col)).distinct()),
+        id_col,
+        "left_semi",
     )
+    if "_src_batch" in store_docs.columns:
+        cand_store = pruned_store.groupBy(id_col).agg(
+            F.max_by(
+                F.col(text_col),
+                F.struct(
+                    F.coalesce(F.col("_src_batch"), F.lit("")).alias("b"),
+                    F.col(text_col).alias("t"),
+                ),
+            ).alias(text_col)
+        )
+    else:
+        cand_store = pruned_store.groupBy(id_col).agg(
+            F.max(text_col).alias(text_col)
+        )
     shs = _exploded_shingles(cand_store, id_col, text_col, shingle_n).select(
         F.col(id_col).alias("_sid"), "shingle"
     )

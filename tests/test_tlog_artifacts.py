@@ -279,3 +279,42 @@ def test_minhash_store_replayed_append_commits_nothing(spark, tmp_path):
     v2 = minhash_store_append(d2, path, txn=("day", 1))
     assert v2 == v1
     assert read_minhash_store(spark, path).count() == n1
+
+
+def test_store_probe_divergent_text_latest_batch_wins(spark):
+    """r8 advice: when store docs carry the streaming twin's
+    ``_src_batch`` provenance, a doc re-delivered with DIVERGENT text
+    verifies against the LATEST delivery's content (max _src_batch),
+    matching upsert semantics — never against file-scan order or the
+    lexically-max text."""
+    from cnc_visionsearch_spark.operators.dedup import (
+        minhash_banded,
+        minhash_store_probe,
+    )
+
+    old_text = "alpha beta gamma delta epsilon zeta"
+    new_text = "aaaa bbbb cccc dddd eeee ffff"  # lexically SMALLER
+    store_docs = spark.createDataFrame(
+        [
+            (1, old_text, "run:0001"),
+            (1, new_text, "run:0002"),  # latest delivery, changed text
+        ],
+        "doc_id bigint, text string, _src_batch string",
+    )
+    # the banded store reflects the latest content (as the streaming
+    # appender would have written it)
+    store_banded = minhash_banded(
+        store_docs.filter(F.col("_src_batch") == "run:0002").select(
+            "doc_id", "text"
+        )
+    )
+    batch = spark.createDataFrame(
+        [(100, new_text)], "doc_id bigint, text string"
+    )
+    pairs = minhash_store_probe(
+        batch, store_banded, store_docs, jaccard_threshold=0.9
+    ).collect()
+    # identical to the LATEST text -> jaccard 1.0; had max(text)
+    # picked the old row, jaccard would be 0 and no pair would pass
+    assert [(r.batch_id, r.store_id) for r in pairs] == [(100, 1)]
+    assert pairs[0].jaccard == 1.0
