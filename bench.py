@@ -94,6 +94,11 @@ HEADLINE = [
     "dq_expectation_summary",
     # r6: HyperLogLog registers + estimate (mergeable-sketch family)
     "events_hll_cardinality",
+    # r9: the transactional inverted index's full lifecycle (build ->
+    # append -> delete -> vacuum -> compact as tlog commits) probed by
+    # the same bm25_probe as the legacy layouts; the ensure-builder
+    # runs once (pass 1), so min-of-3 measures the snapshot-read probe
+    "tlog_inverted_lifecycle_bm25",
 ]
 
 
