@@ -333,3 +333,113 @@ def tlog_minhash_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc"),
         F.max("doc_id").cast("bigint").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RESTORE (Delta's RESTORE TABLE ... TO VERSION, r9): roll back as a
+# new commit — no data copied, history preserved, whole-table conflict
+# domain so racing writers can never be silently dropped.
+
+
+def ensure_tlog_restore(spark: SparkSession, sf_dir: str):
+    """Deterministic restore lifecycle on its OWN table (never the
+    shared tlog_idmap fixture): init -> merge batch1 -> RESTORE to
+    version 1 (undoes the merge; meta high-water mark rolls back with
+    the data, so later merges mint ids from the RESTORED state) ->
+    merge batch2. Final state == batch2 applied to the initial
+    mapping, batch1 fully absent."""
+    import shutil as _shutil  # noqa: F401  (wipe via _wipe_and)
+
+    from cnc_visionsearch_spark.operators.ingest import (
+        tlog_init_id_mapping,
+        tlog_merge_upsert,
+    )
+    from cnc_visionsearch_spark.queries_tlog import _tlog_batches
+    from cnc_visionsearch_spark.sources.catalog import derive_id_mapping
+    from cnc_visionsearch_spark.sources.tlog import TLog
+
+    tag = (
+        f"{_corpus_tag(sf_dir, 'embeddings')}-"
+        f"{_corpus_tag(sf_dir, 'documents')[-8:]}"
+    )
+    path = f"{_ARTIFACT_ROOT}/{tag}/tlog_idmap_restore_b8"
+    marker = os.path.join(path, "_HISTORY")
+    if _wipe_and(marker):
+        t = TLog(path)
+        mapping = derive_id_mapping(
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "documents"),
+        )
+        tlog_init_id_mapping(t, mapping, n_buckets=8)
+        b1, b2 = _tlog_batches(spark, sf_dir)
+        tlog_merge_upsert(t, b1, txn=("restore_hist", 1))
+        t.restore(1)
+        tlog_merge_upsert(t, b2, txn=("restore_hist", 2))
+        open(marker, "w").close()
+    return TLog(path)
+
+
+@register(
+    "tlog_restore_semantics",
+    oracle=None,  # set below: needs queries_tlog's CTE constants
+    doc="RESTORE as a first-class commit (sources/tlog.py restore — "
+    "the Delta RESTORE shape): version 2's merge is undone by "
+    "re-pointing the live file set at version 1 (zero data copied, "
+    "history intact — time travel still reads the undone state), the "
+    "dense-id high-water mark rolls back WITH the data (meta rides "
+    "the restore commit, so the post-restore merge mints ids from "
+    "the restored state — no collisions, no gaps), and a later merge "
+    "proceeds normally. The oracle replays init + ONLY the second "
+    "batch over the raw tables: a hash match proves batch1 left no "
+    "trace and the restored counter behaved. Declared whole-table "
+    "(domains=None): a racing commit conflicts rather than being "
+    "silently dropped (test-pinned).",
+)
+def tlog_restore_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.ingest import ID_MAPPING_SCHEMA
+
+    t = ensure_tlog_restore(spark, sf_dir)
+    base_max = int(t.snapshot(1).meta["max_faiss_id"])
+    final = t.read(spark, schema=ID_MAPPING_SCHEMA)
+    return final.filter(
+        (F.col("faiss_id") > F.lit(base_max - 10))
+        | F.col("str_id").isin("img_1", "img_2", "img_3")
+    ).select(
+        "str_id",
+        F.col("faiss_id").cast("bigint").alias("faiss_id"),
+        "text_content",
+    )
+
+
+def _restore_oracle() -> str:
+    from cnc_visionsearch_spark.queries_ingest import _ID_MAPPING_CTE
+    from cnc_visionsearch_spark.queries_tlog import _TLOG_BATCH2_SQL
+
+    return f"""
+WITH {_ID_MAPPING_CTE},
+batch2 AS ({_TLOG_BATCH2_SQL}),
+upd AS (
+  SELECT m.str_id, m.faiss_id,
+         COALESCE(b.text_content, m.text_content) AS text_content
+  FROM id_mapping m LEFT JOIN batch2 b USING (str_id)
+),
+mx AS (SELECT COALESCE(MAX(faiss_id), 0) AS mx FROM id_mapping),
+ins AS (
+  SELECT b.str_id, mx + row_number() OVER (ORDER BY b.str_id) AS faiss_id,
+         b.text_content
+  FROM batch2 b, mx
+  WHERE NOT EXISTS (SELECT 1 FROM id_mapping m WHERE m.str_id = b.str_id)
+),
+state AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT str_id, CAST(faiss_id AS BIGINT) AS faiss_id, text_content
+FROM state
+WHERE faiss_id > (SELECT mx FROM mx) - 10
+   OR str_id IN ('img_1', 'img_2', 'img_3')
+"""
+
+
+# late-bind the oracle (avoids importing queries_tlog at module import
+# before the registry settles its order)
+from cnc_visionsearch_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["tlog_restore_semantics"].oracle = _restore_oracle()

@@ -522,6 +522,57 @@ class TLog:
             )
         )
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version`` AS A NEW COMMIT (Delta's
+        RESTORE): the target snapshot's files become live again, files
+        added after it are removed — no data is copied, and history is
+        preserved (time travel still reads the undone versions; a
+        second restore can roll forward again). Declared as a
+        WHOLE-TABLE rewrite (domains=None), so any racing commit
+        conflicts — a restore must never silently drop a concurrent
+        write. Meta keys roll back with the data (the dense-id
+        high-water mark must match the restored state or later merges
+        would mint colliding ids — same reason Delta restores table
+        properties).
+
+        Raises if a needed file was physically vacuumed (the Delta
+        RESTORE constraint: time travel beyond the vacuum horizon is
+        gone; the error names the missing file)."""
+        cur = self.latest_version()
+        if version == cur:
+            return cur
+        target = self.snapshot(version)
+        current = self.snapshot(cur)
+        cur_files = dict(current.files)
+        tgt_files = dict(target.files)
+        adds = [
+            {"path": p, "bucket": b}
+            for p, b in target.files
+            if p not in cur_files
+        ]
+        for a in adds:
+            if not os.path.exists(os.path.join(self.root, a["path"])):
+                raise ValueError(
+                    f"tlog {self.root}: cannot restore to version "
+                    f"{version} — file {a['path']} was physically "
+                    "removed by vacuum (restore horizon = vacuum "
+                    "retention)"
+                )
+        removes = sorted(p for p in cur_files if p not in tgt_files)
+        meta = {
+            k: v
+            for k, v in target.meta.items()
+            if current.meta.get(k) != v
+        }
+        return self.commit(
+            adds=adds,
+            removes=removes,
+            read_version=cur,
+            op="rewrite",
+            domains=None,
+            meta=meta,
+        )
+
     # ---- maintenance ----------------------------------------------------
 
     def vacuum(

@@ -758,6 +758,7 @@ def maxsim_serving_stream(
     k: int = 5,
     n_buckets: int = 16,
     max_files_per_trigger: int = 10,
+    min_token_hits="all",
 ):
     """Streaming late-interaction serving — the maxsim twin of
     :func:`bm25_serving_stream`, completing the retrieval-tier
@@ -804,7 +805,16 @@ def maxsim_serving_stream(
         ]  # bounded: one row per query in the micro-batch
         docs = load_table(s, docs_sf_dir, "documents")
         maxsim_multi_probe(
-            s, index_path, queries, docs, n_buckets=n_buckets, k=k
+            s,
+            index_path,
+            queries,
+            docs,
+            n_buckets=n_buckets,
+            k=k,
+            # default matches text_maxsim_batch_topk's r9 operating
+            # point (conjunction candidates) so online and batch
+            # rankings stay identical by construction
+            min_token_hits=min_token_hits,
         ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
 
     return (

@@ -1674,7 +1674,8 @@ def test_maxsim_serving_stream_matches_batch_probe(spark, tmp_path):
     batch = {
         (r.qid, r.doc_id, r.score_q)
         for r in maxsim_multi_probe(
-            spark, path, qs, docs, n_buckets=8, k=5
+            spark, path, qs, docs, n_buckets=8, k=5,
+            min_token_hits="all",
         ).collect()
     }
     assert streamed == batch and streamed

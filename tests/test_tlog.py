@@ -643,3 +643,81 @@ def test_write_data_null_bucket_raises_targeted_error(spark, tmp_path):
                 F.pmod(F.xxhash64("str_id"), F.lit(4)).cast("int"),
             ),
         )
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path, mapping):
+    """RESTORE re-points the live file set at the target version as a
+    NEW commit: the undone merge leaves no trace in the live read, the
+    meta counter rolls back with the data, and the undone state stays
+    time-travel-readable."""
+    t = TLog(str(tmp_path / "t"))
+    tlog_init_id_mapping(t, mapping, n_buckets=4)
+    m1 = int(t.snapshot().meta["max_faiss_id"])
+    tlog_merge_upsert(t, _mk_batch(spark, [("zz_r", "one")]))
+    assert int(t.snapshot().meta["max_faiss_id"]) == m1 + 1
+    v = t.restore(1)
+    assert v == 3  # history preserved, restore is its own commit
+    assert int(t.snapshot().meta["max_faiss_id"]) == m1
+    live = {
+        r.str_id for r in t.read(spark, schema=ID_MAPPING_SCHEMA).collect()
+    }
+    assert "zz_r" not in live
+    # the undone version is still readable (time travel)
+    v2 = {
+        r.str_id for r in t.read(spark, 2, schema=ID_MAPPING_SCHEMA).collect()
+    }
+    assert "zz_r" in v2
+    # the table continues: a post-restore merge mints from the
+    # RESTORED counter (no collision with the undone merge's id)
+    tlog_merge_upsert(t, _mk_batch(spark, [("zz_s", "two")]))
+    rows = {
+        r.str_id: r.faiss_id
+        for r in t.read(spark, schema=ID_MAPPING_SCHEMA).collect()
+    }
+    assert rows["zz_s"] == m1 + 1
+
+
+def test_restore_conflicts_with_racing_commit(spark, tmp_path, mapping):
+    """RESTORE declares the WHOLE table (domains=None): a commit
+    landing inside its read->claim window must conflict — a rollback
+    may never silently drop a concurrent write."""
+    import unittest.mock as mock
+
+    t = TLog(str(tmp_path / "t"))
+    tlog_init_id_mapping(t, mapping, n_buckets=4)
+    tlog_merge_upsert(t, _mk_batch(spark, [("zz_a", "x")]))
+    real_latest = t.latest_version
+    calls = {"n": 0}
+
+    def racing_latest():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # the restore observes v2... then a merge lands
+            v = real_latest()
+            tlog_merge_upsert(t, _mk_batch(spark, [("zz_b", "y")]))
+            return v
+        return real_latest()
+
+    with mock.patch.object(t, "latest_version", racing_latest):
+        with pytest.raises(TLogConflictError):
+            t.restore(1)
+    # the racing write survived; a clean retry works
+    t.restore(1)
+    live = {
+        r.str_id for r in t.read(spark, schema=ID_MAPPING_SCHEMA).collect()
+    }
+    assert "zz_a" not in live and "zz_b" not in live
+
+
+def test_restore_past_vacuum_horizon_raises(spark, tmp_path, mapping):
+    """A file physically removed by vacuum cannot be restored — the
+    error names the missing file instead of a later read exploding."""
+    t = TLog(str(tmp_path / "t"))
+    tlog_init_id_mapping(t, mapping, n_buckets=4)
+    tlog_merge_upsert(t, _mk_batch(spark, [("zz_v", "x")]))
+    # enough commits to push v1's rewritten files past retention
+    for i in range(12):
+        tlog_merge_upsert(t, _mk_batch(spark, [(f"zz_{i}", "y")]))
+    t.vacuum(keep_versions=2, orphan_grace_s=0.0)
+    with pytest.raises(ValueError, match="physically removed by vacuum"):
+        t.restore(1)
