@@ -52,6 +52,9 @@ __all__ = [
     "token_ivf_cells_for_vocab",
     "token_ivf_build",
     "token_ivf_append",
+    "token_ivf_delete",
+    "token_ivf_vacuum",
+    "read_doc_cells",
     "token_ivf_probe_cells",
     "token_ivf_candidates",
     "maxsim_multi_probe",
@@ -72,6 +75,125 @@ TOKEN_IVF_NPROBE = 2
 # is the simpler policy with the same asymptotics)
 TOKEN_IVF_OCCUPANCY = 4
 _GEOM = "_GEOMETRY.json"
+
+# tlog conflict-domain tags for transactional token-IVF layouts:
+# doc_cells files carry their cell_id; the auxiliary subtables get
+# reserved tags far above any real cell count
+TLOG_TIVF_CENTROIDS_TAG = 200_000
+TLOG_TIVF_TOKENS_TAG = 200_001
+TLOG_TIVF_TOMBS_TAG = 200_002
+
+
+def _tivf_tlog(path: str):
+    from cnc_visionsearch_spark.sources.tlog import tlog_of
+
+    return tlog_of(path)
+
+
+def _retag(adds: list[dict], tag: int) -> list[dict]:
+    for a in adds:
+        a["bucket"] = tag
+    return adds
+
+
+def _tlog_read_tags(spark, t, snap, tags):
+    paths = snap.files_in(tags)
+    if not paths:
+        return None
+    return spark.read.parquet(*[os.path.join(t.root, p) for p in paths])
+
+
+def read_doc_cells(spark: SparkSession, path: str, cells=None) -> DataFrame:
+    """The sanctioned reader for the layout's (cell_id, doc_id) table —
+    applies the tombstone filter (deleted docs vanish from candidates
+    immediately; the ANN tiers' read-through-the-filter doctrine) and
+    dispatches on the layout mode. ``cells`` prunes at the LOG level
+    on transactional layouts; legacy layouts keep the caller's
+    partition-pruning cell_id filter."""
+    t = _tivf_tlog(path)
+    if t is None:
+        dc = spark.read.parquet(os.path.join(path, "doc_cells"))
+        tdir = os.path.join(path, "tombstones")
+        if os.path.exists(tdir):
+            tombs = spark.read.parquet(tdir).select("doc_id").distinct()
+            dc = dc.join(F.broadcast(tombs), "doc_id", "left_anti")
+        return dc
+    snap = t.snapshot()
+    tags = (
+        sorted(cells)
+        if cells is not None
+        else list(range(int(snap.meta["n_cells"])))
+    )
+    dc = _tlog_read_tags(spark, t, snap, tags)
+    tf = _tlog_read_tags(spark, t, snap, [TLOG_TIVF_TOMBS_TAG])
+    if tf is not None:
+        dc = dc.join(
+            F.broadcast(tf.select("doc_id").distinct()), "doc_id", "left_anti"
+        )
+    return dc
+
+
+def token_ivf_delete(spark: SparkSession, path: str, doc_ids: list[int]) -> None:
+    """Tombstone delete from a token-IVF layout — St6 parity for the
+    maxsim tier (ivf_delete / inverted_delete twin): O(batch) tombstone
+    append; every candidate read goes through :func:`read_doc_cells`'s
+    anti-join so deleted docs vanish from maxsim candidates
+    immediately; resident files stay byte-identical; physical removal
+    rides :func:`token_ivf_vacuum`."""
+    df = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id bigint")
+    t = _tivf_tlog(path)
+    if t is None:
+        df.write.mode("append").parquet(os.path.join(path, "tombstones"))
+        return
+    t.commit(adds=_retag(t.write_data(df), TLOG_TIVF_TOMBS_TAG), op="append")
+
+
+def token_ivf_vacuum(spark: SparkSession, path: str) -> None:
+    """Apply accumulated tombstones physically: rewrite ONLY the
+    doc_cells partitions holding deleted docs, then retire the
+    tombstone set. Legacy layouts use the shared crash-safe partition
+    swap (operators/ann._vacuum_layout); transactional layouts commit
+    ONE rewrite declaring the touched cell domains + the tombstone tag
+    — racing appends into other cells serialize, overlapping ones
+    conflict and the vacuum recomputes (run_transaction)."""
+    t = _tivf_tlog(path)
+    if t is None:
+        from cnc_visionsearch_spark.operators.ann import _vacuum_layout
+
+        _vacuum_layout(spark, path, ("doc_cells",), "cell_id", "doc_id")
+        return
+    snap = t.snapshot()
+    tomb_files = snap.files_in([TLOG_TIVF_TOMBS_TAG])
+    if not tomb_files:
+        return
+    tombs = (
+        _tlog_read_tags(spark, t, snap, [TLOG_TIVF_TOMBS_TAG])
+        .select("doc_id")
+        .distinct()
+    )
+    n_cells = int(snap.meta["n_cells"])
+    dc = _tlog_read_tags(spark, t, snap, list(range(n_cells)))
+    touched = sorted(
+        r[0]
+        for r in dc.join(F.broadcast(tombs), "doc_id")
+        .select("cell_id")
+        .distinct()
+        .collect()
+    )  # bounded: <= n_cells
+    adds = []
+    if touched:
+        kept = _tlog_read_tags(spark, t, snap, touched).join(
+            F.broadcast(tombs), "doc_id", "left_anti"
+        )
+        adds = t.write_data(kept, bucket_expr=F.col("cell_id"))
+    removes = (snap.files_in(touched) if touched else []) + tomb_files
+    t.commit(
+        adds=adds,
+        removes=sorted(set(removes)),
+        read_version=snap.version,
+        op="rewrite",
+        domains=list(touched) + [TLOG_TIVF_TOMBS_TAG],
+    )
 
 
 def token_ivf_cells_for_vocab(
@@ -238,7 +360,10 @@ def _assign_tokens(vocab: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def token_ivf_build(
-    docs: DataFrame, path: str, n_cells: int = TOKEN_IVF_CELLS
+    docs: DataFrame,
+    path: str,
+    n_cells: int = TOKEN_IVF_CELLS,
+    use_tlog: bool = False,
 ) -> None:
     """Build the token-vector IVF layout under ``path``:
 
@@ -276,23 +401,56 @@ def token_ivf_build(
     )
     asg = _assign_tokens(vocab, cents)
     os.makedirs(path, exist_ok=True)
-    cents.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "centroids")
-    )
-    asg.write.mode("overwrite").parquet(os.path.join(path, "token_cells"))
-    doc_cells = (
-        toks.join(
-            F.broadcast(
-                spark.read.parquet(os.path.join(path, "token_cells"))
-            ),
-            "tok",
+    if use_tlog:
+        # TRANSACTIONAL layout: centroids + token_cells + doc_cells as
+        # ONE atomic init commit (the artifact-tlog doctrine; every
+        # later mutation is a commit with cell-id conflict domains)
+        from cnc_visionsearch_spark.sources.tlog import TLog
+
+        t = TLog(path)
+        if t.latest_version() != 0:
+            raise ValueError(
+                f"token_ivf_build: tlog layout {path} already holds "
+                f"{t.latest_version()} commit(s); wipe to rebuild"
+            )
+        adds = _retag(
+            t.write_data(cents.coalesce(1)), TLOG_TIVF_CENTROIDS_TAG
         )
-        .select("cell_id", "doc_id")
-        .distinct()
-    )
-    doc_cells.write.mode("overwrite").partitionBy("cell_id").parquet(
-        os.path.join(path, "doc_cells")
-    )
+        asg_written = t.write_data(asg)
+        asg_df = spark.read.parquet(
+            *[os.path.join(path, a["path"]) for a in asg_written]
+        )
+        adds += _retag(asg_written, TLOG_TIVF_TOKENS_TAG)
+        doc_cells = (
+            toks.join(F.broadcast(asg_df), "tok")
+            .select("cell_id", "doc_id")
+            .distinct()
+        )
+        adds += t.write_data(doc_cells, bucket_expr=F.col("cell_id"))
+        t.commit(
+            adds=adds,
+            op="append",
+            meta={"kind": "token_ivf", "n_cells": n_cells, "dim": LI_DIM},
+            base_version=0,
+        )
+    else:
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "centroids")
+        )
+        asg.write.mode("overwrite").parquet(os.path.join(path, "token_cells"))
+        doc_cells = (
+            toks.join(
+                F.broadcast(
+                    spark.read.parquet(os.path.join(path, "token_cells"))
+                ),
+                "tok",
+            )
+            .select("cell_id", "doc_id")
+            .distinct()
+        )
+        doc_cells.write.mode("overwrite").partitionBy("cell_id").parquet(
+            os.path.join(path, "doc_cells")
+        )
     # atomic sidecar (tmp + os.replace — the operators/ann._write_
     # geometry doctrine): a crash mid-write can never leave a corrupt
     # sidecar inside an otherwise-valid layout. Probes VALIDATE it
@@ -328,12 +486,32 @@ def token_ivf_append(docs_new: DataFrame, path: str) -> None:
     the registered probe's oracle replays exactly that."""
     validate_token_ivf_geometry(path)
     spark = docs_new.sparkSession
-    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    t = _tivf_tlog(path)
+    cents = _read_centroids_df(spark, path)
     toks = doc_distinct_tokens(docs_new)
     vocab_new = toks.select("tok").distinct().withColumn(
         "_nv", li_token_nvec("tok")
     )
     asg_new = _assign_tokens(vocab_new, cents)
+    if t is not None:
+        # ONE blind append commit: unseen-vocabulary rows + the new
+        # docs' (cell, doc) rows — never blocked by a racing vacuum
+        snap = t.snapshot()
+        resident = _tlog_read_tags(
+            spark, t, snap, [TLOG_TIVF_TOKENS_TAG]
+        ).select("tok")
+        adds = _retag(
+            t.write_data(asg_new.join(resident, "tok", "left_anti")),
+            TLOG_TIVF_TOKENS_TAG,
+        )
+        adds += t.write_data(
+            toks.join(F.broadcast(asg_new), "tok")
+            .select("cell_id", "doc_id")
+            .distinct(),
+            bucket_expr=F.col("cell_id"),
+        )
+        t.commit(adds=adds, op="append")
+        return
     resident = spark.read.parquet(
         os.path.join(path, "token_cells")
     ).select("tok")
@@ -350,6 +528,15 @@ def token_ivf_append(docs_new: DataFrame, path: str) -> None:
     )
 
 
+def _read_centroids_df(spark: SparkSession, path: str) -> DataFrame:
+    t = _tivf_tlog(path)
+    if t is None:
+        return spark.read.parquet(os.path.join(path, "centroids"))
+    return _tlog_read_tags(
+        spark, t, t.snapshot(), [TLOG_TIVF_CENTROIDS_TAG]
+    )
+
+
 def _collect_centroids(spark: SparkSession, path: str) -> list[tuple]:
     """Validated, bounded (n_cells rows) centroid collect — ONE job,
     shared by every probe in a batch (callers rank cells driver-side
@@ -357,7 +544,7 @@ def _collect_centroids(spark: SparkSession, path: str) -> list[tuple]:
     validate_token_ivf_geometry(path)
     return [
         (r["cell_id"], list(r["cv"]))
-        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+        for r in _read_centroids_df(spark, path).collect()
     ]
 
 
@@ -418,7 +605,7 @@ def token_ivf_candidates(
         for cell in _probe_cells_from_rows(cents, [qt], nprobe)
     ]
     union_cells = sorted({c for _, c in per_tok_cells})
-    dc = spark.read.parquet(os.path.join(path, "doc_cells")).filter(
+    dc = read_doc_cells(spark, path, cells=union_cells).filter(
         F.col("cell_id").isin(union_cells)
     )
     if min_token_hits <= 1:
@@ -529,7 +716,7 @@ def maxsim_multi_probe(
         )
         union_cells = sorted({c for _, _, c in qcell_rows})
         hit = (
-            spark.read.parquet(os.path.join(index_path, "doc_cells"))
+            read_doc_cells(spark, index_path, cells=union_cells)
             .filter(F.col("cell_id").isin(union_cells))
             .join(F.broadcast(qcells), "cell_id")
         )

@@ -2068,3 +2068,142 @@ def text_maxsim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# token-IVF delete lifecycle (r9): St6 parity for the maxsim tier —
+# the one index family that previously had no delete path.
+
+_TIVF_DELETED = [2, 150, 420]
+
+
+def ensure_token_ivf_deleted(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent TRANSACTIONAL token-IVF lifecycle: build(base,
+    use_tlog=True) -> append(rest) -> tombstone delete -> vacuum (one
+    rewrite commit under the optimistic loop). Its own layout — the
+    shared appended fixture is never mutated."""
+    import os
+    import shutil
+
+    from cnc_visionsearch_spark.operators.maxsim import (
+        TOKEN_IVF_CELLS,
+        token_ivf_append,
+        token_ivf_build,
+        token_ivf_delete,
+        token_ivf_vacuum,
+    )
+    from cnc_visionsearch_spark.queries_ann import _ARTIFACT_ROOT, _corpus_tag
+    from cnc_visionsearch_spark.sources.tlog import run_transaction
+
+    path = (
+        f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir, 'documents')}"
+        f"/token_ivf_tlog_del_c{TOKEN_IVF_CELLS}d{_LI_DIM}"
+    )
+    marker = os.path.join(path, "_HISTORY")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents")
+        token_ivf_build(
+            docs.filter(F.col("doc_id") < _TIVF_SPLIT),
+            path,
+            n_cells=TOKEN_IVF_CELLS,
+            use_tlog=True,
+        )
+        token_ivf_append(docs.filter(F.col("doc_id") >= _TIVF_SPLIT), path)
+        token_ivf_delete(spark, path, _TIVF_DELETED)
+        run_transaction(lambda: token_ivf_vacuum(spark, path))
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "text_maxsim_ivf_delete_topk",
+    oracle=f"""
+WITH dt AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+bvocab AS (
+  SELECT DISTINCT tok FROM dt WHERE doc_id < {_TIVF_SPLIT}
+),
+bvv AS (SELECT tok, {_li_vec_sql("tok")} AS v FROM bvocab),
+bvn AS (SELECT tok, {_LI_NORM_SQL} AS nv FROM bvv),
+cents AS (
+  SELECT rn - 1 AS cell_id, nv AS cv FROM (
+    SELECT tok, nv,
+      row_number() OVER (ORDER BY md5(tok) ASC, tok ASC) AS rn
+    FROM bvn
+  ) WHERE rn <= 8
+),
+uvocab AS (SELECT DISTINCT tok FROM dt),
+uvv AS (SELECT tok, {_li_vec_sql("tok")} AS v FROM uvocab),
+uvn AS (SELECT tok, {_LI_NORM_SQL} AS nv FROM uvv),
+asg AS (
+  SELECT tok, cell_id FROM (
+    SELECT u.tok, c.cell_id,
+      row_number() OVER (PARTITION BY u.tok ORDER BY
+        {_LI_L2.format(d=_LI_DIM, a="u.nv", b="c.cv")} ASC,
+        c.cell_id ASC) AS rn
+    FROM uvn u, cents c
+  ) WHERE rn = 1
+),
+qt AS (SELECT unnest(['vector','hash','scan']) AS qtok),
+qv AS (SELECT qtok, {_li_vec_sql("qtok")} AS v FROM qt),
+qn AS (SELECT qtok, {_LI_NORM_SQL} AS nv FROM qv),
+qcells AS (
+  SELECT DISTINCT cell_id FROM (
+    SELECT q.qtok, c.cell_id,
+      row_number() OVER (PARTITION BY q.qtok ORDER BY
+        {_LI_L2.format(d=_LI_DIM, a="q.nv", b="c.cv")} ASC,
+        c.cell_id ASC) AS rn
+    FROM qn q, cents c
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT DISTINCT dt.doc_id
+  FROM dt JOIN asg USING (tok)
+  WHERE asg.cell_id IN (SELECT cell_id FROM qcells)
+    AND dt.doc_id NOT IN ({", ".join(str(i) for i in _TIVF_DELETED)})
+),
+dv AS (
+  SELECT doc_id, tok, {_li_vec_sql("tok")} AS v
+  FROM dt WHERE doc_id IN (SELECT doc_id FROM cand)
+),
+dn AS (SELECT doc_id, {_LI_NORM_SQL} AS nv FROM dv),
+sims AS (
+  SELECT d.doc_id, q.qtok,
+    max(list_sum(list_transform(range(1, {_LI_DIM}+1),
+        k -> d.nv[k] * q.nv[k]))) AS best
+  FROM dn d, qn q GROUP BY d.doc_id, q.qtok
+)
+SELECT doc_id,
+  CAST(floor(sum(best) * 1000000000 + 0.5) AS BIGINT) AS score_q
+FROM sims GROUP BY doc_id
+ORDER BY score_q DESC, doc_id ASC
+LIMIT 10
+""",
+    doc="Maxsim probe after tombstone DELETES from the token-IVF "
+    "layout — St6 parity for the late-interaction tier (the one index "
+    "family that previously had NO delete path; the reference cannot "
+    "delete at all, main.py:119-126). The layout is TRANSACTIONAL "
+    "end to end (r9): build/append/delete/vacuum are tlog commits "
+    "with cell-id conflict domains, the vacuum rewrote only the "
+    "touched doc_cells partitions, and every candidate read goes "
+    "through read_doc_cells' tombstone anti-join — deleted docs "
+    "vanish from maxsim candidates immediately and stay gone after "
+    "physical removal. The oracle recomputes frozen-codebook "
+    "semantics minus the deleted set from scratch.",
+)
+def text_maxsim_ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.maxsim import token_ivf_candidates
+
+    path = ensure_token_ivf_deleted(spark, sf_dir)
+    cand = token_ivf_candidates(spark, path, list(_LI_QUERY), nprobe=2)
+    d = load_table(spark, sf_dir, "documents").join(
+        cand, "doc_id", "left_semi"
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    return _li_maxsim_topk(toks)

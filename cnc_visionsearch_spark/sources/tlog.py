@@ -522,6 +522,31 @@ class TLog:
             )
         )
 
+    def history(self, limit: int | None = None) -> list[dict]:
+        """The table's commit history, newest first (Delta's DESCRIBE
+        HISTORY shape): one dict per version with op, read_version,
+        file-action counts, conflict domains, meta keys and txn — all
+        from the log records alone (no data I/O). ``limit`` bounds the
+        walk to the newest N commits (O(limit), not O(history))."""
+        cur = self.latest_version()
+        lo = 1 if limit is None else max(1, cur - int(limit) + 1)
+        out = []
+        for v in range(cur, lo - 1, -1):
+            c = self._read_commit(v)
+            out.append(
+                {
+                    "version": v,
+                    "op": c.get("op"),
+                    "read_version": c.get("read_version"),
+                    "n_added": len(c.get("add", [])),
+                    "n_removed": len(c.get("remove", [])),
+                    "domains": c.get("domains"),
+                    "meta_keys": sorted(c.get("meta", {}).keys()),
+                    "txn": c.get("txn"),
+                }
+            )
+        return out
+
     def restore(self, version: int) -> int:
         """Roll the table back to ``version`` AS A NEW COMMIT (Delta's
         RESTORE): the target snapshot's files become live again, files

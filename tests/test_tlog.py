@@ -721,3 +721,18 @@ def test_restore_past_vacuum_horizon_raises(spark, tmp_path, mapping):
     t.vacuum(keep_versions=2, orphan_grace_s=0.0)
     with pytest.raises(ValueError, match="physically removed by vacuum"):
         t.restore(1)
+
+
+def test_history_describes_commits_newest_first(spark, tmp_path, mapping):
+    """DESCRIBE HISTORY shape: per-version op/action-count/meta/txn
+    rows from the log alone, newest first; `limit` bounds the walk."""
+    t = TLog(str(tmp_path / "t"))
+    tlog_init_id_mapping(t, mapping, n_buckets=4)
+    tlog_merge_upsert(t, _mk_batch(spark, [("zz_h", "x")]), txn=("h", 1))
+    t.restore(1)
+    h = t.history()
+    assert [r["version"] for r in h] == [3, 2, 1]
+    assert h[0]["op"] == "rewrite" and h[0]["domains"] is None  # restore
+    assert h[1]["op"] == "rewrite" and h[1]["txn"] == {"app": "h", "seq": 1}
+    assert h[2]["op"] == "append" and "max_faiss_id" in h[2]["meta_keys"]
+    assert [r["version"] for r in t.history(limit=2)] == [3, 2]
