@@ -176,7 +176,10 @@ def _doclens(docs: DataFrame) -> DataFrame:
 
 
 def inverted_append(
-    docs: DataFrame, path: str, n_buckets: int = 16
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 16,
+    txn: "tuple[str, int] | None" = None,
 ) -> None:
     """Append a document batch's postings into an existing layout —
     the maintenance twin of :func:`inverted_build` (same shape as
@@ -188,9 +191,19 @@ def inverted_append(
     On a transactional layout the batch lands as ONE blind append
     commit (postings adds tagged by bucket + the doclens add) — never
     blocked by a racing vacuum/compact, which instead detects the new
-    files and recomputes."""
+    files and recomputes. ``txn`` (app id, batch seq — tlog layouts
+    only) makes an at-least-once replay commit NOTHING: exactly-once
+    index ingest in the TABLE's protocol (the tlog_upsert_stream
+    doctrine extended to a derived artifact)."""
     t = _tlog_of(path)
     if t is None:
+        if txn is not None:
+            raise ValueError(
+                "inverted_append: txn idempotence requires a "
+                "transactional layout (inverted_build(use_tlog=True)) "
+                "— a legacy layout would silently double-append on "
+                "replay"
+            )
         _postings(docs, n_buckets).write.mode("append").partitionBy(
             "bucket"
         ).parquet(f"{path}/postings")
@@ -204,7 +217,7 @@ def inverted_append(
         bucket_expr=F.col("bucket"),
     )
     adds += _retag(t.write_data(_doclens(docs)), TLOG_DOCLENS_TAG)
-    t.commit(adds=adds, op="append")
+    t.commit(adds=adds, op="append", txn=txn)
 
 
 def inverted_delete(spark, path: str, doc_ids: list[int]) -> None:

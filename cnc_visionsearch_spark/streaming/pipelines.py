@@ -350,7 +350,10 @@ def inverted_ingest_stream(
     unchanged pruned cost; resident files are never rewritten. Returns
     the started StreamingQuery.
     """
-    from cnc_visionsearch_spark.operators.text_index import inverted_append
+    from cnc_visionsearch_spark.operators.text_index import (
+        _tlog_of,
+        inverted_append,
+    )
     from cnc_visionsearch_spark.schemas import DOCUMENTS
 
     stream = (
@@ -358,9 +361,22 @@ def inverted_ingest_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(in_path)
     )
+    is_tlog = _tlog_of(index_path) is not None
+    _rid: dict = {}
+
+    def _run_id() -> str:
+        if "v" not in _rid:
+            _rid["v"] = _stream_run_id(checkpoint, path_hash_fallback=False)
+        return _rid["v"]
 
     def apply_batch(batch_df, _batch_id):
-        inverted_append(batch_df, index_path, n_buckets=n_buckets)
+        # TRANSACTIONAL layouts get exactly-once ingest: the commit's
+        # txn key (run id, batch id) makes at-least-once foreachBatch
+        # replays commit nothing (the tlog_upsert_stream doctrine —
+        # idempotence in the TABLE's protocol). Legacy layouts keep
+        # the documented at-least-once append.
+        txn = (f"inv_ingest:{_run_id()}", _batch_id) if is_tlog else None
+        inverted_append(batch_df, index_path, n_buckets=n_buckets, txn=txn)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

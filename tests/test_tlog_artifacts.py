@@ -318,3 +318,77 @@ def test_store_probe_divergent_text_latest_batch_wins(spark):
     # picked the old row, jaccard would be 0 and no pair would pass
     assert [(r.batch_id, r.store_id) for r in pairs] == [(100, 1)]
     assert pairs[0].jaccard == 1.0
+
+
+def test_inverted_append_txn_replay_commits_nothing(spark, tmp_path):
+    """Exactly-once index ingest on a transactional layout: the same
+    batch appended twice under one txn key lands ONCE (the replay
+    finds its txn in the log and commits nothing); a legacy layout
+    refuses txn appends loudly instead of silently double-appending."""
+    path = str(tmp_path / "inv")
+    docs = _docs(spark)
+    inverted_build(
+        docs.filter(F.col("doc_id") < 100), path, n_buckets=8, use_tlog=True
+    )
+    day2 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 130))
+    inverted_append(day2, path, txn=("ing", 1))
+    n1 = read_doclens(spark, path).count()
+    inverted_append(day2, path, txn=("ing", 1))  # at-least-once replay
+    assert read_doclens(spark, path).count() == n1 == 130
+    # legacy layouts cannot honor the idempotence contract
+    leg = str(tmp_path / "leg")
+    inverted_build(docs.filter(F.col("doc_id") < 50), leg, n_buckets=8)
+    with pytest.raises(ValueError, match="transactional layout"):
+        inverted_append(day2, leg, txn=("ing", 1))
+
+
+def test_inverted_ingest_stream_exactly_once_on_tlog_layout(
+    spark, tmp_path
+):
+    """The streaming ingest pipeline passes (run id, batch id) txn
+    keys on transactional layouts — streamed layout == one-shot batch
+    append, and the commit log shows every batch exactly once."""
+    from cnc_visionsearch_spark.streaming.pipelines import (
+        inverted_ingest_stream,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "inv")
+    inverted_build(
+        docs.filter(F.col("doc_id") < 100), path, n_buckets=8, use_tlog=True
+    )
+    stream_dir = str(tmp_path / "in")
+    docs.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 160)
+    ).coalesce(2).write.parquet(stream_dir)
+    q = inverted_ingest_stream(
+        spark,
+        stream_dir,
+        path,
+        str(tmp_path / "ckpt"),
+        n_buckets=8,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert read_doclens(spark, path).count() == 160
+    got = (
+        bm25_probe(spark, path, ["vector", "scan"], n_buckets=8)
+        .orderBy(F.col("score_q").desc(), "doc_id")
+        .collect()
+    )
+    # one-shot twin over the same final corpus
+    ref = str(tmp_path / "ref")
+    inverted_build(
+        docs.filter(F.col("doc_id") < 160), ref, n_buckets=8, use_tlog=True
+    )
+    want = (
+        bm25_probe(spark, ref, ["vector", "scan"], n_buckets=8)
+        .orderBy(F.col("score_q").desc(), "doc_id")
+        .collect()
+    )
+    assert got == want
+    # every committed append carries its txn (exactly-once evidence)
+    txns = [
+        h["txn"] for h in TLog(path).history() if h["txn"] is not None
+    ]
+    assert len(txns) == len({(t["app"], t["seq"]) for t in txns}) >= 1
