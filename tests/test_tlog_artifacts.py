@@ -392,3 +392,89 @@ def test_inverted_ingest_stream_exactly_once_on_tlog_layout(
         h["txn"] for h in TLog(path).history() if h["txn"] is not None
     ]
     assert len(txns) == len({(t["app"], t["seq"]) for t in txns}) >= 1
+
+
+def test_inverted_concurrent_mixed_workload_serializes(spark, tmp_path):
+    """Torture the arbitration with REAL threads: four appenders
+    (disjoint doc ranges), two deleters, and a vacuum+compact loop all
+    racing on one transactional layout. Whatever the interleave, the
+    final state must equal the serial outcome: every appended doc
+    present exactly once, every deleted doc gone everywhere, no torn
+    reads (the probe at the end equals a from-scratch build over the
+    surviving docs)."""
+    import threading
+
+    from cnc_visionsearch_spark.sources.tlog import run_transaction
+
+    path = str(tmp_path / "inv")
+    docs = _docs(spark)
+    inverted_build(
+        docs.filter(F.col("doc_id") < 100), path, n_buckets=8, use_tlog=True
+    )
+    ranges = [(100, 130), (130, 160), (160, 190), (190, 220)]
+    deletes = [[3, 17], [105, 42]]
+    errs: list = []
+
+    def appender(lo, hi):
+        try:
+            inverted_append(
+                docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+                path,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def deleter(ids):
+        try:
+            inverted_delete(spark, path, ids)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def maintainer():
+        try:
+            run_transaction(
+                lambda: inverted_vacuum(spark, path), max_retries=20
+            )
+            run_transaction(
+                lambda: inverted_compact(spark, path), max_retries=20
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = (
+        [threading.Thread(target=appender, args=r) for r in ranges]
+        + [threading.Thread(target=deleter, args=(d,)) for d in deletes]
+        + [threading.Thread(target=maintainer)]
+    )
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errs
+    # final maintenance pass applies any tombstones the racing vacuum
+    # legitimately missed (deletes that landed after its snapshot)
+    run_transaction(lambda: inverted_vacuum(spark, path), max_retries=20)
+    deleted = {i for d in deletes for i in d}
+    expect = set(range(220)) - deleted
+    ids = {r[0] for r in read_doclens(spark, path).select("doc_id").collect()}
+    assert ids == expect
+    dl = read_doclens(spark, path)
+    assert dl.count() == dl.select("doc_id").distinct().count()
+    got = (
+        bm25_probe(spark, path, ["vector", "scan"], n_buckets=8)
+        .orderBy(F.col("score_q").desc(), "doc_id")
+        .collect()
+    )
+    ref = str(tmp_path / "ref")
+    inverted_build(
+        docs.filter(F.col("doc_id") < 220).filter(
+            ~F.col("doc_id").isin(sorted(deleted))
+        ),
+        ref,
+        n_buckets=8,
+        use_tlog=True,
+    )
+    want = (
+        bm25_probe(spark, ref, ["vector", "scan"], n_buckets=8)
+        .orderBy(F.col("score_q").desc(), "doc_id")
+        .collect()
+    )
+    assert got == want
