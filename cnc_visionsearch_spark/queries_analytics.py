@@ -609,15 +609,23 @@ def ensure_inverted_built(spark: SparkSession, sf_dir: str) -> str:
     from cnc_visionsearch_spark.operators.text_index import inverted_build
     from cnc_visionsearch_spark.queries_ann import _ARTIFACT_ROOT, _corpus_tag
 
-    # v2: layout gained the doclens norms table (BM25 serving) — the
-    # version suffix retires any v1 artifact dir that lacks it.
+    # v3 (r9): the SERVING layout is now TRANSACTIONAL (tlog mode) —
+    # probe results are mode-invariant by construction (the
+    # read_postings/read_doclens seams serve both modes, test-pinned),
+    # so every registered text query exercises the committed-snapshot
+    # read path and the index is maintainable by concurrent jobs with
+    # defined conflict semantics. The version suffix retires the
+    # legacy v2 dir.
     path = (
         f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir, 'documents')}"
-        f"/inverted_b{_INV_BUCKETS}v2"
+        f"/inverted_b{_INV_BUCKETS}v3"
     )
     if not os.path.exists(os.path.join(path, "_BUILT")):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)  # partial tlog builds
         docs = load_table(spark, sf_dir, "documents")
-        inverted_build(docs, path, n_buckets=_INV_BUCKETS)
+        inverted_build(docs, path, n_buckets=_INV_BUCKETS, use_tlog=True)
         open(os.path.join(path, "_BUILT"), "w").close()
     return path
 
@@ -1928,12 +1936,15 @@ def ensure_inverted_deleted_layout(spark: SparkSession, sf_dir: str) -> str:
 
     path = (
         f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir, 'documents')}"
-        f"/inverted_del_b{_INV_BUCKETS}"
+        f"/inverted_del_b{_INV_BUCKETS}v3"
     )
     marker = os.path.join(path, "_DELETED")
     if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)  # partial tlog builds
         docs = load_table(spark, sf_dir, "documents")
-        inverted_build(docs, path, n_buckets=_INV_BUCKETS)
+        inverted_build(docs, path, n_buckets=_INV_BUCKETS, use_tlog=True)
         ids = [
             r.doc_id
             for r in docs.filter(
