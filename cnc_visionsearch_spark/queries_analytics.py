@@ -1284,7 +1284,7 @@ def text_inverted_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         {term_bucket(t, _INV_BUCKETS) for t in _AND_TERMS}
     )
     posts = (
-        read_postings(spark, path)
+        read_postings(spark, path, buckets=buckets)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(list(_AND_TERMS)))
     )
@@ -1885,7 +1885,7 @@ def text_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = [r.term for r in fbterms.select("term").collect()]
     buckets = sorted({term_bucket(t, _INV_BUCKETS) for t in cand})
     gdf = (
-        read_postings(spark, path)
+        read_postings(spark, path, buckets=buckets)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(cand))
         .groupBy("term")
@@ -2395,7 +2395,7 @@ def text_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_inverted_built(spark, sf_dir)
     bucket = term_bucket(_KWIC_TERM, _INV_BUCKETS)
     top = (
-        read_postings(spark, path)
+        read_postings(spark, path, buckets=[bucket])
         .filter(F.col("bucket") == bucket)
         .filter(F.col("term") == _KWIC_TERM)
         .select("doc_id", F.col("tf").cast("bigint").alias("tf"),
@@ -4280,7 +4280,7 @@ def text_query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_inverted_built(spark, sf_dir)
     buckets = sorted({term_bucket(t, _INV_BUCKETS) for t in _QL_TERMS})
     posts = (
-        read_postings(spark, path)
+        read_postings(spark, path, buckets=buckets)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(list(_QL_TERMS)))
         .select("term", "doc_id", F.col("tf").cast("double").alias("tf"))
@@ -4508,7 +4508,7 @@ def text_percolator_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_name string, term string, n_terms int",
     )
     posts = (
-        read_postings(spark, path)
+        read_postings(spark, path, buckets=buckets)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(all_terms))
         .select("term", "doc_id")
@@ -4769,7 +4769,7 @@ def text_percolator_negated(spark: SparkSession, sf_dir: str) -> DataFrame:
         {term_bucket(t, _INV_BUCKETS) for t in pos_terms + neg_terms}
     )
     posts = (
-        read_postings(spark, path)
+        read_postings(spark, path, buckets=buckets)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(pos_terms + neg_terms))
         .select("term", "doc_id")

@@ -546,14 +546,46 @@ def test_monthly_rollup_serves_from_daily_artifact(spark, queries):
     assert files and all("daily_rollup" in f for f in files)
 
 
+
+def _tb_values(files):
+    """Distinct _tb= domain tags in a transactional layout's scanned
+    file set ([] on legacy layouts — their paths carry bucket= hive
+    dirs instead)."""
+    return sorted(
+        {int(f.split("_tb=")[1].split("/")[0]) for f in files if "_tb=" in f}
+    )
+
+
+def _assert_bucket_pruned(df, n_buckets=16, expect=None):
+    """Mode-aware pruning evidence for inverted-layout probes. On a
+    TRANSACTIONAL layout the proof is the scan's ACTUAL FILE SET (the
+    log-tag selection already excluded other buckets' files — stronger
+    than a filter string); on a legacy layout it is the hive
+    PartitionFilters bucket IN (...) line."""
+    files = df.inputFiles()
+    assert files and all("inverted" in f for f in files)
+    tb = _tb_values(files)
+    if tb:
+        if expect is not None:
+            assert set(tb) <= set(expect), (tb, expect)
+        assert len(tb) < n_buckets, tb  # proper subset == pruned scan
+        return
+    pf = [ln for ln in plan_of(df).splitlines() if "PartitionFilters" in ln]
+    assert pf and any("bucket" in ln and "IN (" in ln for ln in pf)
+
+
 def test_inverted_phrase_probe_schema_is_postings_only(spark, queries):
     """text_inverted_phrase_hits reads the postings layout (never the
     documents table) and prunes the scan to the probe's buckets."""
+    from cnc_visionsearch_spark.operators.text_index import term_bucket
+    from cnc_visionsearch_spark.queries_analytics import _INV_BUCKETS, _PHRASE
+
     df = queries["text_inverted_phrase_hits"](spark, SF)
-    files = df.inputFiles()
-    assert files and all("inverted" in f for f in files)
-    pf = [ln for ln in plan_of(df).splitlines() if "PartitionFilters" in ln]
-    assert pf and any("bucket" in ln and "IN (" in ln for ln in pf)
+    _assert_bucket_pruned(
+        df,
+        n_buckets=_INV_BUCKETS,
+        expect={term_bucket(t, _INV_BUCKETS) for t in _PHRASE},
+    )
 
 
 def test_inverted_bm25_probe_reads_index_only(spark, queries):
@@ -564,10 +596,15 @@ def test_inverted_bm25_probe_reads_index_only(spark, queries):
     df = queries["text_inverted_bm25_topk"](spark, SF)
     files = df.inputFiles()
     assert files and all("inverted" in f for f in files)
-    assert any("doclens" in f for f in files)
-    assert any("postings" in f for f in files)
-    pf = [ln for ln in plan_of(df).splitlines() if "PartitionFilters" in ln]
-    assert pf and any("bucket" in ln and "IN (" in ln for ln in pf)
+    if _tb_values(files):
+        # transactional layout: postings files carry _tb= domain dirs,
+        # the doclens norms file is untagged — both subtables present
+        assert any("_tb=" in f for f in files)
+        assert any("_tb=" not in f for f in files)
+    else:
+        assert any("doclens" in f for f in files)
+        assert any("postings" in f for f in files)
+    _assert_bucket_pruned(df)
 
 
 def test_semdedup_rides_the_ivf_layout(spark, queries):
@@ -640,10 +677,7 @@ def test_proximity_probe_reads_index_only(spark, queries):
     (never the documents table), partition-pruned to the two query
     terms' buckets, with the positions-pair scoring in codegen."""
     df = queries["text_inverted_proximity_topk"](spark, SF)
-    files = df.inputFiles()
-    assert files and all("inverted" in f for f in files)
-    pf = [ln for ln in plan_of(df).splitlines() if "PartitionFilters" in ln]
-    assert pf and any("bucket" in ln and "IN (" in ln for ln in pf)
+    _assert_bucket_pruned(df)
 
 
 def test_duplicate_spans_shuffles_never_carry_text(spark, queries):
@@ -716,10 +750,7 @@ def test_maxscore_and_ql_probes_read_index_only(spark, queries):
     def _assert_index_only(df, name):
         files = df.inputFiles()
         assert files and all("inverted" in f for f in files), name
-        pf = [
-            ln for ln in plan_of(df).splitlines() if "PartitionFilters" in ln
-        ]
-        assert pf and any("bucket" in ln and "IN (" in ln for ln in pf), name
+        _assert_bucket_pruned(df)
 
     _assert_index_only(
         queries["text_query_likelihood_topk"](spark, SF),
@@ -745,8 +776,7 @@ def test_percolator_bucket_pruned_and_broadcast(spark, queries):
     df = queries["text_percolator_matches"](spark, SF)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert pf and any("bucket" in ln and "IN (" in ln for ln in pf)
+    _assert_bucket_pruned(df)
     # the stored-query table is the broadcast side of the postings join
     assert "BroadcastExchange" in plan
 
