@@ -59,11 +59,13 @@ def _batch_stats(query, queries_per_batch: int) -> dict:
     }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_session(app_name="stream-bench")
-    from cnc_visionsearch_spark.queries_analytics import ensure_inverted_built
-    from cnc_visionsearch_spark.queries_ann import ensure_ivf_built
+N_PASSES = 2  # per-stream best-median across passes: single-shot
+# medians on a shared VM see multi-second CPU-steal bursts (identical
+# runs measured 1.3s vs 5.9s medians back to back) — the bench.py
+# min-of-passes doctrine applied to streaming
+
+
+def measure(spark, sf_dir, ivf_path, inv_path) -> dict:
     from cnc_visionsearch_spark.queries_analytics import _PERC_QUERIES
     from cnc_visionsearch_spark.streaming.pipelines import (
         bm25_serving_stream,
@@ -71,10 +73,8 @@ def main() -> None:
         percolator_stream,
     )
 
-    ivf_path = ensure_ivf_built(spark, sf_dir, n_cells=8)
-    inv_path = ensure_inverted_built(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="stream_bench_")
-    out: dict = {"sf_dir": sf_dir}
+    out: dict = {}
     try:
         # ---- kNN serving: N_BATCHES files of KNN_QPB query vectors
         emb = load_table(spark, sf_dir, "embeddings")
@@ -308,6 +308,31 @@ def main() -> None:
         out["tlog_upsert"] = _batch_stats(q6, tl_rpb)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session(app_name="stream-bench")
+    from cnc_visionsearch_spark.queries_analytics import ensure_inverted_built
+    from cnc_visionsearch_spark.queries_ann import ensure_ivf_built
+
+    ivf_path = ensure_ivf_built(spark, sf_dir, n_cells=8)
+    inv_path = ensure_inverted_built(spark, sf_dir)
+    runs = [measure(spark, sf_dir, ivf_path, inv_path) for _ in range(N_PASSES)]
+    out: dict = {
+        "sf_dir": sf_dir,
+        "passes": runs,
+        "aggregate": (
+            f"per-stream BEST-MEDIAN of {N_PASSES} passes (shared-VM "
+            "CPU-steal bursts inflate single runs; raw passes recorded)"
+        ),
+    }
+    for k in runs[0]:
+        out[k] = min(
+            (r[k] for r in runs),
+            key=lambda d: d["median_ms"] if d["median_ms"] is not None else 1e18,
+        )
 
     dest = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -315,7 +340,7 @@ def main() -> None:
     )
     with open(dest, "w") as fh:
         json.dump(out, fh, indent=2)
-    print(json.dumps(out))
+    print(json.dumps({k: v for k, v in out.items() if k != "passes"}))
     spark.stop()
 
 
