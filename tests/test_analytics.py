@@ -83,12 +83,28 @@ def test_phrase_probe_prunes_buckets_and_matches_rescan(spark):
 
     path = ensure_inverted_built(spark, SF)
     probe = phrase_probe(spark, path, "slow", "fast", n_buckets=_INV_BUCKETS)
-    pf = [
-        ln
-        for ln in formatted_plan(probe).splitlines()
-        if "PartitionFilters" in ln
-    ]
-    assert pf and any("bucket" in ln and "IN (" in ln for ln in pf)
+    # mode-aware pruning evidence (tests/test_plans._assert_bucket_pruned
+    # doctrine): on the transactional layout the proof is the scan's
+    # ACTUAL file set — only the two terms' _tb= domain files enter;
+    # on a legacy layout it is the hive PartitionFilters line
+    from cnc_visionsearch_spark.operators.text_index import term_bucket
+
+    files = probe.inputFiles()
+    tb = sorted(
+        {int(f.split("_tb=")[1].split("/")[0]) for f in files if "_tb=" in f}
+    )
+    if tb:
+        want = {
+            term_bucket(t, _INV_BUCKETS) for t in ("slow", "fast")
+        }
+        assert set(tb) <= want, (tb, want)
+    else:
+        pf = [
+            ln
+            for ln in formatted_plan(probe).splitlines()
+            if "PartitionFilters" in ln
+        ]
+        assert pf and any("bucket" in ln and "IN (" in ln for ln in pf)
 
     docs = load_table(spark, SF, "documents")
     sp = F.split("text", " ")
