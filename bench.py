@@ -102,9 +102,36 @@ HEADLINE = [
 ]
 
 
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:  # pragma: no cover — non-Linux
+        return []
+
+
+def _calibration_loop() -> float:
+    """Fixed single-thread CPU work (~0.2-0.4s on an idle core): md5
+    over 1 MiB x 200. Its wall time depends only on how much CPU this
+    process actually gets — a MECHANICAL contention probe (r9 verdict
+    #5), so a noisy shared-VM window is machine-flagged in the bench
+    artifact instead of re-argued from per-query drift every round."""
+    import hashlib
+
+    buf = b"\xab" * (1 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    for _ in range(200):
+        h.update(buf)
+    h.digest()
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    loadavg_start = _loadavg()
+    calibrations = [_calibration_loop()]
     spark = get_session(app_name="bench")
     queries = all_queries()
 
@@ -136,6 +163,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for pass_no in range(3):
+        calibrations.append(_calibration_loop())
         for name in HEADLINE:
             fn = queries[name]
             t0 = time.perf_counter()
@@ -157,6 +185,25 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover
         print(f"  RECALL.json emission failed: {exc}", file=sys.stderr)
 
+    # Mechanical contention marker (r9 verdict #5): the fixed-work
+    # calibration loop's wall-time spread across the run, plus
+    # loadavg at start (BEFORE this bench adds its own load) and end.
+    # contended=true when the calibration spread exceeds 1.35x (the
+    # same single-thread work took >35% longer in the worst window
+    # than the best — CPU steal) or the machine already carried more
+    # than half its cores of load before the bench started.
+    calibrations.append(_calibration_loop())
+    loadavg_end = _loadavg()
+    cal_spread = (
+        round(max(calibrations) / min(calibrations), 3)
+        if min(calibrations) > 0
+        else None
+    )
+    ncpu = os.cpu_count() or 1
+    contended = bool(
+        (cal_spread is not None and cal_spread > 1.35)
+        or (loadavg_start and loadavg_start[0] > 0.5 * ncpu)
+    )
     result = {
         "metric": "headline_wall_clock",
         "value": total,
@@ -166,6 +213,14 @@ def main() -> None:
         # visible next to the min-of-3 headline numbers
         "passes": passes,
         "sf": sf,
+        "contended": contended,
+        "contention": {
+            "loadavg_start": loadavg_start,
+            "loadavg_end": loadavg_end,
+            "calibration_secs": calibrations,
+            "calibration_spread": cal_spread,
+            "ncpu": ncpu,
+        },
     }
     # The driver's tail capture is bounded; with 34+ queries the full
     # JSON (timings + passes) can overflow it and the committed BENCH

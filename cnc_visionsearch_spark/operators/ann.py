@@ -45,6 +45,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cnc_visionsearch_spark.functions.vector import dot, l2_sq
+from cnc_visionsearch_spark.operators.mutex import single_writer
 
 __all__ = [
     "hyperplanes",
@@ -578,6 +579,7 @@ def _without_tombstones(spark, path: str, cells: DataFrame, id_col: str) -> Data
     return cells.join(F.broadcast(tombs), id_col, "left_anti")
 
 
+@single_writer("vacuum")
 def _vacuum_layout(
     spark,
     path: str,
@@ -949,6 +951,7 @@ def shard_build(
         _write_faiss_shard_artifacts(spark, path, None, id_col, vec_col)
 
 
+@single_writer("shard_append")
 def shard_append(
     spark,
     path: str,

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 from cnc_visionsearch_spark.functions.vector import l2_sq
 from cnc_visionsearch_spark.operators.ann import _metadata_rows, _seq_l2_sq
+from cnc_visionsearch_spark.operators.mutex import single_writer
 
 __all__ = [
     "nsw_build",
@@ -211,6 +212,7 @@ def nsw_build(
         )
 
 
+@single_writer("nsw_append")
 def nsw_append(spark, path: str, new_emb: DataFrame) -> None:
     """Incremental insert — the batch twin of HNSW's online ``add``:
     each new node gets out-edges to its m nearest EXISTING nodes (found
@@ -563,6 +565,7 @@ def _hnsw_beam_layer(
     return beam
 
 
+@single_writer("hnsw_append")
 def hnsw_append(spark, path: str, new_emb: DataFrame) -> None:
     """Incremental insert into a :func:`hnsw_build` layout — the exact
     HNSW insert algorithm, batched: each new node draws its

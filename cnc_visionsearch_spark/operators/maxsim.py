@@ -41,6 +41,7 @@ from cnc_visionsearch_spark.functions.vector import l2_sq
 
 __all__ = [
     "LI_DIM",
+    "MAXSIM_BROADCAST_MAX_ROWS",
     "TOKEN_IVF_CELLS",
     "TOKEN_IVF_NPROBE",
     "li_token_vec",
@@ -75,6 +76,23 @@ TOKEN_IVF_NPROBE = 2
 # is the simpler policy with the same asymptotics)
 TOKEN_IVF_OCCUPANCY = 4
 _GEOM = "_GEOMETRY.json"
+
+# broadcast-hint bound for maxsim_multi_probe's MEASURED small sides
+# (candidate pairs / vocab-dot rows): ~100k rows of a few narrow
+# columns is a handful of MB — comfortably a broadcast; above it the
+# joins stay shuffled (a candidate set can be a corpus FRACTION, and
+# hint-forcing a corpus fraction through the driver is the one
+# scale-killer shape the r9 sweep measured: frac 0.58 on unigram
+# geometry even under the conjunction rule)
+MAXSIM_BROADCAST_MAX_ROWS = 100_000
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int, max_rows: int) -> DataFrame:
+    """Adaptive broadcast hint: hint only when the MEASURED row count
+    is under the bound; otherwise return the frame unhinted so the
+    join shuffles (AQE may still promote it at runtime from actual
+    sizes — the safe direction, unlike a forced driver collect)."""
+    return F.broadcast(df) if n_rows <= max_rows else df
 
 # tlog conflict-domain tags for transactional token-IVF layouts:
 # doc_cells files carry their cell_id; the auxiliary subtables get
@@ -632,6 +650,7 @@ def maxsim_multi_probe(
     candidates: str = "lexical",
     nprobe: int = TOKEN_IVF_NPROBE,
     min_token_hits: "int | str" = 1,
+    broadcast_max_rows: int = MAXSIM_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Batch maxsim — the late-interaction twin of bm25_multi_probe
     (kNN-join shape): N (qid, tokens) queries answered together.
@@ -657,7 +676,13 @@ def maxsim_multi_probe(
     reduction is order-independent (the ADC decimal-sum discipline)
     and batch == per-query semantics hash-exactly. Returns
     (qid, doc_id, score_q), top-k per qid via the WindowGroupLimit
-    shape."""
+    shape.
+
+    ``broadcast_max_rows``: broadcast hints on the candidate-pair and
+    vocab-dot join sides are ADAPTIVE — applied only when the measured
+    row count is under this bound (the candidate set can be a corpus
+    fraction; hint-forcing it through the driver is a scale hazard).
+    """
     if candidates == "lexical":
         from cnc_visionsearch_spark.operators.text_index import (
             read_postings,
@@ -743,45 +768,65 @@ def maxsim_multi_probe(
         raise ValueError(
             f"candidates must be 'lexical' or 'token_ivf': {candidates!r}"
         )
+    # ADAPTIVE small-side hints (r9 verdict #1): the candidate set is
+    # a corpus FRACTION, not a bounded dimension — the conjunction
+    # sweep itself measured frac 0.58 on unigram geometry — so an
+    # unconditional F.broadcast(cand) would at scale force a
+    # driver-side collect of millions of rows into a broadcast table.
+    # cand is consumed twice (the text semi-join and the scoring
+    # join), so persist it once, MEASURE it with one count, and hint
+    # only under broadcast_max_rows; above the bound both joins stay
+    # shuffled. The persisted fraction is released by the context
+    # cleaner when the returned plan is dropped.
+    cand = cand.persist()
+    n_cand = cand.count()
     dtoks = doc_distinct_tokens(
-        docs.join(cand.select("doc_id").distinct(), "doc_id", "left_semi")
+        docs.join(
+            _maybe_broadcast(
+                cand.select("doc_id").distinct(), n_cand, broadcast_max_rows
+            ),
+            "doc_id",
+            "left_semi",
+        )
     )
+    qvec_rows = [
+        (qid, t, li_token_vec_py(t)) for qid, ts in queries for t in ts
+    ]
     qvecs = spark.createDataFrame(
-        [
-            (qid, t, li_token_vec_py(t))
-            for qid, ts in queries
-            for t in ts
-        ],
-        "qid bigint, qtok string, qnv array<double>",
+        qvec_rows, "qid bigint, qtok string, qnv array<double>"
     )
     # VOCAB-FACTORED scoring (r9): dots depend only on (vocabulary
     # token, query token) — a vocab x |q| table — so the md5 vectors
     # and the interpreted dot folds evaluate once per DISTINCT
     # candidate token against the broadcast query vectors, then
-    # broadcast-join back onto the (doc, tok) rows. Same doubles as
-    # the previous per-doc-token inline evaluation (identical
-    # expressions over identical inputs): batch == per-query == oracle
-    # hash-exactly, at ~1/|docs-per-token| the higher-order-function
-    # cost.
+    # join back onto the (doc, tok) rows. Same doubles as the previous
+    # per-doc-token inline evaluation (identical expressions over
+    # identical inputs): batch == per-query == oracle hash-exactly, at
+    # ~1/|docs-per-token| the higher-order-function cost.
     dot = F.aggregate(
         F.zip_with(F.col("_nv"), F.col("qnv"), lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    vocab = dtoks.select("tok").distinct().persist()
+    n_vocab = vocab.count()  # bounded by the vocabulary, not the corpus
     vocab_dots = (
-        dtoks.select("tok")
-        .distinct()
-        .withColumn("_v", li_token_vec("tok"))
+        vocab.withColumn("_v", li_token_vec("tok"))
         .withColumn("_nv", li_normalize(F.col("_v")))
         .crossJoin(F.broadcast(qvecs))
         .select("tok", "qid", "qtok", dot.alias("_dot"))
     )
-    # candidate pairs are bounded by (queries x their candidate docs)
-    # — broadcast them so the doc-token side joins map-side and the
-    # only shuffle left is the per-(qid, doc, qtok) max aggregate
+    # vocab_dots is exactly n_vocab x |batch tokens| rows — known
+    # without another job; same adaptive rule (a 100k-token vocabulary
+    # against a wide query batch is NOT broadcastable)
     per_tok = (
-        dtoks.join(F.broadcast(cand), "doc_id")
-        .join(F.broadcast(vocab_dots), ["qid", "tok"])
+        dtoks.join(_maybe_broadcast(cand, n_cand, broadcast_max_rows), "doc_id")
+        .join(
+            _maybe_broadcast(
+                vocab_dots, n_vocab * len(qvec_rows), broadcast_max_rows
+            ),
+            ["qid", "tok"],
+        )
         .groupBy("qid", "doc_id", "qtok")
         .agg(F.max(F.col("_dot")).alias("_best"))
         .select(

@@ -1,0 +1,133 @@
+"""Advisory single-writer lock for NON-transactional artifact layouts.
+
+Scope decision (r9 verdict, recorded in SCALE.md "Table-format
+stance"): the four high-churn derived artifacts — inverted index, IVF,
+MinHash store, token-IVF — arbitrate concurrent mutation through the
+tlog (optimistic concurrency, conflict domains, snapshot isolation).
+The remaining mutable layouts (NSW/HNSW graphs, brute-force shards,
+and the shared crash-safe vacuum rewrite) are LOW-churn tmp+rename
+artifacts where the tlog's per-commit machinery buys little — but a
+graph append racing a compact there was previously UNARBITRATED: two
+writers could interleave partition writes and leave a layout neither
+intended. This module makes the single-writer scope decision
+ENFORCEABLE instead of advisory: every mutation of one layout
+serializes on a create-exclusive lockfile, and a second concurrent
+mutator fails LOUDLY (:class:`LayoutBusyError`) rather than corrupting
+the layout.
+
+Mechanics: ``os.open(..., O_CREAT | O_EXCL)`` on ``<layout>/_MUTATION_LOCK``
+— the same POSIX create-exclusive primitive the tlog's commit claim
+uses (sources/tlog.py), so the atomicity story is one story. The lock
+file records holder pid / op / timestamp for the error message. A lock
+older than ``stale_after_s`` (default 1h) is presumed crashed and
+broken — breaking races resolve through the same create-exclusive
+retry, so at most one breaker wins. Reference: the reference engine
+relies on SQLite's single-writer file lock for the same job
+(main.py:104-135); this is that contract, made explicit per-artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from contextlib import contextmanager
+
+__all__ = [
+    "LayoutBusyError",
+    "layout_mutation_lock",
+    "single_writer",
+    "LOCK_NAME",
+]
+
+LOCK_NAME = "_MUTATION_LOCK"
+STALE_AFTER_S = 3600.0
+
+
+class LayoutBusyError(RuntimeError):
+    """Another writer holds the layout's mutation lock. These layouts
+    are SINGLE-WRITER by design — wait for the holder, or use a
+    tlog-backed artifact (``use_tlog=True`` builds) when concurrent
+    mutation is a requirement."""
+
+
+@contextmanager
+def layout_mutation_lock(
+    path: str, op: str = "mutate", stale_after_s: float = STALE_AFTER_S
+):
+    """Hold the layout's single-writer mutation lock for the block.
+
+    Raises :class:`LayoutBusyError` (loud, with holder info) if another
+    mutator holds it; breaks locks older than ``stale_after_s`` (a
+    crashed holder — tmp+rename layouts heal their partial writes via
+    ``_heal_artifact_dir``, so breaking is safe)."""
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, LOCK_NAME)
+    fd = None
+    for attempt in range(2):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue  # holder released between open and stat: retry
+            if age > stale_after_s and attempt == 0:
+                # presumed crashed holder: break and re-race the create
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+                continue
+            holder = ""
+            try:
+                with open(lock) as f:
+                    holder = f.read(512)
+            except OSError:
+                pass
+            raise LayoutBusyError(
+                f"layout {path} is being mutated by another writer "
+                f"({holder or 'holder info unavailable'}; lock age "
+                f"{age:.0f}s): these layouts are single-writer — wait "
+                "for the holder, or build with use_tlog=True for "
+                "arbitrated concurrent mutation"
+            )
+    if fd is None:  # pragma: no cover — both attempts lost the race
+        raise LayoutBusyError(
+            f"layout {path} mutation lock contended during stale-break"
+        )
+    try:
+        os.write(
+            fd,
+            json.dumps(
+                {"pid": os.getpid(), "op": op, "ts": time.time()}
+            ).encode(),
+        )
+        os.close(fd)
+        fd = None
+        yield
+    finally:
+        if fd is not None:
+            os.close(fd)
+        try:
+            os.unlink(lock)
+        except OSError:  # pragma: no cover
+            pass
+
+
+def single_writer(op: str):
+    """Decorator form for mutators with the ``(spark, path, ...)``
+    calling convention: holds :func:`layout_mutation_lock` on ``path``
+    for the call."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(spark, path, *a, **k):
+            with layout_mutation_lock(path, op):
+                return fn(spark, path, *a, **k)
+
+        return wrapper
+
+    return deco

@@ -87,13 +87,15 @@ _SAMPLE_PER_BAND = 32
 # execute at query CONSTRUCTION. Serving paths construct the same
 # query repeatedly over immutable inputs (bench passes, chained
 # registry calls), re-paying both jobs each time; this memo keys the
-# collected literals on (canonicalized-plan semantic hash, order spec,
-# sums spec, bands) so identical constructions reuse them. SAFETY:
-# boundary placement never affects VALUES (only balance), but band
-# totals do — the memo therefore assumes the input RELATION is
-# immutable for the session (true for every in-repo consumer: fixture
-# parquet + pure derivations). A caller that overwrites files under an
-# unchanged plan must pass memo=False or call clear_kernel_memo().
+# collected literals on (canonicalized-plan semantic hash, INPUT-FILE
+# fingerprint, order spec, sums spec, bands) so identical
+# constructions reuse them. SAFETY: boundary placement never affects
+# VALUES (only balance), but band totals do — so the key carries a
+# (path, size, mtime) digest of the plan's scanned files
+# (_input_fingerprint, r10): overwriting the files under an unchanged
+# plan auto-invalidates, no memo=False or clear_kernel_memo() needed.
+# Those escape hatches remain for non-file mutation (e.g. a mutated
+# temp view behind an unchanged semantic hash).
 # Bounded: LRU, <= _MEMO_CAP entries of <= bands rows each.
 _MEMO_CAP = 64
 _KERNEL_MEMO: "dict[tuple, tuple]" = {}
@@ -113,6 +115,42 @@ def _plan_hash(df: DataFrame):
         return df._jdf.queryExecution().analyzed().semanticHash()
     except Exception:
         return None
+
+
+def _input_fingerprint(df: DataFrame):
+    """(path, size, mtime) digest of the plan's scanned FILES — the
+    memo's auto-invalidation key (r9 verdict #4 hardening): a caller
+    that overwrites the underlying files and reconstructs the same
+    plan now MISSES the memo (the file set / sizes / mtimes changed)
+    instead of replaying stale literals, with no memo=False or
+    clear_kernel_memo() required. Driver-side O(files) listing + stat
+    — the same order of work the scan's own file index already does
+    at planning. A plan with no file sources digests the empty list
+    (its inputs are in-memory per-plan literals: genuinely immutable
+    under an unchanged semantic hash). Returns None when the file set
+    cannot be determined — the caller then skips memoization (never
+    the unsafe direction)."""
+    import hashlib
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    h = hashlib.md5()
+    for uri in sorted(files):
+        p = uri
+        if p.startswith("file://"):
+            p = p[len("file://") :]
+        elif p.startswith("file:"):
+            p = p[len("file:") :]
+        try:
+            st = os.stat(p)
+            sig = f"{uri}|{st.st_size}|{st.st_mtime_ns}"
+        except OSError:
+            sig = f"{uri}|missing"
+        h.update(sig.encode())
+    return (len(files), h.hexdigest())
 
 
 def _memo_get(key):
@@ -331,10 +369,12 @@ def distributed_cumsum(
     memo_key = None
     if memo:
         ph = _plan_hash(df)
-        if ph is not None:
+        fp = _input_fingerprint(df)
+        if ph is not None and fp is not None:
             memo_key = (
                 "cumsum",
                 ph,
+                fp,
                 df.schema.simpleString(),
                 tuple((str(e), asc) for e, asc in keys),
                 tuple(str(e) for e, _ in sums),
@@ -561,10 +601,12 @@ def exact_ntile_multi(
     # and per-band totals with zero jobs
     memo_key = None
     ph = _plan_hash(df)
-    if ph is not None:
+    fp = _input_fingerprint(df)
+    if ph is not None and fp is not None:
         memo_key = (
             "ntile_multi",
             ph,
+            fp,
             df.schema.simpleString(),
             tuple(
                 (tuple((str(e), asc) for e, asc in keys), n, out)

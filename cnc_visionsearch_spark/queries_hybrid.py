@@ -36,21 +36,26 @@ _B = 0.75
 _RRF_K = 60.0
 
 
-def _bm25_perterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_perterm(
+    spark: SparkSession, sf_dir: str, terms: "list[str] | None" = None
+) -> DataFrame:
     """(doc_id, tok, sq): the quantized per-(doc, term) BM25 impact for
     every document matching >= 1 query term — THE formula instance
     (idf form, k1/b, the 1e-9 quantization point) every lexical query
     in this module derives from; keep it in exactly one place. One
     explode -> early term filter -> tf per (doc, term) -> broadcast
     join of the 3-row df table and the 1-row (N, avgdl) aggregate ->
-    quantized per-term score."""
+    quantized per-term score. ``terms`` defaults to the module's fixed
+    query; the graded head-to-head eval passes the maxsim tier's query
+    so both families answer the SAME request."""
+    terms = list(terms) if terms is not None else _TERMS
     d = load_table(spark, sf_dir, "documents")
     dl = d.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("double").alias("dl")
     )
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).filter(F.col("tok").isin(_TERMS))
+    ).filter(F.col("tok").isin(terms))
     tf = tok.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
@@ -77,17 +82,60 @@ def _bm25_perterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_scored(
+    spark: SparkSession, sf_dir: str, terms: "list[str] | None" = None
+) -> DataFrame:
     """(doc_id, n_terms, score_q): the per-doc ranking reduction over
     :func:`_bm25_perterm` — an order-free BIGINT sum."""
     return (
-        _bm25_perterm(spark, sf_dir)
+        _bm25_perterm(spark, sf_dir, terms=terms)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
             F.sum("sq").alias("score_q"),
         )
     )
+
+
+def _bm25_ctes(terms: "list[str] | tuple" = None) -> str:
+    """The BM25 oracle CTE chain for an arbitrary term list — the SQL
+    twin of :func:`_bm25_perterm`'s ``terms`` parameter. The module
+    constant ``_BM25_CTES`` (the fixed 3-term query every existing
+    lexical oracle embeds) is this function at its default."""
+    tl = ", ".join(repr(t) for t in (terms if terms is not None else _TERMS))
+    return f"""
+dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+qtok AS (SELECT doc_id, tok FROM tok WHERE tok IN ({tl})),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+  FROM qtok GROUP BY doc_id, tok
+),
+dfreq AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM qtok GROUP BY tok
+),
+corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+avg AS (SELECT sum(dl) / count(*) AS avgdl FROM dl),
+perterm AS (
+  SELECT tf.doc_id,
+    CAST(floor(
+      (((n_docs - df + 0.5) / (df + 0.5))
+        * (tf * {_K1 + 1.0}) / (tf + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl)))
+      * 1000000000.0 + 0.5) AS BIGINT) AS sq
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), corpus, avg
+),
+bm25 AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+    CAST(sum(sq) AS BIGINT) AS score_q
+  FROM perterm GROUP BY doc_id
+)
+"""
 
 
 _BM25_CTES = f"""
@@ -1294,24 +1342,37 @@ def text_maxsim_late_interaction_topk(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
     )
-    return _li_maxsim_topk(toks)
+    # full-corpus scan (no candidate pruning): factored scoring pays
+    return _li_maxsim_topk(toks, factored=True)
 
 
-def _li_maxsim_topk(toks: DataFrame, k: int = 10) -> DataFrame:
+def _li_maxsim_topk(
+    toks: DataFrame, k: int = 10, factored: bool = False
+) -> DataFrame:
     """Shared maxsim scorer: (doc_id, tok) rows -> top-k
     (doc_id, score_q) by sum_q max_d cos(q, d) with the md5 pseudo
     embeddings.
 
-    VOCAB-FACTORED (r9): the dot products depend only on (vocabulary
-    token, query token) — a vocab x |q| table, not a corpus-sized one
-    — so the md5 vectors and the interpreted higher-order dot folds
-    evaluate once per DISTINCT token (31 rows at fixture scale, 100k+
-    in production) and broadcast-join back onto the (doc, tok) rows.
-    The per-(doc, tok) values are the SAME doubles the inlined
-    expression produced (identical expressions over identical inputs),
-    so scores — and oracle hashes — are bit-for-bit unchanged while
-    the corpus-proportional stage becomes a hash join + max aggregate
-    (measured: text_maxsim_batch_topk 4.58s -> see BENCH_RESULT)."""
+    Two physically distinct plans, ONE semantics (identical float
+    expressions over identical inputs — scores and oracle hashes are
+    bit-for-bit equal either way):
+
+    - ``factored=False`` (default — the single-query serving shape):
+      the three query vectors fold to Python literals and each
+      (doc, tok) row computes its dots INLINE — zero joins in the
+      scorer, the r8-measured 0.94s plan. The r9 vocab factoring made
+      this path pay a vocab-distinct pass + broadcast join that buys
+      nothing when candidates are already pruned and the query is one
+      (measured: text_maxsim_pruned_topk 0.94 -> 1.34s clean, r9
+      verdict #2) — so single-query callers take the inline form.
+    - ``factored=True`` (full-corpus scoring, e.g. the nDCG eval):
+      dots depend only on (vocabulary token, query token), so they
+      evaluate once per DISTINCT token and broadcast-join back onto
+      the (doc, tok) rows — ~1/|docs-per-token| the higher-order
+      function cost when every doc re-uses the same small vocabulary.
+      Batch multi-query scoring keeps its own factored form in
+      operators/maxsim.maxsim_multi_probe (the 4.58 -> 2.8s r9 win).
+    """
     from cnc_visionsearch_spark.operators.maxsim import (
         li_normalize,
         li_token_vec,
@@ -1322,12 +1383,6 @@ def _li_maxsim_topk(toks: DataFrame, k: int = 10) -> DataFrame:
     # doc_id anyway, so the exchange moves, not adds
     p = toks.sparkSession.sparkContext.defaultParallelism
     toks = toks.repartition(p, F.col("doc_id"))
-    vocab = (
-        toks.select("tok")
-        .distinct()
-        .withColumn("_v", li_token_vec("tok"))
-        .withColumn("_nv", li_normalize(F.col("_v")))
-    )
     dot_cols = []
     for i, qtok in enumerate(_LI_QUERY):
         qv = _li_token_vec_py(qtok)
@@ -1341,8 +1396,21 @@ def _li_maxsim_topk(toks: DataFrame, k: int = 10) -> DataFrame:
             lambda acc, x: acc + x,
         )
         dot_cols.append(dot.alias(f"_d{i}"))
-    vocab_dots = vocab.select("tok", *dot_cols)
-    joined = toks.join(F.broadcast(vocab_dots), "tok")
+    if factored:
+        vocab = (
+            toks.select("tok")
+            .distinct()
+            .withColumn("_v", li_token_vec("tok"))
+            .withColumn("_nv", li_normalize(F.col("_v")))
+        )
+        vocab_dots = vocab.select("tok", *dot_cols)
+        joined = toks.join(F.broadcast(vocab_dots), "tok")
+    else:
+        joined = (
+            toks.withColumn("_v", li_token_vec("tok"))
+            .withColumn("_nv", li_normalize(F.col("_v")))
+            .select("doc_id", *dot_cols)
+        )
     per_doc = joined.groupBy("doc_id").agg(
         *[F.max(F.col(f"_d{i}")).alias(f"_m{i}") for i in range(len(_LI_QUERY))]
     )
@@ -2004,7 +2072,9 @@ def text_maxsim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
     )
-    scored = _li_maxsim_topk(toks, k=None)  # full per-doc scores
+    # full per-doc scores over the whole corpus: the vocab-factored
+    # plan pays here (every doc re-uses the same small vocabulary)
+    scored = _li_maxsim_topk(toks, k=None, factored=True)
     graded = (
         toks.filter(F.col("tok").isin(list(_LI_QUERY)))
         .groupBy("doc_id")
@@ -2067,6 +2137,244 @@ def text_maxsim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("idcg_q").cast("double")
             ).alias("ndcg_at_10"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DISCRIMINATIVE retrieval-quality eval (r9 verdict #2): the coverage-
+# graded pseudo-qrels saturate BOTH rankers at nDCG@10 = 1.0 (every
+# top-10 doc holds all 3 query tokens — PARITY.md records it), so the
+# harness proved plumbing, not ranking quality. These qrels add
+# PARTIAL-RELEVANCE structure the two families treat differently:
+# grade = (#distinct query terms) + 1[total query-term occurrences >=
+# T1] + 1[>= T2] — evidence-DENSITY levels on top of coverage. BM25's
+# tf-saturation term tracks density; maxsim over per-token unit
+# vectors scores DISTINCT tokens only (density-blind by construction)
+# — so the two rankers measurably separate on the same query, the
+# same corpus, the same qrels (measured at sf0.01: BM25 0.727 vs
+# maxsim 0.537 — the PARITY.md head-to-head row). Both evals run the
+# SAME query terms (_LI_QUERY) — unlike the legacy saturated pair,
+# which each used their own.
+
+_GRADE_OCC_T1 = 6
+_GRADE_OCC_T2 = 9
+
+
+def _graded_qrels_sql() -> str:
+    tl = ", ".join(repr(t) for t in _LI_QUERY)
+    return f"""
+gstats AS (
+  SELECT doc_id,
+    len(list_distinct(list_filter(string_split(text, ' '),
+        t -> t IN ({tl})))) AS cov,
+    len(list_filter(string_split(text, ' '),
+        t -> t IN ({tl}))) AS occ
+  FROM documents
+),
+graded AS (
+  SELECT doc_id,
+    CAST((1 << (cov
+      + CASE WHEN occ >= {_GRADE_OCC_T1} THEN 1 ELSE 0 END
+      + CASE WHEN occ >= {_GRADE_OCC_T2} THEN 1 ELSE 0 END)) - 1
+      AS BIGINT) AS gain
+  FROM gstats WHERE occ >= 1
+)"""
+
+
+def _graded_qrels_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gain) graded qrels: evidence-density levels over the
+    coverage grade — deterministic, ranker-independent (a pure corpus
+    fact), oracle-replayed verbatim by :func:`_graded_qrels_sql`."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").isin(list(_LI_QUERY)))
+    g = tok.groupBy("doc_id").agg(
+        F.count_distinct("tok").alias("_cov"),
+        F.count(F.lit(1)).alias("_occ"),
+    )
+    grade = (
+        F.col("_cov")
+        + F.when(F.col("_occ") >= _GRADE_OCC_T1, 1).otherwise(0)
+        + F.when(F.col("_occ") >= _GRADE_OCC_T2, 1).otherwise(0)
+    ).cast("int")
+    return g.withColumn("_g", grade).select(
+        "doc_id",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_g AS INT)) - 1")
+        .cast("bigint")
+        .alias("gain"),
+    )
+
+
+def _ndcg10_report(
+    spark: SparkSession, scored: DataFrame, graded: DataFrame
+) -> DataFrame:
+    """(n_rel, dcg_q, idcg_q, ndcg_at_10) of a (doc_id, score_q)
+    ranking against (doc_id, gain) qrels — the shared exact-BIGINT DCG
+    tail (inlined 1/log2(r+1) discounts, 1e-9-quantized gain x
+    discount, one final double division)."""
+    graded = graded.localCheckpoint(eager=False)
+    disc = spark.createDataFrame(
+        [(i + 1, w) for i, w in enumerate(_DCG_DISCOUNTS)], "r int, w double"
+    )
+    run = (
+        scored.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .withColumn(
+            "r",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("score_q").desc(), F.col("doc_id").asc()
+                )
+            )
+            .cast("int"),
+        )
+        .join(F.broadcast(graded), "doc_id", "left")
+        .withColumn("gain", F.coalesce(F.col("gain"), F.lit(0)))
+    )
+    ideal = (
+        graded.orderBy(F.col("gain").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .withColumn(
+            "r",
+            F.row_number()
+            .over(Window.orderBy(F.col("gain").desc(), F.col("doc_id").asc()))
+            .cast("int"),
+        )
+    )
+    quant = fixed_point_q(F.col("gain") * F.col("w"))
+    dcg = run.join(F.broadcast(disc), "r").agg(
+        F.sum(quant).cast("bigint").alias("dcg_q")
+    )
+    idcg = ideal.join(F.broadcast(disc), "r").agg(
+        F.sum(quant).cast("bigint").alias("idcg_q")
+    )
+    n_rel = graded.agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    return (
+        n_rel.crossJoin(F.broadcast(dcg))
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            "n_rel",
+            "dcg_q",
+            "idcg_q",
+            (
+                F.col("dcg_q").cast("double")
+                / F.col("idcg_q").cast("double")
+            ).alias("ndcg_at_10"),
+        )
+    )
+
+
+_GRADED_NDCG_TAIL = f"""
+disc(r, w) AS (VALUES {", ".join(f"({i + 1}, {w!r})" for i, w in enumerate(_DCG_DISCOUNTS))}),
+run AS (
+  SELECT s.doc_id, COALESCE(g.gain, 0) AS gain,
+    CAST(row_number() OVER (
+      ORDER BY s.score_q DESC, s.doc_id ASC) AS INT) AS r
+  FROM score s LEFT JOIN graded g USING (doc_id) QUALIFY r <= 10
+),
+ideal AS (
+  SELECT gain, CAST(row_number() OVER (
+    ORDER BY gain DESC, doc_id ASC) AS INT) AS r
+  FROM graded QUALIFY r <= 10
+),
+dcg AS (
+  SELECT CAST(SUM(CAST(floor(gain * w * 1000000000.0 + 0.5) AS BIGINT))
+    AS BIGINT) AS dcg_q
+  FROM run JOIN disc USING (r)
+),
+idcg AS (
+  SELECT CAST(SUM(CAST(floor(gain * w * 1000000000.0 + 0.5) AS BIGINT))
+    AS BIGINT) AS idcg_q
+  FROM ideal JOIN disc USING (r)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM graded) AS n_rel,
+  dcg.dcg_q, idcg.idcg_q,
+  CAST(dcg.dcg_q AS DOUBLE) / CAST(idcg.idcg_q AS DOUBLE) AS ndcg_at_10
+FROM dcg, idcg
+"""
+
+
+@register(
+    "text_bm25_graded_ndcg_eval",
+    oracle=f"""
+WITH {_bm25_ctes(_LI_QUERY)},
+{_graded_qrels_sql()},
+score AS (SELECT doc_id, score_q FROM bm25),
+{_GRADED_NDCG_TAIL}
+""",
+    doc="nDCG@10 of BM25 against DENSITY-graded qrels — the "
+    "discriminative half of the retrieval-quality eval the saturated "
+    "coverage qrels could not provide (r9 verdict #2): grade = "
+    f"coverage (0-{len(_LI_QUERY)}) + density levels at >= "
+    f"{_GRADE_OCC_T1} and >= {_GRADE_OCC_T2} total query-term "
+    "occurrences, gain 2^g - 1. BM25's tf-saturation term TRACKS "
+    "evidence density, so it scores materially higher here than the "
+    "density-blind maxsim twin (text_maxsim_graded_ndcg_eval) on the "
+    "SAME query, corpus and qrels — the head-to-head gap PARITY.md "
+    "records. Same exact-BIGINT DCG discipline as the legacy evals.",
+)
+def text_bm25_graded_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored(spark, sf_dir, terms=list(_LI_QUERY)).select(
+        "doc_id", "score_q"
+    )
+    return _ndcg10_report(
+        spark, scored, _graded_qrels_df(spark, sf_dir)
+    )
+
+
+@register(
+    "text_maxsim_graded_ndcg_eval",
+    oracle=f"""
+WITH qt AS (SELECT unnest([{", ".join(repr(t) for t in _LI_QUERY)}]) AS qtok),
+qv AS (SELECT qtok, {_li_vec_sql("qtok")} AS v FROM qt),
+qn AS (SELECT qtok, {_LI_NORM_SQL} AS nv FROM qv),
+dt AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+dv AS (SELECT doc_id, tok, {_li_vec_sql("tok")} AS v FROM dt),
+dn AS (SELECT doc_id, {_LI_NORM_SQL} AS nv FROM dv),
+sims AS (
+  SELECT d.doc_id, q.qtok,
+    max(list_sum(list_transform(range(1, {_LI_DIM}+1),
+        k -> d.nv[k] * q.nv[k]))) AS best
+  FROM dn d, qn q GROUP BY d.doc_id, q.qtok
+),
+score AS (
+  SELECT doc_id,
+    CAST(floor(sum(best) * 1000000000 + 0.5) AS BIGINT) AS score_q
+  FROM sims GROUP BY doc_id
+),
+{_graded_qrels_sql()},
+{_GRADED_NDCG_TAIL}
+""",
+    doc="nDCG@10 of late-interaction maxsim against the SAME density-"
+    "graded qrels, query and corpus as text_bm25_graded_ndcg_eval — "
+    "the other half of the head-to-head. Maxsim over per-token UNIT "
+    "vectors reduces each query token to the max over the doc's "
+    "DISTINCT tokens: repeated evidence adds nothing, so the density "
+    "levels the qrels reward are invisible to it and its nDCG lands "
+    "measurably below BM25's (sf0.01: 0.537 vs 0.727) — exactly the "
+    "structural difference between the families (tf-saturation vs "
+    "distinct-token max) surfaced as a measured, oracle-replayed gap "
+    "instead of two saturated 1.0s. A production deployment trades "
+    "this against maxsim's semantic reach (the PLAID candidate tier "
+    "serves docs sharing NO literal token — which lexical qrels "
+    "cannot credit); PARITY.md carries both rows.",
+)
+def text_maxsim_graded_ndcg_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    scored = _li_maxsim_topk(toks, k=None, factored=True)
+    return _ndcg10_report(
+        spark, scored, _graded_qrels_df(spark, sf_dir)
     )
 
 

@@ -35,6 +35,15 @@ Storage over Cloud Object Stores", VLDB 2020):
   SUBSET of buckets still assigns globally dense ids without scanning
   resident state (the ``known_max`` seam in operators/ingest).
 
+Atomicity scope: ``os.link`` create-exclusive is a POSIX-filesystem
+property (local disk, NFSv4, HDFS-mounted); it is exercised ACROSS
+processes by tests/test_tlog_multiprocess.py (N processes hammering
+one table: no version double-claimed, shared meta counter fully
+serialized, final state == serial replay). S3-style object stores
+without atomic create-no-overwrite need the coordination service /
+rename-without-overwrite variant the Delta paper describes — swap
+:meth:`TLog.commit`'s link for that primitive, nothing else changes.
+
 Scale shape: commit records are O(files touched) JSON on the driver —
 data-proportional work stays in Spark jobs; the log arbitrates, never
 carries rows. Conflict DOMAINS are hash buckets of the merge key, so

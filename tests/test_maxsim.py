@@ -144,6 +144,45 @@ def test_maxsim_multi_probe_batch_equals_per_query(spark, tmp_path):
     assert batch == single and batch
 
 
+def test_maxsim_multi_probe_broadcast_hint_is_adaptive(spark, tmp_path):
+    """r9 verdict #1: the candidate set is a corpus FRACTION, so the
+    broadcast hint must be ADAPTIVE — applied when the measured
+    candidate count is under the bound, ABSENT above it (a forced
+    broadcast of a corpus fraction is the one 100x scale-killer the
+    r9 sweep measured). Pin BOTH plan shapes with auto-broadcast
+    disabled (so the static plan reflects only the hint decision) and
+    assert the two shapes return identical rows."""
+    from cnc_visionsearch_spark.operators.text_index import inverted_build
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "inv_adapt")
+    inverted_build(docs, path, n_buckets=8)
+    qs = [(0, ["vector", "window"]), (1, ["hash", "scan"])]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        small = maxsim_multi_probe(spark, path, qs, docs, n_buckets=8, k=5)
+        plan_small = small._jdf.queryExecution().executedPlan().toString()
+        # under the bound: every scorer join side is hinted -> no
+        # shuffle joins anywhere in the plan
+        assert "BroadcastHashJoin" in plan_small
+        assert "SortMergeJoin" not in plan_small
+        big = maxsim_multi_probe(
+            spark, path, qs, docs, n_buckets=8, k=5, broadcast_max_rows=0
+        )
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        # above the bound: the candidate-pair and vocab-dot joins must
+        # NOT be hinted -> they shuffle
+        assert (
+            "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
+        )
+        a = {(r.qid, r.doc_id, r.score_q) for r in small.collect()}
+        b = {(r.qid, r.doc_id, r.score_q) for r in big.collect()}
+        assert a == b and a
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_li_token_vec_py_is_unit_norm():
     import math
 

@@ -444,6 +444,47 @@ def test_kernel_memo_skips_construction_jobs_and_keeps_values(spark):
         rank_mod._band_boundaries = real
 
 
+def test_kernel_memo_auto_invalidates_on_file_mutation(spark, tmp_path):
+    """r9 verdict #4 hardening: the memo key carries the scanned
+    files' (path, size, mtime) fingerprint — overwriting the input
+    parquet and reconstructing the SAME plan yields FRESH literals
+    (the total reflects the new data) with NO memo=False and NO
+    clear_kernel_memo() call."""
+    from cnc_visionsearch_spark.operators.rank import distributed_cumsum
+
+    p = str(tmp_path / "t")
+    spark.range(100).select(F.col("id"), F.lit(1).alias("v")).write.mode(
+        "overwrite"
+    ).parquet(p)
+    r1 = (
+        distributed_cumsum(
+            spark.read.parquet(p),
+            ["id"],
+            sums=[(F.col("v"), "cum_v")],
+            total_col="tot",
+        )
+        .agg(F.max("tot").alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert r1 == 100
+    spark.range(250).select(F.col("id"), F.lit(1).alias("v")).write.mode(
+        "overwrite"
+    ).parquet(p)
+    r2 = (
+        distributed_cumsum(
+            spark.read.parquet(p),
+            ["id"],
+            sums=[(F.col("v"), "cum_v")],
+            total_col="tot",
+        )
+        .agg(F.max("tot").alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert r2 == 250  # a stale memo entry would replay 100
+
+
 def test_exact_ntile_multi_memo_replays_identically(spark):
     """The multi-spec kernel's shared-sample + grouping-sets collects
     memoize the same way: a second identical construction is job-free
