@@ -56,19 +56,221 @@ __all__ = [
     "nsw_build",
     "nsw_candidate_edges",
     "nsw_append",
+    "nsw_compact",
     "nsw_search",
     "nsw_search_df",
+    "read_nsw_graph",
     "hnsw_level_col",
     "hnsw_build",
+    "hnsw_compact",
     "hnsw_search",
     "hnsw_search_df",
     "hnsw_append",
+    "read_hnsw_graph",
 ]
 
 
 def _meta(path: str) -> dict:
     with open(os.path.join(path, "_NSW.json")) as fh:
         return json.load(fh)
+
+
+# ---- transactional (tlog) NSW layout mode (r10) --------------------------
+# The r9 scope exclusion "graph-ANN appends race compacts unarbitrated"
+# closes the same way the token-IVF/inverted/IVF artifacts did in r9:
+# `nsw_build(use_tlog=True)` lays the edge table down as ONE init
+# commit with per-edge-file src_bucket conflict domains, appends are
+# blind commits (never conflict, rebase on version races), and
+# `nsw_compact` is a rewrite commit declaring the touched bucket
+# domains — racing appends into other buckets serialize, overlapping
+# ones conflict-and-recompute (run_transaction). Entries carry a
+# reserved tag. Legacy tmp+rename layouts keep the operators/mutex.py
+# single-writer lock instead (single_writer skips tlog layouts).
+
+TLOG_NSW_ENTRIES_TAG = 300_000
+_GRAPH_SCHEMA = "src bigint, dst bigint, dvec array<double>, src_bucket int"
+# HNSW conflict-domain tag = layer * STRIDE + src_bucket (one int per
+# (layer, bucket) edge partition; n_buckets must stay < STRIDE — the
+# geometry sidecar's n_buckets is 16/1024 in every layout here). The
+# ENTRY is not a file at all in tlog mode: it rides commit META (a
+# read-modify-write key, so racing promotions serialize through the
+# meta-rebase window instead of racing a directory swap).
+TLOG_HNSW_LAYER_STRIDE = 1024
+_HGRAPH_SCHEMA = (
+    "layer int, src bigint, dst bigint, dvec array<double>, src_bucket int"
+)
+
+
+def _nsw_tlog(path: str):
+    from cnc_visionsearch_spark.sources.tlog import tlog_of
+
+    return tlog_of(path)
+
+
+def _retag_g(adds: list, tag: int) -> list:
+    for a in adds:
+        a["bucket"] = tag
+    return adds
+
+
+def read_nsw_graph(spark, path: str, buckets=None) -> DataFrame:
+    """The sanctioned reader for the layout's denormalized edge table:
+    dispatches on layout mode and prunes to ``buckets`` — parquet
+    partition pruning on legacy layouts, LOG-level file pruning
+    (snapshot ``files_in``) on transactional ones. The src_bucket
+    column is real data in both modes, so downstream filters are
+    mode-invariant."""
+    t = _nsw_tlog(path)
+    if t is None:
+        g = spark.read.parquet(f"{path}/graph")
+        if buckets is not None:
+            g = g.filter(F.col("src_bucket").isin(sorted(buckets)))
+        return g
+    snap = t.snapshot()
+    tags = (
+        sorted(buckets)
+        if buckets is not None
+        else list(range(int(_meta(path)["n_buckets"])))
+    )
+    paths = [p for p, b in snap.files if b in set(tags)]
+    if not paths:
+        return spark.createDataFrame([], _GRAPH_SCHEMA)
+    return spark.read.schema(_GRAPH_SCHEMA).parquet(
+        *[os.path.join(t.root, p) for p in paths]
+    )
+
+
+def _entry_rows(path: str) -> list[dict]:
+    """Driver-side entry-point rows (metadata-sized, like the IVF
+    codebook) across both layout modes."""
+    t = _nsw_tlog(path)
+    if t is None:
+        return _metadata_rows(f"{path}/entries")
+    snap = t.snapshot()
+    rows: list[dict] = []
+    for rel in snap.files_in([TLOG_NSW_ENTRIES_TAG]):
+        rows.extend(_metadata_rows(os.path.join(t.root, rel)))
+    return rows
+
+
+def _compact_tlog_graph(spark, t, tag_pred, schema, bucket_expr) -> None:
+    """Shared graph-compact kernel: rewrite every conflict domain
+    (tag) holding more than one live file into one file, as ONE
+    rewrite commit declaring the touched domains."""
+    from collections import Counter
+
+    snap = t.snapshot()
+    cnt = Counter(b for _p, b in snap.files if b is not None and tag_pred(b))
+    touched = sorted(b for b, c in cnt.items() if c > 1)
+    if not touched:
+        return
+    old = [p for p, b in snap.files if b in set(touched)]
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(t.root, p) for p in old]
+    )
+    t.commit(
+        adds=t.write_data(df, bucket_expr=bucket_expr),
+        removes=old,
+        read_version=snap.version,
+        op="rewrite",
+        domains=touched,
+    )
+
+
+def nsw_compact(spark, path: str) -> None:
+    """Compact a TRANSACTIONAL NSW layout: rewrite every bucket holding
+    more than one live edge file into one file, as ONE rewrite commit
+    declaring the touched bucket domains — the append-accretion bound
+    (St5) for the graph tier, now arbitrated: a racing append into an
+    untouched bucket serializes; into a touched one, this commit
+    conflicts and the caller's run_transaction recomputes. Probe
+    results are unchanged by construction (same rows, fewer files)."""
+    t = _nsw_tlog(path)
+    if t is None:
+        raise ValueError(
+            f"nsw_compact requires a transactional layout (nsw_build("
+            f"use_tlog=True)); {path} is a legacy tmp+rename layout"
+        )
+    n_buckets = int(_meta(path)["n_buckets"])
+    _compact_tlog_graph(
+        spark, t, lambda b: b < n_buckets, _GRAPH_SCHEMA, F.col("src_bucket")
+    )
+
+
+def read_hnsw_graph(
+    spark, path: str, layer: int | None = None, buckets=None
+) -> DataFrame:
+    """Mode-aware reader for the layered edge table: legacy layouts
+    prune via (layer, src_bucket) partition filters; transactional
+    layouts prune at the LOG level ((layer, bucket) tags -> live
+    files), then apply the same row filters. Mode-invariant columns."""
+    t = _nsw_tlog(path)
+    if t is None:
+        g = spark.read.parquet(f"{path}/graph")
+    else:
+        meta = _hnsw_meta(path)
+        nb, ml = int(meta["n_buckets"]), int(meta["max_level"])
+        layers = [int(layer)] if layer is not None else list(range(ml + 1))
+        bks = sorted(buckets) if buckets is not None else list(range(nb))
+        tags = {
+            l * TLOG_HNSW_LAYER_STRIDE + b for l in layers for b in bks
+        }
+        snap = t.snapshot()
+        paths = [p for p, b in snap.files if b in tags]
+        if not paths:
+            return spark.createDataFrame([], _HGRAPH_SCHEMA)
+        g = spark.read.schema(_HGRAPH_SCHEMA).parquet(
+            *[os.path.join(t.root, p) for p in paths]
+        )
+    if layer is not None:
+        g = g.filter(F.col("layer") == int(layer))
+    if buckets is not None:
+        g = g.filter(F.col("src_bucket").isin(sorted(buckets)))
+    return g
+
+
+def _hnsw_entry(spark, path: str) -> dict:
+    """The search entry point across both modes: legacy layouts read
+    the (healed) entry artifact dir; transactional layouts carry the
+    entry in commit META — promotion is a meta-key commit, so racing
+    promotions serialize instead of racing a directory swap."""
+    t = _nsw_tlog(path)
+    if t is None:
+        from cnc_visionsearch_spark.operators.ann import _heal_artifact_dir
+
+        _heal_artifact_dir(f"{path}/entry")  # crashed promotion swap
+        e = spark.read.parquet(f"{path}/entry").first()
+        return {
+            "vec_id": int(e["vec_id"]),
+            "nvec": [float(x) for x in e["nvec"]],
+            "level": int(e["level"]),
+        }
+    m = t.snapshot().meta["entry"]
+    return {
+        "vec_id": int(m["vec_id"]),
+        "nvec": [float(x) for x in m["nvec"]],
+        "level": int(m["level"]),
+    }
+
+
+def _hnsw_tag_expr():
+    return (
+        F.col("layer") * F.lit(TLOG_HNSW_LAYER_STRIDE) + F.col("src_bucket")
+    ).cast("int")
+
+
+def hnsw_compact(spark, path: str) -> None:
+    """:func:`nsw_compact` for the layered layout — one rewrite commit
+    over every (layer, bucket) domain holding more than one live file."""
+    t = _nsw_tlog(path)
+    if t is None:
+        raise ValueError(
+            f"hnsw_compact requires a transactional layout (hnsw_build("
+            f"use_tlog=True)); {path} is a legacy tmp+rename layout"
+        )
+    _compact_tlog_graph(
+        spark, t, lambda b: True, _HGRAPH_SCHEMA, _hnsw_tag_expr()
+    )
 
 
 def nsw_candidate_edges(
@@ -156,6 +358,7 @@ def nsw_build(
     ivf_path: str | None = None,
     ivf_cells: int = 8,
     ivf_nprobe: int = 4,
+    use_tlog: bool = False,
 ) -> None:
     """Materialize the NSW layout at ``path``: the per-src top-``m``
     neighbor graph (candidate set per ``candidates`` — see
@@ -189,23 +392,46 @@ def nsw_build(
         "src",
         "dst",
         "dvec",
-        F.pmod(F.col("src"), F.lit(n_buckets)).alias("src_bucket"),
+        # int, matching nsw_append's edge schema — tlog-mode data files
+        # must agree byte-for-byte on the column type across commits
+        F.pmod(F.col("src"), F.lit(n_buckets)).cast("int").alias("src_bucket"),
     )
-    graph.write.mode("overwrite").partitionBy("src_bucket").parquet(
-        f"{path}/graph"
-    )
-    if transient_ivf is not None:
-        import shutil
-
-        shutil.rmtree(transient_ivf, ignore_errors=True)
-    (
+    entries = (
         emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("nvec"))
         .orderBy("vec_id")
         .limit(n_entries)
         .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/entries")
     )
+    if use_tlog:
+        # TRANSACTIONAL layout: graph + entries as ONE atomic init
+        # commit (the r9 artifact-tlog doctrine applied to the graph
+        # tier); every later mutation is a commit with src_bucket
+        # conflict domains
+        from cnc_visionsearch_spark.sources.tlog import TLog
+
+        t = TLog(path)
+        if t.latest_version() != 0:
+            raise ValueError(
+                f"nsw_build: tlog layout {path} already holds "
+                f"{t.latest_version()} commit(s); wipe to rebuild"
+            )
+        adds = t.write_data(graph, bucket_expr=F.col("src_bucket"))
+        adds += _retag_g(t.write_data(entries), TLOG_NSW_ENTRIES_TAG)
+        t.commit(
+            adds=adds,
+            op="append",
+            meta={"kind": "nsw", "m": m, "n_buckets": n_buckets},
+            base_version=0,
+        )
+    else:
+        graph.write.mode("overwrite").partitionBy("src_bucket").parquet(
+            f"{path}/graph"
+        )
+        entries.write.mode("overwrite").parquet(f"{path}/entries")
+    if transient_ivf is not None:
+        import shutil
+
+        shutil.rmtree(transient_ivf, ignore_errors=True)
     with open(os.path.join(path, "_NSW.json"), "w") as fh:
         json.dump(
             {"m": m, "n_buckets": n_buckets, "n_entries": n_entries}, fh
@@ -222,7 +448,10 @@ def nsw_append(spark, path: str, new_emb: DataFrame) -> None:
     bucket-partitioned layout — existing files stay byte-identical; a
     touched src may temporarily exceed degree m (search correctness
     only widens; periodic :func:`nsw_build` re-trims). O(batch), never
-    a corpus rescan."""
+    a corpus rescan. On a TRANSACTIONAL layout the edges land as ONE
+    blind append commit (src_bucket-tagged adds — never blocked by a
+    racing :func:`nsw_compact`; an overlapping compact conflicts and
+    recomputes instead)."""
     meta = _meta(path)
     m, n_buckets = meta["m"], meta["n_buckets"]
     new_rows = new_emb.select("vec_id", "nvec").collect()
@@ -238,7 +467,7 @@ def nsw_append(spark, path: str, new_emb: DataFrame) -> None:
     nbr_ids = sorted({dst for _, dst in out})
     nbr_vec = {
         int(x["dst"]): x["dvec"]
-        for x in spark.read.parquet(f"{path}/graph")
+        for x in read_nsw_graph(spark, path)
         .filter(F.col("dst").isin(nbr_ids))
         .select("dst", "dvec")
         .dropDuplicates(["dst"])
@@ -246,17 +475,24 @@ def nsw_append(spark, path: str, new_emb: DataFrame) -> None:
     }
     # a search result is either some edge's dst (covered above) or one
     # of the fixed entry points — merge those from the entries artifact
-    for e in _metadata_rows(f"{path}/entries"):
+    for e in _entry_rows(path):
         nbr_vec.setdefault(int(e["vec_id"]), e["nvec"])
     rows = [
         (src, dst, [float(v) for v in nbr_vec[dst]], src % n_buckets)
         for src, dst in out
         if dst in nbr_vec
     ] + [(src, dst, dvec, src % n_buckets) for src, dst, dvec in back]
-    schema = "src bigint, dst bigint, dvec array<double>, src_bucket int"
-    spark.createDataFrame(rows, schema).write.mode("append").partitionBy(
-        "src_bucket"
-    ).parquet(f"{path}/graph")
+    df = spark.createDataFrame(rows, _GRAPH_SCHEMA)
+    t = _nsw_tlog(path)
+    if t is not None:
+        t.commit(
+            adds=t.write_data(df, bucket_expr=F.col("src_bucket")),
+            op="append",
+        )
+    else:
+        df.write.mode("append").partitionBy("src_bucket").parquet(
+            f"{path}/graph"
+        )
 
 
 def nsw_search(
@@ -278,16 +514,15 @@ def nsw_search(
     q = [float(x) for x in query_vec]
     beam: dict[int, float] = {
         int(r["vec_id"]): _seq_l2_sq(r["nvec"], q)
-        for r in _metadata_rows(f"{path}/entries")
+        for r in _entry_rows(path)
     }
     beam = dict(sorted(beam.items(), key=lambda kv: (kv[1], kv[0]))[:ef])
     qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
-    graph = spark.read.parquet(f"{path}/graph")
     for _ in range(hops):
         ids = sorted(beam)
         buckets = sorted({i % n_buckets for i in ids})
         nbrs = (
-            graph.filter(F.col("src_bucket").isin(buckets))
+            read_nsw_graph(spark, path, buckets=buckets)
             .filter(F.col("src").isin(ids))
             .select("dst", l2_sq("dvec", qcol).alias("d"))
             .collect()
@@ -377,6 +612,8 @@ def hnsw_build(
     candidates: str = "exact",
     ivf_path: str | None = None,
     ivf_nprobe: int = 4,
+    use_tlog: bool = False,
+    tlog_split_commits: bool = False,
 ) -> None:
     """Materialize the hierarchical layout at ``path``:
     ``{path}/graph`` partitioned by ``(layer, src_bucket)`` — layer 0
@@ -404,22 +641,71 @@ def hnsw_build(
             "src",
             "dst",
             "dvec",
-            F.pmod(F.col("src"), F.lit(n_buckets)).alias("src_bucket"),
+            F.pmod(F.col("src"), F.lit(n_buckets)).cast("int").alias(
+                "src_bucket"
+            ),
         )
         layers.append(g)
     graph = layers[0]
     for g in layers[1:]:
         graph = graph.unionByName(g)
-    graph.write.mode("overwrite").partitionBy("layer", "src_bucket").parquet(
-        f"{path}/graph"
-    )
-    (
-        levels.orderBy(F.col("level").desc(), F.col("vec_id").asc())
-        .limit(1)
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/entry")
-    )
+    if use_tlog:
+        from cnc_visionsearch_spark.sources.tlog import TLog
+
+        t = TLog(path)
+        if t.latest_version() != 0:
+            raise ValueError(
+                f"hnsw_build: tlog layout {path} already holds "
+                f"{t.latest_version()} commit(s); wipe to rebuild"
+            )
+        e = (
+            levels.orderBy(F.col("level").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .first()
+        )
+        init = (
+            graph.filter(F.col("dst") % 2 == 0)
+            if tlog_split_commits
+            else graph
+        )
+        t.commit(
+            adds=t.write_data(init, bucket_expr=_hnsw_tag_expr()),
+            op="append",
+            meta={
+                "kind": "hnsw",
+                "m": m,
+                "m_upper": m_upper,
+                "n_buckets": n_buckets,
+                "entry": {
+                    "vec_id": int(e["vec_id"]),
+                    "nvec": [float(x) for x in e["nvec"]],
+                    "level": int(e["level"]),
+                },
+            },
+            base_version=0,
+        )
+        if tlog_split_commits:
+            # the odd-dst half as a BLIND append — every (layer,
+            # bucket) domain ends up holding two files, so a compact
+            # has real work; the FINAL content is identical either way
+            t.commit(
+                adds=t.write_data(
+                    graph.filter(F.col("dst") % 2 == 1),
+                    bucket_expr=_hnsw_tag_expr(),
+                ),
+                op="append",
+            )
+    else:
+        graph.write.mode("overwrite").partitionBy(
+            "layer", "src_bucket"
+        ).parquet(f"{path}/graph")
+        (
+            levels.orderBy(F.col("level").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/entry")
+        )
     with open(os.path.join(path, "_HNSW.json"), "w") as fh:
         json.dump(
             {
@@ -459,24 +745,19 @@ def hnsw_search(
     meta = _hnsw_meta(path)
     n_buckets, max_level = meta["n_buckets"], meta["max_level"]
     q = [float(x) for x in query_vec]
-    from cnc_visionsearch_spark.operators.ann import _heal_artifact_dir
-
-    _heal_artifact_dir(f"{path}/entry")  # crashed entry-promotion swap
-    e = spark.read.parquet(f"{path}/entry").first()
+    e = _hnsw_entry(spark, path)
     cur_id, cur_d = int(e["vec_id"]), _seq_l2_sq(e["nvec"], q)
     qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
-    graph = spark.read.parquet(f"{path}/graph")
     # layers above the entry's level are empty by construction (the
     # entry IS a max-level node) — skip their no-op scans
     start_layer = min(max_level, int(e["level"]))
     for layer in range(start_layer, 0, -1):
         for _ in range(upper_hops):
             nbrs = (
-                graph.filter(
-                    (F.col("layer") == layer)
-                    & (F.col("src_bucket") == cur_id % n_buckets)
-                    & (F.col("src") == cur_id)
+                read_hnsw_graph(
+                    spark, path, layer=layer, buckets=[cur_id % n_buckets]
                 )
+                .filter(F.col("src") == cur_id)
                 .select("dst", l2_sq("dvec", qcol).alias("d"))
                 .collect()
             )
@@ -493,11 +774,8 @@ def hnsw_search(
         ids = sorted(beam)
         buckets = sorted({i % n_buckets for i in ids})
         nbrs = (
-            graph.filter(
-                (F.col("layer") == 0)
-                & F.col("src_bucket").isin(buckets)
-                & F.col("src").isin(ids)
-            )
+            read_hnsw_graph(spark, path, layer=0, buckets=buckets)
+            .filter(F.col("src").isin(ids))
             .select("dst", l2_sq("dvec", qcol).alias("d"))
             .collect()
         )
@@ -533,7 +811,7 @@ def hnsw_search_df(
 
 def _hnsw_beam_layer(
     spark,
-    graph,
+    read_fn,
     n_buckets: int,
     layer: int,
     q: list[float],
@@ -544,18 +822,17 @@ def _hnsw_beam_layer(
     """Width-``ef`` beam restricted to one layer's edges — the shared
     loop behind layer-0 search and the per-layer neighbor finding of
     :func:`hnsw_append` (HNSW inserts by searching the graph itself).
-    Each hop is one scan pruned to (layer, beam buckets)."""
+    Each hop is one scan pruned to (layer, beam buckets) through
+    ``read_fn(layer, buckets)`` — mode-aware pruning, see
+    :func:`read_hnsw_graph`."""
     qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
     beam = dict(sorted(seeds.items(), key=lambda kv: (kv[1], kv[0]))[:ef])
     for _ in range(hops):
         ids = sorted(beam)
         buckets = sorted({i % n_buckets for i in ids})
         nbrs = (
-            graph.filter(
-                (F.col("layer") == layer)
-                & F.col("src_bucket").isin(buckets)
-                & F.col("src").isin(ids)
-            )
+            read_fn(layer, buckets)
+            .filter(F.col("src").isin(ids))
             .select("dst", l2_sq("dvec", qcol).alias("d"))
             .collect()
         )
@@ -582,11 +859,11 @@ def hnsw_append(spark, path: str, new_emb: DataFrame) -> None:
     m, m_upper = meta["m"], meta["m_upper"]
     n_buckets, max_level = meta["n_buckets"], meta["max_level"]
     level_mult = meta["level_mult"]
-    from cnc_visionsearch_spark.operators.ann import _heal_artifact_dir
 
-    _heal_artifact_dir(f"{path}/entry")  # crashed entry-promotion swap
-    graph = spark.read.parquet(f"{path}/graph")
-    entry = spark.read.parquet(f"{path}/entry").first()
+    def read_fn(layer, buckets):
+        return read_hnsw_graph(spark, path, layer=layer, buckets=buckets)
+
+    entry = _hnsw_entry(spark, path)
     new_rows = new_emb.select(
         "vec_id",
         "nvec",
@@ -604,11 +881,11 @@ def hnsw_append(spark, path: str, new_emb: DataFrame) -> None:
         for layer in range(max_level, 0, -1):
             if layer > lvl:
                 cur = _hnsw_beam_layer(
-                    spark, graph, n_buckets, layer, nvec, cur, ef=1, hops=3
+                    spark, read_fn, n_buckets, layer, nvec, cur, ef=1, hops=3
                 )
             else:
                 found = _hnsw_beam_layer(
-                    spark, graph, n_buckets, layer, nvec, cur,
+                    spark, read_fn, n_buckets, layer, nvec, cur,
                     ef=4 * m_upper, hops=3,
                 )
                 nbrs = sorted(found.items(), key=lambda kv: (kv[1], kv[0]))[
@@ -619,7 +896,7 @@ def hnsw_append(spark, path: str, new_emb: DataFrame) -> None:
                     back_edges.append((layer, nb_id, int(r.vec_id), nvec))
                 cur = dict(nbrs[:1]) or cur
         found0 = _hnsw_beam_layer(
-            spark, graph, n_buckets, 0, nvec, cur, ef=4 * m, hops=4
+            spark, read_fn, n_buckets, 0, nvec, cur, ef=4 * m, hops=4
         )
         for nb_id, _d in sorted(found0.items(), key=lambda kv: (kv[1], kv[0]))[:m]:
             out_edges.append((0, int(r.vec_id), nb_id))
@@ -634,7 +911,7 @@ def hnsw_append(spark, path: str, new_emb: DataFrame) -> None:
     nbr_ids = sorted({dst for _l, _s, dst in out_edges})
     nbr_vec = {
         int(x["dst"]): [float(v) for v in x["dvec"]]
-        for x in graph.filter(F.col("dst").isin(nbr_ids))
+        for x in read_hnsw_graph(spark, path).filter(F.col("dst").isin(nbr_ids))
         .select("dst", "dvec")
         .dropDuplicates(["dst"])
         .collect()
@@ -650,17 +927,54 @@ def hnsw_append(spark, path: str, new_emb: DataFrame) -> None:
         (layer, src, dst, dvec, src % n_buckets)
         for layer, src, dst, dvec in back_edges
     ]
-    schema = (
-        "layer int, src bigint, dst bigint, dvec array<double>, src_bucket int"
-    )
-    spark.createDataFrame(rows, schema).write.mode("append").partitionBy(
-        "layer", "src_bucket"
-    ).parquet(f"{path}/graph")
-    if new_entry is not None:
-        vid, nvec, lvl = new_entry
-        spark.createDataFrame(
-            [(vid, nvec, lvl)], "vec_id bigint, nvec array<double>, level int"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/entry.tmp")
-        from cnc_visionsearch_spark.operators.ann import _swap_artifact_dir
+    df = spark.createDataFrame(rows, _HGRAPH_SCHEMA)
+    t = _nsw_tlog(path)
+    if t is not None:
+        # edges land as ONE blind append commit (never blocked by a
+        # racing compact), THEN the entry promotion as a meta-key
+        # commit: racing promotions serialize through the meta-rebase
+        # window (base_version), and the loser re-reads and promotes
+        # only if it still wins (level desc, vec_id asc) — the
+        # read-modify-write the legacy directory swap could not
+        # arbitrate. Edge-before-entry order keeps every search seeded
+        # at a node whose out-edges are already visible.
+        t.commit(
+            adds=t.write_data(df, bucket_expr=_hnsw_tag_expr()), op="append"
+        )
+        if new_entry is not None:
+            from cnc_visionsearch_spark.sources.tlog import run_transaction
 
-        _swap_artifact_dir(f"{path}/entry")
+            vid, nvec, lvl = new_entry
+
+            def promote():
+                snap = t.snapshot()
+                cur = snap.meta["entry"]
+                if (lvl, -vid) > (int(cur["level"]), -int(cur["vec_id"])):
+                    t.commit(
+                        op="append",
+                        meta={
+                            "entry": {
+                                "vec_id": vid,
+                                "nvec": nvec,
+                                "level": lvl,
+                            }
+                        },
+                        base_version=snap.version,
+                    )
+
+            run_transaction(promote)
+    else:
+        df.write.mode("append").partitionBy("layer", "src_bucket").parquet(
+            f"{path}/graph"
+        )
+        if new_entry is not None:
+            vid, nvec, lvl = new_entry
+            spark.createDataFrame(
+                [(vid, nvec, lvl)],
+                "vec_id bigint, nvec array<double>, level int",
+            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/entry.tmp")
+            from cnc_visionsearch_spark.operators.ann import (
+                _swap_artifact_dir,
+            )
+
+            _swap_artifact_dir(f"{path}/entry")

@@ -1,19 +1,21 @@
 """Advisory single-writer lock for NON-transactional artifact layouts.
 
 Scope decision (r9 verdict, recorded in SCALE.md "Table-format
-stance"): the four high-churn derived artifacts — inverted index, IVF,
-MinHash store, token-IVF — arbitrate concurrent mutation through the
-tlog (optimistic concurrency, conflict domains, snapshot isolation).
-The remaining mutable layouts (NSW/HNSW graphs, brute-force shards,
-and the shared crash-safe vacuum rewrite) are LOW-churn tmp+rename
-artifacts where the tlog's per-commit machinery buys little — but a
-graph append racing a compact there was previously UNARBITRATED: two
-writers could interleave partition writes and leave a layout neither
-intended. This module makes the single-writer scope decision
-ENFORCEABLE instead of advisory: every mutation of one layout
-serializes on a create-exclusive lockfile, and a second concurrent
-mutator fails LOUDLY (:class:`LayoutBusyError`) rather than corrupting
-the layout.
+stance"): the high-churn derived artifacts — inverted index, IVF,
+MinHash store, token-IVF, and (r10) the NSW graph via
+``nsw_build(use_tlog=True)`` — arbitrate concurrent mutation through
+the tlog (optimistic concurrency, conflict domains, snapshot
+isolation). The remaining mutable layouts (legacy tmp+rename NSW,
+HNSW, brute-force shards, and the shared crash-safe vacuum rewrite)
+are LOW-churn artifacts where the tlog's per-commit machinery buys
+little — but a graph append racing a compact there was previously
+UNARBITRATED: two writers could interleave partition writes and leave
+a layout neither intended. This module makes the single-writer scope
+decision ENFORCEABLE instead of advisory: every mutation of one
+layout serializes on a create-exclusive lockfile, and a second
+concurrent mutator fails LOUDLY (:class:`LayoutBusyError`) rather
+than corrupting the layout. Transactional layouts skip the lock —
+the commit log IS their arbitration (see :func:`single_writer`).
 
 Mechanics: ``os.open(..., O_CREAT | O_EXCL)`` on ``<layout>/_MUTATION_LOCK``
 — the same POSIX create-exclusive primitive the tlog's commit claim
@@ -119,12 +121,18 @@ def layout_mutation_lock(
 def single_writer(op: str):
     """Decorator form for mutators with the ``(spark, path, ...)``
     calling convention: holds :func:`layout_mutation_lock` on ``path``
-    for the call."""
+    for the call. TRANSACTIONAL layouts (a ``_tlog/`` dir exists) skip
+    the lock entirely — their mutations arbitrate through the commit
+    log's optimistic concurrency, and serializing them here would
+    forbid exactly the concurrent blind appends the tlog exists to
+    allow."""
     import functools
 
     def deco(fn):
         @functools.wraps(fn)
         def wrapper(spark, path, *a, **k):
+            if os.path.isdir(os.path.join(path, "_tlog")):
+                return fn(spark, path, *a, **k)
             with layout_mutation_lock(path, op):
                 return fn(spark, path, *a, **k)
 

@@ -144,6 +144,107 @@ def ann_nsw_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nsw_search_df(spark, path, q, k=10, ef=_EF, hops=_HOPS)
 
 
+def ensure_tlog_nsw_built(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent TRANSACTIONAL NSW lifecycle (r10): the exact top-m
+    edge set lands as TWO commits (an init holding the even-dst half +
+    entries, then a blind append of the odd-dst half — every bucket
+    ends up holding two files), followed by ONE nsw_compact rewrite
+    commit under the optimistic loop. The final graph CONTENT equals a
+    one-shot build by construction (same pure edge function, disjoint
+    halves), so the beam-search oracle replays the whole lifecycle."""
+    import shutil
+
+    from cnc_visionsearch_spark.operators.graph_ann import (
+        TLOG_NSW_ENTRIES_TAG,
+        _retag_g,
+        nsw_candidate_edges,
+        nsw_compact,
+    )
+    from cnc_visionsearch_spark.sources.tlog import TLog, run_transaction
+
+    path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir)}/nsw_tlog_m{_M}"
+    marker = os.path.join(path, "_HISTORY")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        emb = with_normalized(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "nvec"
+        )
+        n_buckets = 16  # nsw_build's default — the oracle is bucket-blind
+        edges = nsw_candidate_edges(emb, _M).select(
+            "src",
+            "dst",
+            "dvec",
+            F.pmod(F.col("src"), F.lit(n_buckets)).cast("int").alias(
+                "src_bucket"
+            ),
+        )
+        entries = (
+            emb.select("vec_id", "nvec")
+            .orderBy("vec_id")
+            .limit(_ENTRIES)
+            .coalesce(1)
+        )
+        t = TLog(path)
+        adds = t.write_data(
+            edges.filter(F.col("dst") % 2 == 0),
+            bucket_expr=F.col("src_bucket"),
+        )
+        adds += _retag_g(t.write_data(entries), TLOG_NSW_ENTRIES_TAG)
+        t.commit(
+            adds=adds,
+            op="append",
+            meta={"kind": "nsw", "m": _M, "n_buckets": n_buckets},
+            base_version=0,
+        )
+        t.commit(
+            adds=t.write_data(
+                edges.filter(F.col("dst") % 2 == 1),
+                bucket_expr=F.col("src_bucket"),
+            ),
+            op="append",
+        )
+        import json as _json
+
+        with open(os.path.join(path, "_NSW.json"), "w") as fh:
+            _json.dump(
+                {"m": _M, "n_buckets": n_buckets, "n_entries": _ENTRIES}, fh
+            )
+        run_transaction(lambda: nsw_compact(spark, path))
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "tlog_nsw_lifecycle_topk",
+    oracle=f"""
+WITH {_NORM_CTE},
+q AS (SELECT nvec AS qvec FROM normed WHERE vec_id = {_QID}),
+{_GRAPH_CTE},
+{_beam_ctes(_HOPS, _EF)}
+SELECT CAST(id AS BIGINT) AS vec_id, d AS distance
+FROM b{_HOPS} ORDER BY distance ASC, vec_id ASC LIMIT 10
+""",
+    doc="NSW beam search over a TRANSACTIONAL graph layout after its "
+    "full write lifecycle (r10 — the r9 scope exclusion 'a graph-ANN "
+    "append racing a compact is still unarbitrated' closed): the "
+    "exact top-m edge set lands as an init commit plus a BLIND append "
+    "commit (every bucket holds two files), then nsw_compact rewrites "
+    "every multi-file bucket as ONE commit declaring its src_bucket "
+    "conflict domains — racing appends into other buckets serialize, "
+    "overlapping ones conflict-and-recompute (racing interleave "
+    "test-pinned in tests/test_tlog_artifacts.py). Every read (entry "
+    "points, per-hop bucket scans) goes through the snapshot's "
+    "log-level file pruning instead of directory listings. The oracle "
+    "is the SAME unrolled beam replay as ann_nsw_beam_topk — a hash "
+    "match proves split-commit + compact + snapshot reads reproduce "
+    "the legacy layout's ranking bit-for-bit.",
+)
+def tlog_nsw_lifecycle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = ensure_tlog_nsw_built(spark, sf_dir)
+    q = _norm_query_vec(spark, sf_dir, _QID)
+    return nsw_search_df(spark, path, q, k=10, ef=_EF, hops=_HOPS)
+
+
 # ----------------------------------------------------------- hierarchy
 
 _M_UPPER = 8
@@ -329,6 +430,82 @@ def ann_hnsw_descend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnc_visionsearch_spark.operators.graph_ann import hnsw_search_df
 
     path = ensure_hnsw_built(spark, sf_dir)
+    q = _norm_query_vec(spark, sf_dir, _HQID)
+    return hnsw_search_df(
+        spark, path, q, k=10, ef=_EF, hops=_HOPS, upper_hops=_UPPER_HOPS
+    )
+
+
+def ensure_tlog_hnsw_built(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent TRANSACTIONAL HNSW lifecycle (r10): the layered edge
+    table lands as TWO commits (init = even-dst half + the entry in
+    commit META, then a blind append of the odd-dst half — every
+    (layer, bucket) domain holds two files), followed by ONE
+    hnsw_compact rewrite commit under the optimistic loop. Final graph
+    CONTENT equals a one-shot build by construction."""
+    import shutil
+
+    from cnc_visionsearch_spark.operators.graph_ann import (
+        hnsw_build,
+        hnsw_compact,
+    )
+    from cnc_visionsearch_spark.sources.tlog import run_transaction
+
+    path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir)}/hnsw_tlog_m{_M}"
+    marker = os.path.join(path, "_HISTORY")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        emb = with_normalized(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "nvec"
+        )
+        hnsw_build(
+            emb,
+            path,
+            m=_M,
+            m_upper=_M_UPPER,
+            level_mult=_LEVEL_MULT,
+            max_level=_MAX_LEVEL,
+            use_tlog=True,
+            tlog_split_commits=True,
+        )
+        run_transaction(lambda: hnsw_compact(spark, path))
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "tlog_hnsw_lifecycle_topk",
+    oracle=f"""
+WITH {_NORM_CTE.replace("normed AS (", "normed AS MATERIALIZED (")},
+q AS (SELECT nvec AS qvec FROM normed WHERE vec_id = {_HQID}),
+{_LV_CTE.replace("lv AS (", "lv AS MATERIALIZED (")},
+{_GRAPH_CTE.replace("graph AS (", "graph AS MATERIALIZED (")},
+{_layer_graph_ctes().replace(" AS (", " AS MATERIALIZED (")},
+{_descent_ctes()},
+{_l0_beam_ctes(_HOPS, _EF)}
+SELECT CAST(id AS BIGINT) AS vec_id, d AS distance
+FROM b{_HOPS} ORDER BY distance ASC, vec_id ASC LIMIT 10
+""",
+    doc="HNSW descent over a TRANSACTIONAL layered layout after its "
+    "full write lifecycle (r10): the layered edge table lands as an "
+    "init commit plus a blind append (every (layer, bucket) conflict "
+    "domain holds two files), the ENTRY rides commit META instead of "
+    "a swapped directory — entry promotion is a read-modify-write "
+    "meta-key commit, so racing promotions serialize through the "
+    "base_version rebase window (the arbitration the legacy swap "
+    "lacked; promotion + racing interleaves test-pinned in tests/"
+    "test_tlog_artifacts.py) — then hnsw_compact rewrites every "
+    "multi-file domain as ONE commit. Reads (entry from snapshot "
+    "meta, per-hop (layer, bucket) scans via log-level file pruning) "
+    "replace directory listings at the same plan shape. The oracle is "
+    "the SAME unrolled hierarchy replay as ann_hnsw_descend_topk — a "
+    "hash match proves split-commit + meta entry + compact + snapshot "
+    "reads reproduce the legacy ranking bit-for-bit.",
+)
+def tlog_hnsw_lifecycle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.graph_ann import hnsw_search_df
+
+    path = ensure_tlog_hnsw_built(spark, sf_dir)
     q = _norm_query_vec(spark, sf_dir, _HQID)
     return hnsw_search_df(
         spark, path, q, k=10, ef=_EF, hops=_HOPS, upper_hops=_UPPER_HOPS

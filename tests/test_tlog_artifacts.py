@@ -478,3 +478,189 @@ def test_inverted_concurrent_mixed_workload_serializes(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------- NSW graph
+# r10: the graph tier joins the transactional-artifact doctrine (the
+# r9 scope exclusion "a graph-ANN append racing a compact is still
+# unarbitrated" closed): nsw_build(use_tlog=True) lays the edge table
+# down as ONE init commit with src_bucket conflict domains, appends
+# are blind commits, nsw_compact is a rewrite commit over the touched
+# buckets.
+
+
+def test_nsw_tlog_mode_invariant_search_and_blind_append(spark, tmp_path):
+    """A tlog-mode NSW layout serves BIT-IDENTICAL beam searches to the
+    legacy layout (same read seams), and appends land as blind commits:
+    resident edge files stay byte-identical, appended nodes reachable."""
+    import os
+
+    from cnc_visionsearch_spark.operators.graph_ann import (
+        nsw_append,
+        nsw_build,
+        nsw_search,
+    )
+
+    emb = _emb(spark)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 5).first()["nvec"]
+    ]
+    leg, tl = str(tmp_path / "leg"), str(tmp_path / "tl")
+    nsw_build(emb, leg, m=6, n_buckets=8, n_entries=2)
+    nsw_build(emb, tl, m=6, n_buckets=8, n_entries=2, use_tlog=True)
+    a = nsw_search(spark, leg, q, k=10, ef=16, hops=4)
+    b = nsw_search(spark, tl, q, k=10, ef=16, hops=4)
+    assert a == b and a
+
+    def sig(root):
+        out = {}
+        for r, _d, fs in os.walk(os.path.join(root, "data")):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(r, f)
+                    out[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    before = sig(tl)
+    new = spark.createDataFrame(
+        [(10_000, q)], "vec_id bigint, nvec array<double>"
+    )
+    nsw_append(spark, tl, new)
+    after = sig(tl)
+    assert set(before) <= set(after) and len(after) > len(before)
+    for p, s in before.items():
+        assert after[p] == s  # resident files byte-untouched
+    ids = [i for i, _ in nsw_search(spark, tl, q, k=5, ef=16, hops=4)]
+    assert 10_000 in ids
+    t = TLog(tl)
+    ops = [t._read_commit(v)["op"] for v in t._versions()]
+    assert ops.count("append") >= 2  # init commit + the blind append
+
+
+def test_nsw_tlog_compact_racing_append_conflicts_and_recomputes(
+    spark, tmp_path, monkeypatch
+):
+    """An append landing inside nsw_compact's read->commit window makes
+    the compact raise TLogConflictError (overlapping src_bucket
+    domains); run_transaction recomputes against the new snapshot and
+    the final graph holds the racing edges — nothing lost."""
+    from collections import Counter
+
+    from cnc_visionsearch_spark.operators.graph_ann import (
+        nsw_append,
+        nsw_build,
+        nsw_compact,
+        nsw_search,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "tl")
+    nsw_build(
+        emb.filter(F.col("vec_id") < 300),
+        path,
+        m=6,
+        n_buckets=8,
+        n_entries=2,
+        use_tlog=True,
+    )
+    nsw_append(
+        spark,
+        path,
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 305)),
+    )  # buckets now hold >1 file: the compact has work to declare
+    racing = emb.filter((F.col("vec_id") >= 305) & (F.col("vec_id") < 308))
+    state = _inject_before_first_rewrite(
+        monkeypatch, lambda: nsw_append(spark, path, racing)
+    )
+    with pytest.raises(TLogConflictError):
+        nsw_compact(spark, path)
+    assert not state["armed"]  # the race actually fired
+    run_transaction(lambda: nsw_compact(spark, path))
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 306).first()["nvec"]
+    ]
+    ids = [i for i, _ in nsw_search(spark, path, qv, k=5, ef=16, hops=4)]
+    assert 306 in ids  # racing append survived the recomputed compact
+    cnt = Counter(
+        b
+        for _p, b in TLog(path).snapshot().files
+        if b is not None and b < 8
+    )
+    assert cnt and max(cnt.values()) == 1  # every bucket settled to 1 file
+
+
+def test_nsw_compact_refuses_legacy_layouts(spark, tmp_path):
+    from cnc_visionsearch_spark.operators.graph_ann import (
+        nsw_build,
+        nsw_compact,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "leg")
+    nsw_build(emb.limit(50), path, m=4, n_buckets=4, n_entries=2)
+    with pytest.raises(ValueError, match="transactional layout"):
+        nsw_compact(spark, path)
+
+
+def test_hnsw_tlog_mode_invariant_and_meta_entry_promotion(
+    spark, tmp_path
+):
+    """HNSW joins the doctrine: tlog-mode descend == legacy descend
+    bit-for-bit; an append whose node out-levels the entry PROMOTES it
+    through a meta-key commit (read-modify-write serialized by
+    base_version — the arbitration the legacy directory swap lacked),
+    and hnsw_compact settles every (layer, bucket) domain to one file
+    with results unchanged."""
+    from collections import Counter
+
+    from cnc_visionsearch_spark.operators.graph_ann import (
+        hnsw_append,
+        hnsw_build,
+        hnsw_compact,
+        hnsw_level_col,
+        hnsw_search,
+    )
+
+    emb = _emb(spark)
+    lv = emb.select(
+        "vec_id", "nvec", hnsw_level_col("vec_id", 8, 3).alias("level")
+    )
+    base = lv.filter(F.col("level") <= 1).select("vec_id", "nvec")
+    hi = (
+        lv.filter(F.col("level") >= 2)
+        .orderBy("vec_id")
+        .limit(1)
+        .first()
+    )
+    assert hi is not None, "fixture has no level>=2 node"
+    leg, tl = str(tmp_path / "leg"), str(tmp_path / "tl")
+    for p, use in ((leg, False), (tl, True)):
+        hnsw_build(
+            base, p, m=6, m_upper=4, level_mult=8, max_level=3,
+            n_buckets=8, use_tlog=use,
+        )
+    qid = base.orderBy("vec_id").first()
+    q = [float(x) for x in qid["nvec"]]
+    a = hnsw_search(spark, leg, q, k=10, ef=16, hops=4, upper_hops=2)
+    b = hnsw_search(spark, tl, q, k=10, ef=16, hops=4, upper_hops=2)
+    assert a == b and a
+    newbie = spark.createDataFrame(
+        [(int(hi["vec_id"]), [float(x) for x in hi["nvec"]])],
+        "vec_id bigint, nvec array<double>",
+    )
+    hnsw_append(spark, leg, newbie)
+    hnsw_append(spark, tl, newbie)
+    a2 = hnsw_search(spark, leg, q, k=10, ef=16, hops=4, upper_hops=2)
+    b2 = hnsw_search(spark, tl, q, k=10, ef=16, hops=4, upper_hops=2)
+    assert a2 == b2 and a2
+    # the promotion landed as commit meta, not a directory swap
+    ent = TLog(tl).snapshot().meta["entry"]
+    assert int(ent["vec_id"]) == int(hi["vec_id"])
+    assert int(ent["level"]) >= 2
+    # compact: every domain settles to one live file, results unchanged
+    run_transaction(lambda: hnsw_compact(spark, tl))
+    assert hnsw_search(spark, tl, q, k=10, ef=16, hops=4, upper_hops=2) == a2
+    cnt = Counter(b for _p, b in TLog(tl).snapshot().files if b is not None)
+    assert cnt and max(cnt.values()) == 1
