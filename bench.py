@@ -99,6 +99,12 @@ HEADLINE = [
     # the same bm25_probe as the legacy layouts; the ensure-builder
     # runs once (pass 1), so min-of-3 measures the snapshot-read probe
     "tlog_inverted_lifecycle_bm25",
+    # r10: the graph tier's transactional lifecycle (split-commit build
+    # -> meta-entry promotion -> compact as tlog commits) probed by the
+    # same hierarchy descent as ann_hnsw_descend_topk; the ensure-
+    # builder runs once (pass 1), so min-of-3 measures the
+    # snapshot-read descent
+    "tlog_hnsw_lifecycle_topk",
 ]
 
 
@@ -127,11 +133,54 @@ def _calibration_loop() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _parallel_calibration() -> dict:
+    """Effective-parallel-cores probe — the dimension the single-thread
+    loop cannot see: a shared VM can deliver ONE core at full speed
+    while capping AGGREGATE capacity (measured in r10: identical
+    single-thread walls, 13 of 32 effective cores, every multi-core
+    Spark stage ~1.4x slower). hashlib.md5 releases the GIL on large
+    buffers, so ncpu threads of fixed hashing measure actual aggregate
+    throughput; effective_cores = ideal-parallel-wall / observed."""
+    import hashlib
+    import threading
+
+    buf = b"\xab" * (1 << 23)  # 8 MiB per update: GIL released ~always
+    h = hashlib.md5()
+    t0 = time.perf_counter()
+    for _ in range(25):
+        h.update(buf)
+    h.digest()
+    single = time.perf_counter() - t0  # 200 MiB single-thread
+    n = os.cpu_count() or 1
+
+    def work():
+        hh = hashlib.md5()
+        for _ in range(6):
+            hh.update(buf)
+        hh.digest()
+
+    threads = [threading.Thread(target=work) for _ in range(n)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    per_mb = single / 200.0
+    eff = (n * 48.0 * per_mb) / wall if wall > 0 else float("nan")
+    return {
+        "single_s": round(single, 4),
+        "parallel_wall_s": round(wall, 4),
+        "effective_cores": round(min(eff, float(n)), 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     loadavg_start = _loadavg()
     calibrations = [_calibration_loop()]
+    par_start = _parallel_calibration()  # BEFORE Spark claims threads
     spark = get_session(app_name="bench")
     queries = all_queries()
 
@@ -190,9 +239,14 @@ def main() -> None:
     # loadavg at start (BEFORE this bench adds its own load) and end.
     # contended=true when the calibration spread exceeds 1.35x (the
     # same single-thread work took >35% longer in the worst window
-    # than the best — CPU steal) or the machine already carried more
-    # than half its cores of load before the bench started.
+    # than the best — CPU steal) or the machine already carried
+    # real load before the bench started (> max(2, ncpu/8) runnable
+    # tasks on a box where this bench should be alone — measured: a
+    # pre-start loadavg of 7.5/32 inflated the whole run ~1.2x
+    # uniformly while the calibration spread stayed under 1.13, so
+    # the load probe must bite at small absolute values).
     calibrations.append(_calibration_loop())
+    par_end = _parallel_calibration()  # Spark idle between jobs here
     loadavg_end = _loadavg()
     cal_spread = (
         round(max(calibrations) / min(calibrations), 3)
@@ -200,9 +254,11 @@ def main() -> None:
         else None
     )
     ncpu = os.cpu_count() or 1
+    eff_cores = min(par_start["effective_cores"], par_end["effective_cores"])
     contended = bool(
         (cal_spread is not None and cal_spread > 1.35)
-        or (loadavg_start and loadavg_start[0] > 0.5 * ncpu)
+        or (loadavg_start and loadavg_start[0] > max(2.0, ncpu / 8))
+        or eff_cores < 0.6 * ncpu
     )
     result = {
         "metric": "headline_wall_clock",
@@ -219,6 +275,9 @@ def main() -> None:
             "loadavg_end": loadavg_end,
             "calibration_secs": calibrations,
             "calibration_spread": cal_spread,
+            "parallel_start": par_start,
+            "parallel_end": par_end,
+            "effective_cores": eff_cores,
             "ncpu": ncpu,
         },
     }

@@ -113,31 +113,47 @@ def _retag_g(adds: list, tag: int) -> list:
     return adds
 
 
-def read_nsw_graph(spark, path: str, buckets=None) -> DataFrame:
-    """The sanctioned reader for the layout's denormalized edge table:
-    dispatches on layout mode and prunes to ``buckets`` — parquet
-    partition pruning on legacy layouts, LOG-level file pruning
-    (snapshot ``files_in``) on transactional ones. The src_bucket
-    column is real data in both modes, so downstream filters are
-    mode-invariant."""
+def _nsw_graph_reader(spark, path: str):
+    """One-per-search reader handle for the edge table: the legacy
+    relation (ONE spark.read.parquet — re-creating it per hop re-lists
+    files and re-infers schema, a measured multi-hop tax) or the tlog
+    snapshot (ONE log replay) is captured once; each call prunes to
+    ``buckets`` — partition pruning on legacy layouts, LOG-level file
+    pruning on transactional ones."""
     t = _nsw_tlog(path)
     if t is None:
         g = spark.read.parquet(f"{path}/graph")
-        if buckets is not None:
-            g = g.filter(F.col("src_bucket").isin(sorted(buckets)))
-        return g
+
+        def read(buckets=None):
+            if buckets is None:
+                return g
+            return g.filter(F.col("src_bucket").isin(sorted(buckets)))
+
+        return read
     snap = t.snapshot()
-    tags = (
-        sorted(buckets)
-        if buckets is not None
-        else list(range(int(_meta(path)["n_buckets"])))
-    )
-    paths = [p for p, b in snap.files if b in set(tags)]
-    if not paths:
-        return spark.createDataFrame([], _GRAPH_SCHEMA)
-    return spark.read.schema(_GRAPH_SCHEMA).parquet(
-        *[os.path.join(t.root, p) for p in paths]
-    )
+    n_buckets = int(_meta(path)["n_buckets"])
+
+    def read(buckets=None):
+        tags = set(
+            sorted(buckets) if buckets is not None else range(n_buckets)
+        )
+        paths = [p for p, b in snap.files if b in tags]
+        if not paths:
+            return spark.createDataFrame([], _GRAPH_SCHEMA)
+        return spark.read.schema(_GRAPH_SCHEMA).parquet(
+            *[os.path.join(t.root, p) for p in paths]
+        )
+
+    return read
+
+
+def read_nsw_graph(spark, path: str, buckets=None) -> DataFrame:
+    """The sanctioned one-shot reader for the layout's denormalized
+    edge table (see :func:`_nsw_graph_reader`; loops should take a
+    reader handle instead of calling this per hop). The src_bucket
+    column is real data in both modes, so downstream filters are
+    mode-invariant."""
+    return _nsw_graph_reader(spark, path)(buckets)
 
 
 def _entry_rows(path: str) -> list[dict]:
@@ -197,36 +213,54 @@ def nsw_compact(spark, path: str) -> None:
     )
 
 
-def read_hnsw_graph(
-    spark, path: str, layer: int | None = None, buckets=None
-) -> DataFrame:
-    """Mode-aware reader for the layered edge table: legacy layouts
-    prune via (layer, src_bucket) partition filters; transactional
-    layouts prune at the LOG level ((layer, bucket) tags -> live
-    files), then apply the same row filters. Mode-invariant columns."""
+def _hnsw_graph_reader(spark, path: str):
+    """One-per-search reader handle for the layered edge table (the
+    :func:`_nsw_graph_reader` doctrine): legacy relation or tlog
+    snapshot captured ONCE, each call prunes to (layer, buckets) —
+    partition filters on legacy layouts, (layer, bucket) tag -> live
+    file pruning on transactional ones, same row filters either way."""
     t = _nsw_tlog(path)
     if t is None:
-        g = spark.read.parquet(f"{path}/graph")
-    else:
-        meta = _hnsw_meta(path)
-        nb, ml = int(meta["n_buckets"]), int(meta["max_level"])
+        g0 = spark.read.parquet(f"{path}/graph")
+
+        def read(layer=None, buckets=None):
+            g = g0
+            if layer is not None:
+                g = g.filter(F.col("layer") == int(layer))
+            if buckets is not None:
+                g = g.filter(F.col("src_bucket").isin(sorted(buckets)))
+            return g
+
+        return read
+    meta = _hnsw_meta(path)
+    nb, ml = int(meta["n_buckets"]), int(meta["max_level"])
+    snap = t.snapshot()
+
+    def read(layer=None, buckets=None):
         layers = [int(layer)] if layer is not None else list(range(ml + 1))
         bks = sorted(buckets) if buckets is not None else list(range(nb))
-        tags = {
-            l * TLOG_HNSW_LAYER_STRIDE + b for l in layers for b in bks
-        }
-        snap = t.snapshot()
+        tags = {l * TLOG_HNSW_LAYER_STRIDE + b for l in layers for b in bks}
         paths = [p for p, b in snap.files if b in tags]
         if not paths:
             return spark.createDataFrame([], _HGRAPH_SCHEMA)
         g = spark.read.schema(_HGRAPH_SCHEMA).parquet(
             *[os.path.join(t.root, p) for p in paths]
         )
-    if layer is not None:
-        g = g.filter(F.col("layer") == int(layer))
-    if buckets is not None:
-        g = g.filter(F.col("src_bucket").isin(sorted(buckets)))
-    return g
+        if layer is not None:
+            g = g.filter(F.col("layer") == int(layer))
+        if buckets is not None:
+            g = g.filter(F.col("src_bucket").isin(sorted(buckets)))
+        return g
+
+    return read
+
+
+def read_hnsw_graph(
+    spark, path: str, layer: int | None = None, buckets=None
+) -> DataFrame:
+    """One-shot form of :func:`_hnsw_graph_reader` — loops should take
+    a reader handle instead of calling this per hop."""
+    return _hnsw_graph_reader(spark, path)(layer, buckets)
 
 
 def _hnsw_entry(spark, path: str) -> dict:
@@ -518,11 +552,12 @@ def nsw_search(
     }
     beam = dict(sorted(beam.items(), key=lambda kv: (kv[1], kv[0]))[:ef])
     qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    read = _nsw_graph_reader(spark, path)  # ONE relation/snapshot per search
     for _ in range(hops):
         ids = sorted(beam)
         buckets = sorted({i % n_buckets for i in ids})
         nbrs = (
-            read_nsw_graph(spark, path, buckets=buckets)
+            read(buckets)
             .filter(F.col("src").isin(ids))
             .select("dst", l2_sq("dvec", qcol).alias("d"))
             .collect()
@@ -748,15 +783,14 @@ def hnsw_search(
     e = _hnsw_entry(spark, path)
     cur_id, cur_d = int(e["vec_id"]), _seq_l2_sq(e["nvec"], q)
     qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    read = _hnsw_graph_reader(spark, path)  # ONE relation/snapshot per search
     # layers above the entry's level are empty by construction (the
     # entry IS a max-level node) — skip their no-op scans
     start_layer = min(max_level, int(e["level"]))
     for layer in range(start_layer, 0, -1):
         for _ in range(upper_hops):
             nbrs = (
-                read_hnsw_graph(
-                    spark, path, layer=layer, buckets=[cur_id % n_buckets]
-                )
+                read(layer, [cur_id % n_buckets])
                 .filter(F.col("src") == cur_id)
                 .select("dst", l2_sq("dvec", qcol).alias("d"))
                 .collect()
@@ -774,7 +808,7 @@ def hnsw_search(
         ids = sorted(beam)
         buckets = sorted({i % n_buckets for i in ids})
         nbrs = (
-            read_hnsw_graph(spark, path, layer=0, buckets=buckets)
+            read(0, buckets)
             .filter(F.col("src").isin(ids))
             .select("dst", l2_sq("dvec", qcol).alias("d"))
             .collect()
@@ -860,9 +894,7 @@ def hnsw_append(spark, path: str, new_emb: DataFrame) -> None:
     n_buckets, max_level = meta["n_buckets"], meta["max_level"]
     level_mult = meta["level_mult"]
 
-    def read_fn(layer, buckets):
-        return read_hnsw_graph(spark, path, layer=layer, buckets=buckets)
-
+    read_fn = _hnsw_graph_reader(spark, path)  # ONE relation/snapshot
     entry = _hnsw_entry(spark, path)
     new_rows = new_emb.select(
         "vec_id",
@@ -911,7 +943,7 @@ def hnsw_append(spark, path: str, new_emb: DataFrame) -> None:
     nbr_ids = sorted({dst for _l, _s, dst in out_edges})
     nbr_vec = {
         int(x["dst"]): [float(v) for v in x["dvec"]]
-        for x in read_hnsw_graph(spark, path).filter(F.col("dst").isin(nbr_ids))
+        for x in read_fn().filter(F.col("dst").isin(nbr_ids))
         .select("dst", "dvec")
         .dropDuplicates(["dst"])
         .collect()

@@ -74,13 +74,21 @@ def customer_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the grand totals (t, n_customers) ride the kernel's band-totals
     # collect as literal columns — the final job scans the orders
-    # rollup ONCE (the r8 `tot` branch re-aggregated it a second time)
+    # rollup ONCE (the r8 `tot` branch re-aggregated it a second time).
+    # bands=16 (r10): driver-side plan ANALYSIS is linear in the band
+    # count (two 32-arm CASE trees dominated the serving wall — the
+    # kernel's values are band-invariant by construction, only balance
+    # changes), and 16 bands keeps per-band rows tiny at any benched
+    # scale; a 1000-executor deployment raises the knob with the
+    # cluster, not the query (measured: 32 bands 2.3-2.5s warm
+    # construct+action, 16 bands 1.35-1.5s, same hashes)
     ranked = distributed_cumsum(
         rev,
         [(F.col("rev_c"), "desc"), ("o_custkey", "asc")],
         sums=[(F.col("rev_c"), "cum_c")],
         total_col="n_customers",
         sum_total_cols=["t"],
+        bands=16,
     ).withColumn("t", F.col("t").cast("bigint"))
     th = spark.createDataFrame(
         [(50,), (80,), (95,)], "threshold_pct int"

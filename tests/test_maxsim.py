@@ -163,16 +163,21 @@ def test_maxsim_multi_probe_broadcast_hint_is_adaptive(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         small = maxsim_multi_probe(spark, path, qs, docs, n_buckets=8, k=5)
         plan_small = small._jdf.queryExecution().executedPlan().toString()
-        # under the bound: every scorer join side is hinted -> no
-        # shuffle joins anywhere in the plan
-        assert "BroadcastHashJoin" in plan_small
-        assert "SortMergeJoin" not in plan_small
         big = maxsim_multi_probe(
             spark, path, qs, docs, n_buckets=8, k=5, broadcast_max_rows=0
         )
         plan_big = big._jdf.queryExecution().executedPlan().toString()
-        # above the bound: the candidate-pair and vocab-dot joins must
-        # NOT be hinted -> they shuffle
+        # under the bound the candidate set is hinted on BOTH its join
+        # sides (the text semi-join and the scoring join) and every
+        # other small side carries its bounded-size hint -> no shuffle
+        # join anywhere; above the bound exactly the two cand hints are
+        # gone and those joins shuffle
+        assert "BroadcastHashJoin" in plan_small
+        assert "SortMergeJoin" not in plan_small
+        assert (
+            plan_small.count("BroadcastHashJoin")
+            >= plan_big.count("BroadcastHashJoin") + 2
+        )
         assert (
             "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
         )
