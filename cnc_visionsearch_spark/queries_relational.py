@@ -2387,11 +2387,17 @@ def order_price_equidepth_histogram(
     from cnc_visionsearch_spark.operators.rank import exact_ntile
 
     orders = load_table(spark, sf_dir, "orders")
+    # bands=16 (r10, the customer_pareto_coverage decision): Catalyst
+    # analysis of the band CASE trees is linear in the band count and
+    # NTILE values are band-invariant by construction — 16 bands
+    # halves the driver-side plan cost at identical hashes; scale the
+    # knob with the cluster, not the query
     b = exact_ntile(
         orders.select("o_totalprice", "o_orderkey"),
         ["o_totalprice", "o_orderkey"],
         10,
         "_b",
+        bands=16,
     ).select("o_totalprice", F.col("_b").cast("bigint").alias("bucket"))
     return (
         b.groupBy("bucket")

@@ -313,6 +313,15 @@ def measure(spark, sf_dir, ivf_path, inv_path) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # machine-capacity stamp (the bench.py r10 doctrine): a shared VM
+    # can deliver a fraction of its advertised cores — record it so a
+    # cross-round serving comparison reads the capacity first
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import _parallel_calibration
+
+    par_start = _parallel_calibration()
     spark = get_session(app_name="stream-bench")
     from cnc_visionsearch_spark.queries_analytics import ensure_inverted_built
     from cnc_visionsearch_spark.queries_ann import ensure_ivf_built
@@ -322,6 +331,11 @@ def main() -> None:
     runs = [measure(spark, sf_dir, ivf_path, inv_path) for _ in range(N_PASSES)]
     out: dict = {
         "sf_dir": sf_dir,
+        "machine": {
+            "parallel_start": par_start,
+            "parallel_end": _parallel_calibration(),
+            "ncpu": os.cpu_count(),
+        },
         "passes": runs,
         "aggregate": (
             f"per-stream BEST-MEDIAN of {N_PASSES} passes (shared-VM "
