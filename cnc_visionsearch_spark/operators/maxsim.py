@@ -42,6 +42,7 @@ from cnc_visionsearch_spark.functions.vector import l2_sq
 __all__ = [
     "LI_DIM",
     "MAXSIM_BROADCAST_MAX_ROWS",
+    "MAXSIM_VOCAB_DOTS_MAX_ROWS",
     "TOKEN_IVF_CELLS",
     "TOKEN_IVF_NPROBE",
     "li_token_vec",
@@ -85,6 +86,19 @@ _GEOM = "_GEOMETRY.json"
 # scale-killer shape the r9 sweep measured: frac 0.58 on unigram
 # geometry even under the conjunction rule)
 MAXSIM_BROADCAST_MAX_ROWS = 100_000
+
+# vocab_dots ceiling for maxsim_multi_probe: the broadcast dot table
+# is n_distinct_candidate_tokens x n_batch_query_tokens rows. Both
+# factors are bounded dimensions (vocabulary / batch width), never a
+# corpus fraction — but their PRODUCT can still blow past broadcast
+# comfort when a 100k-token vocabulary meets a very wide query batch.
+# When the MEASURED product exceeds this bound, maxsim_multi_probe
+# splits the query batch in half and recurses (per-qid scores are
+# independent, so the union is hash-identical by construction);
+# 4M rows of (tok, qid, qtok, dot) is ~150 MB broadcast — the upper
+# edge of sane. A single over-wide query cannot split and proceeds
+# unhinted.
+MAXSIM_VOCAB_DOTS_MAX_ROWS = 4_000_000
 
 
 def _maybe_broadcast(df: DataFrame, n_rows: int, max_rows: int) -> DataFrame:
@@ -651,6 +665,7 @@ def maxsim_multi_probe(
     nprobe: int = TOKEN_IVF_NPROBE,
     min_token_hits: "int | str" = 1,
     broadcast_max_rows: int = MAXSIM_BROADCAST_MAX_ROWS,
+    vocab_dots_max_rows: int = MAXSIM_VOCAB_DOTS_MAX_ROWS,
 ) -> DataFrame:
     """Batch maxsim — the late-interaction twin of bm25_multi_probe
     (kNN-join shape): N (qid, tokens) queries answered together.
@@ -682,6 +697,14 @@ def maxsim_multi_probe(
     vocab-dot join sides are ADAPTIVE — applied only when the measured
     row count is under this bound (the candidate set can be a corpus
     fraction; hint-forcing it through the driver is a scale hazard).
+
+    ``vocab_dots_max_rows`` (r10 verdict #2): the vocab-dot table is
+    n_distinct_candidate_tokens x n_batch_query_tokens rows; when the
+    MEASURED product exceeds this bound the query batch is split in
+    half and each half recurses — per-qid scores are independent, so
+    the union is hash-identical to the unsplit answer by construction.
+    A single query that alone exceeds the bound proceeds with the
+    vocab-dot join unhinted (shuffled) instead of force-broadcasting.
     """
     if candidates == "lexical":
         from cnc_visionsearch_spark.operators.text_index import (
@@ -774,11 +797,16 @@ def maxsim_multi_probe(
     # unconditional F.broadcast(cand) would at scale force a
     # driver-side collect of millions of rows into a broadcast table.
     # cand is consumed twice (the text semi-join and the scoring
-    # join), so persist it once, MEASURE it with one count, and hint
-    # only under broadcast_max_rows; above the bound both joins stay
-    # shuffled. The persisted fraction is released by the context
-    # cleaner when the returned plan is dropped.
-    cand = cand.persist()
+    # join), so it needs a materialization barrier + ONE measuring
+    # count. persist() is the wrong primitive here: its entry lives in
+    # the session CacheManager until an explicit unpersist(), so a
+    # long-lived serving loop would accrete one cached corpus-fraction
+    # candidate set per call (r10 verdict #1). localCheckpoint
+    # (eager=False) gives the same compute-once/reuse semantics via
+    # RDD blocks that the ContextCleaner reclaims when the returned
+    # plan is GC'd — no CacheManager entry ever exists (the dedup
+    # candidate barrier, operators/dedup.py, uses the same pattern).
+    cand = cand.localCheckpoint(eager=False)
     n_cand = cand.count()
     dtoks = doc_distinct_tokens(
         docs.join(
@@ -789,6 +817,38 @@ def maxsim_multi_probe(
             "left_semi",
         )
     )
+    # dtoks feeds BOTH the vocab-dot table and the scoring join, and
+    # its distinct-token count decides the split below — barrier it
+    # once (same ContextCleaner-reclaimed primitive as cand) so the
+    # candidate-text scan runs a single time per call.
+    dtoks = dtoks.localCheckpoint(eager=False)
+    n_vocab = dtoks.select("tok").distinct().count()
+    n_batch_tokens = sum(len(ts) for _, ts in queries)
+    n_vocab_dots = n_vocab * n_batch_tokens
+    if n_vocab_dots > vocab_dots_max_rows and len(queries) > 1:
+        # MECHANIZED vocab x batch bound (r10 verdict #2): the comment
+        # telling callers to split is now code. Halve the batch and
+        # recurse — each half regenerates its own (smaller, pruned)
+        # candidate set; per-qid scores never interact, so
+        # union(split) == unsplit hash-exactly.
+        mid = len(queries) // 2
+        halves = [
+            maxsim_multi_probe(
+                spark,
+                index_path,
+                part,
+                docs,
+                n_buckets=n_buckets,
+                k=k,
+                candidates=candidates,
+                nprobe=nprobe,
+                min_token_hits=min_token_hits,
+                broadcast_max_rows=broadcast_max_rows,
+                vocab_dots_max_rows=vocab_dots_max_rows,
+            )
+            for part in (queries[:mid], queries[mid:])
+        ]
+        return halves[0].unionByName(halves[1])
     qvec_rows = [
         (qid, t, li_token_vec_py(t)) for qid, ts in queries for t in ts
     ]
@@ -816,18 +876,22 @@ def maxsim_multi_probe(
         .crossJoin(F.broadcast(qvecs))
         .select("tok", "qid", "qtok", dot.alias("_dot"))
     )
-    # vocab_dots KEEPS its broadcast hint: its row count is
-    # n_vocab x |batch tokens| — a VOCABULARY-and-batch fact (the same
-    # class as the broadcast query vectors), never a corpus fraction,
-    # so it does not share the cand hazard the r9 verdict flagged.
-    # Leaving it unhinted was measured to shuffle the (candidate doc,
-    # token) side — the big intermediate — before AQE could promote
-    # (+0.6s on the benched batch); a deployment pairing a 100k-token
-    # vocabulary with very wide query batches bounds the product by
-    # splitting the batch (maxsim_multi_probe composes over splits).
+    # vocab_dots keeps its broadcast hint WHEN the measured product
+    # n_vocab x |batch tokens| is under vocab_dots_max_rows — a
+    # VOCABULARY-and-batch fact (the same class as the broadcast query
+    # vectors), never a corpus fraction, so it does not share the cand
+    # hazard the r9 verdict flagged. Leaving it unhinted was measured
+    # to shuffle the (candidate doc, token) side — the big
+    # intermediate — before AQE could promote (+0.6s on the benched
+    # batch). Oversized products never reach this line with a
+    # multi-query batch (the split above recursed); the only unhinted
+    # case is a SINGLE query wide enough to exceed the bound alone.
     per_tok = (
         dtoks.join(_maybe_broadcast(cand, n_cand, broadcast_max_rows), "doc_id")
-        .join(F.broadcast(vocab_dots), ["qid", "tok"])
+        .join(
+            _maybe_broadcast(vocab_dots, n_vocab_dots, vocab_dots_max_rows),
+            ["qid", "tok"],
+        )
         .groupBy("qid", "doc_id", "qtok")
         .agg(F.max(F.col("_dot")).alias("_best"))
         .select(

@@ -128,8 +128,13 @@ def _input_fingerprint(df: DataFrame):
     at planning. A plan with no file sources digests the empty list
     (its inputs are in-memory per-plan literals: genuinely immutable
     under an unchanged semantic hash). Returns None when the file set
-    cannot be determined — the caller then skips memoization (never
-    the unsafe direction)."""
+    cannot be determined OR when any listed file cannot be stat'd
+    locally (hdfs://, s3a://, a concurrently-vacuumed file) — a
+    path-only fallback signature would make an in-place remote
+    overwrite keeping the same file names fingerprint-identical,
+    silently reviving the stale-memo replay this key exists to
+    prevent (r10 advice); skipping memoization is never the unsafe
+    direction."""
     import hashlib
     import os
 
@@ -146,10 +151,9 @@ def _input_fingerprint(df: DataFrame):
             p = p[len("file:") :]
         try:
             st = os.stat(p)
-            sig = f"{uri}|{st.st_size}|{st.st_mtime_ns}"
         except OSError:
-            sig = f"{uri}|missing"
-        h.update(sig.encode())
+            return None
+        h.update(f"{uri}|{st.st_size}|{st.st_mtime_ns}".encode())
     return (len(files), h.hexdigest())
 
 

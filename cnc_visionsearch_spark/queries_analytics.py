@@ -6,6 +6,8 @@ replay and carries an explicit 100 TB story in its docstring.
 
 from __future__ import annotations
 
+import collections as _collections
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1119,10 +1121,44 @@ w0 AS (
 def doc_bpe_train_merges(
     spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
 ) -> DataFrame:
+    return spark.createDataFrame(
+        bpe_train_merge_rows(spark, sf_dir, rounds=rounds),
+        "merge_rank bigint, lhs string, rhs string, merged string, "
+        "pair_count bigint",
+    )
+
+
+# session memo for the trained merge table (r10 verdict #5): training
+# is a rounds-long driver loop over the vocabulary, and THREE registry
+# entries run it (the train query itself + apply_stats + fertility) —
+# one full-surface replay paid it three times. Keyed by the documents
+# table's file fingerprint (path/size/mtime digest, the rank-kernel
+# memo's auto-invalidation key) + rounds, so an overwritten corpus
+# misses and retrains; an un-fingerprint-able input (remote URI,
+# vanished file) disables memoization — never the unsafe direction.
+_BPE_MERGES_MEMO: "dict[tuple, list]" = {}
+
+_BpeMerge = _collections.namedtuple(
+    "_BpeMerge", "merge_rank lhs rhs merged pair_count"
+)
+
+
+def bpe_train_merge_rows(
+    spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
+) -> "list[_BpeMerge]":
+    """The trained merge rules as driver-side rows — the shared model
+    artifact behind doc_bpe_train_merges / doc_bpe_apply_stats /
+    doc_bpe_fertility_by_lang. One training job per (corpus
+    fingerprint, rounds) per session."""
     from cnc_visionsearch_spark.iterative import check_rounds
+    from cnc_visionsearch_spark.operators.rank import _input_fingerprint
 
     check_rounds(rounds, "doc_bpe_train_merges")
     docs = load_table(spark, sf_dir, "documents")
+    fp = _input_fingerprint(docs)
+    key = None if fp is None else (fp, int(rounds))
+    if key is not None and key in _BPE_MERGES_MEMO:
+        return _BPE_MERGES_MEMO[key]
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
@@ -1153,7 +1189,7 @@ def doc_bpe_train_merges(
             .collect()[0]  # 1-row argmax: a planner decision, like probe cells
         )
         merges.append(
-            (rank, best.lhs, best.rhs, best.lhs + best.rhs, int(best.pc))
+            _BpeMerge(rank, best.lhs, best.rhs, best.lhs + best.rhs, int(best.pc))
         )
         vocab = vocab.withColumn(
             "state",
@@ -1163,10 +1199,9 @@ def doc_bpe_train_merges(
                 F.lit(f" {best.lhs}{best.rhs}"),
             ),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges,
-        "merge_rank bigint, lhs string, rhs string, merged string, pair_count bigint",
-    )
+    if key is not None:
+        _BPE_MERGES_MEMO[key] = merges
+    return merges
 
 
 _BPE_APPLY_ORACLE = (
@@ -1213,7 +1248,7 @@ def doc_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     before = vocab.withColumnRenamed("state", "state0")
-    merges = doc_bpe_train_merges(spark, sf_dir).collect()
+    merges = bpe_train_merge_rows(spark, sf_dir)
     state = F.col("state0")
     for m in merges:
         state = F.replace(
@@ -4881,7 +4916,7 @@ def doc_bpe_fertility_by_lang(
         .withColumn("state", F.regexp_replace("word", "(.)", " $1"))
     )
     state = F.col("state")
-    for m in doc_bpe_train_merges(spark, sf_dir).collect():
+    for m in bpe_train_merge_rows(spark, sf_dir):
         state = F.replace(
             state, F.lit(f" {m.lhs} {m.rhs}"), F.lit(f" {m.lhs}{m.rhs}")
         )
