@@ -443,6 +443,12 @@ def nsw_build(
         # conflict domains
         from cnc_visionsearch_spark.sources.tlog import TLog
 
+        if n_buckets >= TLOG_NSW_ENTRIES_TAG:
+            raise ValueError(
+                f"nsw_build(use_tlog=True): n_buckets={n_buckets} would "
+                f"collide with the reserved entries conflict-domain tag "
+                f"({TLOG_NSW_ENTRIES_TAG}); keep n_buckets below it"
+            )
         t = TLog(path)
         if t.latest_version() != 0:
             raise ValueError(
@@ -648,7 +654,6 @@ def hnsw_build(
     ivf_path: str | None = None,
     ivf_nprobe: int = 4,
     use_tlog: bool = False,
-    tlog_split_commits: bool = False,
 ) -> None:
     """Materialize the hierarchical layout at ``path``:
     ``{path}/graph`` partitioned by ``(layer, src_bucket)`` — layer 0
@@ -687,6 +692,18 @@ def hnsw_build(
     if use_tlog:
         from cnc_visionsearch_spark.sources.tlog import TLog
 
+        if n_buckets >= TLOG_HNSW_LAYER_STRIDE:
+            # the (layer, bucket) conflict-domain tag is
+            # layer * STRIDE + bucket — a wider bucket count would
+            # silently alias tags ACROSS layers, corrupting log-level
+            # pruning and append/compact conflict domains (r10 advice:
+            # the documented invariant is now validated, not prose)
+            raise ValueError(
+                f"hnsw_build(use_tlog=True): n_buckets={n_buckets} must "
+                f"stay below TLOG_HNSW_LAYER_STRIDE "
+                f"({TLOG_HNSW_LAYER_STRIDE}) — larger values alias "
+                "(layer, bucket) conflict-domain tags across layers"
+            )
         t = TLog(path)
         if t.latest_version() != 0:
             raise ValueError(
@@ -698,13 +715,8 @@ def hnsw_build(
             .limit(1)
             .first()
         )
-        init = (
-            graph.filter(F.col("dst") % 2 == 0)
-            if tlog_split_commits
-            else graph
-        )
         t.commit(
-            adds=t.write_data(init, bucket_expr=_hnsw_tag_expr()),
+            adds=t.write_data(graph, bucket_expr=_hnsw_tag_expr()),
             op="append",
             meta={
                 "kind": "hnsw",
@@ -719,17 +731,6 @@ def hnsw_build(
             },
             base_version=0,
         )
-        if tlog_split_commits:
-            # the odd-dst half as a BLIND append — every (layer,
-            # bucket) domain ends up holding two files, so a compact
-            # has real work; the FINAL content is identical either way
-            t.commit(
-                adds=t.write_data(
-                    graph.filter(F.col("dst") % 2 == 1),
-                    bucket_expr=_hnsw_tag_expr(),
-                ),
-                op="append",
-            )
     else:
         graph.write.mode("overwrite").partitionBy(
             "layer", "src_bucket"

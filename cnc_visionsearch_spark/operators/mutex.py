@@ -72,16 +72,46 @@ def layout_mutation_lock(
             break
         except FileExistsError:
             try:
-                age = time.time() - os.path.getmtime(lock)
+                st = os.stat(lock)
             except OSError:
                 continue  # holder released between open and stat: retry
+            age = time.time() - st.st_mtime
             if age > stale_after_s and attempt == 0:
-                # presumed crashed holder: break and re-race the create
+                # Presumed crashed holder. A blind unlink here has a
+                # TOCTOU race (r10 advice): between the stat above and
+                # the unlink, the slow-but-live holder may release and
+                # a NEW writer may create a fresh lock — unlinking by
+                # path would then delete the live writer's lock and
+                # admit a second mutator. rename() is the atomic grab:
+                # move whatever is at the lock path aside, then VERIFY
+                # by inode that we grabbed the stale file we observed.
+                grabbed = f"{lock}.break.{os.getpid()}"
                 try:
-                    os.unlink(lock)
+                    os.rename(lock, grabbed)
                 except OSError:
-                    pass
-                continue
+                    continue  # lock vanished under us: re-race create
+                try:
+                    got = os.stat(grabbed)
+                except OSError:  # pragma: no cover
+                    continue
+                if (got.st_ino, got.st_mtime) == (st.st_ino, st.st_mtime):
+                    os.unlink(grabbed)  # confirmed stale: break it
+                    continue
+                # We grabbed a FRESH lock (holder released + new writer
+                # acquired inside our window). Restore it atomically —
+                # link() fails rather than clobbers if yet another
+                # writer claimed the now-empty path — and report busy.
+                try:
+                    os.link(grabbed, lock)
+                except OSError:  # pragma: no cover — triple race;
+                    pass  # the third writer's claim stands
+                os.unlink(grabbed)
+                raise LayoutBusyError(
+                    f"layout {path} mutation lock was re-acquired "
+                    "during a stale-break attempt: another writer is "
+                    "live — wait for it, or build with use_tlog=True "
+                    "for arbitrated concurrent mutation"
+                )
             holder = ""
             try:
                 with open(lock) as f:

@@ -184,6 +184,13 @@ def ensure_tlog_nsw_built(spark: SparkSession, sf_dir: str) -> str:
             .limit(_ENTRIES)
             .coalesce(1)
         )
+        # BARRIER before splitting (r10 advice): the even/odd halves
+        # below must come from ONE evaluation of the candidate-edge
+        # plan — re-evaluating a (future, possibly nondeterministic)
+        # candidate generator per half could duplicate or lose edges
+        # across the two commits. ContextCleaner-reclaimed, like the
+        # maxsim/dedup candidate barriers.
+        edges = edges.localCheckpoint(eager=False)
         t = TLog(path)
         adds = t.write_data(
             edges.filter(F.col("dst") % 2 == 0),
@@ -436,13 +443,49 @@ def ann_hnsw_descend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fragment_tlog_hnsw(spark: SparkSession, path: str) -> None:
+    """Lifecycle scaffolding (r10 advice — moved OUT of the hnsw_build
+    production API): rewrite every live (layer, bucket) edge file into
+    TWO files (even/odd dst) as one rewrite commit, so the following
+    compact has real multi-file domains to settle. The halves are read
+    from the COMMITTED parquet files — one prior evaluation, one
+    source of truth — so they are disjoint and exhaustive regardless
+    of how the candidate generator behaves; content is unchanged (same
+    rows, more files)."""
+    from cnc_visionsearch_spark.operators.graph_ann import (
+        _HGRAPH_SCHEMA,
+        _hnsw_tag_expr,
+    )
+    from cnc_visionsearch_spark.sources.tlog import TLog
+
+    t = TLog(path)
+    snap = t.snapshot()
+    old = [p for p, b in snap.files if b is not None]
+    touched = sorted({b for _p, b in snap.files if b is not None})
+    src = spark.read.schema(_HGRAPH_SCHEMA).parquet(
+        *[os.path.join(t.root, p) for p in old]
+    )
+    adds = t.write_data(
+        src.filter(F.col("dst") % 2 == 0), bucket_expr=_hnsw_tag_expr()
+    ) + t.write_data(
+        src.filter(F.col("dst") % 2 == 1), bucket_expr=_hnsw_tag_expr()
+    )
+    t.commit(
+        adds=adds,
+        removes=old,
+        read_version=snap.version,
+        op="rewrite",
+        domains=touched,
+    )
+
+
 def ensure_tlog_hnsw_built(spark: SparkSession, sf_dir: str) -> str:
-    """Idempotent TRANSACTIONAL HNSW lifecycle (r10): the layered edge
-    table lands as TWO commits (init = even-dst half + the entry in
-    commit META, then a blind append of the odd-dst half — every
-    (layer, bucket) domain holds two files), followed by ONE
-    hnsw_compact rewrite commit under the optimistic loop. Final graph
-    CONTENT equals a one-shot build by construction."""
+    """Idempotent TRANSACTIONAL HNSW lifecycle: one init commit (the
+    layered edge table + the entry in commit META), a FRAGMENT rewrite
+    commit splitting every (layer, bucket) domain into two files (the
+    accreted-history shape a compact exists for), then ONE hnsw_compact
+    rewrite commit under the optimistic loop. Final graph CONTENT
+    equals a one-shot build by construction."""
     import shutil
 
     from cnc_visionsearch_spark.operators.graph_ann import (
@@ -466,8 +509,8 @@ def ensure_tlog_hnsw_built(spark: SparkSession, sf_dir: str) -> str:
             level_mult=_LEVEL_MULT,
             max_level=_MAX_LEVEL,
             use_tlog=True,
-            tlog_split_commits=True,
         )
+        _fragment_tlog_hnsw(spark, path)
         run_transaction(lambda: hnsw_compact(spark, path))
         open(marker, "w").close()
     return path
@@ -487,10 +530,13 @@ SELECT CAST(id AS BIGINT) AS vec_id, d AS distance
 FROM b{_HOPS} ORDER BY distance ASC, vec_id ASC LIMIT 10
 """,
     doc="HNSW descent over a TRANSACTIONAL layered layout after its "
-    "full write lifecycle (r10): the layered edge table lands as an "
-    "init commit plus a blind append (every (layer, bucket) conflict "
-    "domain holds two files), the ENTRY rides commit META instead of "
-    "a swapped directory — entry promotion is a read-modify-write "
+    "full write lifecycle (r10; fragment scaffolding moved out of the "
+    "build API in r11): the layered edge table lands as ONE init "
+    "commit, a fragment rewrite commit splits every (layer, bucket) "
+    "conflict domain into two files from the committed bytes (one "
+    "evaluation, one source of truth), the ENTRY rides commit META "
+    "instead of a swapped directory — entry promotion is a "
+    "read-modify-write "
     "meta-key commit, so racing promotions serialize through the "
     "base_version rebase window (the arbitration the legacy swap "
     "lacked; promotion + racing interleaves test-pinned in tests/"

@@ -55,6 +55,47 @@ def test_stale_lock_is_broken(tmp_path):
     assert not os.path.exists(lock)
 
 
+def test_stale_break_verifies_inode_before_deleting(tmp_path, monkeypatch):
+    """r10 advice (TOCTOU): between observing a stale lock and breaking
+    it, the slow-but-live holder may release and a NEW writer may
+    acquire — a blind unlink-by-path would then delete the live
+    writer's lock and admit a second mutator. The break is now an
+    atomic rename-aside + inode verify: simulate the race by making the
+    breaker's first stat report a DIFFERENT (stale) inode than the file
+    actually at the path; the breaker must restore the grabbed live
+    lock untouched and report busy instead of acquiring."""
+    import cnc_visionsearch_spark.operators.mutex as mx
+
+    p = str(tmp_path / "layout")
+    os.makedirs(p)
+    lock = os.path.join(p, LOCK_NAME)
+    with open(lock, "w") as f:
+        f.write('{"pid": 1234, "op": "live-new-writer"}')
+    real_ino = os.stat(lock).st_ino
+    real_stat = os.stat
+
+    class _StaleObservation:
+        st_ino = real_ino + 1  # an inode the path no longer holds
+        st_mtime = time.time() - 7200  # looks crashed-stale
+
+    calls = {"n": 0}
+
+    def racing_stat(path_, *a, **k):
+        if path_ == lock and calls["n"] == 0:
+            calls["n"] += 1
+            return _StaleObservation()
+        return real_stat(path_, *a, **k)
+
+    monkeypatch.setattr(mx.os, "stat", racing_stat)
+    with pytest.raises(LayoutBusyError, match="re-acquired"):
+        with layout_mutation_lock(p, stale_after_s=3600):
+            pass  # pragma: no cover
+    # the live writer's lock survived the failed break, same inode,
+    # and no rename-aside residue is left behind
+    assert os.stat(lock).st_ino == real_ino
+    assert os.listdir(p) == [LOCK_NAME]
+
+
 def test_error_message_names_the_holder(tmp_path):
     p = str(tmp_path / "layout")
     with layout_mutation_lock(p, "compact"):

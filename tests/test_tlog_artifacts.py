@@ -604,6 +604,38 @@ def test_nsw_compact_refuses_legacy_layouts(spark, tmp_path):
         nsw_compact(spark, path)
 
 
+def test_tlog_graph_builds_validate_conflict_domain_bounds(spark, tmp_path):
+    """r10 advice: the (layer, bucket) conflict-domain tag is
+    layer * TLOG_HNSW_LAYER_STRIDE + bucket, so n_buckets >= STRIDE
+    silently aliases tags ACROSS layers (wrong pruning, wrong
+    append/compact conflict domains). The invariant was docstring
+    prose; it is now a loud ValueError before any file is written.
+    Same for NSW's reserved entries tag."""
+    from cnc_visionsearch_spark.operators.graph_ann import (
+        TLOG_HNSW_LAYER_STRIDE,
+        TLOG_NSW_ENTRIES_TAG,
+        hnsw_build,
+        nsw_build,
+    )
+
+    emb = _emb(spark).limit(10)
+    hp = str(tmp_path / "h")
+    with pytest.raises(ValueError, match="TLOG_HNSW_LAYER_STRIDE"):
+        hnsw_build(
+            emb, hp, n_buckets=TLOG_HNSW_LAYER_STRIDE, use_tlog=True
+        )
+    np_ = str(tmp_path / "n")
+    with pytest.raises(ValueError, match="entries conflict-domain tag"):
+        nsw_build(
+            emb, np_, n_buckets=TLOG_NSW_ENTRIES_TAG, use_tlog=True
+        )
+    # the refusal wrote NOTHING: no tlog dir, no partial layout
+    import os as _os
+
+    assert not _os.path.exists(_os.path.join(hp, "_tlog"))
+    assert not _os.path.exists(_os.path.join(np_, "_tlog"))
+
+
 def test_hnsw_tlog_mode_invariant_and_meta_entry_promotion(
     spark, tmp_path
 ):
