@@ -105,6 +105,11 @@ HEADLINE = [
     # builder runs once (pass 1), so min-of-3 measures the
     # snapshot-read descent
     "tlog_hnsw_lifecycle_topk",
+    # r11: the shard tier's transactional lifecycle (build -> append ->
+    # delete -> vacuum -> compact as tlog commits) probed by the same
+    # sharded_topk_persisted as the legacy layouts; the ensure-builder
+    # runs once (pass 1), so min-of-3 measures the log-pruned probe
+    "tlog_shard_lifecycle_topk",
 ]
 
 

@@ -62,8 +62,10 @@ __all__ = [
     "ivf_exact_pruned_search",
     "ivf_probe",
     "ivf_probe_cells",
+    "read_shards",
     "shard_build",
     "shard_append",
+    "shard_compact",
     "shard_delete",
     "shard_vacuum",
     "sharded_topk",
@@ -735,6 +737,15 @@ def shard_delete(
     deleted ids. Physical removal: :func:`shard_vacuum`.
     """
     df = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} bigint")
+    t = _ivf_tlog(path)
+    if t is not None:
+        # blind tombstone commit under the shared vector-layout
+        # tombstone tag — _without_tombstones dispatches identically
+        # for IVF and shard layouts
+        t.commit(
+            adds=_retag(t.write_data(df), TLOG_IVF_TOMBS_TAG), op="append"
+        )
+        return
     df.write.mode("append").parquet(f"{path}/tombstones")
     if _try_faiss() is not None and os.path.exists(f"{path}/faiss_idx"):  # pragma: no cover
         geo = read_geometry(path)
@@ -747,8 +758,79 @@ def shard_delete(
 
 def shard_vacuum(spark, path: str, id_col: str = "vec_id") -> None:
     """Apply a shard layout's tombstones physically (touched shard
-    partitions only); see :func:`_vacuum_layout`."""
+    partitions only); see :func:`_vacuum_layout`. Transactional
+    layouts do it as ONE rewrite commit declaring the touched shard
+    domains plus the tombstone domain — shard membership is id mod
+    num_shards, so the touched set comes from the tombstone ids
+    ALONE (no data scan needed to resolve it)."""
+    t = _ivf_tlog(path)
+    if t is not None:
+        snap = t.snapshot()
+        tomb_files = snap.files_in([TLOG_IVF_TOMBS_TAG])
+        if not tomb_files:
+            return
+        tombs = (
+            _tlog_read_tags(spark, t, snap, [TLOG_IVF_TOMBS_TAG])
+            .select(id_col)
+            .distinct()
+        )
+        num_shards = int(snap.meta["num_shards"])
+        # bounded collect: tombstones are batch-scale by contract
+        # (_without_tombstones broadcasts the same set)
+        touched = sorted(
+            {int(r[0]) % num_shards for r in tombs.collect()}
+        )
+        adds = []
+        if touched:
+            live = _tlog_read_tags(spark, t, snap, touched)
+            kept = live.join(F.broadcast(tombs), id_col, "left_anti")
+            adds = t.write_data(kept, bucket_expr=F.col("shard"))
+        removes = sorted(
+            set(snap.files_in(touched) if touched else []) | set(tomb_files)
+        )
+        t.commit(
+            adds=adds,
+            removes=removes,
+            read_version=snap.version,
+            op="rewrite",
+            domains=list(touched) + [TLOG_IVF_TOMBS_TAG],
+        )
+        return
     _vacuum_layout(spark, path, ("shards",), "shard", id_col)
+
+
+def shard_compact(spark, path: str) -> None:
+    """Settle every shard domain holding more than one live file into
+    one file, as ONE rewrite commit declaring the touched domains —
+    the append-accretion bound (St5) for the transactional shard tier,
+    mirroring nsw_compact/inverted_compact. Probe results are
+    unchanged by construction (same rows, fewer files)."""
+    from collections import Counter
+
+    t = _ivf_tlog(path)
+    if t is None:
+        raise ValueError(
+            f"shard_compact requires a transactional layout (shard_build("
+            f"use_tlog=True)); {path} is a legacy tmp+rename layout — "
+            "its partitioned dirs compact via a rebuild"
+        )
+    snap = t.snapshot()
+    num_shards = int(snap.meta["num_shards"])
+    cnt = Counter(
+        b for _p, b in snap.files if b is not None and b < num_shards
+    )
+    touched = sorted(b for b, c in cnt.items() if c > 1)
+    if not touched:
+        return
+    old = [p for p, b in snap.files if b in set(touched)]
+    df = spark.read.parquet(*[os.path.join(t.root, p) for p in old])
+    t.commit(
+        adds=t.write_data(df, bucket_expr=F.col("shard")),
+        removes=old,
+        read_version=snap.version,
+        op="rewrite",
+        domains=touched,
+    )
 
 
 def ivf_probe(
@@ -926,12 +1008,39 @@ def _write_faiss_shard_artifacts(
     os.rename(tmp, idx_path)
 
 
+def read_shards(spark, path: str, shard_ids=None) -> DataFrame:
+    """The layout's shard table (RAW — callers apply
+    :func:`_without_tombstones`), dispatching on the layout mode like
+    :func:`read_cells`: legacy reads the ``shards/`` dir (the caller's
+    ``shard`` partition filter prunes), transactional layouts prune at
+    the LOG level via ``shard_ids`` -> live-file tags."""
+    t = _ivf_tlog(path)
+    if t is None:
+        return spark.read.parquet(f"{path}/shards")
+    snap = t.snapshot()
+    tags = (
+        sorted(shard_ids)
+        if shard_ids is not None
+        else list(range(int(snap.meta["num_shards"])))
+    )
+    out = _tlog_read_tags(spark, t, snap, tags)
+    if out is None:  # a probe against an emptied layout
+        geo = read_geometry(path)
+        return spark.createDataFrame(
+            [],
+            f"{geo['id_col']} bigint, {geo['vec_col']} array<double>, "
+            "shard int",
+        )
+    return out
+
+
 def shard_build(
     emb: DataFrame,
     path: str,
     num_shards: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "nvec",
+    use_tlog: bool = False,
 ) -> None:
     """Materialize the sharded-index layout at ``path``: embeddings
     written PARTITIONED BY shard (= id mod num_shards). This is the
@@ -942,8 +1051,43 @@ def shard_build(
     raw vectors; without faiss the layout still pins shard membership so
     probes skip the hash shuffle that :func:`sharded_topk` pays per
     query. Extend with :func:`shard_append` — no rebuild.
+
+    ``use_tlog=True`` (r10 verdict #3 — the last mutable ANN tier
+    joins the commit-log doctrine): the shard table lands as ONE init
+    commit with per-shard conflict domains; appends are blind commits,
+    deletes blind tombstone commits, vacuum/compact rewrite commits
+    declaring their touched shard domains — racing mutations into
+    disjoint shards serialize, overlapping ones conflict-and-recompute
+    under run_transaction, replacing the single-writer mutex the
+    legacy tmp+rename layout needs. The serialized-FAISS artifact tier
+    stays a legacy-layout feature (the deps-gated serving sidecar, not
+    layout data — same scope line as PQ/RQ code tables on IVF).
     """
     sharded = emb.withColumn("shard", (F.col(id_col) % num_shards).cast("int"))
+    if use_tlog:
+        from cnc_visionsearch_spark.sources.tlog import TLog
+
+        t = TLog(path)
+        if t.latest_version() != 0:
+            raise ValueError(
+                f"shard_build: tlog layout {path} already holds "
+                f"{t.latest_version()} commit(s); wipe to rebuild"
+            )
+        t.commit(
+            adds=t.write_data(sharded, bucket_expr=F.col("shard")),
+            op="append",
+            meta={
+                "kind": "shards",
+                "num_shards": num_shards,
+                "id_col": id_col,
+                "vec_col": vec_col,
+            },
+            base_version=0,
+        )
+        _write_geometry(
+            path, num_shards=num_shards, id_col=id_col, vec_col=vec_col
+        )
+        return
     sharded.write.mode("overwrite").partitionBy("shard").parquet(f"{path}/shards")
     _write_geometry(path, num_shards=num_shards, id_col=id_col, vec_col=vec_col)
     if _try_faiss() is not None:  # pragma: no cover
@@ -977,6 +1121,13 @@ def shard_append(
             f"({id_col}, {vec_col})"
         )
     sharded = new_emb.withColumn("shard", (F.col(id_col) % num_shards).cast("int"))
+    t = _ivf_tlog(path)
+    if t is not None:
+        # ONE blind append commit tagged by shard: conflict-free
+        # against other appends and against vacuums/compacts of OTHER
+        # shards (disjoint domains); existing files byte-untouched
+        t.commit(adds=t.write_data(sharded, bucket_expr=F.col("shard")))
+        return
     sharded.write.mode("append").partitionBy("shard").parquet(f"{path}/shards")
     if _try_faiss() is not None and os.path.exists(f"{path}/faiss_idx"):  # pragma: no cover
         touched = sorted(
@@ -1048,13 +1199,13 @@ def sharded_topk_persisted(
                 if len(pdf):
                     yield search(pdf)
 
-        shards = spark.read.parquet(f"{path}/shards").select(id_col, vec_col)
+        shards = read_shards(spark, path).select(id_col, vec_col)
         # tombstones filter BEFORE the local search: per-shard top-k is
         # then computed over surviving rows, preserving the exact-merge
         # guarantee (filtering after would starve the candidate set)
         shards = _without_tombstones(spark, path, shards, id_col)
         cand_ids = shards.mapInPandas(per_partition, schema=f"{id_col} bigint")
-    emb = spark.read.parquet(f"{path}/shards")
+    emb = read_shards(spark, path)
     qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     # candidate side is bounded by construction (<= k rows per Arrow
     # batch), but it hides behind a mapInPandas so Catalyst has no size

@@ -2,15 +2,15 @@
 
 Scope decision (r9 verdict, recorded in SCALE.md "Table-format
 stance"): the high-churn derived artifacts — inverted index, IVF,
-MinHash store, token-IVF, and (r10) the NSW graph via
-``nsw_build(use_tlog=True)`` — arbitrate concurrent mutation through
-the tlog (optimistic concurrency, conflict domains, snapshot
-isolation). The remaining mutable layouts (legacy tmp+rename NSW,
-HNSW, brute-force shards, and the shared crash-safe vacuum rewrite)
-are LOW-churn artifacts where the tlog's per-commit machinery buys
-little — but a graph append racing a compact there was previously
-UNARBITRATED: two writers could interleave partition writes and leave
-a layout neither intended. This module makes the single-writer scope
+MinHash store, token-IVF, the NSW/HNSW graphs (r10) and the shard
+tier (r11), each via their ``use_tlog=True`` builds — arbitrate
+concurrent mutation through the tlog (optimistic concurrency,
+conflict domains, snapshot isolation). The remaining mutable layouts
+(LEGACY tmp+rename graph/shard layouts and the shared crash-safe
+vacuum rewrite) are LOW-churn artifacts where the tlog's per-commit
+machinery buys little — but a graph append racing a compact there was
+previously UNARBITRATED: two writers could interleave partition
+writes and leave a layout neither intended. This module makes the single-writer scope
 decision ENFORCEABLE instead of advisory: every mutation of one
 layout serializes on a create-exclusive lockfile, and a second
 concurrent mutator fails LOUDLY (:class:`LayoutBusyError`) rather

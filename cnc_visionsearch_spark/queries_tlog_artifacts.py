@@ -243,6 +243,85 @@ def tlog_ivf_lifecycle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe(spark, path, q, k=10, nprobe=4)
 
 
+_SHARD_TLOG_DELETED = [9, 11, 450]
+
+
+def ensure_tlog_shards(spark: SparkSession, sf_dir: str) -> str:
+    """Transactional shard lifecycle (r10 verdict #3 — the last
+    mutable ANN tier joins the commit log): build(base slice, ONE init
+    commit) -> append(rest, blind) -> tombstone-delete 3 ids spanning
+    both slices and three shard domains (blind) -> vacuum (a rewrite
+    declaring the touched shard + tombstone domains) -> compact
+    (settling the build+append two-file domains to one file each)."""
+    from cnc_visionsearch_spark.operators.ann import (
+        shard_append,
+        shard_build,
+        shard_compact,
+        shard_delete,
+        shard_vacuum,
+    )
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+    from cnc_visionsearch_spark.queries_ann_incremental import _SPLIT
+    from cnc_visionsearch_spark.sources.tlog import TLog, run_transaction
+
+    path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir)}/tlog_shards_s8"
+    marker = os.path.join(path, "_HISTORY")
+    if _wipe_and(marker):
+        emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+        shard_build(
+            emb.filter(F.col("vec_id") < _SPLIT), path, num_shards=8,
+            use_tlog=True,
+        )
+        shard_append(spark, path, emb.filter(F.col("vec_id") >= _SPLIT))
+        shard_delete(spark, path, _SHARD_TLOG_DELETED)
+        run_transaction(lambda: shard_vacuum(spark, path))
+        run_transaction(lambda: shard_compact(spark, path))
+        # post-lifecycle shape: every shard domain settled to ONE live
+        # file, no tombstone files survive the vacuum
+        from collections import Counter
+
+        cnt = Counter(b for _p, b in TLog(path).snapshot().files)
+        assert cnt and max(cnt.values()) == 1 and all(b < 8 for b in cnt)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "tlog_shard_lifecycle_topk",
+    oracle=f"""
+WITH {_NORM_CTE},
+q AS (SELECT nvec AS qvec FROM normed WHERE vec_id = 9)
+SELECT vec_id, {_L2SQ.format(a="nvec", b="qvec")} AS distance
+FROM normed, q
+WHERE vec_id NOT IN ({", ".join(str(i) for i in _SHARD_TLOG_DELETED)})
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+""",
+    doc="The sharded-index tier's full mutation lifecycle as "
+    "transaction-log commits (r10 verdict #3 closes the last "
+    "mutex-only ANN tier): build (ONE init commit, per-shard conflict "
+    "domains) -> id-mod append (blind commit, existing files "
+    "byte-untouched) -> tombstone delete (blind, shared vector-layout "
+    "tombstone tag) -> vacuum (ONE rewrite commit whose touched shard "
+    "set is computed from the tombstone ids ALONE — shard membership "
+    "is id mod num_shards, no data scan) -> compact (settling every "
+    "two-file domain). Racing mutations into disjoint shards "
+    "serialize; overlapping ones conflict-and-recompute under "
+    "run_transaction (pinned in tests/test_tlog_artifacts.py). The "
+    "probe is the SAME sharded_topk_persisted the legacy layouts use "
+    "(read_shards dispatches to log-tag pruned snapshot reads). Query "
+    "vector id 9 is ITSELF deleted, so the self-match must vanish; "
+    "the oracle is the exact top-10 minus the deleted set — a hash "
+    "match proves the commit chain equals a from-scratch build.",
+)
+def tlog_shard_lifecycle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.ann import sharded_topk_persisted
+
+    path = ensure_tlog_shards(spark, sf_dir)
+    q = _norm_query_vec(spark, sf_dir, 9)
+    return sharded_topk_persisted(spark, path, q, k=10)
+
+
 def ensure_tlog_minhash_store(spark: SparkSession, sf_dir: str) -> str:
     """Transactional banded-MinHash store lifecycle: init(docs<200) ->
     append(200-250, txn-keyed) -> the SAME append REPLAYED (the

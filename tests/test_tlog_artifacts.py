@@ -229,6 +229,127 @@ def test_ivf_racing_delete_vs_vacuum_conflicts(spark, tmp_path, monkeypatch):
     assert not ids & {3, 7}
 
 
+# ----------------------------------------------------------------- shards
+
+
+def test_shard_tlog_mode_invariant_lifecycle(spark, tmp_path):
+    """r10 verdict #3: the shard tier's lifecycle (build -> append ->
+    delete -> vacuum -> compact) under tlog commits serves results
+    identical to the legacy tmp+rename layout at every step."""
+    from cnc_visionsearch_spark.operators.ann import (
+        read_shards,
+        shard_append,
+        shard_build,
+        shard_compact,
+        shard_delete,
+        shard_vacuum,
+        sharded_topk_persisted,
+    )
+
+    emb = _emb(spark)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 9).collect()[0]["nvec"]
+    ]
+    base = emb.filter(F.col("vec_id") < 300)
+    rest = emb.filter(F.col("vec_id") >= 300)
+
+    def run(path, use_tlog):
+        shard_build(base, path, num_shards=4, use_tlog=use_tlog)
+        shard_append(spark, path, rest)
+        shard_delete(spark, path, [9, 11])
+        pre = sharded_topk_persisted(spark, path, q, k=10).collect()
+        shard_vacuum(spark, path)
+        post = sharded_topk_persisted(spark, path, q, k=10).collect()
+        assert pre == post
+        assert not {r.vec_id for r in post} & {9, 11}
+        return post
+
+    leg = run(str(tmp_path / "leg"), False)
+    tl_path = str(tmp_path / "tl")
+    tl = run(tl_path, True)
+    assert leg == tl
+    # compact settles every build+append two-file domain to one live
+    # file with results unchanged
+    run_transaction(lambda: shard_compact(spark, tl_path))
+    assert sharded_topk_persisted(spark, tl_path, q, k=10).collect() == tl
+    from collections import Counter
+
+    cnt = Counter(b for _p, b in TLog(tl_path).snapshot().files)
+    assert cnt and max(cnt.values()) == 1
+    # and the legacy layout refuses compact loudly
+    with pytest.raises(ValueError, match="transactional layout"):
+        shard_compact(spark, str(tmp_path / "leg"))
+    # snapshot reads prune at the log level: one shard's read lists
+    # only that shard's file
+    one = read_shards(spark, tl_path, shard_ids=[1])
+    assert {r.shard for r in one.select("shard").distinct().collect()} == {1}
+
+
+def test_shard_racing_append_to_untouched_shards_serializes(
+    spark, tmp_path, monkeypatch
+):
+    """Disjoint shard domains: an append racing a vacuum that touches
+    OTHER shards commits between the vacuum's read and claim, and the
+    vacuum still commits cleanly — the arbitration the mutex-only
+    layout resolved by refusal now serializes."""
+    from cnc_visionsearch_spark.operators.ann import (
+        read_shards,
+        shard_build,
+        shard_delete,
+        shard_vacuum,
+    )
+
+    path = str(tmp_path / "sh")
+    emb = _emb(spark)
+    shard_build(
+        emb.filter(F.col("vec_id") < 300), path, num_shards=4, use_tlog=True
+    )
+    shard_delete(spark, path, [8])  # shard 0 — vacuum touches only it
+    t = TLog(path)
+    donor = read_shards(spark, path, shard_ids=[3]).limit(1).collect()[0]
+    racing_df = spark.createDataFrame(
+        [(9999, [float(x) for x in donor["nvec"]], 3)],
+        "vec_id bigint, nvec array<double>, shard int",
+    )
+
+    def racing_append():
+        t.commit(adds=t.write_data(racing_df, bucket_expr=F.col("shard")))
+
+    state = _inject_before_first_rewrite(monkeypatch, racing_append)
+    shard_vacuum(spark, path)  # must NOT raise: disjoint domains
+    assert not state["armed"]
+    ids = {r[0] for r in read_shards(spark, path).select("vec_id").collect()}
+    assert 8 not in ids and 9999 in ids
+
+
+def test_shard_racing_delete_vs_vacuum_conflicts(spark, tmp_path, monkeypatch):
+    """A racing delete (tombstone domain) inside the vacuum window
+    conflicts; the run_transaction retry applies BOTH deletes."""
+    from cnc_visionsearch_spark.operators.ann import (
+        read_shards,
+        shard_build,
+        shard_delete,
+        shard_vacuum,
+    )
+
+    path = str(tmp_path / "sh2")
+    emb = _emb(spark)
+    shard_build(
+        emb.filter(F.col("vec_id") < 300), path, num_shards=4, use_tlog=True
+    )
+    shard_delete(spark, path, [8])
+    state = _inject_before_first_rewrite(
+        monkeypatch, lambda: shard_delete(spark, path, [9])
+    )
+    with pytest.raises(TLogConflictError):
+        shard_vacuum(spark, path)
+    assert not state["armed"]
+    run_transaction(lambda: shard_vacuum(spark, path))
+    ids = {r[0] for r in read_shards(spark, path).select("vec_id").collect()}
+    assert not ids & {8, 9}
+
+
 # ---------------------------------------------------------------- minhash
 
 
