@@ -280,6 +280,19 @@ def ivf_topk(
 TLOG_CODEBOOK_TAG = 100_000
 TLOG_RADII_TAG = 100_001
 TLOG_IVF_TOMBS_TAG = 100_002
+# r11 (closing the last tlog scope exclusion): composed-codec code
+# tables join the commit log. Code files tag their conflict domains as
+# STRIDE + partition-key so a vacuum rewriting cell c's vectors and
+# its PQ codes declares BOTH domains; strides are spaced 10_000 apart
+# and builds validate n_cells below the gap (same aliasing guard as
+# TLOG_HNSW_LAYER_STRIDE).
+TLOG_PQ_CODES_STRIDE = 200_000  # + cell_id (stride-codebook codes)
+TLOG_PQ_TRAINED_CODES_STRIDE = 210_000  # + cell_id (trained codes)
+TLOG_RQ_CODES_STRIDE = 220_000  # + c1 (residual-quantizer codes)
+TLOG_TAG_STRIDE_GAP = 10_000
+TLOG_PQ_TRAINED_MODEL_TAG = 100_003  # m*k*-row trained codebook
+TLOG_RQ_MODEL_L1_TAG = 100_004  # coarse codebook (k1 rows)
+TLOG_RQ_MODEL_L2_TAG = 100_005  # residual codebook (k2 rows)
 
 
 def _ivf_tlog(path: str):
@@ -331,6 +344,45 @@ def read_cells(spark, path: str, cell_ids=None) -> DataFrame:
         else list(range(int(snap.meta["n_cells"])))
     )
     return _tlog_read_tags(spark, t, snap, tags)
+
+
+def read_pq_codes(
+    spark, path: str, cell_ids=None, trained: bool = False
+) -> DataFrame:
+    """The layout's PQ code table (RAW — callers tombstone-filter),
+    dispatching like :func:`read_cells`: legacy reads the partitioned
+    dir, transactional layouts prune at the LOG level via the
+    stride-tagged live files."""
+    sub = "pq_trained_codes" if trained else "pq_codes"
+    t = _ivf_tlog(path)
+    if t is None:
+        return spark.read.parquet(f"{path}/{sub}")
+    stride = (
+        TLOG_PQ_TRAINED_CODES_STRIDE if trained else TLOG_PQ_CODES_STRIDE
+    )
+    snap = t.snapshot()
+    cells = (
+        sorted(cell_ids)
+        if cell_ids is not None
+        else list(range(int(snap.meta["n_cells"])))
+    )
+    return _tlog_read_tags(
+        spark,
+        t,
+        snap,
+        [stride + c for c in cells],
+        schema="vec_id bigint, sub_j int, code int, cell_id int",
+    )
+
+
+def read_pq_trained_codebook(spark, path: str) -> DataFrame:
+    """The trained PQ model (m*k* rows) across both layout modes."""
+    t = _ivf_tlog(path)
+    if t is None:
+        return spark.read.parquet(f"{path}/pq_trained_codebook")
+    return _tlog_read_tags(
+        spark, t, t.snapshot(), [TLOG_PQ_TRAINED_MODEL_TAG]
+    )
 
 
 def _codebook_rows(path: str) -> list[dict]:
@@ -418,6 +470,13 @@ def ivf_build(
         # cell-id conflict domains — appends blind, vacuum a rewrite.
         from cnc_visionsearch_spark.sources.tlog import TLog
 
+        if n_cells >= TLOG_TAG_STRIDE_GAP:
+            raise ValueError(
+                f"ivf_build(use_tlog=True): n_cells={n_cells} must stay "
+                f"below the code-table tag stride gap "
+                f"({TLOG_TAG_STRIDE_GAP}) — larger values alias cell "
+                "domains into the PQ/RQ code-table tag ranges"
+            )
         t = TLog(path)
         if t.latest_version() != 0:
             raise ValueError(
@@ -670,10 +729,11 @@ def ivf_vacuum(spark, path: str, id_col: str = "vec_id") -> None:
     touched cell domains + the tombstone tag: a racing append into
     OTHER cells serializes cleanly (disjoint domains), a racing
     append into a touched cell or a racing delete conflicts and the
-    vacuum recomputes (``run_transaction``). Transactional layouts do
-    not carry pq/rq code tables (ivf_build(use_tlog=True) builds the
-    plain IVF tier; the composed codecs stay on legacy layouts —
-    documented scope).
+    vacuum recomputes (``run_transaction``). When the layout carries
+    transactional code tables (r11: pq/pq_trained/rq under their
+    stride-tagged domains) the SAME commit rewrites their touched
+    code files too — the no-resurrection rule the legacy vacuum has,
+    now atomic with the vector rewrite.
     """
     t = _ivf_tlog(path)
     if t is not None:
@@ -697,13 +757,55 @@ def ivf_vacuum(spark, path: str, id_col: str = "vec_id") -> None:
             .collect()
         )  # bounded: <= n_cells
         adds = []
+        removes = set(snap.files_in(touched) if touched else [])
         if touched:
             kept = _tlog_read_tags(spark_, t, snap, touched).join(
                 F.broadcast(tombs), id_col, "left_anti"
             )
             adds += t.write_data(kept, bucket_expr=F.col("cell_id"))
-        removes = snap.files_in(touched) if touched else []
-        removes = sorted(set(removes) | set(tomb_files))
+        domains = list(touched)
+        # code tables ride the same commit: the cell-partitioned ones
+        # share the touched cell set (same axis); the RQ table's c1
+        # axis is resolved by joining its codes against the tombstones
+        live_tags = {b for _p, b in snap.files if b is not None}
+        for stride, part_col in (
+            (TLOG_PQ_CODES_STRIDE, "cell_id"),
+            (TLOG_PQ_TRAINED_CODES_STRIDE, "cell_id"),
+            (TLOG_RQ_CODES_STRIDE, "c1"),
+        ):
+            fam = sorted(
+                b - stride
+                for b in live_tags
+                if stride <= b < stride + TLOG_TAG_STRIDE_GAP
+            )
+            if not fam:
+                continue
+            if part_col == "cell_id":
+                fam_touched = [c for c in touched if c in set(fam)]
+            else:
+                allc = _tlog_read_tags(
+                    spark_, t, snap, [stride + c for c in fam]
+                )
+                fam_touched = sorted(
+                    r[0]
+                    for r in allc.join(F.broadcast(tombs), id_col)
+                    .select(part_col)
+                    .distinct()
+                    .collect()
+                )  # bounded: <= k1 coarse cells
+            if not fam_touched:
+                continue
+            fam_tags = [stride + c for c in fam_touched]
+            kept_codes = _tlog_read_tags(spark_, t, snap, fam_tags).join(
+                F.broadcast(tombs), id_col, "left_anti"
+            )
+            adds += t.write_data(
+                kept_codes,
+                bucket_expr=(F.lit(stride) + F.col(part_col)).cast("int"),
+            )
+            removes |= set(snap.files_in(fam_tags))
+            domains += fam_tags
+        removes = sorted(removes | set(tomb_files))
         # cell radii stay valid: they are UPPER bounds and deletes can
         # only shrink true radii — a rebuild re-tightens them
         t.commit(
@@ -711,7 +813,7 @@ def ivf_vacuum(spark, path: str, id_col: str = "vec_id") -> None:
             removes=removes,
             read_version=snap.version,
             op="rewrite",
-            domains=list(touched) + [TLOG_IVF_TOMBS_TAG],
+            domains=domains + [TLOG_IVF_TOMBS_TAG],
         )
         return
     if os.path.exists(f"{path}/rq_codes"):
@@ -1515,14 +1617,43 @@ def pq_build(
     as the vectors, so an IVF-probed ADC scan reads nprobe/n_cells of a
     table that is m bytes/vector instead of the raw vectors. Run once
     per corpus version, after (or as part of) the IVF build.
+
+    On a TRANSACTIONAL layout (r11 — the r10 "last tier" exclusion
+    closed) the code table lands as ONE rewrite commit whose domains
+    are ALL cell ids (the build's read set) plus the PQ code domains
+    it writes: a cell append racing the build conflicts — correctly,
+    because the code table must cover the appended rows to keep the
+    codes == re-encode-of-union invariant — and the caller's
+    run_transaction recomputes over the union. A re-run replaces the
+    previous code files in the same commit shape.
     """
-    if _ivf_tlog(path) is not None:
-        raise ValueError(
-            "transactional IVF layouts do not carry PQ/RQ code tables "
-            "(documented scope - ivf_build(use_tlog=True) covers the "
-            "plain IVF tier); build composed codecs over a legacy "
-            "layout"
+    t = _ivf_tlog(path)
+    if t is not None:
+        snap = t.snapshot()
+        n_cells = int(snap.meta["n_cells"])
+        cents = read_codebook(spark, path)
+        cb = pq_codebook(cents, m)
+        cells = _tlog_read_tags(spark, t, snap, list(range(n_cells)))
+        codes = pq_assign(cells, cb, m, id_col=id_col, vec_col=vec_col).join(
+            cells.select(id_col, "cell_id"), id_col
         )
+        old = snap.files_in(
+            [TLOG_PQ_CODES_STRIDE + c for c in range(n_cells)]
+        )
+        t.commit(
+            adds=t.write_data(
+                codes,
+                bucket_expr=(
+                    F.lit(TLOG_PQ_CODES_STRIDE) + F.col("cell_id")
+                ).cast("int"),
+            ),
+            removes=old,
+            read_version=snap.version,
+            op="rewrite",
+            domains=list(range(n_cells))
+            + [TLOG_PQ_CODES_STRIDE + c for c in range(n_cells)],
+        )
+        return
     cents = spark.read.parquet(f"{path}/codebook")
     cb = pq_codebook(cents, m)
     cells = spark.read.parquet(f"{path}/cells")
@@ -1549,15 +1680,27 @@ def pq_append(
     equals a full re-encode of the union (asserted in tests). Cell ids
     come from the same persisted codebook the vectors were appended
     under, so the code table and the vector table stay partitioned on
-    the same axis.
+    the same axis. Transactional layouts commit the batch's codes as
+    ONE blind append (frozen codebook — no read-modify-write; only a
+    racing vacuum of the same PQ domains conflicts).
     """
-    if _ivf_tlog(path) is not None:
-        raise ValueError(
-            "transactional IVF layouts do not carry PQ/RQ code tables "
-            "(documented scope - ivf_build(use_tlog=True) covers the "
-            "plain IVF tier); build composed codecs over a legacy "
-            "layout"
+    t = _ivf_tlog(path)
+    if t is not None:
+        cents = read_codebook(spark, path)
+        cb = pq_codebook(cents, m)
+        assigned = ivf_assign(new_emb, cents, id_col, vec_col)
+        codes = pq_assign(
+            assigned, cb, m, id_col=id_col, vec_col=vec_col
+        ).join(assigned.select(id_col, "cell_id"), id_col)
+        t.commit(
+            adds=t.write_data(
+                codes,
+                bucket_expr=(
+                    F.lit(TLOG_PQ_CODES_STRIDE) + F.col("cell_id")
+                ).cast("int"),
+            )
         )
+        return
     cents = spark.read.parquet(f"{path}/codebook")
     cb = pq_codebook(cents, m)
     assigned = ivf_assign(new_emb, cents, id_col, vec_col)
@@ -1703,14 +1846,54 @@ def pq_trained_build(
     floor); k-means-trained codewords move ADC recall@10 to >= 0.95 at
     the default rescore depth on the same fixture. Run once per corpus
     version; probes only ever read the artifacts.
+
+    On a TRANSACTIONAL layout the model + code table land as ONE
+    rewrite commit (model under its reserved tag, codes under per-cell
+    trained-stride domains) whose domains include all cell ids — the
+    same racing-cell-append conflict contract as :func:`pq_build`,
+    with the model frozen by reading back the WRITTEN (uncommitted)
+    model files before encoding, exactly like ivf_build freezes its
+    centroids.
     """
-    if _ivf_tlog(path) is not None:
-        raise ValueError(
-            "transactional IVF layouts do not carry PQ/RQ code tables "
-            "(documented scope - ivf_build(use_tlog=True) covers the "
-            "plain IVF tier); build composed codecs over a legacy "
-            "layout"
+    t = _ivf_tlog(path)
+    if t is not None:
+        snap = t.snapshot()
+        n_cells = int(snap.meta["n_cells"])
+        cells = _tlog_read_tags(spark, t, snap, list(range(n_cells)))
+        rows = pq_train_codebook(cells, m, k_star, iters, id_col, vec_col)
+        cb_df = spark.createDataFrame(
+            rows, "sub_j int, code int, cv array<double>"
         )
+        adds = _retag(
+            t.write_data(cb_df.coalesce(1)), TLOG_PQ_TRAINED_MODEL_TAG
+        )
+        cb = spark.read.parquet(
+            *[os.path.join(path, a["path"]) for a in adds]
+        )
+        codes = pq_assign(cells, cb, m, id_col=id_col, vec_col=vec_col).join(
+            cells.select(id_col, "cell_id"), id_col
+        )
+        adds += t.write_data(
+            codes,
+            bucket_expr=(
+                F.lit(TLOG_PQ_TRAINED_CODES_STRIDE) + F.col("cell_id")
+            ).cast("int"),
+        )
+        trained_tags = [
+            TLOG_PQ_TRAINED_CODES_STRIDE + c for c in range(n_cells)
+        ]
+        t.commit(
+            adds=adds,
+            removes=snap.files_in(
+                trained_tags + [TLOG_PQ_TRAINED_MODEL_TAG]
+            ),
+            read_version=snap.version,
+            op="rewrite",
+            domains=list(range(n_cells))
+            + trained_tags
+            + [TLOG_PQ_TRAINED_MODEL_TAG],
+        )
+        return
     cells = spark.read.parquet(f"{path}/cells")
     rows = pq_train_codebook(cells, m, k_star, iters, id_col, vec_col)
     cb_df = spark.createDataFrame(rows, "sub_j int, code int, cv array<double>")
@@ -1738,15 +1921,27 @@ def pq_trained_append(
     trained once on a sample, then encodes every later add), so a
     batch append equals a full re-encode of the union (tests assert
     it) and existing code files stay byte-identical. Re-train = re-run
-    :func:`pq_trained_build` as periodic maintenance.
+    :func:`pq_trained_build` as periodic maintenance. Transactional
+    layouts commit the batch's codes as ONE blind append (frozen
+    model, no read-modify-write).
     """
-    if _ivf_tlog(path) is not None:
-        raise ValueError(
-            "transactional IVF layouts do not carry PQ/RQ code tables "
-            "(documented scope - ivf_build(use_tlog=True) covers the "
-            "plain IVF tier); build composed codecs over a legacy "
-            "layout"
+    t = _ivf_tlog(path)
+    if t is not None:
+        cb = read_pq_trained_codebook(spark, path)
+        cents = read_codebook(spark, path)
+        assigned = ivf_assign(new_emb, cents, id_col, vec_col)
+        codes = pq_assign(
+            assigned, cb, m, id_col=id_col, vec_col=vec_col
+        ).join(assigned.select(id_col, "cell_id"), id_col)
+        t.commit(
+            adds=t.write_data(
+                codes,
+                bucket_expr=(
+                    F.lit(TLOG_PQ_TRAINED_CODES_STRIDE) + F.col("cell_id")
+                ).cast("int"),
+            )
         )
+        return
     cb = spark.read.parquet(f"{path}/pq_trained_codebook")
     cents = spark.read.parquet(f"{path}/codebook")
     assigned = ivf_assign(new_emb, cents, id_col, vec_col)

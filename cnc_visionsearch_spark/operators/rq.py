@@ -122,6 +122,62 @@ def rq_train(
     return cb1, cb2, codes
 
 
+def read_rq_codebooks(spark, path: str) -> "tuple[DataFrame, DataFrame]":
+    """(cb1, cb2) across both layout modes — legacy dirs or the tlog
+    snapshot's model-tagged files."""
+    from cnc_visionsearch_spark.operators.ann import (
+        TLOG_RQ_MODEL_L1_TAG,
+        TLOG_RQ_MODEL_L2_TAG,
+        _ivf_tlog,
+        _tlog_read_tags,
+    )
+
+    t = _ivf_tlog(path)
+    if t is None:
+        return (
+            spark.read.parquet(f"{path}/rq_codebook_l1"),
+            spark.read.parquet(f"{path}/rq_codebook_l2"),
+        )
+    snap = t.snapshot()
+    return (
+        _tlog_read_tags(spark, t, snap, [TLOG_RQ_MODEL_L1_TAG]),
+        _tlog_read_tags(spark, t, snap, [TLOG_RQ_MODEL_L2_TAG]),
+    )
+
+
+def read_rq_codes(spark, path: str, c1s=None) -> DataFrame:
+    """The (id, c1, c2) code table across both layout modes; ``c1s``
+    prunes at the LOG level on transactional layouts (legacy layouts
+    keep the caller's c1 partition filter)."""
+    from cnc_visionsearch_spark.operators.ann import (
+        TLOG_RQ_CODES_STRIDE,
+        TLOG_TAG_STRIDE_GAP,
+        _ivf_tlog,
+        _tlog_read_tags,
+    )
+
+    t = _ivf_tlog(path)
+    if t is None:
+        return spark.read.parquet(f"{path}/rq_codes")
+    snap = t.snapshot()
+    if c1s is None:
+        c1s = sorted(
+            b - TLOG_RQ_CODES_STRIDE
+            for _p, b in snap.files
+            if b is not None
+            and TLOG_RQ_CODES_STRIDE
+            <= b
+            < TLOG_RQ_CODES_STRIDE + TLOG_TAG_STRIDE_GAP
+        )
+    return _tlog_read_tags(
+        spark,
+        t,
+        snap,
+        [TLOG_RQ_CODES_STRIDE + int(c) for c in sorted(set(c1s))],
+        schema="vec_id bigint, c1 int, c2 int",
+    )
+
+
 def rq_build(
     spark,
     path: str,
@@ -135,10 +191,58 @@ def rq_build(
     """Persist the RQ layout into an artifact dir: ``rq_codebook_l1``,
     ``rq_codebook_l2`` (the model — k1+k2 rows) and ``rq_codes``
     PARTITIONED BY c1 (the coarse cell), so probes partition-prune to
-    the probed cells exactly like the IVF tiers."""
+    the probed cells exactly like the IVF tiers.
+
+    On a TRANSACTIONAL layout (r11) models + codes land as ONE rewrite
+    commit: models under their reserved tags, codes under per-c1
+    stride domains, any previous RQ artifacts removed in the same
+    commit. The training input is the caller's ``emb`` (outside the
+    log), so the commit declares only the RQ domains it replaces."""
+    from cnc_visionsearch_spark.operators.ann import (
+        TLOG_RQ_CODES_STRIDE,
+        TLOG_RQ_MODEL_L1_TAG,
+        TLOG_RQ_MODEL_L2_TAG,
+        TLOG_TAG_STRIDE_GAP,
+        _ivf_tlog,
+        _retag,
+    )
+
     cb1, cb2, codes = rq_train(
         emb, k1=k1, k2=k2, iters=iters, id_col=id_col, vec_col=vec_col
     )
+    t = _ivf_tlog(path)
+    if t is not None:
+        snap = t.snapshot()
+        adds = _retag(t.write_data(cb1.coalesce(1)), TLOG_RQ_MODEL_L1_TAG)
+        adds += _retag(t.write_data(cb2.coalesce(1)), TLOG_RQ_MODEL_L2_TAG)
+        adds += t.write_data(
+            codes,
+            bucket_expr=(F.lit(TLOG_RQ_CODES_STRIDE) + F.col("c1")).cast(
+                "int"
+            ),
+        )
+        old_tags = [
+            b
+            for _p, b in snap.files
+            if b is not None
+            and (
+                b in (TLOG_RQ_MODEL_L1_TAG, TLOG_RQ_MODEL_L2_TAG)
+                or TLOG_RQ_CODES_STRIDE
+                <= b
+                < TLOG_RQ_CODES_STRIDE + TLOG_TAG_STRIDE_GAP
+            )
+        ]
+        new_tags = sorted(
+            {a["bucket"] for a in adds} | set(old_tags)
+        )
+        t.commit(
+            adds=adds,
+            removes=snap.files_in(sorted(set(old_tags))),
+            read_version=snap.version,
+            op="rewrite",
+            domains=new_tags,
+        )
+        return
     cb1.write.mode("overwrite").parquet(f"{path}/rq_codebook_l1")
     cb2.write.mode("overwrite").parquet(f"{path}/rq_codebook_l2")
     codes.write.mode("overwrite").partitionBy("c1").parquet(
@@ -170,8 +274,7 @@ def rq_probe_topk(
     from cnc_visionsearch_spark.operators.ann import _without_tombstones
 
     qcol = F.array(*[F.lit(float(x)) for x in qvec]).cast("array<double>")
-    cb1 = spark.read.parquet(f"{path}/rq_codebook_l1")
-    cb2 = spark.read.parquet(f"{path}/rq_codebook_l2")
+    cb1, cb2 = read_rq_codebooks(spark, path)
     probe_cells = [
         int(r.code)
         for r in cb1.select("code", l2_sq("cv", qcol).alias("d"))
@@ -182,7 +285,7 @@ def rq_probe_topk(
     codes = _without_tombstones(
         spark,
         path,
-        spark.read.parquet(f"{path}/rq_codes").filter(
+        read_rq_codes(spark, path, probe_cells).filter(
             F.col("c1").isin(probe_cells)
         ),
         id_col,
@@ -223,9 +326,8 @@ def rq_distortion(
     The residual row must come in strictly lower — the evidence the
     second level earns its bytes. One corpus scan, both codebooks
     broadcast; output is 2 rows."""
-    cb1 = spark.read.parquet(f"{path}/rq_codebook_l1")
-    cb2 = spark.read.parquet(f"{path}/rq_codebook_l2")
-    codes = spark.read.parquet(f"{path}/rq_codes")
+    cb1, cb2 = read_rq_codebooks(spark, path)
+    codes = read_rq_codes(spark, path)
     joined = (
         emb.join(codes, id_col)
         .join(
@@ -291,9 +393,15 @@ def rq_append(
     level-1 and level-2 models (never retrained), their (c1, c2) rows
     land in the touched c1 partitions, resident files stay
     byte-identical. Codebook drift accumulates in reconstruction
-    error, repaired by re-running rq_build as periodic maintenance."""
-    cb1 = spark.read.parquet(f"{path}/rq_codebook_l1")
-    cb2 = spark.read.parquet(f"{path}/rq_codebook_l2")
+    error, repaired by re-running rq_build as periodic maintenance.
+    Transactional layouts commit the batch's codes as ONE blind
+    append under their c1 stride domains."""
+    from cnc_visionsearch_spark.operators.ann import (
+        TLOG_RQ_CODES_STRIDE,
+        _ivf_tlog,
+    )
+
+    cb1, cb2 = read_rq_codebooks(spark, path)
     a1 = argmin_code(batch, cb1, vec_col, id_col).withColumnRenamed(
         "code", "c1"
     )
@@ -309,6 +417,18 @@ def rq_append(
     a2 = argmin_code(res, cb2, "rvec", id_col).withColumnRenamed(
         "code", "c2"
     )
-    res.select(id_col, "c1").join(a2, id_col).select(
+    out = res.select(id_col, "c1").join(a2, id_col).select(
         id_col, "c1", "c2"
-    ).write.mode("append").partitionBy("c1").parquet(f"{path}/rq_codes")
+    )
+    t = _ivf_tlog(path)
+    if t is not None:
+        t.commit(
+            adds=t.write_data(
+                out,
+                bucket_expr=(
+                    F.lit(TLOG_RQ_CODES_STRIDE) + F.col("c1")
+                ).cast("int"),
+            )
+        )
+        return
+    out.write.mode("append").partitionBy("c1").parquet(f"{path}/rq_codes")

@@ -243,6 +243,266 @@ def tlog_ivf_lifecycle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe(spark, path, q, k=10, nprobe=4)
 
 
+_PQ_TLOG_DELETED = [3, 11, 450]
+
+
+def ensure_tlog_ivf_pq(spark: SparkSession, sf_dir: str) -> str:
+    """Transactional IVF+PQ lifecycle (r11 — composed codecs join the
+    commit log): build(base, frozen codebook) -> pq_build (ONE rewrite
+    commit declaring all cell domains as its read set) -> append(rest)
+    + pq_append(rest) (both blind, frozen codebook/derived PQ model) ->
+    delete 3 ids -> vacuum (ONE rewrite commit covering the touched
+    cell AND pq-code domains — atomic no-resurrection)."""
+    from cnc_visionsearch_spark.operators.ann import (
+        ivf_append,
+        ivf_build,
+        ivf_delete,
+        ivf_vacuum,
+        pq_append,
+        pq_build,
+    )
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+    from cnc_visionsearch_spark.queries_ann import _PQ_M
+    from cnc_visionsearch_spark.queries_ann_incremental import _SPLIT
+    from cnc_visionsearch_spark.sources.tlog import run_transaction
+
+    path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir)}/tlog_ivf_pq_c8"
+    marker = os.path.join(path, "_HISTORY")
+    if _wipe_and(marker):
+        emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+        base = emb.filter(F.col("vec_id") < _SPLIT)
+        rest = emb.filter(F.col("vec_id") >= _SPLIT)
+        ivf_build(base, path, n_cells=8, use_tlog=True)
+        run_transaction(lambda: pq_build(spark, path, m=_PQ_M))
+        ivf_append(spark, path, rest)
+        pq_append(spark, path, rest, m=_PQ_M)
+        ivf_delete(spark, path, _PQ_TLOG_DELETED)
+        run_transaction(lambda: ivf_vacuum(spark, path))
+        open(marker, "w").close()
+    return path
+
+
+def _tlog_pq_oracle() -> str:
+    from cnc_visionsearch_spark.queries_ann import _pq_sql
+
+    deleted = ", ".join(str(i) for i in _PQ_TLOG_DELETED)
+    return f"""
+WITH {_NORM_CTE}, {_IVF_APPEND_CTE},
+q AS (SELECT nvec AS qv FROM normed WHERE vec_id = 11),
+probe AS (
+  SELECT cell_id FROM centroids, q
+  ORDER BY {_L2SQ.format(a="centroid", b="qv")} ASC, cell_id ASC
+  LIMIT 4
+),
+pruned AS (
+  SELECT a.vec_id, a.nvec FROM assigned a
+  WHERE a.cell_id IN (SELECT cell_id FROM probe)
+    AND a.vec_id NOT IN ({deleted})
+),
+{_pq_sql("pruned").strip().rstrip()},
+qsubs AS (
+  SELECT c.sub_j, c.code, c.cv, qv[c.sub_j*w+1 : c.sub_j*w+w] AS qsv
+  FROM cbsubs c, q, w
+),
+qd AS (
+  SELECT sub_j, code, {_L2SQ.format(a="cv", b="qsv")} AS qdist FROM qsubs
+),
+est AS (
+  SELECT vec_id,
+    CAST(SUM(CAST(floor(qdist * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS adc
+  FROM codes JOIN qd USING (sub_j, code)
+  GROUP BY vec_id
+),
+cand AS (SELECT vec_id FROM est ORDER BY adc ASC, vec_id ASC LIMIT 30)
+SELECT p.vec_id, {_L2SQ.format(a="p.nvec", b="q.qv")} AS distance
+FROM pruned p JOIN cand USING (vec_id), q
+ORDER BY distance ASC, p.vec_id ASC
+LIMIT 10
+"""
+
+
+@register(
+    "tlog_ivf_pq_lifecycle_topk",
+    oracle=_tlog_pq_oracle(),
+    doc="The composed IVF x PQ codec's full mutation lifecycle as "
+    "transaction-log commits (r11 — the r10 'shards and PQ/RQ code "
+    "tables' exclusion closes): pq_build is ONE rewrite commit whose "
+    "declared domains include every cell id it READ, so a cell append "
+    "racing the build conflicts-and-recomputes instead of leaving "
+    "appended vectors code-less (pinned in tests/"
+    "test_tlog_artifacts.py); appends of vectors and codes are blind "
+    "commits under their own domains; the vacuum rewrites the touched "
+    "cell AND pq-code domains in the SAME commit — the legacy "
+    "vacuum's no-resurrection rule, now atomic with the vector "
+    "rewrite. The probe is the same IVF-pruned ADC-then-rescore "
+    "composition as ann_ivf_pq_topk, reading through read_cells/"
+    "read_pq_codes (log-tag pruned). Query id 11 is itself deleted; "
+    "the oracle replays frozen-codebook append semantics minus the "
+    "deleted set.",
+)
+def tlog_ivf_pq_lifecycle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.functions.vector import fixed_point_q
+    from cnc_visionsearch_spark.operators.ann import (
+        _without_tombstones,
+        ivf_probe_cells,
+        pq_codebook,
+        read_cells,
+        read_codebook,
+        read_pq_codes,
+    )
+    from cnc_visionsearch_spark.functions.vector import l2_sq
+    from cnc_visionsearch_spark.queries_ann import _PQ_M
+
+    path = ensure_tlog_ivf_pq(spark, sf_dir)
+    q = _norm_query_vec(spark, sf_dir, 11)
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    probed = ivf_probe_cells(spark, path, q, nprobe=4)
+    pruned = _without_tombstones(
+        spark,
+        path,
+        read_cells(spark, path, probed).filter(F.col("cell_id").isin(probed)),
+        "vec_id",
+    )
+    cb = pq_codebook(read_codebook(spark, path), m=_PQ_M)
+    codes = _without_tombstones(
+        spark,
+        path,
+        read_pq_codes(spark, path, probed).filter(
+            F.col("cell_id").isin(probed)
+        ),
+        "vec_id",
+    )
+    w = len(q) // _PQ_M
+    qd = cb.select(
+        "sub_j",
+        "code",
+        l2_sq(F.col("cv"), F.slice(qcol, F.col("sub_j") * w + 1, w)).alias(
+            "qdist"
+        ),
+    )
+    est = (
+        codes.join(F.broadcast(qd), ["sub_j", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum(fixed_point_q("qdist")).alias("adc"))
+    )
+    cand = est.orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(30)
+    return (
+        pruned.join(F.broadcast(cand.select("vec_id")), "vec_id")
+        .select("vec_id", l2_sq("nvec", qcol).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+_RQ_TLOG_DELETED = [3, 11]
+
+
+def ensure_tlog_rq(spark: SparkSession, sf_dir: str) -> str:
+    """Transactional RQ lifecycle: ivf_build opens the log, rq_build
+    lands models + codes as ONE rewrite commit (models under reserved
+    tags, codes under per-c1 stride domains), delete tombstones blind,
+    vacuum rewrites the touched c1 code domains (resolved by joining
+    the codes against the tombstone ids) atomically with the vector
+    rewrite."""
+    from cnc_visionsearch_spark.operators.ann import (
+        ivf_build,
+        ivf_delete,
+        ivf_vacuum,
+    )
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+    from cnc_visionsearch_spark.operators.rq import rq_build
+    from cnc_visionsearch_spark.queries_ann_trained import (
+        _RQ_ITERS,
+        _RQ_K1,
+        _RQ_K2,
+    )
+    from cnc_visionsearch_spark.sources.tlog import run_transaction
+
+    path = f"{_ARTIFACT_ROOT}/{_corpus_tag(sf_dir)}/tlog_rq_k{_RQ_K1}_{_RQ_K2}"
+    marker = os.path.join(path, "_HISTORY")
+    if _wipe_and(marker):
+        emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+        ivf_build(emb, path, n_cells=8, use_tlog=True)
+        run_transaction(
+            lambda: rq_build(
+                spark, path, emb, k1=_RQ_K1, k2=_RQ_K2, iters=_RQ_ITERS
+            )
+        )
+        ivf_delete(spark, path, _RQ_TLOG_DELETED)
+        run_transaction(lambda: ivf_vacuum(spark, path))
+        open(marker, "w").close()
+    return path
+
+
+def _tlog_rq_oracle() -> str:
+    from cnc_visionsearch_spark.queries_ann_trained import (
+        _RQ_DEPTH,
+        _RQ_MODEL_CTES,
+        _RQ_NPROBE,
+    )
+
+    deleted = ", ".join(str(i) for i in _RQ_TLOG_DELETED)
+    return f"""
+WITH {_NORM_CTE}, {_RQ_MODEL_CTES},
+q AS (SELECT nvec AS qv FROM normed WHERE vec_id = 11),
+cells AS (
+  SELECT code AS c1 FROM r1cbt, q
+  ORDER BY {_L2SQ.format(a="cv", b="qv")} ASC, code ASC LIMIT {_RQ_NPROBE}
+),
+cand0 AS (
+  SELECT a1.vec_id,
+    list_transform(range(1, len(b1.cv) + 1), i -> b1.cv[i] + b2.cv[i])
+      AS recon
+  FROM r1asgf a1
+  JOIN cells USING (c1)
+  JOIN r2asgf a2 USING (vec_id)
+  JOIN r1cbt b1 ON b1.code = a1.c1
+  JOIN r2cbt b2 ON b2.code = a2.c2
+  WHERE a1.vec_id NOT IN ({deleted})
+),
+cand AS (
+  SELECT c.vec_id FROM cand0 c, q
+  ORDER BY {_L2SQ.format(a="c.recon", b="qv")} ASC, c.vec_id ASC
+  LIMIT {_RQ_DEPTH}
+)
+SELECT n.vec_id, {_L2SQ.format(a="n.nvec", b="q.qv")} AS distance
+FROM normed n JOIN cand USING (vec_id), q
+ORDER BY distance ASC, n.vec_id ASC
+LIMIT 10
+"""
+
+
+@register(
+    "tlog_rq_lifecycle_topk",
+    oracle=_tlog_rq_oracle(),
+    doc="The residual-quantizer tier's lifecycle as transaction-log "
+    "commits: rq_build lands BOTH codebooks (reserved model tags) and "
+    "the (c1, c2) code table (per-c1 stride domains) as ONE rewrite "
+    "commit; deletes tombstone blind; the vacuum resolves the touched "
+    "c1 domains by joining the code table against the tombstone ids "
+    "(the c1 axis is model-assigned, not id-derivable) and rewrites "
+    "them in the SAME commit as the vector cells. The probe is the "
+    "same rq_probe_topk as ann_rq_trained_topk, its codebook and code "
+    "reads dispatched through read_rq_codebooks/read_rq_codes. Query "
+    "id 11 is itself deleted; the oracle replays both trained k-means "
+    "levels minus the deleted set.",
+)
+def tlog_rq_lifecycle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+    from cnc_visionsearch_spark.operators.rq import rq_probe_topk
+    from cnc_visionsearch_spark.queries_ann_trained import (
+        _RQ_DEPTH,
+        _RQ_NPROBE,
+    )
+
+    path = ensure_tlog_rq(spark, sf_dir)
+    emb = with_normalized(load_table(spark, sf_dir, "embeddings"))
+    q = _norm_query_vec(spark, sf_dir, 11)
+    return rq_probe_topk(
+        spark, path, q, emb, k=10, nprobe=_RQ_NPROBE, depth=_RQ_DEPTH
+    )
+
+
 _SHARD_TLOG_DELETED = [9, 11, 450]
 
 

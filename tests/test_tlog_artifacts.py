@@ -229,6 +229,115 @@ def test_ivf_racing_delete_vs_vacuum_conflicts(spark, tmp_path, monkeypatch):
     assert not ids & {3, 7}
 
 
+# ----------------------------------------------------- composed codecs
+
+
+def test_pq_rq_tlog_mode_invariant_lifecycle(spark, tmp_path):
+    """r11 (the r10 'last tier' exclusion closed): the composed-codec
+    code tables — stride-PQ, trained-PQ and RQ — run build/append/
+    delete/vacuum as tlog commits and serve code tables content-equal
+    to the legacy layouts at every step; ivf_vacuum rewrites the
+    touched CODE domains in the SAME commit as the vector rewrite (the
+    no-resurrection rule, now atomic)."""
+    from cnc_visionsearch_spark.operators.ann import (
+        ivf_append,
+        ivf_delete,
+        ivf_vacuum,
+        pq_append,
+        pq_build,
+        pq_trained_append,
+        pq_trained_build,
+        read_pq_codes,
+        read_pq_trained_codebook,
+    )
+    from cnc_visionsearch_spark.operators.rq import (
+        read_rq_codebooks,
+        read_rq_codes,
+        rq_build,
+        rq_probe_topk,
+    )
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") < 300)
+    rest = emb.filter(F.col("vec_id") >= 300)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 9).collect()[0]["nvec"]
+    ]
+
+    def by_name(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    out = {}
+    for mode, use in (("leg", False), ("tl", True)):
+        p = str(tmp_path / mode)
+        ivf_build(base, p, n_cells=4, use_tlog=use)
+        pq_build(spark, p, m=4)
+        pq_trained_build(spark, p, m=4, k_star=8, iters=1)
+        ivf_append(spark, p, rest)
+        pq_append(spark, p, rest, m=4)
+        pq_trained_append(spark, p, rest, m=4)
+        rq_build(spark, p, emb, k1=4, k2=8, iters=1)
+        ivf_delete(spark, p, [3, 9, 450])
+        run_transaction(lambda: ivf_vacuum(spark, p))
+        out[mode] = {
+            "pq": by_name(
+                read_pq_codes(spark, p),
+                ["vec_id", "sub_j", "code", "cell_id"],
+            ),
+            "pqt": by_name(
+                read_pq_codes(spark, p, trained=True),
+                ["vec_id", "sub_j", "code", "cell_id"],
+            ),
+            "pqt_model": by_name(
+                read_pq_trained_codebook(spark, p),
+                ["sub_j", "code", "cv"],
+            ),
+            "rq": by_name(read_rq_codes(spark, p), ["vec_id", "c1", "c2"]),
+            "rq_model": tuple(
+                by_name(cb, ["code", "cv"])
+                for cb in read_rq_codebooks(spark, p)
+            ),
+            "probe": rq_probe_topk(spark, p, q, emb, k=5).collect(),
+        }
+    for key in out["leg"]:
+        assert out["leg"][key] == out["tl"][key], f"{key} diverged"
+    # the vacuum physically removed deleted ids from EVERY code table
+    for key in ("pq", "pqt", "rq"):
+        assert not {r[0] for r in out["tl"][key]} & {3, 9, 450}
+    # deleted query id 9 cannot be served
+    assert 9 not in {r.vec_id for r in out["tl"]["probe"]}
+
+
+def test_pq_build_racing_cell_append_conflicts_and_recomputes(
+    spark, tmp_path, monkeypatch
+):
+    """pq_build's commit declares ALL cell domains as its read set: a
+    cell append landing inside the build window would leave appended
+    vectors code-less (breaking codes == re-encode-of-union), so the
+    build must conflict and recompute over the union."""
+    from cnc_visionsearch_spark.operators.ann import (
+        ivf_append,
+        pq_build,
+        read_pq_codes,
+    )
+
+    path = str(tmp_path / "pq")
+    emb = _emb(spark)
+    ivf_build(emb.filter(F.col("vec_id") < 300), path, n_cells=4, use_tlog=True)
+    state = _inject_before_first_rewrite(
+        monkeypatch,
+        lambda: ivf_append(spark, path, emb.filter(F.col("vec_id") >= 300)),
+    )
+    with pytest.raises(TLogConflictError):
+        pq_build(spark, path, m=4)
+    assert not state["armed"]
+    run_transaction(lambda: pq_build(spark, path, m=4))
+    coded = {r[0] for r in read_pq_codes(spark, path).select("vec_id").collect()}
+    full = {r[0] for r in emb.select("vec_id").collect()}
+    assert coded == full  # the recompute covered the appended rows
+
+
 # ----------------------------------------------------------------- shards
 
 
