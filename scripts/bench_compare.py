@@ -12,13 +12,19 @@ artifacts (the one-line bench.py JSON, or the driver's wrapper with a
 - classifies the pair as TRUSTED only when NEITHER artifact
   self-flags ``contended`` AND their measured ``effective_cores``
   agree within 20% (same delivered capacity on both sides);
-- otherwise CAPACITY-NORMALIZES: each wall is scaled by its own run's
-  ``effective_cores / ncpu`` (a run that got 8.7 of 32 advertised
-  cores has its walls deflated to the capacity-clean estimate), and
-  the table is explicitly labeled normalized — or, when an artifact
-  predates the contention probe (no ``contention`` block), the script
-  refuses to rate the headline and prints only the raw per-query
-  table it does trust, exit 1;
+- when exactly ONE side is contended, compares RAW walls ONE-SIDED:
+  a contended wall is an UPPER bound on the same code's clean wall
+  (contention only adds time), so new_clean > old_contended PROVES a
+  regression while new_clean <= old_contended proves nothing — and
+  symmetrically a clean-old vs contended-new pair can only prove
+  improvements. No linear capacity model is applied to single-query
+  walls (their serial fractions make wall x cores/ncpu a fiction);
+- when BOTH are contended, CAPACITY-NORMALIZES as a crude bound:
+  each wall scaled by its run's ``effective_cores / ncpu``, the
+  table explicitly labeled as such — or, when an artifact predates
+  the contention probe (no ``contention`` block), the script refuses
+  to rate the headline and prints only the raw per-query table it
+  does trust, exit 1;
 - prints the per-query markdown table (raw seconds, normalized
   seconds when applicable, new/old ratio) over the COMMON query set,
   lists queries present in only one artifact, and ends with ONE JSON
@@ -72,7 +78,9 @@ def compare(old: dict, new: dict) -> "tuple[int, dict]":
         return 2, {"status": "refused_sf_mismatch"}
 
     cap_old, cap_new = capacity(old), capacity(new)
-    contended = bool(old.get("contended")) or bool(new.get("contended"))
+    cont_old = bool(old.get("contended"))
+    cont_new = bool(new.get("contended"))
+    contended = cont_old or cont_new
     eff_agree = (
         cap_old is not None
         and cap_new is not None
@@ -81,15 +89,27 @@ def compare(old: dict, new: dict) -> "tuple[int, dict]":
     trusted = not contended and eff_agree
 
     # scale factor applied to each side's walls
+    k_old = k_new = 1.0
     if trusted:
         mode = "trusted"
-        k_old = k_new = 1.0
-    elif cap_old is not None and cap_new is not None:
+    elif cap_old is None or cap_new is None:
+        mode = "refused_no_capacity_data"
+    elif cont_old != cont_new:
+        # exactly one side contended: raw walls, one-sided logic — a
+        # contended wall upper-bounds its clean twin, so only one
+        # direction of conclusion is sound per pair
+        mode = "one_sided"
+    elif contended:
         mode = "normalized"
         k_old = cap_old[0] / cap_old[1]
         k_new = cap_new[0] / cap_new[1]
     else:
-        mode = "refused_no_capacity_data"
+        # both clean but capacity drifted >20%: raw walls would
+        # mislead in an unknowable direction — treat like one-sided
+        # with the LOWER-capacity side as the bounded one
+        mode = "one_sided"
+        cont_old = cap_old[0] < cap_new[0]
+        cont_new = not cont_old
 
     qo, qn = old["queries"], new["queries"]
     common = sorted(set(qo) & set(qn))
@@ -114,21 +134,41 @@ def compare(old: dict, new: dict) -> "tuple[int, dict]":
     hdr = "capacity-TRUSTED (both clean, effective_cores within 20%)"
     if mode == "normalized":
         hdr = (
-            "capacity-NORMALIZED (contended or capacity drift >20%): "
+            "capacity-NORMALIZED crude bound (BOTH contended): "
             f"old walls x {k_old:.3f} (eff {cap_old[0]:.1f}/{cap_old[1]}), "
-            f"new walls x {k_new:.3f} (eff {cap_new[0]:.1f}/{cap_new[1]})"
+            f"new walls x {k_new:.3f} (eff {cap_new[0]:.1f}/{cap_new[1]}) — "
+            "serial fractions make this a fiction; prefer re-running "
+            "either side clean"
+        )
+    elif mode == "one_sided":
+        bounded = "old" if cont_old else "new"
+        hdr = (
+            f"ONE-SIDED (the {bounded} artifact is contended/lower-"
+            "capacity, so its raw walls UPPER-bound its clean walls: "
+            + (
+                "only regressions are provable — new > old proves "
+                "new-slower; new <= old proves nothing"
+                if cont_old
+                else "only improvements are provable — new <= old "
+                "proves new-not-slower; new > old proves nothing"
+            )
+            + f"; eff {cap_old[0]:.1f} vs {cap_new[0]:.1f} of "
+            f"{cap_new[1]})"
         )
     print(f"Comparison mode: {hdr}")
     print()
-    cols = (
-        "| query | old_s | new_s | ratio |"
-        if mode == "trusted"
-        else "| query | old_s | new_s | old_norm_s | new_norm_s | ratio |"
-    )
+    one_sided = mode == "one_sided"
+    if mode == "trusted":
+        cols = "| query | old_s | new_s | ratio |"
+    elif one_sided:
+        cols = "| query | old_s | new_s | raw_ratio | verdict |"
+    else:
+        cols = "| query | old_s | new_s | old_norm_s | new_norm_s | ratio |"
     print(cols)
     print("| --- " * (cols.count("|") - 1) + "|")
     tot_old = tot_new = 0.0
     rows = {}
+    proven = []
     for q in common:
         a, b = qo[q] * k_old, qn[q] * k_new
         tot_old += a
@@ -137,17 +177,37 @@ def compare(old: dict, new: dict) -> "tuple[int, dict]":
         rows[q] = round(ratio, 3)
         if mode == "trusted":
             print(f"| {q} | {qo[q]:.3f} | {qn[q]:.3f} | {ratio:.2f} |")
+        elif one_sided:
+            if cont_old:
+                hit = qn[q] > qo[q]
+                verdict = "REGRESSION (proven)" if hit else "not provable"
+            else:
+                hit = qn[q] <= qo[q]
+                verdict = "not-slower (proven)" if hit else "not provable"
+            if hit:
+                proven.append(q)
+            print(
+                f"| {q} | {qo[q]:.3f} | {qn[q]:.3f} | {ratio:.2f} "
+                f"| {verdict} |"
+            )
         else:
             print(
                 f"| {q} | {qo[q]:.3f} | {qn[q]:.3f} | {a:.3f} | {b:.3f} "
                 f"| {ratio:.2f} |"
             )
     total_ratio = tot_new / tot_old if tot_old > 0 else float("inf")
-    print(
-        f"| **common-set total** | | | "
-        + (f"**{total_ratio:.3f}** |" if mode == "trusted"
-           else f"{tot_old:.2f} | {tot_new:.2f} | **{total_ratio:.3f}** |")
-    )
+    if mode == "trusted":
+        print(f"| **common-set total** | | | **{total_ratio:.3f}** |")
+    elif one_sided:
+        print(
+            f"| **common-set total** | {tot_old:.2f} | {tot_new:.2f} | "
+            f"**{total_ratio:.3f}** | raw — see mode note |"
+        )
+    else:
+        print(
+            f"| **common-set total** | | | {tot_old:.2f} | {tot_new:.2f} "
+            f"| **{total_ratio:.3f}** |"
+        )
     if only_old:
         print(f"\nOnly in old artifact ({len(only_old)}): {', '.join(only_old)}")
     if only_new:
@@ -163,6 +223,9 @@ def compare(old: dict, new: dict) -> "tuple[int, dict]":
         "only_old": only_old,
         "only_new": only_new,
     }
+    if one_sided:
+        summary["one_sided_bounded"] = "old" if cont_old else "new"
+        summary["proven"] = proven
     return 0, summary
 
 
