@@ -1204,6 +1204,7 @@ def shard_append(
     new_emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "nvec",
+    txn: "tuple[str, int] | None" = None,
 ) -> None:
     """Append a batch into an existing :func:`shard_build` layout.
 
@@ -1227,8 +1228,14 @@ def shard_append(
     if t is not None:
         # ONE blind append commit tagged by shard: conflict-free
         # against other appends and against vacuums/compacts of OTHER
-        # shards (disjoint domains); existing files byte-untouched
-        t.commit(adds=t.write_data(sharded, bucket_expr=F.col("shard")))
+        # shards (disjoint domains); existing files byte-untouched.
+        # ``txn`` (app, seq) makes an at-least-once replay — e.g. a
+        # restarted streaming micro-batch — commit nothing (the
+        # exactly-once contract of the tlog's txn key).
+        t.commit(
+            adds=t.write_data(sharded, bucket_expr=F.col("shard")),
+            txn=txn,
+        )
         return
     sharded.write.mode("append").partitionBy("shard").parquet(f"{path}/shards")
     if _try_faiss() is not None and os.path.exists(f"{path}/faiss_idx"):  # pragma: no cover

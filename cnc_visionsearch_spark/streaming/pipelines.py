@@ -333,6 +333,58 @@ def ivf_ingest_stream(
     )
 
 
+def shard_ingest_stream(
+    spark: SparkSession,
+    in_path: str,
+    index_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 10,
+):
+    """Streaming ingest into a PERSISTED :func:`operators.ann.shard_build`
+    layout — the shard tier's twin of :func:`ivf_ingest_stream` (r11,
+    completing the St4 symmetry for the newly-transactional tier): each
+    micro-batch of new embeddings lands in its id-mod shard partitions
+    via ``shard_append``; probes launched after any committed batch see
+    the union at unchanged cost. On a TRANSACTIONAL layout
+    (``shard_build(use_tlog=True)``) the ingest is EXACTLY-ONCE: the
+    append commit carries a (run id, batch id) txn key, so an
+    at-least-once foreachBatch replay commits nothing — the
+    tlog_upsert_stream doctrine, idempotence in the TABLE's protocol.
+    Legacy layouts keep the documented at-least-once append (and its
+    single-writer mutex). Returns the started StreamingQuery.
+    """
+    from cnc_visionsearch_spark.operators.ann import _ivf_tlog, shard_append
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+    from cnc_visionsearch_spark.schemas import EMBEDDINGS
+
+    stream = (
+        spark.readStream.schema(EMBEDDINGS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+    is_tlog = _ivf_tlog(index_path) is not None
+    _rid: dict = {}
+
+    def _run_id() -> str:
+        if "v" not in _rid:
+            _rid["v"] = _stream_run_id(checkpoint, path_hash_fallback=False)
+        return _rid["v"]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        txn = (f"shard_ingest:{_run_id()}", batch_id) if is_tlog else None
+        shard_append(s, index_path, with_normalized(batch_df), txn=txn)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def inverted_ingest_stream(
     spark: SparkSession,
     in_path: str,

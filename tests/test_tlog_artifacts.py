@@ -7,6 +7,8 @@ interleave loses data or tears a read."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -621,6 +623,69 @@ def test_inverted_ingest_stream_exactly_once_on_tlog_layout(
     txns = [
         h["txn"] for h in TLog(path).history() if h["txn"] is not None
     ]
+    assert len(txns) == len({(t["app"], t["seq"]) for t in txns}) >= 1
+
+
+def test_shard_ingest_stream_exactly_once_on_tlog_layout(spark, tmp_path):
+    """r11: the shard tier's streaming ingest twin (shard_ingest_stream)
+    passes (run id, batch id) txn keys on transactional layouts —
+    streamed layout == one-shot batch build over the same corpus, every
+    committed batch appears exactly once in the log, and pre-existing
+    data files survive byte-identical."""
+    import hashlib
+
+    from cnc_visionsearch_spark.operators.ann import (
+        shard_build,
+        sharded_topk_persisted,
+    )
+    from cnc_visionsearch_spark.operators.knn import with_normalized
+    from cnc_visionsearch_spark.streaming.pipelines import shard_ingest_stream
+
+    emb = with_normalized(load_table(spark, SF, "embeddings"))
+    path = str(tmp_path / "sh")
+    shard_build(
+        emb.filter(F.col("vec_id") < 300), path, num_shards=4, use_tlog=True
+    )
+
+    def md5s():
+        out = {}
+        for dp, _d, fs in os.walk(os.path.join(path, "data")):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dp, f)
+                    with open(p, "rb") as fh:
+                        out[p] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    before = md5s()
+    stream_dir = str(tmp_path / "in")
+    load_table(spark, SF, "embeddings").filter(
+        F.col("vec_id") >= 300
+    ).coalesce(2).write.parquet(stream_dir)
+    q = shard_ingest_stream(
+        spark,
+        stream_dir,
+        path,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    after = md5s()
+    for p, digest in before.items():
+        assert after.get(p) == digest  # resident files byte-identical
+    # probe over the streamed-into layout == one-shot build twin
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 301).first()["nvec"]
+    ]
+    ref = str(tmp_path / "ref")
+    shard_build(emb, ref, num_shards=4, use_tlog=True)
+    got = sharded_topk_persisted(spark, path, qv, k=10).collect()
+    want = sharded_topk_persisted(spark, ref, qv, k=10).collect()
+    assert got == want
+    assert got[0].vec_id == 301 and got[0].distance == 0.0
+    # every committed append carries its txn exactly once
+    txns = [h["txn"] for h in TLog(path).history() if h["txn"] is not None]
     assert len(txns) == len({(t["app"], t["seq"]) for t in txns}) >= 1
 
 
