@@ -366,12 +366,13 @@ def read_pq_codes(
         if cell_ids is not None
         else list(range(int(snap.meta["n_cells"])))
     )
+    id_col = snap.meta.get("id_col", "vec_id")
     return _tlog_read_tags(
         spark,
         t,
         snap,
         [stride + c for c in cells],
-        schema="vec_id bigint, sub_j int, code int, cell_id int",
+        schema=f"{id_col} bigint, sub_j int, code int, cell_id int",
     )
 
 
@@ -878,10 +879,17 @@ def shard_vacuum(spark, path: str, id_col: str = "vec_id") -> None:
         )
         num_shards = int(snap.meta["num_shards"])
         # bounded collect: tombstones are batch-scale by contract
-        # (_without_tombstones broadcasts the same set)
-        touched = sorted(
-            {int(r[0]) % num_shards for r in tombs.collect()}
-        )
+        # (_without_tombstones broadcasts the same set). Python % with
+        # a positive modulus == the layout's pmod shard assignment, so
+        # negative ids resolve to the same domain their rows live in.
+        # Domains with no live files (already emptied by an earlier
+        # vacuum, or a tombstone for a never-present id) have nothing
+        # to rewrite — their tombstone rows just retire with the rest.
+        touched = [
+            s
+            for s in sorted({int(r[0]) % num_shards for r in tombs.collect()})
+            if snap.files_in([s])
+        ]
         adds = []
         if touched:
             live = _tlog_read_tags(spark, t, snap, touched)
@@ -1165,10 +1173,28 @@ def shard_build(
     stays a legacy-layout feature (the deps-gated serving sidecar, not
     layout data — same scope line as PQ/RQ code tables on IVF).
     """
-    sharded = emb.withColumn("shard", (F.col(id_col) % num_shards).cast("int"))
     if use_tlog:
         from cnc_visionsearch_spark.sources.tlog import TLog
 
+        if num_shards >= TLOG_TAG_STRIDE_GAP:
+            # same aliasing guard as ivf_build/hnsw_build: shard
+            # domains must stay clear of the reserved tag ranges
+            # (tombstones at 100_002, code strides at 200_000+)
+            raise ValueError(
+                f"shard_build(use_tlog=True): num_shards={num_shards} "
+                f"must stay below the reserved tag stride gap "
+                f"({TLOG_TAG_STRIDE_GAP}) — larger values alias shard "
+                "domains into reserved tag ranges"
+            )
+        # pmod, not %: Java remainder keeps the dividend's sign, so a
+        # negative id would land in a NEGATIVE shard tag that
+        # read_shards' range(num_shards) pruning never lists — the row
+        # would be invisible to every probe. pmod == Python % for a
+        # positive modulus, so shard_vacuum's driver-side touched-set
+        # math (id % num_shards over tombstone ids) agrees exactly.
+        sharded = emb.withColumn(
+            "shard", F.pmod(F.col(id_col), F.lit(num_shards)).cast("int")
+        )
         t = TLog(path)
         if t.latest_version() != 0:
             raise ValueError(
@@ -1190,6 +1216,7 @@ def shard_build(
             path, num_shards=num_shards, id_col=id_col, vec_col=vec_col
         )
         return
+    sharded = emb.withColumn("shard", (F.col(id_col) % num_shards).cast("int"))
     sharded.write.mode("overwrite").partitionBy("shard").parquet(f"{path}/shards")
     _write_geometry(path, num_shards=num_shards, id_col=id_col, vec_col=vec_col)
     if _try_faiss() is not None:  # pragma: no cover
@@ -1223,20 +1250,25 @@ def shard_append(
             f"({geo.get('id_col')}, {geo.get('vec_col')}), got "
             f"({id_col}, {vec_col})"
         )
-    sharded = new_emb.withColumn("shard", (F.col(id_col) % num_shards).cast("int"))
     t = _ivf_tlog(path)
     if t is not None:
-        # ONE blind append commit tagged by shard: conflict-free
+        # ONE blind append commit tagged by shard (pmod — the
+        # shard_build tlog convention: negative tags would be
+        # invisible to read_shards' range pruning): conflict-free
         # against other appends and against vacuums/compacts of OTHER
         # shards (disjoint domains); existing files byte-untouched.
         # ``txn`` (app, seq) makes an at-least-once replay — e.g. a
         # restarted streaming micro-batch — commit nothing (the
         # exactly-once contract of the tlog's txn key).
+        sharded = new_emb.withColumn(
+            "shard", F.pmod(F.col(id_col), F.lit(num_shards)).cast("int")
+        )
         t.commit(
             adds=t.write_data(sharded, bucket_expr=F.col("shard")),
             txn=txn,
         )
         return
+    sharded = new_emb.withColumn("shard", (F.col(id_col) % num_shards).cast("int"))
     sharded.write.mode("append").partitionBy("shard").parquet(f"{path}/shards")
     if _try_faiss() is not None and os.path.exists(f"{path}/faiss_idx"):  # pragma: no cover
         touched = sorted(

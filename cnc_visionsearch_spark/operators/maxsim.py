@@ -93,8 +93,9 @@ MAXSIM_BROADCAST_MAX_ROWS = 100_000
 # corpus fraction — but their PRODUCT can still blow past broadcast
 # comfort when a 100k-token vocabulary meets a very wide query batch.
 # When the MEASURED product exceeds this bound, maxsim_multi_probe
-# splits the query batch in half and recurses (per-qid scores are
-# independent, so the union is hash-identical by construction);
+# chunks the query batch so each chunk's table fits, scoring every
+# chunk against the SAME materialized candidate set (per-qid scores
+# are independent, so the union is hash-identical by construction);
 # 4M rows of (tok, qid, qtok, dot) is ~150 MB broadcast — the upper
 # edge of sane. A single over-wide query cannot split and proceeds
 # unhinted.
@@ -700,11 +701,14 @@ def maxsim_multi_probe(
 
     ``vocab_dots_max_rows`` (r10 verdict #2): the vocab-dot table is
     n_distinct_candidate_tokens x n_batch_query_tokens rows; when the
-    MEASURED product exceeds this bound the query batch is split in
-    half and each half recurses — per-qid scores are independent, so
-    the union is hash-identical to the unsplit answer by construction.
-    A single query that alone exceeds the bound proceeds with the
-    vocab-dot join unhinted (shuffled) instead of force-broadcasting.
+    MEASURED product exceeds this bound the query batch is CHUNKED so
+    each chunk's table fits, and every chunk scores against the SAME
+    materialized candidate set (one candidate generation, one vocab
+    count, no matter how many chunks) — per-qid scores are
+    independent, so the union is hash-identical to the unsplit answer
+    by construction. A single query that alone exceeds the bound
+    proceeds with the vocab-dot join unhinted (shuffled) instead of
+    force-broadcasting.
     """
     if candidates == "lexical":
         from cnc_visionsearch_spark.operators.text_index import (
@@ -824,37 +828,28 @@ def maxsim_multi_probe(
     dtoks = dtoks.localCheckpoint(eager=False)
     n_vocab = dtoks.select("tok").distinct().count()
     n_batch_tokens = sum(len(ts) for _, ts in queries)
-    n_vocab_dots = n_vocab * n_batch_tokens
-    if n_vocab_dots > vocab_dots_max_rows and len(queries) > 1:
-        # MECHANIZED vocab x batch bound (r10 verdict #2): the comment
-        # telling callers to split is now code. Halve the batch and
-        # recurse — each half regenerates its own (smaller, pruned)
-        # candidate set; per-qid scores never interact, so
-        # union(split) == unsplit hash-exactly.
-        mid = len(queries) // 2
-        halves = [
-            maxsim_multi_probe(
-                spark,
-                index_path,
-                part,
-                docs,
-                n_buckets=n_buckets,
-                k=k,
-                candidates=candidates,
-                nprobe=nprobe,
-                min_token_hits=min_token_hits,
-                broadcast_max_rows=broadcast_max_rows,
-                vocab_dots_max_rows=vocab_dots_max_rows,
-            )
-            for part in (queries[:mid], queries[mid:])
-        ]
-        return halves[0].unionByName(halves[1])
-    qvec_rows = [
-        (qid, t, li_token_vec_py(t)) for qid, ts in queries for t in ts
-    ]
-    qvecs = spark.createDataFrame(
-        qvec_rows, "qid bigint, qtok string, qnv array<double>"
-    )
+    if n_vocab * n_batch_tokens > vocab_dots_max_rows and len(queries) > 1:
+        # MECHANIZED vocab x batch bound (r10 verdict #2): chunk the
+        # batch so each chunk's vocab-dot table stays under the bound
+        # (the union vocab count upper-bounds any chunk's), and score
+        # every chunk from the SAME materialized cand/dtoks — no
+        # recursion, no candidate regeneration, no re-counting
+        # (per-qid scores never interact, so union(chunks) == unsplit
+        # hash-exactly; a chunk's vocab_dots join naturally restricts
+        # cand to its own qids).
+        max_tokens = max(vocab_dots_max_rows // max(n_vocab, 1), 1)
+        chunks: "list[list]" = []
+        cur: list = []
+        cur_tok = 0
+        for q_entry in queries:
+            if cur and cur_tok + len(q_entry[1]) > max_tokens:
+                chunks.append(cur)
+                cur, cur_tok = [], 0
+            cur.append(q_entry)
+            cur_tok += len(q_entry[1])
+        chunks.append(cur)
+    else:
+        chunks = [list(queries)]
     # VOCAB-FACTORED scoring (r9): dots depend only on (vocabulary
     # token, query token) — a vocab x |q| table — so the md5 vectors
     # and the interpreted dot folds evaluate once per DISTINCT
@@ -868,48 +863,66 @@ def maxsim_multi_probe(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    vocab_dots = (
-        dtoks.select("tok")
-        .distinct()
-        .withColumn("_v", li_token_vec("tok"))
-        .withColumn("_nv", li_normalize(F.col("_v")))
-        .crossJoin(F.broadcast(qvecs))
-        .select("tok", "qid", "qtok", dot.alias("_dot"))
-    )
-    # vocab_dots keeps its broadcast hint WHEN the measured product
-    # n_vocab x |batch tokens| is under vocab_dots_max_rows — a
-    # VOCABULARY-and-batch fact (the same class as the broadcast query
-    # vectors), never a corpus fraction, so it does not share the cand
-    # hazard the r9 verdict flagged. Leaving it unhinted was measured
-    # to shuffle the (candidate doc, token) side — the big
-    # intermediate — before AQE could promote (+0.6s on the benched
-    # batch). Oversized products never reach this line with a
-    # multi-query batch (the split above recursed); the only unhinted
-    # case is a SINGLE query wide enough to exceed the bound alone.
-    per_tok = (
-        dtoks.join(_maybe_broadcast(cand, n_cand, broadcast_max_rows), "doc_id")
-        .join(
-            _maybe_broadcast(vocab_dots, n_vocab_dots, vocab_dots_max_rows),
-            ["qid", "tok"],
-        )
-        .groupBy("qid", "doc_id", "qtok")
-        .agg(F.max(F.col("_dot")).alias("_best"))
-        .select(
-            "qid",
-            "doc_id",
-            F.floor(F.col("_best") * F.lit(1000000000.0) + F.lit(0.5))
-            .cast("bigint")
-            .alias("_bq"),
-        )
-    )
-    per_pair = per_tok.groupBy("qid", "doc_id").agg(
-        F.sum("_bq").cast("bigint").alias("score_q")
-    )
     w = Window.partitionBy("qid").orderBy(
         F.col("score_q").desc(), F.col("doc_id").asc()
     )
-    return (
-        per_pair.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("qid", "doc_id", "score_q")
-    )
+    outs = []
+    for chunk in chunks:
+        qvec_rows = [
+            (qid, t, li_token_vec_py(t)) for qid, ts in chunk for t in ts
+        ]
+        qvecs = spark.createDataFrame(
+            qvec_rows, "qid bigint, qtok string, qnv array<double>"
+        )
+        vocab_dots = (
+            dtoks.select("tok")
+            .distinct()
+            .withColumn("_v", li_token_vec("tok"))
+            .withColumn("_nv", li_normalize(F.col("_v")))
+            .crossJoin(F.broadcast(qvecs))
+            .select("tok", "qid", "qtok", dot.alias("_dot"))
+        )
+        # vocab_dots keeps its broadcast hint WHEN the bounded product
+        # n_vocab x |chunk tokens| is under vocab_dots_max_rows — a
+        # VOCABULARY-and-batch fact (the same class as the broadcast
+        # query vectors), never a corpus fraction, so it does not share
+        # the cand hazard the r9 verdict flagged. Leaving it unhinted
+        # was measured to shuffle the (candidate doc, token) side — the
+        # big intermediate — before AQE could promote (+0.6s on the
+        # benched batch). Chunks satisfy the bound by construction; the
+        # only unhinted case is a SINGLE query wide enough to exceed
+        # the bound alone.
+        per_tok = (
+            dtoks.join(
+                _maybe_broadcast(cand, n_cand, broadcast_max_rows), "doc_id"
+            )
+            .join(
+                _maybe_broadcast(
+                    vocab_dots,
+                    n_vocab * sum(len(ts) for _, ts in chunk),
+                    vocab_dots_max_rows,
+                ),
+                ["qid", "tok"],
+            )
+            .groupBy("qid", "doc_id", "qtok")
+            .agg(F.max(F.col("_dot")).alias("_best"))
+            .select(
+                "qid",
+                "doc_id",
+                F.floor(F.col("_best") * F.lit(1000000000.0) + F.lit(0.5))
+                .cast("bigint")
+                .alias("_bq"),
+            )
+        )
+        per_pair = per_tok.groupBy("qid", "doc_id").agg(
+            F.sum("_bq").cast("bigint").alias("score_q")
+        )
+        outs.append(
+            per_pair.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("qid", "doc_id", "score_q")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -53,6 +53,29 @@ class LayoutBusyError(RuntimeError):
     mutation is a requirement."""
 
 
+def _holder_alive(lock: str) -> bool:
+    """True when the lockfile's recorded holder PID exists on THIS
+    host (or the file is unreadable — conservative: never break a lock
+    we cannot attribute). kill(pid, 0) probes existence without
+    signaling. Caveats (safe direction = refuse to break): a reused
+    PID or a cross-host holder on a shared filesystem reads as alive,
+    deferring to the operator instead of risking a wrong break."""
+    try:
+        with open(lock) as f:
+            pid = int(json.loads(f.read(512)).get("pid", 0))
+    except (OSError, ValueError, json.JSONDecodeError):
+        return True
+    if pid <= 0:
+        return True
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # pragma: no cover — exists, other user
+        return True
+
+
 @contextmanager
 def layout_mutation_lock(
     path: str, op: str = "mutate", stale_after_s: float = STALE_AFTER_S
@@ -76,15 +99,22 @@ def layout_mutation_lock(
             except OSError:
                 continue  # holder released between open and stat: retry
             age = time.time() - st.st_mtime
-            if age > stale_after_s and attempt == 0:
-                # Presumed crashed holder. A blind unlink here has a
-                # TOCTOU race (r10 advice): between the stat above and
-                # the unlink, the slow-but-live holder may release and
-                # a NEW writer may create a fresh lock — unlinking by
-                # path would then delete the live writer's lock and
-                # admit a second mutator. rename() is the atomic grab:
-                # move whatever is at the lock path aside, then VERIFY
-                # by inode that we grabbed the stale file we observed.
+            if age > stale_after_s and attempt == 0 and not _holder_alive(lock):
+                # Presumed crashed holder — and the recorded holder
+                # PID is provably dead (kill(pid, 0) fails), so the
+                # "slow-but-live holder releases mid-break" leg of the
+                # r10 TOCTOU race cannot occur: a dead process cannot
+                # release. A blind unlink would still race a NEW
+                # writer that acquired after the dead holder's lock
+                # was broken by someone else — rename() is the atomic
+                # grab: move whatever is at the lock path aside, then
+                # VERIFY by inode that we grabbed the stale file we
+                # observed. Residuals (documented, conservative): PID
+                # reuse or a cross-host holder on a shared FS make
+                # _holder_alive return True and the break is REFUSED —
+                # the safe direction (operator intervention over a
+                # wrong break); a no-hardlink filesystem fails the
+                # restore link() loudly rather than clobbering.
                 grabbed = f"{lock}.break.{os.getpid()}"
                 try:
                     os.rename(lock, grabbed)

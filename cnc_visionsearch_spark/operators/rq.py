@@ -169,12 +169,13 @@ def read_rq_codes(spark, path: str, c1s=None) -> DataFrame:
             <= b
             < TLOG_RQ_CODES_STRIDE + TLOG_TAG_STRIDE_GAP
         )
+    id_col = snap.meta.get("id_col", "vec_id")
     return _tlog_read_tags(
         spark,
         t,
         snap,
         [TLOG_RQ_CODES_STRIDE + int(c) for c in sorted(set(c1s))],
-        schema="vec_id bigint, c1 int, c2 int",
+        schema=f"{id_col} bigint, c1 int, c2 int",
     )
 
 

@@ -1136,7 +1136,9 @@ def doc_bpe_train_merges(
 # memo's auto-invalidation key) + rounds, so an overwritten corpus
 # misses and retrains; an un-fingerprint-able input (remote URI,
 # vanished file) disables memoization — never the unsafe direction.
-_BPE_MERGES_MEMO: "dict[tuple, list]" = {}
+# Storage is rank.py's CAPPED LRU (_memo_get/_memo_put, namespaced
+# key), not a module-global dict: a long session repeatedly
+# overwriting the corpus must not accrete unbounded merge lists.
 
 _BpeMerge = _collections.namedtuple(
     "_BpeMerge", "merge_rank lhs rhs merged pair_count"
@@ -1151,14 +1153,19 @@ def bpe_train_merge_rows(
     doc_bpe_fertility_by_lang. One training job per (corpus
     fingerprint, rounds) per session."""
     from cnc_visionsearch_spark.iterative import check_rounds
-    from cnc_visionsearch_spark.operators.rank import _input_fingerprint
+    from cnc_visionsearch_spark.operators.rank import (
+        _input_fingerprint,
+        _memo_get,
+        _memo_put,
+    )
 
     check_rounds(rounds, "doc_bpe_train_merges")
     docs = load_table(spark, sf_dir, "documents")
     fp = _input_fingerprint(docs)
-    key = None if fp is None else (fp, int(rounds))
-    if key is not None and key in _BPE_MERGES_MEMO:
-        return _BPE_MERGES_MEMO[key]
+    key = None if fp is None else ("bpe_merges", fp, int(rounds))
+    hit = _memo_get(key)
+    if hit is not None:
+        return hit
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
@@ -1199,8 +1206,7 @@ def bpe_train_merge_rows(
                 F.lit(f" {best.lhs}{best.rhs}"),
             ),
         ).localCheckpoint(eager=True)
-    if key is not None:
-        _BPE_MERGES_MEMO[key] = merges
+    _memo_put(key, merges)
     return merges
 
 

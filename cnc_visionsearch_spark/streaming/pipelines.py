@@ -42,6 +42,7 @@ __all__ = [
     "purchase_after_error_stream",
     "lsh_ingest_stream",
     "ivf_ingest_stream",
+    "shard_ingest_stream",
     "hnsw_ingest_stream",
     "inverted_ingest_stream",
     "ivf_delete_stream",

@@ -42,17 +42,45 @@ def test_lock_released_on_error(tmp_path):
     assert not os.path.exists(os.path.join(p, LOCK_NAME))
 
 
+def _dead_pid() -> int:
+    """A PID that provably existed and is now dead (spawn + reap)."""
+    import subprocess
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    return proc.pid
+
+
 def test_stale_lock_is_broken(tmp_path):
     p = str(tmp_path / "layout")
     os.makedirs(p)
     lock = os.path.join(p, LOCK_NAME)
     with open(lock, "w") as f:
-        f.write('{"pid": 0, "op": "crashed"}')
+        f.write('{"pid": %d, "op": "crashed"}' % _dead_pid())
     old = time.time() - 7200
     os.utime(lock, (old, old))
     with layout_mutation_lock(p, stale_after_s=3600):
         pass  # crashed holder's lock broken, acquisition succeeded
     assert not os.path.exists(lock)
+
+
+def test_stale_lock_with_live_holder_is_not_broken(tmp_path):
+    """An hour-old lock whose recorded holder PID is STILL ALIVE is a
+    wedged-but-live writer, not a crashed one — breaking it would
+    admit a second mutator while the holder may yet finish. The break
+    now requires provable holder death; a live (or unattributable)
+    holder gets a loud busy instead."""
+    p = str(tmp_path / "layout")
+    os.makedirs(p)
+    lock = os.path.join(p, LOCK_NAME)
+    with open(lock, "w") as f:
+        f.write('{"pid": %d, "op": "wedged"}' % os.getpid())
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    with pytest.raises(LayoutBusyError, match="single-writer"):
+        with layout_mutation_lock(p, stale_after_s=3600):
+            pass  # pragma: no cover
+    assert os.path.exists(lock)  # the live holder's lock survived
 
 
 def test_stale_break_verifies_inode_before_deleting(tmp_path, monkeypatch):
@@ -70,7 +98,9 @@ def test_stale_break_verifies_inode_before_deleting(tmp_path, monkeypatch):
     os.makedirs(p)
     lock = os.path.join(p, LOCK_NAME)
     with open(lock, "w") as f:
-        f.write('{"pid": 1234, "op": "live-new-writer"}')
+        # dead holder pid: the liveness gate must not veto the break
+        # attempt — this test exercises the inode-verify stage behind it
+        f.write('{"pid": %d, "op": "live-new-writer"}' % _dead_pid())
     real_ino = os.stat(lock).st_ino
     real_stat = os.stat
 

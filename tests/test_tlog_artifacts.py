@@ -397,6 +397,45 @@ def test_shard_tlog_mode_invariant_lifecycle(spark, tmp_path):
     assert {r.shard for r in one.select("shard").distinct().collect()} == {1}
 
 
+def test_shard_tlog_negative_ids_and_empty_domain_vacuum(spark, tmp_path):
+    """Review findings pinned: (a) tlog shard assignment is pmod, not
+    Java % — a negative id under Java remainder would land in a
+    NEGATIVE tag that read_shards' range pruning never lists, making
+    the row invisible to every probe; (b) vacuuming a tombstone whose
+    shard holds no live files (already emptied, or a never-present id)
+    retires the tombstone cleanly instead of crashing on a None read."""
+    from cnc_visionsearch_spark.operators.ann import (
+        read_shards,
+        shard_build,
+        shard_delete,
+        shard_vacuum,
+        sharded_topk_persisted,
+    )
+
+    emb = spark.createDataFrame(
+        [(-3, [1.0, 0.0]), (-8, [0.0, 1.0]), (5, [0.6, 0.8])],
+        "vec_id bigint, nvec array<double>",
+    )
+    path = str(tmp_path / "neg")
+    shard_build(emb, path, num_shards=4, use_tlog=True)
+    ids = {r.vec_id for r in read_shards(spark, path).collect()}
+    assert ids == {-3, -8, 5}  # negative ids visible (pmod tags)
+    got = sharded_topk_persisted(spark, path, [1.0, 0.0], k=2).collect()
+    assert got[0].vec_id == -3 and got[0].distance == 0.0
+    # empty shard 0 (sole member -8), then vacuum a tombstone whose
+    # domain now holds zero files — must retire, not crash
+    shard_delete(spark, path, [-8])
+    run_transaction(lambda: shard_vacuum(spark, path))
+    assert {r.vec_id for r in read_shards(spark, path).collect()} == {-3, 5}
+    shard_delete(spark, path, [4])  # pmod 0: the emptied, file-less shard
+    run_transaction(lambda: shard_vacuum(spark, path))  # no AttributeError
+    snap = TLog(path).snapshot()
+    from cnc_visionsearch_spark.operators.ann import TLOG_IVF_TOMBS_TAG
+
+    assert not snap.files_in([TLOG_IVF_TOMBS_TAG])  # tombstones retired
+    assert {r.vec_id for r in read_shards(spark, path).collect()} == {-3, 5}
+
+
 def test_shard_racing_append_to_untouched_shards_serializes(
     spark, tmp_path, monkeypatch
 ):
@@ -924,6 +963,14 @@ def test_tlog_graph_builds_validate_conflict_domain_bounds(spark, tmp_path):
         nsw_build(
             emb, np_, n_buckets=TLOG_NSW_ENTRIES_TAG, use_tlog=True
         )
+    from cnc_visionsearch_spark.operators.ann import (
+        TLOG_TAG_STRIDE_GAP,
+        shard_build,
+    )
+
+    sp = str(tmp_path / "s")
+    with pytest.raises(ValueError, match="reserved tag stride gap"):
+        shard_build(emb, sp, num_shards=TLOG_TAG_STRIDE_GAP, use_tlog=True)
     # the refusal wrote NOTHING: no tlog dir, no partial layout
     import os as _os
 
