@@ -101,6 +101,15 @@ MAXSIM_BROADCAST_MAX_ROWS = 100_000
 # unhinted.
 MAXSIM_VOCAB_DOTS_MAX_ROWS = 4_000_000
 
+# fused-reduction width guard (r11): when a chunk's DISTINCT query
+# tokens fit under this bound, the per-(qid,doc,qtok) max and the
+# per-(qid,doc) integer sum fuse into ONE aggregate keyed (qid,doc)
+# with one conditional-max column per token — one exchange instead of
+# two, hash-identical by construction. Above the bound the two-stage
+# shape is kept (an aggregate hundreds of columns wide would bloat
+# codegen for no exchange saving worth it).
+MAXSIM_FUSED_QTOK_MAX = 64
+
 
 def _maybe_broadcast(df: DataFrame, n_rows: int, max_rows: int) -> DataFrame:
     """Adaptive broadcast hint: hint only when the MEASURED row count
@@ -955,31 +964,72 @@ def maxsim_multi_probe(
         # benched batch). Chunks satisfy the bound by construction; the
         # only unhinted case is a SINGLE query wide enough to exceed
         # the bound alone.
-        per_tok = (
-            dtoks.join(
-                _maybe_broadcast(cand, n_cand, broadcast_max_rows), "doc_id"
-            )
-            .join(
-                _maybe_broadcast(
-                    vocab_dots,
-                    n_vocab * sum(len(ts) for _, ts in chunk),
-                    vocab_dots_max_rows,
-                ),
-                ["qid", "tok"],
-            )
-            .groupBy("qid", "doc_id", "qtok")
-            .agg(F.max(F.col("_dot")).alias("_best"))
-            .select(
-                "qid",
-                "doc_id",
-                F.floor(F.col("_best") * F.lit(1000000000.0) + F.lit(0.5))
-                .cast("bigint")
-                .alias("_bq"),
-            )
+        joined = dtoks.join(
+            _maybe_broadcast(cand, n_cand, broadcast_max_rows), "doc_id"
+        ).join(
+            _maybe_broadcast(
+                vocab_dots,
+                n_vocab * sum(len(ts) for _, ts in chunk),
+                vocab_dots_max_rows,
+            ),
+            ["qid", "tok"],
         )
-        per_pair = per_tok.groupBy("qid", "doc_id").agg(
-            F.sum("_bq").cast("bigint").alias("score_q")
-        )
+        chunk_qtoks = sorted({t for _, ts in chunk for t in ts})
+        if len(chunk_qtoks) <= MAXSIM_FUSED_QTOK_MAX:
+            # FUSED reduction (r11, guide §2.4 "share one exchange"):
+            # per-(qid, doc, qtok) max then per-(qid, doc) sum is two
+            # exchanges keyed (qid, doc, qtok) and (qid, doc); with the
+            # chunk's distinct query tokens as LITERALS, one aggregate
+            # keyed (qid, doc) computes every per-token max as a
+            # conditional-max column and the quantized integer sum as a
+            # projection — identical values (same maxes over the same
+            # rows, same 1e-9 quantization per token, same
+            # order-independent BIGINT sum; a qtok column is non-NULL
+            # exactly for its own qid's rows because vocab_dots pairs
+            # (qid, qtok) — other qids contribute 0, exactly the rows
+            # that did not exist in the two-stage form). Guarded by
+            # MAXSIM_FUSED_QTOK_MAX so a very wide chunk cannot explode
+            # the aggregate width (the two-stage shape remains the
+            # fallback — same hashes either way).
+            maxes = [
+                F.max(
+                    F.when(F.col("qtok") == F.lit(t), F.col("_dot"))
+                ).alias(f"_m{i}")
+                for i, t in enumerate(chunk_qtoks)
+            ]
+            score = None
+            for i in range(len(chunk_qtoks)):
+                part = F.when(
+                    F.col(f"_m{i}").isNotNull(),
+                    F.floor(
+                        F.col(f"_m{i}") * F.lit(1000000000.0) + F.lit(0.5)
+                    ).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+                score = part if score is None else score + part
+            per_pair = (
+                joined.groupBy("qid", "doc_id")
+                .agg(*maxes)
+                .select(
+                    "qid", "doc_id", score.cast("bigint").alias("score_q")
+                )
+            )
+        else:
+            per_tok = (
+                joined.groupBy("qid", "doc_id", "qtok")
+                .agg(F.max(F.col("_dot")).alias("_best"))
+                .select(
+                    "qid",
+                    "doc_id",
+                    F.floor(
+                        F.col("_best") * F.lit(1000000000.0) + F.lit(0.5)
+                    )
+                    .cast("bigint")
+                    .alias("_bq"),
+                )
+            )
+            per_pair = per_tok.groupBy("qid", "doc_id").agg(
+                F.sum("_bq").cast("bigint").alias("score_q")
+            )
         outs.append(
             per_pair.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)

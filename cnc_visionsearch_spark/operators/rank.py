@@ -315,12 +315,103 @@ def _boundaries_from_sample(
     return bnds
 
 
+def _sql_literal(v):
+    """Render a collected boundary/offset value as an EXACT Spark SQL
+    literal, or None when the type has no safe rendering (caller falls
+    back to the Column builder). Floats go through repr (shortest
+    round-trip decimal) parsed back by CAST — bit-exact; Decimals keep
+    their full textual form."""
+    import datetime
+    import decimal
+    import math
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return f"CAST({v} AS BIGINT)" if abs(v) > 2147483647 else str(v)
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return None
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, decimal.Decimal):
+        return f"CAST('{v}' AS DECIMAL(38,18))"
+    if isinstance(v, str):
+        if "\\" in v or "'" in v:
+            return None  # not worth escaping-edge-case risk; fallback
+        return f"'{v}'"
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            return None
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    return None
+
+
+def _expr_sql(e: Column):
+    """The SQL form of a key Column, or None when it is not a PLAIN
+    column reference (the only shape with a faithful textual form —
+    Spark 4's ColumnNode.sql() is a debug rendering for compound
+    expressions) or the JVM handle is unavailable (Connect). Every
+    kernel caller orders by plain columns; anything else falls back to
+    the Column builder."""
+    import re
+
+    try:
+        node = e._jc.node()
+        if node.getClass().getSimpleName() != "UnresolvedAttribute":
+            return None
+        s = node.sql()
+    except Exception:
+        return None
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", s):
+        return None
+    return f"`{s}`"
+
+
+def _band_expr_sql(keys: list[tuple[Column, bool]], bnds: list[tuple]):
+    """The band CASE as ONE SQL string (r11): the Column-by-Column
+    builder costs 6+ py4j round trips per boundary per key — ~300 ms
+    of construction per kernel call at 16 bands — where a single
+    F.expr parse costs one. Returns None when any key expression or
+    boundary value cannot be rendered exactly (caller falls back)."""
+    key_sqls = []
+    for e, _ in keys:
+        s = _expr_sql(e)
+        if s is None:
+            return None
+        key_sqls.append(f"({s})")
+    terms = []
+    for b in bnds:
+        conds = []
+        eqs: list[str] = []
+        for ks, (_, asc), v in zip(key_sqls, keys, b):
+            lit = _sql_literal(v)
+            if lit is None:
+                return None
+            op = ">" if asc else "<"
+            cmp_ = f"({ks} {op} {lit})"
+            if eqs:
+                cmp_ = "(" + " AND ".join(eqs) + f" AND {cmp_})"
+            conds.append(cmp_)
+            eqs.append(f"({ks} = {lit})")
+        terms.append(
+            "(CASE WHEN " + " OR ".join(conds) + " THEN 1 ELSE 0 END)"
+        )
+    return "(" + (" + ".join(terms) if terms else "0") + ")"
+
+
 def _band_expr(keys: list[tuple[Column, bool]], bnds: list[tuple]) -> Column:
     """Band id as a pure CASE over the boundary literals: the count of
     boundaries the row's key is strictly greater than (in sort order).
     Lexicographic strictly-greater with per-column direction; a NULL
     anywhere collapses the comparison to false → band 0 (NULLS FIRST
-    for ascending keys — see module docstring for the desc caveat)."""
+    for ascending keys — see module docstring for the desc caveat).
+    Built as ONE parsed SQL string when every key/boundary renders
+    exactly (r11 construction-cost fix), else the Column builder."""
+    sql = _band_expr_sql(keys, bnds)
+    if sql is not None:
+        return F.expr(sql)
     band = F.lit(0)
     for b in bnds:
         gt = F.lit(False)
@@ -454,7 +545,36 @@ def distributed_cumsum(
         return b if a is None else a + b
 
     def _off_case(pairs, dtype):
-        """band_id -> offset literal as a chained CASE (<= bands arms)."""
+        """band_id -> offset literal as a chained CASE (<= bands arms).
+        Rendered as ONE parsed SQL string when every offset value has
+        an exact literal form (r11 construction-cost fix; band ids are
+        distinct so arm order is irrelevant), else the Column chain."""
+        import decimal
+
+        tname = dtype if isinstance(dtype, str) else dtype.simpleString()
+        arms = []
+        for bid, v in pairs:
+            if v is None or v == 0:
+                continue
+            # offsets are numeric (sum/count folds): render through the
+            # TARGET type so decimals never squeeze through a narrower
+            # intermediate; repr round-trips doubles exactly
+            if isinstance(v, bool) or not isinstance(
+                v, (int, float, decimal.Decimal)
+            ):
+                arms = None
+                break
+            txt = repr(v) if isinstance(v, float) else str(v)
+            if "inf" in txt or "nan" in txt:
+                arms = None
+                break
+            arms.append(f"WHEN {_BAND} = {int(bid)} THEN CAST('{txt}' AS {tname})")
+        if arms is not None:
+            if not arms:
+                return F.expr(f"CAST(0 AS {tname})")
+            return F.expr(
+                "CASE " + " ".join(arms) + f" ELSE CAST(0 AS {tname}) END"
+            )
         c = F.lit(0).cast(dtype)
         for bid, v in pairs:
             if v is None or v == 0:
@@ -486,14 +606,16 @@ def distributed_cumsum(
         # running sum is NULL iff EVERY value so far is NULL. A band
         # whose local prefix is all-NULL must still surface the prior
         # bands' total when one exists; it stays NULL only when no
-        # prior band carried a non-NULL total. `has_prior` is a
-        # per-band boolean literal CASE (prior run_s non-None).
-        has_prior = F.lit(False)
-        for bid, v in s_pairs[i]:
-            if v is not None:
-                has_prior = F.when(
-                    F.col(_BAND) == F.lit(bid), F.lit(True)
-                ).otherwise(has_prior)
+        # prior band carried a non-NULL total. `has_prior` is band
+        # membership in the set whose prior fold is non-None — ONE
+        # parsed IN list (band ids are small ints; r11 construction
+        # fix, same truth table as the old chained CASE).
+        prior_bids = [int(bid) for bid, v in s_pairs[i] if v is not None]
+        has_prior = (
+            F.expr(f"{_BAND} IN ({','.join(map(str, prior_bids))})")
+            if prior_bids
+            else F.lit(False)
+        )
         out = out.withColumn(
             name,
             F.when(
@@ -695,14 +817,19 @@ def exact_ntile_multi(
     out = t.select("*", *wins)
     for si, (_, n, out_col) in enumerate(norm):
         run = 0
-        off = F.lit(0).cast("bigint")
+        arms = []
         for bid, cnt in sorted(per_spec[si]):
             if run:
-                off = F.when(
-                    F.col(band_cols[si]) == F.lit(bid),
-                    F.lit(run).cast("bigint"),
-                ).otherwise(off)
+                arms.append(
+                    f"WHEN {band_cols[si]} = {int(bid)} "
+                    f"THEN CAST({run} AS BIGINT)"
+                )
             run += cnt
+        off = (
+            F.expr("CASE " + " ".join(arms) + " ELSE CAST(0 AS BIGINT) END")
+            if arms
+            else F.lit(0).cast("bigint")
+        )  # one parsed CASE — r11, see _off_case
         total = run
         base, rem = total // n, total % n
         cut = (base + 1) * rem

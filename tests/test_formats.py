@@ -119,3 +119,38 @@ def test_compact_layout_shrinks_files_preserves_data_and_pruning(spark, tmp_path
     assert {tuple(r) for r in got_df.collect()} == want
     plan = formatted_plan(got_df.filter(F.col("bucket") == 1))
     assert any("PartitionFilters" in ln and "bucket" in ln for ln in plan.splitlines())
+
+
+def test_spread_scan_guard_and_pushdown(spark, tmp_path):
+    """r11: spread_scan repartitions ONLY when the scan's file layout
+    cannot reach session parallelism (single monolithic file), is a
+    NO-OP on many-file layouts (the production shape), keeps rows
+    identical, and predicate pushdown still reaches the scan below the
+    inserted exchange."""
+    from cnc_visionsearch_spark.sources.catalog import spread_scan
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    p = spark.sparkContext.defaultParallelism
+
+    spread = spread_scan(li, "l_orderkey")
+    assert "repartition" in spread._jdf.queryExecution().logical().toString().lower()
+    assert spread.count() == li.count()
+    plan = (
+        spread.filter(F.col("l_quantity") > 25)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+
+    # many-file layout: estimated splits >= parallelism -> unchanged frame
+    many = str(tmp_path / "many")
+    li.repartition(p * 2).write.parquet(many)
+    big = spark.read.parquet(many)
+    # force the estimate over the threshold regardless of tiny file sizes
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+        assert spread_scan(big, "l_orderkey") is big
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

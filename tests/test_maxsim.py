@@ -465,3 +465,33 @@ def test_token_ivf_ingest_stream_equals_batch_append(spark, tmp_path):
             ).collect()
         }
         assert a == b and a
+
+
+def test_maxsim_fused_reduction_matches_two_stage(spark, tmp_path, monkeypatch):
+    """r11: under MAXSIM_FUSED_QTOK_MAX the per-token max and the
+    cross-token BIGINT sum fuse into ONE aggregate keyed (qid, doc) —
+    one exchange instead of two. The fusion must be value-IDENTICAL to
+    the two-stage shape (same maxes over the same rows, same 1e-9
+    quantization, same order-free integer sum): force the two-stage
+    fallback by zeroing the width guard and compare."""
+    import cnc_visionsearch_spark.operators.maxsim as mx
+    from cnc_visionsearch_spark.operators.text_index import inverted_build
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "inv_fused")
+    inverted_build(docs, path, n_buckets=8)
+    qs = [(0, ["vector", "window"]), (1, ["hash", "scan", "join"])]
+    fused = {
+        (r.qid, r.doc_id, r.score_q)
+        for r in maxsim_multi_probe(
+            spark, path, qs, docs, n_buckets=8, k=5
+        ).collect()
+    }
+    monkeypatch.setattr(mx, "MAXSIM_FUSED_QTOK_MAX", 0)
+    two_stage = {
+        (r.qid, r.doc_id, r.score_q)
+        for r in maxsim_multi_probe(
+            spark, path, qs, docs, n_buckets=8, k=5
+        ).collect()
+    }
+    assert fused == two_stage and fused

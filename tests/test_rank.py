@@ -510,3 +510,59 @@ def test_exact_ntile_multi_memo_replays_identically(spark):
         F.ntile(4).over(Window.orderBy(F.col("id").desc())).alias("q_i"),
     ).collect()
     assert sorted(map(tuple, r2)) == sorted(map(tuple, exp))
+
+
+def test_band_expr_sql_path_matches_column_builder(spark):
+    """r11: the band CASE renders as ONE parsed SQL string when every
+    key/boundary has an exact literal form (construction-cost fix).
+    The SQL path must band every row exactly like the Column builder —
+    across int, float, string, date and timestamp keys — and must
+    REFUSE (fall back) on values it cannot render exactly."""
+    import datetime
+
+    from cnc_visionsearch_spark.operators.rank import (
+        _band_expr,
+        _band_expr_sql,
+        _norm_order,
+    )
+
+    rows = [
+        (i, float(i) / 3.0, f"s{i:02d}",
+         datetime.date(2020, 1, 1 + i % 27),
+         datetime.datetime(2021, 5, 1, i % 24, 30))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "i bigint, x double, s string, d date, t timestamp"
+    )
+    for spec, bvals in [
+        ([("i", "asc")], [(7,), (21,)]),
+        ([("x", "desc"), ("i", "asc")], [(5.0 / 3.0, 11), (11.0 / 3.0, 30)]),
+        ([("s", "asc")], [("s05",), ("s25",)]),
+        ([("d", "asc"), ("i", "asc")],
+         [(datetime.date(2020, 1, 9), 3)]),
+        ([("t", "asc")], [(datetime.datetime(2021, 5, 1, 12, 30),)]),
+    ]:
+        keys = _norm_order(spec)
+        sql = _band_expr_sql(keys, bvals)
+        assert sql is not None, f"SQL path refused a renderable spec {spec}"
+        got = [r[0] for r in df.select(F.expr(sql)).collect()]
+        # force the Column fallback by rendering through it directly
+        band = F.lit(0)
+        for b in bvals:
+            gt, eq = F.lit(False), F.lit(True)
+            for (e, asc), v in zip(keys, b):
+                lit = F.lit(v)
+                gt = gt | (eq & ((e > lit) if asc else (e < lit)))
+                eq = eq & (e == lit)
+            band = band + F.when(gt, 1).otherwise(0)
+        want = [r[0] for r in df.select(band).collect()]
+        assert got == want, f"band mismatch for {spec}"
+    # unsupported renderings fall back instead of guessing: a quoted
+    # string, NaN, a tz-aware timestamp
+    assert _band_expr_sql(_norm_order([("s", "asc")]), [("a'b",)]) is None
+    assert (
+        _band_expr_sql(_norm_order([("x", "asc")]), [(float("nan"),)]) is None
+    )
+    aware = datetime.datetime(2021, 1, 1, tzinfo=datetime.timezone.utc)
+    assert _band_expr_sql(_norm_order([("t", "asc")]), [(aware,)]) is None
