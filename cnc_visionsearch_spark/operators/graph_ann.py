@@ -587,6 +587,11 @@ def nsw_search(
     read = _nsw_graph_reader(spark, path)  # ONE relation/snapshot per search
     for _ in range(hops):
         ids = sorted(beam)
+        if not ids:
+            # empty beam (an index with no entry rows): the parsed
+            # `src IN ()` would be a ParseException; the replaced
+            # .isin([]) was constant-false — same result, zero scans
+            break
         buckets = sorted({i % n_buckets for i in ids})
         nbrs = (
             read(buckets)
@@ -786,6 +791,70 @@ def _hnsw_meta(path: str) -> dict:
         return json.load(fh)
 
 
+# Upper-descent batching gate (r12, verdict #6): the greedy descent ran
+# ONE Spark job (pruned scan + collect) PER HOP — up to
+# max_level x upper_hops sequential driver round trips per search, each
+# fetching <= m_upper rows. When the upper layers' LIVE FILE BYTES
+# (known driver-side from the layout — no job needed, the spread_scan
+# guard discipline) fit under this bound, the search collects layers
+# >= 1 ONCE and replays the whole descent driver-side with the same
+# sequential fold (_seq_l2_sq is already the doctrine-blessed twin of
+# the codegen score — entry distances have always mixed with hop
+# distances in one beam). Above the bound — upper layers are a corpus
+# fraction (level_mult^-l) at 100 TB — the per-hop bucket-pruned scans
+# remain, so the pruning story is intact by construction.
+HNSW_UPPER_COLLECT_MAX_BYTES = int(
+    os.environ.get("HNSW_UPPER_COLLECT_MAX_BYTES", str(32 << 20))
+)
+
+
+def _hnsw_upper_bytes(path: str):
+    """Total live bytes of layers >= 1, from the file layout only (no
+    Spark job); None when unknowable (assume big — keep per-hop scans)."""
+    t = _nsw_tlog(path)
+    total = 0
+    try:
+        if t is None:
+            base = os.path.join(path, "graph")
+            for name in os.listdir(base):
+                if not name.startswith("layer="):
+                    continue
+                try:
+                    if int(name.split("=", 1)[1]) < 1:
+                        continue
+                except ValueError:
+                    return None
+                for root, _dirs, files in os.walk(os.path.join(base, name)):
+                    for f in files:
+                        if not f.startswith((".", "_")):
+                            total += os.stat(os.path.join(root, f)).st_size
+            return total
+        for p, b in t.snapshot().files:
+            if b is not None and b >= TLOG_HNSW_LAYER_STRIDE:
+                total += os.stat(os.path.join(t.root, p)).st_size
+        return total
+    except OSError:
+        return None
+
+
+def _collect_upper_adjacency(read, start_layer: int):
+    """ONE job: the (layer, src) -> [(dst, dvec)] adjacency of layers
+    1..start_layer (each layer's relation is partition/tag-pruned; the
+    union never touches layer 0)."""
+    rel = None
+    for l in range(1, start_layer + 1):
+        r = read(l).select("layer", "src", "dst", "dvec")
+        rel = r if rel is None else rel.unionByName(r)
+    adj: dict[tuple[int, int], list] = {}
+    if rel is None:
+        return adj
+    for row in rel.collect():
+        adj.setdefault((int(row["layer"]), int(row["src"])), []).append(
+            (int(row["dst"]), row["dvec"])
+        )
+    return adj
+
+
 def hnsw_search(
     spark,
     path: str,
@@ -816,17 +885,31 @@ def hnsw_search(
     # layers above the entry's level are empty by construction (the
     # entry IS a max-level node) — skip their no-op scans
     start_layer = min(max_level, int(e["level"]))
+    upper_adj = None
+    if start_layer >= 1:
+        ub = _hnsw_upper_bytes(path)
+        if ub is not None and ub <= HNSW_UPPER_COLLECT_MAX_BYTES:
+            # batched descent (r12): ONE pruned collect of layers >= 1
+            # replaces up to start_layer x upper_hops per-hop jobs;
+            # gated on measured live bytes, see HNSW_UPPER_COLLECT_MAX_BYTES
+            upper_adj = _collect_upper_adjacency(read, start_layer)
     for layer in range(start_layer, 0, -1):
         for _ in range(upper_hops):
-            nbrs = (
-                read(layer, [cur_id % n_buckets])
-                .filter(F.col("src") == cur_id)
-                .select("dst", score)
-                .collect()
-            )
+            if upper_adj is not None:
+                nbr_rows = [
+                    (dst, _seq_l2_sq(dvec, q))
+                    for dst, dvec in upper_adj.get((layer, cur_id), ())
+                ]
+            else:
+                nbr_rows = [
+                    (int(r.dst), float(r.d))
+                    for r in read(layer, [cur_id % n_buckets])
+                    .filter(F.col("src") == cur_id)
+                    .select("dst", score)
+                    .collect()
+                ]
             best_id, best_d = cur_id, cur_d
-            for r in nbrs:
-                rid, rd = int(r.dst), float(r.d)
+            for rid, rd in nbr_rows:
                 if (rd, rid) < (best_d, best_id):
                     best_id, best_d = rid, rd
             if best_id == cur_id:
@@ -835,6 +918,8 @@ def hnsw_search(
     beam: dict[int, float] = {cur_id: cur_d}
     for _ in range(hops):
         ids = sorted(beam)
+        if not ids:
+            break  # see nsw_search: empty beam must not render `IN ()`
         buckets = sorted({i % n_buckets for i in ids})
         nbrs = (
             read(0, buckets)
@@ -893,6 +978,8 @@ def _hnsw_beam_layer(
     beam = dict(sorted(seeds.items(), key=lambda kv: (kv[1], kv[0]))[:ef])
     for _ in range(hops):
         ids = sorted(beam)
+        if not ids:
+            break  # see nsw_search: empty beam must not render `IN ()`
         buckets = sorted({i % n_buckets for i in ids})
         nbrs = (
             read_fn(layer, buckets)

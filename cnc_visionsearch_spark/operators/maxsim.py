@@ -131,6 +131,7 @@ def _maybe_broadcast(df: DataFrame, n_rows: int, max_rows: int) -> DataFrame:
 # (remote storage, no file sources + non-JVM session) fall back to the
 # per-call exact count. Bounded LRU.
 _VOCAB_BOUND_MEMO: "dict[tuple, int]" = {}
+_VOCAB_BOUND_SEEN: "set[tuple]" = set()
 _VOCAB_BOUND_CAP = 32
 
 
@@ -146,6 +147,18 @@ def _corpus_vocab_bound(docs: DataFrame, text_col: str = "text"):
         return None
     key = (ph, fp, text_col)
     if key not in _VOCAB_BOUND_MEMO:
+        # lazy seeding (r12, advisor): the cold full-corpus distinct
+        # count is strictly MORE work than the per-call candidate count
+        # it replaces (candidates ⊆ corpus), so a corpus seen only once
+        # — or >cap distinct corpora rotating through the memo — must
+        # not pay it. First sighting returns None (caller falls back to
+        # the candidate count); the second sighting of the SAME corpus
+        # proves reuse and seeds the memo, so every later call is free.
+        if key not in _VOCAB_BOUND_SEEN:
+            _VOCAB_BOUND_SEEN.add(key)
+            while len(_VOCAB_BOUND_SEEN) > 4 * _VOCAB_BOUND_CAP:
+                _VOCAB_BOUND_SEEN.pop()
+            return None
         n = (
             docs.select(
                 F.explode(
@@ -781,8 +794,14 @@ def maxsim_multi_probe(
             )
             .select("term", "doc_id")
         )
+        # the literal (qid, term) rows are DEDUPED driver-side (a
+        # query's token list may repeat a token; scoring reduces per
+        # DISTINCT qtok anyway), which makes (qid, term, doc_id) rows
+        # of `matched` unique by construction — postings are unique per
+        # (term, doc_id) at any visible snapshot (build groups by
+        # (term, doc_id); tombstones hide every copy of a doc)
         qterms = spark.createDataFrame(
-            [(qid, t) for qid, ts in queries for t in ts],
+            sorted({(qid, t) for qid, ts in queries for t in ts}),
             "qid bigint, term string",
         )
         matched = posts.join(F.broadcast(qterms), "term")
@@ -800,6 +819,15 @@ def maxsim_multi_probe(
             # of aggregating the qterms literal frame (the token_ivf
             # branch always did; one shuffle less in the candidate
             # subtree the construction barrier executes)
+            # r12 (guide §2.4): count(*) replaces count_distinct(term)
+            # — `matched` rows are (qid, term, doc_id)-unique (above),
+            # so the counts are EQUAL, and the distinct-aggregate's
+            # extra dedup exchange disappears from the candidate
+            # subtree (plan: 2 Exchange -> 1 in the barrier's first
+            # job; interleaved A/B 3 blocks, all faster: 2.42->2.32
+            # quiet-window min). The token_ivf branch below KEEPS
+            # count_distinct — one qt_idx legitimately reaches a doc
+            # through several probed cells there.
             need = (
                 F.col("_qn")
                 if min_token_hits == "all"
@@ -811,7 +839,7 @@ def maxsim_multi_probe(
             )
             cand = (
                 matched.groupBy("qid", "doc_id")
-                .agg(F.count_distinct("term").alias("_nh"))
+                .agg(F.count(F.lit(1)).alias("_nh"))
                 .join(F.broadcast(qn), "qid")
                 .filter(F.col("_nh") >= need)
                 .select("qid", "doc_id")
@@ -885,6 +913,9 @@ def maxsim_multi_probe(
     # dtoks feeds BOTH the vocab-dot table and the scoring join —
     # barrier it once (same ContextCleaner-reclaimed primitive as
     # cand) so the candidate-text scan runs a single time per call.
+    # (r12 measured-and-rejected: removing this barrier to let the
+    # final action overlap the duplicate text scans was 1.06x SLOWER
+    # in the clean interleaved block — the barrier stays.)
     dtoks = dtoks.localCheckpoint(eager=False)
     # vocab sizing for the chunk/hint decisions below: the memoized
     # CORPUS vocabulary size upper-bounds the candidate vocabulary
@@ -975,7 +1006,11 @@ def maxsim_multi_probe(
             ["qid", "tok"],
         )
         chunk_qtoks = sorted({t for _, ts in chunk for t in ts})
-        if len(chunk_qtoks) <= MAXSIM_FUSED_QTOK_MAX:
+        # 0 < guard (r12, advisor): a chunk whose queries all carry empty
+        # token lists would reach groupBy().agg(*[]) with zero aggregate
+        # columns and raise — route the degenerate-but-legal input to the
+        # two-stage path, which reduces it to an empty frame like always
+        if 0 < len(chunk_qtoks) <= MAXSIM_FUSED_QTOK_MAX:
             # FUSED reduction (r11, guide §2.4 "share one exchange"):
             # per-(qid, doc, qtok) max then per-(qid, doc) sum is two
             # exchanges keyed (qid, doc, qtok) and (qid, doc); with the

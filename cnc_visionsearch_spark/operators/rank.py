@@ -342,7 +342,16 @@ def _sql_literal(v):
     if isinstance(v, datetime.datetime):
         if v.tzinfo is not None:
             return None
-        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        # tz-independent rendering (r12, advisor): a naive TIMESTAMP
+        # '<iso>' literal parses in the SESSION timezone while the
+        # Column fallback (F.lit) converts via the DRIVER's local
+        # timezone — the two paths diverge when those differ. Render
+        # the exact internal micros F.lit would produce instead
+        # (TimestampType.toInternal is PySpark's own F.lit conversion),
+        # so SQL path == Column path bit-for-bit under any tz pairing.
+        from pyspark.sql.types import TimestampType
+
+        return f"timestamp_micros({TimestampType().toInternal(v)})"
     if isinstance(v, datetime.date):
         return f"DATE '{v.isoformat()}'"
     return None

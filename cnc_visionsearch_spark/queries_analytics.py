@@ -4568,7 +4568,13 @@ def text_percolator_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = spark.createDataFrame(
         [(n,) for n, _ in _PERC_QUERIES], "query_name string"
     )
-    return names.join(agg, "query_name", "left").select(
+    # broadcast the aggregated side of the zero-fill left join (r12,
+    # guide §3.1): agg is ≤ |stored queries| rows BY CONSTRUCTION (one
+    # row per query_name — planner-state-sized at any corpus scale),
+    # but post-aggregate size estimates are unknown, so the planner
+    # fell back to SortMergeJoin (two sorts + an exchange on a
+    # 4-row join — plans/r11/text_percolator_matches_before.txt:124)
+    return names.join(F.broadcast(agg), "query_name", "left").select(
         "query_name",
         F.coalesce(F.col("n_matches"), F.lit(0).cast("bigint")).alias(
             "n_matches"

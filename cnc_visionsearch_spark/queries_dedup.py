@@ -244,7 +244,13 @@ SELECT id_a, id_b, jaccard FROM verified
     "near-dedup pattern end-to-end.",
 )
 def minhash_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from cnc_visionsearch_spark.sources.catalog import spread_scan
+
     d = load_table(spark, sf_dir, "documents")
+    if _os.environ.get("MINHASH_SPREAD", "0") == "1":
+        d = spread_scan(d, "doc_id")
     banded = spark.read.parquet(ensure_minhash_built(spark, sf_dir))
     return minhash_lsh_pairs(
         d,

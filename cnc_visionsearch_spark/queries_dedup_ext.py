@@ -34,7 +34,13 @@ _SPAN_K = 8  # gram width (tokens) — Lee et al. use 50 BPE tokens; the
 def _planted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, tk) with the two fixture passages planted —
     shared by the span detector and the rewrite pass."""
+    import os
+
+    from cnc_visionsearch_spark.sources.catalog import spread_scan
+
     d = load_table(spark, sf_dir, "documents")
+    if os.environ.get("DUPSPAN_SPREAD", "0") == "1":
+        d = spread_scan(d, "doc_id")
     return (
         d.select(
             "doc_id",

@@ -100,7 +100,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = load_table(spark, sf_dir, "lineitem")
+    import os as _os
+
+    if _os.environ.get("Q3_SPREAD", "0") == "1":
+        li = spread_scan(li, "l_orderkey")
+    li = li.filter(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
     return (
@@ -141,6 +146,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    import os as _os
+
+    if _os.environ.get("Q5_SPREAD", "0") == "1":
+        li = spread_scan(li, "l_orderkey")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -3001,6 +3010,14 @@ def _lpa_labels(
     lab = edges.groupBy(F.col("dst").alias("node")).agg(
         F.min("src").alias("lab")
     )
+    # r12 measured-and-rejected (OPTIMIZATION_r12.md): per-round
+    # localCheckpoint(eager) to truncate lineage (1.06x SLOWER — the
+    # eager barrier serializes what AQE already pipelines), and a
+    # per-query-scoped coalescePartitions.minPartitionSize=64k around
+    # the checkpointed rounds to widen the 3-task count stage (0.97
+    # ratio — inside noise at matched capacity). The 3-round chained
+    # plan stays; its quiet-window cost is ~2.9s, the r11 bench's 4.8s
+    # was mostly machine contention.
     for _ in range(rounds - 1):
         # per-node argmax (count DESC, label ASC) as a HASH aggregate —
         # max(struct(c, -lab)) is the oracle's row_number()=1 pick, but

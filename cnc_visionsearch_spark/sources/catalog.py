@@ -42,25 +42,35 @@ def table_path(sf_dir: str, name: str) -> str:
 # — per QUERY CONSTRUCTION (~0.1-0.2s each, 1-3 tables per query,
 # every bench pass). A DataFrame is an immutable lazy plan, so handing
 # every caller the same handle changes nothing about execution: each
-# action still scans the parquet. Keyed on the session (the driver
-# builds its own) so a restarted session re-reads schemas; fixture
-# dirs are immutable within a round (the memoized_point_value
-# contract below), and `load_table.cache_clear()` is the hatch for
-# anything that rewrites a previously-read path in-process.
-_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+# action still scans the parquet. Keyed on the session's
+# applicationId (r12, verdict #7 — id(spark) could be REUSED by a new
+# session after GC, silently serving a plan bound to a dead JVM) so a
+# restarted session re-reads schemas; fixture dirs are immutable
+# within a round (the memoized_point_value contract below), and
+# `load_table.cache_clear()` is the hatch for anything that rewrites
+# a previously-read path in-process.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), os.path.abspath(sf_dir), name)
+    # Defensive session conf, re-asserted on EVERY call including memo
+    # hits (r12, advisor: a caller that mutates session tz/conf between
+    # calls must not execute a memoized plan under the wrong conf —
+    # these are cheap driver-local sets). The caller may hand us a
+    # vanilla session (the round driver builds its own):
+    # TIMESTAMP(NANOS) parquet needs the legacy read path, and
+    # event-time queries (date_trunc, window rendering) must agree
+    # with the UTC-naive oracle timestamps.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+    )
     hit = _TABLE_MEMO.get(key)
     if hit is not None:
         return hit
-    # Defensive session conf: the caller may hand us a vanilla session
-    # (the round driver builds its own). TIMESTAMP(NANOS) parquet needs
-    # the legacy read path, and event-time queries (date_trunc, window
-    # rendering) must agree with the UTC-naive oracle timestamps.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     # Fixture timestamp columns have shipped in two physical flavors
     # across driver rounds: TIMESTAMP(NANOS) (arrives as bigint nanos

@@ -57,15 +57,22 @@ def _api(path: str) -> list | dict:
         return json.load(resp)
 
 
-def _snapshot(app_id: str) -> dict[str, int]:
-    """Cumulative stage-metric sums. Retained-stage eviction would break
+def _snapshot(app_id: str) -> tuple[dict[str, int], dict[int, int]]:
+    """Cumulative stage-metric sums, plus per-stage shuffle-write bytes
+    keyed on stageId (so a measured pass can attribute its shuffle
+    volume to individual exchanges). Retained-stage eviction would break
     delta arithmetic, so the session raises spark.ui.retainedStages far
     above the ~stages-per-run this script produces."""
     totals = dict.fromkeys(_FIELDS, 0)
+    per_stage_sw: dict[int, int] = {}
     for stage in _api(f"applications/{app_id}/stages"):
         for ours, theirs in _FIELDS.items():
             totals[ours] += int(stage.get(theirs, 0) or 0)
-    return totals
+        sid = int(stage.get("stageId", -1))
+        per_stage_sw[sid] = per_stage_sw.get(sid, 0) + int(
+            stage.get("shuffleWriteBytes", 0) or 0
+        )
+    return totals, per_stage_sw
 
 
 def main() -> None:
@@ -89,13 +96,24 @@ def main() -> None:
         fn = queries[name]
         # warm pass: one-time index builds, codegen, worker spawn
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        before = _snapshot(app_id)
+        before, sw_before = _snapshot(app_id)
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         elapsed = round(time.perf_counter() - t0, 3)
-        after = _snapshot(app_id)
+        after, sw_after = _snapshot(app_id)
         out[name] = {k: after[k] - before[k] for k in _FIELDS}
         out[name]["wall_sec"] = elapsed
+        # per-exchange attribution: shuffle-write of each NEW stage of
+        # the measured pass, largest first (a stage that grew its
+        # cumulative bytes counts by its delta)
+        out[name]["stage_shuffle_write_bytes"] = sorted(
+            (
+                sw - sw_before.get(sid, 0)
+                for sid, sw in sw_after.items()
+                if sw - sw_before.get(sid, 0) > 0
+            ),
+            reverse=True,
+        )
         print(
             f"  {name}: in={out[name]['input_bytes']:,} "
             f"sw={out[name]['shuffle_write_bytes']:,} "

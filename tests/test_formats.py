@@ -154,3 +154,26 @@ def test_spread_scan_guard_and_pushdown(spark, tmp_path):
         assert spread_scan(big, "l_orderkey") is big
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_load_table_memo_keyed_on_application_id(spark):
+    """r12 (verdict #7): the table-handle memo must key on the session's
+    applicationId, never on id(spark) — a GC'd session's id() can be
+    REUSED by a replacement session, which would silently serve a plan
+    bound to a dead JVM. Pin the keying mechanism: every live entry is
+    keyed by this session's applicationId string (globally unique per
+    SparkContext), so a stopped-and-replaced session can only miss."""
+    from cnc_visionsearch_spark.sources import catalog
+
+    catalog.load_table.cache_clear()
+    df = load_table(spark, "/root/testdata/sf0.01", "nation")
+    app = spark.sparkContext.applicationId
+    keys = list(catalog._TABLE_MEMO)
+    assert keys and all(k[0] == app for k in keys), keys
+    assert isinstance(app, str) and app  # not a reusable CPython id()
+    # a different applicationId (a replaced session) cannot alias in
+    assert ("application_dead_0000", keys[0][1], keys[0][2]) not in (
+        catalog._TABLE_MEMO
+    )
+    # memo hit: same immutable handle for the same session
+    assert load_table(spark, "/root/testdata/sf0.01", "nation") is df

@@ -495,3 +495,20 @@ def test_maxsim_fused_reduction_matches_two_stage(spark, tmp_path, monkeypatch):
         ).collect()
     }
     assert fused == two_stage and fused
+
+
+def test_maxsim_multi_probe_empty_token_lists(spark, tmp_path):
+    """r12 (advisor): a batch whose queries all carry EMPTY token lists
+    is degenerate but legal — the fused-reduction guard must route it
+    away from groupBy().agg(*<no columns>) (which raises) and return an
+    empty frame, exactly like the two-stage path always did."""
+    from cnc_visionsearch_spark.operators.text_index import inverted_build
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "inv_empty")
+    inverted_build(docs, path, n_buckets=8)
+    out = maxsim_multi_probe(
+        spark, path, [(0, []), (1, [])], docs, n_buckets=8, k=5
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["qid", "doc_id", "score_q"]

@@ -566,3 +566,37 @@ def test_band_expr_sql_path_matches_column_builder(spark):
     )
     aware = datetime.datetime(2021, 1, 1, tzinfo=datetime.timezone.utc)
     assert _band_expr_sql(_norm_order([("t", "asc")]), [(aware,)]) is None
+
+
+def test_sql_literal_timestamp_is_tz_independent(spark):
+    """r12 (advisor): a naive TIMESTAMP '<iso>' literal parses in the
+    SESSION timezone (UTC here) while the Column fallback F.lit converts
+    via the DRIVER's local timezone — under driver tz != session tz the
+    two paths banded at shifted boundaries. The literal now renders the
+    exact internal micros F.lit would produce (timestamp_micros), so the
+    paths agree under ANY tz pairing. Shift the driver tz and pin it."""
+    import datetime
+    import os
+    import time
+
+    from cnc_visionsearch_spark.operators.rank import _sql_literal
+
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        v = datetime.datetime(2021, 5, 1, 12, 30, 15, 123456)
+        sql = _sql_literal(v)
+        assert sql is not None and sql.startswith("timestamp_micros(")
+        row = (
+            spark.range(1)
+            .select(F.expr(sql).alias("a"), F.lit(v).alias("b"))
+            .first()
+        )
+        assert row.a == row.b
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        time.tzset()

@@ -124,8 +124,11 @@ def test_scale_metrics_artifact_present_and_claims_hold():
     bytes. The point is to pin SCALE.md's flagship physical claims with
     NUMBERS, not plan text:
 
-    - q1's aggregation reduces map-side: its shuffle-write is orders of
-      magnitude below the lineitem bytes it summarizes.
+    - q1's physical story after the r11 spread_scan (guide §2.5): the
+      one deliberate exchange shuffles the filtered scan output ONCE
+      (bounded by the lineitem bytes it reads — never amplified), and
+      the aggregation itself still reduces map-side (every OTHER
+      exchange — the post-partial-agg rows — stays tiny).
     - MinHash LSH dedup shuffles SKETCHES, not documents: its
       shuffle-write is below the corpus's uncompressed text volume
       (what a doc-carrying shuffle would move).
@@ -153,10 +156,20 @@ def test_scale_metrics_artifact_present_and_claims_hold():
     assert set(qs) >= set(bench.HEADLINE), sorted(set(bench.HEADLINE) - set(qs))
     for name, m in qs.items():
         for k, v in m.items():
+            if k == "stage_shuffle_write_bytes":
+                assert all(x >= 0 for x in v), f"{name}.{k} negative: {v}"
+                continue
             assert v >= 0, f"{name}.{k} negative: {v}"
     text_bytes = data["documents_text_bytes"]
     emb_bytes = data["table_bytes"]["embeddings"]
-    assert qs["q1_pricing_summary"]["shuffle_write_bytes"] < 256 * 1024
+    q1 = qs["q1_pricing_summary"]
+    # the spread_scan exchange moves the filtered scan output once,
+    # bounded by lineitem's on-disk footprint (no amplification) ...
+    assert q1["shuffle_write_bytes"] < data["table_bytes"]["lineitem"]
+    # ... and every other exchange (the post-partial-agg rows) is tiny:
+    # the map-side reduction story holds for the aggregation itself
+    stage_sw = sorted(q1["stage_shuffle_write_bytes"], reverse=True)
+    assert sum(stage_sw[1:]) < 256 * 1024, stage_sw
     assert qs["minhash_lsh_neardup_pairs"]["shuffle_write_bytes"] < text_bytes
     assert qs["ann_ivf_topk"]["input_bytes"] < emb_bytes / 10
     assert all(m["disk_spill_bytes"] == 0 for m in qs.values())
