@@ -483,8 +483,21 @@ def nsw_build(
             base_version=0,
         )
     else:
-        graph.write.mode("overwrite").partitionBy("src_bucket").parquet(
-            f"{path}/graph"
+        # ONE file per bucket (r12, guide §6 small files): the raw
+        # partitionBy write fragments each bucket across every writer
+        # task (~10 files/bucket at bench sf — 160 files for 16
+        # buckets), and every beam hop re-opens all of them. Keyed
+        # repartition before the write collapses the layout to one
+        # file per bucket — exactly what the tlog write_data path and
+        # the r8 copurchase-edges build already do. Measured
+        # interleaved (same session, per-layout twin artifacts,
+        # identical search results asserted): nsw_search min
+        # 0.93s -> 0.65s, every block faster.
+        (
+            graph.repartition(F.col("src_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("src_bucket")
+            .parquet(f"{path}/graph")
         )
         entries.write.mode("overwrite").parquet(f"{path}/entries")
     if transient_ivf is not None:
@@ -763,7 +776,11 @@ def hnsw_build(
             base_version=0,
         )
     else:
-        graph.write.mode("overwrite").partitionBy(
+        # one file per (layer, bucket) — see nsw_build (r12, guide §6):
+        # measured hnsw_search min 1.20s -> 0.89s on the compacted twin
+        graph.repartition(
+            F.col("layer"), F.col("src_bucket")
+        ).write.mode("overwrite").partitionBy(
             "layer", "src_bucket"
         ).parquet(f"{path}/graph")
         (

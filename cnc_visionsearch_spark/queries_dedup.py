@@ -244,13 +244,14 @@ SELECT id_a, id_b, jaccard FROM verified
     "near-dedup pattern end-to-end.",
 )
 def minhash_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-
     from cnc_visionsearch_spark.sources.catalog import spread_scan
 
-    d = load_table(spark, sf_dir, "documents")
-    if _os.environ.get("MINHASH_SPREAD", "0") == "1":
-        d = spread_scan(d, "doc_id")
+    # r12 (guide §2.5): exact verification re-shingles candidate docs
+    # from the single-row-group documents scan — ONE task of trigram
+    # explode + hashing; the guarded spread parallelizes it (no-op on
+    # multi-file layouts). Interleaved A/B: 0.81 ratio, all blocks
+    # faster (1.62s -> 1.32s best-block min).
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     banded = spark.read.parquet(ensure_minhash_built(spark, sf_dir))
     return minhash_lsh_pairs(
         d,

@@ -34,13 +34,14 @@ _SPAN_K = 8  # gram width (tokens) — Lee et al. use 50 BPE tokens; the
 def _planted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, tk) with the two fixture passages planted —
     shared by the span detector and the rewrite pass."""
-    import os
-
     from cnc_visionsearch_spark.sources.catalog import spread_scan
 
-    d = load_table(spark, sf_dir, "documents")
-    if os.environ.get("DUPSPAN_SPREAD", "0") == "1":
-        d = spread_scan(d, "doc_id")
+    # r12 (guide §2.5): the gram tokenize + per-gram md5 — this query's
+    # dominant CPU — fuses into the single-row-group documents scan and
+    # ran as ONE task; the guarded spread parallelizes it (no-op on
+    # multi-file production layouts). Interleaved A/B: 0.74 ratio, all
+    # blocks faster (best-block min 3.02s -> 2.24s).
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         d.select(
             "doc_id",

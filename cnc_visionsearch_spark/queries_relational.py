@@ -100,12 +100,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
-    li = load_table(spark, sf_dir, "lineitem")
-    import os as _os
-
-    if _os.environ.get("Q3_SPREAD", "0") == "1":
-        li = spread_scan(li, "l_orderkey")
-    li = li.filter(
+    # r12: spread_scan on lineitem re-measured on a QUIET window
+    # (the r11 rejection was under partial capacity) — still 1.14x
+    # slower interleaved: q3's scan already overlaps the join build
+    # sides, and the added exchange only delays the probe. Rejected
+    # again; q1 remains the only relational spread site.
+    li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
     return (
@@ -145,11 +145,10 @@ ORDER BY revenue DESC, n_name ASC
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    # r12: spread_scan re-measured on a quiet window — block ratios
+    # 1.36/0.93/0.95, inconsistent (the 6-way join overlaps its build
+    # sides with the probe scan); no reproducible win, kept unspread.
     li = load_table(spark, sf_dir, "lineitem")
-    import os as _os
-
-    if _os.environ.get("Q5_SPREAD", "0") == "1":
-        li = spread_scan(li, "l_orderkey")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")

@@ -144,6 +144,10 @@ ORDER BY event_type
     "the shuffle carries registers, never user ids.",
 )
 def events_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 measured-and-rejected: spread_scan on the events read was
+    # 1.5x SLOWER interleaved — the register hashing is light per row,
+    # the two scan branches already overlap within the one action, and
+    # the added exchange only moves the rows before the same shuffle.
     ev = load_table(spark, sf_dir, "events")
     regs = _hll_registers(ev, F.col("event_type"))
     folded = regs.groupBy(F.col("scope").alias("event_type")).agg(
